@@ -1,0 +1,69 @@
+"""Vector & cast column expressions — UDF-free, whole-stage-codegen-able.
+
+The reference implements these as Scala UDFs / BLAS calls:
+  - ``checkedCast`` UDF (reference ``CollectiveALS.scala:85-92``,
+    ``CollectiveALSModel.scala:34-41``): numeric → Int with range guard.
+  - predict dot product via ``blas.sdot`` inside a UDF (reference
+    ``CollectiveALSModel.scala:54-60``), NaN when either side is null.
+
+Here both are pure Catalyst expressions (higher-order array functions),
+so prediction joins stay inside whole-stage codegen — no Python or JVM
+UDF boundary in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_INT_MAX = 2147483647
+_INT_MIN = -2147483648
+
+
+def checked_cast(c: Column | str) -> Column:
+    """Numeric → int with an out-of-range guard (errors instead of wrapping).
+
+    Mirrors the reference's checkedCast UDF semantics: accept any numeric,
+    require integral value within Int range, else raise.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    d = col.cast("double")
+    ok = (d >= _INT_MIN) & (d <= _INT_MAX) & (d == F.floor(d))
+    return (
+        F.when(col.isNull(), F.lit(None).cast("int"))
+        .when(ok, d.cast("int"))
+        .otherwise(F.raise_error(F.format_string(
+            "value %s out of Integer range or non-integral", d.cast("string"))))
+    )
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<float|double> columns; NaN if either null.
+
+    NaN-for-cold-start matches reference ``CollectiveALSModel.scala:54-60``.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    prod = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(ca.isNull() | cb.isNull(), F.lit(float("nan"))).otherwise(prod)
+
+
+def l2_norm(a: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    n = l2_norm(ca)
+    return F.transform(ca, lambda x: x / n)
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return dot(ca, cb) / (l2_norm(ca) * l2_norm(cb))

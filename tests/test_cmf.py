@@ -1,0 +1,117 @@
+"""CMF correctness: native trainer vs built-in ALS (metric parity),
+3-entity collective fit, implicit mode, nonnegativity, determinism.
+
+Mirrors the reference's validation strategy (SURVEY §5): MovieLens-style
+experiments comparing CollectiveALS against stock ALS on the same data.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from collective_als_spark.cmf import CollectiveALS
+
+
+def _synth_ratings(spark, n_users=60, n_items=40, rank=4, seed=7, implicit=False):
+    rng = np.random.default_rng(seed)
+    U = rng.normal(size=(n_users, rank)) / math.sqrt(rank)
+    V = rng.normal(size=(n_items, rank)) / math.sqrt(rank)
+    rows = []
+    for u in range(n_users):
+        items = rng.choice(n_items, size=12, replace=False)
+        for i in items:
+            r = float(U[u] @ V[i]) + rng.normal(scale=0.05)
+            if implicit:
+                r = abs(r) * 4
+            rows.append((u, int(i), r))
+    return spark.createDataFrame(rows, "user int, item int, rating double")
+
+
+def _rmse(model, df):
+    scored = model.predict(df, "user", "item", left_col="user", right_col="item")
+    row = (
+        scored.filter(~F.isnan("prediction"))
+        .agg(F.sqrt(F.avg(F.pow(F.col("prediction") - F.col("rating"), 2))).alias("rmse"))
+        .collect()[0]
+    )
+    return row.rmse
+
+
+def test_native_matches_builtin_quality(spark):
+    df = _synth_ratings(spark).cache()
+    base = CollectiveALS("user", "item", rank=4, max_iter=8, reg_param=0.05, seed=1,
+                         num_blocks=4).fit(df)
+    native = CollectiveALS("user", "item", rank=4, max_iter=8, reg_param=0.05, seed=1,
+                           num_blocks=4, force_native=True).fit(df)
+    rmse_b, rmse_n = _rmse(base, df), _rmse(native, df)
+    # both should fit the low-rank structure well and be comparable
+    assert rmse_b < 0.15
+    assert rmse_n < 0.15
+    assert abs(rmse_b - rmse_n) < 0.05
+
+
+def test_three_entity_collective(spark):
+    df = _synth_ratings(spark).cache()
+    # item -> attribute side relation (like movie->genre membership)
+    rng = np.random.default_rng(3)
+    side = [(i, int(rng.integers(0, 6)), 1.0) for i in range(40)]
+    side_df = spark.createDataFrame(side, "item int, genre int, rating double")
+    als = CollectiveALS("user", "item", "genre", rank=4, max_iter=6,
+                        reg_param=0.05, seed=1, num_blocks=4)
+    model = als.fit({("user", "item"): df, ("item", "genre"): side_df})
+    assert set(model.factors) == {"user", "item", "genre"}
+    assert _rmse(model, df) < 0.25
+    # genre factors exist and have the right shape
+    g = model.factors_for("genre").collect()
+    assert len(g) == 6
+    assert all(len(r.features) == 4 for r in g)
+
+
+def test_implicit_native_runs(spark):
+    df = _synth_ratings(spark, implicit=True)
+    als = CollectiveALS("user", "item", rank=4, max_iter=4, reg_param=0.05,
+                        implicit_prefs=True, alpha=1.0, seed=1, num_blocks=4,
+                        force_native=True)
+    model = als.fit(df)
+    scored = model.predict(df, "user", "item")
+    assert scored.filter(F.isnan("prediction")).count() == 0
+    # implicit predictions approximate preference in [0, 1]-ish range
+    mx = scored.agg(F.max("prediction")).collect()[0][0]
+    assert mx == pytest.approx(1.0, abs=0.6)
+
+
+def test_nonnegative_native(spark):
+    df = _synth_ratings(spark)
+    df = df.withColumn("rating", F.abs("rating"))
+    als = CollectiveALS("user", "item", rank=4, max_iter=4, reg_param=0.05,
+                        nonnegative=True, seed=1, num_blocks=4, force_native=True)
+    model = als.fit(df)
+    mins = [
+        min(min(r.features) for r in model.factors_for(e).collect())
+        for e in ("user", "item")
+    ]
+    assert all(m >= 0.0 for m in mins)
+
+
+def test_seeded_determinism(spark):
+    df = _synth_ratings(spark)
+    kw = dict(rank=4, max_iter=3, reg_param=0.05, seed=9, num_blocks=4,
+              force_native=True)
+    m1 = CollectiveALS("user", "item", **kw).fit(df)
+    m2 = CollectiveALS("user", "item", **kw).fit(df)
+    f1 = {r.id: r.features for r in m1.factors_for("user").collect()}
+    f2 = {r.id: r.features for r in m2.factors_for("user").collect()}
+    assert f1.keys() == f2.keys()
+    for k in f1:
+        np.testing.assert_allclose(f1[k], f2[k], rtol=1e-5)
+
+
+def test_cold_start_nan(spark):
+    df = _synth_ratings(spark)
+    als = CollectiveALS("user", "item", rank=4, max_iter=2, seed=1, num_blocks=4)
+    model = als.fit(df)
+    probe = spark.createDataFrame([(99999, 0), (0, 99999)], "user int, item int")
+    rows = model.predict(probe, "user", "item").collect()
+    assert all(math.isnan(r.prediction) for r in rows)
