@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (SURVEY §2.11 / north star): image/audio/video content travels
+as a ``binary`` column plus a metadata struct (modality, byte length,
+content hash). Decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
+partitioning) is real; the actual codec is stubbed because no
+image/audio libraries ship in this environment.
+
+At 100 TB: binary payloads dominate row size, so operators here avoid
+shuffling payload bytes — features are extracted in a map-only pass and
+the payload is dropped before any wide transformation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType(), False),
+                    T.StructField("n_bytes", T.LongType(), False),
+                    T.StructField("content_hash", T.StringType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def attach_media_columns(df: DataFrame, id_col: str, payload_col: str, modality: str) -> DataFrame:
+    """Wrap a binary column into the canonical (media_id, payload, meta) shape."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.md5(F.col(payload_col)).alias("content_hash"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real decode requires an image library (PIL/opencv) — not present
+    in this environment. The Spark plumbing around it is tested with
+    the deterministic fake extractor below."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "environment; use extract_features(deterministic fake) for plumbing"
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Map-only Arrow-batched feature extraction.
+
+    Deterministic fake featureizer (md5-seeded) standing in for a real
+    decode→embed pipeline; the schema/batching/partition behavior is
+    exactly what a real extractor would use. Payload bytes are dropped
+    in the same pass (never shuffled)."""
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for payload in pdf["payload"]:
+                h = hashlib.md5(bytes(payload) if payload is not None else b"").digest()
+                vec = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16)
+                feats.append((vec.astype(np.float32) / 65535.0).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, _FEATURE_SCHEMA)

@@ -1,0 +1,157 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (SURVEY §2.11 / BASELINE north star), all shuffle-
+conscious and collect-free:
+
+  exact        — content-hash groupBy; one shuffle on the hash.
+  minhash+LSH  — shingle → k salted-md5 minhashes → band buckets →
+                 candidate pairs via self-join on (band, band_hash).
+                 Banding keeps the self-join linear-ish: only docs
+                 sharing a band bucket meet, never a full cross join.
+  simhash      — 32-bit sign-aggregated fingerprint; near-dups share
+                 fingerprints (or low Hamming distance).
+  n-gram Jaccard — exact set overlap on shingles via explode +
+                 self-join on shingle + groupBy pair.
+  embedding cosine — near-dup pairs above a cosine threshold; exact
+                 (block nested loop) at small scale, LSH-bucketed at
+                 100 TB (see similarity.py).
+
+All hashes are md5-derived → every operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from collective_als_spark.functions.text import shingles, word_hash
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, content_hash, group_size, is_dup) — exact duplicates share
+    an md5; one hash-shuffle, map-side combinable."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    hashed = df.select(F.col(id_col), h)
+    sizes = hashed.groupBy("content_hash").agg(F.count(F.lit(1)).alias("group_size"))
+    return hashed.join(sizes, "content_hash").select(
+        id_col,
+        "content_hash",
+        "group_size",
+        (F.col("group_size") > 1).alias("is_dup"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) — min over shingles of md5(seed || shingle).
+
+    Min of a salted cryptographic hash is a valid minwise permutation
+    approximation; identical strings minimize identically in any engine.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one minhash band.
+
+    Scale path: the self-join key is (band_idx, band_hash) — docs only
+    meet within a bucket, so skew is bounded by bucket size, not corpus
+    size; AQE skew-join splits hot buckets.
+    """
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bd")
+    ).select(F.col(id_col), F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash) — sign of per-bit vote sums over word hashes.
+
+    Explode words, one groupBy(id) with ``bits`` conditional aggregates —
+    map-side combinable, single shuffle.
+    """
+    w = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    wh = w.withColumn("h", word_hash(F.col("w"), bits=bits))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = wh.groupBy(id_col).agg(*votes)
+    sig: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(0)
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a < id_b, jaccard) for pairs above ``threshold`` on distinct
+    word n-gram sets. Exact: explode → self-join on shingle → count
+    intersections → join set sizes. The shingle join only pairs docs
+    sharing a shingle (inverted-index join), not a cross join."""
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

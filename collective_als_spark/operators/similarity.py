@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(Q x N); fine when the
+query set is bounded (the inner product is a codegen'd higher-order
+function, no UDF). Scale path: random-hyperplane LSH — embeddings
+bucket by sign signature, candidates only meet within a bucket
+(multi-probe over several independent tables to recover recall); the
+shuffle key is the bucket id, so work scales with bucket occupancy,
+not N^2. Hyperplanes are generated deterministically from a seed via
+splitmix64 so signatures are reproducible across runs and executors.
+
+Embedding near-dup (cosine > t) reuses the same two paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from collective_als_spark.functions.vector import cosine_similarity
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (self excluded).
+
+    Ranking key is (rounded cosine desc, neighbor id) — deterministic
+    under float summation-order differences.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic gaussian hyperplanes via splitmix64 + Box-Muller."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed * 7919 + 1)
+
+    def mix(z: np.ndarray) -> np.ndarray:
+        z = (z + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return z ^ (z >> np.uint64(31))
+
+    u1 = (mix(idx).astype(np.float64) + 1.0) / 18446744073709551616.0
+    u2 = mix(idx ^ np.uint64(0xA5A5A5A55A5A5A5A)).astype(np.float64) / 18446744073709551616.0
+    g = np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    return g.reshape(n_planes, dim)
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table, bucket) — one sign-pattern bucket per hash table.
+
+    Vectorized per Arrow batch: X @ planes.T > 0 → packed int bucket.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def sig(batches):
+        planes = [
+            _hyperplanes(64, n_planes, seed + t) for t in range(n_tables)
+        ]
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].values).astype(np.float64)
+            for t in range(n_tables):
+                P = planes[t][:, : X.shape[1]]
+                buckets = ((X @ P.T) > 0) @ weights
+                yield pd.DataFrame(
+                    {
+                        "vid": pdf[id_col].values,
+                        "table": t,
+                        "bucket": buckets,
+                    }
+                )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(sig, schema)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates = pairs sharing any
+    (table, bucket); exact cosine re-rank within candidates."""
+    sigs = lsh_signatures(embeddings, id_col, vec_col, n_planes, n_tables, seed)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("query_id"), F.col("b.vid").alias("neighbor_id"))
+        .distinct()
+    )
+    e_q = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    e_c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        cand.join(e_q, "query_id")
+        .join(e_c, "neighbor_id")
+        .withColumn("cos", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact near-dup pairs (cosine > threshold, id_a < id_b)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos") > threshold)
+        .select("id_a", "id_b", "cos")
+    )

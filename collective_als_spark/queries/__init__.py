@@ -1,3 +1,8 @@
 """Import all query modules so their @register calls populate the registry."""
 
-from collective_als_spark.queries import relational  # noqa: F401
+from collective_als_spark.queries import (  # noqa: F401
+    events_queries,
+    llm_data,
+    ml_queries,
+    relational,
+)

@@ -1,0 +1,86 @@
+"""Event-stream queries: tumbling windows, sessionization, streaming
+demo, multimodal plumbing (SURVEY §2.11 new-build surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from collective_als_spark.registry import register
+from collective_als_spark.sources import load_table
+from collective_als_spark.streaming.windows import (
+    sessionize,
+    streaming_tumbling_agg,
+    tumbling_agg,
+)
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (batch F.window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_agg(ev, "ts", "event_type", "1 hour")
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, value, epoch_ms(ts) AS ms,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w IS NULL
+                      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT user_id, value, ms,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM g
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+           count(*) AS n_events, round(sum(value), 2) AS total_v
+    FROM sid
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) sessionization per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, "ts", "user_id", gap_minutes=30)
+
+
+@register("streaming_tumbling_agg")
+def streaming_tumbling_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling agg driven to completion via the
+    memory sink (rows-only: streaming execution, same results as
+    tumbling_window_agg)."""
+    return streaming_tumbling_agg(spark, sf_dir)
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: documents' text bytes stand in for
+    media payloads; metadata struct + Arrow-batched feature extraction
+    (rows-only: featureizer is a deterministic fake, SURVEY §2.11)."""
+    from collective_als_spark.multimodal import attach_media_columns, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    media = attach_media_columns(docs, "doc_id", "payload", "text/fake-image")
+    return extract_features(media)

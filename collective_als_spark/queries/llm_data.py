@@ -1,0 +1,299 @@
+"""LLM-training-data pipeline queries over documents/embeddings
+(SURVEY §2.11 / Phase 5 — no reference counterpart, driver north star).
+
+Dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
+similarity search (brute-force + LSH ANN), and text analysis
+(quality, lang-ID, token counts, fingerprints). All hashes are
+md5-derived so Spark and DuckDB agree bit-for-bit; float similarity is
+computed in double precision and rounded in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from collective_als_spark.functions import text as TX
+from collective_als_spark.operators import dedup as D
+from collective_als_spark.operators import similarity as SIM
+from collective_als_spark.registry import register
+from collective_als_spark.sources import load_table
+
+_WORDS = "string_split(text, ' ')"
+_SHINGLES = (
+    "list_transform(range(1, len(string_split(text,' ')) - 1), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+    "|| ' ' || string_split(text,' ')[i+2])"
+)
+
+
+# ------------------------------------------------------------- text analysis
+@register(
+    "text_quality_metrics",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_WORDS}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                 * 1.0 / length(text), 6) AS punct_ratio,
+           round(len(list_filter({_WORDS},
+                 w -> list_contains(['the','a','of','and','to','in','is','it','you','that'], w)))
+                 * 1.0 / len({_WORDS}), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, punctuation ratio, stopword ratio — pretraining
+    quality-filter signals, all codegen'd (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    WITH scores AS (
+        SELECT doc_id,
+           len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','to','in','is','it','you','that'], w))) AS s_en,
+           len(list_filter(string_split(text,' '), w -> list_contains(['der','die','das','und','ist','nicht','du','ich','ein','zu'], w))) AS s_de,
+           len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','que','y','en','un','ser','se','no'], w))) AS s_es,
+           len(list_filter(string_split(text,' '), w -> list_contains(['le','la','de','et','les','des','en','un','une','du'], w))) AS s_fr
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+             WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+             WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+             WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+             ELSE 'en'
+           END AS lang_pred
+    FROM scores
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic (ties resolve to 'en',
+    no markers → 'unknown')."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = TX.lang_scores("text")
+    en, de, es, fr = s["en"], s["de"], s["es"], s["fr"]
+    pred = (
+        F.when((en == 0) & (de == 0) & (es == 0) & (fr == 0), "unknown")
+        .when((de > en) & (de > es) & (de > fr), "de")
+        .when((es > en) & (es > de) & (es > fr), "es")
+        .when((fr > en) & (fr > de) & (fr > es), "fr")
+        .otherwise("en")
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+@register(
+    "token_count_by_source",
+    oracle=f"""
+    SELECT source, lang,
+           sum(len({_WORDS})) AS total_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting rollup (map-side combinable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.sum(TX.token_count("text").cast("bigint")).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform({_WORDS},
+                       w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
+               (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.rolling_fingerprint("text").alias("fingerprint"))
+
+
+# ------------------------------------------------------------------- dedup
+@register(
+    "exact_dedup",
+    oracle="""
+    WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    sizes AS (SELECT content_hash, count(*) AS group_size FROM hashed GROUP BY content_hash)
+    SELECT h.doc_id, h.content_hash, s.group_size, s.group_size > 1 AS is_dup
+    FROM hashed h JOIN sizes s USING (content_hash)
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "minhash_signature",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    )
+    SELECT doc_id,
+           min(md5('0|' || s)) AS mh_0, min(md5('1|' || s)) AS mh_1,
+           min(md5('2|' || s)) AS mh_2, min(md5('3|' || s)) AS mh_3,
+           min(md5('4|' || s)) AS mh_4, min(md5('5|' || s)) AS mh_5,
+           min(md5('6|' || s)) AS mh_6, min(md5('7|' || s)) AS mh_7
+    FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+
+
+@register(
+    "lsh_candidate_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5('0|' || s)) AS mh_0, min(md5('1|' || s)) AS mh_1,
+               min(md5('2|' || s)) AS mh_2, min(md5('3|' || s)) AS mh_3,
+               min(md5('4|' || s)) AS mh_4, min(md5('5|' || s)) AS mh_5,
+               min(md5('6|' || s)) AS mh_6, min(md5('7|' || s)) AS mh_7
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    return D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, band_size=2)
+
+
+@register(
+    "simhash_fingerprint",
+    oracle="""
+    WITH wh AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT AS h
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               {cols}
+        FROM wh GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """.format(
+        cols=",\n               ".join(
+            f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+            for b in range(32)
+        ),
+        sig=" + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32)),
+    ),
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", bits=32)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+
+
+# ------------------------------------------------------- similarity search
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) > 0.8
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return SIM.embedding_neardup_pairs(emb, threshold=0.8)
+
+
+@register(
+    "ann_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
+        FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for a bounded query set."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+@register("ann_topk_lsh")
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (rows-only: bucket assignment uses
+    deterministic numpy hyperplanes, not SQL-expressible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, k=5)

@@ -1,0 +1,189 @@
+"""Model-lifecycle queries: chronological split, CMF fit/predict,
+regression + ranking evaluation (SURVEY §2.4 A10/A11, §2.5 W1, §2.10).
+
+CMF fits are not SQL-expressible → rows-only checks (no oracle).
+Split sizes and ranking metrics ARE SQL-expressible → full oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from collective_als_spark.operators.evaluation import ranking_metrics, regression_metrics
+from collective_als_spark.operators.split import split_chronologically
+from collective_als_spark.registry import register
+from collective_als_spark.sources import load_table
+
+
+@register(
+    "chrono_split_sizes",
+    oracle="""
+    WITH ranked AS (
+        SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rk,
+               count(*) OVER () AS n
+        FROM events
+    )
+    SELECT CAST(CASE WHEN rk < CAST(0.9 * n AS BIGINT) THEN 0 ELSE 1 END AS INTEGER) AS slice,
+           count(*) AS n_rows
+    FROM ranked
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def chrono_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 end-to-end: splitChronologically([0.9, 0.1]) slice sizes —
+    reference Utils.scala:11-36."""
+    ev = load_table(spark, sf_dir, "events")
+    slices = split_chronologically(ev, [0.9, 0.1], "ts", tie_break=["event_id"])
+    parts = [
+        s.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(i).alias("slice"), "n_rows"
+        )
+        for i, s in enumerate(slices)
+    ]
+    return parts[0].union(parts[1]).orderBy("slice")
+
+
+@register(
+    "ranking_metrics_at_k",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey AS user_id, o_orderkey AS item_id,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS pos
+        FROM orders
+    ),
+    truth AS (
+        SELECT DISTINCT o_custkey AS user_id, o_orderkey AS item_id
+        FROM orders WHERE o_orderstatus = 'F'
+    ),
+    n_rel AS (
+        SELECT user_id, count(*) AS n_rel FROM truth GROUP BY user_id
+    ),
+    hits AS (
+        SELECT r.user_id, r.pos,
+               CASE WHEN t.item_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS hit
+        FROM ranked r LEFT JOIN truth t
+          ON r.user_id = t.user_id AND r.item_id = t.item_id
+        WHERE r.pos <= 10
+    ),
+    cum AS (
+        SELECT user_id, pos, hit,
+               sum(hit) OVER (PARTITION BY user_id ORDER BY pos) AS cum_hits
+        FROM hits
+    ),
+    idcg_tbl AS (
+        SELECT i AS m, sum(1.0 / log2(j + 1)) AS idcg
+        FROM generate_series(1, 10) s1(i)
+        JOIN generate_series(1, 10) s2(j) ON j <= i
+        GROUP BY i
+    ),
+    per_user AS (
+        SELECT k.k, c.user_id,
+               sum(CASE WHEN c.pos <= k.k THEN c.hit ELSE 0 END) AS hits_k,
+               sum(CASE WHEN c.pos <= k.k AND c.hit > 0
+                        THEN c.cum_hits / c.pos ELSE 0 END) AS ap_num,
+               sum(CASE WHEN c.pos <= k.k AND c.hit > 0
+                        THEN 1.0 / log2(c.pos + 1) ELSE 0 END) AS dcg
+        FROM cum c CROSS JOIN (SELECT unnest([5, 10]) AS k) k
+        GROUP BY k.k, c.user_id
+    ),
+    scored AS (
+        SELECT p.k,
+               p.hits_k / p.k AS prec,
+               p.hits_k / n.n_rel AS rec,
+               p.dcg / i.idcg AS ndcg,
+               p.ap_num / least(p.k, n.n_rel) AS ap
+        FROM per_user p
+        JOIN n_rel n ON p.user_id = n.user_id
+        JOIN idcg_tbl i ON i.m = least(p.k, n.n_rel)
+    )
+    SELECT CAST(k AS INTEGER) AS k,
+           round(avg(prec), 6) AS precision,
+           round(avg(rec), 6) AS recall,
+           round(avg(CASE WHEN prec + rec > 0
+                          THEN 2 * prec * rec / (prec + rec) ELSE 0 END), 6) AS f1,
+           round(avg(ndcg), 6) AS ndcg,
+           round(avg(ap), 6) AS map
+    FROM scored
+    GROUP BY k ORDER BY k
+    """,
+)
+def ranking_metrics_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: Precision/Recall/F1/NDCG/MAP @ {5,10} — native rebuild of the
+    reference's SparkRankingMetrics dep (IHRALS.scala:43-57).
+    Deterministic fixture: rank each customer's orders by totalprice,
+    relevant = orders with status 'F'."""
+    orders = load_table(spark, sf_dir, "orders")
+    preds = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey").alias("item_id"),
+        F.col("o_totalprice").alias("score"),
+    )
+    truth = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderkey").alias("item_id")
+    )
+    m = ranking_metrics(preds, truth, "user_id", "item_id", "score", ks=[5, 10])
+    return m.select(
+        "k",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round("ndcg", 6).alias("ndcg"),
+        F.round("map", 6).alias("map"),
+    )
+
+
+# ------------------------------------------------------- CMF fits (rows-only)
+@register("cmf_fit_predict")
+def cmf_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M5 end-to-end: implicit events->ratings, 2-entity fit, score
+    the held-out chronological slice (rows-only check: not SQL)."""
+    from collective_als_spark.flagship import flagship
+
+    return flagship(spark, sf_dir, rank=8, max_iter=5)
+
+
+@register("cmf_fit_3entity")
+def cmf_fit_3entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: 3-entity collective fit — (user,event_type) strength +
+    (event_type,hour-of-day) occurrence — return the hour-entity factors
+    (rows-only; mirrors MovieLensCollectiveALS's genre side-relation)."""
+    from pyspark.sql import Window
+
+    from collective_als_spark.cmf import CollectiveALS
+
+    ev = load_table(spark, sf_dir, "events")
+    type_dict = (
+        ev.select("event_type").distinct()
+        .withColumn("type_code", F.row_number().over(Window.orderBy("event_type")) - 1)
+    )
+    coded = ev.join(F.broadcast(type_dict), "event_type")
+    main = coded.groupBy("user_id", "type_code").agg(
+        F.sum("value").cast("float").alias("rating")
+    )
+    side = coded.withColumn("hour_code", F.hour("ts")).groupBy(
+        "type_code", "hour_code"
+    ).agg(F.count(F.lit(1)).cast("float").alias("rating"))
+
+    als = CollectiveALS(
+        "user_id", "type_code", "hour_code",
+        rank=8, max_iter=3, reg_param=0.1, seed=42, num_blocks=8,
+    )
+    model = als.fit({("user_id", "type_code"): main, ("type_code", "hour_code"): side})
+    return model.factors_for("hour_code").select(
+        "id", F.size("features").alias("rank_dim")
+    )
+
+
+@register("als_regression_eval")
+def als_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 over a real model: RMSE/MAE of the flagship fit on its test
+    slice (rows-only; model output not SQL-reproducible)."""
+    from collective_als_spark.flagship import flagship
+
+    scored = flagship(spark, sf_dir, rank=8, max_iter=5)
+    return regression_metrics(scored, "rating", "prediction")

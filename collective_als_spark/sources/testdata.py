@@ -26,6 +26,10 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # must hold on ANY session (the driver provides its own):
+        # events.ts is parquet TIMESTAMP(NANOS), unreadable without this
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) read as ns-since-epoch long
