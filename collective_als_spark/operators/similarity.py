@@ -123,12 +123,18 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 12,
-    n_tables: int = 6,
+    n_planes: int = 6,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates = pairs sharing any
-    (table, bucket); exact cosine re-rank within candidates."""
+    (table, bucket); exact cosine re-rank within candidates.
+
+    Plane/table sizing is a recall/cost dial: per-plane agreement
+    probability is 1 - theta/pi, so recall ≈ 1-(1-(1-theta/pi)^planes)^tables.
+    Defaults suit moderate-similarity neighborhoods (cos ~0.3-0.6);
+    tightly-clustered corpora (near-dup mining) can afford 12-16 planes
+    for much smaller buckets."""
     sigs = lsh_signatures(embeddings, id_col, vec_col, n_planes, n_tables, seed)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (

@@ -46,18 +46,25 @@ def split_chronologically(
     cum[-1] = (cum[-1][0], 1.0 + 1e-9)
 
     if not exact:
+        from pyspark.sql import types as T
+
+        is_ts = isinstance(df.schema[time_col].dataType, T.TimestampType)
+        num_col = "__split_us" if is_ts else time_col
+        ndf = (
+            df.withColumn(num_col, F.unix_micros(F.col(time_col))) if is_ts else df
+        )
         probs = [hi for (_, hi) in cum[:-1]]
-        cuts = df.approxQuantile(time_col, probs, 0.001)
+        cuts = ndf.approxQuantile(num_col, probs, 0.001)
         slices = []
         lo_cut = None
         for i, (_, _) in enumerate(cum):
-            sl = df
+            sl = ndf
             if lo_cut is not None:
-                sl = sl.filter(F.col(time_col) >= F.lit(lo_cut))
+                sl = sl.filter(F.col(num_col) >= F.lit(lo_cut))
             if i < len(cuts):
-                sl = sl.filter(F.col(time_col) < F.lit(cuts[i]))
+                sl = sl.filter(F.col(num_col) < F.lit(cuts[i]))
                 lo_cut = cuts[i]
-            slices.append(sl)
+            slices.append(sl.drop("__split_us") if is_ts else sl)
         return slices
 
     order = [F.col(time_col)] + [F.col(c) for c in (tie_break or [])]

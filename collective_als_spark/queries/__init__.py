@@ -2,6 +2,7 @@
 
 from collective_als_spark.queries import (  # noqa: F401
     events_queries,
+    extended,
     llm_data,
     ml_queries,
     relational,

@@ -1,0 +1,49 @@
+"""S1/S2/S5: CSV round-trip with explicit schema, multi-table loader,
+text report sink."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from collective_als_spark.sources import load_table
+from collective_als_spark.sources.files import load_dataset, read_csv, write_text_report
+
+
+def test_csv_roundtrip(spark, sf_med):
+    li = load_table(spark, sf_med, "lineitem").limit(500)
+    with tempfile.TemporaryDirectory() as d:
+        li.select("l_orderkey", "l_quantity", "l_returnflag").write.mode(
+            "overwrite"
+        ).csv(f"{d}/li", header=True)
+        back = read_csv(
+            spark, f"{d}/li",
+            schema="l_orderkey bigint, l_quantity double, l_returnflag string",
+        )
+        assert back.count() == 500
+        assert dict(back.dtypes) == {
+            "l_orderkey": "bigint", "l_quantity": "double", "l_returnflag": "string",
+        }
+
+
+def test_multi_table_loader(spark, sf_med):
+    tables = load_dataset(
+        spark, sf_med,
+        {"region": None, "nation": None, "customer": None, "orders": None},
+        fmt="parquet",
+    )
+    assert set(tables) == {"region", "nation", "customer", "orders"}
+    assert tables["region"].count() == 5
+
+
+def test_text_report_sink(spark, sf_med):
+    m = (
+        load_table(spark, sf_med, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat_ws(" = ", "o_orderstatus", "n").alias("line"))
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_text_report(m, f"{d}/report")
+        lines = spark.read.text(f"{d}/report").collect()
+        assert len(lines) == 3
+        assert all("=" in r.value for r in lines)
