@@ -1,0 +1,3 @@
+from collective_als_spark.plans.inspect import formatted_plan, plan_summary
+
+__all__ = ["formatted_plan", "plan_summary"]

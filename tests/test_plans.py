@@ -1,0 +1,54 @@
+"""Plan-shape regression tests: pushdown, pruning, broadcast choice,
+and no accidental cartesian products (the 100 TB guardrails)."""
+
+from pyspark.sql import functions as F
+
+from collective_als_spark.plans import plan_summary
+from collective_als_spark.registry import spark_queries
+from collective_als_spark.sources import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_med):
+    li = load_table(spark, sf_med, "lineitem")
+    df = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_quantity")
+    s = plan_summary(df)
+    scan = s["scans"][0]
+    assert any("l_shipdate" in f for f in scan["pushed_filters"]), scan
+    # column pruning: only the 3 needed columns read, not all 11
+    assert set(scan["read_columns"]) == {"l_orderkey", "l_quantity", "l_shipdate"}
+
+
+def test_star_join_broadcasts_dims(spark, sf_med):
+    s = plan_summary(spark_queries()["star_join_revenue"](spark, sf_med))
+    assert s["n_broadcast_joins"] >= 2  # nation + region at minimum
+    assert s["n_cartesian"] == 0
+    # fact scans are pruned to join keys + agg inputs
+    li_scan = next(
+        sc for sc in s["scans"] if sc["read_columns"] and "l_extendedprice" in sc["read_columns"]
+    )
+    assert len(li_scan["read_columns"]) == 3
+
+
+def test_agg_query_prunes_columns(spark, sf_med):
+    s = plan_summary(spark_queries()["pricing_summary"](spark, sf_med))
+    scan = s["scans"][0]
+    assert len(scan["read_columns"]) == 5
+    # map-side combine: partial aggregation before the shuffle
+    assert "partial_sum" in s["plan"]
+
+
+def test_prediction_join_no_cartesian(spark):
+    from collective_als_spark.cmf import CollectiveALS
+
+    df = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0)], "user int, item int, rating double"
+    )
+    model = CollectiveALS("user", "item", rank=2, max_iter=1, seed=1, num_blocks=2).fit(df)
+    s = plan_summary(model.predict(df, "user", "item"))
+    assert s["n_cartesian"] == 0
+
+
+def test_minhash_single_shuffle(spark, sf_med):
+    s = plan_summary(spark_queries()["minhash_signature"](spark, sf_med))
+    # explode + groupBy(doc_id): exactly one exchange (plus AQE reader)
+    assert s["n_exchanges"] <= 2, s["n_exchanges"]
