@@ -139,6 +139,43 @@ class CollectiveALSModel:
     def transform(self, dataset: DataFrame) -> DataFrame:
         return self.predict(dataset)
 
+    def save(self, path: str, mode: str = "error") -> None:
+        """Persist the model: one parquet dir per entity's factors plus a
+        single-row JSON metadata dir — all via Spark writers, so the
+        target can be any Hadoop-compatible FS (local, HDFS, S3). The
+        reference has no persistence surface (its IHR jobs write only a
+        metrics report, ``IHRCollectiveALS.scala:91-94``); this follows
+        the ``pyspark.ml`` Estimator/Model convention instead."""
+        import json
+
+        some_df = next(iter(self.factors.values()))
+        spark = some_df.sparkSession
+        meta = {
+            "rank": self.rank,
+            "entities": self.entities,
+            "prediction_col": self.prediction_col,
+        }
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+            1
+        ).write.mode(mode).text(f"{path}/metadata")
+        for entity in self.entities:
+            self.factors[entity].write.mode(mode).parquet(f"{path}/factors/{entity}")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "CollectiveALSModel":
+        import json
+
+        meta = json.loads(spark.read.text(f"{path}/metadata").first()[0])
+        factors = {
+            e: spark.read.parquet(f"{path}/factors/{e}") for e in meta["entities"]
+        }
+        return cls(
+            rank=meta["rank"],
+            entities=meta["entities"],
+            factors=factors,
+            prediction_col=meta["prediction_col"],
+        )
+
 
 class CollectiveALS:
     """Estimator. Defaults follow the reference class defaults

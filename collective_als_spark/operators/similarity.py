@@ -164,6 +164,101 @@ def lsh_topk(
     )
 
 
+def _assign_cells(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """(vid, probe, cell): the ``n_probe`` nearest centroids per vector
+    by cosine, vectorized per Arrow batch. probe=0 is the home cell
+    (used for indexing); probes 1..n-1 widen query recall."""
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("probe", T.IntegerType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+    Cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].values).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = Xn @ Cn.T  # (n, n_cells)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf[id_col].values, n_probe),
+                    "probe": np.tile(np.arange(n_probe, dtype=np.int32), n),
+                    "cell": order.astype(np.int32).ravel(),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
+    each vector indexed in its home cell → queries probe their
+    ``n_probe`` nearest cells → exact cosine re-rank within candidates.
+
+    The scale shape: centroids are tiny (n_cells × dim, broadcast in the
+    task closure); indexing is one narrow mapInPandas; the candidate
+    join keys on cell id, so work scales with cell occupancy (~N/n_cells
+    per cell; raise n_cells with corpus size to hold occupancy constant)
+    instead of N². Recall dial = n_probe/n_cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20, featuresCol="fv")
+    centroids = np.stack([c for c in km.fit(train).clusterCenters()])
+
+    # index: home cell only; queries: n_probe cells
+    index = _assign_cells(embeddings, centroids, id_col, vec_col, 1).select(
+        F.col("vid").alias("neighbor_id"), "cell"
+    )
+    probes = _assign_cells(embeddings, centroids, id_col, vec_col, n_probe).select(
+        F.col("vid").alias("query_id"), "cell"
+    )
+    cand = (
+        probes.join(index, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    e_q = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    e_c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        cand.join(e_q, "query_id")
+        .join(e_c, "neighbor_id")
+        .withColumn("cos", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -3,6 +3,7 @@
 from collective_als_spark.queries import (  # noqa: F401
     events_queries,
     extended,
+    extended2,
     llm_data,
     ml_queries,
     relational,

@@ -72,6 +72,24 @@ def streaming_tumbling_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_agg(spark, sf_dir)
 
 
+@register("streaming_stateful_totals")
+def streaming_stateful_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (rows-only: arbitrary state-store execution)."""
+    from collective_als_spark.streaming.stateful import streaming_stateful_totals
+
+    return streaming_stateful_totals(spark, sf_dir)
+
+
+@register("streaming_session_window")
+def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session_window sessions on a stream (rows-only:
+    streaming execution; batch twin is `sessionization`)."""
+    from collective_als_spark.streaming.stateful import streaming_session_window
+
+    return streaming_session_window(spark, sf_dir)
+
+
 @register("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: documents' text bytes stand in for

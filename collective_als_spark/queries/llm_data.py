@@ -297,3 +297,11 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic numpy hyperplanes, not SQL-expressible)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(emb, k=5)
+
+
+@register("ann_topk_ivf")
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer + multi-probe + exact re-rank
+    (rows-only: k-means iterations are not SQL-expressible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, k=5, n_cells=16, n_probe=4)

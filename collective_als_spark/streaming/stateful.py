@@ -1,0 +1,129 @@
+"""Custom stateful streaming operators.
+
+The reference has no streaming surface (SURVEY §2.11); these are
+new-build capabilities on Structured Streaming's state-store API:
+
+  - ``streaming_stateful_totals`` — running per-key totals via
+    ``applyInPandasWithState`` (arbitrary user state: the pattern for
+    custom stateful operators the built-in aggs can't express).
+  - ``streaming_session_window`` — native ``F.session_window`` gap
+    sessions with a watermark (late-data-safe sessionization).
+
+Both are driven to completion against the parquet events table through
+the file-stream source + memory sink (synchronous for smoke/testing;
+the same plans run against kafka with a real trigger on a cluster).
+State lives in the executor state store keyed by the grouping key, so
+cardinality scales horizontally with executors, not driver memory.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the driver's events table with the
+    nanos→timestamp normalization the batch loader applies."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ]
+)
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_so_far", T.LongType()),
+        T.StructField("total_v", T.DoubleType()),
+        T.StructField("max_v", T.DoubleType()),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (n, total, vmax) = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            vmax = max(vmax, float(pdf["value"].max()))
+    state.update((n, total, vmax))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_so_far": [n],
+            "total_v": [round(total, 2)],
+            "max_v": [vmax],
+        }
+    )
+
+
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-event-type totals with arbitrary user state — the
+    ``applyInPandasWithState`` pattern for operators that built-in
+    streaming aggregates can't express (custom merge logic, bounded
+    per-key structures, decaying counters, ...)."""
+    stream = _events_stream(spark, sf_dir)
+    updated = stream.groupBy("event_type").applyInPandasWithState(
+        _update_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_stateful_out"
+    q = updated.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def streaming_session_window(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native gap-based session windows on a watermarked stream —
+    the streaming twin of operators/split.py's batch sessionization."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_v"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+            "total_v",
+        )
+    )
+    name = "stream_session_out"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
