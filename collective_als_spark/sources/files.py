@@ -49,3 +49,47 @@ def write_text_report(df: DataFrame, path: str) -> None:
     if len(df.columns) != 1:
         raise ValueError("text sink requires exactly one string column")
     df.coalesce(1).write.mode("overwrite").text(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str, **options
+) -> DataFrame:
+    """JSON lines scan with explicit schema (schema inference over JSON
+    is a full extra pass — never in production)."""
+    return spark.read.json(path, schema=schema, **options)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON lines sink (distributed, one file per partition)."""
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet sink. At 100 TB this is the layout
+    lever: readers filtering on ``partition_cols`` prune whole
+    directories before any IO (partition pruning shows as
+    ``PartitionFilters`` in the scan node)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink (``bucketBy`` requires saveAsTable).
+
+    Bucketing pre-shuffles data once at write time; joins/aggregations
+    between tables bucketed on the same key with the same bucket count
+    then run with ZERO exchanges — the 100 TB co-located-join strategy
+    (the DataFrame analog of the reference's fixed ``ALSPartitioner``
+    grid, CollectiveALS.scala:333-339, persisted to storage)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
