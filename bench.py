@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "pricing_summary",
     "star_join_revenue",
+    "shipping_priority_top10",
+    "range_join_attribution",
+    "grouping_sets_agg",
     "topk_per_group",
     "running_window_frame",
     "sessionization",

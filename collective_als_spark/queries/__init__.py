@@ -7,4 +7,5 @@ from collective_als_spark.queries import (  # noqa: F401
     llm_data,
     ml_queries,
     relational,
+    subqueries,
 )
