@@ -44,19 +44,33 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) — min over shingles of md5(seed || shingle).
+    """(id, mh_0..mh_{k-1}) — min over shingles of 32-bit slices of
+    salted md5(seed || shingle).
 
-    Min of a salted cryptographic hash is a valid minwise permutation
-    approximation; identical strings minimize identically in any engine.
+    Slices of a cryptographic hash are independent uniform bits, so
+    8-hex-char (32-bit) slices give ``num_hashes`` minwise permutations
+    from ceil(k/4) md5 evaluations per shingle instead of k — md5 is
+    the dominant cost of the signature pass at scale. Lexicographic min
+    on fixed-width hex equals numeric min of the underlying bits, and
+    identical strings minimize identically in any engine (the DuckDB
+    oracle spells the same substr(md5(...)) expressions).
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
     )
+    n_salts = -(-num_hashes // 4)  # 4 x 8-hex slices per md5
+    salted = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))).alias(f"_h{j}")
+            for j in range(n_salts)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh_{i}")
+        F.min(F.substring(F.col(f"_h{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return salted.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -72,8 +86,10 @@ def lsh_candidate_pairs(
     bands = []
     for b in range(n_bands):
         cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        # the concatenated minhashes ARE the bucket key — re-hashing
+        # them buys nothing (fixed-width inputs, no skew change)
         bands.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("bh"))
         )
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bd")

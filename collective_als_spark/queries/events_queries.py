@@ -81,6 +81,15 @@ def streaming_stateful_totals_query(spark: SparkSession, sf_dir: str) -> DataFra
     return streaming_stateful_totals(spark, sf_dir)
 
 
+@register("streaming_static_enrich")
+def streaming_static_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment join (rows-only: streaming
+    execution)."""
+    from collective_als_spark.streaming.stateful import streaming_static_enrich
+
+    return streaming_static_enrich(spark, sf_dir)
+
+
 @register("streaming_session_window")
 def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked session_window sessions on a stream (rows-only:

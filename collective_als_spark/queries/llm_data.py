@@ -150,13 +150,16 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, md5('0|' || s) AS h0, md5('1|' || s) AS h1 FROM sh
     )
     SELECT doc_id,
-           min(md5('0|' || s)) AS mh_0, min(md5('1|' || s)) AS mh_1,
-           min(md5('2|' || s)) AS mh_2, min(md5('3|' || s)) AS mh_3,
-           min(md5('4|' || s)) AS mh_4, min(md5('5|' || s)) AS mh_5,
-           min(md5('6|' || s)) AS mh_6, min(md5('7|' || s)) AS mh_7
-    FROM sh GROUP BY doc_id
+           min(substr(h0, 1, 8))  AS mh_0, min(substr(h0, 9, 8))  AS mh_1,
+           min(substr(h0, 17, 8)) AS mh_2, min(substr(h0, 25, 8)) AS mh_3,
+           min(substr(h1, 1, 8))  AS mh_4, min(substr(h1, 9, 8))  AS mh_5,
+           min(substr(h1, 17, 8)) AS mh_6, min(substr(h1, 25, 8)) AS mh_7
+    FROM hashed GROUP BY doc_id
     """,
 )
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,19 +173,22 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
     ),
+    hashed AS (
+        SELECT doc_id, md5('0|' || s) AS h0, md5('1|' || s) AS h1 FROM sh
+    ),
     sig AS (
         SELECT doc_id,
-               min(md5('0|' || s)) AS mh_0, min(md5('1|' || s)) AS mh_1,
-               min(md5('2|' || s)) AS mh_2, min(md5('3|' || s)) AS mh_3,
-               min(md5('4|' || s)) AS mh_4, min(md5('5|' || s)) AS mh_5,
-               min(md5('6|' || s)) AS mh_6, min(md5('7|' || s)) AS mh_7
-        FROM sh GROUP BY doc_id
+               min(substr(h0, 1, 8))  AS mh_0, min(substr(h0, 9, 8))  AS mh_1,
+               min(substr(h0, 17, 8)) AS mh_2, min(substr(h0, 25, 8)) AS mh_3,
+               min(substr(h1, 1, 8))  AS mh_4, min(substr(h1, 9, 8))  AS mh_5,
+               min(substr(h1, 17, 8)) AS mh_6, min(substr(h1, 25, 8)) AS mh_7
+        FROM hashed GROUP BY doc_id
     ),
     banded AS (
-        SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+        SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bh FROM sig
+        UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b

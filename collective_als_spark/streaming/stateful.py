@@ -102,6 +102,37 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the customer
+    dimension. The static side is broadcast to every micro-batch —
+    the standard streaming-enrichment shape (dim refresh = re-read per
+    batch on a cluster; no shuffle on the stream side)."""
+    stream = _events_stream(spark, sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    customers = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey"), F.col("c_mktsegment")
+        )
+    )
+    enriched = (
+        stream.join(customers, stream.user_id == F.col("c_custkey"), "left")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_v"))
+    )
+    name = "stream_enrich_out"
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def streaming_session_window(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -92,6 +92,18 @@ def test_streaming_stateful_totals_matches_batch(spark, sf_small):
     assert got == batch
 
 
+def test_streaming_static_enrich_matches_batch(spark, sf_small):
+    out = spark_queries()["streaming_static_enrich"](spark, sf_small)
+    ev = load_table(spark, sf_small, "events")
+    cust = load_table(spark, sf_small, "customer").select("c_custkey", "c_mktsegment")
+    batch = (
+        ev.join(cust, ev.user_id == cust.c_custkey, "left")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_v"))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
 def test_streaming_session_window_matches_batch_sessionization(spark, sf_small):
     stream_sessions = spark_queries()["streaming_session_window"](spark, sf_small)
     batch_sessions = spark_queries()["sessionization"](spark, sf_small)
