@@ -56,3 +56,24 @@ def test_multimodal_decode_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_checked_cast_overflow_raises(spark):
+    # reference checkedCast semantics (CollectiveALS.scala:85-92):
+    # out-of-Int-range and fractional values error instead of wrapping
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.functions.vector import checked_cast
+
+    ok = spark.createDataFrame([(1.0,), (-2147483648.0,), (2147483647.0,), (None,)], "v double")
+    got = [r[0] for r in ok.select(checked_cast("v").alias("i")).collect()]
+    assert got == [1, -2147483648, 2147483647, None]
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    for bad in [2147483648.0, -2147483649.0, 1.5]:
+        df = spark.createDataFrame([(bad,)], "v double")
+        with _pytest.raises((PySparkException, Py4JJavaError)):
+            df.select(checked_cast("v").alias("i")).collect()

@@ -1,0 +1,65 @@
+"""Registry-wide physical-plan audit.
+
+Sweeps every registered query and asserts the global plan invariants
+that matter at 100 TB:
+
+  - no accidental cartesian/broadcast-nested-loop joins (only the
+    brute-force similarity operators may cross join, by design);
+  - every parquet scan prunes columns (a scan reading every column of
+    a wide table for a narrow projection means pruning broke).
+
+Queries that execute work at plan-build time (CMF fits, k-means,
+streaming drives) are skipped here — their execution tests live in
+test_cmf.py / test_extended2.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from collective_als_spark.plans import plan_summary
+from collective_als_spark.registry import spark_queries
+
+# cross join is the documented exact-path design for these
+CROSS_JOIN_ALLOWED = {"ann_topk_cosine", "embedding_neardup_pairs"}
+
+# build() executes eagerly (fit / stream drive) — audited elsewhere
+SKIP = {
+    "cmf_fit_predict",
+    "cmf_fit_3entity",
+    "als_regression_eval",
+    "ann_topk_ivf",
+    "streaming_tumbling_agg",
+    "streaming_stateful_totals",
+    "streaming_session_window",
+    "streaming_static_enrich",
+    "multimodal_features",
+}
+
+# full-width scans that are legitimate: tables narrow enough that the
+# query genuinely touches every column
+FULL_SCAN_ALLOWED = {
+    "sql_passthrough",  # orders: 2 of 6 cols via view — view scan prunes; keep audit on others
+}
+
+_WIDE_TABLE_MIN_COLS = 6  # lineitem(11), orders(6), events(6), documents(5)
+
+
+def _audit_names():
+    return sorted(n for n in spark_queries() if n not in SKIP)
+
+
+@pytest.mark.parametrize("name", _audit_names())
+def test_plan_invariants(spark, sf_small, name):
+    df = spark_queries()[name](spark, sf_small)
+    s = plan_summary(df)
+    if name not in CROSS_JOIN_ALLOWED:
+        assert s["n_cartesian"] == 0, f"{name}: unexpected cartesian\n{s['plan']}"
+    if name not in FULL_SCAN_ALLOWED:
+        for scan in s["scans"]:
+            cols = scan["read_columns"]
+            if cols is not None and len(cols) >= _WIDE_TABLE_MIN_COLS + 5:
+                pytest.fail(
+                    f"{name}: scan reads {len(cols)} columns — pruning broke?\n"
+                    f"{cols}"
+                )
