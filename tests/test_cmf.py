@@ -115,3 +115,51 @@ def test_cold_start_nan(spark):
     probe = spark.createDataFrame([(99999, 0), (0, 99999)], "user int, item int")
     rows = model.predict(probe, "user", "item").collect()
     assert all(math.isnan(r.prediction) for r in rows)
+
+
+def test_recommend_topk_matches_predict_ranking(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.cmf import CollectiveALS
+    from collective_als_spark.cmf.recommend import recommend_topk
+
+    df = _synth_ratings(spark)
+    model = CollectiveALS("user", "item", rank=4, max_iter=5, seed=3).fit(df)
+    recs = recommend_topk(model.factors_for("user"), model.factors_for("item"), k=3)
+
+    # oracle: full cross product scored by predict(), window top-3
+    users = model.factors_for("user").select(F.col("id").alias("user"))
+    items = model.factors_for("item").select(F.col("id").alias("item"))
+    scored = model.predict(users.crossJoin(items), "user", "item")
+    w = Window.partitionBy("user").orderBy(F.col("prediction").desc(), F.col("item"))
+    expect = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("user").alias("id"),
+            F.col("item").alias("rec_id"),
+            F.round("prediction", 4).alias("score"),
+        )
+    )
+    got = recs.select("id", "rec_id", F.round("score", 4).alias("score"))
+    # scores must agree; ordering ties may differ only at equal scores
+    g = {(r.id, r.rec_id): r.score for r in got.collect()}
+    e = {(r.id, r.rec_id): r.score for r in expect.collect()}
+    assert set(g) == set(e)
+    assert all(abs(g[k] - e[k]) < 1e-3 for k in g)
+
+
+def test_recommend_topk_guard(spark):
+    import pytest as _pytest
+
+    from collective_als_spark.cmf import CollectiveALS
+    from collective_als_spark.cmf.recommend import recommend_topk
+
+    df = _synth_ratings(spark)
+    model = CollectiveALS("user", "item", rank=4, max_iter=1, seed=3).fit(df)
+    with _pytest.raises(ValueError, match="max_broadcast_items"):
+        recommend_topk(
+            model.factors_for("user"), model.factors_for("item"),
+            k=3, max_broadcast_items=5,
+        )
