@@ -27,6 +27,7 @@ CROSS_JOIN_ALLOWED = {"ann_topk_cosine", "embedding_neardup_pairs"}
 SKIP = {
     "cmf_fit_predict",
     "cmf_fit_3entity",
+    "cmf_recommend_topk",
     "als_regression_eval",
     "ann_topk_ivf",
     "streaming_tumbling_agg",

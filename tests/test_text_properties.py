@@ -1,0 +1,87 @@
+"""Property tests: text column expressions vs naive Python references.
+
+The Spark expressions (functions/text.py) are built for cross-engine
+determinism; these tests pin their semantics against straightforward
+Python implementations on hypothesis-generated strings (unicode,
+repeated spaces, empties — the edge cases explode/split get wrong
+silently)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from collective_als_spark.functions import text as TX
+
+WORD = st.text(
+    alphabet=st.characters(whitelist_categories=["Ll", "Lu", "Nd", "Po"]),
+    min_size=0,
+    max_size=8,
+)
+TEXTS = st.lists(
+    st.lists(WORD, min_size=0, max_size=12).map(" ".join), min_size=1, max_size=25
+)
+
+
+def naive_shingles(text: str, n: int = 3) -> list[str]:
+    ws = text.split(" ")
+    if len(ws) < n:
+        return []
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def naive_word_hash(w: str, bits: int = 32) -> int:
+    return int(hashlib.md5(w.encode()).hexdigest()[: bits // 4], 16)
+
+
+def naive_fingerprint(text: str) -> int:
+    acc = 0
+    for w in text.split(" "):
+        acc = (acc * 31 + naive_word_hash(w)) % TX.MERSENNE_31
+    return acc
+
+
+@given(TEXTS)
+@settings(max_examples=5, deadline=None)
+def test_shingles_match_naive(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(TX.shingles("t", 3).alias("s")).collect()]
+    assert got == [naive_shingles(t, 3) for t in texts]
+
+
+@given(TEXTS)
+@settings(max_examples=5, deadline=None)
+def test_rolling_fingerprint_matches_naive(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(TX.rolling_fingerprint("t").alias("f")).collect()]
+    assert got == [naive_fingerprint(t) for t in texts]
+
+
+@given(TEXTS)
+@settings(max_examples=5, deadline=None)
+def test_token_count_matches_split(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(TX.token_count("t").alias("n")).collect()]
+    assert got == [len(t.split(" ")) for t in texts]
+
+
+def test_word_hash_matches_duckdb(spark):
+    """The Spark word_hash must equal DuckDB's ('0x'||substr(md5,1,8))
+    — the exact cross-engine contract the oracles rely on."""
+    import duckdb
+
+    words = ["", "a", "hello", "Zürich", "123", "the quick"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["h"]
+        for r in df.select("w", TX.word_hash(F.col("w")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        (dh,) = con.execute(
+            "SELECT CAST(('0x' || substring(md5(?), 1, 8)) AS BIGINT)", [w]
+        ).fetchone()
+        assert got[w] == dh, (w, got[w], dh)
