@@ -14,8 +14,6 @@ aggregation; no driver-side loops, no cross joins.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -76,26 +74,32 @@ def ranking_metrics(
         "_prec_at_pos", F.col("_cum_hits") / F.col("_pos")
     )
 
-    per_k = []
+    # ALL ks in one grouped pass: conditional aggregates per k, so the
+    # plan has a constant number of exchanges regardless of len(ks)
+    # (the groupBy(user) reuses the window's partitioning — no extra
+    # shuffle), then inline() per-k rows and a tiny final groupBy(k).
+    aggs = []
     for k in ks:
         in_k = F.col("_pos") <= F.lit(k)
-        agg = (
-            hits.groupBy(user_col)
-            .agg(
-                F.sum(F.when(in_k, F.col("_hit")).otherwise(0.0)).alias("_hits_k"),
-                F.sum(
-                    F.when(in_k & (F.col("_hit") > 0), F.col("_prec_at_pos")).otherwise(0.0)
-                ).alias("_ap_num"),
-                F.sum(
-                    F.when(in_k & (F.col("_hit") > 0),
-                           F.lit(1.0) / F.log2(F.col("_pos") + 1)).otherwise(0.0)
-                ).alias("_dcg"),
-            )
-            .join(n_rel, F.col(user_col) == F.col("_tu"), "inner")
-        )
-        # ideal DCG: hits fill the top min(k, n_rel) positions
+        aggs += [
+            F.sum(F.when(in_k, F.col("_hit")).otherwise(0.0)).alias(f"_hits_{k}"),
+            F.sum(
+                F.when(in_k & (F.col("_hit") > 0), F.col("_prec_at_pos")).otherwise(0.0)
+            ).alias(f"_ap_{k}"),
+            F.sum(
+                F.when(in_k & (F.col("_hit") > 0),
+                       F.lit(1.0) / F.log2(F.col("_pos") + 1)).otherwise(0.0)
+            ).alias(f"_dcg_{k}"),
+        ]
+    per_user = hits.groupBy(user_col).agg(*aggs).join(
+        n_rel, F.col(user_col) == F.col("_tu"), "inner"
+    )
+
+    structs = []
+    for k in ks:
+        # ideal DCG: hits fill the top min(k, n_rel) positions;
+        # sum_{i=1..m} 1/log2(i+1) has no closed form -> sequence fold
         ideal_n = F.least(F.lit(k), F.col("_n_rel"))
-        # sum_{i=1..m} 1/log2(i+1) has no closed form; compute via sequence
         idcg = F.aggregate(
             F.transform(
                 F.sequence(F.lit(1), ideal_n),
@@ -104,24 +108,28 @@ def ranking_metrics(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        prec = F.col("_hits_k") / F.lit(k)
-        rec = F.col("_hits_k") / F.col("_n_rel")
+        prec = F.col(f"_hits_{k}") / F.lit(k)
+        rec = F.col(f"_hits_{k}") / F.col("_n_rel")
         f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
-        per_user = agg.select(
-            F.lit(k).alias("k"),
-            prec.alias("_p"),
-            rec.alias("_r"),
-            f1.alias("_f1"),
-            (F.col("_dcg") / idcg).alias("_ndcg"),
-            (F.col("_ap_num") / ideal_n).alias("_ap"),
-        )
-        per_k.append(
-            per_user.groupBy("k").agg(
-                F.avg("_p").alias("precision"),
-                F.avg("_r").alias("recall"),
-                F.avg("_f1").alias("f1"),
-                F.avg("_ndcg").alias("ndcg"),
-                F.avg("_ap").alias("map"),
+        structs.append(
+            F.struct(
+                F.lit(k).alias("k"),
+                prec.alias("_p"),
+                rec.alias("_r"),
+                f1.alias("_f1"),
+                (F.col(f"_dcg_{k}") / idcg).alias("_ndcg"),
+                (F.col(f"_ap_{k}") / ideal_n).alias("_ap"),
             )
         )
-    return reduce(DataFrame.union, per_k).orderBy("k")
+    exploded = per_user.select(F.inline(F.array(*structs)))
+    return (
+        exploded.groupBy("k")
+        .agg(
+            F.avg("_p").alias("precision"),
+            F.avg("_r").alias("recall"),
+            F.avg("_f1").alias("f1"),
+            F.avg("_ndcg").alias("ndcg"),
+            F.avg("_ap").alias("map"),
+        )
+        .orderBy("k")
+    )
