@@ -21,7 +21,7 @@ All hashes are md5-derived → every operator is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from collective_als_spark.functions.text import shingles, word_hash
@@ -142,13 +142,17 @@ def ngram_jaccard_pairs(
     word n-gram sets. Exact: explode → self-join on shingle → count
     intersections → join set sizes. The shingle join only pairs docs
     sharing a shingle (inverted-index join), not a cross join."""
+    # set size rides along as a window count over the exploded shingles,
+    # so the self-join rows already carry |A| and |B| — no separate size
+    # aggregation, no post-join size lookups (7 exchanges -> 4, and the
+    # documents scan count drops from 4 to 2)
     sh = (
         df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
         .distinct()
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    return (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
@@ -157,13 +161,11 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
