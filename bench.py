@@ -32,6 +32,7 @@ HEADLINE = [
     "simhash_fingerprint",
     "text_quality_metrics",
     "doc_fingerprint",
+    "pipeline_clean_corpus",
     "ann_topk_cosine",
     "ranking_metrics_at_k",
     "cmf_fit_predict",

@@ -311,3 +311,58 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only: k-means iterations are not SQL-expressible)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, k=5, n_cells=16, n_probe=4)
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source, text, md5(text) AS content_hash,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    canonical AS (  -- exact dedup: keep the lowest doc_id per content
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY content_hash ORDER BY doc_id
+            ) AS rn FROM hashed
+        ) WHERE rn = 1
+    ),
+    kept AS (       -- quality gate: token count floor
+        SELECT * FROM canonical WHERE n_tokens >= 20
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM kept
+    GROUP BY source
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: exact dedup (keep lowest id per
+    content hash) -> token-count quality floor -> per-source stats.
+
+    The composition stays one declarative plan: hash + window dedup +
+    filter + aggregate, two shuffles total (content_hash, then source),
+    every stage map-side combinable — the shape a 100 TB corpus-prep
+    job needs (no collect, no per-doc Python)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_hash"),
+        TX.token_count("text").alias("n_tokens"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    canonical = (
+        hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    kept = canonical.filter(F.col("n_tokens") >= 20)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
