@@ -228,6 +228,19 @@ class CollectiveALS:
     def set_num_blocks(self, v):     self.num_blocks = v; return self
     def set_seed(self, v):           self.seed = v; return self
     def set_checkpoint_interval(self, v): self.checkpoint_interval = v; return self
+    def set_intermediate_storage_level(self, v): self.intermediate_storage_level = v; return self
+    def set_final_storage_level(self, v): self.final_storage_level = v; return self
+
+    @staticmethod
+    def _storage_level_name(level: StorageLevel) -> str:
+        """StorageLevel -> the string name pyspark.ml ALS expects."""
+        for name in (
+            "MEMORY_AND_DISK", "MEMORY_ONLY", "DISK_ONLY",
+            "MEMORY_AND_DISK_2", "MEMORY_ONLY_2", "DISK_ONLY_2", "NONE",
+        ):
+            if getattr(StorageLevel, name, None) == level:
+                return name
+        return "MEMORY_AND_DISK"
 
     # ------------------------------------------------------------------ fit
     def fit(
@@ -292,8 +305,10 @@ class CollectiveALS:
             checkpointInterval=self.checkpoint_interval,
             seed=self.seed,
             coldStartStrategy="nan",
-            intermediateStorageLevel="MEMORY_AND_DISK",
-            finalStorageLevel="MEMORY_AND_DISK",
+            intermediateStorageLevel=self._storage_level_name(
+                self.intermediate_storage_level
+            ),
+            finalStorageLevel=self._storage_level_name(self.final_storage_level),
         )
         m = als.fit(df)
         cast_feat = F.col("features").cast(T.ArrayType(T.FloatType())).alias("features")

@@ -170,3 +170,33 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_month")
         .agg(F.round(F.avg("ship_days"), 4).alias("avg_ship_days"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "window_distribution_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(l_quantity) OVER w AS smallest_qty
+    FROM lineitem
+    WHERE l_orderkey < 200
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+    """,
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value distribution analytics
+    (SURVEY §2.5 — absent in reference, free in Spark). Partitioned by
+    returnflag → parallel, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("l_quantity").over(w).alias("smallest_qty"),
+    )

@@ -128,3 +128,33 @@ def test_salted_join_spreads_hot_key(spark):
         .select("_salt").distinct().count()
     )
     assert salts == 16
+
+
+def test_dynamic_partition_overwrite(spark, sf_small, tmpdir):
+    # the incremental-pipeline pattern: rewriting one partition must not
+    # touch sibling partitions (partitionOverwriteMode=dynamic)
+    orders = load_table(spark, sf_small, "orders")
+    path = f"{tmpdir}/orders_dyn"
+    write_partitioned_parquet(orders, path, ["o_orderpriority"])
+    before = spark.read.parquet(path).count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        urgent_fixed = (
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        urgent_fixed.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(path)
+    assert back.count() == before  # siblings intact
+    doubled = back.filter(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).first()["s"]
+    orig = orders.filter(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.round(F.sum("o_totalprice") * 2, 2).alias("s")
+    ).first()["s"]
+    assert abs(doubled - orig) < 0.01
