@@ -1,0 +1,66 @@
+"""Tests for the SQL-callable user-function registration surface."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from collective_als_spark.functions.registration import register_engine_functions
+from collective_als_spark.sources import register_views
+
+
+def test_geomean_udaf(spark, sf_small):
+    register_engine_functions(spark)
+    register_views(spark, sf_small)
+    got = {
+        r["o_orderpriority"]: r["g"]
+        for r in spark.sql(
+            """
+            SELECT o_orderpriority, geomean(o_totalprice) AS g
+            FROM orders GROUP BY o_orderpriority
+            """
+        ).collect()
+    }
+    import numpy as np
+
+    rows = spark.table("orders").select("o_orderpriority", "o_totalprice").collect()
+    by_key: dict[str, list[float]] = {}
+    for r in rows:
+        by_key.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    for k, vals in by_key.items():
+        expect = math.exp(np.mean(np.log(vals)))
+        assert abs(got[k] - expect) / expect < 1e-9
+
+
+def test_vec_cosine_scalar_udf(spark, sf_small):
+    register_engine_functions(spark)
+    register_views(spark, sf_small)
+    row = spark.sql(
+        """
+        SELECT vec_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                          CAST(a.embedding AS ARRAY<DOUBLE>)) AS c
+        FROM embeddings a WHERE a.vec_id = 1
+        """
+    ).first()
+    assert abs(row["c"] - 1.0) < 1e-9
+
+
+def test_explode_ngrams_udtf(spark):
+    register_engine_functions(spark)
+    rows = spark.sql(
+        "SELECT * FROM explode_ngrams('a b c d', 2)"
+    ).collect()
+    assert [(r["pos"], r["ngram"]) for r in rows] == [
+        (0, "a b"), (1, "b c"), (2, "c d"),
+    ]
+    # lateral join usage over a table
+    df = spark.createDataFrame([(1, "x y z")], "id int, t string")
+    df.createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        """
+        SELECT id, n.pos, n.ngram
+        FROM _udtf_docs, LATERAL explode_ngrams(t, 2) n
+        """
+    ).collect()
+    assert [(r["id"], r["pos"], r["ngram"]) for r in out] == [(1, 0, "x y"), (1, 1, "y z")]
