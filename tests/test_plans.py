@@ -52,3 +52,21 @@ def test_minhash_single_shuffle(spark, sf_med):
     s = plan_summary(spark_queries()["minhash_signature"](spark, sf_med))
     # explode + groupBy(doc_id): exactly one exchange (plus AQE reader)
     assert s["n_exchanges"] <= 2, s["n_exchanges"]
+
+
+def test_approx_split_has_no_global_window(spark, sf_med):
+    """The scale path of split_chronologically must not funnel data
+    through a single-partition window (the exact path's known cost)."""
+    from collective_als_spark.operators.split import split_chronologically
+    from collective_als_spark.sources import load_table
+
+    ev = load_table(spark, sf_med, "events")
+    train, test = split_chronologically(ev, [0.9, 0.1], "ts", exact=False)
+    for df in (train, test):
+        plan = plan_summary(df)["plan"]
+        assert "Window" not in plan, plan
+    # slices are disjoint and cover ~everything
+    n = ev.count()
+    nt, ns = train.count(), test.count()
+    assert nt + ns == n
+    assert 0.85 <= nt / n <= 0.95
