@@ -193,7 +193,7 @@ class CollectiveALS:
         nonnegative: bool = False,
         rating_col: str = "rating",
         prediction_col: str = "prediction",
-        num_blocks: int = 32,
+        num_blocks: int | dict[str, int] = 32,
         seed: int = 0,
         checkpoint_interval: int = 10,
         intermediate_storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
@@ -225,7 +225,19 @@ class CollectiveALS:
     def set_nonnegative(self, v):    self.nonnegative = v; return self
     def set_rating_col(self, v):     self.rating_col = v; return self
     def set_prediction_col(self, v): self.prediction_col = v; return self
-    def set_num_blocks(self, v):     self.num_blocks = v; return self
+
+    def set_num_blocks(self, v, entity: str | None = None):
+        """Block count, global (int) or per entity — reference exposes
+        ``numBlocks`` per entity (``CollectiveALS.scala:29-30,63-66``;
+        production configs set 2000). ``set_num_blocks(8)`` sets all;
+        ``set_num_blocks(8, "user")`` sets one entity."""
+        if entity is not None:
+            if not isinstance(self.num_blocks, dict):
+                self.num_blocks = {}
+            self.num_blocks[entity] = v
+        else:
+            self.num_blocks = v
+        return self
     def set_seed(self, v):           self.seed = v; return self
     def set_checkpoint_interval(self, v): self.checkpoint_interval = v; return self
     def set_intermediate_storage_level(self, v): self.intermediate_storage_level = v; return self
@@ -300,8 +312,8 @@ class CollectiveALS:
             userCol="src",
             itemCol="dst",
             ratingCol="rating",
-            numUserBlocks=self.num_blocks,
-            numItemBlocks=self.num_blocks,
+            numUserBlocks=self._blocks_for(self.entities[li]),
+            numItemBlocks=self._blocks_for(self.entities[ri]),
             checkpointInterval=self.checkpoint_interval,
             seed=self.seed,
             coldStartStrategy="nan",
@@ -319,12 +331,24 @@ class CollectiveALS:
         return CollectiveALSModel(self.rank, self.entities, factors, self.prediction_col)
 
     # ------------------------------------------------- N-entity trainer
+    def _blocks_for(self, entity_name: str) -> int:
+        """Per-entity block count (reference ``CollectiveALS.scala:29-30``):
+        dict values override, unnamed entities use the class default."""
+        if isinstance(self.num_blocks, dict):
+            unknown = set(self.num_blocks) - set(self.entities)
+            if unknown:
+                raise ValueError(
+                    f"num_blocks names unknown entities {sorted(unknown)}; "
+                    f"entities={self.entities}"
+                )
+            return int(self.num_blocks.get(entity_name, 32))
+        return int(self.num_blocks)
+
     def _fit_native(
         self, relations: list[tuple[int, int, DataFrame]]
     ) -> CollectiveALSModel:
         spark = relations[0][2].sparkSession
         n_ent = len(self.entities)
-        blocks = self.num_blocks
 
         cached = []
         for li, ri, df in relations:
@@ -441,13 +465,19 @@ class CollectiveALS:
                         }
                     )
 
-                # one shuffle: hash ids into `blocks` groups; every id's rows
-                # co-locate, one Arrow batch solves a whole block of ids
+                # one shuffle: hash ids into this entity's block count
+                # (per-entity num_blocks, reference :29-30); every id's
+                # rows co-locate, one Arrow batch solves a whole block
+                blocks = self._blocks_for(self.entities[e])
                 new_factors = (
                     allc.groupBy(F.pmod(F.hash("id"), F.lit(blocks)).alias("_blk"))
                     .applyInPandas(lambda key, pdf: solve_block(pdf), _FACTOR_SCHEMA)
                 )
-                # lineage truncation per entity update (reference :421-422)
+                # Lineage truncation per entity update (reference :421-422).
+                # Deliberate: the reference localCheckpoints EVERY update
+                # regardless of checkpointInterval (quirk Q2), and so do
+                # we — `checkpoint_interval` only reaches the MLlib path
+                # (_fit_builtin), never changes native-path semantics.
                 factors[e] = new_factors.localCheckpoint(eager=True)
 
         for _, _, df in cached:

@@ -9,10 +9,11 @@ product (M5 = J1 + F4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from collective_als_spark.cmf import CollectiveALS
+from collective_als_spark.operators.dictionary import dense_codes
 from collective_als_spark.operators.split import split_chronologically
 from collective_als_spark.sources import load_table
 
@@ -22,15 +23,14 @@ def flagship(spark: SparkSession, sf_dir: str, rank: int = 8, max_iter: int = 5)
 
     # dictionary: event_type -> dense code (reference genre-dictionary
     # pattern, MovieLensCollectiveALS.scala:16-25, minus the collect)
-    type_dict = (
-        events.select("event_type")
-        .distinct()
-        .withColumn("type_code", F.row_number().over(Window.orderBy("event_type")) - 1)
-    )
+    type_dict = dense_codes(events, "event_type", "type_code")
     coded = events.join(F.broadcast(type_dict), "event_type")
 
+    # Approx quantile cuts (exact=False): the fully-parallel split — no
+    # global rank at all. Exact rank cuts are only needed where an
+    # oracle demands them (chrono_split_sizes).
     train_ev, test_ev = split_chronologically(
-        coded, [0.9, 0.1], "ts", tie_break=["event_id"]
+        coded, [0.9, 0.1], "ts", tie_break=["event_id"], exact=False
     )
 
     def to_ratings(df: DataFrame) -> DataFrame:

@@ -48,7 +48,12 @@ def asof_join(
         F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
-    order: list[Column] = [F.col("_ts"), F.col("_tag")]
+    # Ordering after (_ts, _tag): the right payload struct itself — among
+    # right rows sharing (key, ts) the greatest payload tuple wins,
+    # deterministically (left rows have _rpay NULL, which sorts first
+    # within their tag group and doesn't affect the fill). The optional
+    # tie_break then orders left rows sharing a timestamp.
+    order: list[Column] = [F.col("_ts"), F.col("_tag"), F.col("_rpay")]
     if tie_break:
         order.append(F.col(f"_l_{tie_break}"))
     w = (

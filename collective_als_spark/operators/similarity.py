@@ -96,17 +96,23 @@ def lsh_signatures(
     )
 
     def sig(batches):
-        planes = [
-            _hyperplanes(64, n_planes, seed + t) for t in range(n_tables)
-        ]
+        # Hyperplanes are generated lazily from the first batch's observed
+        # dimension (deterministic per seed regardless of which batch
+        # arrives first — the dim is a table-wide constant), so any
+        # embedding width works; r01 hardcoded 64 and crashed beyond it.
+        planes: list[np.ndarray] = []
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].values).astype(np.float64)
+            if not planes:
+                planes.extend(
+                    _hyperplanes(X.shape[1], n_planes, seed + t)
+                    for t in range(n_tables)
+                )
             for t in range(n_tables):
-                P = planes[t][:, : X.shape[1]]
-                buckets = ((X @ P.T) > 0) @ weights
+                buckets = ((X @ planes[t].T) > 0) @ weights
                 yield pd.DataFrame(
                     {
                         "vid": pdf[id_col].values,
@@ -264,13 +270,54 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
-    """Exact near-dup pairs (cosine > threshold, id_a < id_b)."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    """Near-dup pairs (cosine > threshold, id_a < id_b).
+
+    Default path is LSH-bucketed (banded random hyperplanes): candidate
+    pairs meet only inside a shared (table, bucket), then an exact
+    cosine re-rank applies the threshold. Work scales with bucket
+    occupancy, never N² — each of the ``n_tables`` bands is a
+    ``n_planes``-bit signature, so random pairs collide per band with
+    prob ~2^-n_planes while a cos>t pair agrees per plane with prob
+    1-acos(t)/pi (≈0.80 at t=0.8, ≈0.90 at t=0.95); miss prob is
+    (1-p^n_planes)^n_tables — raise n_tables for recall, n_planes for
+    bucket sparsity.
+
+    ``exact=True`` keeps the O(N²) crossJoin formulation as an
+    oracle-check path for tiny scale factors only.
+    """
+    if exact:
+        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
+            .filter(F.col("cos") > threshold)
+            .select("id_a", "id_b", "cos")
+        )
+
+    sigs = lsh_signatures(embeddings, id_col, vec_col, n_planes, n_tables, seed)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    e_a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    e_b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(e_a, "id_a")
+        .join(e_b, "id_b")
         .withColumn("cos", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4))
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")

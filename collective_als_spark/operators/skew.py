@@ -34,9 +34,20 @@ def salted_join(
 
     Salt is ``rand(seed)``-derived on the skewed side (uniform spread of
     each key's rows regardless of value distribution); the other side
-    explodes over the full salt range. Result equals a plain join —
-    salting only changes the shuffle layout.
+    explodes over the full salt range. For the supported join types the
+    result equals a plain join — salting only changes the shuffle
+    layout. Join types that preserve unmatched ``other`` rows
+    (right/full outer) are rejected: replication would emit each
+    unmatched ``other`` row once per salt value.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of "
+            f"the replicated side would appear {n_salts}x (use a plain "
+            f"join or salt the other side)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if SALT in skewed.columns or SALT in other.columns:
         raise ValueError(f"column {SALT!r} already exists")

@@ -5,21 +5,83 @@ the whole RDD by a time column (range-partition shuffle), zips with a
 global index, counts, and filters one lineage per slice — three extra
 jobs plus a reflection hack to recover the encoder.
 
-Rebuild: one window pass. A global ``row_number`` over an un-partitioned
-window is a driver-side bottleneck at 100 TB (single-task sort), so we
-use ``percent_rank``-free two-phase ranking: Spark's range-partitioned
-sort + ``zipWithIndex`` semantics are reproduced with a window over the
-sort key only when exact rank cuts are required; for fraction cuts we
-prefer ``approx`` quantile cuts on the time column, which parallelize.
+Rebuild, 100 TB shapes for both modes:
 
-API keeps exact semantics by default (matches the oracle): global rank
-via ``row_number`` with a deterministic tie-break on all id columns.
+- ``exact=True`` — two-phase global rank: a ``repartitionByRange``
+  shuffle on the sort key (the same range shuffle the reference's
+  ``sortBy`` does), per-partition ``row_number`` (window partitioned by
+  ``spark_partition_id`` — never a single-task global window), then a
+  broadcast join against the tiny per-partition cumulative-offset table.
+  Global rank = local rank + partition offset, exactly ``zipWithIndex``
+  semantics, fully parallel. Slice bounds are kept as floats
+  (``lo*n <= rk < hi*n``) to match the reference's fractional-boundary
+  behavior (``Utils.scala:24-27``) bit-for-bit.
+- ``exact=False`` — approx quantile cuts on the time column (no rank at
+  all); boundaries off by at most the approx-quantile error. Rows with
+  a NULL time sort first in exact mode, so the approx path routes them
+  into the first slice explicitly (they'd otherwise be silently dropped
+  by the range filters).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _cumulative_bounds(weights: list[float]) -> list[tuple[float, float]]:
+    total_w = float(sum(weights))
+    fracs = [w / total_w for w in weights]
+    cum = []
+    acc = 0.0
+    for frac in fracs:
+        cum.append((acc, acc + frac))
+        acc += frac
+    cum[-1] = (cum[-1][0], 1.0 + 1e-9)
+    return cum
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "_rk",
+) -> DataFrame:
+    """Exact 0-based global rank without a global window.
+
+    Range-shuffle on the ordering key, rank within each partition, then
+    add the partition's cumulative offset (tiny broadcast join). Also
+    attaches ``_n`` (total rows) so callers can cut by fraction without
+    a separate count job.
+    """
+    part = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked_local = part.withColumn("_lrk", F.row_number().over(w_local) - F.lit(1))
+
+    counts = ranked_local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # Cumulative offsets over the tiny per-partition-count frame (one
+    # row per shuffle partition; shares the range exchange with
+    # ranked_local via ReusedExchange). Computed by packing the counts
+    # into one sorted array and expanding with higher-order functions —
+    # no un-partitioned window anywhere in the plan (O(P^2) work for
+    # P = shuffle partitions is negligible).
+    packed = counts.agg(F.sort_array(F.collect_list(F.struct("_pid", "_cnt"))).alias("pc"))
+    offsets = packed.select(
+        F.explode(
+            F.expr(
+                "transform(pc, (x, i) -> struct("
+                "x._pid AS _pid, "
+                "aggregate(slice(pc, 1, i), 0L, (acc, y) -> acc + y._cnt) AS _off, "
+                "aggregate(pc, 0L, (acc, y) -> acc + y._cnt) AS _n))"
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        ranked_local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrk", "_off")
+    )
 
 
 def split_chronologically(
@@ -32,18 +94,13 @@ def split_chronologically(
     """Split ``df`` into len(weights) slices in time order.
 
     weights are normalized (reference ``Utils.scala:21-23``). ``exact=True``
-    reproduces the reference's exact global-rank cuts; ``exact=False``
-    uses approx quantile boundaries on ``time_col`` (fully parallel, the
-    100 TB path — boundaries off by at most approx-quantile error).
+    reproduces the reference's exact global-rank cuts with float bounds
+    (``lower <= rank < upper``, ``Utils.scala:24-27``); ``exact=False``
+    uses approx quantile boundaries on ``time_col`` (fully parallel,
+    boundary-epsilon accuracy — prefer it anywhere exact rank cuts
+    aren't demanded by an oracle).
     """
-    total_w = float(sum(weights))
-    fracs = [w / total_w for w in weights]
-    cum = []
-    acc = 0.0
-    for frac in fracs:
-        cum.append((acc, acc + frac))
-        acc += frac
-    cum[-1] = (cum[-1][0], 1.0 + 1e-9)
+    cum = _cumulative_bounds(weights)
 
     if not exact:
         from pyspark.sql import types as T
@@ -62,19 +119,25 @@ def split_chronologically(
             if lo_cut is not None:
                 sl = sl.filter(F.col(num_col) >= F.lit(lo_cut))
             if i < len(cuts):
-                sl = sl.filter(F.col(num_col) < F.lit(cuts[i]))
+                pred = F.col(num_col) < F.lit(cuts[i])
+                if i == 0:
+                    # NULL timestamps sort first under the exact path's
+                    # row_number; keep them in the first slice here too
+                    # instead of silently dropping them.
+                    pred = pred | F.col(num_col).isNull()
+                sl = sl.filter(pred)
                 lo_cut = cuts[i]
             slices.append(sl.drop("__split_us") if is_ts else sl)
         return slices
 
     order = [F.col(time_col)] + [F.col(c) for c in (tie_break or [])]
-    w = Window.orderBy(*order)
-    n = df.count()
-    ranked = df.withColumn("_rk", F.row_number().over(w) - F.lit(1))
+    ranked = global_rank(df, order)
     out = []
     for lo, hi in cum:
-        lo_i, hi_i = int(lo * n), int(hi * n)
         out.append(
-            ranked.filter((F.col("_rk") >= lo_i) & (F.col("_rk") < hi_i)).drop("_rk")
+            ranked.filter(
+                (F.col("_rk") >= F.lit(lo) * F.col("_n"))
+                & (F.col("_rk") < F.lit(hi) * F.col("_n"))
+            ).drop("_rk", "_n")
         )
     return out

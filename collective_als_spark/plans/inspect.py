@@ -21,6 +21,30 @@ def formatted_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(jmode.fromString("formatted"))
 
 
+def _count_global_windows(plan: str) -> int:
+    """Window nodes whose partition spec is empty (the single-task
+    'No Partition Defined' shape — a scale-killer on real data).
+
+    Formatted-plan rendering: partitioned+ordered windows print three
+    bracket groups `[exprs], [partSpec], [ordSpec]`; an un-partitioned
+    ordered window omits the partition group entirely, so its Arguments
+    line has two groups with sort directions in the last one.
+    """
+    n = 0
+    lines = plan.splitlines()
+    for i, raw in enumerate(lines):
+        if not re.fullmatch(r"\(\d+\) Window", raw.strip()):
+            continue
+        for nxt in lines[i + 1 : i + 4]:
+            s = nxt.strip()
+            if s.startswith("Arguments:"):
+                groups = s.split("], [")
+                if len(groups) < 3 and (" ASC" in groups[-1] or " DESC" in groups[-1]):
+                    n += 1
+                break
+    return n
+
+
 def plan_summary(df: DataFrame) -> dict:
     plan = formatted_plan(df)
     scans = []
@@ -47,6 +71,7 @@ def plan_summary(df: DataFrame) -> dict:
         "n_cartesian": len(
             re.findall(r"\(\d+\) (CartesianProduct|BroadcastNestedLoopJoin)", plan)
         ),
+        "n_global_windows": _count_global_windows(plan),
         "whole_stage_codegen": "WholeStageCodegen" in plan or "codegen id" in plan,
         "plan": plan,
     }

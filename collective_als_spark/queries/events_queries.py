@@ -110,4 +110,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload", F.encode("text", "utf-8")
     )
     media = attach_media_columns(docs, "doc_id", "payload", "text/fake-image")
-    return extract_features(media)
+    feats = extract_features(media)
+    # Project the array<float> feature vector to scalar columns: the
+    # driver's rows-only canonicalizer sorts a pandas frame over all
+    # columns and cannot hash list cells (r01 TypeError). Rounding keeps
+    # the float32->float64 surface deterministic.
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        *[
+            F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )

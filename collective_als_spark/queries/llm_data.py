@@ -97,7 +97,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count_by_source",
     oracle=f"""
     SELECT source, lang,
-           sum(len({_WORDS})) AS total_tokens,
+           CAST(sum(len({_WORDS})) AS BIGINT) AS total_tokens,
            count(*) AS n_docs
     FROM documents
     GROUP BY source, lang
@@ -333,7 +333,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(n_tokens), 4) AS avg_tokens
     FROM kept
     GROUP BY source

@@ -24,7 +24,7 @@ from collective_als_spark.sources import load_table
                count(*) OVER () AS n
         FROM events
     )
-    SELECT CAST(CASE WHEN rk < CAST(0.9 * n AS BIGINT) THEN 0 ELSE 1 END AS INTEGER) AS slice,
+    SELECT CAST(CASE WHEN rk < 0.9 * n THEN 0 ELSE 1 END AS INTEGER) AS slice,
            count(*) AS n_rows
     FROM ranked
     GROUP BY 1
@@ -33,7 +33,8 @@ from collective_als_spark.sources import load_table
 )
 def chrono_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 end-to-end: splitChronologically([0.9, 0.1]) slice sizes —
-    reference Utils.scala:11-36."""
+    reference Utils.scala:11-36. Float rank bounds (`rk < 0.9*n`) match
+    the reference's `lower <= rank && rank < upper` comparison."""
     ev = load_table(spark, sf_dir, "events")
     slices = split_chronologically(ev, [0.9, 0.1], "ts", tie_break=["event_id"])
     parts = [
@@ -152,15 +153,11 @@ def cmf_fit_3entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3: 3-entity collective fit — (user,event_type) strength +
     (event_type,hour-of-day) occurrence — return the hour-entity factors
     (rows-only; mirrors MovieLensCollectiveALS's genre side-relation)."""
-    from pyspark.sql import Window
-
     from collective_als_spark.cmf import CollectiveALS
+    from collective_als_spark.operators.dictionary import dense_codes
 
     ev = load_table(spark, sf_dir, "events")
-    type_dict = (
-        ev.select("event_type").distinct()
-        .withColumn("type_code", F.row_number().over(Window.orderBy("event_type")) - 1)
-    )
+    type_dict = dense_codes(ev, "event_type", "type_code")
     coded = ev.join(F.broadcast(type_dict), "event_type")
     main = coded.groupBy("user_id", "type_code").agg(
         F.sum("value").cast("float").alias("rating")
@@ -194,16 +191,12 @@ def cmf_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 recommendations for every user from the flagship fit —
     broadcast factor matmul, zero-shuffle (rows-only; see
     cmf/recommend.py)."""
-    from pyspark.sql import Window
-
     from collective_als_spark.cmf import CollectiveALS
     from collective_als_spark.cmf.recommend import recommend_topk
+    from collective_als_spark.operators.dictionary import dense_codes
 
     ev = load_table(spark, sf_dir, "events")
-    type_dict = (
-        ev.select("event_type").distinct()
-        .withColumn("type_code", F.row_number().over(Window.orderBy("event_type")) - 1)
-    )
+    type_dict = dense_codes(ev, "event_type", "type_code")
     ratings = (
         ev.join(F.broadcast(type_dict), "event_type")
         .groupBy("user_id", "type_code")

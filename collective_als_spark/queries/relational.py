@@ -147,12 +147,11 @@ def explode_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/A8: split + explode + distinct + dense dictionary codes —
     reference MovieLensCollectiveALS.scala:16-25 (genre dictionary),
     without the driver-side collect."""
+    from collective_als_spark.operators.dictionary import dense_codes
+
     part = _t(spark, sf_dir, "part")
-    return (
-        part.select(F.explode(F.split("p_name", " ")).alias("word"))
-        .distinct()
-        .withColumn("code", (F.row_number().over(Window.orderBy("word")) - 1).cast("int"))
-    )
+    words = part.select(F.explode(F.split("p_name", " ")).alias("word"))
+    return dense_codes(words, "word", "code")
 
 
 # ------------------------------------------------------------- U1/A7 universes
@@ -293,12 +292,13 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chrono_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: global chronological rank (zipWithIndex analog) — reference
-    Utils.scala:19."""
+    Utils.scala:19. Two-phase rank (range shuffle + per-partition
+    row_number + offset join): no single-task global window."""
+    from collective_als_spark.operators.split import global_rank
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return ev.select(
-        "event_id", (F.row_number().over(w) - 1).cast("bigint").alias("rk")
-    )
+    ranked = global_rank(ev, [F.col("ts"), F.col("event_id")])
+    return ranked.select("event_id", F.col("_rk").cast("bigint").alias("rk"))
 
 
 @register(
@@ -316,10 +316,11 @@ def chrono_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rank_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/W1: keep rows whose global chronological rank is in [lo, hi) —
     the slice step of splitChronologically (reference Utils.scala:29-33)."""
+    from collective_als_spark.operators.split import global_rank
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
     return (
-        ev.withColumn("rk", F.row_number().over(w) - 1)
+        global_rank(ev, [F.col("ts"), F.col("event_id")], rank_col="rk")
         .filter((F.col("rk") >= 100) & (F.col("rk") < 600))
         .select("event_id", "user_id")
     )

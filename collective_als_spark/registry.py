@@ -38,11 +38,67 @@ def _ensure_loaded() -> None:
     from collective_als_spark import queries as _q  # noqa: F401
 
 
+# Driver-visibility ordering. The r01 driver checked exactly the first
+# 50 registered queries, so registration order decides which operators
+# get a CORRECTNESS row. This list front-loads (a) r01 red rows whose
+# fixes need driver validation, (b) one representative per SURVEY §2
+# operator, (c) the LLM-pipeline north-star operators, then (d) the
+# extended-coverage queries. Redundant family members (e.g. cube when
+# rollup+grouping_sets are in) and rows-only entries with strong pytest
+# twins (streaming batch-equivalence, ANN recall) sort last — they lose
+# the least if a cap truncates the sweep. Unlisted queries append in
+# registration order.
+_PRIORITY: list[str] = [
+    # -- r01 fixes needing driver revalidation
+    "token_count_by_source", "pipeline_clean_corpus", "multimodal_features",
+    "embedding_neardup_pairs", "chrono_split_sizes", "asof_join_purchase_click",
+    "explode_dictionary",
+    # -- SURVEY §2 representatives missing a driver row in r01
+    "chrono_rank", "rank_range_filter", "orderby_limit", "rmse_mae",
+    # -- §2 representatives green in r01 (keep their rows)
+    "checked_cast_projection", "row_filter_clean", "affine_recode",
+    "epoch_millis", "union_distinct_ids", "left_join_enrich",
+    "pair_inner_join", "full_outer_merge", "gramian_yty", "sql_passthrough",
+    "pricing_summary", "ranking_metrics_at_k",
+    "cmf_fit_predict", "cmf_fit_3entity", "als_regression_eval",
+    "cmf_recommend_topk",
+    # -- LLM-pipeline north star
+    "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
+    "simhash_fingerprint", "ngram_jaccard_pairs", "ann_topk_cosine",
+    "text_quality_metrics", "lang_id_heuristic", "doc_fingerprint",
+    # -- extended coverage missing a driver row in r01
+    "semi_anti_join", "star_join_revenue", "topk_per_group",
+    "shipping_priority_top10", "running_window_frame", "lag_event_gap",
+    "latest_event_per_user_type", "exists_subquery", "in_subquery_high_value",
+    "scalar_subquery_above_avg", "returned_items_by_nation", "rollup_agg",
+    # -- windowed/streaming batch twins (green in r01)
+    "tumbling_window_agg", "sessionization",
+    # ---------------- below the r01 cap line (50) ----------------
+    "conditional_pivot", "json_extract_props", "array_functions_suite",
+    "intersect_except", "grouping_sets_agg", "cube_agg",
+    "exact_percentiles", "distinct_count_stats", "range_join_attribution",
+    "lead_ntile_window", "window_distribution_functions", "date_arithmetic",
+    "approx_distinct_quantile", "ann_topk_lsh", "ann_topk_ivf",
+    "streaming_tumbling_agg", "streaming_stateful_totals",
+    "streaming_static_enrich", "streaming_session_window",
+]
+
+
+def _ordered_names() -> list[str]:
+    listed = [n for n in _PRIORITY if n in _REGISTRY]
+    rest = [n for n in _REGISTRY if n not in set(_PRIORITY)]
+    return listed + rest
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
-    return {name: e.fn for name, e in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_queries() -> dict[str, str]:
     _ensure_loaded()
-    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+    return {
+        name: _REGISTRY[name].oracle
+        for name in _ordered_names()
+        if _REGISTRY[name].oracle is not None
+    }

@@ -163,3 +163,57 @@ def test_recommend_topk_guard(spark):
             model.factors_for("user"), model.factors_for("item"),
             k=3, max_broadcast_items=5,
         )
+
+
+def test_per_entity_num_blocks(spark):
+    """Reference API parity: numBlocks is per entity
+    (CollectiveALS.scala:29-30,63-66). Dict form and the fluent
+    per-entity setter give the same factors as a global int (block
+    count only changes shuffle layout, not math)."""
+    df = _synth_ratings(spark).cache()
+    base = CollectiveALS("user", "item", rank=4, max_iter=3, seed=1,
+                         num_blocks=4, force_native=True).fit(df)
+    perent = CollectiveALS("user", "item", rank=4, max_iter=3, seed=1,
+                           num_blocks={"user": 2, "item": 7},
+                           force_native=True).fit(df)
+    fluent = (
+        CollectiveALS("user", "item", rank=4, max_iter=3, seed=1,
+                      force_native=True)
+        .set_num_blocks(2, "user")
+        .set_num_blocks(7, "item")
+    )
+    assert fluent.num_blocks == {"user": 2, "item": 7}
+    fl = fluent.fit(df)
+
+    def feats(model):
+        return {
+            r.id: tuple(r.features)
+            for r in model.factors_for("user").collect()
+        }
+
+    fb, fp, ff = feats(base), feats(perent), feats(fl)
+    assert set(fb) == set(fp) == set(ff)
+    for i in fb:
+        np.testing.assert_allclose(fb[i], fp[i], rtol=1e-4)
+        np.testing.assert_allclose(fp[i], ff[i], rtol=1e-4)
+
+    with pytest.raises(ValueError, match="unknown entities"):
+        CollectiveALS("user", "item", num_blocks={"nope": 3},
+                      force_native=True).fit(df)
+
+
+def test_checkpoint_interval_contract(spark):
+    """Documented contract: checkpoint_interval reaches MLlib in the
+    builtin path but never changes native-path semantics (the native
+    trainer truncates lineage every entity update, reproducing the
+    reference's actual behavior — quirk Q2)."""
+    df = _synth_ratings(spark).cache()
+    a = CollectiveALS("user", "item", rank=4, max_iter=3, seed=1,
+                      checkpoint_interval=1, force_native=True).fit(df)
+    b = CollectiveALS("user", "item", rank=4, max_iter=3, seed=1,
+                      checkpoint_interval=100, force_native=True).fit(df)
+    fa = {r.id: tuple(r.features) for r in a.factors_for("item").collect()}
+    fb = {r.id: tuple(r.features) for r in b.factors_for("item").collect()}
+    assert set(fa) == set(fb)
+    for i in fa:
+        np.testing.assert_allclose(fa[i], fb[i], rtol=1e-5)

@@ -77,3 +77,131 @@ def test_checked_cast_overflow_raises(spark):
         df = spark.createDataFrame([(bad,)], "v double")
         with _pytest.raises((PySparkException, Py4JJavaError)):
             df.select(checked_cast("v").alias("i")).collect()
+
+
+def test_global_rank_matches_window_semantics(spark, sf_med):
+    """Two-phase rank (range shuffle + per-partition row_number +
+    offset join) must equal a single global window's row_number."""
+    from pyspark.sql import Window
+
+    from collective_als_spark.operators.split import global_rank
+
+    ev = load_table(spark, sf_med, "events")
+    got = {
+        r.event_id: r["_rk"]
+        for r in global_rank(ev, [F.col("ts"), F.col("event_id")]).collect()
+    }
+    w = Window.orderBy("ts", "event_id")
+    exp = {
+        r.event_id: r.rk
+        for r in ev.select(
+            "event_id", (F.row_number().over(w) - 1).alias("rk")
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_exact_split_no_global_window(spark, sf_med):
+    """Even exact rank cuts must avoid the single-task window."""
+    from collective_als_spark.plans import plan_summary
+
+    ev = load_table(spark, sf_med, "events")
+    train, test = split_chronologically(ev, [0.9, 0.1], "ts", tie_break=["event_id"])
+    for df in (train, test):
+        assert plan_summary(df)["n_global_windows"] == 0
+    n, tr, te = ev.count(), train.count(), test.count()
+    assert tr + te == n
+    assert tr == sum(1 for rk in range(n) if rk < 0.9 * n)  # float bounds
+
+
+def test_split_approx_keeps_null_timestamps(spark):
+    """NULL time rows route into the first slice (exact-mode null-first
+    parity) instead of being dropped by the range filters."""
+    rows = [(i, float(i)) for i in range(100)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "id long, t double")
+    a, b = split_chronologically(df, [0.5, 0.5], "t", exact=False)
+    na, nb = a.count(), b.count()
+    assert na + nb == 102
+    null_ids = {r.id for r in a.filter(F.col("t").isNull()).collect()}
+    assert null_ids == {100, 101}
+
+
+def test_lsh_signatures_wide_embeddings(spark):
+    """Hyperplane dim derives from the data: 128-dim embeddings work
+    (r01 hardcoded 64 and crashed)."""
+    import numpy as np
+
+    from collective_als_spark.operators.similarity import lsh_signatures
+
+    rows = [(i, np.random.RandomState(i).randn(128).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sigs = lsh_signatures(emb, n_planes=8, n_tables=3)
+    assert sigs.count() == 120
+    # deterministic across runs
+    h1 = sorted(map(tuple, sigs.collect()))
+    h2 = sorted(map(tuple, lsh_signatures(emb, n_planes=8, n_tables=3).collect()))
+    assert h1 == h2
+
+
+def test_embedding_neardup_lsh_matches_exact(spark):
+    """LSH-bucketed near-dup finds the same pairs as the exact
+    crossJoin on planted near-duplicates, with no cartesian in the plan."""
+    import numpy as np
+
+    from collective_als_spark.operators.similarity import embedding_neardup_pairs
+    from collective_als_spark.plans import plan_summary
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 16)
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # plant 5 near-dups of existing vectors
+    for j in range(5):
+        noisy = base[j * 7] + 0.02 * rng.randn(16)
+        rows.append((1000 + j, noisy.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = set(map(tuple, embedding_neardup_pairs(emb, threshold=0.9, exact=True).collect()))
+    lsh = embedding_neardup_pairs(emb, threshold=0.9)
+    assert plan_summary(lsh)["n_cartesian"] == 0
+    got = set(map(tuple, lsh.collect()))
+    assert got == exact
+    assert len(got) >= 5
+
+
+def test_dense_codes_matches_sorted_order(spark):
+    from collective_als_spark.operators.dictionary import dense_codes
+
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("c",), ("a",), ("b",)], "v string"
+    )
+    got = sorted((r.v, r.code) for r in dense_codes(df, "v").collect())
+    assert got == [("a", 0), ("b", 1), ("c", 2)]
+
+
+def test_asof_tied_right_timestamps_deterministic(spark):
+    """Multiple right rows sharing (key, ts): the greatest payload tuple
+    wins, stably across runs/partitionings."""
+    left = spark.createDataFrame([(1, 100, "p")], "k int, t int, pid string")
+    right = spark.createDataFrame(
+        [(1, 50, "c1"), (1, 50, "c3"), (1, 50, "c2")], "k int, t int, cid string"
+    )
+    for n_parts in (1, 3, 7):
+        out = asof_join(
+            left.repartition(n_parts), right.repartition(n_parts),
+            key="k", left_ts="t", right_ts="t", right_payload=["cid"],
+        )
+        assert out.collect()[0].asof_cid == "c3"
+
+
+def test_salted_join_rejects_outer_on_replicated_side(spark):
+    from collective_als_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k int, va string")
+    b = spark.createDataFrame([(1, "y"), (2, "z")], "k int, vb string")
+    with pytest.raises(ValueError, match="salted_join does not support"):
+        salted_join(a, b, "k", how="right")
+    with pytest.raises(ValueError, match="salted_join does not support"):
+        salted_join(a, b, "k", how="full_outer")
+    # left join still equals a plain join
+    got = sorted(map(tuple, salted_join(a, b, "k", how="left").collect()))
+    exp = sorted(map(tuple, a.join(b, "k", "left").collect()))
+    assert got == exp

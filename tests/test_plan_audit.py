@@ -6,7 +6,9 @@ that matter at 100 TB:
   - no accidental cartesian/broadcast-nested-loop joins (only the
     brute-force similarity operators may cross join, by design);
   - every parquet scan prunes columns (a scan reading every column of
-    a wide table for a narrow projection means pruning broke).
+    a wide table for a narrow projection means pruning broke);
+  - no un-partitioned windows (single-task global sort — the r01
+    chronological-split weakness, now served by two-phase global_rank).
 
 Queries that execute work at plan-build time (CMF fits, k-means,
 streaming drives) are skipped here — their execution tests live in
@@ -21,7 +23,8 @@ from collective_als_spark.plans import plan_summary
 from collective_als_spark.registry import spark_queries
 
 # cross join is the documented exact-path design for these
-CROSS_JOIN_ALLOWED = {"ann_topk_cosine", "embedding_neardup_pairs"}
+# (embedding_neardup_pairs routes through LSH buckets since r02)
+CROSS_JOIN_ALLOWED = {"ann_topk_cosine"}
 
 # build() executes eagerly (fit / stream drive) — audited elsewhere
 SKIP = {
@@ -56,6 +59,9 @@ def test_plan_invariants(spark, sf_small, name):
     s = plan_summary(df)
     if name not in CROSS_JOIN_ALLOWED:
         assert s["n_cartesian"] == 0, f"{name}: unexpected cartesian\n{s['plan']}"
+    assert s["n_global_windows"] == 0, (
+        f"{name}: un-partitioned window (single-task sort)\n{s['plan']}"
+    )
     if name not in FULL_SCAN_ALLOWED:
         for scan in s["scans"]:
             cols = scan["read_columns"]
