@@ -67,8 +67,20 @@ def main() -> None:
         ),
     }
 
-    # warm the JVM/codegen path once with a cheap query
+    # warm the JVM/codegen path once with a cheap query, and the MLlib
+    # ALS class-loading/BLAS-init path with a toy fit (first-fit warmup
+    # costs ~8s of pure JVM setup that would otherwise be attributed to
+    # whichever CMF query runs first)
     qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from pyspark.ml.recommendation import ALS as _ALS
+
+    _toy = spark.createDataFrame(
+        [(i % 7, i % 5, float(i % 3)) for i in range(60)],
+        "user int, item int, rating float",
+    )
+    _ALS(rank=2, maxIter=1, seed=1).setUserCol("user").setItemCol("item").setRatingCol(
+        "rating"
+    ).fit(_toy)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

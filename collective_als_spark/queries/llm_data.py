@@ -271,6 +271,199 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, md5('0|' || s) AS h0, md5('1|' || s) AS h1 FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(substr(h0, 1, 8))  AS mh_0, min(substr(h0, 9, 8))  AS mh_1,
+               min(substr(h0, 17, 8)) AS mh_2, min(substr(h0, 25, 8)) AS mh_3,
+               min(substr(h1, 1, 8))  AS mh_4, min(substr(h1, 9, 8))  AS mh_5,
+               min(substr(h1, 17, 8)) AS mh_6, min(substr(h1, 25, 8)) AS mh_7
+        FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bh FROM sig
+        UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id,
+           min(lbl) AS component,
+           min(lbl) = node AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: minhash -> LSH candidate pairs -> connected
+    components -> canonical doc per duplicate cluster. The step a real
+    corpus dedup needs beyond pairs: transitive closure so A~B, B~C
+    collapse to one cluster with one kept document.
+
+    Scale shape: label propagation (operators/graph.py) — one shuffle
+    join + min-agg per round, rounds = duplicate-cluster diameter
+    (near-clique, so ~2-3); singleton docs never enter the loop and are
+    coalesced to their own id in a map-only left join."""
+    from collective_als_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, band_size=2)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+        .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
+    )
+
+
+@register(
+    "document_chunking",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, ws,
+               unnest(range(0, CAST(greatest(ceil((n - 32) * 1.0 / 32), 1) AS BIGINT))) AS cid
+        FROM t
+    )
+    SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+           CAST(len(ws[cid*32+1 : cid*32+64]) AS INTEGER) AS n_chunk_tokens,
+           md5(array_to_string(ws[cid*32+1 : cid*32+64], ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, stride 32) — the
+    context-length preprocessing step of an LLM training pipeline.
+    Chunk count = max(ceil((n - overlap) / stride), 1), so the final
+    window covers the tail without emitting fully-contained chunks.
+    Pure codegen (sequence + explode + slice), map-only: chunking 100 TB
+    is embarrassingly parallel and this plan keeps it that way."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(32)).cast("double") / F.lit(32.0)).cast("int"), F.lit(1)
+    )
+    base = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("chunk_id") * 32 + 1, 64)
+    return base.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@register(
+    "quality_quantile_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len({_WORDS}) AS INTEGER) AS n_tokens,
+               percent_rank() OVER (PARTITION BY source ORDER BY len({_WORDS})) AS pr
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens, round(pr, 6) AS pct_rank
+    FROM scored WHERE pr >= 0.1
+    """,
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate: drop the bottom decile of docs by token
+    count WITHIN each source (absolute thresholds over-prune terse
+    sources). percent_rank over a source-partitioned window — fully
+    parallel, deterministic under ties."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(TX.token_count("text"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            TX.token_count("text").alias("n_tokens"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .filter(F.col("pr") >= 0.1)
+        .select("doc_id", "source", "n_tokens", F.round("pr", 6).alias("pct_rank"))
+    )
+
+
+@register(
+    "repetition_metrics",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok)
+    SELECT doc_id,
+           round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_token_ratio,
+           round(max(c) * 1.0 / sum(c), 6) AS top_token_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signals (Gopher-style quality filters):
+    duplicate-token ratio and most-frequent-token mass. Explode + two
+    map-side-combinable aggregations — no per-doc quadratic work."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_token_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_ratio"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-mod sampling: a stable ~10% sample reproducible across
+    engines, runs, and partitionings (the scalable alternative to
+    seeded random sampling for held-out corpus slices)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.pmod(TX.word_hash(F.col("doc_id").cast("string")), F.lit(10)) == 0
+    ).select("doc_id", "source")
+
+
+@register(
     "ann_topk_cosine",
     oracle="""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),

@@ -51,8 +51,8 @@ def _ensure_loaded() -> None:
 _PRIORITY: list[str] = [
     # -- r01 fixes needing driver revalidation
     "token_count_by_source", "pipeline_clean_corpus", "multimodal_features",
-    "embedding_neardup_pairs", "chrono_split_sizes", "asof_join_purchase_click",
-    "explode_dictionary",
+    "embedding_neardup_pairs", "dedup_clusters", "chrono_split_sizes",
+    "asof_join_purchase_click", "explode_dictionary",
     # -- SURVEY §2 representatives missing a driver row in r01
     "chrono_rank", "rank_range_filter", "orderby_limit", "rmse_mae",
     # -- §2 representatives green in r01 (keep their rows)
@@ -72,8 +72,11 @@ _PRIORITY: list[str] = [
     "latest_event_per_user_type", "exists_subquery", "in_subquery_high_value",
     "scalar_subquery_above_avg", "returned_items_by_nation", "rollup_agg",
     # -- windowed/streaming batch twins (green in r01)
-    "tumbling_window_agg", "sessionization",
+    "sessionization",
     # ---------------- below the r01 cap line (50) ----------------
+    "tumbling_window_agg",
+    "document_chunking", "quality_quantile_filter", "repetition_metrics",
+    "deterministic_sample",
     "conditional_pivot", "json_extract_props", "array_functions_suite",
     "intersect_except", "grouping_sets_agg", "cube_agg",
     "exact_percentiles", "distinct_count_stats", "range_join_attribution",

@@ -205,3 +205,25 @@ def test_salted_join_rejects_outer_on_replicated_side(spark):
     got = sorted(map(tuple, salted_join(a, b, "k", how="left").collect()))
     exp = sorted(map(tuple, a.join(b, "k", "left").collect()))
     assert got == exp
+
+
+def test_connected_components_chains_and_islands(spark):
+    """Transitive closure: chains collapse to one component labeled by
+    the minimum id; disconnected subgraphs stay separate."""
+    from collective_als_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 11),      # chain -> component 3
+         (20, 21),                     # pair  -> component 20
+         (30, 31), (31, 30)],          # duplicate edge both ways
+        "src long, dst long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_empty_edges(spark):
+    from collective_als_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0

@@ -26,8 +26,10 @@ from collective_als_spark.registry import spark_queries
 # (embedding_neardup_pairs routes through LSH buckets since r02)
 CROSS_JOIN_ALLOWED = {"ann_topk_cosine"}
 
-# build() executes eagerly (fit / stream drive) — audited elsewhere
+# build() executes eagerly (fit / stream drive / label propagation) —
+# audited elsewhere
 SKIP = {
+    "dedup_clusters",
     "cmf_fit_predict",
     "cmf_fit_3entity",
     "cmf_recommend_topk",
