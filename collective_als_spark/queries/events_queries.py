@@ -99,6 +99,16 @@ def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFram
     return streaming_session_window(spark, sf_dir)
 
 
+@register("streaming_dedup")
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via dropDuplicatesWithinWatermark —
+    watermark-bounded state (rows-only: streaming execution; batch twin
+    is exact_dedup, equivalence tested in test_extended2.py)."""
+    from collective_als_spark.streaming.stateful import streaming_dedup
+
+    return streaming_dedup(spark, sf_dir)
+
+
 @register("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: documents' text bytes stand in for

@@ -83,7 +83,7 @@ _PRIORITY: list[str] = [
     "lead_ntile_window", "window_distribution_functions", "date_arithmetic",
     "approx_distinct_quantile", "ann_topk_lsh", "ann_topk_ivf",
     "streaming_tumbling_agg", "streaming_stateful_totals",
-    "streaming_static_enrich", "streaming_session_window",
+    "streaming_static_enrich", "streaming_session_window", "streaming_dedup",
 ]
 
 

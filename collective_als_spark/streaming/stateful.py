@@ -158,3 +158,44 @@ def streaming_session_window(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_dedup(
+    spark: SparkSession, sf_dir: str, watermark: str = "24 hours"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash
+    wins, duplicates within the watermark horizon are dropped via
+    ``dropDuplicatesWithinWatermark`` — the streaming twin of
+    operators/dedup.py::exact_dedup_groups.
+
+    The watermark bounds state: a hash seen more than ``watermark``
+    after its first occurrence is treated as new (acceptable for
+    ingest-dedup where replays arrive close together); state-store
+    entries expire with the watermark instead of growing forever —
+    the property that makes this runnable on an unbounded 100 TB/day
+    ingest stream."""
+    stream = _events_stream(spark, sf_dir)
+    hashed = stream.select(
+        "event_id",
+        "ts",
+        F.md5(F.concat_ws("|", "user_id", "event_type", "value")).alias(
+            "content_hash"
+        ),
+    )
+    deduped = (
+        hashed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select("event_id", "content_hash")
+    )
+    name = "stream_dedup_out"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -119,3 +119,23 @@ def test_streaming_session_window_matches_batch_sessionization(spark, sf_small):
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert s == b
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_small):
+    """Single-file replay = one micro-batch, so the watermark never
+    advances mid-stream and streaming dedup equals batch distinct-hash
+    dedup exactly."""
+    from pyspark.sql import functions as F
+
+    out = spark_queries()["streaming_dedup"](spark, sf_small)
+    ev = load_table(spark, sf_small, "events")
+    batch_distinct = (
+        ev.select(
+            F.md5(F.concat_ws("|", "user_id", "event_type", "value")).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert out.count() == batch_distinct
+    # emitted hashes are unique
+    assert out.select("content_hash").distinct().count() == out.count()

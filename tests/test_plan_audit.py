@@ -38,6 +38,7 @@ SKIP = {
     "streaming_tumbling_agg",
     "streaming_stateful_totals",
     "streaming_session_window",
+    "streaming_dedup",
     "streaming_static_enrich",
     "multimodal_features",
 }

@@ -85,3 +85,20 @@ def test_word_hash_matches_duckdb(spark):
             "SELECT CAST(('0x' || substring(md5(?), 1, 8)) AS BIGINT)", [w]
         ).fetchone()
         assert got[w] == dh, (w, got[w], dh)
+
+
+def test_chunking_formula_covers_every_token():
+    """document_chunking's chunk-count formula: windows of 64 tokens at
+    stride 32 cover token 1..n with no gap, and every chunk starts
+    inside the document."""
+    import math
+
+    for n in range(1, 500):
+        n_chunks = max(math.ceil((n - 32) / 32), 1)
+        starts = [i * 32 for i in range(n_chunks)]
+        assert all(s < n for s in starts)          # no empty chunks
+        covered = 0
+        for s in starts:
+            assert s <= covered                     # no gap
+            covered = max(covered, min(s + 64, n))
+        assert covered == n                         # full coverage
