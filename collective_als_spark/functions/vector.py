@@ -67,3 +67,20 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return dot(ca, cb) / (l2_norm(ca) * l2_norm(cb))
+
+
+def quantize_scale_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization scale: max(|x|)/127, floored at 1e-12
+    so all-zero vectors stay finite. Double precision throughout so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    ca = F.col(a) if isinstance(a, str) else a
+    maxabs = F.array_max(F.transform(ca, lambda x: F.abs(x)))
+    return F.greatest(maxabs, F.lit(1e-12)) / F.lit(127.0)
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """Round-half-up int8 codes: floor(x/scale + 0.5). ``floor`` (not
+    ``round``) so Spark and DuckDB — whose ``round`` half-modes differ —
+    produce identical codes from identical doubles."""
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.transform(ca, lambda x: F.floor(x / scale + F.lit(0.5)).cast("bigint"))

@@ -131,6 +131,73 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return per_doc.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a < id_b, hamming) pairs with Hamming distance <=
+    ``max_hamming`` between ``bits``-wide simhash fingerprints.
+
+    Banded exactly like minhash-LSH: split the fingerprint into
+    ``n_bands`` contiguous bit bands and self-join on (band, band_key)
+    — candidates only meet inside a bucket, never all-pairs. With
+    ``max_hamming < n_bands`` the pigeonhole principle makes recall
+    exact: <= max_hamming differing bits cannot touch every band, so
+    every qualifying pair shares at least one intact band. The final
+    ``bit_count(a XOR b)`` filter drops band-collision false positives.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more bands than {n_bands} "
+            "for exact recall (pigeonhole requires max_hamming < n_bands)"
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(sim_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bk"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.col(sim_col), F.explode(F.array(*bands)).alias("bd")
+    ).select(
+        F.col(id_col),
+        F.col(sim_col),
+        F.col("bd.band").alias("band"),
+        F.col("bd.bk").alias("bk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{sim_col}").alias("_sa"),
+            F.col(f"b.{sim_col}").alias("_sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

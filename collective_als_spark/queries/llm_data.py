@@ -201,10 +201,8 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, band_size=2)
 
 
-@register(
-    "simhash_fingerprint",
-    oracle="""
-    WITH wh AS (
+_SIMHASH_CTE = """
+    wh AS (
         SELECT doc_id,
                ('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT AS h
         FROM documents
@@ -213,15 +211,20 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                {cols}
         FROM wh GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
-    """.format(
-        cols=",\n               ".join(
-            f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-            for b in range(32)
-        ),
-        sig=" + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32)),
     ),
+    sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)
+""".format(
+    cols=",\n               ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    ),
+    sig=" + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32)),
+)
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig",
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -461,6 +464,182 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.pmod(TX.word_hash(F.col("doc_id").cast("string")), F.lit(10)) == 0
     ).select("doc_id", "source")
+
+
+@register(
+    "simhash_neardup_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+        SELECT doc_id, simhash, t.b AS band, (simhash >> (t.b * 8)) & 255 AS bk
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= 3 over 32-bit simhash —
+    the fuzzy tier between exact dedup and MinHash Jaccard. Banded
+    self-join (4 x 8-bit bands); pigeonhole makes recall exact for
+    max_hamming < n_bands. Never an all-pairs comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.simhash(docs, "doc_id", "text", bits=32)
+    return D.simhash_neardup_pairs(sigs, "doc_id", "simhash")
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, CAST(doc_id % 8 AS INTEGER) AS shard,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT *, COALESCE(sum(n_tokens) OVER (
+            PARTITION BY source, shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        FROM t
+    )
+    SELECT doc_id, source, shard, n_tokens,
+           CAST(prev // 256 AS BIGINT) AS seq_id,
+           CAST(prev % 256 AS BIGINT) AS tok_offset
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: lay each (source, shard)'s docs end-to-end
+    in id order, cut every 256 tokens — every doc gets the training
+    sequence it starts in plus its offset. Window partitioned by
+    (source, shard): sharding is the packer's parallelism unit, so the
+    plan has no global ordering anywhere."""
+    from collective_als_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.pmod("doc_id", F.lit(8)).cast("int").alias("shard"),
+        TX.token_count("text").alias("n_tokens"),
+    )
+    return pack_sequences(base, "doc_id", "n_tokens", 256, ["source", "shard"])
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    agg AS (
+        SELECT t.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM train t LEFT JOIN bench b ON t.s = b.s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(n_hit * 1.0 / n_shingles, 6) AS contamination
+    FROM agg WHERE n_hit > 0
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: fraction of each training doc's
+    distinct 3-shingles that appear in the held-out benchmark slice
+    (docs with id % 97 == 0 stand in for an eval set). The benchmark
+    shingle set is small by construction -> broadcast to the training
+    side; one shuffle (the per-doc aggregate). The decontamination
+    pass every serious pretraining corpus runs."""
+    from collective_als_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    is_bench = F.pmod("doc_id", F.lit(97)) == 0
+    bench = sh.filter(is_bench).select("s").distinct()
+    train = sh.filter(~is_bench)
+    return (
+        train.join(
+            F.broadcast(bench.withColumn("_hit", F.lit(1))), "s", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) / 127.0 AS scale
+        FROM t
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS codes
+        FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           md5(array_to_string(codes, ',')) AS codes_hash,
+           CAST(list_aggregate(list_transform(codes, c -> abs(c)), 'sum') AS BIGINT)
+               AS codes_l1
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the 4x storage cut an ANN
+    index over 100 TB of embeddings starts with): per-vector scale
+    max(|x|)/127, codes floor(x/scale + 0.5). Map-only codegen plan —
+    no shuffle, no UDF. Codes surface as an md5 + L1 so the row stays
+    scalar-hashable; both engines quantize the same doubles."""
+    from collective_als_spark.functions.vector import (
+        quantize_int8,
+        quantize_scale_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scaled = emb.withColumn("scale", quantize_scale_int8("e"))
+    coded = scaled.withColumn("codes", quantize_int8("e", F.col("scale")))
+    return coded.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.md5(F.array_join(F.transform("codes", lambda c: c.cast("string")), ","))
+        .alias("codes_hash"),
+        F.aggregate(
+            F.transform("codes", lambda c: F.abs(c)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("codes_l1"),
+    )
 
 
 @register(

@@ -76,7 +76,8 @@ _PRIORITY: list[str] = [
     # ---------------- below the r01 cap line (50) ----------------
     "tumbling_window_agg",
     "document_chunking", "quality_quantile_filter", "repetition_metrics",
-    "deterministic_sample",
+    "deterministic_sample", "sequence_packing", "simhash_neardup_pairs",
+    "contamination_overlap", "embedding_quantize",
     "conditional_pivot", "json_extract_props", "array_functions_suite",
     "intersect_except", "grouping_sets_agg", "cube_agg",
     "exact_percentiles", "distinct_count_stats", "range_join_attribution",

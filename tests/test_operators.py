@@ -227,3 +227,74 @@ def test_connected_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges).count() == 0
+
+
+def test_simhash_neardup_recall_is_exact(spark):
+    """Pigeonhole guarantee: every pair at Hamming <= 3 over 4 bands
+    must be found — compare banded result against brute-force pairs."""
+    from itertools import combinations
+
+    from collective_als_spark.operators.dedup import simhash_neardup_pairs
+
+    sigs = [(1, 0b1010), (2, 0b1011), (3, 0b1010_0000_0000_0000),
+            (4, 0), (5, (1 << 32) - 1), (6, 0b1110)]
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_neardup_pairs(df, "doc_id", "simhash").collect()}
+    expect = {}
+    for (ia, sa), (ib, sb) in combinations(sigs, 2):
+        h = bin(sa ^ sb).count("1")
+        if h <= 3:
+            expect[(ia, ib)] = h
+    assert got == expect
+
+
+def test_simhash_neardup_rejects_weak_banding(spark):
+    import pytest as _pytest
+
+    from collective_als_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(df, max_hamming=4, n_bands=4)
+
+
+def test_pack_sequences_invariants(spark):
+    """Offsets stay inside the budget; seq_id*budget + tok_offset equals
+    the shard-local cumulative token count before the doc."""
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.operators.packing import pack_sequences
+
+    rows = [(i, "s%d" % (i % 2), 10 + (i * 7) % 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, shard string, n int")
+    out = pack_sequences(df, "id", "n", budget=64, shard_cols=["shard"])
+    got = sorted(map(tuple, out.collect()))
+    cum: dict[str, int] = {}
+    for i, shard, n in sorted(rows):  # id order within shard
+        prev = cum.get(shard, 0)
+        expect = (i, shard, n, prev // 64, prev % 64)
+        assert expect in [g for g in got if g[0] == i]
+        cum[shard] = prev + n
+    assert out.filter((F.col("tok_offset") < 0) | (F.col("tok_offset") >= 64)).count() == 0
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized values sit within scale/2 of the original and codes
+    stay inside int8 range."""
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.functions.vector import quantize_int8, quantize_scale_int8
+
+    rows = [(1, [0.5, -0.25, 0.125, -1.0]), (2, [3.0, 2.0, -3.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    out = (
+        df.withColumn("scale", quantize_scale_int8("e"))
+        .withColumn("codes", quantize_int8("e", F.col("scale")))
+        .collect()
+    )
+    for r in out:
+        assert all(-128 <= c <= 127 for c in r.codes), r
+        for x, c in zip(r.e, r.codes):
+            assert abs(x - c * r.scale) <= r.scale / 2 + 1e-12, (r.vec_id, x, c)
