@@ -134,3 +134,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ],
     )
+
+
+@register("streaming_stream_join")
+def streaming_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (click -> purchase within 60 min) with
+    watermark-bounded state on both sides (rows-only: streaming
+    execution; batch-equivalence tested in test_extended2.py)."""
+    from collective_als_spark.streaming.stateful import (
+        streaming_click_purchase_join,
+    )
+
+    return streaming_click_purchase_join(spark, sf_dir)

@@ -589,6 +589,93 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "window", "join"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_scores",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               {tfs}
+        FROM documents
+    ),
+    g AS (
+        SELECT count(*) AS n,
+               sum(dl) * 1.0 / count(*) AS avgdl,
+               {dfs}
+        FROM t
+    )
+    SELECT doc_id, round({score}, 6) AS bm25
+    FROM t, g
+    WHERE {any_tf}
+    """.format(
+        tfs=",\n               ".join(
+            f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS tf{i}"
+            for i, t in enumerate(_BM25_TERMS)
+        ),
+        dfs=",\n               ".join(
+            f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+            for i in range(len(_BM25_TERMS))
+        ),
+        score=" + ".join(
+            f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {_BM25_K1 + 1} "
+            f"/ (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
+            for i in range(len(_BM25_TERMS))
+        ),
+        any_tf=" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS))) + " > 0",
+    ),
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scores for a fixed query (the retrieval scorer of
+    a RAG / data-curation stack), k1=1.2 b=0.75.
+
+    Scale shape: per-doc term frequencies are higher-order array
+    functions (map-only, codegen), corpus statistics (N, avgdl, df) are
+    ONE global aggregate broadcast back — so the whole scorer is one
+    tiny shuffle plus a map, no explode of the corpus, no join on
+    terms. Fixed-order summation keeps the oracle hash stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    def _tf(term: str):
+        # NB: a 2-arg lambda would make F.filter pass (element, index)
+        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)]
+    t = docs.select("doc_id", F.size(ws).alias("dl"), *tf_cols)
+    g = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        s = (
+            idf
+            * F.col(f"tf{i}")
+            * (_BM25_K1 + 1)
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = s if score is None else score + s
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0
+    return (
+        t.join(F.broadcast(g))
+        .filter(any_tf)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+    )
+
+
 @register(
     "embedding_quantize",
     oracle="""

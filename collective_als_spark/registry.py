@@ -77,7 +77,7 @@ _PRIORITY: list[str] = [
     "tumbling_window_agg",
     "document_chunking", "quality_quantile_filter", "repetition_metrics",
     "deterministic_sample", "sequence_packing", "simhash_neardup_pairs",
-    "contamination_overlap", "embedding_quantize",
+    "contamination_overlap", "embedding_quantize", "bm25_scores",
     "conditional_pivot", "json_extract_props", "array_functions_suite",
     "intersect_except", "grouping_sets_agg", "cube_agg",
     "exact_percentiles", "distinct_count_stats", "range_join_attribution",
@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "approx_distinct_quantile", "ann_topk_lsh", "ann_topk_ivf",
     "streaming_tumbling_agg", "streaming_stateful_totals",
     "streaming_static_enrich", "streaming_session_window", "streaming_dedup",
+    "streaming_stream_join",
 ]
 
 

@@ -199,3 +199,57 @@ def streaming_dedup(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_click_purchase_join(
+    spark: SparkSession, sf_dir: str, horizon_min: int = 60
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases within ``horizon_min`` minutes after it.
+
+    Both sides carry watermarks and the join predicate bounds event
+    time in both directions, so Spark derives a state-eviction bound
+    for BOTH state stores — the condition that keeps an unbounded
+    stream-stream join runnable forever (without it, state grows
+    monotonically). Batch twin: the same join predicate over the
+    static events table (equivalence-tested)."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")
+        ),
+    ).select("click_id", "purchase_id", "user_id")
+    name = "stream_click_purchase_out"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -139,3 +139,29 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_small):
     assert out.count() == batch_distinct
     # emitted hashes are unique
     assert out.select("content_hash").distinct().count() == out.count()
+
+
+def test_streaming_stream_join_matches_batch_join(spark, sf_small):
+    """Single-file replay = one micro-batch: the stream-stream join's
+    append output equals the static join with the same predicate."""
+    from pyspark.sql import functions as F
+
+    out = spark_queries()["streaming_stream_join"](spark, sf_small)
+    ev = load_table(spark, sf_small, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select("click_id", "purchase_id", "user_id")
+    got = sorted(map(tuple, out.collect()))
+    exp = sorted(map(tuple, batch.collect()))
+    assert got == exp and len(got) > 0

@@ -24,7 +24,11 @@ from collective_als_spark.registry import spark_queries
 
 # cross join is the documented exact-path design for these
 # (embedding_neardup_pairs routes through LSH buckets since r02)
-CROSS_JOIN_ALLOWED = {"ann_topk_cosine"}
+CROSS_JOIN_ALLOWED = {
+    "ann_topk_cosine",
+    # single-row corpus-stats frame broadcast to every doc (scalar join)
+    "bm25_scores",
+}
 
 # build() executes eagerly (fit / stream drive / label propagation) —
 # audited elsewhere
@@ -39,6 +43,7 @@ SKIP = {
     "streaming_stateful_totals",
     "streaming_session_window",
     "streaming_dedup",
+    "streaming_stream_join",
     "streaming_static_enrich",
     "multimodal_features",
 }
