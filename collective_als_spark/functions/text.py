@@ -90,3 +90,16 @@ def rolling_fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, w: F.pmod(acc * 31 + word_hash(w), F.lit(MERSENNE_31)),
     )
+
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_like_token_count(text: Column | str) -> Column:
+    """Token count under a BPE-ish pre-tokenization regex (letter runs,
+    digit runs, single punctuation — the GPT-2 pre-tokenizer shape):
+    a closer proxy for real tokenizer cost than whitespace splitting.
+    Pure ``regexp_count`` — codegen, no UDF; the pattern uses only
+    constructs RE2 (DuckDB) and java.util.regex treat identically."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("int")

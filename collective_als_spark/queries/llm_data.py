@@ -589,6 +589,81 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS INTEGER) AS bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counts per doc (the two token
+    accounting modes of a pretraining pipeline). Map-only codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("ws_tokens"),
+        TX.bpe_like_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "source_mixture_sample",
+    oracle="""
+    WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    w AS (
+        SELECT source, n_docs, sqrt(n_docs) AS wt,
+               sum(sqrt(n_docs)) OVER () AS tot_w
+        FROM n
+    ),
+    r AS (
+        SELECT source,
+               least(1.0, 1000.0 * wt / tot_w / n_docs) AS rate
+        FROM w
+    )
+    SELECT d.doc_id, d.source,
+           round(r.rate, 6) AS rate
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < CAST(floor(r.rate * 1000000 + 0.5) AS BIGINT)
+    """,
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture (alpha = 0.5, target ~1000
+    docs): over-represented sources are down-sampled toward
+    n^alpha-proportional mass — the standard mixture re-weighting of a
+    multilingual/multi-source pretraining corpus. Per-source rates come
+    from a tiny per-source aggregate (broadcast back); membership is
+    the deterministic md5-threshold rule, so the sample is reproducible
+    across engines and partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # the per-source frame is dictionary-sized: the un-partitioned
+    # window over it never sees more rows than distinct sources
+    tot = n.agg(F.sum(F.sqrt("n_docs")).alias("tot_w"))
+    rates = (
+        n.join(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                F.lit(1000.0) * F.sqrt("n_docs") / F.col("tot_w") / F.col("n_docs"),
+            ).alias("rate"),
+        )
+    )
+    thr = F.floor(F.col("rate") * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            F.pmod(TX.word_hash(F.col("doc_id").cast("string")), F.lit(1000000)) < thr
+        )
+        .select("doc_id", "source", F.round("rate", 6).alias("rate"))
+    )
+
+
 _BM25_TERMS = ["spark", "window", "join"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 

@@ -93,3 +93,13 @@ def write_bucketed_table(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (native vectorized reader; predicate pushdown and
+    column pruning work like parquet's)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

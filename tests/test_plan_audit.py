@@ -28,6 +28,7 @@ CROSS_JOIN_ALLOWED = {
     "ann_topk_cosine",
     # single-row corpus-stats frame broadcast to every doc (scalar join)
     "bm25_scores",
+    "source_mixture_sample",
 }
 
 # build() executes eagerly (fit / stream drive / label propagation) —

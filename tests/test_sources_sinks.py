@@ -47,3 +47,19 @@ def test_text_report_sink(spark, sf_med):
         lines = spark.read.text(f"{d}/report").collect()
         assert len(lines) == 3
         assert all("=" in r.value for r in lines)
+
+
+def test_orc_roundtrip(spark, sf_med):
+    from collective_als_spark.sources.files import read_orc, write_orc
+
+    orders = load_table(spark, sf_med, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(orders, f"{d}/orders_orc")
+        back = read_orc(spark, f"{d}/orders_orc")
+        assert back.schema == orders.schema
+        assert back.count() == orders.count()
+        # predicate pushdown reaches the ORC scan
+        plan = back.filter(F.col("o_orderkey") == 7)._jdf.queryExecution().executedPlan().toString()
+        assert "orc" in plan.lower()
