@@ -47,9 +47,11 @@ def recommend_topk(
     factor dot product.
 
     The right factor matrix is collected once on the driver (guarded by
-    ``max_broadcast_items``) and shipped to executors inside the task
-    closure — the broadcast-join pattern, but against numpy so each
-    Arrow batch does one BLAS matmul instead of a per-pair join.
+    ``max_broadcast_items``) and shipped via ``SparkContext.broadcast``
+    — serialized once, torrent-distributed, cached per executor — so
+    each Arrow batch does one BLAS matmul instead of a per-pair join
+    (closure capture would re-serialize the matrix into every stage's
+    task binary).
     """
     n_items = right_factors.count()
     if n_items > max_broadcast_items:
@@ -58,10 +60,12 @@ def recommend_topk(
             f"{max_broadcast_items}; use the ANN path (ivf_topk over factors)"
         )
     rows = right_factors.select("id", "features").collect()
-    rids = np.array([r["id"] for r in rows], dtype=np.int32)
-    R = np.array([r["features"] for r in rows], dtype=np.float32)
+    sc = right_factors.sparkSession.sparkContext
+    b_rids = sc.broadcast(np.array([r["id"] for r in rows], dtype=np.int32))
+    b_R = sc.broadcast(np.array([r["features"] for r in rows], dtype=np.float32))
 
     def score(batches: Iterable[pd.DataFrame]):
+        rids, R = b_rids.value, b_R.value
         kk = min(k, len(rids))
         for pdf in batches:
             if len(pdf) == 0:

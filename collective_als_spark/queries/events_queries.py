@@ -146,3 +146,13 @@ def streaming_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_click_purchase_join(spark, sf_dir)
+
+
+@register("streaming_upsert_totals")
+def streaming_upsert_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent parquet upsert of per-user totals
+    (rows-only: streaming execution + side-effecting sink; batch
+    equivalence tested in test_extended2.py)."""
+    from collective_als_spark.streaming.stateful import streaming_upsert_parquet
+
+    return streaming_upsert_parquet(spark, sf_dir)

@@ -86,7 +86,7 @@ _PRIORITY: list[str] = [
     "approx_distinct_quantile", "ann_topk_lsh", "ann_topk_ivf",
     "streaming_tumbling_agg", "streaming_stateful_totals",
     "streaming_static_enrich", "streaming_session_window", "streaming_dedup",
-    "streaming_stream_join",
+    "streaming_stream_join", "streaming_upsert_totals",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from typing import Any, Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -253,3 +253,63 @@ def streaming_click_purchase_join(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_upsert_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """foreachBatch keep-latest upsert: per-user running totals merged
+    into a parquet target on every micro-batch.
+
+    ``foreachBatch`` is the escape hatch for sinks Structured Streaming
+    lacks natively (MERGE INTO, JDBC upsert): the batch id makes the
+    write idempotent under retries — a replayed batch overwrites with
+    identical content instead of double-counting. The merge itself is
+    a keep-latest union (old ∪ new, latest batch wins per key) — the
+    same compaction pattern as latest_event_per_user_type, executed
+    incrementally."""
+    import os
+    import tempfile
+
+    target = out_dir or tempfile.mkdtemp(prefix="stream_upsert_")
+    path = os.path.join(target, "totals")
+
+    stream = _events_stream(spark, sf_dir)
+    totals = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        new = batch_df.withColumn("_bid", F.lit(batch_id))
+        try:
+            old = sp.read.parquet(path)
+        except Exception:  # first batch: nothing to merge
+            new.write.mode("overwrite").parquet(path)
+            return
+        merged = (
+            old.unionByName(new)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.col("_bid").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # materialize before overwriting the path being read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    q = (
+        totals.writeStream.outputMode("complete")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(target, "_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(path).drop("_bid")

@@ -165,3 +165,17 @@ def test_streaming_stream_join_matches_batch_join(spark, sf_small):
     got = sorted(map(tuple, out.collect()))
     exp = sorted(map(tuple, batch.collect()))
     assert got == exp and len(got) > 0
+
+
+def test_streaming_upsert_matches_batch_totals(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    out = spark_queries()["streaming_upsert_totals"](spark, sf_small)
+    ev = load_table(spark, sf_small, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    got = sorted(map(tuple, out.collect()))
+    exp = sorted(map(tuple, batch.collect()))
+    assert got == exp and len(got) > 0

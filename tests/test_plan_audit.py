@@ -45,6 +45,7 @@ SKIP = {
     "streaming_session_window",
     "streaming_dedup",
     "streaming_stream_join",
+    "streaming_upsert_totals",
     "streaming_static_enrich",
     "multimodal_features",
 }
