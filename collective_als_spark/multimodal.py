@@ -104,3 +104,95 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
             )
 
     return media.mapInPandas(run, _FEATURE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frame_bytes", T.IntegerType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, stride: int = 4
+) -> DataFrame:
+    """Video-style frame sampling: slice each payload into fixed-size
+    frames, keep every ``stride``-th. One row in, many rows out — the
+    row-expanding Arrow batch shape a real video pipeline uses (decode
+    is byte-slicing here; a real codec would replace ``_frames`` only).
+    Payload bytes never outlive the map task."""
+
+    def _frames(payload: bytes | None):
+        buf = bytes(payload) if payload is not None else b""
+        n = max((len(buf) + frame_bytes - 1) // frame_bytes, 1)
+        for i in range(0, n, stride):
+            chunk = buf[i * frame_bytes : (i + 1) * frame_bytes]
+            yield i, len(chunk), hashlib.md5(chunk).hexdigest()
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, sizes, hashes = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, nb, h in _frames(payload):
+                    ids.append(mid)
+                    idxs.append(i)
+                    sizes.append(nb)
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "n_frame_bytes": pd.array(sizes, dtype="int32"),
+                    "frame_hash": hashes,
+                }
+            )
+
+    return media.mapInPandas(run, _FRAME_SCHEMA)
+
+
+_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("rms_energy", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_window_energy(media: DataFrame, window: int = 1024) -> DataFrame:
+    """Audio-style windowed RMS energy over the payload interpreted as
+    raw 16-bit PCM — genuinely computed (no codec needed for raw PCM),
+    vectorized numpy per Arrow batch. The VAD/silence-trim primitives
+    of an audio curation pipeline have exactly this shape."""
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, energies = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                samples = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype="<i2")
+                if len(samples) == 0:
+                    samples = np.zeros(1, dtype="<i2")
+                n_win = (len(samples) + window - 1) // window
+                padded = np.zeros(n_win * window, dtype=np.float64)
+                padded[: len(samples)] = samples.astype(np.float64)
+                rms = np.sqrt((padded.reshape(n_win, window) ** 2).mean(axis=1))
+                ids.extend([mid] * n_win)
+                idxs.extend(range(n_win))
+                energies.extend(np.round(rms, 6).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_idx": pd.array(idxs, dtype="int32"),
+                    "rms_energy": energies,
+                }
+            )
+
+    return media.mapInPandas(run, _ENERGY_SCHEMA)

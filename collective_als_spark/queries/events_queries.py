@@ -136,6 +136,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n_bytes FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               unnest(range(0,
+                   CAST(greatest(ceil(n_bytes / 256.0), 1) AS BIGINT), 4)) AS i
+        FROM t
+    )
+    SELECT f.doc_id AS media_id,
+           CAST(f.i AS INTEGER) AS frame_idx,
+           CAST(length(substring(t.text, CAST(f.i * 256 + 1 AS BIGINT), 256))
+                AS INTEGER) AS n_frame_bytes,
+           md5(substring(t.text, CAST(f.i * 256 + 1 AS BIGINT), 256)) AS frame_hash
+    FROM f JOIN t USING (doc_id)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads (256-byte
+    frames, every 4th kept): the row-expanding mapInPandas shape of a
+    real video pipeline, with byte-slicing standing in for the codec.
+    Payloads are ASCII text bytes, so the DuckDB oracle reproduces the
+    byte slices with character substrings and hash-checks every frame."""
+    from collective_als_spark.multimodal import attach_media_columns, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    media = attach_media_columns(docs, "doc_id", "payload", "video/fake")
+    return sample_frames(media, frame_bytes=256, stride=4)
+
+
+@register("multimodal_audio_energy")
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed RMS energy with text bytes as raw 16-bit
+    PCM — genuinely computed numpy per Arrow batch (rows-only: int16
+    reinterpretation is not SQL-expressible; invariants tested in
+    test_extended2.py)."""
+    from collective_als_spark.multimodal import (
+        attach_media_columns,
+        audio_window_energy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    media = attach_media_columns(docs, "doc_id", "payload", "audio/fake-pcm")
+    return audio_window_energy(media, window=1024)
+
+
 @register("streaming_stream_join")
 def streaming_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (click -> purchase within 60 min) with

@@ -78,7 +78,7 @@ _PRIORITY: list[str] = [
     "document_chunking", "quality_quantile_filter", "repetition_metrics",
     "deterministic_sample", "sequence_packing", "simhash_neardup_pairs",
     "contamination_overlap", "embedding_quantize", "bm25_scores",
-    "bpe_token_count", "source_mixture_sample",
+    "bpe_token_count", "source_mixture_sample", "multimodal_frame_sample",
     "conditional_pivot", "json_extract_props", "array_functions_suite",
     "intersect_except", "grouping_sets_agg", "cube_agg",
     "exact_percentiles", "distinct_count_stats", "range_join_attribution",
@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "streaming_tumbling_agg", "streaming_stateful_totals",
     "streaming_static_enrich", "streaming_session_window", "streaming_dedup",
     "streaming_stream_join", "streaming_upsert_totals",
+    "multimodal_audio_energy",
 ]
 
 

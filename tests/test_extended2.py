@@ -179,3 +179,25 @@ def test_streaming_upsert_matches_batch_totals(spark, sf_small):
     got = sorted(map(tuple, out.collect()))
     exp = sorted(map(tuple, batch.collect()))
     assert got == exp and len(got) > 0
+
+
+def test_audio_window_energy_invariants(spark, sf_small):
+    """Windows tile the int16 sample stream; energies are nonnegative
+    and match a numpy recomputation for a spot-checked doc."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out = spark_queries()["multimodal_audio_energy"](spark, sf_small)
+    assert out.filter(F.col("rms_energy") < 0).count() == 0
+    row = load_table(spark, sf_small, "documents").filter(F.col("doc_id") == 0).collect()[0]
+    buf = row.text.encode()
+    samples = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype="<i2")
+    n_win = (len(samples) + 1023) // 1024
+    got = {r.window_idx: r.rms_energy
+           for r in out.filter(F.col("media_id") == 0).collect()}
+    assert len(got) == n_win
+    padded = np.zeros(n_win * 1024)
+    padded[: len(samples)] = samples.astype(np.float64)
+    exp = np.sqrt((padded.reshape(n_win, 1024) ** 2).mean(axis=1))
+    for i in range(n_win):
+        assert abs(got[i] - round(float(exp[i]), 6)) < 1e-9

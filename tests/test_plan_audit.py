@@ -48,6 +48,8 @@ SKIP = {
     "streaming_upsert_totals",
     "streaming_static_enrich",
     "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_audio_energy",
 }
 
 # full-width scans that are legitimate: tables narrow enough that the
