@@ -343,6 +343,77 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_lsh_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, md5('0|' || s) AS h0, md5('1|' || s) AS h1 FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(substr(h0, 1, 8))  AS mh_0, min(substr(h0, 9, 8))  AS mh_1,
+               min(substr(h0, 17, 8)) AS mh_2, min(substr(h0, 25, 8)) AS mh_3,
+               min(substr(h1, 1, 8))  AS mh_4, min(substr(h1, 9, 8))  AS mh_5,
+               min(substr(h1, 17, 8)) AS mh_6, min(substr(h1, 25, 8)) AS mh_7
+        FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bh FROM sig
+        UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+    )
+    SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS match_id
+    FROM banded n JOIN banded e
+      ON n.band = e.band AND n.bh = e.bh AND n.doc_id <> e.doc_id
+    WHERE n.doc_id % 10 = 0 AND NOT (e.doc_id % 10 = 0 AND e.doc_id > n.doc_id)
+    """,
+)
+def incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an arriving batch (docs with
+    id % 10 == 0 stand in for today's crawl) is checked against the
+    existing corpus index AND itself — the asymmetric candidate join
+    of a production pipeline, where the new batch is small enough to
+    broadcast against the big banded index instead of re-self-joining
+    the whole corpus. New-new pairs are emitted once (lower id owns
+    the pair); new-old pairs always surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    n_bands, band_size = 4, 2
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("bh"))
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bd")
+    ).select("doc_id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
+    is_new = F.pmod("doc_id", F.lit(10)) == 0
+    new = banded.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "bh"
+    )
+    # the full index, old + new: new docs must also dedup among
+    # themselves; the anti-duplication guard below keeps one direction
+    idx = banded.select(F.col("doc_id").alias("match_id"), "band", "bh")
+    return (
+        F.broadcast(new)
+        .join(idx, ["band", "bh"])
+        .filter(F.col("new_id") != F.col("match_id"))
+        .filter(
+            ~(
+                (F.pmod("match_id", F.lit(10)) == 0)
+                & (F.col("match_id") > F.col("new_id"))
+            )
+        )
+        .select("new_id", "match_id")
+        .distinct()
+    )
+
+
+@register(
     "document_chunking",
     oracle="""
     WITH t AS (
