@@ -193,7 +193,7 @@ class CollectiveALS:
         nonnegative: bool = False,
         rating_col: str = "rating",
         prediction_col: str = "prediction",
-        num_blocks: int | dict[str, int] = 32,
+        num_blocks: int | str | dict[str, int] = 32,
         seed: int = 0,
         checkpoint_interval: int = 10,
         intermediate_storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
@@ -312,8 +312,8 @@ class CollectiveALS:
             userCol="src",
             itemCol="dst",
             ratingCol="rating",
-            numUserBlocks=self._blocks_for(self.entities[li]),
-            numItemBlocks=self._blocks_for(self.entities[ri]),
+            numUserBlocks=self._blocks_for(self.entities[li], df.sparkSession),
+            numItemBlocks=self._blocks_for(self.entities[ri], df.sparkSession),
             checkpointInterval=self.checkpoint_interval,
             seed=self.seed,
             coldStartStrategy="nan",
@@ -331,18 +331,31 @@ class CollectiveALS:
         return CollectiveALSModel(self.rank, self.entities, factors, self.prediction_col)
 
     # ------------------------------------------------- N-entity trainer
-    def _blocks_for(self, entity_name: str) -> int:
+    def _blocks_for(self, entity_name: str, spark=None) -> int:
         """Per-entity block count (reference ``CollectiveALS.scala:29-30``):
-        dict values override, unnamed entities use the class default."""
-        if isinstance(self.num_blocks, dict):
-            unknown = set(self.num_blocks) - set(self.entities)
+        dict values override, unnamed entities use the class default.
+
+        ``"auto"`` scales with the cluster instead of hardcoding: block
+        count = max(8, defaultParallelism // 4) — 8 on a 32-core local
+        run (block-scheduling overhead dominates tiny fits below that),
+        2000 on a reference-production-sized cluster (200 executors x
+        ~40 cores), which is exactly the reference's production setting
+        (``IHRALS.scala:29``)."""
+        v = self.num_blocks
+        if isinstance(v, dict):
+            unknown = set(v) - set(self.entities)
             if unknown:
                 raise ValueError(
                     f"num_blocks names unknown entities {sorted(unknown)}; "
                     f"entities={self.entities}"
                 )
-            return int(self.num_blocks.get(entity_name, 32))
-        return int(self.num_blocks)
+            v = v.get(entity_name, 32)
+        if v == "auto":
+            par = (
+                spark.sparkContext.defaultParallelism if spark is not None else 32
+            )
+            return max(8, par // 4)
+        return int(v)
 
     def _fit_native(
         self, relations: list[tuple[int, int, DataFrame]]
@@ -468,7 +481,7 @@ class CollectiveALS:
                 # one shuffle: hash ids into this entity's block count
                 # (per-entity num_blocks, reference :29-30); every id's
                 # rows co-locate, one Arrow batch solves a whole block
-                blocks = self._blocks_for(self.entities[e])
+                blocks = self._blocks_for(self.entities[e], spark)
                 new_factors = (
                     allc.groupBy(F.pmod(F.hash("id"), F.lit(blocks)).alias("_blk"))
                     .applyInPandas(lambda key, pdf: solve_block(pdf), _FACTOR_SCHEMA)

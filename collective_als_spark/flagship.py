@@ -47,6 +47,7 @@ def flagship(spark: SparkSession, sf_dir: str, rank: int = 8, max_iter: int = 5)
         max_iter=max_iter,
         reg_param=0.1,
         seed=42,
+        num_blocks="auto",
     )
     model = als.fit(train)
     scored = model.predict(test)

@@ -217,3 +217,14 @@ def test_checkpoint_interval_contract(spark):
     assert set(fa) == set(fb)
     for i in fa:
         np.testing.assert_allclose(fa[i], fb[i], rtol=1e-5)
+
+
+def test_num_blocks_auto_scales_with_parallelism(spark):
+    from collective_als_spark.cmf import CollectiveALS
+
+    als = CollectiveALS("user", "item").set_num_blocks("auto")
+    got = als._blocks_for("user", spark)
+    assert got == max(8, spark.sparkContext.defaultParallelism // 4)
+    # per-entity overrides still win over auto
+    als.set_num_blocks(12, "item")
+    assert als._blocks_for("item", spark) == 12
