@@ -510,3 +510,49 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+
+
+@register(
+    "table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM orders
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep: per-column null count, exact distinct
+    count, min/max — the sanity pass before a table enters a pipeline.
+
+    One aggregate over the table; multiple exact COUNT(DISTINCT)s share
+    a single Expand-based shuffle. At 100 TB swap the exact distincts
+    for approx_count_distinct (one pass, no expand) — exact is kept
+    here because the DuckDB oracle hash-checks it."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )

@@ -103,3 +103,31 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory of many small files
+    into ceil(total_rows / target_rows_per_file) files.
+
+    The perpetual maintenance job of a 100 TB lake — streaming ingest
+    and fine-grained partitioning leave thousands of KB-sized files
+    whose open/footer cost dominates scans. One pass: count, choose the
+    file count, repartition (round-robin, no key skew), overwrite to a
+    staging dir and swap. Returns the new file count."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    staging = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return n_files

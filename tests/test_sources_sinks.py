@@ -63,3 +63,36 @@ def test_orc_roundtrip(spark, sf_med):
         # predicate pushdown reaches the ORC scan
         plan = back.filter(F.col("o_orderkey") == 7)._jdf.queryExecution().executedPlan().toString()
         assert "orc" in plan.lower()
+
+
+def test_compact_small_files(spark, sf_med):
+    import glob
+
+    from collective_als_spark.sources.files import compact_small_files
+
+    orders = load_table(spark, sf_med, "orders").select("o_orderkey", "o_totalprice")
+    n = orders.count()
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/orders_many"
+        orders.repartition(40).write.parquet(path)
+        assert len(glob.glob(f"{path}/part-*")) == 40
+        n_files = compact_small_files(spark, path, target_rows_per_file=n // 2 + 1)
+        assert n_files == 2
+        assert len(glob.glob(f"{path}/part-*")) == 2
+        assert spark.read.parquet(path).count() == n
+
+
+def test_parquet_merge_schema_evolution(spark, sf_med):
+    """Schema evolution: files written with extra columns merge under
+    mergeSchema=true (missing values NULL) — the append-only column
+    evolution a long-lived lake table needs."""
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/evolving"
+        spark.range(5).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(p)
+        spark.range(5, 8).select(
+            F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+        ).write.mode("append").parquet(p)
+        merged = spark.read.option("mergeSchema", "true").parquet(p)
+        assert set(merged.columns) == {"id", "v1", "v2"}
+        assert merged.count() == 8
+        assert merged.filter(F.col("v2").isNull()).count() == 5
