@@ -823,6 +823,128 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_retrieval",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS tf0,
+               len(list_filter(string_split(text, ' '), w -> w = 'window')) AS tf1,
+               len(list_filter(string_split(text, ' '), w -> w = 'join')) AS tf2
+        FROM documents
+    ),
+    g AS (
+        SELECT count(*) AS n,
+               sum(dl) * 1.0 / count(*) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM t
+    ),
+    scored AS (
+        SELECT doc_id,
+               (ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+             + (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+             + (ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+                / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS bm25
+        FROM t, g
+        WHERE tf0 + tf1 + tf2 > 0
+    ),
+    cand AS (
+        SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    mx AS (SELECT max(bm25) AS max_bm25 FROM cand),
+    qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    reranked AS (
+        SELECT c.doc_id,
+               0.5 * c.bm25 / mx.max_bm25
+             + 0.5 * list_cosine_similarity(e.embedding::DOUBLE[], qv.qe) AS hybrid
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.doc_id, mx, qv
+    )
+    SELECT doc_id, round(hybrid, 6) AS hybrid
+    FROM reranked ORDER BY hybrid DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (the RAG-stack pattern): BM25 candidate
+    generation -> embedding cosine rerank, blended 50/50 after max-norm
+    of the lexical score.
+
+    Scale shape: candidate selection is TakeOrderedAndProject (top-50,
+    never a global sort); the query vector and the candidate-max are
+    single-row broadcasts; the rerank join touches only 50 candidate
+    embeddings. No all-pairs anything."""
+    from collective_als_spark.functions.vector import cosine_similarity
+
+    # bm25_scores rounds its output; ranking must use full precision,
+    # so the raw score is rebuilt here with the same expressions
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+
+    def _tf(term: str):
+        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+
+    t = docs.select(
+        "doc_id",
+        F.size(ws).alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(_BM25_TERMS)],
+    )
+    g = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        s = (
+            idf
+            * F.col(f"tf{i}")
+            * (_BM25_K1 + 1)
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = s if score is None else score + s
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0
+    scored = (
+        t.join(F.broadcast(g)).filter(any_tf).select("doc_id", score.alias("bm25"))
+    )
+    cand = scored.orderBy(F.desc("bm25"), "doc_id").limit(50)
+    mx = cand.agg(F.max("bm25").alias("max_bm25"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    reranked = (
+        cand.join(emb, cand.doc_id == emb.vec_id)
+        .join(F.broadcast(mx))
+        .join(F.broadcast(qv))
+        .select(
+            "doc_id",
+            (
+                F.lit(0.5) * F.col("bm25") / F.col("max_bm25")
+                + F.lit(0.5) * cosine_similarity("e", "qe")
+            ).alias("hybrid"),
+        )
+    )
+    return (
+        reranked.orderBy(F.desc("hybrid"), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("hybrid", 6).alias("hybrid"))
+    )
+
+
+@register(
     "embedding_quantize",
     oracle="""
     WITH t AS (

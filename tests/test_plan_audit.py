@@ -29,6 +29,7 @@ CROSS_JOIN_ALLOWED = {
     # single-row corpus-stats frame broadcast to every doc (scalar join)
     "bm25_scores",
     "source_mixture_sample",
+    "hybrid_retrieval",
 }
 
 # build() executes eagerly (fit / stream drive / label propagation) —
