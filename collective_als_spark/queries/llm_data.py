@@ -998,6 +998,121 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_exact",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum sampling: 5 docs per source, chosen by
+    md5 order — a deterministic engine-stable draw (unlike seeded
+    random sampling, identical across partitionings and engines).
+    Source-partitioned window + WindowGroupLimit pushdown: the rank
+    filter prunes below the window, never materializing full ranks."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "kfold_assign",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 5 AS INTEGER) AS fold
+    FROM documents
+    """,
+)
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based k-fold assignment (k=5): stable across runs, engines,
+    and data order — the cross-validation split that survives a corpus
+    re-shuffle (seeded randomSplit does not). Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = TX.word_hash(F.concat(F.lit("fold|"), F.col("doc_id").cast("string")))
+    return docs.select("doc_id", F.pmod(h, F.lit(5)).cast("int").alias("fold"))
+
+
+@register(
+    "negative_sampling",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    seen AS (
+        SELECT user_id, event_type FROM events
+        GROUP BY user_id, event_type HAVING count(*) >= 12
+    ),
+    negatives AS (
+        SELECT u.user_id, t.event_type
+        FROM users u CROSS JOIN types t
+        LEFT JOIN seen s
+          ON s.user_id = u.user_id AND s.event_type = t.event_type
+        WHERE s.user_id IS NULL
+    ),
+    picked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(user_id AS VARCHAR) || '|' || event_type)
+               ) AS rk
+        FROM negatives
+    )
+    SELECT user_id, event_type FROM picked WHERE rk <= 2
+    """,
+)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback negative sampling: up to 2 (user, event_type)
+    pairs WITHOUT a strong interaction (fewer than 12 events), picked
+    by deterministic hash order — the training-pair generator for
+    implicit recommenders (positives = strong pairs, negatives drawn
+    from the complement).
+
+    Scale shape: the item dimension is dictionary-sized (event types),
+    so candidates = users x broadcast(types) with an anti-join against
+    the seen pairs — one shuffle on the seen side; the per-user pick is
+    a user-partitioned window with group-limit pushdown. For a large
+    item universe this becomes hash-bucketed sampling per user; the
+    dictionary case is the common top-of-funnel shape."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    seen = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 12)
+        .select("user_id", "event_type")
+    )
+    negatives = users.join(F.broadcast(types)).join(
+        seen, ["user_id", "event_type"], "left_anti"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.concat_ws("|", F.col("user_id").cast("string"), "event_type"))
+    )
+    return (
+        negatives.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("user_id", "event_type")
+    )
+
+
+@register(
     "ann_topk_cosine",
     oracle="""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),

@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "contamination_overlap", "embedding_quantize", "bm25_scores",
     "bpe_token_count", "source_mixture_sample", "multimodal_frame_sample",
     "incremental_lsh_pairs", "table_profile", "hybrid_retrieval",
+    "stratified_sample_exact", "kfold_assign", "negative_sampling",
     "conditional_pivot", "json_extract_props", "array_functions_suite",
     "intersect_except", "grouping_sets_agg", "cube_agg",
     "exact_percentiles", "distinct_count_stats", "range_join_attribution",

@@ -30,6 +30,9 @@ CROSS_JOIN_ALLOWED = {
     "bm25_scores",
     "source_mixture_sample",
     "hybrid_retrieval",
+    # users x dictionary-sized broadcast(event types): a genuine
+    # dimension cross, bounded by |types|
+    "negative_sampling",
 }
 
 # build() executes eagerly (fit / stream drive / label propagation) —
