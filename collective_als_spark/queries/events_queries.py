@@ -209,3 +209,114 @@ def streaming_upsert_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame
     from collective_als_spark.streaming.stateful import streaming_upsert_parquet
 
     return streaming_upsert_parquet(spark, sf_dir)
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type,
+           epoch_ms(ts) AS valid_from_ms,
+           epoch_ms(lead(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           )) AS valid_to_ms,
+           round(value, 2) AS value,
+           lead(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) IS NULL AS is_current
+    FROM events
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: each observation's value is
+    valid [its ts, next observation's ts); the newest row per key is
+    open-ended (is_current). One key-partitioned lead window — the
+    standard history-table build, fully parallel across keys."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        (F.unix_micros("ts") / 1000).cast("bigint").alias("valid_from_ms"),
+        (F.unix_micros(nxt) / 1000).cast("bigint").alias("valid_to_ms"),
+        F.round("value", 2).alias("value"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "hourly_resample_gapfill",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+               round(sum(value), 2) AS v
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM spans
+    ),
+    joined AS (
+        SELECT g.user_id, g.h, b.v,
+               count(b.v) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS grp
+        FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h
+    )
+    SELECT user_id, epoch_ms(h) AS hour_ms,
+           first_value(v) OVER (
+               PARTITION BY user_id, grp ORDER BY h
+           ) AS v_filled,
+           v IS NOT NULL AS observed
+    FROM joined
+    """,
+)
+def hourly_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: hourly totals per user on a
+    dense hour grid from the user's first to last event, missing hours
+    forward-filled from the latest observed value (count-over-window
+    grouping trick: nulls join the preceding observation's group).
+
+    Scale shape: the grid explodes sequence(min, max) PER USER — output
+    is bounded by users x their own span, and every window is
+    user-partitioned. The standard densification for training
+    time-series models on event data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    b = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    spans = b.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(b, ["user_id", "h"], "left")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = joined.withColumn("grp", F.count("v").over(w_cum))
+    w_grp = Window.partitionBy("user_id", "grp").orderBy("h")
+    return joined.select(
+        "user_id",
+        (F.unix_micros("h") / 1000).cast("bigint").alias("hour_ms"),
+        F.first("v").over(w_grp).alias("v_filled"),
+        F.col("v").isNotNull().alias("observed"),
+    )
