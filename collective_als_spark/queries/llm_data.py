@@ -1208,3 +1208,79 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
+
+
+@register(
+    "pipeline_training_prep",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source, text, md5(text) AS content_hash,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    canonical AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY content_hash ORDER BY doc_id
+            ) AS rn FROM hashed
+        ) WHERE rn = 1
+    ),
+    kept AS (SELECT * FROM canonical WHERE n_tokens >= 20),
+    chunks AS (
+        SELECT doc_id, source,
+               unnest(range(0, CAST(greatest(ceil((n_tokens - 32) * 1.0 / 32), 1)
+                                    AS BIGINT))) AS cid,
+               string_split(text, ' ') AS ws
+        FROM kept
+    )
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(len(ws[cid*32+1 : cid*32+64])) AS BIGINT) AS total_chunk_tokens
+    FROM chunks
+    GROUP BY source
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition in ONE declarative plan: exact dedup
+    (keep lowest id per content hash) -> token-count quality floor ->
+    sliding-window chunking (64/32) -> per-source chunk accounting.
+
+    Catalyst fuses the whole thing: hash + window dedup + filter +
+    sequence/explode chunker + one aggregate — two shuffles
+    (content_hash, source) for the full corpus-to-training-chunks
+    path. This is the job a 100 TB pretraining prep actually runs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        ws.alias("ws"),
+        F.md5("text").alias("content_hash"),
+        F.size(ws).alias("n_tokens"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    kept = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_tokens") >= 20))
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.col("n_tokens") - F.lit(32)).cast("double") / F.lit(32.0)).cast(
+            "int"
+        ),
+        F.lit(1),
+    )
+    chunks = kept.select(
+        "doc_id",
+        "source",
+        "ws",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("cid"),
+    )
+    chunk_tokens = F.size(F.slice(F.col("ws"), F.col("cid") * 32 + 1, 64))
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(chunk_tokens.cast("bigint")).alias("total_chunk_tokens"),
+    )

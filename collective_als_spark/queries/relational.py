@@ -556,3 +556,78 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
         )
     )
+
+
+@register(
+    "rolling_time_range_window",
+    oracle="""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_1h_v,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_1h_n
+    FROM events
+    """,
+)
+def rolling_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame window per user (time-based, not
+    row-based — two events 1 ms apart share the same trailing hour).
+    The rolling-feature generator of a behavioral model; one
+    user-partitioned sort, both aggregates share the frame."""
+    from collective_als_spark.sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    ms = (F.unix_micros("ts") / 1000).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(-3600000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ms.alias("ts_ms"),
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h_v"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
+
+
+@register(
+    "equiwidth_histogram",
+    oracle="""
+    WITH rng AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ),
+    binned AS (
+        SELECT least(CAST(floor((o_totalprice - rng.lo)
+                                / ((rng.hi - rng.lo) / 20.0)) AS INTEGER),
+                     19) AS bin
+        FROM orders, rng
+    )
+    SELECT bin, count(*) AS n
+    FROM binned GROUP BY bin
+    """,
+)
+def equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of order totals: global min/max as a
+    1-row broadcast, then a map-side-combinable bin count — the
+    two-pass histogram every profiler/BI layer runs, no sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bin_col = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
+        F.lit(19),
+    )
+    return (
+        orders.join(F.broadcast(rng))
+        .select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -29,6 +29,7 @@ CROSS_JOIN_ALLOWED = {
     # single-row corpus-stats frame broadcast to every doc (scalar join)
     "bm25_scores",
     "source_mixture_sample",
+    "equiwidth_histogram",
     "hybrid_retrieval",
     # users x dictionary-sized broadcast(event types): a genuine
     # dimension cross, bounded by |types|
