@@ -141,3 +141,29 @@ def split_chronologically(
             ).drop("_rk", "_n")
         )
     return out
+
+
+def chronological_slice_labels(
+    df: DataFrame,
+    weights: list[float],
+    time_col: str,
+    tie_break: list[str] | None = None,
+    label_col: str = "slice",
+) -> DataFrame:
+    """One-pass variant of the exact split: every row gets its slice
+    index as a column from a SINGLE global-rank subplan, instead of N
+    filtered lineages that each re-execute the rank (the Seq[Dataset]
+    API re-runs the range shuffle per slice unless the optimizer
+    happens to reuse the exchange). Use this when downstream wants all
+    slices in one frame (size accounting, per-slice stats, fold-tagged
+    training data)."""
+    cum = _cumulative_bounds(weights)
+    order = [F.col(time_col)] + [F.col(c) for c in (tie_break or [])]
+    ranked = global_rank(df, order)
+    lab = None
+    for i, (lo, hi) in enumerate(cum):
+        cond = (F.col("_rk") >= F.lit(lo) * F.col("_n")) & (
+            F.col("_rk") < F.lit(hi) * F.col("_n")
+        )
+        lab = F.when(cond, i) if lab is None else lab.when(cond, i)
+    return ranked.withColumn(label_col, lab.cast("int")).drop("_rk", "_n")

@@ -35,15 +35,17 @@ def chrono_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 end-to-end: splitChronologically([0.9, 0.1]) slice sizes —
     reference Utils.scala:11-36. Float rank bounds (`rk < 0.9*n`) match
     the reference's `lower <= rank && rank < upper` comparison."""
+    from collective_als_spark.operators.split import chronological_slice_labels
+
     ev = load_table(spark, sf_dir, "events")
-    slices = split_chronologically(ev, [0.9, 0.1], "ts", tie_break=["event_id"])
-    parts = [
-        s.agg(F.count(F.lit(1)).alias("n_rows")).select(
-            F.lit(i).alias("slice"), "n_rows"
-        )
-        for i, s in enumerate(slices)
-    ]
-    return parts[0].union(parts[1]).orderBy("slice")
+    labeled = chronological_slice_labels(
+        ev, [0.9, 0.1], "ts", tie_break=["event_id"]
+    )
+    return (
+        labeled.groupBy("slice")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("slice")
+    )
 
 
 @register(
