@@ -201,3 +201,64 @@ def test_audio_window_energy_invariants(spark, sf_small):
     exp = np.sqrt((padded.reshape(n_win, 1024) ** 2).mean(axis=1))
     for i in range(n_win):
         assert abs(got[i] - round(float(exp[i]), 6)) < 1e-9
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two-file replay with maxFilesPerTrigger=1: batch 1 advances the
+    watermark past the late rows in file 2, so the append-mode windowed
+    aggregate excludes them — the state-bounding contract that lets a
+    windowed aggregation run forever on an unbounded stream."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "late_src")
+    on_time = spark.createDataFrame(
+        [(i, "2026-01-01 10:%02d:00" % (i % 60), 1.0) for i in range(100)]
+        + [(900, "2026-01-01 23:00:00", 1.0)],  # advances the watermark
+        "id long, ts_s string, v double",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    # window state is evicted at the END of the batch whose watermark
+    # passes the window end — this middle batch closes the 10:00 window
+    # so the late row in the final batch meets evicted state and drops
+    closer = spark.createDataFrame(
+        [(901, "2026-01-01 23:30:00", 1.0)],
+        "id long, ts_s string, v double",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    late = spark.createDataFrame(
+        [(999, "2026-01-01 10:30:00", 1.0)],  # far behind the watermark
+        "id long, ts_s string, v double",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    import time as _time
+
+    on_time.coalesce(1).write.parquet(d + "/f=1")
+    _time.sleep(2)  # distinct mtimes: the file source orders by them
+    closer.coalesce(1).write.parquet(d + "/f=2")
+    _time.sleep(2)
+    late.coalesce(1).write.parquet(d + "/f=3")
+
+    stream = (
+        spark.readStream.schema(on_time.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/f=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("late_out").collect()
+    got = {r.ws.hour: r.n for r in rows}
+    # the 10:00 window closed with only the 100 on-time rows; the late
+    # row (file 3) was dropped against evicted state, not re-emitted
+    assert got.get(10) == 100
+    assert len([r for r in rows if r.ws.hour == 10]) == 1
