@@ -84,3 +84,22 @@ def quantize_int8(a: Column | str, scale: Column) -> Column:
     produce identical codes from identical doubles."""
     ca = F.col(a) if isinstance(a, str) else a
     return F.transform(ca, lambda x: F.floor(x / scale + F.lit(0.5)).cast("bigint"))
+
+
+def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative ints: bit i of
+    ``a`` lands at position 2i, of ``b`` at 2i+1. Rows sorted by this
+    key cluster BOTH dimensions, so parquet row-group min/max stats
+    prune box predicates on either column — the multi-dimensional
+    layout trick behind Delta/Iceberg Z-ORDER, as a plain codegen
+    expression."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(ca, i).bitwiseAND(F.lit(1)).cast("bigint") * (2 ** (2 * i)))
+            + (F.shiftright(cb, i).bitwiseAND(F.lit(1)).cast("bigint") * (2 ** (2 * i + 1)))
+        )
+    return z

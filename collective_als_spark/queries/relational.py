@@ -631,3 +631,34 @@ def equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "zorder_keys",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           CAST({z} AS BIGINT) AS zkey
+    FROM lineitem
+    """.format(
+        z=" + ".join(
+            f"(((l_orderkey % 1024) >> {i}) & 1) * {2 ** (2 * i)}"
+            f" + (((l_partkey % 1024) >> {i}) & 1) * {2 ** (2 * i + 1)}"
+            for i in range(10)
+        )
+    ),
+)
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-order key over (orderkey, partkey) mod 1024 — the
+    multi-dimensional clustering key; map-only codegen bit math.
+    tests/test_layout_skew.py proves the pruning benefit on real
+    parquet row-group statistics."""
+    from collective_als_spark.functions.vector import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        zorder_key(
+            F.pmod("l_orderkey", F.lit(1024)), F.pmod("l_partkey", F.lit(1024)), 10
+        ).alias("zkey"),
+    )

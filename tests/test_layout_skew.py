@@ -158,3 +158,51 @@ def test_dynamic_partition_overwrite(spark, sf_small, tmpdir):
         F.round(F.sum("o_totalprice") * 2, 2).alias("s")
     ).first()["s"]
     assert abs(doubled - orig) < 0.01
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_med):
+    """Write lineitem keys unsorted vs Z-ordered into multiple files,
+    then check parquet footer min/max stats: for a box predicate on
+    (x, y), the Z-ordered layout leaves far fewer candidate files than
+    the x-sorted layout does for y (linear sort clusters only its
+    leading column; Z-order clusters both)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from collective_als_spark.functions.vector import zorder_key
+
+    li = (
+        load_table(spark, sf_med, "lineitem")
+        .select(
+            F.pmod("l_orderkey", F.lit(1024)).alias("x"),
+            F.pmod("l_partkey", F.lit(1024)).alias("y"),
+        )
+        .withColumn("z", zorder_key("x", "y", 10))
+    )
+
+    def candidate_files(path: str, col: str, lo: int, hi: int) -> int:
+        n = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st.min <= hi and st.max >= lo:
+                    n += 1
+                    break
+        return n
+
+    with tempfile.TemporaryDirectory() as d:
+        linear = f"{d}/linear"
+        zordered = f"{d}/zorder"
+        # both layouts: 16 files, same data, different clustering
+        li.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(linear)
+        li.repartitionByRange(16, "z").sortWithinPartitions("z").write.parquet(zordered)
+        n_linear_y = candidate_files(linear, "y", 100, 131)
+        n_zorder_y = candidate_files(zordered, "y", 100, 131)
+        n_zorder_x = candidate_files(zordered, "x", 100, 131)
+        # x-sorted layout can't prune y at all: every file is a candidate
+        assert n_linear_y == 16
+        # the Z-ordered layout prunes BOTH dimensions
+        assert n_zorder_y < 16 and n_zorder_x < 16
