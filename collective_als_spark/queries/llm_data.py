@@ -1284,3 +1284,65 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(chunk_tokens.cast("bigint")).alias("total_chunk_tokens"),
     )
+
+
+@register(
+    "vocab_top_words",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT word, count(*) AS n
+    FROM w GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 1000
+    """,
+)
+def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: top-1000 words by corpus frequency — the
+    first step of tokenizer training. Explode + map-side-combinable
+    count + TakeOrderedAndProject (top-k, never a global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(1000)
+    )
+
+
+@register(
+    "word_bigram_counts",
+    oracle="""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM t
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram
+    HAVING count(*) >= 20
+    """,
+)
+def word_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair (bigram) corpus counts above a support floor — the
+    merge-candidate statistics of BPE training and the raw counts of an
+    n-gram LM. Slice-based pair construction (same codegen shape as the
+    shingler), one count shuffle with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0)))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )

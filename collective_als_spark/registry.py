@@ -83,7 +83,7 @@ _PRIORITY: list[str] = [
     "stratified_sample_exact", "kfold_assign", "negative_sampling",
     "scd2_intervals", "hourly_resample_gapfill",
     "rolling_time_range_window", "equiwidth_histogram", "pipeline_training_prep",
-    "zorder_keys",
+    "zorder_keys", "vocab_top_words", "word_bigram_counts",
     "conditional_pivot", "json_extract_props", "array_functions_suite",
     "intersect_except", "grouping_sets_agg", "cube_agg",
     "exact_percentiles", "distinct_count_stats", "range_join_attribution",
