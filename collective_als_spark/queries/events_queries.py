@@ -320,3 +320,55 @@ def hourly_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v").over(w_grp).alias("v_filled"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(CASE
+             WHEN t_view IS NULL THEN 0
+             WHEN t_click IS NULL OR t_click <= t_view THEN 1
+             WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+             ELSE 3
+           END AS INTEGER) AS funnel_stage,
+           count(*) AS n_users
+    FROM stages
+    GROUP BY 1
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    reaches stage k only if each step's FIRST occurrence strictly
+    follows the previous step's. One conditional aggregate per user
+    (no joins, no window), then a tiny stage rollup — two
+    map-side-combinable shuffles for the whole funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(F.col("t_click").isNull() | (F.col("t_click") <= F.col("t_view")), 1)
+        .when(
+            F.col("t_purchase").isNull() | (F.col("t_purchase") <= F.col("t_click")),
+            2,
+        )
+        .otherwise(3)
+    )
+    return (
+        stages.select(stage.cast("int").alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1346,3 +1346,61 @@ def word_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 20)
     )
+
+
+@register(
+    "vocab_top_p_mass",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    cnt AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    tot AS (SELECT sum(n) AS total FROM cnt),
+    cum AS (
+        SELECT word, n,
+               sum(n) OVER (ORDER BY n DESC, word
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS mass_before
+        FROM cnt
+    )
+    SELECT word, n, round(COALESCE(mass_before, 0) * 1.0 / tot.total, 6) AS cum_share
+    FROM cum, tot
+    WHERE COALESCE(mass_before, 0) * 1.0 / tot.total < 0.9
+    """,
+)
+def vocab_top_p_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) vocabulary truncation: keep the most frequent
+    words that together cover 90% of token mass — the distributional
+    cutoff used for vocab pruning and sampling. The cumulative window
+    runs over the VOCABULARY frame (distinct words), which is
+    dictionary-sized by definition — so instead of an un-partitioned
+    window (single-task sort), the vocab packs into ONE sorted array
+    (the dense_codes trick) and cumulative mass comes from higher-order
+    functions; the corpus-sized pass is just the word count."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    packed = cnt.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("n")).alias("neg_n"), "word", "n"))
+        ).alias("arr")
+    )
+    expanded = packed.select(
+        F.expr("aggregate(arr, 0L, (acc, y) -> acc + y.n)").alias("total"),
+        F.expr(
+            "explode(transform(arr, (x, i) -> struct("
+            "x.word AS word, x.n AS n, "
+            "aggregate(slice(arr, 1, i), 0L, (acc, y) -> acc + y.n)"
+            " AS mass_before)))"
+        ).alias("s"),
+    ).select("total", "s.*")
+    return (
+        expanded.withColumn(
+            "cum_share", F.round(F.col("mass_before") / F.col("total"), 6)
+        )
+        .filter(F.col("mass_before") / F.col("total") < 0.9)
+        .select("word", "n", "cum_share")
+    )
