@@ -662,3 +662,42 @@ def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod("l_orderkey", F.lit(1024)), F.pmod("l_partkey", F.lit(1024)), 10
         ).alias("zkey"),
     )
+
+
+@register(
+    "salted_join_revenue",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation equivalence, driver-checked: the orders→customer
+    join runs SALTED (hot customer keys spread over 16 salt buckets,
+    the customer side replicated per salt), yet hashes identically to
+    the oracle's plain join — salting changes only the shuffle layout,
+    never the result. The explicit fallback for the single-hot-key case
+    AQE's skew-join split can't fix."""
+    from collective_als_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(orders, customer, "o_custkey", n_salts=16)
+    return (
+        joined.join(
+            F.broadcast(nation), joined.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

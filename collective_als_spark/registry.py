@@ -84,7 +84,7 @@ _PRIORITY: list[str] = [
     "scd2_intervals", "hourly_resample_gapfill",
     "rolling_time_range_window", "equiwidth_histogram", "pipeline_training_prep",
     "zorder_keys", "vocab_top_words", "word_bigram_counts",
-    "vocab_top_p_mass", "conversion_funnel",
+    "vocab_top_p_mass", "conversion_funnel", "salted_join_revenue",
     "conditional_pivot", "json_extract_props", "array_functions_suite",
     "intersect_except", "grouping_sets_agg", "cube_agg",
     "exact_percentiles", "distinct_count_stats", "range_join_attribution",
