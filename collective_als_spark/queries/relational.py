@@ -361,18 +361,23 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_quantity) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 2) AS running_qty
     FROM lineitem
     """,
 )
 def running_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window frame (running sum) — free Spark capability (SURVEY §2.5)."""
+    """Window frame (running sum) — free Spark capability (SURVEY §2.5).
+
+    l_quantity is part of the ordering: the synthetic lineitem has
+    duplicate (orderkey, linenumber) keys, and without the summed
+    column in the sort key the tie order — and thus every prefix sum
+    between the tied rows — is engine-dependent."""
     li = _t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
