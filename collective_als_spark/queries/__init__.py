@@ -4,6 +4,7 @@ from collective_als_spark.queries import (  # noqa: F401
     events_queries,
     extended,
     extended2,
+    extended3,
     llm_data,
     ml_queries,
     relational,

@@ -34,6 +34,10 @@ CROSS_JOIN_ALLOWED = {
     # users x dictionary-sized broadcast(event types): a genuine
     # dimension cross, bounded by |types|
     "negative_sampling",
+    # 1-row scalar broadcasts (corpus size / token totals / node count)
+    "tfidf_term_stats",
+    "pmi_bigrams",
+    "pagerank_trade_graph",
 }
 
 # build() executes eagerly (fit / stream drive / label propagation) —
