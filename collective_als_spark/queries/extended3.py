@@ -306,6 +306,131 @@ def numeric_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_name_linkage",
+    oracle="""
+    WITH n AS (
+        SELECT p_name, string_split(p_name, ' ')[2] AS noun,
+               count(*) AS cnt
+        FROM part GROUP BY p_name, string_split(p_name, ' ')[2]
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.cnt AS n_a, b.cnt AS n_b
+    FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: near-identical part names
+    found by blocking + edit distance — the fuzzy-dedup step of a data
+    cleaning pipeline (same blocked-pair shape as the LSH dedup family,
+    with Levenshtein instead of Jaccard as the verifier).
+
+    Scale: linkage runs at the DISTINCT-entity level (names are
+    count-compressed first, so the pair join is vocabulary-sized, not
+    record-sized), and candidates are blocked on the head noun — pair
+    volume is sum-of-block-squares, never all-pairs. Levenshtein is a
+    JVM codegen builtin, no UDF.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    names = names.withColumn("noun", F.split("p_name", " ").getItem(1))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("n_a"),
+        "noun",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("n_b"),
+        "noun",
+    )
+    return (
+        a.join(b, "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    m AS (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+    p AS (
+        SELECT a.i AS i, b.i AS j,
+               sum(a.x * b.x) AS sxy, count(*) AS n
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j, round(p.sxy / p.n - ma.mu * mb.mu, 6) AS cov
+    FROM p
+    JOIN m ma ON ma.i = p.i
+    JOIN m mb ON mb.i = p.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered covariance matrix (upper triangle) of the embedding
+    columns — the PCA / whitening front-end, the centered sibling of
+    the `gramian_yty` Gramian. cov(i,j) = E[x_i x_j] - E[x_i]E[x_j].
+
+    Scale: the cross-products are built per-row with nested
+    higher-order transforms (one explode, NO self-join of the exploded
+    frame — the oracle's relational self-join would shuffle a 64×
+    expansion of the data; the Spark plan instead ships d(d+1)/2
+    partial products into a map-side-combinable groupBy over at most
+    d² keys). Per-dimension means ride the diagonal-free second
+    aggregate and broadcast-join back (d rows). Same partial-sum
+    shape as `cmf/solver.py::compute_yty`'s vectorized path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(embedding, (x, i) -> "
+                "transform(slice(embedding, i + 1, size(embedding) - i), "
+                "(y, j) -> struct(i AS i, i + j AS j, "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS xy))))"
+            )
+        ).alias("s")
+    ).select("s.*")
+    sums = pairs.groupBy("i", "j").agg(
+        F.sum("xy").alias("sxy"), F.count(F.lit(1)).alias("n")
+    )
+    means = (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "x"
+            )
+        )
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"))
+    )
+    ma = F.broadcast(means.select(F.col("i"), F.col("mu").alias("mu_i")))
+    mb = F.broadcast(
+        means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    )
+    return (
+        sums.join(ma, "i")
+        .join(mb, "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy") / F.col("n") - F.col("mu_i") * F.col("mu_j"), 6
+            ).alias("cov"),
+        )
+    )
+
+
 _PAGERANK_DAMPING = 0.85
 _PAGERANK_ITERS = 3
 
