@@ -190,14 +190,18 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     interaction matrix — the neighborhood-model companion to the CMF
     factor model (same interaction data `cmf/als.py` trains on).
 
-    Scale: the classic co-occurrence self-join keyed on user. Two
+    Scale: the classic co-occurrence self-join keyed on user. Three
     defenses make it survive 100 TB: (a) heavy users are capped
     (n_items <= 200) BEFORE pairing, which bounds per-user fan-out at
     C(200,2) and removes the quadratic power-law tail — the standard
     production mitigation (DIMSUM-style sampling is noted as the next
-    step); (b) the support floor (n_ij >= 3) is applied in the pair
-    aggregate, so only co-occurrence-heavy pairs reach the final
-    degree join. All joins are equi-joins on user/item keys.
+    step); (b) per-user and per-item degrees come from key-partitioned
+    windows (no degree-table self-joins), and the capped interaction
+    frame is materialized ONCE via localCheckpoint before the pair
+    self-join — without it the scan→join→distinct subtree executes
+    once per reference (the r02 plan audit measured 8×); `_fit_native`
+    persists its per-entity frames for the same reason; (c) the
+    support floor (n_ij >= 3) is applied inside the pair aggregate.
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -206,28 +210,32 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    deg = ui.groupBy("u").agg(F.count(F.lit(1)).alias("n_items"))
-    ui2 = ui.join(deg.filter(F.col("n_items") <= 200), "u").select("u", "i")
-    icnt = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
-    a = ui2.select("u", F.col("i").alias("part_i"))
-    b = ui2.select("u", F.col("i").alias("part_j"))
+    wu = Window.partitionBy("u")
+    wi = Window.partitionBy("i")
+    ui2 = (
+        ui.withColumn("n_items", F.count(F.lit(1)).over(wu))
+        .filter(F.col("n_items") <= 200)
+        .withColumn("n_i", F.count(F.lit(1)).over(wi))
+        .select("u", "i", "n_i")
+        .localCheckpoint(eager=True)
+    )
+    a = ui2.select("u", F.col("i").alias("part_i"), F.col("n_i").alias("ni"))
+    b = ui2.select("u", F.col("i").alias("part_j"), F.col("n_i").alias("nj"))
     pairs = (
         a.join(b, "u")
         .filter(F.col("part_i") < F.col("part_j"))
         .groupBy("part_i", "part_j")
-        .agg(F.count(F.lit(1)).alias("n_ij"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ij"),
+            F.min("ni").alias("ni"),
+            F.min("nj").alias("nj"),
+        )
         .filter(F.col("n_ij") >= 3)
     )
-    ci = icnt.select(F.col("i").alias("part_i"), F.col("n_i").alias("ni"))
-    cj = icnt.select(F.col("i").alias("part_j"), F.col("n_i").alias("nj"))
     cosine = F.round(
         F.col("n_ij") / F.sqrt(F.col("ni") * F.col("nj")), 6
     )
-    return (
-        pairs.join(ci, "part_i")
-        .join(cj, "part_j")
-        .select("part_i", "part_j", "n_ij", cosine.alias("cosine"))
-    )
+    return pairs.select("part_i", "part_j", "n_ij", cosine.alias("cosine"))
 
 
 @register(
@@ -495,11 +503,14 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to graph centrality.
 
     Scale: edge construction is a star join (broadcast dims) + one
-    count shuffle; each iteration is rank ⋈ edges (rank side is
+    count shuffle, materialized ONCE via localCheckpoint so the
+    unrolled iterations reuse it instead of re-running the star join
+    per iteration (the transition frame is edge-sized, tiny next to
+    the fact table). Each iteration is then rank ⋈ edges (rank side
     node-sized → broadcast) + a groupBy(dst) aggregate. At web scale
     the rank frame shuffles on dst instead of broadcasting, and each
     iteration would be localCheckpoint'ed exactly as `_fit_native`
-    does per entity update — noted, not needed at nation cardinality.
+    does per entity update.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -522,8 +533,10 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
-    trans = edges.join(outw, "src").select(
-        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    trans = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=True)
     )
     nodes = nation.select("n_name")
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
