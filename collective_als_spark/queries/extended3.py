@@ -439,6 +439,167 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "trend_regression",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope_per_day,
+           round(regr_intercept(value, epoch(ts) / 86400.0), 6) AS intercept,
+           round(corr(value, epoch(ts) / 86400.0), 6) AS r
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: slope/intercept/correlation of event value
+    against time — drift and trend detection over metric streams, via
+    the SQL-standard closed-form aggregates (no iterative fitting).
+
+    Scale: regr_slope/regr_intercept/corr are single-pass algebraic
+    aggregates (sums of x, y, xy, x², y²) — map-side combinable, one
+    shuffle on the group key, JVM codegen throughout.
+    """
+    events = load_table(spark, sf_dir, "events")
+    x = F.col("ts").cast("double") / F.lit(86400.0)
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        F.round(F.corr(F.col("value"), x), 6).alias("r"),
+    )
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, count(*) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY lang),
+    cm AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY source),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM obs)
+    SELECT round(sum(pow(obs.o - rm.rt * cm.ct * 1.0 / n.total, 2)
+                     / (rm.rt * cm.ct * 1.0 / n.total)), 6) AS chi2,
+           CAST((count(DISTINCT obs.lang) - 1)
+                * (count(DISTINCT obs.source) - 1) AS BIGINT) AS dof
+    FROM obs
+    JOIN rm ON rm.lang = obs.lang
+    JOIN cm ON cm.source = obs.source
+    CROSS JOIN n
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source — the categorical-association check of a corpus audit
+    (does language mix differ by source?).
+
+    Scale: one groupBy(lang, source) count over the corpus (map-side
+    combinable), then all remaining arithmetic happens on the
+    CONTINGENCY table (|lang|×|source| rows): marginals are re-aggs of
+    that tiny frame, broadcast back; the corpus is scanned once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    obs = obs.localCheckpoint(eager=True)  # contingency-sized; reused 4x
+    rm = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("rt"))
+    cm = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("ct"))
+    n = obs.agg(F.sum("o").cast("bigint").alias("total"))
+    e = F.col("rt") * F.col("ct") / F.col("total")
+    return (
+        obs.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+            (
+                (F.count_distinct("lang") - 1)
+                * (F.count_distinct("source") - 1)
+            )
+            .cast("bigint")
+            .alias("dof"),
+        )
+    )
+
+
+@register(
+    "dq_audit",
+    oracle="""
+    SELECT 'lineitem_orphans' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_dup_pk',
+           CAST((SELECT COALESCE(sum(c - 1), 0) FROM (
+                 SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+                 HAVING count(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events_null_user',
+           CAST((SELECT count(*) FROM events WHERE user_id IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: one row per expectation (referential
+    integrity, primary-key uniqueness, domain and null checks) with its
+    violation count — the dbt-tests / Great-Expectations-style gate a
+    training pipeline runs before ingesting a new drop.
+
+    Scale: each check is an independent scan+aggregate (the orphan
+    check is a broadcast-able anti join on the order key; PK check is
+    a groupBy on the key), unioned as 1-row frames — no cross-check
+    shuffles, each check prunes to the columns it needs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias(
+                "n_violations"
+            ),
+        )
+
+    orphans = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.sum(F.col("c") - 1).alias("v"))
+    )
+    neg_qty = li.filter(F.col("l_quantity") <= 0).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    null_user = events.filter(F.col("user_id").isNull()).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    bad_status = orders.filter(
+        ~F.col("o_orderstatus").isin("F", "O", "P")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return (
+        one("lineitem_orphans", orphans)
+        .unionAll(one("orders_dup_pk", dup_pk))
+        .unionAll(one("lineitem_nonpositive_qty", neg_qty))
+        .unionAll(one("events_null_user", null_user))
+        .unionAll(one("orders_bad_status", bad_status))
+    )
+
+
 _PAGERANK_DAMPING = 0.85
 _PAGERANK_ITERS = 3
 

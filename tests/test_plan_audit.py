@@ -38,6 +38,7 @@ CROSS_JOIN_ALLOWED = {
     "tfidf_term_stats",
     "pmi_bigrams",
     "pagerank_trade_graph",
+    "chi_square_independence",
 }
 
 # build() executes eagerly (fit / stream drive / label propagation) —
