@@ -600,6 +600,229 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "triangle_count",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok AS (
+        SELECT l_orderkey FROM op GROUP BY l_orderkey
+        HAVING count(*) <= 50
+    ),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a
+        JOIN ok ON ok.l_orderkey = a.l_orderkey
+        JOIN op b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    deg AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+        ) GROUP BY x
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
+                   AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
+                   AS dst
+        FROM e
+        JOIN deg du ON du.x = e.u
+        JOIN deg dv ON dv.x = e.v
+    ),
+    wedge AS (
+        SELECT o1.dst AS b, o2.dst AS c
+        FROM oriented o1 JOIN oriented o2
+          ON o1.src = o2.src AND o1.dst < o2.dst
+    ),
+    tri AS (
+        SELECT count(*) AS t FROM wedge w
+        JOIN e ON e.u = least(w.b, w.c) AND e.v = greatest(w.b, w.c)
+    ),
+    wn AS (SELECT count(*) AS nw FROM wedge),
+    en AS (SELECT count(*) AS ne FROM e)
+    SELECT en.ne AS n_edges, wn.nw AS n_wedges, tri.t AS n_triangles,
+           round(CASE WHEN wn.nw > 0 THEN tri.t * 1.0 / wn.nw ELSE 0 END, 6)
+               AS closure_rate
+    FROM en, wn, tri
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with degree-ordered orientation over the
+    co-purchase graph (parts appearing in the same order, support >= 2)
+    — the graph-clustering statistic behind community detection and
+    spam-graph audits.
+
+    Scale: the three standard defenses — (a) pathological baskets are
+    capped (<= 50 distinct parts per order) before the in-order pair
+    blowup; (b) edges are ORIENTED low→high by (degree, id), which
+    bounds every out-degree at O(sqrt(m)) so the wedge self-join is
+    sum-of-squares-bounded regardless of power-law hubs (the trick
+    from Suri & Vassilvitskii's MapReduce triangle counting); (c) the
+    edge list is localCheckpoint'ed once and reused by the orientation,
+    wedge, and closure stages. Closure check is an equi-join on the
+    normalized pair key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") <= 50)
+        .select("l_orderkey")
+    )
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(ok, "l_orderkey")
+        .join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = F.broadcast(deg.select(F.col("x").alias("u"), F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o1 = oriented.select("src", F.col("dst").alias("b"))
+    o2 = oriented.select("src", F.col("dst").alias("c"))
+    wedge = o1.join(o2, "src").filter(F.col("b") < F.col("c")).select("b", "c")
+    wedge = wedge.localCheckpoint(eager=True)
+    tri = (
+        wedge.withColumn("u", F.least("b", "c"))
+        .withColumn("v", F.greatest("b", "c"))
+        .join(e, ["u", "v"])
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    en = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    wn = wedge.agg(F.count(F.lit(1)).alias("n_wedges"))
+    closure = F.round(
+        F.when(
+            F.col("n_wedges") > 0, F.col("t") / F.col("n_wedges")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        en.crossJoin(F.broadcast(wn))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            closure.alias("closure_rate"),
+        )
+    )
+
+
+@register(
+    "zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value,
+               avg(value) OVER (PARTITION BY event_type) AS mu,
+               stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN abs(value - mu) > 3 * sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(any_value(mu), 6) AS mu,
+           round(any_value(sigma), 6) AS sigma
+    FROM s GROUP BY event_type
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: per event type, how many values sit
+    beyond 3 standard deviations — the first-line metric-stream outlier
+    gate.
+
+    Scale: a single scan; per-group mean/stddev ride a KEY-PARTITIONED
+    window (algebraic aggregates, no second scan and no stats join),
+    then one count aggregate. The 3-sigma comparison is codegen'd.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    s = events.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+    )
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round(F.any_value("mu"), 6).alias("mu"),
+        F.round(F.any_value("sigma"), 6).alias("sigma"),
+    )
+
+
+@register(
+    "join_key_skew_profile",
+    oracle="""
+    WITH c AS (
+        SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT l_partkey, n, round(n * 1.0 / t.total, 6) AS share
+    FROM c, t
+    ORDER BY n DESC, l_partkey
+    LIMIT 10
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 10 heaviest part keys and their
+    share of all lineitem rows — the report you run BEFORE deciding
+    whether a join needs salting (`operators/skew.py::salted_join`) or
+    AQE skew handling.
+
+    Scale: one map-side-combinable count shuffle, a 1-row total
+    broadcast, and TakeOrderedAndProject for the top-10 (never a
+    global sort).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "l_partkey",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(10)
+    )
+
+
 _PAGERANK_DAMPING = 0.85
 _PAGERANK_ITERS = 3
 

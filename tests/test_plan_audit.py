@@ -39,6 +39,8 @@ CROSS_JOIN_ALLOWED = {
     "pmi_bigrams",
     "pagerank_trade_graph",
     "chi_square_independence",
+    "triangle_count",
+    "join_key_skew_profile",
 }
 
 # build() executes eagerly (fit / stream drive / label propagation) —
