@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from collective_als_spark.functions import text as TX
 from collective_als_spark.registry import register
 from collective_als_spark.sources.testdata import load_table
 
@@ -820,6 +821,188 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "l_partkey")
         .limit(10)
+    )
+
+
+@register(
+    "welch_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT
+            count(*) FILTER (event_type = 'purchase') AS n1,
+            avg(value) FILTER (event_type = 'purchase') AS m1,
+            var_samp(value) FILTER (event_type = 'purchase') AS v1,
+            count(*) FILTER (event_type = 'click') AS n2,
+            avg(value) FILTER (event_type = 'click') AS m2,
+            var_samp(value) FILTER (event_type = 'click') AS v2
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+    )
+    SELECT n1, n2, round(m1, 6) AS mean_1, round(m2, 6) AS mean_2,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 6) AS df
+    FROM s
+    """,
+)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between purchase and click values —
+    the A/B-experiment significance readout, computed from algebraic
+    moments (no resampling) with the Welch-Satterthwaite df.
+
+    Scale: ONE pass — both groups' count/mean/variance come from
+    conditional aggregates in a single scan (pushed-down type filter),
+    the test statistic is scalar arithmetic on the 1-row result.
+    """
+    events = load_table(spark, sf_dir, "events")
+    p = F.col("event_type") == "purchase"
+    c = F.col("event_type") == "click"
+    v = F.col("value")
+    s = events.filter(F.col("event_type").isin("purchase", "click")).agg(
+        F.count(F.when(p, 1)).alias("n1"),
+        F.avg(F.when(p, v)).alias("m1"),
+        F.var_samp(F.when(p, v)).alias("v1"),
+        F.count(F.when(c, 1)).alias("n2"),
+        F.avg(F.when(c, v)).alias("m2"),
+        F.var_samp(F.when(c, v)).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.round("m1", 6).alias("mean_1"),
+        F.round("m2", 6).alias("mean_2"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(df, 6).alias("df"),
+    )
+
+
+_PSI_BIN_W = 50.0
+_PSI_NBINS = 10
+
+
+@register(
+    "psi_drift",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT least(CAST(floor(value / {_PSI_BIN_W}) AS BIGINT),
+                     {_PSI_NBINS - 1}) AS bin,
+               ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS grp
+        FROM events
+    ),
+    b AS (
+        SELECT bin,
+               CAST(count(*) FILTER (grp = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (grp = 1) AS BIGINT) AS n_b
+        FROM tagged GROUP BY bin
+    ),
+    t AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+        FROM b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins, t.ta AS n_a, t.tb AS n_b,
+           round(sum(((n_a + 1.0) / (ta + {_PSI_NBINS})
+                      - (n_b + 1.0) / (tb + {_PSI_NBINS}))
+                     * ln(((n_a + 1.0) / (ta + {_PSI_NBINS}))
+                          / ((n_b + 1.0) / (tb + {_PSI_NBINS})))), 6) AS psi
+    FROM b, t
+    GROUP BY t.ta, t.tb
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two deterministic hash-halves
+    of the event stream, over fixed equi-width value bins — the
+    ML-monitoring drift score (here a self-consistency A/A check; in
+    production the two sides are yesterday's and today's partition).
+    Laplace-smoothed so empty bins stay finite.
+
+    Scale: the split is the engine-stable md5-mod hash (same primitive
+    as `deterministic_sample`), bins are FIXED-width (no quantile pass),
+    so the whole thing is one map-side-combinable groupBy(bin) with
+    conditional counts + arithmetic on the bins-sized frame.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.floor(F.col("value") / _PSI_BIN_W).cast("bigint"),
+        F.lit(_PSI_NBINS - 1),
+    )
+    grp = F.pmod(TX.word_hash(F.col("event_id").cast("string")), F.lit(2))
+    b = (
+        events.select(bin_.alias("bin"), grp.alias("grp"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("grp") == 0, 1)).alias("n_a"),
+            F.count(F.when(F.col("grp") == 1, 1)).alias("n_b"),
+        )
+    )
+    b = b.localCheckpoint(eager=True)  # bins-sized; reused for totals
+    t = b.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    pa = (F.col("n_a") + 1.0) / (F.col("ta") + _PSI_NBINS)
+    pb = (F.col("n_b") + 1.0) / (F.col("tb") + _PSI_NBINS)
+    return (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+        )
+        .select(
+            "n_bins", F.col("ta").alias("n_a"), F.col("tb").alias("n_b"), "psi"
+        )
+    )
+
+
+@register(
+    "session_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t1 || '>' || t2 AS path, count(*) AS n
+    FROM seq WHERE t2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths across user event sequences —
+    the path-mining readout behind funnel discovery (the fixed-funnel
+    twin is `conversion_funnel`).
+
+    Scale: one key-partitioned window (user_id, deterministic
+    (ts, event_id) order) produces both lookaheads in a single sort;
+    path counting is map-side combinable; top-20 is
+    TakeOrderedAndProject, never a global sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
     )
 
 

@@ -86,6 +86,13 @@ _PRIORITY: list[str] = [
     "zorder_keys", "vocab_top_words", "word_bigram_counts",
     "vocab_top_p_mass", "conversion_funnel", "salted_join_revenue",
     "conditional_pivot", "json_extract_props", "array_functions_suite",
+    # -- r02 extension set 3 (all oracle-backed; before the rows-only tail)
+    "tfidf_term_stats", "pmi_bigrams", "item_item_cosine",
+    "event_transition_matrix", "numeric_mask_stats", "pagerank_trade_graph",
+    "fuzzy_name_linkage", "embedding_covariance", "trend_regression",
+    "chi_square_independence", "dq_audit", "triangle_count",
+    "zscore_outliers", "join_key_skew_profile",
+    "welch_ttest", "psi_drift", "session_paths",
     "intersect_except", "grouping_sets_agg", "cube_agg",
     "exact_percentiles", "distinct_count_stats", "range_join_attribution",
     "lead_ntile_window", "window_distribution_functions", "date_arithmetic",

@@ -41,6 +41,7 @@ CROSS_JOIN_ALLOWED = {
     "chi_square_independence",
     "triangle_count",
     "join_key_skew_profile",
+    "psi_drift",
 }
 
 # build() executes eagerly (fit / stream drive / label propagation) —
