@@ -210,3 +210,56 @@ def cmf_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recommend_topk(
         model.factors_for("user_id"), model.factors_for("type_code"), k=5
     )
+
+
+@register("cmf_grid_search")
+def cmf_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection: rank sweep over the flagship implicit-ratings
+    task, holdout-scored chronologically — the tuning loop a reference
+    user runs around CollectiveALS's setters (rows-only; model metrics
+    not SQL-reproducible). Each candidate is one distributed fit + a
+    1-row aggregate evaluation; the grid is kept to two candidates so
+    the correctness sweep stays fast (grid_search_als itself takes any
+    rank x reg grid)."""
+    from collective_als_spark.cmf.tuning import grid_search_als
+    from collective_als_spark.operators.dictionary import dense_codes
+
+    ev = load_table(spark, sf_dir, "events")
+    type_dict = dense_codes(ev, "event_type", "type_code")
+    coded = ev.join(F.broadcast(type_dict), "event_type")
+    train_ev, val_ev = split_chronologically(
+        coded, [0.8, 0.2], "ts", tie_break=["event_id"], exact=False
+    )
+
+    def to_ratings(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "type_code").agg(
+            F.sum("value").cast("float").alias("rating")
+        )
+
+    results = grid_search_als(
+        to_ratings(train_ev),
+        to_ratings(val_ev),
+        "user_id",
+        "type_code",
+        ranks=[4, 8],
+        reg_params=[0.1],
+        max_iter=2,
+        seed=42,
+        num_blocks=8,
+    )
+    best = results[0]
+    return spark.createDataFrame(
+        [
+            (
+                r.rank,
+                r.reg_param,
+                round(r.rmse, 6),
+                round(r.mae, 6),
+                r.n_scored,
+                r.rank == best.rank and r.reg_param == best.reg_param,
+            )
+            for r in results
+        ],
+        "rank int, reg_param double, rmse double, mae double, "
+        "n_scored long, is_best boolean",
+    )

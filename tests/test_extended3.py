@@ -107,3 +107,30 @@ def test_trend_regression_finite(spark, sf_small, col):
         assert math.isfinite(row[col])
     if col == "r":
         assert all(-1.0 <= row.r <= 1.0 for row in rows)
+
+
+def test_grid_search_orders_by_rmse(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.cmf.tuning import grid_search_als
+    from collective_als_spark.operators.dictionary import dense_codes
+    from collective_als_spark.sources import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    type_dict = dense_codes(ev, "event_type", "type_code")
+    ratings = (
+        ev.join(F.broadcast(type_dict), "event_type")
+        .groupBy("user_id", "type_code")
+        .agg(F.sum("value").cast("float").alias("rating"))
+    )
+    # pair-level split so users AND items stay warm in train
+    key = F.col("user_id") * 7 + F.col("type_code")
+    train = ratings.filter(key % 5 != 0)
+    val = ratings.filter(key % 5 == 0)
+    res = grid_search_als(
+        train, val, "user_id", "type_code",
+        ranks=[2, 4], reg_params=[0.1], max_iter=2, num_blocks=8,
+    )
+    assert len(res) == 2
+    assert res[0].rmse <= res[1].rmse  # sorted best-first
+    assert all(r.n_scored > 0 for r in res)

@@ -51,6 +51,7 @@ SKIP = {
     "cmf_fit_predict",
     "cmf_fit_3entity",
     "cmf_recommend_topk",
+    "cmf_grid_search",
     "als_regression_eval",
     "ann_topk_ivf",
     "streaming_tumbling_agg",
