@@ -33,6 +33,46 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_agg",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, value, epoch_ms(ts) AS ms FROM events
+    ),
+    e AS (
+        SELECT event_type, value, ms,
+               unnest([ms // 1800000 * 1800000,
+                       ms // 1800000 * 1800000 - 1800000]) AS st
+        FROM t
+    )
+    SELECT st AS window_start_ms, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_v
+    FROM e
+    WHERE ms - st < 3600000
+    GROUP BY st, event_type
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 1-hour windows every 30 minutes per event type
+    — overlapping windows mean each event counts in width/slide = 2
+    windows (the oracle expands the same two slide-aligned starts).
+
+    Scale: Spark expands the overlap map-side; one (window, key)
+    groupBy shuffle with map-side combine — state is windows x keys,
+    not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_agg(ev, "ts", "event_type", "1 hour", slide="30 minutes")
+
+
+@register("streaming_sliding_agg")
+def streaming_sliding_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding-window agg via the memory sink
+    (rows-only: streaming execution, same results as
+    sliding_window_agg — asserted in tests)."""
+    return streaming_tumbling_agg(spark, sf_dir, slide="30 minutes")
+
+
+@register(
     "sessionization",
     oracle="""
     WITH g AS (

@@ -19,10 +19,14 @@ def tumbling_agg(
     ts_col: str = "ts",
     key_col: str = "event_type",
     width: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window count/sum per key (batch)."""
+    """Tumbling (or, with ``slide`` < ``width``, sliding/hopping)
+    window count/sum per key (batch). Sliding windows overlap, so each
+    row lands in width/slide windows — Spark expands this map-side;
+    the shuffle is still one groupBy on (window, key)."""
     return (
-        events.groupBy(F.window(ts_col, width).alias("w"), key_col)
+        events.groupBy(F.window(ts_col, width, slide or width).alias("w"), key_col)
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_v"))
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
@@ -78,9 +82,11 @@ def streaming_tumbling_agg(
     sf_dir: str,
     width: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Structured Streaming version of ``tumbling_agg`` driven to
-    completion against the parquet events table via the memory sink.
+    """Structured Streaming version of ``tumbling_agg`` (sliding when
+    ``slide`` is given) driven to completion against the parquet events
+    table via the memory sink.
 
     Pattern: readStream → withWatermark → windowed agg → memory sink →
     ``processAllAvailable`` (synchronous for smoke/testing; on a real
@@ -99,7 +105,7 @@ def streaming_tumbling_agg(
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .groupBy(F.window("ts", width, slide or width).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_v"))
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),

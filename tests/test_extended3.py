@@ -134,3 +134,12 @@ def test_grid_search_orders_by_rmse(spark, sf_small):
     assert len(res) == 2
     assert res[0].rmse <= res[1].rmse  # sorted best-first
     assert all(r.n_scored > 0 for r in res)
+
+
+def test_streaming_sliding_agg_matches_batch(spark, sf_small):
+    from collective_als_spark.registry import spark_queries
+
+    q = spark_queries()
+    batch = {tuple(r) for r in q["sliding_window_agg"](spark, sf_small).collect()}
+    stream = {tuple(r) for r in q["streaming_sliding_agg"](spark, sf_small).collect()}
+    assert batch == stream

@@ -55,6 +55,7 @@ SKIP = {
     "als_regression_eval",
     "ann_topk_ivf",
     "streaming_tumbling_agg",
+    "streaming_sliding_agg",
     "streaming_stateful_totals",
     "streaming_session_window",
     "streaming_dedup",
