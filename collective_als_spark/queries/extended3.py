@@ -1006,6 +1006,193 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+
+
+@register(
+    "rrf_fusion",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS tf0,
+               len(list_filter(string_split(text, ' '), w -> w = 'window')) AS tf1,
+               len(list_filter(string_split(text, ' '), w -> w = 'join')) AS tf2
+        FROM documents
+    ),
+    g AS (
+        SELECT count(*) AS n,
+               sum(dl) * 1.0 / count(*) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM t
+    ),
+    scored AS (
+        SELECT doc_id,
+               (ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+             + (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+             + (ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+                / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS bm25
+        FROM t, g
+        WHERE tf0 + tf1 + tf2 > 0
+    ),
+    cand AS (
+        SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    withcos AS (
+        SELECT c.doc_id, c.bm25,
+               list_cosine_similarity(e.embedding::DOUBLE[], qv.qe) AS cos
+        FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, qv
+    ),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb,
+               row_number() OVER (ORDER BY cos DESC, doc_id) AS rc
+        FROM withcos
+    )
+    SELECT doc_id,
+           round(1.0 / ({_RRF_K} + rb) + 1.0 / ({_RRF_K} + rc), 6) AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical (BM25) and semantic
+    (embedding cosine) rankings — the score-free rank combiner used by
+    hybrid search stacks (the score-blended twin is
+    `hybrid_retrieval`). rrf = Σ 1/(k + rank), k=60.
+
+    Scale: candidates are TakeOrdered top-50; both ranks are computed
+    by packing the CANDIDATE set (bounded, 50 rows) into one sorted
+    array and exploding positions — no un-partitioned window ever runs,
+    so the plan stays legal even though rank is a global notion here.
+    The rank join is 50x50 on doc_id (broadcast).
+    """
+    from collective_als_spark.functions.vector import cosine_similarity
+    from collective_als_spark.queries.llm_data import bm25_raw_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        bm25_raw_scores(docs).orderBy(F.desc("bm25"), "doc_id").limit(50)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    withcos = (
+        cand.join(emb, cand.doc_id == emb.vec_id)
+        .join(F.broadcast(qv))
+        .select("doc_id", "bm25", cosine_similarity("e", "qe").alias("cos"))
+    )
+
+    def rank_of(df: DataFrame, col: str, alias: str) -> DataFrame:
+        packed = df.agg(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col(col)).alias("neg"), "doc_id"))
+            ).alias("arr")
+        )
+        return packed.select(
+            F.posexplode(F.expr("transform(arr, x -> x.doc_id)")).alias(
+                "pos", "doc_id"
+            )
+        ).select("doc_id", (F.col("pos") + 1).alias(alias))
+
+    rb = rank_of(withcos, "bm25", "rb")
+    rc = rank_of(withcos, "cos", "rc")
+    rrf = F.round(
+        1.0 / (_RRF_K + F.col("rb")) + 1.0 / (_RRF_K + F.col("rc")), 6
+    )
+    return (
+        rb.join(rc, "doc_id")
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+
+
+_TOKEN_BUDGET = 100000
+
+
+@register(
+    "token_budget_allocation",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, n_chars,
+               len(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    st AS (SELECT source, CAST(sum(tok) AS BIGINT) AS s_tok
+           FROM d GROUP BY source),
+    tot AS (SELECT sum(sqrt(s_tok)) AS z FROM st),
+    quota AS (
+        SELECT st.source,
+               {_TOKEN_BUDGET} * sqrt(st.s_tok) / tot.z AS q
+        FROM st, tot
+    ),
+    c AS (
+        SELECT d.source, d.tok, quota.q,
+               sum(d.tok) OVER (PARTITION BY d.source
+                                ORDER BY d.n_chars DESC, d.doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+        FROM d JOIN quota ON quota.source = d.source
+    )
+    SELECT source,
+           count(*) AS n_docs_kept,
+           CAST(sum(tok) AS BIGINT) AS tokens_kept,
+           round(any_value(q), 6) AS quota
+    FROM c
+    WHERE cum <= q
+    GROUP BY source
+    """,
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing under a global token budget: each source gets a
+    quota proportional to sqrt(its token mass) (the temperature-style
+    re-weighting of `source_mixture_sample`, but deterministic and
+    budget-exact), and its best documents (longest first) are kept
+    greedily until the quota is exhausted.
+
+    Scale: one corpus scan; per-source token mass is a map-side
+    combinable groupBy; the sqrt-share denominator is a 1-row
+    broadcast; the greedy cutoff is a KEY-PARTITIONED cumulative-sum
+    window (never global). Quotas join back source-level (broadcast,
+    |sources| rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", "n_chars",
+        F.size(F.split("text", " ")).alias("tok"),
+    )
+    st = d.groupBy("source").agg(F.sum("tok").cast("bigint").alias("s_tok"))
+    tot = st.agg(F.sum(F.sqrt("s_tok")).alias("z"))
+    quota = st.crossJoin(F.broadcast(tot)).select(
+        "source", (_TOKEN_BUDGET * F.sqrt("s_tok") / F.col("z")).alias("q")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.join(F.broadcast(quota), "source").withColumn(
+        "cum", F.sum("tok").over(w)
+    )
+    return (
+        c.filter(F.col("cum") <= F.col("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("tok").cast("bigint").alias("tokens_kept"),
+            F.round(F.any_value("q"), 6).alias("quota"),
+        )
+    )
+
+
 _PAGERANK_DAMPING = 0.85
 _PAGERANK_ITERS = 3
 

@@ -822,9 +822,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hybrid_retrieval",
-    oracle="""
+_HYBRID_ORACLE = """
     WITH t AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS dl,
@@ -866,22 +864,14 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, round(hybrid, 6) AS hybrid
     FROM reranked ORDER BY hybrid DESC, doc_id LIMIT 10
-    """,
-)
-def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval (the RAG-stack pattern): BM25 candidate
-    generation -> embedding cosine rerank, blended 50/50 after max-norm
-    of the lexical score.
+    """
 
-    Scale shape: candidate selection is TakeOrderedAndProject (top-50,
-    never a global sort); the query vector and the candidate-max are
-    single-row broadcasts; the rerank join touches only 50 candidate
-    embeddings. No all-pairs anything."""
-    from collective_als_spark.functions.vector import cosine_similarity
 
-    # bm25_scores rounds its output; ranking must use full precision,
-    # so the raw score is rebuilt here with the same expressions
-    docs = load_table(spark, sf_dir, "documents")
+def bm25_raw_scores(docs: DataFrame) -> DataFrame:
+    """Full-precision BM25 scores (doc_id, bm25) for the fixed query
+    terms — shared by `hybrid_retrieval` and `rrf_fusion` (the
+    registered `bm25_scores` query rounds its output; ranking needs
+    the raw score)."""
     ws = F.split("text", " ")
 
     def _tf(term: str):
@@ -916,9 +906,24 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         score = s if score is None else score + s
     any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0
-    scored = (
+    return (
         t.join(F.broadcast(g)).filter(any_tf).select("doc_id", score.alias("bm25"))
     )
+
+
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (the RAG-stack pattern): BM25 candidate
+    generation -> embedding cosine rerank, blended 50/50 after max-norm
+    of the lexical score.
+
+    Scale shape: candidate selection is TakeOrderedAndProject (top-50,
+    never a global sort); the query vector and the candidate-max are
+    single-row broadcasts; the rerank join touches only 50 candidate
+    embeddings. No all-pairs anything."""
+    from collective_als_spark.functions.vector import cosine_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_raw_scores(docs)
     cand = scored.orderBy(F.desc("bm25"), "doc_id").limit(50)
     mx = cand.agg(F.max("bm25").alias("max_bm25"))
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -942,6 +947,9 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round("hybrid", 6).alias("hybrid"))
     )
+
+
+register("hybrid_retrieval", oracle=_HYBRID_ORACLE)(hybrid_retrieval)
 
 
 @register(

@@ -42,6 +42,8 @@ CROSS_JOIN_ALLOWED = {
     "triangle_count",
     "join_key_skew_profile",
     "psi_drift",
+    "rrf_fusion",
+    "token_budget_allocation",
 }
 
 # build() executes eagerly (fit / stream drive / label propagation) —
