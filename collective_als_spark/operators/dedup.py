@@ -240,3 +240,92 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity join: identical
+    output to ``ngram_jaccard_pairs`` (it is a LOSSLESS candidate
+    pruning, not an approximation), but candidate pairs meet only on
+    PREFIX tokens.
+
+    The filter (Chaudhuri et al.'s SSJoin / Xiao et al.'s PPJoin): sort
+    every shingle set by a global rarity order (ascending document
+    frequency, shingle text as tie-break); two sets with Jaccard >= t
+    must share at least one token among each set's first
+    ``n - ceil(t*n) + 1`` tokens. Rare-first ordering makes those
+    prefix tokens exactly the ones that index the FEWEST documents, so
+    the inverted-index self-join shrinks from the full postings list to
+    the rare tail — the standard exact-similarity-join scale technique
+    when LSH's false negatives are unacceptable.
+
+    Scale: the shingle frame and the prefix index are each
+    localCheckpoint'ed once (both are re-referenced by self-joins);
+    document frequency is one vocabulary-sized aggregate; verification
+    joins touch only candidate pairs (sum of candidate set sizes, not
+    postings^2). No global window: the "global" token order is only a
+    comparator inside per-document array sorts.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+        )
+        .distinct()
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    per_doc = (
+        sh.join(dfreq, "s")
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df_s", "s"))).alias("arr"),
+            F.first("n_sh").alias("n_sh"),
+        )
+        .withColumn(
+            "p",
+            F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh"))
+            + F.lit(1),
+        )
+    )
+    prefix = per_doc.select(
+        "id",
+        F.explode(
+            F.expr("slice(transform(arr, x -> x.s), 1, CAST(p AS INT))")
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("id").alias("id_a"), F.col("s"), F.col("n_sh").alias("n_a")
+    )
+    sb = sh.select(
+        F.col("id").alias("id_b"), F.col("s"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -256,6 +256,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
 
 
+@register(
+    "prefix_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard join — same oracle as
+    `ngram_jaccard_pairs` because prefix filtering is LOSSLESS: the
+    rare-first prefix index only prunes candidates that provably cannot
+    reach the threshold (see operators/dedup.py::prefix_jaccard_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+
+
 # ------------------------------------------------------- similarity search
 @register(
     "embedding_neardup_pairs",

@@ -93,7 +93,7 @@ _PRIORITY: list[str] = [
     "chi_square_independence", "dq_audit", "triangle_count",
     "zscore_outliers", "join_key_skew_profile",
     "welch_ttest", "psi_drift", "session_paths", "sliding_window_agg",
-    "rrf_fusion", "token_budget_allocation",
+    "rrf_fusion", "token_budget_allocation", "prefix_jaccard_pairs",
     "intersect_except", "grouping_sets_agg", "cube_agg",
     "exact_percentiles", "distinct_count_stats", "range_join_attribution",
     "lead_ntile_window", "window_distribution_functions", "date_arithmetic",

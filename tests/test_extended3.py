@@ -143,3 +143,23 @@ def test_streaming_sliding_agg_matches_batch(spark, sf_small):
     batch = {tuple(r) for r in q["sliding_window_agg"](spark, sf_small).collect()}
     stream = {tuple(r) for r in q["streaming_sliding_agg"](spark, sf_small).collect()}
     assert batch == stream
+
+
+def test_prefix_jaccard_equals_exact_and_prunes(spark, sf_small):
+    from collective_als_spark.operators import dedup as D
+    from collective_als_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    exact = {
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.2
+        ).collect()
+    }
+    prefix = {
+        tuple(r)
+        for r in D.prefix_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.2
+        ).collect()
+    }
+    assert prefix == exact  # lossless candidate pruning
