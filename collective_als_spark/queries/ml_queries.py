@@ -212,6 +212,54 @@ def cmf_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cmf_rec_coverage_novelty")
+def cmf_rec_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy recommendation metrics over the top-5 serve:
+    catalog coverage (share of items ever recommended) and novelty
+    (mean -log2 popularity share of recommended items — higher = less
+    obvious recommendations). Completes the evaluation family next to
+    RMSE/MAE (A10) and ranking@k (A11) (rows-only; model output).
+
+    Scale: recs come from the zero-shuffle broadcast top-k serve; both
+    metrics are one aggregate over the recs frame with a broadcast join
+    onto item popularity (item-dictionary sized)."""
+    from collective_als_spark.cmf import CollectiveALS
+    from collective_als_spark.cmf.recommend import recommend_topk
+    from collective_als_spark.operators.dictionary import dense_codes
+
+    ev = load_table(spark, sf_dir, "events")
+    type_dict = dense_codes(ev, "event_type", "type_code")
+    coded = ev.join(F.broadcast(type_dict), "event_type")
+    ratings = coded.groupBy("user_id", "type_code").agg(
+        F.log1p(F.sum("value")).cast("float").alias("rating")
+    )
+    model = CollectiveALS(
+        "user_id", "type_code", rank=8, max_iter=5, seed=42
+    ).fit(ratings)
+    recs = recommend_topk(
+        model.factors_for("user_id"), model.factors_for("type_code"), k=5
+    )
+    # item popularity from the interaction log (share of interactions)
+    pop = coded.groupBy("type_code").agg(F.count(F.lit(1)).alias("n_int"))
+    tot = pop.agg(F.sum("n_int").alias("t"))
+    pop_share = (
+        pop.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("type_code").alias("rec_id"),
+            (F.col("n_int") / F.col("t")).alias("share"),
+        )
+    )
+    n_items = type_dict.count()
+    joined = recs.join(F.broadcast(pop_share), "rec_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        (F.count_distinct("rec_id") / F.lit(float(n_items))).alias(
+            "catalog_coverage"
+        ),
+        F.round(F.avg(-F.log2("share")), 6).alias("novelty"),
+    )
+
+
 @register("cmf_grid_search")
 def cmf_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model selection: rank sweep over the flagship implicit-ratings

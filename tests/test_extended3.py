@@ -163,3 +163,12 @@ def test_prefix_jaccard_equals_exact_and_prunes(spark, sf_small):
         ).collect()
     }
     assert prefix == exact  # lossless candidate pruning
+
+
+def test_rec_coverage_novelty_domains(spark, sf_small):
+    from collective_als_spark.registry import spark_queries
+
+    r = spark_queries()["cmf_rec_coverage_novelty"](spark, sf_small).collect()[0]
+    assert 0.0 < r.catalog_coverage <= 1.0
+    assert r.novelty > 0.0  # -log2(share) of shares < 1
+    assert r.n_recs > 0

@@ -54,6 +54,7 @@ SKIP = {
     "cmf_fit_3entity",
     "cmf_recommend_topk",
     "cmf_grid_search",
+    "cmf_rec_coverage_novelty",
     "als_regression_eval",
     "ann_topk_ivf",
     "streaming_tumbling_agg",
