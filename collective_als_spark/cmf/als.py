@@ -210,6 +210,9 @@ class CollectiveALS:
         self.rating_col = rating_col
         self.prediction_col = prediction_col
         self.num_blocks = num_blocks
+        # Fallback for entities absent from a per-entity dict; tracks the
+        # last globally-configured value (ctor arg or set_num_blocks(int)).
+        self._num_blocks_default = num_blocks if not isinstance(num_blocks, dict) else 32
         self.seed = seed
         self.checkpoint_interval = checkpoint_interval
         self.intermediate_storage_level = intermediate_storage_level
@@ -233,9 +236,15 @@ class CollectiveALS:
         ``set_num_blocks(8, "user")`` sets one entity."""
         if entity is not None:
             if not isinstance(self.num_blocks, dict):
+                # Keep the previously-configured global value as the
+                # fallback for entities not named in the dict, so
+                # CollectiveALS(num_blocks=64).set_num_blocks(8, "user")
+                # trains the other entities with 64, not a hardcoded 32.
+                self._num_blocks_default = self.num_blocks
                 self.num_blocks = {}
             self.num_blocks[entity] = v
         else:
+            self._num_blocks_default = v
             self.num_blocks = v
         return self
     def set_seed(self, v):           self.seed = v; return self
@@ -349,7 +358,7 @@ class CollectiveALS:
                     f"num_blocks names unknown entities {sorted(unknown)}; "
                     f"entities={self.entities}"
                 )
-            v = v.get(entity_name, 32)
+            v = v.get(entity_name, self._num_blocks_default)
         if v == "auto":
             par = (
                 spark.sparkContext.defaultParallelism if spark is not None else 32

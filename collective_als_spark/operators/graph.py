@@ -21,6 +21,8 @@ changed), not a collect of the labels.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,7 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["a"] == labels["node"])
@@ -71,5 +74,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Truncated output is silently wrong (labels not at fixpoint);
+        # surface it — graphs whose diameter exceeds the budget need a
+        # larger max_iter or the large-star/small-star variant.
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter}; "
+            "labels are NOT at fixpoint (components may be split). "
+            "Raise max_iter for long-chain graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))

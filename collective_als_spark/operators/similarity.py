@@ -289,6 +289,13 @@ def embedding_neardup_pairs(
 
     ``exact=True`` keeps the O(N²) crossJoin formulation as an
     oracle-check path for tiny scale factors only.
+
+    .. note:: semantics change (round 2): the default switched from
+       exact all-pairs to approximate LSH. Callers needing guaranteed
+       recall at cosines near ``threshold`` must either pass
+       ``exact=True`` (small data), or raise ``n_tables`` / lower
+       ``n_planes`` until ``(1 - p**n_planes)**n_tables`` is acceptably
+       small for ``p = 1 - acos(threshold)/pi``.
     """
     if exact:
         a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))

@@ -84,6 +84,59 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    cumsum_col: str = "_cum",
+    total_col: str = "_total",
+) -> DataFrame:
+    """Exact EXCLUSIVE global cumulative sum of ``value_col`` in
+    ``order_cols`` order (sum of all strictly-preceding rows), without a
+    single-task global window.
+
+    Same two-phase shape as :func:`global_rank`: range-shuffle on the
+    ordering key, per-partition window cumsum, then add the partition's
+    cumulative offset via a tiny broadcast join (one row per shuffle
+    partition). Linear work per row — replaces the O(V²)
+    ``aggregate(slice(arr, 1, i))`` prefix-sum-over-packed-array shape,
+    which re-scans the prefix per element. Also attaches ``total_col``
+    (grand total) so callers can compute shares without a second pass.
+    """
+    part = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn(
+        "_lcum",
+        F.coalesce(F.sum(value_col).over(w_local), F.lit(0)).cast("long"),
+    )
+    sums = part.groupBy("_pid").agg(F.sum(value_col).cast("long").alias("_cnt"))
+    # O(P²) offsets over the one-row-per-partition frame — same
+    # deliberately-tiny pattern as global_rank (P = shuffle partitions).
+    packed = sums.agg(F.sort_array(F.collect_list(F.struct("_pid", "_cnt"))).alias("pc"))
+    offsets = packed.select(
+        F.explode(
+            F.expr(
+                "transform(pc, (x, i) -> struct("
+                "x._pid AS _pid, "
+                "aggregate(slice(pc, 1, i), 0L, (acc, y) -> acc + y._cnt) AS _off, "
+                "aggregate(pc, 0L, (acc, y) -> acc + y._cnt) AS _tot))"
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(cumsum_col, (F.col("_lcum") + F.col("_off")).cast("long"))
+        .withColumn(total_col, F.col("_tot"))
+        .drop("_pid", "_lcum", "_off", "_tot")
+    )
+
+
 def split_chronologically(
     df: DataFrame,
     weights: list[float],

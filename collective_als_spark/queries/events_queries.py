@@ -149,11 +149,42 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup(spark, sf_dir)
 
 
-@register("multimodal_features")
+_HEXVAL = "(strpos('0123456789abcdef', h[{p}]) - 1)"
+
+
+def _mm_feature_sql(i: int) -> str:
+    """uint16 little-endian value of md5-digest bytes (2i, 2i+1), spelled
+    from the hex string: byte j = hex chars (2j+1, 2j+2)."""
+    b_lo = f"({_HEXVAL.format(p=4 * i + 1)} * 16 + {_HEXVAL.format(p=4 * i + 2)})"
+    b_hi = f"({_HEXVAL.format(p=4 * i + 3)} * 16 + {_HEXVAL.format(p=4 * i + 4)})"
+    return f"CAST({b_lo} + 256 * {b_hi} AS INTEGER) AS f{i}"
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id AS media_id,
+               'text/fake-image' AS modality,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS h
+        FROM documents
+    )
+    SELECT media_id, modality, n_bytes,
+           {", ".join(_mm_feature_sql(i) for i in range(8))}
+    FROM t
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: documents' text bytes stand in for
     media payloads; metadata struct + Arrow-batched feature extraction
-    (rows-only: featureizer is a deterministic fake, SURVEY §2.11)."""
+    (SURVEY §2.11). The fake featureizer is md5-deterministic — uint16
+    little-endian slices of the payload digest scaled to [0,1] float32
+    (multimodal.py::extract_features) — so it IS oracle-expressible:
+    the query de-quantizes each feature back to its exact 16-bit value
+    (f*65535 rounds losslessly: float32 relative error 2^-24 << 0.5)
+    and DuckDB recomputes the same integers from the md5 hex string.
+    Upgraded from rows-only to hash-checked per round-2 verdict #4."""
     from collective_als_spark.multimodal import attach_media_columns, extract_features
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -161,16 +192,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_media_columns(docs, "doc_id", "payload", "text/fake-image")
     feats = extract_features(media)
-    # Project the array<float> feature vector to scalar columns: the
-    # driver's rows-only canonicalizer sorts a pandas frame over all
-    # columns and cannot hash list cells (r01 TypeError). Rounding keeps
-    # the float32->float64 surface deterministic.
     return feats.select(
         "media_id",
         "modality",
         "n_bytes",
         *[
-            F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
+            F.round(F.col("features")[i].cast("double") * 65535)
+            .cast("int")
+            .alias(f"f{i}")
             for i in range(8)
         ],
     )

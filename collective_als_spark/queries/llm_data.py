@@ -296,10 +296,17 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-path (`exact=True`) so the result is deterministically the
+    oracle's all-pairs answer: the library default is LSH-approximate
+    (`operators/similarity.py::embedding_neardup_pairs`), whose recall at
+    cos≈threshold is probabilistic (~19% per-pair at t=0.8 with
+    16 planes × 8 tables) — fine for the 100 TB scale path, wrong to
+    hash-check against an exact oracle. The LSH path keeps its own
+    recall test in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return SIM.embedding_neardup_pairs(emb, threshold=0.8)
+    return SIM.embedding_neardup_pairs(emb, threshold=0.8, exact=True)
 
 
 @register(
@@ -1408,34 +1415,30 @@ def word_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_top_p_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nucleus (top-p) vocabulary truncation: keep the most frequent
     words that together cover 90% of token mass — the distributional
-    cutoff used for vocab pruning and sampling. The cumulative window
-    runs over the VOCABULARY frame (distinct words), which is
-    dictionary-sized by definition — so instead of an un-partitioned
-    window (single-task sort), the vocab packs into ONE sorted array
-    (the dense_codes trick) and cumulative mass comes from higher-order
-    functions; the corpus-sized pass is just the word count."""
+    cutoff used for vocab pruning and sampling. Cumulative mass uses the
+    two-phase ``global_cumsum`` (operators/split.py): range-shuffle on
+    (n desc, word), per-partition window cumsum, broadcast offset add —
+    linear work per vocab entry and no single-task global window. (The
+    round-2 packed-array formulation was O(V²): ``aggregate(slice(arr,
+    1, i))`` re-scanned the prefix for every element — slower than the
+    window it avoided once V reaches real vocabulary sizes.)"""
+    from ..operators.split import global_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
     cnt = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    packed = cnt.agg(
-        F.sort_array(
-            F.collect_list(F.struct((-F.col("n")).alias("neg_n"), "word", "n"))
-        ).alias("arr")
+    cum = global_cumsum(
+        cnt,
+        [F.col("n").desc(), F.col("word")],
+        "n",
+        cumsum_col="mass_before",
+        total_col="total",
     )
-    expanded = packed.select(
-        F.expr("aggregate(arr, 0L, (acc, y) -> acc + y.n)").alias("total"),
-        F.expr(
-            "explode(transform(arr, (x, i) -> struct("
-            "x.word AS word, x.n AS n, "
-            "aggregate(slice(arr, 1, i), 0L, (acc, y) -> acc + y.n)"
-            " AS mass_before)))"
-        ).alias("s"),
-    ).select("total", "s.*")
     return (
-        expanded.withColumn(
+        cum.withColumn(
             "cum_share", F.round(F.col("mass_before") / F.col("total"), 6)
         )
         .filter(F.col("mass_before") / F.col("total") < 0.9)

@@ -103,17 +103,22 @@ def row_filter_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "affine_recode",
     oracle="""
     SELECT event_id,
-           CAST(CAST(value AS FLOAT) * 2 - 1 AS FLOAT) AS recoded
+           CAST(CAST(value AS FLOAT) * 2 - 1 AS FLOAT) AS recoded,
+           epoch_ms(ts) AS ts_millis
     FROM events
     """,
 )
 def affine_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7/F2: string/numeric -> float affine recode (thumb up/down -> +-1)
-    — reference IHRALS.scala:30."""
+    """P7/F2/F3: string/numeric -> float affine recode (thumb up/down ->
+    +-1) plus timestamp -> epoch milliseconds — reference IHRALS.scala:30
+    (both recodes happen in the same projection there too). One driver
+    slot witnesses all three §2 ops; the standalone `epoch_millis` query
+    keeps its own oracle below the driver cap."""
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         (F.col("value").cast("float") * 2 - 1).cast("float").alias("recoded"),
+        F.unix_millis("ts").alias("ts_millis"),
     )
 
 

@@ -38,64 +38,78 @@ def _ensure_loaded() -> None:
     from collective_als_spark import queries as _q  # noqa: F401
 
 
-# Driver-visibility ordering. The r01 driver checked exactly the first
-# 50 registered queries, so registration order decides which operators
-# get a CORRECTNESS row. This list front-loads (a) r01 red rows whose
-# fixes need driver validation, (b) one representative per SURVEY §2
-# operator, (c) the LLM-pipeline north-star operators, then (d) the
-# extended-coverage queries. Redundant family members (e.g. cube when
-# rollup+grouping_sets are in) and rows-only entries with strong pytest
-# twins (streaming batch-equivalence, ANN recall) sort last — they lose
-# the least if a cap truncates the sweep. Unlisted queries append in
-# registration order.
+# Driver-visibility ordering. The driver checks exactly the first 50
+# registered queries, so registration order decides which operators get
+# a CORRECTNESS row. Round-3 consolidation (r02 verdict #1): duplicate
+# SURVEY-§2 representatives collapsed — affine_recode now also carries
+# the date->millis recode (P7+F2+F3 in one slot, matching the
+# reference's single projection), rank_range_filter + chrono_split_sizes
+# witness the two-phase global rank (W2) so chrono_rank's slot is freed,
+# rmse_mae witnesses P5+A10 so the rows-only als_regression_eval drops
+# below the cap, and one representative survives per redundant SQL
+# family (subqueries, window frames, top-k-per-group, join-aggs,
+# rollup-vs-grouping-sets). The ten freed slots promote extension
+# oracles that never had a driver row. The §2 witness map below
+# (SURVEY2_WITNESSES) + tests/test_registration.py enforce that every
+# §2 operator keeps >=1 representative inside the cap. Unlisted queries
+# append in registration order.
+DRIVER_CAP = 50
+
 _PRIORITY: list[str] = [
-    # -- r01 fixes needing driver revalidation
+    # -- multimodal north star (upgraded to hash-checked in r03)
     "token_count_by_source", "pipeline_clean_corpus", "multimodal_features",
     "embedding_neardup_pairs", "dedup_clusters", "chrono_split_sizes",
     "asof_join_purchase_click", "explode_dictionary",
-    # -- SURVEY §2 representatives missing a driver row in r01
-    "chrono_rank", "rank_range_filter", "orderby_limit", "rmse_mae",
-    # -- §2 representatives green in r01 (keep their rows)
+    # -- SURVEY §2 representatives
+    "rank_range_filter", "orderby_limit", "rmse_mae",
     "checked_cast_projection", "row_filter_clean", "affine_recode",
-    "epoch_millis", "union_distinct_ids", "left_join_enrich",
+    "union_distinct_ids", "left_join_enrich",
     "pair_inner_join", "full_outer_merge", "gramian_yty", "sql_passthrough",
     "pricing_summary", "ranking_metrics_at_k",
-    "cmf_fit_predict", "cmf_fit_3entity", "als_regression_eval",
+    "cmf_fit_predict", "cmf_fit_3entity",
     "cmf_recommend_topk",
     # -- LLM-pipeline north star
     "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
     "simhash_fingerprint", "ngram_jaccard_pairs", "ann_topk_cosine",
     "text_quality_metrics", "lang_id_heuristic", "doc_fingerprint",
-    # -- extended coverage missing a driver row in r01
+    # -- extended SQL coverage, one representative per family
     "semi_anti_join", "star_join_revenue", "topk_per_group",
-    "shipping_priority_top10", "running_window_frame", "lag_event_gap",
-    "latest_event_per_user_type", "exists_subquery", "in_subquery_high_value",
-    "scalar_subquery_above_avg", "returned_items_by_nation", "rollup_agg",
-    # -- windowed/streaming batch twins (green in r01)
+    "running_window_frame", "exists_subquery",
+    # -- windowed/streaming batch twin
     "sessionization",
-    # ---------------- below the r01 cap line (50) ----------------
+    # -- r03 promotions: extension oracles never driver-checked before
+    "tfidf_term_stats", "item_item_cosine", "prefix_jaccard_pairs",
+    "table_profile", "grouping_sets_agg", "range_join_attribution",
+    "intersect_except", "exact_percentiles", "psi_drift",
+    "trend_regression",
+    # ---------------- below the driver cap line (50) ----------------
+    # -- §2 dupes demoted in r03 (still oracle-checked by pytest; their
+    #    §2 ops keep an in-cap witness per SURVEY2_WITNESSES)
+    "chrono_rank", "epoch_millis", "als_regression_eval",
+    "shipping_priority_top10", "lag_event_gap", "latest_event_per_user_type",
+    "in_subquery_high_value", "scalar_subquery_above_avg",
+    "returned_items_by_nation", "rollup_agg",
     "tumbling_window_agg",
     "document_chunking", "quality_quantile_filter", "repetition_metrics",
     "deterministic_sample", "sequence_packing", "simhash_neardup_pairs",
     "contamination_overlap", "embedding_quantize", "bm25_scores",
     "bpe_token_count", "source_mixture_sample", "multimodal_frame_sample",
-    "incremental_lsh_pairs", "table_profile", "hybrid_retrieval",
+    "incremental_lsh_pairs", "hybrid_retrieval",
     "stratified_sample_exact", "kfold_assign", "negative_sampling",
     "scd2_intervals", "hourly_resample_gapfill",
     "rolling_time_range_window", "equiwidth_histogram", "pipeline_training_prep",
     "zorder_keys", "vocab_top_words", "word_bigram_counts",
     "vocab_top_p_mass", "conversion_funnel", "salted_join_revenue",
     "conditional_pivot", "json_extract_props", "array_functions_suite",
-    # -- r02 extension set 3 (all oracle-backed; before the rows-only tail)
-    "tfidf_term_stats", "pmi_bigrams", "item_item_cosine",
+    "pmi_bigrams",
     "event_transition_matrix", "numeric_mask_stats", "pagerank_trade_graph",
-    "fuzzy_name_linkage", "embedding_covariance", "trend_regression",
+    "fuzzy_name_linkage", "embedding_covariance",
     "chi_square_independence", "dq_audit", "triangle_count",
     "zscore_outliers", "join_key_skew_profile",
-    "welch_ttest", "psi_drift", "session_paths", "sliding_window_agg",
-    "rrf_fusion", "token_budget_allocation", "prefix_jaccard_pairs",
-    "intersect_except", "grouping_sets_agg", "cube_agg",
-    "exact_percentiles", "distinct_count_stats", "range_join_attribution",
+    "welch_ttest", "session_paths", "sliding_window_agg",
+    "rrf_fusion", "token_budget_allocation",
+    "cube_agg",
+    "distinct_count_stats",
     "lead_ntile_window", "window_distribution_functions", "date_arithmetic",
     "approx_distinct_quantile", "ann_topk_lsh", "ann_topk_ivf",
     "streaming_tumbling_agg", "streaming_stateful_totals",
@@ -103,6 +117,39 @@ _PRIORITY: list[str] = [
     "streaming_stream_join", "streaming_upsert_totals",
     "multimodal_audio_energy",
 ]
+
+# SURVEY §2 operator -> registered queries that witness it. Used by
+# tests/test_registration.py to assert every §2 operator keeps at least
+# one witness inside the first DRIVER_CAP slots, no matter how the
+# priority list is reshuffled. Operators SURVEY §2 marks do-not-port
+# (J2-J4, A1-A4, O2-O4, M7) are omitted: the DataFrame rebuild subsumes
+# them by design.
+SURVEY2_WITNESSES: dict[str, list[str]] = {
+    "S3_table_scan": ["pricing_summary"],
+    "S4_sql_passthrough": ["sql_passthrough"],
+    "P1_P2_checked_cast": ["checked_cast_projection"],
+    "P4_row_filter": ["row_filter_clean"],
+    "P5_nan_pair_filter": ["rmse_mae"],
+    "P6_rank_range_filter": ["rank_range_filter"],
+    "P7_map_recode": ["affine_recode"],
+    "J1_prediction_join": ["left_join_enrich", "cmf_fit_predict"],
+    "J5_full_outer_merge": ["full_outer_merge"],
+    "J6_pair_join": ["pair_inner_join"],
+    "A6_gramian_yty": ["gramian_yty"],
+    "A7_distinct_universe": ["union_distinct_ids"],
+    "A8_F1_explode_dictionary": ["explode_dictionary"],
+    "A10_rmse_mae": ["rmse_mae"],
+    "A11_ranking_metrics": ["ranking_metrics_at_k"],
+    "W1_split_chronologically": ["chrono_split_sizes"],
+    "W2_global_rank": ["rank_range_filter", "chrono_split_sizes", "chrono_rank"],
+    "O1_sort_by_key": ["orderby_limit"],
+    "U1_union": ["union_distinct_ids"],
+    "F2_affine_recode": ["affine_recode"],
+    "F3_date_to_millis": ["affine_recode", "epoch_millis"],
+    "F4_dot_product": ["ann_topk_cosine"],
+    "M2_M5_fit_predict": ["cmf_fit_predict"],
+    "M3_fit_relations": ["cmf_fit_3entity"],
+}
 
 
 def _ordered_names() -> list[str]:

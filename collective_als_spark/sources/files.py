@@ -118,9 +118,16 @@ def compact_small_files(
     and fine-grained partitioning leave thousands of KB-sized files
     whose open/footer cost dominates scans. One pass: count, choose the
     file count, repartition (round-robin, no key skew), overwrite to a
-    staging dir and swap. Returns the new file count."""
+    staging dir and swap. Returns the new file count.
+
+    Swap protocol (crash-safe ordering): (1) write staging, (2) verify
+    the staging row count equals the source's, (3) move the original
+    aside, (4) move staging into place, (5) delete the old copy last.
+    A crash at any step leaves the data recoverable — either the
+    canonical path still holds the original, or both copies exist;
+    the original is never destroyed before the replacement is in
+    place. ``shutil.move`` is used for cross-filesystem safety."""
     import math
-    import os
     import shutil
 
     df = spark.read.format(fmt).load(path)
@@ -128,6 +135,15 @@ def compact_small_files(
     n_files = max(1, math.ceil(n / target_rows_per_file))
     staging = path.rstrip("/") + "__compacting"
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    n_staged = spark.read.format(fmt).load(staging).count()
+    if n_staged != n:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"compact_small_files: staging row count {n_staged} != source {n}; "
+            f"original left untouched at {path}"
+        )
+    old = path.rstrip("/") + "__precompact"
+    shutil.move(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old)
     return n_files

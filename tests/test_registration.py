@@ -68,9 +68,9 @@ def test_explode_ngrams_udtf(spark):
 
 def test_registry_priority_ordering():
     """Every priority name exists, no duplicates, and the returned dict
-    front-loads the §2/fix-validation queries (the r01 driver checked
-    only the first 50 registered queries)."""
-    from collective_als_spark.registry import _PRIORITY, spark_queries
+    front-loads the §2/fix-validation queries (the driver checks only
+    the first DRIVER_CAP registered queries)."""
+    from collective_als_spark.registry import DRIVER_CAP, _PRIORITY, spark_queries
 
     q = spark_queries()
     names = list(q)
@@ -79,9 +79,38 @@ def test_registry_priority_ordering():
     assert not missing, f"priority list names unregistered queries: {missing}"
     assert len(_PRIORITY) == len(set(_PRIORITY))
     assert names[: len(_PRIORITY)] == [n for n in _PRIORITY if n in q]
-    head = set(names[:50])
+    head = set(names[:DRIVER_CAP])
     for must in ["token_count_by_source", "pipeline_clean_corpus",
                  "multimodal_features", "embedding_neardup_pairs",
-                 "chrono_rank", "rank_range_filter", "orderby_limit",
+                 "rank_range_filter", "orderby_limit",
                  "rmse_mae", "cmf_fit_predict"]:
-        assert must in head, f"{must} fell below the r01 driver cap"
+        assert must in head, f"{must} fell below the driver cap"
+    # r03 promotions (verdict #1): extension oracles that never had a
+    # driver row must now sit inside the cap.
+    for promoted in ["tfidf_term_stats", "item_item_cosine",
+                     "prefix_jaccard_pairs", "table_profile",
+                     "grouping_sets_agg", "range_join_attribution",
+                     "intersect_except", "exact_percentiles",
+                     "psi_drift", "trend_regression"]:
+        assert promoted in head, f"{promoted} not promoted into the cap"
+
+
+def test_survey2_operators_witnessed_inside_cap():
+    """Every SURVEY §2 operator keeps >=1 representative query inside
+    the driver's first DRIVER_CAP slots (r02 verdict #1's guard): slot
+    reshuffles must never silently drop an operator's driver evidence."""
+    from collective_als_spark.registry import (
+        DRIVER_CAP,
+        SURVEY2_WITNESSES,
+        spark_queries,
+    )
+
+    names = list(spark_queries())
+    head = set(names[:DRIVER_CAP])
+    for op, witnesses in SURVEY2_WITNESSES.items():
+        unregistered = [w for w in witnesses if w not in names]
+        assert not unregistered, f"{op}: unregistered witnesses {unregistered}"
+        assert head & set(witnesses), (
+            f"SURVEY §2 operator {op} has no witness inside the first "
+            f"{DRIVER_CAP} driver slots (witnesses: {witnesses})"
+        )
