@@ -36,6 +36,12 @@ HEADLINE = [
     "ann_topk_cosine",
     "ranking_metrics_at_k",
     "cmf_fit_predict",
+    # round-3 additions (r02 verdict #5): track the round-2 operator
+    # families' cost per-round
+    "prefix_jaccard_pairs",
+    "item_item_cosine",
+    "pagerank_trade_graph",
+    "tfidf_term_stats",
 ]
 
 
@@ -91,6 +97,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     sigs.unpersist()
+    # the end-to-end dedup cost is signatures + banding combined; the
+    # split timings share one signature pass (see above), so the sum is
+    # the honest cross-round comparison number (r02 verdict nit #3)
+    timings["minhash_plus_lsh"] = round(
+        timings["minhash_signature"] + timings["lsh_candidate_pairs"], 3
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -99,7 +111,9 @@ def main() -> None:
         sf_val = sf
     out = {
         "metric": "headline_queries_wall_sec",
-        "value": round(sum(timings.values()), 3),
+        # the derived minhash_plus_lsh entry is informational — exclude
+        # it from the total so its components aren't counted twice
+        "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,

@@ -204,20 +204,42 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 5000,
 ) -> DataFrame:
     """(id_a < id_b, jaccard) for pairs above ``threshold`` on distinct
     word n-gram sets. Exact: explode → self-join on shingle → count
     intersections → join set sizes. The shingle join only pairs docs
-    sharing a shingle (inverted-index join), not a cross join."""
+    sharing a shingle (inverted-index join), not a cross join.
+
+    ``max_df`` is the hot-shingle guard: a shingle appearing in d
+    documents emits d² self-join rows, so one viral boilerplate shingle
+    at corpus scale is a hot-key bomb. Shingles with document frequency
+    above the cap are treated as stop-shingles and removed from every
+    document's set BEFORE sizes are computed (stopword semantics:
+    jaccard stays consistent over the pruned sets). The default 5000
+    caps any single shingle's join fan-out at 25M rows — spread across
+    a cluster — while sitting far above real similarity signal (a
+    5000-doc shingle distinguishes nothing) and far above the observed
+    max DF at oracle scales (25 at sf0.1), so small-SF hashes are
+    unchanged. ``max_df=None`` disables the guard. Callers needing
+    exact semantics with NO stop-shingle pruning at scale should use
+    :func:`prefix_jaccard_pairs`, whose prefix filter is lossless."""
     # set size rides along as a window count over the exploded shingles,
     # so the self-join rows already carry |A| and |B| — no separate size
     # aggregation, no post-join size lookups (7 exchanges -> 4, and the
     # documents scan count drops from 4 to 2)
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
-        .distinct()
-        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-    )
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    ).distinct()
+    if max_df is not None:
+        # vocabulary-keyed window; the following self-join re-shuffles
+        # on s anyway, so the exchange is shared, not added
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
@@ -239,6 +261,62 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 5000,
+) -> DataFrame:
+    """Asymmetric set containment on word n-gram sets: for each
+    unordered pair sharing a shingle, C(A→B) = |A∩B| / |A| and
+    C(B→A) = |A∩B| / |B|; pairs where either direction ≥ ``threshold``
+    are emitted. Containment is the subset-duplication detector Jaccard
+    misses: a document wholly embedded in a much larger one has high
+    containment but low Jaccard (|A∩B|/|A∪B| shrinks with the size
+    gap) — the RefinedWeb/Gopher-style companion check to
+    :func:`ngram_jaccard_pairs`.
+
+    Same inverted-index self-join skeleton and hot-shingle ``max_df``
+    guard as the Jaccard join (one d²-bounded shuffle on the shingle,
+    stop-shingle pruning above the cap); the one unordered join row per
+    pair carries both set sizes, so both directions come from a single
+    groupBy — no second join, no direction-doubled fan-out."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    ).distinct()
+    if max_df is not None:
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
+        .withColumn("cont_ab", F.round(F.col("n_inter") / F.col("n_a"), 6))
+        .withColumn("cont_ba", F.round(F.col("n_inter") / F.col("n_b"), 6))
+        .filter(
+            (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)
+        )
+        .select("id_a", "id_b", "cont_ab", "cont_ba")
     )
 
 

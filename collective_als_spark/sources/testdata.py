@@ -30,16 +30,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # must hold on ANY session (the driver provides its own):
         # events.ts is parquet TIMESTAMP(NANOS), unreadable without this
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # and when the driver writes timestamp[us] instead (encoding has
+        # varied by round), the NTZ→LTZ normalization below must read
+        # naive wall-clocks as UTC to agree with DuckDB on any box tz
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) read as ns-since-epoch long
-        # (spark.sql.legacy.parquet.nanosAsLong); restore a real timestamp
-        # at microsecond precision
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+        df = normalize_event_ts(df)
+    return df
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-tz TIMESTAMP regardless of
+    the driver's parquet encoding, which has varied across rounds:
+    TIMESTAMP(NANOS) (read as ns-since-epoch long under
+    spark.sql.legacy.parquet.nanosAsLong) and timestamp[us] without
+    UTC-adjustment (read as TIMESTAMP_NTZ, which watermarks/windows
+    reject). The session runs in UTC, so the NTZ→LTZ cast is
+    value-identical to DuckDB's naive-timestamp view of the same file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -31,6 +31,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the driver's events table with the
     nanos→timestamp normalization the batch loader applies."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -38,9 +39,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    from collective_als_spark.sources.testdata import normalize_event_ts
+
+    return normalize_event_ts(stream)
 
 
 _STATE_SCHEMA = T.StructType(

@@ -92,6 +92,7 @@ def streaming_tumbling_agg(
     ``processAllAvailable`` (synchronous for smoke/testing; on a real
     cluster the same plan runs against kafka with a real trigger)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # raw on-disk schema (ts = ns-since-epoch long under nanosAsLong)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream source requires a directory; glob-filter to the events file
@@ -101,8 +102,9 @@ def streaming_tumbling_agg(
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from collective_als_spark.sources.testdata import normalize_event_ts
+
+    stream = normalize_event_ts(stream)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide or width).alias("w"), "event_type")

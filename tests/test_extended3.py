@@ -172,3 +172,36 @@ def test_rec_coverage_novelty_domains(spark, sf_small):
     assert 0.0 < r.catalog_coverage <= 1.0
     assert r.novelty > 0.0  # -log2(share) of shares < 1
     assert r.n_recs > 0
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """max_df drops viral boilerplate shingles before the d^2 self-join
+    (r02 verdict #3). Two docs whose ONLY overlap is a hot shingle must
+    not pair once the shingle's DF exceeds the cap; genuinely similar
+    docs still do, with jaccard computed over the pruned sets."""
+    from collective_als_spark.operators import dedup as D
+
+    hot = "the quick fox"
+    rows = [(i, f"{hot} unique{i} tail{i} end{i}") for i in range(6)]
+    rows += [(100, f"alpha beta gamma delta {hot}"),
+             (101, f"alpha beta gamma delta other{hot}x")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    capped = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.1, max_df=5
+    ).collect()
+    # docs 0..5 shared only hot-prefix shingles (DF 6-8 > cap) -> no pairs
+    assert all({r.id_a, r.id_b} == {100, 101} for r in capped)
+    assert len(capped) == 1
+    # uncapped: the hot shingle alone links the boilerplate docs
+    uncapped = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.1, max_df=None
+    ).collect()
+    assert len(uncapped) > 1
+
+    # cap above every DF reproduces uncapped results exactly (the
+    # property that keeps the registered oracle hash unchanged)
+    wide = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.1, max_df=5000
+    ).collect()
+    assert {tuple(r) for r in wide} == {tuple(r) for r in uncapped}

@@ -23,9 +23,13 @@ from collective_als_spark.plans import plan_summary
 from collective_als_spark.registry import spark_queries
 
 # cross join is the documented exact-path design for these
-# (embedding_neardup_pairs routes through LSH buckets since r02)
 CROSS_JOIN_ALLOWED = {
     "ann_topk_cosine",
+    # the REGISTERED query runs exact=True so the all-pairs oracle hash
+    # is deterministic (r02 ADVICE #1: LSH recall at cos≈threshold is
+    # probabilistic); the library default stays LSH-bucketed — that
+    # scale path is audited via its own recall test in test_similarity
+    "embedding_neardup_pairs",
     # single-row corpus-stats frame broadcast to every doc (scalar join)
     "bm25_scores",
     "source_mixture_sample",
