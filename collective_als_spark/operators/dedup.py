@@ -118,16 +118,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """
     w = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
     wh = w.withColumn("h", word_hash(F.col("w"), bits=bits))
+    # The ±1 vote sum needs no conditional: sum(2·bit−1) > 0 ⟺
+    # 2·sum(bit) > n, so each aggregate is a bare sum of a shifted bit
+    # plus ONE shared count — identical signatures, ~half the per-row
+    # aggregation work and a much smaller generated-code class than 32
+    # when/otherwise sums (r02 verdict #2: first-run compile+codegen
+    # dominated the bench timing of this query)
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
         for b in range(bits)
     ]
-    per_doc = wh.groupBy(id_col).agg(*votes)
+    per_doc = wh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *votes)
     sig: Column = F.lit(0).cast("bigint")
     for b in range(bits):
-        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(0)
+        sig = sig + F.when(
+            F.col(f"s{b}") * 2 > F.col("n"), F.lit(2**b).cast("bigint")
+        ).otherwise(0)
     return per_doc.select(F.col(id_col), sig.alias("simhash"))
 
 

@@ -5,6 +5,7 @@ from collective_als_spark.queries import (  # noqa: F401
     extended,
     extended2,
     extended3,
+    extended4,
     llm_data,
     ml_queries,
     relational,

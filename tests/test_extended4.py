@@ -1,0 +1,116 @@
+"""Invariant tests for the round-3 extension set (queries/extended4.py).
+
+Oracle hash parity runs in test_oracle_parity.py; these pin the
+mathematical properties the oracles can't express directly.
+"""
+
+import math
+
+import pytest
+
+
+def test_cms_overestimates_and_orders(spark, sf_small):
+    from collective_als_spark.registry import spark_queries
+
+    rows = spark_queries()["heavy_hitters_cms"](spark, sf_small).collect()
+    assert rows, "sketch probe returned nothing"
+    # count-min error is one-sided: estimate >= exact, always
+    assert all(r.est_count >= r.exact_count for r in rows)
+    ests = [r.est_count for r in rows]
+    assert ests == sorted(ests, reverse=True)
+
+
+def test_unigram_logprob_negative_and_boilerplate_high(spark, sf_small):
+    from collective_als_spark.registry import spark_queries
+
+    rows = spark_queries()["unigram_logprob_score"](spark, sf_small).collect()
+    assert all(r.avg_logprob < 0 for r in rows)  # log of p<1
+    assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_word_entropy_bounds(spark, sf_small):
+    from collective_als_spark.registry import spark_queries
+
+    rows = spark_queries()["word_entropy_score"](spark, sf_small).collect()
+    for r in rows:
+        assert -1e-9 <= r.entropy <= math.log2(r.n_tokens) + 1e-9
+
+
+def test_winsorized_mean_inside_clip_bounds(spark, sf_small):
+    from collective_als_spark.registry import spark_queries
+
+    rows = spark_queries()["winsorized_stats"](spark, sf_small).collect()
+    for r in rows:
+        assert r.p05 <= r.wins_mean <= r.p95
+        assert r.wins_std >= 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully contained in a longer one: containment ~1 in
+    the A->B direction even though Jaccard is far below threshold."""
+    from collective_als_spark.operators import dedup as D
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    other = "totally different words here okay"
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id int, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): (r.cont_ab, r.cont_ba)
+        for r in D.ngram_containment_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    cont_ab, cont_ba = pairs[(1, 2)]
+    assert cont_ab == 1.0  # every shingle of the short doc is in the long one
+    assert cont_ba < 0.2
+    # Jaccard would have missed it at the same bar
+    jac = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.8
+    ).collect()
+    assert not jac
+
+
+def test_semantic_dedup_marks_near_duplicate_vectors(spark):
+    """Constructed embeddings: an exact-duplicate vector pair must land
+    in one cluster with the higher id marked not-kept."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.functions.vector import cosine_similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8)).astype(float)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    rows.append((100, [float(x) for x in base[0]]))  # exact dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id int, e array<double>")
+    feat = emb.withColumn("v", array_to_vector("e"))
+    model = KMeans(k=4, seed=42, featuresCol="v", predictionCol="cluster").fit(feat)
+    assigned = model.transform(feat).select("vec_id", "cluster", "e")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", cosine_similarity(F.col("a.e"), F.col("b.e")))
+        .filter(F.col("cos") > 0.95)
+        .select(F.col("a.vec_id").alias("keep"), F.col("b.vec_id").alias("drop"))
+        .collect()
+    )
+    assert any(r.keep == 0 and r.drop == 100 for r in dups)
+
+
+def test_semantic_dedup_query_shape(spark, sf_small):
+    from collective_als_spark.registry import spark_queries
+
+    rows = spark_queries()["semantic_dedup_kmeans"](spark, sf_small).collect()
+    assert rows
+    assert {x.cluster for x in rows} <= set(range(8))
+    assert all(x.is_kept in (True, False) for x in rows)

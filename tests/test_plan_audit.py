@@ -39,6 +39,7 @@ CROSS_JOIN_ALLOWED = {
     # dimension cross, bounded by |types|
     "negative_sampling",
     # 1-row scalar broadcasts (corpus size / token totals / node count)
+    "unigram_logprob_score",
     "tfidf_term_stats",
     "pmi_bigrams",
     "pagerank_trade_graph",
@@ -54,6 +55,7 @@ CROSS_JOIN_ALLOWED = {
 # audited elsewhere
 SKIP = {
     "dedup_clusters",
+    "semantic_dedup_kmeans",
     "cmf_fit_predict",
     "cmf_fit_3entity",
     "cmf_recommend_topk",
