@@ -88,6 +88,8 @@ def main() -> None:
         "rating"
     ).fit(_toy)
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # plan construction stays inside the timed region: some queries
@@ -96,6 +98,14 @@ def main() -> None:
         df = overrides[name]() if name in overrides else qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries are independent: drop this query's DataFrame refs and
+        # force collection so ContextCleaner releases its localCheckpoint
+        # RDD blocks before the next query runs — otherwise checkpointed
+        # blocks pile up in executor storage across the run and inflate
+        # later heavy queries (measured: item_item_cosine 16.7s late in
+        # the run vs 7.4s isolated)
+        del df
+        gc.collect()
     sigs.unpersist()
     # the end-to-end dedup cost is signatures + banding combined; the
     # split timings share one signature pass (see above), so the sum is
