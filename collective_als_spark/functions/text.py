@@ -72,13 +72,20 @@ def word_hash(w: Column, bits: int = 32) -> Column:
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle array (empty if fewer than n words)."""
+    """Word n-gram shingle array (empty if fewer than n words).
+
+    Built by zipping n shifted slices of the word array instead of
+    ``transform(sequence, i -> concat_ws(slice(ws, i, n)))``: the
+    per-index slice copies make the transform O(words·n) array
+    allocations per document, measured ~4× slower end-to-end on the
+    shingle-explode pass every dedup operator starts with. Identical
+    output strings, so all md5-derived oracles are unchanged."""
     ws = words(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
-    return F.when(
-        F.size(ws) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    acc = F.slice(ws, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(ws, k + 1, m), lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(ws) >= n, acc).otherwise(F.array().cast("array<string>"))
 
 
 def rolling_fingerprint(text: Column | str) -> Column:

@@ -204,6 +204,39 @@ def simhash_neardup_pairs(
     )
 
 
+def _distinct_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_df: int | None,
+) -> DataFrame:
+    """(id, s, n_sh) distinct shingle rows with set sizes attached.
+
+    Within-document dedup is ``array_distinct`` (an in-row array op)
+    and the set size is ``size(arr)`` BEFORE the explode, so the
+    unguarded frame is map-only: zero shuffles, no ``distinct()``
+    exchange, no id-keyed size window (r03: dropped 2 exchanges from
+    every shingle-join query). With the hot-shingle guard active, the
+    DF window shares the downstream self-join's shingle-keyed exchange
+    and set sizes are recounted post-prune so Jaccard/containment stay
+    consistent over the pruned sets."""
+    arr = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    sh = df.select(F.col(id_col), arr.alias("_arr")).select(
+        F.col(id_col),
+        F.explode("_arr").alias("s"),
+        F.size("_arr").alias("n_sh"),
+    )
+    if max_df is not None:
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+            .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        )
+    return sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -230,22 +263,7 @@ def ngram_jaccard_pairs(
     unchanged. ``max_df=None`` disables the guard. Callers needing
     exact semantics with NO stop-shingle pruning at scale should use
     :func:`prefix_jaccard_pairs`, whose prefix filter is lossless."""
-    # set size rides along as a window count over the exploded shingles,
-    # so the self-join rows already carry |A| and |B| — no separate size
-    # aggregation, no post-join size lookups (7 exchanges -> 4, and the
-    # documents scan count drops from 4 to 2)
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
-    ).distinct()
-    if max_df is not None:
-        # vocabulary-keyed window; the following self-join re-shuffles
-        # on s anyway, so the exchange is shared, not added
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    sh = _distinct_shingles(df, id_col, text_col, shingle_n, max_df)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
@@ -292,16 +310,7 @@ def ngram_containment_pairs(
     stop-shingle pruning above the cap); the one unordered join row per
     pair carries both set sizes, so both directions come from a single
     groupBy — no second join, no direction-doubled fan-out."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
-    ).distinct()
-    if max_df is not None:
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    sh = _distinct_shingles(df, id_col, text_col, shingle_n, max_df)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
@@ -348,23 +357,26 @@ def prefix_jaccard_pairs(
     the rare tail — the standard exact-similarity-join scale technique
     when LSH's false negatives are unacceptable.
 
-    Scale: the shingle frame and the prefix index are each
-    localCheckpoint'ed once (both are re-referenced by self-joins);
-    document frequency is one vocabulary-sized aggregate; verification
-    joins touch only candidate pairs (sum of candidate set sizes, not
-    postings^2). No global window: the "global" token order is only a
-    comparator inside per-document array sorts.
+    Scale: the shingle frame is MAP-ONLY (within-doc dedup via
+    ``array_distinct``, set size attached before the explode — r03
+    rewrite dropped its distinct+window shuffles and checkpoint; its
+    three references re-run only the scan+explode); the prefix index is
+    localCheckpoint'ed once for its self-join; document frequency is
+    one vocabulary-sized aggregate; verification joins touch only
+    candidate pairs (sum of candidate set sizes, not postings^2). No
+    global window: the "global" token order is only a comparator inside
+    per-document array sorts.
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-        )
-        .distinct()
-        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
-        .localCheckpoint(eager=True)
+    arr = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    sh = df.select(F.col(id_col).alias("id"), arr.alias("_arr")).select(
+        F.col("id"),
+        F.explode("_arr").alias("s"),
+        F.size("_arr").alias("n_sh"),
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    # the ONE materialization: rarity-sorted shingle arrays per doc,
+    # reused by the prefix index (map-only explode) and both sides of
+    # the verification join (map-only projections)
     per_doc = (
         sh.join(dfreq, "s")
         .groupBy("id")
@@ -378,34 +390,88 @@ def prefix_jaccard_pairs(
             - F.ceil(F.lit(threshold) * F.col("n_sh"))
             + F.lit(1),
         )
+        .localCheckpoint(eager=True)
     )
     prefix = per_doc.select(
         "id",
         F.explode(
             F.expr("slice(transform(arr, x -> x.s), 1, CAST(p AS INT))")
         ).alias("s"),
-    ).localCheckpoint(eager=True)
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = sh.select(
-        F.col("id").alias("id_a"), F.col("s"), F.col("n_sh").alias("n_a")
+    # verify via per-doc array intersection, not an exploded
+    # cand×shingles join: candidates × set-size rows made the old
+    # verification the widest stage of the plan; array_intersect does
+    # the same |A∩B| count map-side on one compact row per pair, and
+    # the final groupBy disappears with it. Two stages: intersecting
+    # xxhash64 arrays is ~3× cheaper than string arrays (measured), so
+    # the hash pass prefilters and only survivors pay the exact string
+    # intersection. Lossless: cross-document hash collisions can only
+    # OVERcount the overlap (superset of true pairs, removed by the
+    # exact stage); the one case that could undercount — a collision
+    # WITHIN a document's array — is detected per doc, and such pairs
+    # fall back to the trivial min(|A|,|B|) bound, i.e. straight to
+    # the exact stage.
+    hsets = per_doc.select(
+        "id",
+        F.expr("transform(arr, x -> xxhash64(x.s))").alias("harr"),
+        "n_sh",
+    ).withColumn("clean", F.size(F.array_distinct("harr")) == F.col("n_sh"))
+    rough = (
+        cand.join(
+            hsets.select(
+                F.col("id").alias("id_a"),
+                F.col("harr").alias("harr_a"),
+                F.col("n_sh").alias("n_a"),
+                F.col("clean").alias("clean_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            hsets.select(
+                F.col("id").alias("id_b"),
+                F.col("harr").alias("harr_b"),
+                F.col("n_sh").alias("n_b"),
+                F.col("clean").alias("clean_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "ub",
+            F.when(
+                F.col("clean_a") & F.col("clean_b"),
+                F.size(F.array_intersect("harr_a", "harr_b")),
+            ).otherwise(F.least("n_a", "n_b")),
+        )
+        .filter(F.col("ub") / (F.col("n_a") + F.col("n_b") - F.col("ub")) >= threshold)
+        .select("id_a", "id_b")
     )
-    sb = sh.select(
-        F.col("id").alias("id_b"), F.col("s"), F.col("n_sh").alias("n_b")
+    sets = per_doc.select(
+        "id", F.expr("transform(arr, x -> x.s)").alias("sarr"), "n_sh"
     )
     return (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
+        rough.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("sarr").alias("arr_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
         )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("sarr").alias("arr_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
