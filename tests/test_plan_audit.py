@@ -67,6 +67,7 @@ SKIP = {
     "streaming_sliding_agg",
     "streaming_stateful_totals",
     "streaming_session_window",
+    "streaming_tws_user_stats",
     "streaming_dedup",
     "streaming_stream_join",
     "streaming_upsert_totals",
