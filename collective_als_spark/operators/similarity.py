@@ -329,3 +329,143 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank_depth: int = 50,
+    n_queries: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PQ-ADC): split the
+    vector into ``m`` subspaces, k-means a ``n_codes``-word codebook
+    per subspace, store each database vector as ``m`` small codes
+    (16× compression at m=8/n_codes=16 over float32×64), and score
+    queries against codes via per-subspace lookup tables — no float
+    vector is touched during the scan. The top ``rerank_depth`` ADC
+    candidates per query are re-ranked with exact cosine, which is the
+    standard deployment (ADC recalls a small candidate set, exact math
+    fixes the ranking).
+
+    Scale shape: codebooks are tiny (m·n_codes·dim/m floats, shipped in
+    the task closure); encoding is one narrow mapInPandas; the ADC scan
+    is map-only over the byte-code frame with per-partition local
+    top-``rerank_depth`` then a global candidate union (partitions ×
+    depth rows per query, never N²); only the rerank joins touch float
+    vectors, bounded by rerank_depth × queries. Compose with the IVF
+    coarse quantizer for billion-scale (IVFADC).
+
+    Rows-only (iterative k-means; recall-vs-brute-force pinned in
+    tests/test_extended4.py).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dvec = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    first = dvec.select(F.size("v").alias("d")).first()
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    # per-subspace codebooks (m driver-side fits over narrow slices;
+    # m is small and each fit is distributed)
+    codebooks = []
+    for j in range(m):
+        train = dvec.select(
+            array_to_vector(F.slice("v", j * sub + 1, sub)).alias("fv")
+        )
+        km = KMeans(k=n_codes, seed=seed + j, maxIter=20, featuresCol="fv")
+        codebooks.append(np.stack([c for c in km.fit(train).clusterCenters()]))
+    cb = np.stack(codebooks)  # (m, n_codes, sub)
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("nid", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].values)  # (b, dim)
+            parts = x.reshape(len(pdf), m, sub)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                # (b, n_codes) squared distances to subspace codewords
+                d2 = ((parts[:, j, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({"nid": pdf[id_col].values, "codes": list(codes)})
+
+    encoded = dvec.mapInPandas(encode, enc_schema)
+
+    # bounded query set with precomputed subvectors, shipped to every
+    # partition of the ADC scan
+    qrows = (
+        dvec.orderBy(id_col).limit(n_queries).collect()
+    )
+    q_ids = np.array([r[id_col] for r in qrows])
+    q_mat = np.stack([np.asarray(r["v"]) for r in qrows])  # (q, dim)
+    q_parts = q_mat.reshape(len(q_ids), m, sub)
+    # ADC lookup tables: LUT[q, j, c] = <q_j, cb[j][c]>; reconstruction
+    # norms per code for the cosine denominator
+    lut = np.einsum("qjs,jcs->qjc", q_parts, cb)  # (q, m, n_codes)
+    cb_norm2 = (cb**2).sum(-1)  # (m, n_codes)
+    q_norm = np.sqrt((q_mat**2).sum(-1))  # (q,)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+        ]
+    )
+
+    depth = rerank_depth
+
+    def adc_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].values)  # (b, m) int
+            nids = pdf["nid"].values
+            # approx dot: sum_j LUT[q, j, codes[b, j]] -> (q, b)
+            dots = lut[:, np.arange(m)[None, :], codes].sum(-1)
+            recon_norm = np.sqrt(cb_norm2[np.arange(m)[None, :], codes].sum(-1))
+            scores = dots / (q_norm[:, None] * recon_norm[None, :] + 1e-12)
+            scores[:, :] = np.where(
+                nids[None, :] == q_ids[:, None], -np.inf, scores
+            )
+            top = min(depth, scores.shape[1])
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, top),
+                    "neighbor_id": nids[idx].ravel(),
+                }
+            )
+
+    cand = encoded.mapInPandas(adc_scan, cand_schema)
+
+    # exact rerank over the bounded candidate set
+    e_q = dvec.select(F.col(id_col).alias("query_id"), F.col("v").alias("_qv"))
+    e_c = dvec.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("_cv"))
+    scored = (
+        cand.join(e_q, "query_id")
+        .join(e_c, "neighbor_id")
+        .withColumn("cos", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )

@@ -1205,6 +1205,16 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, k=5, n_cells=16, n_probe=4)
 
 
+@register("ann_topk_pq")
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (PQ-ADC + exact rerank): byte-coded
+    scan with per-query lookup tables — the memory-bound billion-scale
+    ANN family member next to LSH and IVF (rows-only: k-means codebook
+    training; recall pinned in tests/test_extended4.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(emb, k=5, m=8, n_codes=16, rerank_depth=50, n_queries=100)
+
+
 @register(
     "pipeline_clean_corpus",
     oracle="""

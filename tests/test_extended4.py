@@ -140,3 +140,21 @@ def test_tws_user_stats_matches_batch(spark, sf_small):
         .collect()
     }
     assert stream == batch
+
+
+def test_pq_topk_recall_vs_brute_force(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.operators.similarity import brute_force_topk, pq_topk
+    from collective_als_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.orderBy("vec_id").limit(50)
+    approx = pq_topk(
+        emb, k=5, m=8, n_codes=16, rerank_depth=50, n_queries=50
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, recall

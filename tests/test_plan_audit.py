@@ -63,6 +63,7 @@ SKIP = {
     "cmf_rec_coverage_novelty",
     "als_regression_eval",
     "ann_topk_ivf",
+    "ann_topk_pq",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",
     "streaming_stateful_totals",
