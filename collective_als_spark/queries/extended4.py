@@ -304,3 +304,53 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((('0x' || substring(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                  / 4294967296.0) / n_chars AS k
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 20
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per source, via the
+    Efraimidis–Spirakis exponential-key trick: each doc gets key
+    ln(u)/w (u uniform, w = n_chars weight) and the k largest keys per
+    group are an exact weighted sample — the distributed one-pass
+    answer to "sample 20 docs per source, longer docs proportionally
+    more likely" with NO per-group scans or rejection loops. u is
+    md5-derived, so the sample is reproducible across engines, runs,
+    and partitionings (same determinism contract as
+    ``deterministic_sample``).
+
+    Scale: map-side key computation + one source-partitioned top-k
+    window (WindowGroupLimit pushes the k cut before the sort
+    materializes full groups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = TX.word_hash(F.concat(F.lit("ws|"), F.col("doc_id").cast("string")))
+    u = (h + F.lit(1)) / F.lit(4294967296.0)
+    keyed = docs.withColumn("k", F.log(u) / F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
