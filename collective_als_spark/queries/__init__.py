@@ -10,4 +10,5 @@ from collective_als_spark.queries import (  # noqa: F401
     ml_queries,
     relational,
     subqueries,
+    tpch_extra,
 )

@@ -1,0 +1,170 @@
+"""Classic TPC-H-shaped analytics beyond the ones already registered
+(Q1→pricing_summary, Q3→shipping_priority_top10, Q5-ish→
+star_join_revenue, Q10-ish→returned_items_by_nation): multi-way
+nation-pair volume analysis, promo revenue share, HAVING-gated large
+orders, and OR-of-ANDs predicate revenue. Each exercises a distinct
+optimizer shape (join reordering over 6 tables, scalar ratio of
+conditional aggregates, aggregate-then-semi-join, disjunctive pushdown)
+with the usual DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from collective_als_spark.registry import register
+from collective_als_spark.sources.testdata import load_table
+
+
+@register(
+    "volume_shipping_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > 1000000
+    """,
+)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: international trade volume between distinct
+    nation pairs by ship year — a 6-table join where Catalyst's
+    reordering + dim broadcasts decide the cost. The two nation
+    lookups are independent broadcast joins of the same tiny dim."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        s.join(li, li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .filter(F.sum(rev) > 1000000)
+    )
+
+
+@register(
+    "promo_revenue_q14",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY date_trunc('month', l_shipdate)
+    """,
+)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship month — the
+    conditional-aggregate ratio pattern (one scan, no self-join); the
+    part dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+    )
+
+
+@register(
+    "large_orders_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders — aggregate
+    first to find qualifying keys, then semi-join the hot set back
+    (the aggregate-then-join pattern that avoids carrying detail rows
+    through the HAVING gate)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(
+            li.select(F.col("l_orderkey").alias("lk"), "l_quantity"),
+            F.col("lk") == o.o_orderkey,
+        )
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@register(
+    "part_predicate_revenue_q19",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def part_predicate_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides — exercises disjunctive predicate pushdown (the
+    per-side conjuncts Catalyst can factor out reach each scan) over a
+    broadcast equi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(F.round(F.sum(rev), 2).alias("revenue"))
