@@ -354,3 +354,45 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, (list(value ORDER BY ts, event_id))::DOUBLE[] AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, x) -> 0.7 * acc + 0.3 * x), 6) AS ewma
+    FROM s
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (α=0.3), the canonical "recursive over ordered rows" operator that
+    no SQL window frame expresses: e_i = α·x_i + (1−α)·e_{i−1}. Done
+    as a per-key array fold — collect the user's ordered values (event
+    sequences are user-bounded, same justification as session_paths)
+    and F.aggregate the recurrence in one codegen'd pass. One user-
+    keyed shuffle; no global state.
+
+    Cross-engine determinism: both engines fold in the identical
+    (ts, event_id) order with IEEE doubles, so results match exactly;
+    DuckDB's list_reduce seeds with the first element, mirrored here
+    via element_at(vals, 1) + slice."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    grouped = ev.groupBy("user_id").agg(arr.alias("arr"))
+    vals = F.transform(F.col("arr"), lambda x: x["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * 0.7 + x * 0.3,
+    )
+    return grouped.select(
+        "user_id",
+        F.size(vals).cast("bigint").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )

@@ -1,0 +1,80 @@
+"""Checkpoint restart: a stopped streaming aggregation must resume its
+state store, not recount — the exactly-once property that lets a 100 TB
+ingest pipeline survive restarts."""
+
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from collective_als_spark.sources.testdata import load_table
+
+
+def _dump_files(df, tmp_dir, target_dir, tag):
+    """Write df as parquet and move its part-files into the stream
+    input dir under unique names (the file-stream source picks up new
+    FILES, so each drop simulates an arriving micro-batch)."""
+    staging = f"{tmp_dir}/_stage_{tag}"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    for i, part in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+        shutil.copy(part, f"{target_dir}/{tag}_{i}.parquet")
+
+
+def test_streaming_checkpoint_restart_resumes_state(spark, sf_small, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    _dump_files(first, str(tmp_path), str(src), "a")
+
+    schema = "event_id bigint, user_id bigint, value double"
+
+    def run(query_name):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {(r.user_id, r.n, r.total) for r in spark.table(query_name).collect()}
+
+    got_first = run("restart_run1")
+    want_first = {
+        (r.user_id, r.n, r.total)
+        for r in first.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got_first == want_first
+
+    # new files arrive while the query is DOWN; the restart must resume
+    # the checkpointed offsets+state and produce totals over ALL data
+    # having read only the new files
+    _dump_files(second, str(tmp_path), str(src), "b")
+    got_all = run("restart_run2")
+    want_all = {
+        (r.user_id, r.n, r.total)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got_all == want_all
+    # and restarting again with NO new input must not double-count:
+    # either nothing is emitted (no micro-batch ran — old files were
+    # NOT re-read) or, if an empty batch triggers, the complete-mode
+    # re-emission must still equal the true totals
+    got_idem = run("restart_run3")
+    assert got_idem in (set(), want_all)
