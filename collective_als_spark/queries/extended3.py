@@ -1333,3 +1333,51 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select(
         F.col("n_name").alias("nation"), F.round("r", 6).alias("pagerank")
     )
+
+
+@register("item_item_dimsum")
+def item_item_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMSUM sampled item-item cosine (Zadeh & Carlsson; MLlib
+    ``RowMatrix.columnSimilarities``): the probabilistic companion to
+    the exact ``item_item_cosine`` join. Oversampling is inversely
+    proportional to column-norm products, so popular-item pairs — the
+    quadratic tail that forces the heavy-user cap in the exact path —
+    are DOWN-sampled with bounded relative error while rare pairs stay
+    exact; shuffle size becomes O(n·log n / threshold) independent of
+    the user count. Rows-only: the sampling is randomized (wrapper
+    correctness pinned exactly at threshold=0 in
+    tests/test_extended4.py).
+
+    Driver/executor footprint note: the item→column index map is
+    item-vocabulary-sized (a product catalog, not a token stream) and
+    ships as one broadcast; rows stream through RowMatrix without
+    materializing the user dimension anywhere.
+    """
+    from pyspark.mllib.linalg import Vectors
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ui = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    items = sorted(r.i for r in ui.select("i").distinct().collect())
+    idx = spark.sparkContext.broadcast({v: k for k, v in enumerate(items)})
+    n = len(items)
+    rows = (
+        ui.groupBy("u")
+        .agg(F.collect_set("i").alias("its"))
+        .rdd.map(
+            lambda r: Vectors.sparse(n, sorted((idx.value[i], 1.0) for i in r.its))
+        )
+    )
+    sims = RowMatrix(rows).columnSimilarities(threshold=0.1)
+    rev = spark.sparkContext.broadcast(items)
+    return spark.createDataFrame(
+        sims.entries.map(
+            lambda e: (rev.value[int(e.i)], rev.value[int(e.j)], float(e.value))
+        ),
+        "part_i long, part_j long, cosine_est double",
+    ).filter(F.col("cosine_est") >= 0.2)

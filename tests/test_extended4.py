@@ -158,3 +158,38 @@ def test_pq_topk_recall_vs_brute_force(spark, sf_small):
     truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, recall
+
+
+def test_dimsum_exact_mode_matches_numpy(spark):
+    """columnSimilarities(threshold=0) is exact: our RowMatrix wrapper
+    must reproduce numpy cosine on a constructed interaction matrix."""
+    import numpy as np
+
+    from pyspark.mllib.linalg import Vectors
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    rng = np.random.default_rng(3)
+    m = (rng.random((30, 6)) < 0.4).astype(float)
+    m[:, 5] = m[:, 4]  # identical columns -> cosine 1
+    rows = spark.sparkContext.parallelize(
+        [Vectors.dense(r) for r in m], 4
+    )
+    sims = {
+        (int(e.i), int(e.j)): e.value
+        for e in RowMatrix(rows).columnSimilarities(threshold=0.0).entries.collect()
+    }
+    norms = np.sqrt((m**2).sum(0))
+    for i in range(6):
+        for j in range(i + 1, 6):
+            want = float(m[:, i] @ m[:, j] / (norms[i] * norms[j] + 1e-12))
+            got = sims.get((i, j), 0.0)
+            assert abs(got - want) < 1e-9, (i, j, got, want)
+    assert abs(sims[(4, 5)] - 1.0) < 1e-9
+
+
+def test_dimsum_query_rows(spark, sf_small):
+    from collective_als_spark.registry import spark_queries
+
+    rows = spark_queries()["item_item_dimsum"](spark, sf_small).collect()
+    assert rows
+    assert all(r.part_i < r.part_j and 0 < r.cosine_est <= 1.2 for r in rows)

@@ -64,6 +64,7 @@ SKIP = {
     "als_regression_eval",
     "ann_topk_ivf",
     "ann_topk_pq",
+    "item_item_dimsum",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",
     "streaming_stateful_totals",
