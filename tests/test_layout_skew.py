@@ -206,3 +206,23 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_med):
         assert n_linear_y == 16
         # the Z-ordered layout prunes BOTH dimensions
         assert n_zorder_y < 16 and n_zorder_x < 16
+
+
+def test_bucketed_groupby_on_bucket_key_has_no_exchange(spark, sf_small):
+    """Aggregation on the bucket key also skips its shuffle: bucketing
+    satisfies the hash-distribution requirement for groupBy too, not
+    just joins."""
+    suffix = uuid.uuid4().hex[:8]
+    t = f"orders_gb_{suffix}"
+    orders = load_table(spark, sf_small, "orders")
+    try:
+        write_bucketed_table(orders, t, "o_orderkey", 8, sort_col="o_orderkey")
+        agg = (
+            spark.table(t)
+            .groupBy("o_orderkey")
+            .agg(F.sum("o_totalprice").alias("tp"))
+        )
+        s = plan_summary(agg)
+        assert s["n_exchanges"] == 0, s["plan"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
