@@ -70,3 +70,27 @@ def test_approx_split_has_no_global_window(spark, sf_med):
     nt, ns = train.count(), test.count()
     assert nt + ns == n
     assert 0.85 <= nt / n <= 0.95
+
+
+def test_join_strategy_hints_control_plan(spark, sf_med):
+    """Strategy hints override Catalyst's default pick — the manual
+    control used when stats mislead the planner at scale."""
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.plans import plan_summary
+    from collective_als_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_med, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_med, "lineitem").select("l_orderkey", "l_quantity")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cond = li.l_orderkey == orders.o_orderkey
+        default = plan_summary(li.join(orders, cond))
+        assert default["n_sortmerge_joins"] == 1, default["plan"]
+        hashed = plan_summary(li.join(orders.hint("shuffle_hash"), cond))
+        assert hashed["n_shuffledhash_joins"] == 1, hashed["plan"]
+        bcast = plan_summary(li.join(F.broadcast(orders), cond))
+        assert bcast["n_broadcast_joins"] == 1, bcast["plan"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
