@@ -6,6 +6,7 @@ from collective_als_spark.queries import (  # noqa: F401
     extended2,
     extended3,
     extended4,
+    extended5,
     llm_data,
     ml_queries,
     relational,

@@ -1,0 +1,301 @@
+"""Round-3 extension set 2: substring-granular fingerprinting,
+product-analytics cohorts, serving-shaped similarity, and snapshot
+diffing — each a standard large-pipeline pattern, oracle-checked.
+
+Scale notes per operator; windows are always key-partitioned and the
+only broadcasts are dimension- or 1-row-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from collective_als_spark.functions import text as TX
+from collective_als_spark.registry import register
+from collective_als_spark.sources.testdata import load_table
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, len(string_split(text,' ')) - 1), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+    "|| ' ' || string_split(text,' ')[i+2])"
+)
+
+_WINNOW_W = 4
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               generate_subscripts(sg.g, 1) AS pos,
+               ('0x' || substring(md5(unnest(sg.g)), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, {_SHINGLES_SQL} AS g FROM documents) sg
+    ),
+    sized AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    wm AS (
+        SELECT sh.doc_id, sh.pos,
+               min(h) OVER (PARTITION BY sh.doc_id ORDER BY sh.pos
+                            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+                   AS fp,
+               sized.n
+        FROM sh JOIN sized USING (doc_id)
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM wm WHERE pos <= n - {_WINNOW_W} + 1
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    algorithm): hash every 3-word shingle, slide a window of
+    {w} consecutive hashes, keep each window's minimum — the selected
+    distinct hashes are a position-robust fingerprint set that
+    guarantees detection of shared substrings longer than w+k-1 tokens
+    with far fewer stored hashes than full shingling (this variant
+    selects per-window minima; classic winnowing's rightmost-tie rule
+    only matters for duplicate hash values).
+
+    Scale: explode with position (map-only), ONE doc-keyed window for
+    the sliding min (rows-frame, no global window), distinct on the
+    fingerprint pairs. Fingerprint density is ~2/(w+1) of shingle
+    count, so the stored index is a fraction of MinHash's per-doc
+    signature cost at substring granularity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(TX.shingles(F.col("text"), 3)).alias("pos0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        TX.word_hash(F.col("s")).alias("h"),
+    )
+    n = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    return (
+        n.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("pos") <= F.col("n") - _WINNOW_W + 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                    AS INTEGER) AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted distinct in each subsequent week offset — the standard
+    product-analytics triangle. Two key-partitioned shuffles (per-user
+    min, then cohort×offset count-distinct); the user→cohort frame is
+    user-dimension-sized and broadcastable."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", "ts").cast("date"), F.col("cohort_week"))
+            / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users")
+    )
+
+
+@register(
+    "equidepth_histogram",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS decile
+        FROM events
+    )
+    SELECT event_type, CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM t GROUP BY event_type, decile
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram per event type via ntile
+    — the equal-population companion to ``equiwidth_histogram``; bucket
+    bounds double as a quantile sketch. One type-keyed window + one
+    aggregate; tie order pinned by event_id for cross-engine
+    determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@register(
+    "also_bought_topk",
+    oracle="""
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT u, count(*) AS n_items FROM ui GROUP BY u),
+    ui2 AS (
+        SELECT ui.u, ui.i FROM ui JOIN deg ON deg.u = ui.u
+        WHERE deg.n_items <= 200
+    ),
+    icnt AS (SELECT i, count(*) AS n_i FROM ui2 GROUP BY i),
+    pairs AS (
+        SELECT a.i AS part_i, b.i AS part_j, count(*) AS n_ij
+        FROM ui2 a JOIN ui2 b ON a.u = b.u AND a.i < b.i
+        GROUP BY a.i, b.i
+        HAVING count(*) >= 3
+    ),
+    scored AS (
+        SELECT p.part_i, p.part_j,
+               round(p.n_ij / sqrt(ci.n_i * cj.n_i), 6) AS cosine
+        FROM pairs p
+        JOIN icnt ci ON ci.i = p.part_i
+        JOIN icnt cj ON cj.i = p.part_j
+    ),
+    directed AS (
+        SELECT part_i AS item, part_j AS rec, cosine FROM scored
+        UNION ALL
+        SELECT part_j, part_i, cosine FROM scored
+    ),
+    ranked AS (
+        SELECT item, rec, cosine,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY cosine DESC, rec) AS rk
+        FROM directed
+    )
+    SELECT item, rec, cosine, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def also_bought_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Customers also bought": top-3 most-similar items per item from
+    the co-occurrence cosine — the serving-shaped projection of
+    `item_item_cosine` (directed both ways, item-keyed top-k window
+    with WindowGroupLimit pushdown)."""
+    from collective_als_spark.queries.extended3 import item_item_cosine
+
+    pairs = item_item_cosine(spark, sf_dir)
+    directed = pairs.select(
+        F.col("part_i").alias("item"), F.col("part_j").alias("rec"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("part_j").alias("item"), F.col("part_i").alias("rec"), "cosine"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), "rec")
+    return (
+        directed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("item", "rec", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@register(
+    "table_diff_audit",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey AS k,
+               md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                             round(o_totalprice, 2))) AS rh
+        FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey AS k,
+               md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                             round(CASE WHEN ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
+                                        THEN o_totalprice * 1.1 ELSE o_totalprice END, 2))) AS rh
+        FROM orders
+        WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 20 <> 1
+    ),
+    joined AS (
+        SELECT old.k AS ko, new.k AS kn, old.rh AS ro, new.rh AS rn
+        FROM old FULL OUTER JOIN new ON old.k = new.k
+    )
+    SELECT CASE WHEN ko IS NULL THEN 'added'
+                WHEN kn IS NULL THEN 'removed'
+                WHEN ro <> rn THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM joined GROUP BY 1
+    """,
+)
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: row-hash full-outer-join comparison of two table
+    versions → added/removed/changed/unchanged counts (the audit a
+    data-versioning layer runs between loads). The "new" snapshot is a
+    deterministic md5-keyed mutation of orders (5% prices changed, 5%
+    rows deleted) so the diff is reproducible and oracle-checkable.
+
+    Scale: row hashes are computed map-side from the key+payload, the
+    diff is one key-equi full outer join (both sides hash-partitioned
+    on the key), and the output is 4 counter rows — no row-level
+    payloads survive the aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    rh = F.md5(
+        F.concat_ws(
+            "|",
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2),
+        )
+    )
+    old = o.select(F.col("o_orderkey").alias("k"), rh.alias("ro"))
+    bucket = F.pmod(TX.word_hash(F.col("o_orderkey").cast("string")), F.lit(20))
+    mutated = o.withColumn(
+        "o_totalprice",
+        F.when(bucket == 0, F.col("o_totalprice") * 1.1).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).filter(bucket != 1)
+    new = mutated.select(F.col("o_orderkey").alias("k"), rh.alias("rn"))
+    joined = old.join(new, "k", "full_outer")
+    status = (
+        F.when(F.col("ro").isNull(), "added")
+        .when(F.col("rn").isNull(), "removed")
+        .when(F.col("ro") != F.col("rn"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
