@@ -23,7 +23,8 @@ from collective_als_spark.sources.testdata import load_table
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                 / 100.0, 2) AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -32,14 +33,22 @@ from collective_als_spark.sources.testdata import load_table
     JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
     WHERE n1.n_name <> n2.n_name
     GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
-    HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > 1000000
+    HAVING sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+           > 100000000
     """,
 )
 def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: international trade volume between distinct
     nation pairs by ship year — a 6-table join where Catalyst's
     reordering + dim broadcasts decide the cost. The two nation
-    lookups are independent broadcast joins of the same tiny dim."""
+    lookups are independent broadcast joins of the same tiny dim.
+
+    Revenue sums EXACT integer cents: each line's double revenue is
+    bit-identical in both engines, but the 4200 per-group sums of
+    ~10^3 doubles land within float error of .005 boundaries often
+    enough that round-after-double-sum flipped 3 groups at sf0.1 —
+    integer-cent sums are order-independent, so the HAVING gate and
+    the emitted value are deterministic at any scale."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -47,7 +56,9 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
     return (
         s.join(li, li.l_suppkey == s.s_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
@@ -58,8 +69,14 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
         )
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
-        .filter(F.sum(rev) > 1000000)
+        .agg(F.sum(cents).alias("_cents"))
+        .filter(F.col("_cents") > 100000000)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.round(F.col("_cents") / 100.0, 2).alias("revenue"),
+        )
     )
 
 
