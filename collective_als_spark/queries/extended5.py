@@ -299,3 +299,52 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle="""
+    WITH scores AS (
+        SELECT doc_id, lang,
+           len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','to','in','is','it','you','that'], w))) AS s_en,
+           len(list_filter(string_split(text,' '), w -> list_contains(['der','die','das','und','ist','nicht','du','ich','ein','zu'], w))) AS s_de,
+           len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','que','y','en','un','ser','se','no'], w))) AS s_es,
+           len(list_filter(string_split(text,' '), w -> list_contains(['le','la','de','et','les','des','en','un','une','du'], w))) AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE
+                 WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+                 WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+                 WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+                 WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+                 ELSE 'en'
+               END AS lang_pred
+        FROM scores
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the declared `lang` label vs the stopword
+    language-ID heuristic — the classifier-quality readout a corpus
+    pipeline monitors before trusting `lang_id_heuristic` as a filter
+    (per-cell counts; diagonal mass = agreement rate). Map-only scoring
+    + one (lang, pred)-keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = TX.lang_scores("text")
+    en, de, es, fr = s["en"], s["de"], s["es"], s["fr"]
+    pred = (
+        F.when((en == 0) & (de == 0) & (es == 0) & (fr == 0), "unknown")
+        .when((de > en) & (de > es) & (de > fr), "de")
+        .when((es > en) & (es > de) & (es > fr), "es")
+        .when((fr > en) & (fr > de) & (fr > es), "fr")
+        .otherwise("en")
+    )
+    return (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
