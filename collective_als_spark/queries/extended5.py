@@ -348,3 +348,126 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH cnt AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    v AS (SELECT word, count(*) AS n FROM cnt GROUP BY word),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk FROM v
+    ),
+    tot AS (SELECT sum(n) AS total FROM v),
+    ks AS (SELECT unnest([5, 10, 20, 30]) AS k)
+    SELECT ks.k AS k,
+           CAST(count(ranked.n) AS BIGINT) AS vocab_used,
+           round(COALESCE(sum(ranked.n), 0) * 1.0 / any_value(tot.total), 6)
+               AS coverage
+    FROM ks
+    LEFT JOIN ranked ON ranked.rk <= ks.k
+    CROSS JOIN tot
+    GROUP BY ks.k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: fraction of corpus token
+    mass covered by the top-k most frequent words, at several k — the
+    diminishing-returns readout that sizes a vocabulary. Word ranking
+    uses the two-phase ``global_rank`` (range shuffle + partition-local
+    rank + broadcast offsets, no single-task global window); the k
+    probe frame is 4 literal rows broadcast against the vocab.
+    """
+    from collective_als_spark.operators.split import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(TX.words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = global_rank(cnt, [F.col("n").desc(), F.col("word")]).withColumn(
+        "rk", F.col("_rk") + 1
+    )
+    tot = cnt.agg(F.sum("n").alias("total"))
+    ks = F.broadcast(
+        docs.sparkSession.createDataFrame([(5,), (10,), (20,), (30,)], "k int")
+    )
+    return (
+        ks.join(ranked, F.col("rk") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.count("n").cast("bigint").alias("vocab_used"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("_mass"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "vocab_used",
+            F.round(F.col("_mass") * 1.0 / F.col("total"), 6).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "bigram_logprob_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    uni AS (
+        SELECT unnest(ws) AS w1 FROM t
+    ),
+    ucnt AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+    vsize AS (SELECT count(*) AS v FROM ucnt),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+                   AS bigram
+        FROM t
+    ),
+    bcnt AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bcnt.c12 + 0.5)
+                        / (ucnt.c1 + 0.5 * vsize.v))), 4) AS avg_logprob
+    FROM bg
+    JOIN bcnt USING (bigram)
+    JOIN ucnt ON ucnt.w1 = string_split(bg.bigram, ' ')[1]
+    CROSS JOIN vsize
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document quality score with add-½ smoothing:
+    mean ln p(w_i | w_{i−1}) over each document's adjacent word pairs —
+    one LM order above ``unigram_logprob_score``, the direction of the
+    CCNet/KenLM perplexity filter. Counting shuffles are vocabulary-
+    and bigram-vocabulary-sized (map-side combinable); the per-doc
+    score joins each doc's bigrams against the two count frames
+    (bigram-keyed, then first-word-keyed) and aggregates doc-keyed;
+    |V| is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    t = docs.select("doc_id", ws.alias("ws"))
+    uni = t.select(F.explode("ws").alias("w1"))
+    ucnt = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vsize = ucnt.agg(F.count(F.lit(1)).alias("v"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(0)))
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("ws", i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = t.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bcnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bg.join(bcnt, "bigram")
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .join(ucnt, "w1")
+        .crossJoin(F.broadcast(vsize))
+    )
+    lp = F.log((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(lp), 4).alias("avg_logprob"),
+    )

@@ -40,6 +40,9 @@ CROSS_JOIN_ALLOWED = {
     "negative_sampling",
     # 1-row scalar broadcasts (corpus size / token totals / node count)
     "unigram_logprob_score",
+    "bigram_logprob_score",
+    # 1-row total broadcast + 4-literal-row k-probe NLJ against the vocab
+    "vocab_coverage_curve",
     "tfidf_term_stats",
     "pmi_bigrams",
     "pagerank_trade_graph",
