@@ -471,3 +471,109 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.avg(lp), 4).alias("avg_logprob"),
     )
+
+
+_FH_DIM = 64
+
+
+@register(
+    "feature_hashing_vector",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(w), 1, 8))::BIGINT % {_FH_DIM} AS feature_idx,
+               CASE WHEN ('0x' || substring(md5('sign|' || w), 1, 8))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok
+    )
+    SELECT doc_id, CAST(feature_idx AS INTEGER) AS feature_idx,
+           CAST(sum(sgn) AS BIGINT) AS val
+    FROM hashed
+    GROUP BY doc_id, feature_idx
+    HAVING sum(sgn) <> 0
+    """,
+)
+def feature_hashing_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al.): project
+    the unbounded word space into a fixed {dim}-dim signed-count vector
+    with NO vocabulary pass — idx = h(w) mod d, a second hash bit gives
+    the ± sign that keeps collision noise zero-mean. The tokenless
+    featurizer for linear models / MinHash-free similarity at corpus
+    scale; emitted in sparse (doc, idx, val) triplet form. Map-only
+    hashing + one doc-keyed aggregate; md5-derived so the projection is
+    engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.words("text")).alias("w"))
+    idx = (TX.word_hash(F.col("w")) % _FH_DIM).cast("int").alias("feature_idx")
+    sgn = F.when(
+        TX.word_hash(F.concat(F.lit("sign|"), F.col("w"))) % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", idx, sgn.alias("sgn"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.sum("sgn").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS m
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, med.m,
+               abs(e.value - med.m) AS ad
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, round(d.value, 4) AS value,
+           floor(0.6745 * (d.value - d.m) / mad.mad * 10000 + 0.5) / 10000
+               AS robust_z
+    FROM dev d JOIN mad USING (event_type)
+    WHERE abs(0.6745 * (d.value - d.m) / mad.mad) > 3.5
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outliers (Iglewicz–Hoaglin modified z-score):
+    0.6745·(x−median)/MAD with the |z|>3.5 flag — unlike the
+    stddev-based ``zscore_outliers``, the estimator itself is immune to
+    the outliers it hunts. Two exact per-group medians (group-count-
+    sized frames broadcast back between passes); everything else is
+    map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    rz = 0.6745 * (F.col("value") - F.col("m")) / F.col("mad")
+    # rounding spelled as floor(x*1e4 + 0.5)/1e4 in BOTH engines: the
+    # engines' native round() disagree by 1 ulp when the double sits at
+    # a decimal half boundary (measured: 1 row in 4053 at sf0.1); this
+    # formulation is pure float ops, bit-identical on identical inputs
+    rz4 = F.floor(rz * 10000 + 0.5) / 10000
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            rz4.alias("robust_z"),
+        )
+    )
