@@ -311,3 +311,39 @@ def cmf_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, reg_param double, rmse double, mae double, "
         "n_scored long, is_best boolean",
     )
+
+
+@register("cmf_foldin_predict")
+def cmf_foldin_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start fold-in serving (cmf/foldin.py): fit on most users,
+    fold the held-out users' interactions against the fixed item
+    factors (the exact ALS half-step), score their pairs — users the
+    fitted model alone would NaN. Rows-only (iterative fit inside);
+    ridge-optimality of the folded factors is pinned in
+    tests/test_foldin.py."""
+    from collective_als_spark.cmf.als import CollectiveALS
+    from collective_als_spark.cmf.foldin import fold_in_predict
+    from collective_als_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("int").alias("user"),
+        F.pmod("event_id", F.lit(500)).cast("int").alias("item"),
+        F.col("value").cast("float").alias("rating"),
+    )
+    train = ev.filter(F.col("user") % 7 != 0)
+    cold = ev.filter(F.col("user") % 7 == 0)
+    model = CollectiveALS(rank=8, max_iter=3, seed=1, num_blocks=8).fit(
+        {("user", "item"): train}
+    )
+    history = cold.select(
+        F.col("user").alias("user_id"), F.col("item").alias("item_id"), "rating"
+    )
+    # user fold-in only: items unseen at fit time are the separate
+    # item-cold-start problem, so score only catalog items
+    known_items = train.select(F.col("item").alias("item_id")).distinct()
+    pairs = (
+        history.select("user_id", "item_id")
+        .distinct()
+        .join(known_items, "item_id", "left_semi")
+    )
+    return fold_in_predict(model, history, pairs, "user_id", "item", "item_id")

@@ -1,0 +1,88 @@
+"""Fold-in correctness: folded factors must solve the per-entity ridge
+normal equations exactly, and end-to-end cold-start serving must score
+users the fitted model alone cannot."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+
+def _toy_model(spark, rank=4, n_items=30, seed=11):
+    from collective_als_spark.cmf.als import CollectiveALSModel
+
+    rng = np.random.default_rng(seed)
+    items = [(i, [float(x) for x in rng.normal(size=rank)]) for i in range(n_items)]
+    f = spark.createDataFrame(items, "id int, features array<float>")
+    return CollectiveALSModel(rank, ["user", "item"], {"user": f, "item": f})
+
+
+def test_fold_in_solves_normal_equations(spark):
+    from collective_als_spark.cmf.foldin import fold_in
+
+    model = _toy_model(spark)
+    rng = np.random.default_rng(5)
+    rows = []
+    for u in (1000, 1001, 1002):
+        for i in rng.choice(30, size=12, replace=False):
+            rows.append((u, int(i), float(rng.normal())))
+    ratings = spark.createDataFrame(rows, "user_id int, item_id int, rating double")
+    reg = 0.1
+    folded = {
+        r.id: np.array(r.features, dtype=np.float64)
+        for r in fold_in(
+            model, ratings, "user_id", "item", "item_id", reg_param=reg
+        ).collect()
+    }
+    Y = {
+        r.id: np.array(r.features, dtype=np.float64)
+        for r in model.factors_for("item").collect()
+    }
+    by_u = {}
+    for u, i, rr in rows:
+        by_u.setdefault(u, []).append((i, rr))
+    assert set(folded) == set(by_u)
+    for u, obs in by_u.items():
+        # float32 factor storage bounds the achievable precision
+        X = np.stack([np.array(Y[i], dtype=np.float32).astype(np.float64) for i, _ in obs])
+        r = np.array([v for _, v in obs])
+        n = len(obs)
+        A = X.T @ X + reg * n * np.eye(model.rank)
+        want = np.linalg.solve(A, X.T @ r)
+        assert np.allclose(folded[u], want, atol=1e-4), (u, folded[u], want)
+
+
+def test_fold_in_predict_cold_start_end_to_end(spark, sf_small):
+    from collective_als_spark.cmf.als import CollectiveALS
+    from collective_als_spark.cmf.foldin import fold_in_predict
+    from collective_als_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_small, "events").select(
+        F.col("user_id").cast("int").alias("user"),
+        F.pmod("event_id", F.lit(50)).cast("int").alias("item"),
+        F.col("value").cast("float").alias("rating"),
+    )
+    train = ev.filter(F.col("user") % 7 != 0)
+    cold = ev.filter(F.col("user") % 7 == 0)
+    model = CollectiveALS(rank=4, max_iter=2, seed=1, num_blocks=8).fit(
+        {("user", "item"): train}
+    )
+    pairs = cold.select(
+        F.col("user").alias("user_id"), F.col("item").alias("item_id")
+    ).distinct()
+    # the fitted model alone: cold users yield NaN (no user factors)
+    base = model.predict(pairs, "user", "item", "user_id", "item_id")
+    assert all(
+        r.prediction is None or np.isnan(r.prediction) for r in base.collect()
+    )
+    history = cold.select(
+        F.col("user").alias("user_id"),
+        F.col("item").alias("item_id"),
+        "rating",
+    )
+    scored = fold_in_predict(
+        model, history, pairs, "user_id", "item", "item_id"
+    ).collect()
+    assert scored
+    assert all(
+        r.prediction is not None and np.isfinite(r.prediction) for r in scored
+    )

@@ -63,6 +63,7 @@ SKIP = {
     "cmf_fit_3entity",
     "cmf_recommend_topk",
     "cmf_grid_search",
+    "cmf_foldin_predict",
     "cmf_rec_coverage_novelty",
     "als_regression_eval",
     "ann_topk_ivf",
