@@ -102,3 +102,36 @@ def test_chunking_formula_covers_every_token():
             assert s <= covered                     # no gap
             covered = max(covered, min(s + 64, n))
         assert covered == n                         # full coverage
+
+
+def test_shingles_zip_construction_matches_reference(spark):
+    """The zip-with shingle builder (r03 rewrite) must equal a plain
+    Python sliding window for every n and word count, including the
+    fewer-than-n edge."""
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.functions.text import shingles
+
+    texts = [
+        "",
+        "a",
+        "a b",
+        "a b c",
+        "a b c d",
+        "a b c d e f g",
+        "x " * 30 + "y",
+    ]
+    df = spark.createDataFrame([(i, t.strip() if t != "" else t) for i, t in enumerate(texts)], "i int, text string")
+    for n in (2, 3, 4, 5):
+        got = {
+            r.i: r.sh
+            for r in df.select("i", shingles(F.col("text"), n).alias("sh")).collect()
+        }
+        for i, t in enumerate(texts):
+            ws = (t.strip() if t != "" else t).split(" ")
+            want = (
+                [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+                if len(ws) >= n
+                else []
+            )
+            assert got[i] == want, (n, t, got[i], want)
