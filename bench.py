@@ -42,6 +42,11 @@ HEADLINE = [
     "item_item_cosine",
     "pagerank_trade_graph",
     "tfidf_term_stats",
+    # round-3 new families: winnowing fingerprints, corpus-LM scoring,
+    # per-key recursive fold
+    "winnowing_fingerprints",
+    "unigram_logprob_score",
+    "ewma_user_value",
 ]
 
 
