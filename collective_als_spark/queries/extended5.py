@@ -8,6 +8,7 @@ only broadcasts are dimension- or 1-row-sized.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -575,5 +576,42 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.round("value", 4).alias("value"),
             rz4.alias("robust_z"),
+        )
+    )
+
+
+@register("compression_ratio_quality")
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the repetition/boilerplate
+    signal the Gopher/MassiveText filters use (highly repetitive text
+    compresses far below prose; near-random noise compresses above it).
+    Implemented as an Arrow-batched pandas UDF (the documented slow
+    path: no codegen DEFLATE exists) over a map-only projection —
+    embarrassingly parallel, no shuffle at all before the final
+    source rollup. Rows-only: DuckDB has no zlib; invariants pinned in
+    tests/test_extended4.py (repetitive < prose < random)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        def ratio(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(ratio)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", comp_ratio(F.col("text")).alias("cr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("cr"), 4).alias("mean_ratio"),
+            F.round(F.min("cr"), 4).alias("min_ratio"),
+            F.round(F.max("cr"), 4).alias("max_ratio"),
         )
     )
