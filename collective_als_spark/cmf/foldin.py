@@ -47,12 +47,15 @@ def fold_in(
     rating_col: str = "rating",
     reg_param: float = 0.1,
     nonnegative: bool = False,
+    implicit_prefs: bool = False,
+    alpha: float = 1.0,
     num_blocks: int = 32,
 ) -> DataFrame:
     """(id, features) for every distinct id in ``ratings[new_col]``,
     solved ridge-optimal against ``model``'s ``fixed_entity`` factors
-    with ALS-WR λ·n regularization (matching ``_fit_native``'s
-    explicit-path update)."""
+    with ALS-WR λ·n regularization — the explicit and implicit
+    (confidence-weighted, YtY-augmented) updates both match
+    ``_fit_native``'s corresponding half-step."""
     Y = model.factors_for(fixed_entity).select(
         F.col("id").alias("_fid"), F.col("features").alias("_yf")
     )
@@ -64,6 +67,14 @@ def fold_in(
 
     reg = float(reg_param)
     nonneg = bool(nonnegative)
+    a = float(alpha)
+    yty = None
+    if implicit_prefs:
+        from collective_als_spark.cmf.als import CollectiveALS
+
+        # k×k Gramian of the fixed factors, shipped in the closure —
+        # same bounded collect as the fit loop (als.py::_compute_yty)
+        yty = CollectiveALS._compute_yty(model.factors_for(fixed_entity))
 
     def solve_block(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -72,8 +83,26 @@ def fold_in(
         ids = pdf["id"].values[order]
         X = np.stack(pdf["_yf"].values[order]).astype(np.float64)
         r = pdf["rating"].values[order].astype(np.float64)
-        uids, AtA, Atb, counts = S.build_normal_equations(ids, X, r)
-        lam = counts.astype(np.float64) * reg  # ALS-WR
+        if yty is None:
+            uids, AtA, Atb, counts = S.build_normal_equations(ids, X, r)
+            nexpl = counts.astype(np.float64)
+        else:
+            # implicit path, mirroring als.py::_fit_native solve_block:
+            # confidence c1 = alpha*|r| on positive rows, target
+            # (c1+1)/c1 so weight*target = c1+1; YtY added per id
+            c1 = a * np.abs(r)
+            pos = r > 0
+            w = np.where(pos, c1, 0.0)
+            tgt = np.divide(c1 + 1.0, c1, out=np.zeros_like(c1), where=c1 > 0)
+            tgt = np.where(pos, tgt, 0.0)
+            uids, AtA, Atb, _ = S.build_normal_equations(
+                ids, X, np.ones_like(r), weights=w, targets=tgt
+            )
+            seg = np.searchsorted(uids, ids)
+            nexpl = np.zeros(len(uids))
+            np.add.at(nexpl, seg, pos.astype(np.float64))
+            AtA += yty[None, :, :]
+        lam = nexpl * reg  # ALS-WR
         if nonneg:
             sol = S.solve_nnls(AtA, Atb, lam)
         else:

@@ -86,3 +86,48 @@ def test_fold_in_predict_cold_start_end_to_end(spark, sf_small):
     assert all(
         r.prediction is not None and np.isfinite(r.prediction) for r in scored
     )
+
+
+def test_fold_in_implicit_solves_weighted_normal_equations(spark):
+    """Implicit path: folded factors must solve
+    (Y'Y + Y'(C-I)Y + lam*n_pos*I) x = Y'C p with c = alpha*|r| on
+    positive rows — the Hu-Koren-Volinsky system _fit_native solves."""
+    from collective_als_spark.cmf.foldin import fold_in
+
+    model = _toy_model(spark)
+    rng = np.random.default_rng(7)
+    alpha, reg = 2.0, 0.1
+    rows = []
+    for u in (500, 501):
+        for i in rng.choice(30, size=10, replace=False):
+            rows.append((u, int(i), float(abs(rng.normal()) + 0.1)))
+    ratings = spark.createDataFrame(rows, "user_id int, item_id int, rating double")
+    folded = {
+        r.id: np.array(r.features, dtype=np.float64)
+        for r in fold_in(
+            model,
+            ratings,
+            "user_id",
+            "item",
+            "item_id",
+            reg_param=reg,
+            implicit_prefs=True,
+            alpha=alpha,
+        ).collect()
+    }
+    Yall = {
+        r.id: np.array(r.features, dtype=np.float32).astype(np.float64)
+        for r in model.factors_for("item").collect()
+    }
+    YtY = sum(np.outer(v, v) for v in Yall.values())
+    by_u = {}
+    for u, i, rr in rows:
+        by_u.setdefault(u, []).append((i, rr))
+    for u, obs in by_u.items():
+        X = np.stack([Yall[i] for i, _ in obs])
+        c = alpha * np.abs(np.array([v for _, v in obs]))
+        n_pos = len(obs)
+        A = YtY + X.T @ (c[:, None] * X) + reg * n_pos * np.eye(model.rank)
+        b = X.T @ (c + 1.0)  # targets p=1 with weight c: Y'(C)(p) + Y'p
+        want = np.linalg.solve(A, b)
+        assert np.allclose(folded[u], want, atol=1e-4), (u, folded[u], want)
