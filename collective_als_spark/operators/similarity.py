@@ -331,6 +331,58 @@ def embedding_neardup_pairs(
     )
 
 
+def _fit_pq_codebooks(
+    dvec: DataFrame, m: int, n_codes: int, seed: int
+) -> np.ndarray:
+    """(m, n_codes, dim/m) per-subspace k-means codebooks over the
+    ``v`` column — m driver-side fits over narrow slices; m is small
+    and each fit is distributed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = dvec.select(F.size("v").alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks = []
+    for j in range(m):
+        train = dvec.select(
+            array_to_vector(F.slice("v", j * sub + 1, sub)).alias("fv")
+        )
+        km = KMeans(k=n_codes, seed=seed + j, maxIter=20, featuresCol="fv")
+        codebooks.append(np.stack([c for c in km.fit(train).clusterCenters()]))
+    return np.stack(codebooks)
+
+
+_PQ_ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("nid", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _pq_encode(dvec: DataFrame, cb: np.ndarray, id_col: str) -> DataFrame:
+    """(nid, codes) — one narrow mapInPandas; codebooks ride the task
+    closure."""
+    m, _, sub = cb.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].values)  # (b, dim)
+            parts = x.reshape(len(pdf), m, sub)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                # (b, n_codes) squared distances to subspace codewords
+                d2 = ((parts[:, j, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({"nid": pdf[id_col].values, "codes": list(codes)})
+
+    return dvec.mapInPandas(encode, _PQ_ENC_SCHEMA)
+
+
 def pq_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -363,50 +415,12 @@ def pq_topk(
     Rows-only (iterative k-means; recall-vs-brute-force pinned in
     tests/test_extended4.py).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     dvec = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    first = dvec.select(F.size("v").alias("d")).first()
-    dim = first["d"]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-
-    # per-subspace codebooks (m driver-side fits over narrow slices;
-    # m is small and each fit is distributed)
-    codebooks = []
-    for j in range(m):
-        train = dvec.select(
-            array_to_vector(F.slice("v", j * sub + 1, sub)).alias("fv")
-        )
-        km = KMeans(k=n_codes, seed=seed + j, maxIter=20, featuresCol="fv")
-        codebooks.append(np.stack([c for c in km.fit(train).clusterCenters()]))
-    cb = np.stack(codebooks)  # (m, n_codes, sub)
-
-    enc_schema = T.StructType(
-        [
-            T.StructField("nid", T.LongType()),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
-        ]
-    )
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["v"].values)  # (b, dim)
-            parts = x.reshape(len(pdf), m, sub)
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for j in range(m):
-                # (b, n_codes) squared distances to subspace codewords
-                d2 = ((parts[:, j, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
-                codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame({"nid": pdf[id_col].values, "codes": list(codes)})
-
-    encoded = dvec.mapInPandas(encode, enc_schema)
+    cb = _fit_pq_codebooks(dvec, m, n_codes, seed)
+    sub = cb.shape[2]
+    encoded = _pq_encode(dvec, cb, id_col)
 
     # bounded query set with precomputed subvectors, shipped to every
     # partition of the ADC scan
@@ -456,6 +470,125 @@ def pq_topk(
     cand = encoded.mapInPandas(adc_scan, cand_schema)
 
     # exact rerank over the bounded candidate set
+    e_q = dvec.select(F.col(id_col).alias("query_id"), F.col("v").alias("_qv"))
+    e_c = dvec.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("_cv"))
+    scored = (
+        cand.join(e_q, "query_id")
+        .join(e_c, "neighbor_id")
+        .withColumn("cos", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def ivfadc_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank_depth: int = 50,
+    n_queries: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """IVFADC (Jégou et al.): the IVF coarse quantizer prunes WHICH
+    rows are scored, PQ-ADC byte codes make scoring them cheap, exact
+    cosine reranks the survivors — the composition behind
+    billion-scale FAISS-style indices, expressed as DataFrame ops.
+
+    Pipeline: k-means cells + per-subspace codebooks (both tiny,
+    closure-shipped) → one narrow encode pass attaching (cell, codes)
+    per vector → the ADC scan reads ONLY rows whose cell is probed by
+    some query (cell-partition pruning; a per-(query,row) mask keeps
+    each query to its own ``n_probe`` cells) → per-partition local
+    top-depth → bounded exact rerank. Work scales with probed-cell
+    occupancy × queries, never N², and the scan never touches a float
+    vector.
+
+    Rows-only (two k-means stages; recall pinned vs brute force in
+    tests/test_extended4.py).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dvec = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # coarse quantizer
+    train = dvec.select(array_to_vector("v").alias("fv"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20, featuresCol="fv")
+    centroids = np.stack([c for c in km.fit(train).clusterCenters()])
+
+    cb = _fit_pq_codebooks(dvec, m, n_codes, seed)
+    sub = cb.shape[2]
+
+    cell_of = _assign_cells(embeddings, centroids, id_col, vec_col, 1).select(
+        F.col("vid").alias("nid"), "cell"
+    )
+    enc = _pq_encode(dvec, cb, id_col).join(cell_of, "nid")
+
+    # bounded query set: probe cells + ADC lookup tables, numpy-side
+    qrows = dvec.orderBy(id_col).limit(n_queries).collect()
+    q_ids = np.array([r[id_col] for r in qrows])
+    q_mat = np.stack([np.asarray(r["v"]) for r in qrows])
+    qn = q_mat / (np.sqrt((q_mat**2).sum(-1, keepdims=True)) + 1e-12)
+    cn = centroids / (np.sqrt((centroids**2).sum(-1, keepdims=True)) + 1e-12)
+    order = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    probe_mask = np.zeros((len(q_ids), n_cells), dtype=bool)
+    np.put_along_axis(probe_mask, order, True, axis=1)
+    probed_any = sorted({int(c) for c in order.ravel()})
+
+    q_parts = q_mat.reshape(len(q_ids), m, sub)
+    lut = np.einsum("qjs,jcs->qjc", q_parts, cb)
+    cb_norm2 = (cb**2).sum(-1)
+    q_norm = np.sqrt((q_mat**2).sum(-1))
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+        ]
+    )
+    depth = rerank_depth
+
+    def adc_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].values)
+            nids = pdf["nid"].values
+            cells = pdf["cell"].values.astype(np.int64)
+            dots = lut[:, np.arange(m)[None, :], codes].sum(-1)
+            recon_norm = np.sqrt(cb_norm2[np.arange(m)[None, :], codes].sum(-1))
+            scores = dots / (q_norm[:, None] * recon_norm[None, :] + 1e-12)
+            # IVF pruning: a query scores a row only in its probed cells
+            scores = np.where(probe_mask[:, cells], scores, -np.inf)
+            scores = np.where(nids[None, :] == q_ids[:, None], -np.inf, scores)
+            top = min(depth, scores.shape[1])
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            keep = np.take_along_axis(scores, idx, axis=1) > -np.inf
+            qq = np.repeat(q_ids, top).reshape(len(q_ids), top)
+            yield pd.DataFrame(
+                {
+                    "query_id": qq[keep].ravel(),
+                    "neighbor_id": nids[idx][keep].ravel(),
+                }
+            )
+
+    # cell-partition pruning: rows in cells no query probes never reach
+    # the scan (on a cell-partitioned table this is partition pruning)
+    cand = (
+        enc.filter(F.col("cell").isin(probed_any))
+        .mapInPandas(adc_scan, cand_schema)
+    )
+
     e_q = dvec.select(F.col(id_col).alias("query_id"), F.col("v").alias("_qv"))
     e_c = dvec.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("_cv"))
     scored = (

@@ -1460,3 +1460,16 @@ def vocab_top_p_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mass_before") / F.col("total") < 0.9)
         .select("word", "n", "cum_share")
     )
+
+
+@register("ann_topk_ivfadc")
+def ann_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC ANN: IVF cells prune which rows are scored, PQ-ADC byte
+    codes make scoring cheap, exact cosine reranks — the billion-scale
+    composition (rows-only: two k-means stages; recall pinned in
+    tests/test_extended4.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivfadc_topk(
+        emb, k=5, n_cells=16, n_probe=6, m=8, n_codes=16, rerank_depth=50,
+        n_queries=100,
+    )

@@ -222,3 +222,21 @@ def test_compression_ratio_orders_text_classes(spark):
     ).collect()
     assert rows
     assert all(0 < r.min_ratio <= r.mean_ratio <= r.max_ratio for r in rows)
+
+
+def test_ivfadc_topk_recall_vs_brute_force(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.operators.similarity import brute_force_topk, ivfadc_topk
+    from collective_als_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.orderBy("vec_id").limit(50)
+    approx = ivfadc_topk(
+        emb, k=5, n_cells=8, n_probe=6, m=8, n_codes=16, rerank_depth=50, n_queries=50
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall

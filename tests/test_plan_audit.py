@@ -68,6 +68,7 @@ SKIP = {
     "als_regression_eval",
     "ann_topk_ivf",
     "ann_topk_pq",
+    "ann_topk_ivfadc",
     "item_item_dimsum",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",
