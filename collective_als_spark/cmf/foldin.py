@@ -127,13 +127,31 @@ def fold_in_predict(
     rating_col: str = "rating",
     reg_param: float = 0.1,
     prediction_col: str = "prediction",
+    nonnegative: bool = False,
+    implicit_prefs: bool = False,
+    alpha: float = 1.0,
+    num_blocks: int = 32,
 ) -> DataFrame:
     """Score ``score_pairs`` (new_col, fixed_col) for entities folded in
-    from ``history`` — the end-to-end cold-start serving call."""
+    from ``history`` — the end-to-end cold-start serving call. The
+    solver options (``implicit_prefs``/``alpha``/``nonnegative``/
+    ``num_blocks``) are forwarded to :func:`fold_in` so serving for a
+    model fit with implicit feedback solves the SAME confidence-weighted
+    equations the fit did, not the explicit ones."""
     from collective_als_spark.functions.vector import dot
 
     newf = fold_in(
-        model, history, new_col, fixed_entity, fixed_col, rating_col, reg_param
+        model,
+        history,
+        new_col,
+        fixed_entity,
+        fixed_col,
+        rating_col,
+        reg_param,
+        nonnegative=nonnegative,
+        implicit_prefs=implicit_prefs,
+        alpha=alpha,
+        num_blocks=num_blocks,
     )
     Y = model.factors_for(fixed_entity)
     return (

@@ -460,10 +460,14 @@ def pq_topk(
             )
             top = min(depth, scores.shape[1])
             idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            # drop -inf entries (the query's own row) so a short tail
+            # batch can't leak the self pair into the exact rerank
+            keep = np.take_along_axis(scores, idx, axis=1) > -np.inf
+            qq = np.repeat(q_ids, top).reshape(len(q_ids), top)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(q_ids, top),
-                    "neighbor_id": nids[idx].ravel(),
+                    "query_id": qq[keep].ravel(),
+                    "neighbor_id": nids[idx][keep].ravel(),
                 }
             )
 

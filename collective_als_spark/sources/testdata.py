@@ -25,15 +25,25 @@ TABLES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the two confs this engine's timestamp semantics depend on.
+
+    Every session this engine runs in MUST use UTC session time — the
+    duckdb oracle compares naive wall-clocks, and ``normalize_event_ts``
+    relies on NTZ→LTZ casts being value-identical under UTC.
+    ``session.get_spark`` sets both at creation; for externally-provided
+    sessions (the driver's) this is applied at the FIRST ``load_table``
+    call — before any frame from this engine exists — rather than as a
+    per-events-load side effect that could retroactively change
+    timestamp semantics of earlier frames mid-session."""
+    # events.ts is parquet TIMESTAMP(NANOS) in some driver rounds,
+    # unreadable without this
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # must hold on ANY session (the driver provides its own):
-        # events.ts is parquet TIMESTAMP(NANOS), unreadable without this
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # and when the driver writes timestamp[us] instead (encoding has
-        # varied by round), the NTZ→LTZ normalization below must read
-        # naive wall-clocks as UTC to agree with DuckDB on any box tz
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)

@@ -374,7 +374,8 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in rows:
                 n += len(pdf)
                 total += float(pdf["value"].sum())
-                vmax = max(vmax, float(pdf["value"].max()))
+                if len(pdf):
+                    vmax = max(vmax, float(pdf["value"].max()))
             self._state.update((n, total, vmax))
             yield pd.DataFrame(
                 {

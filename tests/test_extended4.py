@@ -224,6 +224,21 @@ def test_compression_ratio_orders_text_classes(spark):
     assert all(0 < r.min_ratio <= r.mean_ratio <= r.max_ratio for r in rows)
 
 
+def test_pq_topk_never_returns_self_pair(spark, sf_small):
+    """Regression: when an Arrow batch has <= rerank_depth rows (e.g. a
+    partition tail), the ADC argpartition used to pull the query's own
+    -inf-masked row into the candidate set, and the exact rerank scored
+    it cos=1.0 — the query became its own top-1 neighbor."""
+    from collective_als_spark.operators.similarity import pq_topk
+    from collective_als_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").limit(40).repartition(16)
+    out = pq_topk(emb, k=5, m=4, n_codes=8, rerank_depth=50, n_queries=20)
+    rows = out.collect()
+    assert rows
+    assert all(r.query_id != r.neighbor_id for r in rows)
+
+
 def test_ivfadc_topk_recall_vs_brute_force(spark, sf_small):
     from pyspark.sql import functions as F
 

@@ -88,6 +88,51 @@ def test_fold_in_predict_cold_start_end_to_end(spark, sf_small):
     )
 
 
+def test_fold_in_predict_forwards_implicit_options(spark):
+    """Regression: fold_in_predict used to drop implicit_prefs/alpha,
+    silently solving the explicit equations for implicit-fit models.
+    Its scores must equal dot(fold_in(implicit factors), Y)."""
+    from collective_als_spark.cmf.foldin import fold_in, fold_in_predict
+
+    model = _toy_model(spark)
+    rng = np.random.default_rng(13)
+    alpha = 2.0
+    rows = [
+        (700, int(i), float(abs(rng.normal()) + 0.1))
+        for i in rng.choice(30, size=10, replace=False)
+    ]
+    history = spark.createDataFrame(rows, "user_id int, item_id int, rating double")
+    pairs = spark.createDataFrame(
+        [(700, i) for i in range(5)], "user_id int, item_id int"
+    )
+    scored = {
+        r.item_id: r.prediction
+        for r in fold_in_predict(
+            model,
+            history,
+            pairs,
+            "user_id",
+            "item",
+            "item_id",
+            implicit_prefs=True,
+            alpha=alpha,
+        ).collect()
+    }
+    fu = {
+        r.id: np.array(r.features, dtype=np.float64)
+        for r in fold_in(
+            model, history, "user_id", "item", "item_id",
+            implicit_prefs=True, alpha=alpha,
+        ).collect()
+    }[700]
+    Y = {
+        r.id: np.array(r.features, dtype=np.float32).astype(np.float64)
+        for r in model.factors_for("item").collect()
+    }
+    for i in range(5):
+        assert abs(scored[i] - float(fu @ Y[i])) < 1e-3, (i, scored[i])
+
+
 def test_fold_in_implicit_solves_weighted_normal_equations(spark):
     """Implicit path: folded factors must solve
     (Y'Y + Y'(C-I)Y + lam*n_pos*I) x = Y'C p with c = alpha*|r| on
