@@ -78,6 +78,32 @@ def main() -> None:
         ),
     }
 
+    # Honest-comparison guard: the split override must stay semantically
+    # identical to the registered queries it stands in for. Checked once
+    # per run at sf0.001 (cheap) by comparing full sorted result sets of
+    # the override construction vs the registered definitions.
+    def _override_guard() -> str:
+        gdir = "/root/testdata/sf0.001"
+        gd = load_table(spark, gdir, "documents")
+        gsigs = D.minhash_signatures(gd, "doc_id", "text", num_hashes=8).persist()
+        try:
+            for name, ov in (
+                ("minhash_signature", gsigs),
+                (
+                    "lsh_candidate_pairs",
+                    D.lsh_candidate_pairs(gsigs, "doc_id", num_hashes=8, band_size=2),
+                ),
+            ):
+                reg = qs[name](spark, gdir)
+                a = sorted(map(str, ov.collect()))
+                b = sorted(map(str, reg.collect()))
+                assert a == b, f"bench override diverged from registered {name}"
+        finally:
+            gsigs.unpersist()
+        return "overrides==registered@sf0.001"
+
+    override_guard = _override_guard()
+
     # warm the JVM/codegen path once with a cheap query, and the MLlib
     # ALS class-loading/BLAS-init path with a toy fit (first-fit warmup
     # costs ~8s of pure JVM setup that would otherwise be attributed to
@@ -95,6 +121,7 @@ def main() -> None:
 
     import gc
 
+    load_before = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # plan construction stays inside the timed region: some queries
@@ -132,6 +159,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # 1/5/15-min load averages around the run, so a reviewer can
+        # tell box contention from a real regression without a re-run
+        "load_before": load_before,
+        "load_after": [round(x, 2) for x in os.getloadavg()],
+        "override_guard": override_guard,
     }
     print(json.dumps(out))
 

@@ -71,7 +71,7 @@ def chrono_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN t.item_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS hit
         FROM ranked r LEFT JOIN truth t
           ON r.user_id = t.user_id AND r.item_id = t.item_id
-        WHERE r.pos <= 10
+        WHERE r.pos <= 100
     ),
     cum AS (
         SELECT user_id, pos, hit,
@@ -80,8 +80,8 @@ def chrono_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     idcg_tbl AS (
         SELECT i AS m, sum(1.0 / log2(j + 1)) AS idcg
-        FROM generate_series(1, 10) s1(i)
-        JOIN generate_series(1, 10) s2(j) ON j <= i
+        FROM generate_series(1, 100) s1(i)
+        JOIN generate_series(1, 100) s2(j) ON j <= i
         GROUP BY i
     ),
     per_user AS (
@@ -91,7 +91,7 @@ def chrono_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN c.cum_hits / c.pos ELSE 0 END) AS ap_num,
                sum(CASE WHEN c.pos <= k.k AND c.hit > 0
                         THEN 1.0 / log2(c.pos + 1) ELSE 0 END) AS dcg
-        FROM cum c CROSS JOIN (SELECT unnest([5, 10]) AS k) k
+        FROM cum c CROSS JOIN (SELECT unnest([5, 10, 20, 50, 100]) AS k) k
         GROUP BY k.k, c.user_id
     ),
     scored AS (
@@ -116,8 +116,9 @@ def chrono_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ranking_metrics_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11: Precision/Recall/F1/NDCG/MAP @ {5,10} — native rebuild of the
-    reference's SparkRankingMetrics dep (IHRALS.scala:43-57).
+    """A11: Precision/Recall/F1/NDCG/MAP @ {5,10,20,50,100} — native
+    rebuild of the reference's SparkRankingMetrics dep at the reference
+    job's full k-set (IHRALS.scala:43-57, IHRCollectiveALS.scala:63-77).
     Deterministic fixture: rank each customer's orders by totalprice,
     relevant = orders with status 'F'."""
     orders = load_table(spark, sf_dir, "orders")
@@ -129,7 +130,9 @@ def ranking_metrics_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("user_id"), F.col("o_orderkey").alias("item_id")
     )
-    m = ranking_metrics(preds, truth, "user_id", "item_id", "score", ks=[5, 10])
+    m = ranking_metrics(
+        preds, truth, "user_id", "item_id", "score", ks=[5, 10, 20, 50, 100]
+    )
     return m.select(
         "k",
         F.round("precision", 6).alias("precision"),

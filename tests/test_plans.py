@@ -72,6 +72,24 @@ def test_approx_split_has_no_global_window(spark, sf_med):
     assert 0.85 <= nt / n <= 0.95
 
 
+def test_ranking_metrics_plan_shape(spark, sf_med):
+    """The A11 plan at the full reference k-set {5,10,20,50,100} must
+    keep its three scale invariants (r03 verdict #1: the truth joins ARE
+    broadcast; the cost is intrinsic k-set width, not a plan miss):
+    - WindowGroupLimit: top-max_k pruning runs BEFORE the full rank
+      window (partial+final), so per-user work is bounded by max(ks);
+    - both relevance joins (truth pairs, n_rel counts) broadcast —
+      no sort-merge join anywhere;
+    - the per-user groupBy reuses the window's hash partitioning: a
+      constant number of exchanges regardless of len(ks)."""
+    s = plan_summary(spark_queries()["ranking_metrics_at_k"](spark, sf_med))
+    assert "WindowGroupLimit" in s["plan"], s["plan"]
+    assert s["n_broadcast_joins"] == 2, s["plan"]
+    assert s["n_sortmerge_joins"] == 0
+    assert s["n_cartesian"] == 0
+    assert s["n_exchanges"] <= 6, s["n_exchanges"]
+
+
 def test_join_strategy_hints_control_plan(spark, sf_med):
     """Strategy hints override Catalyst's default pick — the manual
     control used when stats mislead the planner at scale."""
