@@ -181,6 +181,74 @@ def cmf_fit_3entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cmf_fit_implicit")
+def cmf_fit_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5/Q6 under the driver: 2-entity fit with ``implicit_prefs=True``
+    over SIGNED ratings through the NATIVE solver (``force_native``) —
+    the reference's most idiosyncratic semantics
+    (CollectiveALS.scala:1014-1023): confidence c1 = alpha*|rating| from
+    the magnitude, preference 1 only for rating > 0, YtY added once.
+    Ratings mirror the iHeartRadio thumbs recode (±, IHRALS.scala:30):
+    per-(user, event-bucket) strength log1p(sum(value)), negated for odd
+    buckets so negative preferences are genuinely exercised (item
+    cardinality 200 >> rank keeps YtY well-conditioned). Returns the
+    per-user factor norms (rows-only: iterative fit; the solver algebra
+    is pinned exactly in tests/test_cmf.py)."""
+    from collective_als_spark.cmf import CollectiveALS
+    from collective_als_spark.functions.vector import dot
+
+    ev = load_table(spark, sf_dir, "events")
+    ratings = (
+        ev.select(
+            F.col("user_id").cast("int").alias("user"),
+            F.pmod("event_id", F.lit(200)).cast("int").alias("item"),
+            "value",
+        )
+        .groupBy("user", "item")
+        .agg(F.log1p(F.sum("value")).cast("float").alias("_strength"))
+        .withColumn(
+            "rating",
+            F.when(F.col("item") % 2 == 1, -F.col("_strength")).otherwise(
+                F.col("_strength")
+            ),
+        )
+        .drop("_strength")
+    )
+    model = CollectiveALS(
+        "user",
+        "item",
+        rank=8,
+        max_iter=3,
+        reg_param=0.1,
+        implicit_prefs=True,
+        alpha=1.0,
+        seed=42,
+        num_blocks=8,
+        force_native=True,
+    ).fit(ratings)
+    uf = model.factors_for("user")
+    return uf.select(
+        "id",
+        F.size("features").alias("rank_dim"),
+        F.sqrt(dot(F.col("features"), F.col("features"))).cast("float").alias("norm"),
+    )
+
+
+@register("movielens_parity_metrics")
+def movielens_parity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core correctness check on its own dataset
+    (MovieLensALS.scala:8-46 vs MovieLensCollectiveALS.scala:9-51):
+    stock-ALS baseline vs 3-entity collective fit on ml-latest-small,
+    RMSE/MAE per model plus common-pair metrics. Ignores ``sf_dir`` —
+    the input is the reference checkout's CSV resources (read-only).
+    Rows-only (two iterative fits); the parity assertion itself lives in
+    tests/test_movielens_parity.py. max_iter=10 here keeps the sweep
+    affordable; the test runs the reference's full 20."""
+    from collective_als_spark.movielens import movielens_parity
+
+    return movielens_parity(spark, max_iter=10)
+
+
 @register("als_regression_eval")
 def als_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 over a real model: RMSE/MAE of the flagship fit on its test

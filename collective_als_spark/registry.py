@@ -68,13 +68,18 @@ _PRIORITY: list[str] = [
     "pricing_summary", "ranking_metrics_at_k",
     "cmf_fit_predict", "cmf_fit_3entity",
     "cmf_recommend_topk",
+    # r04 promotion (r03 verdict #4): the implicit-feedback fit (L5/Q6,
+    # the reference's most idiosyncratic semantics) gets a driver row;
+    # running_window_frame demoted (window frames keep in-cap witnesses
+    # via topk_per_group + sessionization, and stay pytest-oracle-checked)
+    "cmf_fit_implicit",
     # -- LLM-pipeline north star
     "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
     "simhash_fingerprint", "ngram_jaccard_pairs", "ann_topk_cosine",
     "text_quality_metrics", "lang_id_heuristic", "doc_fingerprint",
     # -- extended SQL coverage, one representative per family
     "semi_anti_join", "star_join_revenue", "topk_per_group",
-    "running_window_frame", "exists_subquery",
+    "exists_subquery",
     # -- windowed/streaming batch twin
     "sessionization",
     # -- r03 promotions: extension oracles never driver-checked before
@@ -85,7 +90,9 @@ _PRIORITY: list[str] = [
     # ---------------- below the driver cap line (50) ----------------
     # -- §2 dupes demoted in r03 (still oracle-checked by pytest; their
     #    §2 ops keep an in-cap witness per SURVEY2_WITNESSES)
+    "running_window_frame",
     "chrono_rank", "epoch_millis", "als_regression_eval",
+    "movielens_parity_metrics",
     "shipping_priority_top10", "lag_event_gap", "latest_event_per_user_type",
     "in_subquery_high_value", "scalar_subquery_above_avg",
     "returned_items_by_nation", "rollup_agg",
@@ -149,6 +156,7 @@ SURVEY2_WITNESSES: dict[str, list[str]] = {
     "F4_dot_product": ["ann_topk_cosine"],
     "M2_M5_fit_predict": ["cmf_fit_predict"],
     "M3_fit_relations": ["cmf_fit_3entity"],
+    "L5_implicit_confidence": ["cmf_fit_implicit"],
 }
 
 
