@@ -397,6 +397,28 @@ class CollectiveALS:
         rank, reg, alpha = self.rank, self.reg_param, self.alpha
         implicit, nonneg = self.implicit_prefs, self.nonnegative
 
+        # Reliable checkpointing (r03 verdict #3): the reference SETTABLE
+        # checkpointInterval is dead code on its own loop — it always
+        # localCheckpoints (quirk Q2, CollectiveALS.scala:421-422; the
+        # commented-out interval design at :446-468 shows the intent).
+        # localCheckpoint blocks die with a lost executor, so a
+        # 100-iteration production fit (IHRCollectiveALS.scala:53-58)
+        # restarts from scratch on any failure. Here the interval is
+        # honored the way the reference intended: when a checkpoint dir
+        # is configured, every checkpoint_interval-th (iter x entity)
+        # update writes a RELIABLE checkpoint (survives executor loss,
+        # bounds recovery to one interval); other updates keep the cheap
+        # localCheckpoint. With no checkpoint dir the behavior is
+        # exactly quirk-Q2 (localCheckpoint every update).
+        reliable_every = (
+            int(self.checkpoint_interval)
+            if spark.sparkContext.getCheckpointDir() is not None
+            and self.checkpoint_interval
+            and int(self.checkpoint_interval) > 0
+            else 0
+        )
+        update_step = 0
+
         for _ in range(self.max_iter):
             for e in range(n_ent):
                 # relations touching e: (other_entity, flipped df with dst=e-side)
@@ -495,12 +517,14 @@ class CollectiveALS:
                     allc.groupBy(F.pmod(F.hash("id"), F.lit(blocks)).alias("_blk"))
                     .applyInPandas(lambda key, pdf: solve_block(pdf), _FACTOR_SCHEMA)
                 )
-                # Lineage truncation per entity update (reference :421-422).
-                # Deliberate: the reference localCheckpoints EVERY update
-                # regardless of checkpointInterval (quirk Q2), and so do
-                # we — `checkpoint_interval` only reaches the MLlib path
-                # (_fit_builtin), never changes native-path semantics.
-                factors[e] = new_factors.localCheckpoint(eager=True)
+                # Lineage truncation per entity update (reference :421-422),
+                # upgraded to a reliable checkpoint on the configured
+                # interval (see reliable_every above).
+                update_step += 1
+                if reliable_every and update_step % reliable_every == 0:
+                    factors[e] = new_factors.checkpoint(eager=True)
+                else:
+                    factors[e] = new_factors.localCheckpoint(eager=True)
 
         for _, _, df in cached:
             df.unpersist()  # quirk Q5 fixed: reference never unpersists
