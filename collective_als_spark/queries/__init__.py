@@ -7,6 +7,7 @@ from collective_als_spark.queries import (  # noqa: F401
     extended3,
     extended4,
     extended5,
+    extended6,
     llm_data,
     ml_queries,
     relational,

@@ -57,33 +57,35 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     selects per-window minima; classic winnowing's rightmost-tie rule
     only matters for duplicate hash values).
 
-    Scale: explode with position (map-only), ONE doc-keyed window for
-    the sliding min (rows-frame, no global window), distinct on the
-    fingerprint pairs. Fingerprint density is ~2/(w+1) of shingle
-    count, so the stored index is a fraction of MinHash's per-doc
-    signature cost at substring granularity.
+    Scale: MAP-ONLY — the shingle-hash array stays a per-document
+    array column, the sliding min is ``array_min(slice(...))`` over a
+    generated index sequence, and within-doc ``array_distinct`` IS the
+    global distinct (doc_id is a per-row constant), so the whole
+    fingerprint computation runs with ZERO shuffles (r04 rewrite; the
+    r03 plan paid a per-doc count window + a sliding-min window + a
+    global distinct exchange for the same output). Fingerprint density
+    is ~2/(w+1) of shingle count, so the stored index is a fraction of
+    MinHash's per-doc signature cost at substring granularity.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.posexplode(TX.shingles(F.col("text"), 3)).alias("pos0", "s"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        TX.word_hash(F.col("s")).alias("h"),
+    harr = F.transform(
+        TX.shingles(F.col("text"), 3), lambda s: TX.word_hash(s)
     )
-    n = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    # n shingles >= w  <=>  n words >= w + shingle_n - 1; filtering on
+    # the word count keeps the md5 hashing out of the Filter operator
+    # (no cross-operator CSE for the big lambda expression)
+    per_doc = (
+        docs.filter(F.size(TX.words(F.col("text"))) >= _WINNOW_W + 2)
+        .select("doc_id", harr.alias("harr"))
+        .select("doc_id", "harr", F.size("harr").alias("n"))
     )
-    return (
-        n.withColumn("fp", F.min("h").over(w))
-        .filter(F.col("pos") <= F.col("n") - _WINNOW_W + 1)
-        .select("doc_id", "fp")
-        .distinct()
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - _WINNOW_W + 1),
+            lambda i: F.array_min(F.slice(F.col("harr"), i, _WINNOW_W)),
+        )
     )
+    return per_doc.select("doc_id", F.explode(fps).alias("fp"))
 
 
 @register(

@@ -185,3 +185,204 @@ def part_predicate_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.filter(cond).agg(F.round(F.sum(rev), 2).alias("revenue"))
+
+
+@register(
+    "customer_distribution_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts with
+    a join-side predicate (non-urgent orders only) — the canonical
+    outer-join-then-double-aggregate plan. The predicate lives in the
+    JOIN condition, not a WHERE (a WHERE would turn the outer join
+    inner and silently drop zero-order customers).
+
+    Scale: one shuffle joins orders to customers on custkey, the first
+    aggregate is key-partitioned on the same key (no extra exchange
+    under AQE), and the second aggregate's key space is tiny (max
+    orders per customer), so its shuffle is a few hundred rows.
+    Reference parity: optimizer-shape coverage beyond SURVEY §2's J/A
+    rows (`queries/tpch_extra.py` family, r03 verdict-endorsed)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "top_supplier_q15",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS cents
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1998-01-01'
+          AND l_shipdate < DATE '1998-07-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(r.cents / 100.0, 2) AS total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.cents = (SELECT max(cents) FROM rev)
+    """,
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum revenue
+    in a ship-date window — an aggregate reused twice (once as the
+    join input, once reduced to a scalar max), the view-reuse pattern
+    Q15 exists to test.
+
+    Revenue accumulates exact integer cents (order-independent sums —
+    the q7 determinism note) so the `= max` equality is exact in both
+    engines; a double sum would make tie detection float-fragile.
+
+    Scale: the revenue aggregate shuffles on l_suppkey once; the
+    scalar max is a 1-row reduction broadcast back; the supplier join
+    is dimension-sized. No window, no second scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-07-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    best = rev.agg(F.max("cents").alias("best_cents"))
+    return (
+        rev.join(F.broadcast(best), rev.cents == best.best_cents)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("cents") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue_q17",
+    oracle="""
+    SELECT CAST(round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 / 100.0 / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's parts, where "small" is a correlated scalar subquery
+    (20% of that part's average quantity). Expressed through
+    ``spark.sql`` so Catalyst performs the textbook decorrelation:
+    the correlated aggregate becomes a per-partkey aggregate joined
+    back — exactly the plan you would hand-write, derived
+    automatically.
+
+    Scale: the decorrelated per-part average is one shuffle on
+    l_partkey; the brand filter prunes the part dim before its join
+    (broadcast-sized after the filter); integer-cent sum for the
+    deterministic scalar output (q7 note)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_l")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_q17_p")
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                     / 100.0 / 7.0, 2) AS DOUBLE) AS avg_yearly
+        FROM _q17_l l
+        JOIN _q17_p p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM _q17_l l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+@register(
+    "dormant_segment_balance_q22",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+               AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT avg(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND year(o.o_orderdate) >= 2001
+          )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def dormant_segment_balance_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance-above-average customers with
+    no recent urgent order, totalled per market segment — an
+    uncorrelated scalar subquery (global average) gating a NOT EXISTS
+    anti join. (The classic phone-prefix predicate is adapted to the
+    driver schema: segment replaces country code, "no urgent 2001+
+    order" replaces "no orders" since every synthetic customer
+    orders.)
+
+    Scale: the scalar average is a 1-row broadcast; NOT EXISTS
+    becomes a left-anti hash join against the filtered orders
+    projection (filter pushed below the join, one column read);
+    integer-cent balance sum (q7 note)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") >= 2001)
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, o.o_custkey == c.c_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(cents) / 100.0, 2).alias("totacctbal"),
+        )
+    )

@@ -52,12 +52,20 @@ CROSS_JOIN_ALLOWED = {
     "psi_drift",
     "rrf_fusion",
     "token_budget_allocation",
+    # r04: 1-row corpus-total broadcast (scalar join)
+    "source_kl_divergence",
+    # r04: 1-row global-average broadcast gating the anti join
+    "dormant_segment_balance_q22",
 }
 
 # build() executes eagerly (fit / stream drive / label propagation) —
 # audited elsewhere
 SKIP = {
     "dedup_clusters",
+    # r04: label propagation (cluster pass) / MLlib LR fit execute at
+    # plan-build time; audited in tests/test_extended6.py
+    "cluster_safe_split",
+    "quality_classifier_scores",
     "semantic_dedup_kmeans",
     "cmf_fit_predict",
     "cmf_fit_3entity",
