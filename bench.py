@@ -47,6 +47,12 @@ HEADLINE = [
     "winnowing_fingerprints",
     "unigram_logprob_score",
     "ewma_user_value",
+    # round-4 new families: corpus repetition signal, drift scoring,
+    # winnowing-candidate exact containment, outer-join distribution
+    "duplicate_ngram_fraction",
+    "source_kl_divergence",
+    "substring_containment_pairs",
+    "customer_distribution_q13",
 ]
 
 

@@ -430,3 +430,27 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(get_p1, 6).alias("p_high_quality"),
         )
     )
+
+
+@register("bpe_merge_table", oracle=None)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (Sennrich et al. 2016) over the corpus —
+    tokenizer training as a pipeline stage. Iterative argmax (one
+    bounded driver row per merge), so no SQL oracle; greedy-equivalence
+    to a pure-Python reference implementation is pinned by
+    tests/test_bpe.py.
+
+    Scale: all iterations run on the (word, count) VOCABULARY frame
+    (one corpus-sized aggregate up front, vocabulary-sized thereafter);
+    merge application is a map-only codegen array fold
+    (`operators/bpe.py::merge_pair`)."""
+    from collective_als_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", n_merges=8)
+    rows = [
+        (i + 1, l, r, l + r, n) for i, (l, r, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, merged string, pair_count bigint"
+    )

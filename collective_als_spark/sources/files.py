@@ -147,3 +147,59 @@ def compact_small_files(
     shutil.move(staging, path)
     shutil.rmtree(old)
     return n_files
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    fmt: str = "json",
+) -> DataFrame:
+    """Training-data export sink: write the corpus as ``n_shards``
+    deterministic shards plus a manifest — the hand-off format an LLM
+    trainer's data loader consumes (fixed shard count, stable doc→shard
+    assignment, per-shard doc/token counts for length-aware scheduling).
+
+    Shard assignment is md5-hash-mod on the id column (engine-,
+    partitioning- and run-stable — the same rule as the deterministic
+    sampler), each shard written as one file via in-partition grouping:
+    ``repartition(n_shards, shard)`` lines docs up so every task writes
+    exactly its shard's docs (hash-partitioning on the shard key is a
+    1:1 task↔shard mapping when n_shards == numPartitions). The
+    manifest is computed with one aggregate and written next to the
+    shards.
+
+    Returns the manifest DataFrame (shard, n_docs, n_tokens).
+    """
+    from pyspark.sql import functions as F
+
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    with_shard = df.withColumn("shard", shard)
+    writer = (
+        with_shard.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if fmt == "json":
+        writer.json(f"{path}/shards")
+    elif fmt == "parquet":
+        writer.parquet(f"{path}/shards")
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+    manifest = (
+        with_shard.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
+    return manifest

@@ -66,6 +66,7 @@ SKIP = {
     # plan-build time; audited in tests/test_extended6.py
     "cluster_safe_split",
     "quality_classifier_scores",
+    "bpe_merge_table",
     "semantic_dedup_kmeans",
     "cmf_fit_predict",
     "cmf_fit_3entity",
