@@ -454,3 +454,153 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, lhs string, rhs string, merged string, pair_count bigint"
     )
+
+
+@register(
+    "holt_linear_user_value",
+    # NOTE: the oracle is a recursive CTE, not list_reduce — DuckDB
+    # 1.0.0's list_reduce with a STRUCT accumulator corrupts mid-fold
+    # field references (verified: acc.l reads the just-written level
+    # inside the trend expression on non-final steps), so the struct
+    # fold is not a faithful reference there. The per-position
+    # recursion below is plain IEEE double arithmetic in both engines.
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos,
+               value::DOUBLE AS v
+        FROM events
+    ),
+    n AS (SELECT user_id, max(pos) AS mx FROM s GROUP BY user_id),
+    rec(user_id, pos, l, t) AS (
+        SELECT user_id, 1::BIGINT, v, 0.0::DOUBLE FROM s WHERE pos = 1
+        UNION ALL
+        SELECT r.user_id, r.pos + 1,
+               0.3::DOUBLE * s2.v + 0.7::DOUBLE * (r.l + r.t),
+               0.2::DOUBLE * ((0.3::DOUBLE * s2.v
+                               + 0.7::DOUBLE * (r.l + r.t)) - r.l)
+                   + 0.8::DOUBLE * r.t
+        FROM rec r JOIN s s2 ON s2.user_id = r.user_id AND s2.pos = r.pos + 1
+    )
+    SELECT r.user_id, CAST(n.mx AS BIGINT) AS n_events,
+           round(r.l, 6) AS level, round(r.t, 6) AS trend,
+           round(r.l + r.t, 6) AS forecast_1
+    FROM rec r JOIN n ON n.user_id = r.user_id AND r.pos = n.mx
+    """,
+)
+def holt_linear_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double-exponential smoothing (level + trend,
+    α=0.3, β=0.2) with a one-step forecast — the trend-aware upgrade
+    of the EWMA recurrence, the standard per-entity forecasting signal
+    (capacity planning, engagement trajectories). Like EWMA, the
+    recurrence l_i = α·x_i + (1−α)(l+t); t_i = β(l_i−l) + (1−β)t is
+    inexpressible as a SQL window frame, so it runs as ONE codegen
+    array fold over each user's ordered values with a struct
+    accumulator — one user-keyed shuffle, no global state, no UDF.
+
+    Cross-engine determinism: both engines fold identical (ts,
+    event_id)-ordered IEEE doubles with the same struct seed
+    {l: x_1, t: 0}, so results match exactly (DuckDB list_reduce
+    seeds with the first element; every oracle literal is cast to
+    DOUBLE to keep its decimal arithmetic out of the fold).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    grouped = ev.groupBy("user_id").agg(arr.alias("arr"))
+    vals = F.transform(F.col("arr"), lambda x: x["value"].cast("double"))
+    alpha, beta = 0.3, 0.2
+
+    def step(acc, x):
+        new_l = F.lit(alpha) * x["l"] + F.lit(1 - alpha) * (acc["l"] + acc["t"])
+        new_t = F.lit(beta) * (new_l - acc["l"]) + F.lit(1 - beta) * acc["t"]
+        return F.struct(new_l.alias("l"), new_t.alias("t"))
+
+    hw = F.aggregate(
+        F.transform(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("t")),
+        ),
+        F.struct(F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("t")),
+        step,
+    )
+    return grouped.select(
+        "user_id",
+        F.size(vals).cast("bigint").alias("n_events"),
+        F.round(hw["l"], 6).alias("level"),
+        F.round(hw["t"], 6).alias("trend"),
+        F.round(hw["l"] + hw["t"], 6).alias("forecast_1"),
+    )
+
+
+@register(
+    "nation_trade_bfs",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    walk(node, hops) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.hops < 3
+    )
+    SELECT node AS nationkey, CAST(min(hops) AS INTEGER) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def nation_trade_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS shortest-path over the directed
+    supplier-nation → customer-nation trade graph: hop distance from
+    nation 0, depth ≤ 3 — the relational traversal a recursive CTE
+    expresses, unrolled as frontier joins (the Pregel/GraphX pattern
+    as plain DataFrame ops, like `pagerank_trade_graph`).
+
+    Scale: edge derivation is the one fact-sized stage (lineitem⨝
+    orders on the order key + two broadcast dim hops), collapsed by
+    DISTINCT to a nation-pair frame (≤|nations|²) and materialized
+    ONCE with an eager localCheckpoint — without it each unrolled
+    frontier branch re-derives the edges from the fact table (measured
+    6 lineitem scans; Spark's ReuseExchange does not collapse the
+    branches). Each hop is then a frontier⨝edges broadcast join over
+    the tiny cached frame; the closing min-aggregate dedups multi-path
+    visits. Depth is a constant in the plan, rows per frontier are
+    graph-bounded, so the unroll is safe at any data scale (graph
+    size, not data size, drives the iteration count).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    edges = (
+        li.join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("node"), F.lit(0).alias("hops")
+    )
+    frontiers = [seed]
+    frontier = seed
+    for _ in range(3):
+        frontier = (
+            frontier.join(F.broadcast(edges), frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        frontiers.append(frontier)
+    walk = frontiers[0]
+    for f in frontiers[1:]:
+        walk = walk.unionByName(f)
+    return walk.groupBy(F.col("node").alias("nationkey")).agg(
+        F.min("hops").cast("int").alias("hops")
+    )

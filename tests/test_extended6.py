@@ -122,3 +122,61 @@ def test_tpch_q15_is_argmax(spark, sf_small):
     assert len(rows) >= 1
     tops = {r["total_revenue"] for r in rows}
     assert len(tops) == 1  # all tied at the max
+
+
+def test_holt_reduces_to_ewma_when_beta_zero_trend(spark, sf_small):
+    """Trend starts at 0 and with β=0.2 stays bounded; level tracks the
+    value range; n_events matches the raw per-user counts."""
+    rows = spark_queries()["holt_linear_user_value"](spark, sf_small).collect()
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    counts = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    for r in rows:
+        assert r["n_events"] == counts[r["user_id"]]
+        # level is an exponential average of (value + bounded trend drift)
+        assert vmin - abs(vmax) <= r["level"] <= vmax + abs(vmax)
+        # forecast rounds the unrounded l+t, so compare with tolerance
+        assert abs(r["forecast_1"] - (r["level"] + r["trend"])) < 2e-6
+
+
+def test_nation_bfs_hops_are_shortest(spark, sf_small):
+    """BFS distances: seed at 0 hops; every hop-k node has an in-edge
+    from a hop-(k-1) node; no node closer than its reported hops."""
+    rows = spark_queries()["nation_trade_bfs"](spark, sf_small).collect()
+    dist = {r["nationkey"]: r["hops"] for r in rows}
+    assert dist.get(0) == 0
+    # recompute edges independently
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_small}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    c = spark.read.parquet(f"{sf_small}/customer.parquet")
+    edges = {
+        (r["src"], r["dst"])
+        for r in li.join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+        .collect()
+    }
+    # python BFS reference
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    ref = {0: 0}
+    q = deque([0])
+    while q:
+        n = q.popleft()
+        if ref[n] >= 3:
+            continue
+        for m in adj.get(n, []):
+            if m not in ref:
+                ref[m] = ref[n] + 1
+                q.append(m)
+    assert dist == ref

@@ -56,6 +56,10 @@ CROSS_JOIN_ALLOWED = {
     "source_kl_divergence",
     # r04: 1-row global-average broadcast gating the anti join
     "dormant_segment_balance_q22",
+    # r04: 1-row seed frontier — Catalyst constant-folds the equi key
+    # (node == 0), so the graph-bounded hop joins plan as BNLJ over the
+    # localCheckpointed |nations|^2 edge frame
+    "nation_trade_bfs",
 }
 
 # build() executes eagerly (fit / stream drive / label propagation) —
