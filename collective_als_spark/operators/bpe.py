@@ -97,21 +97,19 @@ def apply_bpe(
 ) -> DataFrame:
     """Tokenize text with a learned merge list: chars per word, then
     each merge applied in order — one nested map-only expression, no
-    shuffle and no UDF (depth = len(merges), fine for the usual
-    10^3-10^4 merge vocabularies when applied via expression chunks;
-    callers with huge merge tables should chunk with intermediate
-    selects to bound codegen size, as this function does every 16
-    merges)."""
+    shuffle and no UDF. Expression depth grows with len(merges)
+    (Catalyst collapses intermediate projections, so there is no cheap
+    in-plan barrier); this is fine for the tens-of-merges scale this
+    operator targets. Production tokenization with 10^4-merge
+    vocabularies belongs in an Arrow-batched pandas UDF holding the
+    merge table — the expression form exists for the oracle-friendly,
+    fully-codegen path."""
     words = F.split(F.col(text_col), " ")
     out = df.withColumn(out_col, F.transform(words, lambda w: F.split(w, "")))
-    for i, m in enumerate(merges):
+    for m in merges:
         l, r = m[0], m[1]
         out = out.withColumn(
             out_col,
             F.transform(F.col(out_col), lambda s: merge_pair(s, l, r)),
         )
-        if (i + 1) % 16 == 0:
-            # materialize the projection to bound single-expression
-            # codegen depth; still map-only
-            out = out.select(*out.columns)
     return out.withColumn(out_col, F.flatten(F.col(out_col)))

@@ -459,3 +459,12 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register("streaming_ewma")
+def streaming_ewma_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user EWMA (stateful twin of ewma_user_value);
+    rows-only — batch equivalence pinned in tests/test_extended6.py."""
+    from collective_als_spark.streaming.stateful import streaming_ewma_user_value
+
+    return streaming_ewma_user_value(spark, sf_dir)

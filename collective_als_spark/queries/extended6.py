@@ -604,3 +604,153 @@ def nation_trade_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk.groupBy(F.col("node").alias("nationkey")).agg(
         F.min("hops").cast("int").alias("hops")
     )
+
+
+_ROLLUP_CUTOFF = "2024-01-15"
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+               AS total_value,
+           min(value) AS min_v, max(value) AS max_v
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized per-type
+    rollup is NOT recomputed from scratch when a new partition of
+    events lands — the base aggregate and the delta aggregate merge
+    algebraically (counts add, integer-cent sums add, min/max fold).
+    The oracle computes the same rollup directly over all events, so
+    the hash match IS the proof that the merge path equals the full
+    recompute — the correctness property every incremental pipeline
+    (hourly rollup + late partition, streaming upsert compaction)
+    depends on.
+
+    Scale: each side aggregates map-side-combined on event_type; the
+    merge re-aggregates two |types|-sized frames. At 100 TB the base
+    frame is a stored table — only the delta partition is scanned,
+    which is the whole point.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_ROLLUP_CUTOFF).cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("_cents"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+
+    base = rollup(ev.filter(F.col("ts") < cutoff))
+    delta = rollup(ev.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("_cents") / 100.0, 2).alias("total_value"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+@register("hll_incremental_distinct", oracle=None)
+def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HyperLogLog sketches
+    of active users (``hll_sketch_agg``) union-merged into per-type
+    totals (``hll_union_agg``) — the incremental form of COUNT
+    DISTINCT. A stored sketch per partition makes "distinct users this
+    quarter" a sketch-union over 90 tiny binary values instead of a
+    quarter-long shuffle; sketches also merge across engines (Apache
+    DataSketches format).
+
+    Rows-only (sketch estimates are approximate by design — no exact
+    SQL oracle); the accuracy bound vs exact count-distinct is pinned
+    in tests/test_extended6.py.
+
+    Scale: the daily sketch build is one map-side-combinable aggregate
+    per partition; the merge shuffles |days|×|types| sketch blobs
+    (~1.5 KB each at lgK=12), independent of row count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+    )
+
+
+@register(
+    "timed_funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    conv AS (
+        SELECT v.event_id
+        FROM v
+        WHERE EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase'
+              AND p.user_id = v.user_id
+              AND p.ts > v.ts
+              AND p.ts <= v.ts + INTERVAL 1 HOUR
+        )
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_views,
+           CAST((SELECT count(*) FROM conv) AS BIGINT) AS converted_views,
+           round((SELECT count(*) FROM conv)
+                 / CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS conversion_rate
+    """,
+)
+def timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel: views that led to a purchase
+    by the same user within ONE HOUR — the product-analytics funnel
+    with an attribution window, stricter than the ordered-only
+    `conversion_funnel`. Each view is counted once no matter how many
+    qualifying purchases follow (left-semi semantics).
+
+    Scale: one user-keyed left-semi join with a time-band residual —
+    the same equi+range shape as `range_join_attribution`, so rows
+    co-group on user_id and the band predicate filters inside each
+    join group; no window, no self-cartesian. The three closing counts
+    collapse to two 1-row aggregates unioned map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.col("user_id").alias("v_uid"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    converted = v.join(
+        p,
+        (F.col("v_uid") == F.col("p_uid"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    n_v = v.agg(F.count(F.lit(1)).alias("n_views"))
+    n_c = converted.agg(F.count(F.lit(1)).alias("converted_views"))
+    return (
+        n_v.join(F.broadcast(n_c))
+        .select(
+            "n_views",
+            "converted_views",
+            F.round(
+                F.col("converted_views") / F.col("n_views").cast("double"), 6
+            ).alias("conversion_rate"),
+        )
+    )

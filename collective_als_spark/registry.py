@@ -85,9 +85,13 @@ _PRIORITY: list[str] = [
     # -- r03 promotions: extension oracles never driver-checked before
     "tfidf_term_stats", "item_item_cosine", "prefix_jaccard_pairs",
     "table_profile", "grouping_sets_agg", "range_join_attribution",
-    "intersect_except", "exact_percentiles", "psi_drift",
+    # r04 swap: substring_containment_pairs (lossless winnowing-candidate
+    # exact dedup, the novel r04 tier) replaces intersect_except (a
+    # trivially-correct set op that stays pytest-oracle-checked below)
+    "substring_containment_pairs", "exact_percentiles", "psi_drift",
     "trend_regression",
     # ---------------- below the driver cap line (50) ----------------
+    "intersect_except",
     # -- §2 dupes demoted in r03 (still oracle-checked by pytest; their
     #    §2 ops keep an in-cap witness per SURVEY2_WITNESSES)
     "running_window_frame",

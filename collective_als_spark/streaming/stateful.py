@@ -476,3 +476,70 @@ def streaming_tws_user_stats_fallback(spark: SparkSession, sf_dir: str) -> DataF
         ),
     )
     return snap.filter(F.col("_r") == 1).drop("_r")
+
+
+_EWMA_STATE = T.StructType(
+    [T.StructField("ewma", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+_EWMA_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def _make_ewma_update(alpha: float):
+    def _update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (ewma, n) = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"].astype(float):
+                ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+            n += len(pdf)
+        state.update((ewma, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [round(ewma, 6)]}
+        )
+
+    return _update
+
+
+def streaming_ewma_user_value(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """Streaming twin of the batch ``ewma_user_value`` recurrence: the
+    per-user exponentially-weighted average maintained as typed state
+    across micro-batches (``applyInPandasWithState``) — the serving
+    shape for decayed engagement scores that a nightly batch fold
+    can't keep fresh. Events are folded in (ts, event_id) order within
+    each batch, so a single-batch drive reproduces the batch operator
+    exactly (pinned by the equivalence test); on a multi-batch source
+    the state seeds each batch with the previous EWMA.
+
+    Scale: state is two numbers per user in the executor state store;
+    per-batch work is one shuffle on user_id."""
+    stream = _events_stream(spark, sf_dir)
+    updated = (
+        stream.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ewma_update(alpha),
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "stream_ewma_out"
+    q = updated.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

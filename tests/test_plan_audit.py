@@ -56,6 +56,8 @@ CROSS_JOIN_ALLOWED = {
     "source_kl_divergence",
     # r04: 1-row global-average broadcast gating the anti join
     "dormant_segment_balance_q22",
+    # r04: two 1-row count frames joined for the closing rate
+    "timed_funnel_conversion",
     # r04: 1-row seed frontier — Catalyst constant-folds the equi key
     # (node == 0), so the graph-bounded hop joins plan as BNLJ over the
     # localCheckpointed |nations|^2 edge frame
@@ -92,6 +94,7 @@ SKIP = {
     "streaming_stream_join",
     "streaming_upsert_totals",
     "streaming_static_enrich",
+    "streaming_ewma",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_audio_energy",
