@@ -468,3 +468,49 @@ def streaming_ewma_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collective_als_spark.streaming.stateful import streaming_ewma_user_value
 
     return streaming_ewma_user_value(spark, sf_dir)
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(4 + doc_id % 5 AS INTEGER) AS width,
+               CAST(3 + doc_id % 4 AS INTEGER) AS height
+        FROM documents
+    )
+    SELECT d.media_id, d.width, d.height,
+           CAST(sum((3 * t.x + 7 * u.y + d.media_id) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((5 * t.x + u.y + 2 * d.media_id) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((t.x + 11 * u.y + 3 * d.media_id) % 256) AS BIGINT) AS sum_b
+    FROM dims d,
+         LATERAL (SELECT unnest(range(0, d.width)) AS x) t,
+         LATERAL (SELECT unnest(range(0, d.height)) AS y) u
+    GROUP BY d.media_id, d.width, d.height
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, hash-checked end-to-end: deterministic P6
+    PPM payloads (closed-form gradient rasters keyed by doc_id) are
+    synthesized into genuine binary images, then DECODED BY PARSING
+    BYTES (`multimodal.decode_ppm` — header grammar incl. comments +
+    numpy raster reshape, no image library) and reduced to exact
+    per-channel integer sums. The DuckDB oracle recomputes the sums
+    analytically from the pixel formula, so a green hash proves the
+    binary round trip (encode → parse → pixels) bit-exactly — this
+    upgrades the multimodal decode step from env-stubbed to real for
+    the one raster codec that needs no external library.
+
+    Scale: synthesis and decode are both Arrow-batched map-only
+    passes; payload bytes never cross a shuffle (stats extracted in
+    the scan stage, the multimodal rule)."""
+    from collective_als_spark.multimodal import (
+        attach_media_columns,
+        ppm_image_stats,
+        synthetic_ppm_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = synthetic_ppm_payloads(docs, "doc_id")
+    media = attach_media_columns(with_payload, "doc_id", "payload", "image/x-ppm")
+    return ppm_image_stats(media)

@@ -88,10 +88,14 @@ _PRIORITY: list[str] = [
     # r04 swap: substring_containment_pairs (lossless winnowing-candidate
     # exact dedup, the novel r04 tier) replaces intersect_except (a
     # trivially-correct set op that stays pytest-oracle-checked below)
-    "substring_containment_pairs", "exact_percentiles", "psi_drift",
+    "substring_containment_pairs", "exact_percentiles",
+    # r04 swap: multimodal_ppm_decode (REAL byte-parsing image decode,
+    # hash-checked against the analytic pixel oracle) replaces
+    # psi_drift (stays pytest-oracle-checked below)
+    "multimodal_ppm_decode",
     "trend_regression",
     # ---------------- below the driver cap line (50) ----------------
-    "intersect_except",
+    "intersect_except", "psi_drift",
     # -- §2 dupes demoted in r03 (still oracle-checked by pytest; their
     #    §2 ops keep an in-cap witness per SURVEY2_WITNESSES)
     "running_window_frame",

@@ -231,3 +231,29 @@ def test_timed_funnel_nonvacuous_and_bounded(spark, sf_small):
     assert r["n_views"] > 0
     assert 0 < r["converted_views"] <= r["n_views"]
     assert 0.0 < r["conversion_rate"] <= 1.0
+
+
+def test_decode_ppm_exact_pixels_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from collective_als_spark.multimodal import decode_ppm, synthesize_ppm
+
+    # known 2x2 image with a header comment
+    raster = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    payload = b"P6\n# a comment\n2 2\n255\n" + raster
+    img = decode_ppm(payload)
+    assert img.shape == (2, 2, 3)
+    assert img.tolist() == [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]]
+    # synthesize/decode round trip matches the closed form
+    img2 = decode_ppm(synthesize_ppm(7, 5, 4))
+    y, x = np.mgrid[0:4, 0:5]
+    assert (img2[..., 0] == (3 * x + 7 * y + 7) % 256).all()
+    assert (img2[..., 1] == (5 * x + y + 14) % 256).all()
+    assert (img2[..., 2] == (x + 11 * y + 21) % 256).all()
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + raster)  # wrong magic
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n" + raster[:-1])  # truncated raster
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + raster)  # unsupported depth

@@ -86,12 +86,15 @@ def test_registry_priority_ordering():
                  "rmse_mae", "cmf_fit_predict"]:
         assert must in head, f"{must} fell below the driver cap"
     # r03 promotions (verdict #1): extension oracles that never had a
-    # driver row must now sit inside the cap.
+    # driver row must now sit inside the cap. r04 swapped two of the
+    # redundant SQL-family slots (intersect_except, psi_drift — both
+    # still pytest-oracle-checked below the cap) for the round's novel
+    # witnesses: exact substring containment and the REAL PPM decode.
     for promoted in ["tfidf_term_stats", "item_item_cosine",
                      "prefix_jaccard_pairs", "table_profile",
                      "grouping_sets_agg", "range_join_attribution",
-                     "intersect_except", "exact_percentiles",
-                     "psi_drift", "trend_regression"]:
+                     "substring_containment_pairs", "exact_percentiles",
+                     "multimodal_ppm_decode", "trend_regression"]:
         assert promoted in head, f"{promoted} not promoted into the cap"
 
 
