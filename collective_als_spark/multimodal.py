@@ -4,12 +4,13 @@ Design (SURVEY §2.11 / north star): image/audio/video content travels
 as a ``binary`` column plus a metadata struct (modality, byte length,
 content hash). Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
-partitioning) is real. Codecs: PPM (P6) images decode FOR REAL
-(``decode_ppm`` — pure byte parsing + numpy, hash-checked against an
-analytic oracle) and PCM audio energy is real numpy compute; formats
-that need external libraries (JPEG/PNG/MP3/...) stay behind the
-documented ``NotImplementedError`` gate with the md5-deterministic
-fake featureizer covering the plumbing.
+partitioning) is real. Codecs: PPM (P6) images and RIFF/WAVE 16-bit
+PCM audio decode FOR REAL (``decode_ppm`` / ``decode_wav`` — pure
+byte parsing + numpy, each hash-checked against an analytic oracle),
+and raw-PCM window energy is real numpy compute; formats that need
+external libraries (JPEG/PNG/MP3/...) stay behind the documented
+``NotImplementedError`` gate with the md5-deterministic fake
+featureizer covering the plumbing.
 
 At 100 TB: binary payloads dominate row size, so operators here avoid
 shuffling payload bytes — features are extracted in a map-only pass and
@@ -299,3 +300,126 @@ def synthetic_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
 
     return df.withColumn("payload", make_ppm(id_col))
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL audio decode for RIFF/WAVE 16-bit PCM — pure chunk-walking
+    + numpy (canonical WAV is, like PPM, a header grammar over raw
+    samples). Returns (sample_rate, n_channels, samples) with samples
+    shaped (n_frames, n_channels) int16.
+
+    Walks the RIFF chunk list (skipping unknown chunks like LIST/fact,
+    honoring the spec's even-byte chunk padding); rejects non-PCM
+    encodings, bit depths other than 16, and truncated data chunks."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"only 16-bit PCM supported (format={audio_format}, bits={bits})"
+                )
+            fmt = (rate, channels)
+        elif cid == b"data":
+            if len(body) != size:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    rate, channels = fmt
+    samples = np.frombuffer(data[: len(data) - (len(data) % (2 * channels))], dtype="<i2")
+    return rate, channels, samples.reshape(-1, channels)
+
+
+_WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def wav_audio_stats(media: DataFrame) -> DataFrame:
+    """Map-only Arrow-batched REAL WAV decode to per-clip statistics
+    (exact integer sum of |sample| and peak amplitude) — payload
+    consumed and dropped in the scan stage, the multimodal rule."""
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                k: []
+                for k in (
+                    "media_id", "sample_rate", "n_channels", "n_frames",
+                    "sum_abs", "peak",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                a = np.abs(samples.astype(np.int64))
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(int(rate))
+                out["n_channels"].append(int(ch))
+                out["n_frames"].append(int(samples.shape[0]))
+                out["sum_abs"].append(int(a.sum()))
+                out["peak"].append(int(a.max()) if a.size else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, _WAV_STATS_SCHEMA)
+
+
+def synthesize_wav(
+    media_id: int, n_frames: int, sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Deterministic 16-bit PCM WAV: frame i, channel c has sample
+    ((7i + 13c + media_id) % 4001) - 2000 — a closed form both engines
+    can recompute analytically. Includes a LIST chunk before fmt/data
+    so decoders must actually walk the chunk grammar."""
+    i = np.arange(n_frames)[:, None]
+    c = np.arange(channels)[None, :]
+    samples = (((7 * i + 13 * c + media_id) % 4001) - 2000).astype("<i2")
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    lst = b"note"  # 4-byte dummy LIST body
+    chunks = (
+        b"LIST" + len(lst).to_bytes(4, "little") + lst
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def synthetic_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic WAV payload per id (n_frames 64+id%64,
+    mono, 8 kHz)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_wav(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synthesize_wav(int(i), 64 + int(i) % 64))
+
+    return df.withColumn("payload", make_wav(id_col))

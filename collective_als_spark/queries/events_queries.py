@@ -514,3 +514,48 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = synthetic_ppm_payloads(docs, "doc_id")
     media = attach_media_columns(with_payload, "doc_id", "payload", "image/x-ppm")
     return ppm_image_stats(media)
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(64 + doc_id % 64 AS BIGINT) AS n_frames
+        FROM documents
+    )
+    SELECT d.media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           d.n_frames,
+           CAST(sum(abs((7 * t.i + d.media_id) % 4001 - 2000)) AS BIGINT)
+               AS sum_abs,
+           CAST(max(abs((7 * t.i + d.media_id) % 4001 - 2000)) AS INTEGER)
+               AS peak
+    FROM dims d, LATERAL (SELECT unnest(range(0, d.n_frames)) AS i) t
+    GROUP BY d.media_id, d.n_frames
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-checked end-to-end: deterministic
+    16-bit PCM WAV clips (closed-form samples keyed by doc_id, with a
+    decoy LIST chunk so the RIFF chunk grammar is actually exercised)
+    are synthesized as genuine binaries, DECODED BY WALKING THE CHUNK
+    LIST (`multimodal.decode_wav` — fmt validation + numpy sample
+    reshape, no audio library), and reduced to exact integer
+    statistics. The DuckDB oracle recomputes |sample| sums and peaks
+    analytically — a green hash proves the binary round trip exactly,
+    the audio twin of `multimodal_ppm_decode`.
+
+    Scale: synthesis and decode are Arrow-batched map-only passes;
+    payload bytes never cross a shuffle."""
+    from collective_als_spark.multimodal import (
+        attach_media_columns,
+        synthetic_wav_payloads,
+        wav_audio_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = synthetic_wav_payloads(docs, "doc_id")
+    media = attach_media_columns(with_payload, "doc_id", "payload", "audio/x-wav")
+    return wav_audio_stats(media)

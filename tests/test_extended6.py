@@ -257,3 +257,40 @@ def test_decode_ppm_exact_pixels_and_errors():
         decode_ppm(b"P6\n2 2\n255\n" + raster[:-1])  # truncated raster
     with _pytest.raises(ValueError):
         decode_ppm(b"P6\n2 2\n65535\n" + raster)  # unsupported depth
+
+
+def test_decode_wav_exact_samples_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from collective_als_spark.multimodal import decode_wav, synthesize_wav
+
+    # synthesized stereo clip round-trips to the closed form, and the
+    # decoy LIST chunk forces real chunk walking
+    rate, ch, samples = decode_wav(synthesize_wav(5, n_frames=10, channels=2))
+    assert (rate, ch) == (8000, 2)
+    assert samples.shape == (10, 2)
+    i = np.arange(10)[:, None]
+    c = np.arange(2)[None, :]
+    assert (samples == ((7 * i + 13 * c + 5) % 4001) - 2000).all()
+    # odd-sized chunk is word-aligned: a 3-byte LIST body must not
+    # desync the walker
+    wav = synthesize_wav(1, n_frames=4)
+    odd = b"odd"
+    patched = (
+        wav[:12]
+        + b"LIST" + len(odd).to_bytes(4, "little") + odd + b"\x00"
+        + wav[12:]
+    )
+    rate2, ch2, s2 = decode_wav(patched)
+    assert s2.shape == (4, 1)
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + wav[4:])  # wrong magic
+    with _pytest.raises(ValueError):
+        decode_wav(wav[:20])  # missing chunks
+    # non-PCM format code rejected
+    bad = bytearray(synthesize_wav(2, n_frames=4))
+    fmt_pos = bad.find(b"fmt ") + 8
+    bad[fmt_pos : fmt_pos + 2] = (3).to_bytes(2, "little")  # IEEE float
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad))
