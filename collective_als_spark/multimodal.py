@@ -4,11 +4,13 @@ Design (SURVEY §2.11 / north star): image/audio/video content travels
 as a ``binary`` column plus a metadata struct (modality, byte length,
 content hash). Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
-partitioning) is real. Codecs: PPM (P6) images and RIFF/WAVE 16-bit
-PCM audio decode FOR REAL (``decode_ppm`` / ``decode_wav`` — pure
-byte parsing + numpy, each hash-checked against an analytic oracle),
-and raw-PCM window energy is real numpy compute; formats that need
-external libraries (JPEG/PNG/MP3/...) stay behind the documented
+partitioning) is real. Codecs: all three modalities decode FOR REAL
+for their library-free container formats — PPM (P6) images, RIFF/WAVE
+16-bit PCM audio, YUV4MPEG2 (4:2:0) video (``decode_ppm`` /
+``decode_wav`` / ``decode_y4m`` — pure byte parsing + numpy, each
+hash-checked end-to-end against an analytic oracle); raw-PCM window
+energy is real numpy compute. Compressed formats that need external
+libraries (JPEG/PNG/MP3/H.264/...) stay behind the documented
 ``NotImplementedError`` gate with the md5-deterministic fake
 featureizer covering the plumbing.
 
@@ -423,3 +425,123 @@ def synthetic_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(lambda i: synthesize_wav(int(i), 64 + int(i) % 64))
 
     return df.withColumn("payload", make_wav(id_col))
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL video decode for YUV4MPEG2 (4:2:0) — the raw-frame video
+    container whose codec, like PPM/WAV, is a header grammar. Returns
+    (width, height, y_planes) with y_planes shaped
+    (n_frames, height, width) uint8 (luma; chroma planes are parsed
+    past but not returned).
+
+    Parses the stream header's parameter tokens (W/H mandatory,
+    C420* colorspace only), then walks FRAME markers; rejects other
+    colorspaces, odd dimensions, and truncated frames."""
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    cspace = "C420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            cspace = t
+    if w is None or h is None:
+        raise ValueError("missing W/H in stream header")
+    if not cspace.startswith("C420"):
+        raise ValueError(f"only 4:2:0 supported, got {cspace}")
+    if w % 2 or h % 2:
+        raise ValueError("4:2:0 requires even dimensions")
+    y_size, c_size = w * h, (w // 2) * (h // 2)
+    frame_size = y_size + 2 * c_size
+    pos = nl + 1
+    planes = []
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("expected FRAME marker")
+        fnl = payload.index(b"\n", pos)
+        pos = fnl + 1
+        raster = payload[pos : pos + frame_size]
+        if len(raster) != frame_size:
+            raise ValueError("truncated frame")
+        planes.append(
+            np.frombuffer(raster[:y_size], dtype=np.uint8).reshape(h, w)
+        )
+        pos += frame_size
+    return w, h, np.stack(planes) if planes else np.zeros((0, h, w), np.uint8)
+
+
+_Y4M_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("luma_sum", T.LongType(), False),
+    ]
+)
+
+
+def y4m_frame_luma(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Map-only Arrow-batched REAL video decode + frame sampling:
+    every ``stride``-th frame's exact luma sum — the
+    decode→frame-sample→featurize shape of a video curation pipeline,
+    with the payload consumed inside the scan stage (row-expanding
+    output like `sample_frames`, but from genuinely decoded frames)."""
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("media_id", "frame_idx", "width", "height", "luma_sum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, planes = decode_y4m(bytes(payload))
+                for i in range(0, planes.shape[0], stride):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["luma_sum"].append(int(planes[i].sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                    "width": pd.array(out["width"], dtype="int32"),
+                    "height": pd.array(out["height"], dtype="int32"),
+                    "luma_sum": out["luma_sum"],
+                }
+            )
+
+    return media.mapInPandas(run, _Y4M_FRAME_SCHEMA)
+
+
+def synthesize_y4m(media_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """Deterministic 4:2:0 Y4M clip: luma(x, y, f) =
+    (5x + 3y + 11f + media_id) % 256, chroma planes constant 128 —
+    closed-form, recomputable analytically by the oracle."""
+    y, x = np.mgrid[0:height, 0:width]
+    chroma = np.full((height // 2) * (width // 2), 128, dtype=np.uint8).tobytes()
+    parts = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    for f in range(n_frames):
+        luma = ((5 * x + 3 * y + 11 * f + media_id) % 256).astype(np.uint8)
+        parts.append(b"FRAME\n" + luma.tobytes() + chroma + chroma)
+    return b"".join(parts)
+
+
+def synthetic_y4m_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic Y4M payload per id (width 4+2*(id%3),
+    height 4+2*(id%2), 3+id%4 frames)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_y4m(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synthesize_y4m(
+                int(i), 4 + 2 * (int(i) % 3), 4 + 2 * (int(i) % 2), 3 + int(i) % 4
+            )
+        )
+
+    return df.withColumn("payload", make_y4m(id_col))

@@ -559,3 +559,52 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = synthetic_wav_payloads(docs, "doc_id")
     media = attach_media_columns(with_payload, "doc_id", "payload", "audio/x-wav")
     return wav_audio_stats(media)
+
+
+@register(
+    "multimodal_y4m_frames",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(4 + 2 * (doc_id % 3) AS INTEGER) AS width,
+               CAST(4 + 2 * (doc_id % 2) AS INTEGER) AS height,
+               CAST(3 + doc_id % 4 AS BIGINT) AS nf
+        FROM documents
+    ),
+    frames AS (
+        SELECT d.media_id, d.width, d.height, t.f
+        FROM dims d, LATERAL (SELECT unnest(range(0, d.nf, 2)) AS f) t
+    )
+    SELECT fr.media_id, CAST(fr.f AS INTEGER) AS frame_idx,
+           fr.width, fr.height,
+           CAST(sum((5 * xx.x + 3 * yy.y + 11 * fr.f + fr.media_id) % 256)
+                AS BIGINT) AS luma_sum
+    FROM frames fr,
+         LATERAL (SELECT unnest(range(0, fr.width)) AS x) xx,
+         LATERAL (SELECT unnest(range(0, fr.height)) AS y) yy
+    GROUP BY fr.media_id, fr.f, fr.width, fr.height
+    """,
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling, hash-checked end-to-end:
+    deterministic YUV4MPEG2 clips (closed-form 4:2:0 luma planes) are
+    synthesized as genuine binaries, DECODED BY PARSING the stream
+    header + FRAME markers (`multimodal.decode_y4m` — no video
+    library), sampled every 2nd frame, and reduced to exact per-frame
+    luma sums the DuckDB oracle recomputes analytically. With
+    `multimodal_ppm_decode` and `multimodal_wav_decode` this makes all
+    three modalities' decode paths REAL for their library-free
+    container formats.
+
+    Scale: row-expanding map-only pass (one clip in, sampled frames
+    out); payload bytes never cross a shuffle."""
+    from collective_als_spark.multimodal import (
+        attach_media_columns,
+        synthetic_y4m_payloads,
+        y4m_frame_luma,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = synthetic_y4m_payloads(docs, "doc_id")
+    media = attach_media_columns(with_payload, "doc_id", "payload", "video/x-y4m")
+    return y4m_frame_luma(media, stride=2)

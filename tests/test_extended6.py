@@ -294,3 +294,26 @@ def test_decode_wav_exact_samples_and_errors():
     bad[fmt_pos : fmt_pos + 2] = (3).to_bytes(2, "little")  # IEEE float
     with _pytest.raises(ValueError):
         decode_wav(bytes(bad))
+
+
+def test_decode_y4m_exact_planes_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from collective_als_spark.multimodal import decode_y4m, synthesize_y4m
+
+    w, h, planes = decode_y4m(synthesize_y4m(9, width=6, height=4, n_frames=3))
+    assert (w, h) == (6, 4)
+    assert planes.shape == (3, 4, 6)
+    y, x = np.mgrid[0:4, 0:6]
+    for f in range(3):
+        assert (planes[f] == (5 * x + 3 * y + 11 * f + 9) % 256).all()
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG3 W2 H2 C420\nFRAME\n" + b"\x00" * 6)
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W3 H2 C420\n")  # odd width
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444\n")  # unsupported colorspace
+    ok = synthesize_y4m(1, 4, 4, 2)
+    with _pytest.raises(ValueError):
+        decode_y4m(ok[:-3])  # truncated last frame
