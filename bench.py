@@ -48,11 +48,13 @@ HEADLINE = [
     "unigram_logprob_score",
     "ewma_user_value",
     # round-4 new families: corpus repetition signal, drift scoring,
-    # winnowing-candidate exact containment, outer-join distribution
+    # winnowing-candidate exact containment, outer-join distribution,
+    # real multimodal decode (Arrow round trip)
     "duplicate_ngram_fraction",
     "source_kl_divergence",
     "substring_containment_pairs",
     "customer_distribution_q13",
+    "multimodal_ppm_decode",
 ]
 
 
