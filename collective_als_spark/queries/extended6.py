@@ -14,7 +14,7 @@ doc-keyed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from collective_als_spark.functions import text as TX
@@ -753,4 +753,108 @@ def timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("converted_views") / F.col("n_views").cast("double"), 6
             ).alias("conversion_rate"),
         )
+    )
+
+
+@register(
+    "pareto_abc_parts",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT sum(cents) AS tot FROM rev),
+    c AS (
+        SELECT l_partkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum
+        FROM rev
+    )
+    SELECT c.l_partkey, round(c.cents / 100.0, 2) AS revenue,
+           round(c.cum / CAST(t.tot AS DOUBLE), 6) AS cum_share,
+           CASE WHEN c.cum * 10 <= t.tot * 7 THEN 'A'
+                WHEN c.cum * 10 <= t.tot * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, t
+    """,
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC contribution analysis: parts ranked by revenue
+    with their INCLUSIVE cumulative revenue share, classed A (top
+    70% of revenue), B (next 20%), C (tail) — the inventory-
+    management standard that needs a GLOBAL cumulative sum, i.e.
+    exactly the thing a naive `Window.orderBy` turns into a
+    single-task sort at scale.
+
+    Scale: reuses `operators/split.py::global_cumsum` — range-shuffle
+    on the ordering key, per-partition window, tiny per-partition
+    offset broadcast; no un-partitioned window anywhere. Revenue is
+    exact integer cents, and the A/B/C boundaries compare
+    cum*10 <= tot*{7,9} in EXACT integer arithmetic, so class
+    assignment can never flip on a float boundary between engines.
+    """
+    from collective_als_spark.operators.split import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    cs = global_cumsum(
+        rev,
+        [F.col("cents").desc(), F.col("l_partkey")],
+        "cents",
+        cumsum_col="_cum_excl",
+        total_col="_total",
+    )
+    cum = (F.col("_cum_excl") + F.col("cents")).cast("long")
+    return cs.select(
+        "l_partkey",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(cum / F.col("_total").cast("double"), 6).alias("cum_share"),
+        F.when(cum * 10 <= F.col("_total") * 7, "A")
+        .when(cum * 10 <= F.col("_total") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@register(
+    "rolling_median_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+               AS rolling_median
+    FROM events
+    """,
+)
+def rolling_median_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exact MEDIAN over the last 5 events per user — the
+    robust rolling statistic (spike-resistant baseline) that built-in
+    window aggregates don't provide. Computed by collecting the
+    rows-frame into a bounded array, sorting it, and interpolating the
+    middle — identical to DuckDB's windowed ``median`` (quantile_cont
+    0.5 averages the two middles on even counts).
+
+    Scale: ONE user-keyed window (rows-frame bounded at 5 elements, so
+    the per-row array work is O(k log k) with k=5); no global window,
+    no UDF — the array sort/pick is codegen expression work.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col("value").cast("double")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) / 2.0, 6).alias("rolling_median"),
     )

@@ -317,3 +317,46 @@ def test_decode_y4m_exact_planes_and_errors():
     ok = synthesize_y4m(1, 4, 4, 2)
     with _pytest.raises(ValueError):
         decode_y4m(ok[:-3])  # truncated last frame
+
+
+def test_pareto_abc_partition(spark, sf_small):
+    rows = sorted(
+        spark_queries()["pareto_abc_parts"](spark, sf_small).collect(),
+        key=lambda r: r["cum_share"],
+    )
+    assert {r["abc_class"] for r in rows} == {"A", "B", "C"}
+    # cum_share is strictly increasing and ends at 1
+    shares = [r["cum_share"] for r in rows]
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # class boundaries: every A row is below every B row, etc.
+    last_a = max(i for i, r in enumerate(rows) if r["abc_class"] == "A")
+    first_b = min(i for i, r in enumerate(rows) if r["abc_class"] == "B")
+    last_b = max(i for i, r in enumerate(rows) if r["abc_class"] == "B")
+    first_c = min(i for i, r in enumerate(rows) if r["abc_class"] == "C")
+    assert last_a < first_b and last_b < first_c
+    # the A class stops at the 70% boundary
+    assert rows[last_a]["cum_share"] <= 0.7 < rows[first_b]["cum_share"]
+
+
+def test_rolling_median_matches_python(spark, sf_small):
+    from collective_als_spark.sources.testdata import load_table
+
+    got = {
+        r["event_id"]: r["rolling_median"]
+        for r in spark_queries()["rolling_median_user_value"](spark, sf_small).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_small, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        hist = by_user.setdefault(r["user_id"], [])
+        hist.append(float(r["value"]))
+        win = sorted(hist[-5:])
+        n = len(win)
+        med = (win[(n + 1) // 2 - 1] + win[n // 2]) / 2
+        assert got[r["event_id"]] == round(med, 6), r["event_id"]
