@@ -386,3 +386,45 @@ def dormant_segment_balance_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents) / 100.0, 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "late_shipment_priority_q4",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1998-01-01'
+      AND o.o_orderdate < DATE '1998-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def late_shipment_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in one quarter with at least one
+    late-shipped line (>30 days after order date, standing in for the
+    reference schema's missing commit/receipt dates), counted per
+    priority — the correlated EXISTS that Catalyst turns into a
+    left-semi hash join BEFORE the aggregate, so each order is counted
+    once however many lines qualify.
+
+    Scale: the date filter pushes into the orders scan; the semi join
+    co-groups on the order key and short-circuits per order; the
+    closing aggregate is |priorities|-sized."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualified = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
