@@ -1,15 +1,20 @@
 """Round-4 extension set: corpus-level duplication analytics
 (duplicate-n-gram fraction, MOSS overlap reports, exact substring
 containment at scale), distribution-drift scoring between corpus
-slices, leakage-safe dataset splitting, and a trained quality
-classifier — the remaining standard blocks of a pretraining-data
-pipeline, each oracle-checked (DuckDB) except the MLlib fit.
+slices, leakage-safe dataset splitting, a trained quality classifier,
+BPE merge learning, Holt level+trend smoothing, bounded-depth BFS,
+incremental rollup maintenance, mergeable HLL distinct sketches,
+time-constrained funnels, Pareto/ABC contribution analysis, and
+rolling exact medians — the remaining standard blocks of a
+pretraining-data pipeline and its surrounding analytics, each
+oracle-checked (DuckDB) except the model fits and sketch estimates.
 
 Scale notes per operator are in each docstring; the common themes:
 candidate generation is always fingerprint-banded (never all-pairs),
 floats that cross the engine boundary are quantized to integer
-micro-units so sums are order-independent, and every window is
-doc-keyed.
+units (micro-bits, cents) so sums are order-independent and class
+boundaries are exact, global cumulatives go through the two-phase
+range-shuffle helpers, and every window is key-partitioned.
 """
 
 from __future__ import annotations
