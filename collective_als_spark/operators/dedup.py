@@ -54,23 +54,46 @@ def minhash_signatures(
     on fixed-width hex equals numeric min of the underlying bits, and
     identical strings minimize identically in any engine (the DuckDB
     oracle spells the same substr(md5(...)) expressions).
+
+    MAP-ONLY (r04): the per-document min runs as ``array_min`` over
+    the in-row shingle array instead of explode + groupBy — the
+    signature pass that previously shuffled the entire shingle frame
+    (rows = corpus shingle count) now emits one row per document with
+    zero exchanges, the same rewrite that took winnowing to
+    map-only. Documents with no shingles (< shingle_n words) are
+    filtered, matching the explode form's semantics (they produced no
+    groupBy rows).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
-    )
     n_salts = -(-num_hashes // 4)  # 4 x 8-hex slices per md5
-    salted = sh.select(
-        F.col(id_col),
-        *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))).alias(f"_h{j}")
-            for j in range(n_salts)
-        ],
+    arr = shingles(F.col(text_col), shingle_n)
+    with_arr = df.select(F.col(id_col), arr.alias("_sarr")).filter(
+        F.size("_sarr") > 0
     )
-    aggs = [
-        F.min(F.substring(F.col(f"_h{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"mh_{i}")
+
+    # single-argument lambdas with salt/slice captured via enclosing
+    # scope — a two-arg lambda would make F.transform bind the second
+    # parameter to the ARRAY INDEX
+    def salted_hashes(j: int):
+        prefix = f"{j}|"
+        return F.transform(
+            F.col("_sarr"), lambda s: F.md5(F.concat(F.lit(prefix), s))
+        )
+
+    def slice_min(harr_name: str, i: int):
+        pos = 1 + 8 * (i % 4)
+        return F.array_min(
+            F.transform(F.col(harr_name), lambda h: F.substring(h, pos, 8))
+        )
+
+    with_hashes = with_arr.select(
+        F.col(id_col),
+        *[salted_hashes(j).alias(f"_harr{j}") for j in range(n_salts)],
+    )
+    mins = [
+        slice_min(f"_harr{i // 4}", i).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return salted.groupBy(id_col).agg(*aggs)
+    return with_hashes.select(F.col(id_col), *mins)
 
 
 def lsh_candidate_pairs(

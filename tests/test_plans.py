@@ -48,10 +48,12 @@ def test_prediction_join_no_cartesian(spark):
     assert s["n_cartesian"] == 0
 
 
-def test_minhash_single_shuffle(spark, sf_med):
+def test_minhash_map_only(spark, sf_med):
     s = plan_summary(spark_queries()["minhash_signature"](spark, sf_med))
-    # explode + groupBy(doc_id): exactly one exchange (plus AQE reader)
-    assert s["n_exchanges"] <= 2, s["n_exchanges"]
+    # r04 rewrite: per-doc array_min replaces explode + groupBy —
+    # the signature pass is map-only (zero exchanges); was <=2 when it
+    # shuffled the full shingle frame
+    assert s["n_exchanges"] == 0, s["n_exchanges"]
 
 
 def test_approx_split_has_no_global_window(spark, sf_med):
