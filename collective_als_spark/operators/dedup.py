@@ -136,26 +136,30 @@ def lsh_candidate_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash) — sign of per-bit vote sums over word hashes.
 
-    Explode words, one groupBy(id) with ``bits`` conditional aggregates —
-    map-side combinable, single shuffle.
+    MAP-ONLY (r04): the per-bit ±1 vote (as 2·sum(bit) > n — the r02
+    codegen-shrinking identity) folds over the IN-ROW word-hash array
+    with one ``aggregate`` per bit, replacing the explode +
+    32-aggregate groupBy — the word frame never shuffles and the
+    output is one row per document straight off the scan.
     """
-    w = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
-    wh = w.withColumn("h", word_hash(F.col("w"), bits=bits))
-    # The ±1 vote sum needs no conditional: sum(2·bit−1) > 0 ⟺
-    # 2·sum(bit) > n, so each aggregate is a bare sum of a shifted bit
-    # plus ONE shared count — identical signatures, ~half the per-row
-    # aggregation work and a much smaller generated-code class than 32
-    # when/otherwise sums (r02 verdict #2: first-run compile+codegen
-    # dominated the bench timing of this query)
-    votes = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    per_doc = wh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *votes)
+    harr = F.transform(
+        F.split(F.col(text_col), " "), lambda w: word_hash(w, bits=bits)
+    )
+    per_doc = df.select(
+        F.col(id_col), harr.alias("_harr"), F.size(harr).alias("_n")
+    ).filter(F.col("_n") > 0)
+
+    def vote(b: int):
+        return F.aggregate(
+            F.col("_harr"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+        )
+
     sig: Column = F.lit(0).cast("bigint")
     for b in range(bits):
         sig = sig + F.when(
-            F.col(f"s{b}") * 2 > F.col("n"), F.lit(2**b).cast("bigint")
+            vote(b) * 2 > F.col("_n"), F.lit(2**b).cast("bigint")
         ).otherwise(0)
     return per_doc.select(F.col(id_col), sig.alias("simhash"))
 
