@@ -75,3 +75,60 @@ def plan_summary(df: DataFrame) -> dict:
         "whole_stage_codegen": "WholeStageCodegen" in plan or "codegen id" in plan,
         "plan": plan,
     }
+
+
+def runtime_metrics(df: DataFrame, execute: bool = True) -> list[dict]:
+    """EXPLAIN-ANALYZE-style report: execute the plan (noop sink — full
+    execution cost, nothing collected) and return every physical
+    operator's runtime SQL metrics as
+    ``{node, node_id, metric, value}`` dicts — output rows per
+    operator, shuffle bytes/records, spill sizes, scan rows, broadcast
+    sizes. The post-run feedback loop `plan_summary` (pre-run shape
+    checks) can't provide: WHERE the rows actually went.
+
+    Walks the final adaptive plan via py4j; on AQE plans the executed
+    subtree is unwrapped so metrics reflect the plan that really ran.
+
+    Execution goes through the DataFrame's OWN QueryExecution
+    (``toRdd.count`` — rows stay distributed, nothing is collected);
+    a sink write would run a fresh cloned plan and leave these nodes'
+    metrics at zero.
+    """
+    qe = df._jdf.queryExecution()
+    if execute:
+        qe.toRdd().count()
+    root = qe.executedPlan()
+    out: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(node) -> None:
+        oid = node.id()
+        if oid in seen:
+            return
+        seen.add(oid)
+        name = node.nodeName()
+        mit = node.metrics().iterator()
+        while mit.hasNext():
+            t = mit.next()
+            out.append(
+                {
+                    "node": name,
+                    "node_id": int(oid),
+                    "metric": str(t._1()),
+                    "value": int(t._2().value()),
+                }
+            )
+        # AdaptiveSparkPlan / QueryStage wrappers expose the executed
+        # subtree via executedPlan()/plan(); regular nodes via children
+        for accessor in ("executedPlan", "plan"):
+            try:
+                walk(getattr(node, accessor)())
+                return
+            except Exception:
+                pass
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next())
+
+    walk(root)
+    return out

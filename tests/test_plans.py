@@ -163,3 +163,42 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_med):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_metrics_explain_analyze(spark, sf_med):
+    """The EXPLAIN-ANALYZE utility must report metrics from the plan
+    that actually ran: scan rows match the table, the final aggregate's
+    output rows match the query result, and the shuffle carried
+    records."""
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.plans import runtime_metrics
+    from collective_als_spark.sources.testdata import load_table
+
+    df = (
+        load_table(spark, sf_med, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    metrics = runtime_metrics(df)
+    n_groups = df.count()
+    agg_rows = [
+        m["value"]
+        for m in metrics
+        if m["node"] == "HashAggregate" and m["metric"] == "numOutputRows"
+    ]
+    # partial + final aggregate both report; the final one equals the
+    # group count
+    assert n_groups in agg_rows, (agg_rows, n_groups)
+    shuffled = [
+        m["value"]
+        for m in metrics
+        if m["node"] == "Exchange" and m["metric"] == "shuffleRecordsWritten"
+    ]
+    assert shuffled and all(v > 0 for v in shuffled), shuffled
+    scans = [
+        m["value"]
+        for m in metrics
+        if m["node"].startswith("Scan") and m["metric"] == "numOutputRows"
+    ]
+    assert load_table(spark, sf_med, "orders").count() in scans, scans
