@@ -608,3 +608,12 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = synthetic_y4m_payloads(docs, "doc_id")
     media = attach_media_columns(with_payload, "doc_id", "payload", "video/x-y4m")
     return y4m_frame_luma(media, stride=2)
+
+
+@register("streaming_multimodal_ingest")
+def streaming_multimodal_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PPM decode running under Structured Streaming (rows-only;
+    exact batch equivalence pinned in tests/test_extended6.py)."""
+    from collective_als_spark.streaming.stateful import streaming_multimodal_ingest
+
+    return streaming_multimodal_ingest(spark, sf_dir)

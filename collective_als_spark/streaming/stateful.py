@@ -543,3 +543,44 @@ def streaming_ewma_user_value(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode under Structured Streaming: the SAME
+    Arrow-batched real-PPM decode operator (`multimodal.ppm_image_stats`)
+    runs unchanged over a file-stream source — the ingest shape of a
+    production media pipeline (new objects land, get decoded and
+    reduced to features in the scan micro-batch, payload bytes never
+    enter state or shuffle). Batch equivalence against
+    `multimodal_ppm_decode` is pinned in tests.
+    """
+    from collective_als_spark.multimodal import (
+        attach_media_columns,
+        ppm_image_stats,
+        synthetic_ppm_payloads,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .select("doc_id")
+    )
+    media = attach_media_columns(
+        synthetic_ppm_payloads(stream, "doc_id"), "doc_id", "payload", "image/x-ppm"
+    )
+    stats = ppm_image_stats(media)
+    name = "stream_multimodal_out"
+    q = (
+        stats.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

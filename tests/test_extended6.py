@@ -360,3 +360,12 @@ def test_rolling_median_matches_python(spark, sf_small):
         n = len(win)
         med = (win[(n + 1) // 2 - 1] + win[n // 2]) / 2
         assert got[r["event_id"]] == round(med, 6), r["event_id"]
+
+
+def test_streaming_multimodal_matches_batch(spark, sf_med):
+    qs = spark_queries()
+    batch = {tuple(r) for r in qs["multimodal_ppm_decode"](spark, sf_med).collect()}
+    stream = {
+        tuple(r) for r in qs["streaming_multimodal_ingest"](spark, sf_med).collect()
+    }
+    assert stream == batch and len(batch) > 0

@@ -95,6 +95,7 @@ SKIP = {
     "streaming_upsert_totals",
     "streaming_static_enrich",
     "streaming_ewma",
+    "streaming_multimodal_ingest",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_audio_energy",
