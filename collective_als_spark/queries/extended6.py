@@ -863,3 +863,97 @@ def rolling_median_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round((lo + hi) / 2.0, 6).alias("rolling_median"),
     )
+
+
+@register(
+    "pipeline_multimodal_curation",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS INTEGER) AS w,
+               CAST(3 + doc_id % 4 AS INTEGER) AS h
+        FROM documents
+    ),
+    sums AS (
+        SELECT d.doc_id, d.w, d.h,
+               sum((3 * t.x + 7 * u.y + d.doc_id) % 256
+                   + (5 * t.x + u.y + 2 * d.doc_id) % 256
+                   + (t.x + 11 * u.y + 3 * d.doc_id) % 256) AS rgb_sum
+        FROM dims d,
+             LATERAL (SELECT unnest(range(0, d.w)) AS x) t,
+             LATERAL (SELECT unnest(range(0, d.h)) AS y) u
+        GROUP BY d.doc_id, d.w, d.h
+    ),
+    joined AS (
+        SELECT doc.source,
+               CAST(round(s.rgb_sum * 1000000.0 / (3 * s.w * s.h)) AS BIGINT)
+                   AS bright_micro,
+               CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents doc JOIN sums s USING (doc_id)
+        WHERE len(string_split(doc.text, ' ')) >= 20
+          AND s.rgb_sum * 1000000.0 / (3 * s.w * s.h) >= 120000000
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(bright_micro) / count(*) / 1000000.0, 6)
+               AS avg_brightness
+    FROM joined GROUP BY source
+    """,
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation capstone: ONE declarative plan that
+    synthesizes binary images, REALLY decodes them (PPM byte parsing),
+    derives a brightness signal, joins it to the text-side token
+    signal, gates documents on BOTH modalities (bright enough AND long
+    enough — the keep/drop rule of a paired image-text corpus like an
+    alt-text dataset), and aggregates per source. The DuckDB oracle
+    recomputes the whole thing analytically, so the hash check covers
+    decode, filter, join, and aggregate TOGETHER — not piecewise.
+
+    Determinism: per-doc brightness is quantized to integer
+    micro-units before the per-source mean (exact bigint sums, q7
+    rule); the gate compares the same exact quantity in both engines.
+
+    Scale: decode is Arrow-batched map-only with payload dropped in
+    the scan stage; the doc-keyed join co-groups two doc-sized frames;
+    one |sources|-sized aggregate closes the plan.
+    """
+    from collective_als_spark.multimodal import (
+        attach_media_columns,
+        ppm_image_stats,
+        synthetic_ppm_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(
+        synthetic_ppm_payloads(docs.select("doc_id"), "doc_id"),
+        "doc_id",
+        "payload",
+        "image/x-ppm",
+    )
+    stats = ppm_image_stats(media).withColumn(
+        "bright_micro",
+        F.round(
+            (F.col("sum_r") + F.col("sum_g") + F.col("sum_b"))
+            * 1000000.0
+            / (3 * F.col("width") * F.col("height"))
+        ).cast("bigint"),
+    )
+    text_side = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    joined = (
+        text_side.join(
+            stats.select(F.col("media_id").alias("doc_id"), "bright_micro"),
+            "doc_id",
+        )
+        .filter((F.col("n_tokens") >= 20) & (F.col("bright_micro") >= 120000000))
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("bright_micro") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("avg_brightness"),
+    )

@@ -369,3 +369,34 @@ def test_streaming_multimodal_matches_batch(spark, sf_med):
         tuple(r) for r in qs["streaming_multimodal_ingest"](spark, sf_med).collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_multimodal_curation_gates_discriminate(spark, sf_small):
+    """Both gates must actually drop documents (brightness alone and
+    token-length alone), or the cross-modal filter is vacuous."""
+    from collective_als_spark.multimodal import (
+        attach_media_columns,
+        ppm_image_stats,
+        synthetic_ppm_payloads,
+    )
+    from collective_als_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    n_docs = docs.count()
+    stats = ppm_image_stats(
+        attach_media_columns(
+            synthetic_ppm_payloads(docs.select("doc_id"), "doc_id"),
+            "doc_id", "payload", "image/x-ppm",
+        )
+    ).withColumn(
+        "bright",
+        (F.col("sum_r") + F.col("sum_g") + F.col("sum_b"))
+        / (3 * F.col("width") * F.col("height")),
+    )
+    n_bright = stats.filter(F.col("bright") >= 120).count()
+    assert 0 < n_bright < n_docs
+    n_long = docs.filter(F.size(F.split("text", " ")) >= 20).count()
+    assert 0 < n_long < n_docs
+    kept = spark_queries()["pipeline_multimodal_curation"](spark, sf_small)
+    total_kept = sum(r["n_kept"] for r in kept.collect())
+    assert 0 < total_kept < n_docs
