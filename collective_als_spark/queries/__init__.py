@@ -13,4 +13,5 @@ from collective_als_spark.queries import (  # noqa: F401
     relational,
     subqueries,
     tpch_extra,
+    tpch_full,
 )

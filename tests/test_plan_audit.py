@@ -54,6 +54,8 @@ CROSS_JOIN_ALLOWED = {
     "token_budget_allocation",
     # r04: 1-row corpus-total broadcast (scalar join)
     "source_kl_divergence",
+    # r04: 1-row 0.05%%-of-total threshold broadcast gating the HAVING
+    "important_parts_q11",
     # r04: 1-row global-average broadcast gating the anti join
     "dormant_segment_balance_q22",
     # r04: two 1-row count frames joined for the closing rate
