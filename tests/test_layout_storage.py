@@ -1,0 +1,123 @@
+"""Lake-layout tier: file-level data-skipping stats index and
+versioned snapshot manifests (sources/layout.py).
+
+The contract under test for the stats index is the storage-engine
+invariant: pruning is a PURE optimization — the pruned read's result
+equals the full scan + filter exactly, while provably opening fewer
+files. For snapshots: append/overwrite visibility, time travel to a
+pinned version, crash-invisibility of uncommitted data, and expire
+deleting exactly the unreferenced files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from collective_als_spark.sources.layout import (
+    SnapshotTable,
+    build_stats_index,
+    prune_files,
+    pruned_read,
+)
+from collective_als_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def clustered_orders(spark, sf_med, tmp_path_factory):
+    """Orders written clustered on the index column (repartitionByRange
+    on o_totalprice) — the layout data skipping pairs with."""
+    path = str(tmp_path_factory.mktemp("layout") / "orders_by_price")
+    (
+        load_table(spark, sf_med, "orders")
+        .repartitionByRange(10, "o_totalprice")
+        .write.parquet(path)
+    )
+    return path
+
+
+def test_stats_index_shape(spark, clustered_orders):
+    stats = build_stats_index(spark, clustered_orders, ["o_totalprice"])
+    rows = stats.collect()
+    n_files = len(
+        [n for n in os.listdir(clustered_orders) if n.endswith(".parquet")]
+    )
+    assert len(rows) == n_files
+    assert set(stats.columns) == {"file", "o_totalprice_min", "o_totalprice_max"}
+    for r in rows:
+        assert r["o_totalprice_min"] <= r["o_totalprice_max"]
+
+
+def test_pruned_read_equals_full_filter_and_skips_files(spark, clustered_orders):
+    stats = build_stats_index(spark, clustered_orders, ["o_totalprice"]).cache()
+    lo, hi = 100000.0, 150000.0
+    n_files = stats.count()
+    kept = prune_files(stats, "o_totalprice", lo, hi)
+    # range-clustered into 10 files: a narrow band must skip most
+    assert 0 < len(kept) < n_files
+    pruned = pruned_read(spark, stats, "o_totalprice", lo, hi)
+    assert len(pruned.inputFiles()) == len(kept)
+    full = spark.read.parquet(clustered_orders).filter(
+        F.col("o_totalprice").between(lo, hi)
+    )
+    assert pruned.count() == full.count()
+    # exact equality, not just counts
+    assert (
+        pruned.exceptAll(full).count() == 0 and full.exceptAll(pruned).count() == 0
+    )
+
+
+def test_pruned_read_empty_band(spark, clustered_orders):
+    stats = build_stats_index(spark, clustered_orders, ["o_totalprice"])
+    out = pruned_read(spark, stats, "o_totalprice", -2e9, -1e9)
+    assert out.count() == 0
+    assert "o_totalprice" in out.columns
+
+
+def test_snapshot_append_overwrite_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df1 = spark.range(100).withColumn("v", F.col("id") * 2)
+    df2 = spark.range(100, 150).withColumn("v", F.col("id") * 2)
+    v1 = t.append(df1)
+    v2 = t.append(df2)
+    assert (v1, v2) == (1, 2)
+    assert t.read(1).count() == 100
+    assert t.read(2).count() == 150
+    assert t.read().count() == 150  # current == v2
+    v3 = t.overwrite(spark.range(7).withColumn("v", F.lit(0)))
+    assert v3 == 3 and t.read().count() == 7
+    # time travel still pins the pre-overwrite snapshots
+    assert t.read(1).count() == 100
+    assert t.read(2).count() == 150
+
+
+def test_snapshot_uncommitted_data_invisible(spark, tmp_path):
+    """Crash-safety: data files written without a pointer flip must not
+    be visible — simulated by writing a data dir directly."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.range(10))
+    orphan_files = t._write_data(spark.range(999))  # step 1 only, no commit
+    assert t.read().count() == 10
+    assert all(os.path.exists(f) for f in orphan_files)  # present but unreferenced
+
+
+def test_snapshot_expire_deletes_only_unreferenced(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.range(10))
+    t.overwrite(spark.range(20))
+    orphans = t._write_data(spark.range(5))  # crashed commit
+    deleted = t.expire(keep_last=1)
+    # v1's files + the orphan commit are gone, current still reads
+    assert deleted >= 2
+    assert t.read().count() == 20
+    assert not any(os.path.exists(f) for f in orphans)
+    with pytest.raises(FileNotFoundError):
+        t._manifest(1)
+
+
+def test_snapshot_empty_read_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    with pytest.raises(ValueError):
+        t.read()
