@@ -78,11 +78,25 @@ def main() -> None:
     from collective_als_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_hashes=8).persist()
+
+    # each timed run of minhash_signature must RECOMPUTE the signatures
+    # (unpersist the previous run's cache first) — otherwise the
+    # second min-of-2 sample would just re-save the persisted result
+    # and report cache-read time, not the operator
+    sig_state: dict[str, object] = {"df": None}
+
+    def _fresh_sigs():
+        if sig_state["df"] is not None:
+            sig_state["df"].unpersist()
+        sig_state["df"] = D.minhash_signatures(
+            docs, "doc_id", "text", num_hashes=8
+        ).persist()
+        return sig_state["df"]
+
     overrides = {
-        "minhash_signature": lambda: sigs,
+        "minhash_signature": _fresh_sigs,
         "lsh_candidate_pairs": lambda: D.lsh_candidate_pairs(
-            sigs, "doc_id", num_hashes=8, band_size=2
+            sig_state["df"], "doc_id", num_hashes=8, band_size=2
         ),
     }
 
@@ -129,24 +143,58 @@ def main() -> None:
 
     import gc
 
+    # Timing discipline (r04): each query is executed TWICE and the
+    # minimum is reported. Two distinct noise sources make a single
+    # shot unrepresentative of engine cost, both measured this round:
+    # (1) the first execution of a plan pays whole-stage-codegen
+    # javac/JIT compilation of its unique generated source (pagerank
+    # 12s cold vs 3.2s warm, winnowing 6.5s vs 1.1s) — a per-PLAN
+    # constant a real cluster job amortizes over hours; (2) this host
+    # shows intermittent multi-second hypervisor stall windows (steal%
+    # spikes; winnowing observed 1.1s isolated vs 30s mid-bench on an
+    # idle box, zero GC time, zero cgroup throttling). min-of-2 removes
+    # (1) by construction and survives (2) unless a stall hits both
+    # runs. Raw per-run timings are emitted alongside ("runs") so a
+    # reviewer can audit exactly what the min hides; load averages
+    # bracket the run as before.
+    def _psi_total(resource: str) -> float:
+        """Seconds any task stalled on `resource` (PSI 'some' total)."""
+        try:
+            with open(f"/proc/pressure/{resource}") as f:
+                line = f.readline()
+            return int(line.rsplit("total=", 1)[-1]) / 1e6
+        except (OSError, ValueError):
+            return float("nan")
+
     load_before = [round(x, 2) for x in os.getloadavg()]
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # plan construction stays inside the timed region: some queries
-        # (CMF fits, approx-quantile splits) execute work eagerly there
-        t0 = time.perf_counter()
-        df = overrides[name]() if name in overrides else qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # queries are independent: drop this query's DataFrame refs and
-        # force collection so ContextCleaner releases its localCheckpoint
-        # RDD blocks before the next query runs — otherwise checkpointed
-        # blocks pile up in executor storage across the run and inflate
-        # later heavy queries (measured: item_item_cosine 16.7s late in
-        # the run vs 7.4s isolated)
-        del df
-        gc.collect()
-    sigs.unpersist()
+    psi_before = {r: _psi_total(r) for r in ("cpu", "io")}
+    raw_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # two full interleaved passes (A over every query, then B), min per
+    # query — NOT back-to-back repeats: the host's stall episodes last
+    # on the order of a minute, so consecutive runs of one query can
+    # both land inside an episode, while a full pass later the same
+    # query runs clean (observed: duplicate_ngram_fraction min-of-2
+    # back-to-back = 32s during an episode vs 1.7s any other time)
+    for _pass in range(2):
+        for name in HEADLINE:
+            # plan construction stays inside the timed region: some
+            # queries (CMF fits, approx-quantile splits) execute work
+            # eagerly there
+            t0 = time.perf_counter()
+            df = overrides[name]() if name in overrides else qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            raw_runs[name].append(round(time.perf_counter() - t0, 3))
+            # queries are independent: drop this query's DataFrame refs
+            # and force collection so ContextCleaner releases its
+            # localCheckpoint RDD blocks before the next run — otherwise
+            # checkpointed blocks pile up in executor storage across the
+            # run and inflate later heavy queries (measured:
+            # item_item_cosine 16.7s late in the run vs 7.4s isolated)
+            del df
+            gc.collect()
+    timings: dict[str, float] = {name: min(raw_runs[name]) for name in HEADLINE}
+    if sig_state["df"] is not None:
+        sig_state["df"].unpersist()
     # the end-to-end dedup cost is signatures + banding combined; the
     # split timings share one signature pass (see above), so the sum is
     # the honest cross-round comparison number (r02 verdict nit #3)
@@ -172,6 +220,15 @@ def main() -> None:
         "load_before": load_before,
         "load_after": [round(x, 2) for x in os.getloadavg()],
         "override_guard": override_guard,
+        "timing": "min of 2 interleaved passes (pass A pays codegen compile; "
+        "see bench.py comment)",
+        "runs": raw_runs,
+        # PSI stall-seconds accumulated DURING the bench: directly
+        # quantifies host contention/stall episodes (load averages
+        # alone missed a ~1 min stall window this round)
+        "psi_stall_sec": {
+            r: round(_psi_total(r) - psi_before[r], 1) for r in ("cpu", "io")
+        },
     }
     print(json.dumps(out))
 
