@@ -1,0 +1,259 @@
+"""Persistent IVFADC vector index: build once, save, load, serve.
+
+The ANN operators in operators/similarity.py quantize + encode on
+every call — right for one-shot analytics, wrong for serving. At
+100 TB the quantizers (k-means cells, PQ codebooks) are trained once,
+the corpus is encoded once, and millions of queries amortize that
+build. This module adds the missing lifecycle around the same
+machinery (the centroid/codebook fits, narrow encode pass, ADC scan
+and bounded exact rerank are shared with `ivfadc_topk`):
+
+- ``IvfPqIndex.build(...)`` — train quantizers + encode the corpus;
+- ``.save(path)`` — encoded codes as parquet **partitioned by cell**,
+  quantizers + metadata as JSON sidecars. Cell-partitioning turns the
+  serve path's probed-cell filter into genuine directory-level
+  partition pruning: a query batch probing 6 of 256 cells opens 6/256
+  of the files (asserted via inputFiles in tests/test_ann_index.py —
+  the same data-skipping story as sources/layout.py, applied to
+  vector search);
+- ``IvfPqIndex.load(spark, path)`` — reopen for serving; nothing is
+  refit;
+- ``.search(queries, vectors, ...)`` — probe → partition-pruned ADC
+  scan over byte codes → exact rerank against the original vector
+  table. The per-call driver state is bounded: the query batch
+  (capped), the tiny quantizers, and per-query LUTs.
+
+Storage layout::
+
+    <root>/codes/cell=<c>/part-*.parquet   (nid, codes)
+    <root>/quantizers.json                 (centroids, codebooks, meta)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from collective_als_spark.functions.vector import cosine_similarity
+from collective_als_spark.operators.similarity import (
+    _assign_cells,
+    _fit_pq_codebooks,
+    _pq_encode,
+)
+
+_CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+    ]
+)
+
+_MAX_QUERY_BATCH = 10_000  # LUTs are (q, m, n_codes) driver-side; keep bounded
+
+
+class IvfPqIndex:
+    """IVF coarse quantizer + per-subspace PQ codebooks + encoded
+    corpus. Construct via :meth:`build` or :meth:`load`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        centroids: np.ndarray,  # (n_cells, dim)
+        codebooks: np.ndarray,  # (m, n_codes, dim/m)
+        encoded: DataFrame,  # (nid, codes, cell)
+        id_col: str,
+        vec_col: str,
+    ):
+        self.spark = spark
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.encoded = encoded
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # ------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        m: int = 8,
+        n_codes: int = 16,
+        seed: int = 42,
+    ) -> "IvfPqIndex":
+        """Train the coarse quantizer + codebooks (distributed k-means,
+        tiny results to the driver) and encode every corpus vector to
+        (cell, codes) in one narrow mapInPandas pass."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        dvec = embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        train = dvec.select(array_to_vector("v").alias("fv"))
+        km = KMeans(k=n_cells, seed=seed, maxIter=20, featuresCol="fv")
+        centroids = np.stack([c for c in km.fit(train).clusterCenters()])
+        cb = _fit_pq_codebooks(dvec, m, n_codes, seed)
+        cell_of = _assign_cells(embeddings, centroids, id_col, vec_col, 1).select(
+            F.col("vid").alias("nid"), "cell"
+        )
+        encoded = _pq_encode(dvec, cb, id_col).join(cell_of, "nid")
+        return cls(embeddings.sparkSession, centroids, cb, encoded, id_col, vec_col)
+
+    # ------------------------------------------------------------ persist
+
+    def save(self, path: str) -> None:
+        path = path.rstrip("/")
+        # partitionBy("cell") = the serve path's cell filter becomes
+        # directory-level partition pruning on every future search
+        self.encoded.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/codes"
+        )
+        with open(f"{path}/quantizers.json", "w") as f:
+            json.dump(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "codebooks": self.codebooks.tolist(),
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IvfPqIndex":
+        path = path.rstrip("/")
+        if not os.path.exists(f"{path}/quantizers.json"):
+            raise FileNotFoundError(f"no ANN index at {path}")
+        with open(f"{path}/quantizers.json") as f:
+            meta = json.load(f)
+        encoded = spark.read.parquet(f"{path}/codes")
+        return cls(
+            spark,
+            np.asarray(meta["centroids"]),
+            np.asarray(meta["codebooks"]),
+            encoded,
+            meta["id_col"],
+            meta["vec_col"],
+        )
+
+    # -------------------------------------------------------------- serve
+
+    def search(
+        self,
+        queries: DataFrame,
+        vectors: DataFrame,
+        k: int = 5,
+        n_probe: int = 6,
+        rerank_depth: int = 50,
+    ) -> DataFrame:
+        """Top-k neighbors for a bounded query batch.
+
+        ``queries``: (id_col, vec_col) — the batch to answer; collected
+        driver-side (capped at {_MAX_QUERY_BATCH}) to form per-query ADC
+        lookup tables shipped in the scan closure.
+        ``vectors``: the original embedding table (id_col, vec_col),
+        used ONLY for the exact rerank join over the bounded candidate
+        set — the ADC scan itself never touches a float vector.
+
+        Self-pairs (query id == neighbor id) are excluded, matching
+        `ivfadc_topk`.
+        """
+        id_col, vec_col = self.id_col, self.vec_col
+        m, n_codes, sub = self.codebooks.shape
+        n_cells = self.centroids.shape[0]
+        n_probe = min(n_probe, n_cells)
+
+        qrows = queries.select(id_col, vec_col).limit(_MAX_QUERY_BATCH + 1).collect()
+        if len(qrows) > _MAX_QUERY_BATCH:
+            raise ValueError(
+                f"query batch exceeds {_MAX_QUERY_BATCH}; split the batch "
+                f"(per-query LUTs are driver/closure state)"
+            )
+        if not qrows:
+            raise ValueError("empty query batch")
+        q_ids = np.array([r[id_col] for r in qrows])
+        q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+
+        qn = q_mat / (np.sqrt((q_mat**2).sum(-1, keepdims=True)) + 1e-12)
+        cn = self.centroids / (
+            np.sqrt((self.centroids**2).sum(-1, keepdims=True)) + 1e-12
+        )
+        order = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]
+        probe_mask = np.zeros((len(q_ids), n_cells), dtype=bool)
+        np.put_along_axis(probe_mask, order, True, axis=1)
+        probed_any = sorted({int(c) for c in order.ravel()})
+
+        cb = self.codebooks
+        q_parts = q_mat.reshape(len(q_ids), m, sub)
+        lut = np.einsum("qjs,jcs->qjc", q_parts, cb)
+        cb_norm2 = (cb**2).sum(-1)
+        q_norm = np.sqrt((q_mat**2).sum(-1))
+        depth = rerank_depth
+
+        def adc_scan(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].values)
+                nids = pdf["nid"].values
+                cells = pdf["cell"].values.astype(np.int64)
+                dots = lut[:, np.arange(m)[None, :], codes].sum(-1)
+                recon_norm = np.sqrt(
+                    cb_norm2[np.arange(m)[None, :], codes].sum(-1)
+                )
+                scores = dots / (q_norm[:, None] * recon_norm[None, :] + 1e-12)
+                scores = np.where(probe_mask[:, cells], scores, -np.inf)
+                scores = np.where(
+                    nids[None, :] == q_ids[:, None], -np.inf, scores
+                )
+                top = min(depth, scores.shape[1])
+                idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+                keep = np.take_along_axis(scores, idx, axis=1) > -np.inf
+                qq = np.repeat(q_ids, top).reshape(len(q_ids), top)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qq[keep].ravel(),
+                        "neighbor_id": nids[idx][keep].ravel(),
+                    }
+                )
+
+        # on a saved index this filter is directory-level partition
+        # pruning (codes/cell=<c>/); in-memory it's a plain filter
+        cand = (
+            self.encoded.filter(F.col("cell").isin(probed_any))
+            .select("nid", "codes", "cell")
+            .mapInPandas(adc_scan, _CAND_SCHEMA)
+        )
+
+        dvec = vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        e_q = dvec.select(F.col(id_col).alias("query_id"), F.col("v").alias("_qv"))
+        e_c = dvec.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("_cv"))
+        scored = (
+            cand.join(e_q, "query_id")
+            .join(e_c, "neighbor_id")
+            .withColumn(
+                "cos", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 4)
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(
+                "query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk")
+            )
+        )
