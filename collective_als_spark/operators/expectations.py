@@ -1,0 +1,166 @@
+"""Declarative data-quality expectations (Deequ-style) evaluated in a
+constant number of passes.
+
+A constraint suite for a 100 TB table cannot run one scan per check —
+the engine's job is to FUSE the suite: every row-level constraint
+(completeness, range, set membership, uniqueness, row count) compiles
+to an aggregate expression and the whole suite runs as ONE hash
+aggregate over ONE scan; each referential-integrity constraint adds
+one broadcast anti-join pass against its (small) referenced key set.
+The result is one row per check: (check, kind, column, metric,
+passed) — the audit artifact a pipeline gate consumes.
+
+Checks are plain dicts so suites can live in config::
+
+    {"kind": "not_null",      "column": "o_orderkey"}
+    {"kind": "unique",        "column": "o_orderkey"}
+    {"kind": "range",         "column": "o_totalprice", "lo": 0, "hi": 1e9}
+    {"kind": "in_set",        "column": "o_orderstatus", "values": ["O","F","P"]}
+    {"kind": "row_count_min", "n": 1000}
+    {"kind": "ref_integrity", "column": "o_custkey", "ref": customer_df,
+     "ref_column": "c_custkey"}
+
+`metric` is the count of VIOLATING rows (0 = clean) except
+row_count_min, where it is the observed row count; uniqueness counts
+rows in excess of their key's first occurrence (count - distinct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _check_name(c: dict) -> str:
+    if c["kind"] == "row_count_min":
+        return f"row_count_min_{c['n']}"
+    return f"{c['kind']}_{c['column']}"
+
+
+def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Evaluate a constraint suite. One aggregate pass for all
+    row-level checks + one broadcast anti-join per ref_integrity
+    check; returns (check, kind, column, metric, passed)."""
+    aggs: list = []
+    rows_meta: list[tuple[str, str, str]] = []  # (name, kind, column)
+
+    for c in checks:
+        kind = c["kind"]
+        name = _check_name(c)
+        if kind == "not_null":
+            aggs.append(
+                F.sum(F.when(F.col(c["column"]).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(name)
+            )
+        elif kind == "range":
+            aggs.append(
+                F.sum(
+                    F.when(
+                        ~F.col(c["column"]).between(F.lit(c["lo"]), F.lit(c["hi"])),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(name)
+            )
+        elif kind == "in_set":
+            aggs.append(
+                F.sum(
+                    F.when(~F.col(c["column"]).isin(*c["values"]), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(name)
+            )
+        elif kind == "unique":
+            # duplicates = non-null rows beyond each key's first
+            # occurrence; exact distinct fuses into the same hash agg
+            # (Spark plans it as a two-phase expand, still one scan)
+            aggs.append(
+                (
+                    F.count(F.col(c["column"]))
+                    - F.count_distinct(F.col(c["column"]))
+                )
+                .cast("bigint")
+                .alias(name)
+            )
+        elif kind == "row_count_min":
+            aggs.append(F.count(F.lit(1)).cast("bigint").alias(name))
+        elif kind == "ref_integrity":
+            continue  # separate pass below
+        else:
+            raise ValueError(f"unknown check kind {kind!r}")
+        rows_meta.append((name, kind, c.get("column", "")))
+
+    out = None
+    if aggs:
+        wide = df.agg(*aggs)
+        # unpivot the single metrics row to one row per check
+        stack_args = ", ".join(f"'{n}', `{n}`" for n, _, _ in rows_meta)
+        meta_map = {n: (kind, col) for n, kind, col in rows_meta}
+        long = wide.selectExpr(
+            f"stack({len(rows_meta)}, {stack_args}) AS (check, metric)"
+        )
+        kind_expr = F.create_map(
+            *[x for n, (kind, _) in meta_map.items() for x in (F.lit(n), F.lit(kind))]
+        )
+        col_expr = F.create_map(
+            *[x for n, (_, col) in meta_map.items() for x in (F.lit(n), F.lit(col))]
+        )
+        min_rows = {
+            _check_name(c): int(c["n"]) for c in checks if c["kind"] == "row_count_min"
+        }
+        passed = F.when(
+            F.col("kind") == "row_count_min",
+            F.col("metric")
+            >= F.coalesce(
+                F.create_map(
+                    *[
+                        x
+                        for n, v in min_rows.items()
+                        for x in (F.lit(n), F.lit(v))
+                    ]
+                )[F.col("check")]
+                if min_rows
+                else F.lit(None).cast("bigint"),
+                F.lit(0),
+            ),
+        ).otherwise(F.col("metric") == 0)
+        out = (
+            long.withColumn("kind", kind_expr[F.col("check")])
+            .withColumn("column", col_expr[F.col("check")])
+            .withColumn("passed", passed)
+            .select("check", "kind", "column", "metric", "passed")
+        )
+
+    for c in checks:
+        if c["kind"] != "ref_integrity":
+            continue
+        name = _check_name(c)
+        ref_keys = (
+            c["ref"]
+            .select(F.col(c["ref_column"]).alias("_rk"))
+            .where(F.col(c["ref_column"]).isNotNull())
+            .distinct()
+        )
+        orphans = (
+            df.where(F.col(c["column"]).isNotNull())
+            .join(
+                F.broadcast(ref_keys),
+                df[c["column"]] == F.col("_rk"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("metric"))
+            .select(
+                F.lit(name).alias("check"),
+                F.lit("ref_integrity").alias("kind"),
+                F.lit(c["column"]).alias("column"),
+                F.col("metric"),
+                (F.col("metric") == 0).alias("passed"),
+            )
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+
+    if out is None:
+        raise ValueError("empty check suite")
+    return out

@@ -957,3 +957,62 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bright_micro") / F.count(F.lit(1)) / 1000000.0, 6
         ).alias("avg_brightness"),
     )
+
+
+@register(
+    "dq_expectations_suite",
+    oracle="""
+    WITH m AS (
+        SELECT
+            CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+            CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS uq,
+            CAST(sum(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS rng,
+            CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS st,
+            CAST(count(*) AS BIGINT) AS rc
+        FROM orders
+    ), ri AS (
+        SELECT CAST(count(*) AS BIGINT) AS orphans
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT 'not_null_o_orderkey' AS "check", 'not_null' AS kind,
+           'o_orderkey' AS "column", nn AS metric, nn = 0 AS passed FROM m
+    UNION ALL SELECT 'unique_o_orderkey', 'unique', 'o_orderkey', uq, uq = 0 FROM m
+    UNION ALL SELECT 'range_o_totalprice', 'range', 'o_totalprice', rng, rng = 0 FROM m
+    UNION ALL SELECT 'in_set_o_orderstatus', 'in_set', 'o_orderstatus', st, st = 0 FROM m
+    UNION ALL SELECT 'row_count_min_1000', 'row_count_min', '', rc, rc >= 1000 FROM m
+    UNION ALL SELECT 'ref_integrity_o_custkey', 'ref_integrity', 'o_custkey',
+                     orphans, orphans = 0 FROM ri
+    """,
+)
+def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite (Deequ-style) over orders: five
+    row-level checks FUSED into one hash aggregate over one scan
+    (completeness, uniqueness, range, set membership, minimum row
+    count — the unique check's exact distinct fuses into the same agg
+    as a two-phase expand) plus one broadcast anti-join pass for
+    referential integrity against customer. At 100 TB the fusion is
+    the feature: a 6-check suite costs one table scan + one key-set
+    anti join, not six scans. Emits the audit artifact
+    (check, kind, column, metric, passed) a pipeline gate consumes."""
+    from collective_als_spark.operators.expectations import run_checks
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return run_checks(
+        orders,
+        [
+            {"kind": "not_null", "column": "o_orderkey"},
+            {"kind": "unique", "column": "o_orderkey"},
+            {"kind": "range", "column": "o_totalprice", "lo": 0, "hi": 1000000},
+            {"kind": "in_set", "column": "o_orderstatus", "values": ["O", "F", "P"]},
+            {"kind": "row_count_min", "n": 1000},
+            {
+                "kind": "ref_integrity",
+                "column": "o_custkey",
+                "ref": customer,
+                "ref_column": "c_custkey",
+            },
+        ],
+    )

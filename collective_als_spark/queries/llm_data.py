@@ -1467,6 +1467,30 @@ def vocab_top_p_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_index_roundtrip")
+def ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent-index serving path: build the IVFADC index, save it
+    (codes parquet partitioned by cell + quantizer sidecars), load it
+    back, and answer a query batch from the LOADED artifacts — the
+    build-once/serve-many lifecycle production vector search needs at
+    100 TB, where re-clustering per query batch is impossible. The
+    probed-cell filter is directory-level partition pruning on the
+    saved codes (asserted in tests/test_ann_index.py). Rows-only (two
+    k-means stages; load-equals-build and recall pinned in
+    tests/test_ann_index.py)."""
+    import tempfile
+
+    from collective_als_spark.operators.ann_index import IvfPqIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
+    path = tempfile.mkdtemp(prefix="annix_") + "/ivfpq"
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    queries = emb.orderBy("vec_id").limit(50)
+    return loaded.search(queries, emb, k=5, n_probe=6, rerank_depth=60)
+
+
 @register("ann_topk_ivfadc")
 def ann_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC ANN: IVF cells prune which rows are scored, PQ-ADC byte

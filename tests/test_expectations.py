@@ -1,0 +1,91 @@
+"""Deequ-style expectations engine (operators/expectations.py):
+violation counting per check kind, pass/fail semantics, and the
+fusion contract (all row-level checks = ONE scan of the table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from collective_als_spark.operators.expectations import run_checks
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        (1, 10.0, "A", 100),
+        (2, -5.0, "A", 100),   # range violation
+        (2, 20.0, "B", 200),   # duplicate id
+        (None, 30.0, "C", 100),  # null id, bad status
+        (4, 40.0, "A", 999),   # orphan fk
+    ]
+    return spark.createDataFrame(rows, "id int, amount double, status string, fk int")
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame([(100,), (200,)], "key int")
+
+
+def test_all_kinds(spark, dirty, dim):
+    out = run_checks(
+        dirty,
+        [
+            {"kind": "not_null", "column": "id"},
+            {"kind": "unique", "column": "id"},
+            {"kind": "range", "column": "amount", "lo": 0, "hi": 100},
+            {"kind": "in_set", "column": "status", "values": ["A", "B"]},
+            {"kind": "row_count_min", "n": 3},
+            {"kind": "ref_integrity", "column": "fk", "ref": dim, "ref_column": "key"},
+        ],
+    )
+    got = {r["check"]: (r["metric"], r["passed"]) for r in out.collect()}
+    assert got["not_null_id"] == (1, False)
+    assert got["unique_id"] == (1, False)       # one row beyond first occurrence of 2
+    assert got["range_amount"] == (1, False)
+    assert got["in_set_status"] == (1, False)
+    assert got["row_count_min_3"] == (5, True)
+    assert got["ref_integrity_fk"] == (1, False)
+
+
+def test_clean_table_passes(spark, dim):
+    clean = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, amount double")
+    out = run_checks(
+        clean,
+        [
+            {"kind": "not_null", "column": "id"},
+            {"kind": "unique", "column": "id"},
+            {"kind": "range", "column": "amount", "lo": 0, "hi": 10},
+            {"kind": "row_count_min", "n": 2},
+        ],
+    )
+    assert all(r["passed"] for r in out.collect())
+
+
+def test_row_level_checks_fuse_to_one_scan(spark, sf_med):
+    """The fusion contract: N row-level checks must not scan N times."""
+    from collective_als_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_med, "orders")
+    out = run_checks(
+        orders,
+        [
+            {"kind": "not_null", "column": "o_orderkey"},
+            {"kind": "unique", "column": "o_orderkey"},
+            {"kind": "range", "column": "o_totalprice", "lo": 0, "hi": 1e9},
+            {"kind": "in_set", "column": "o_orderstatus", "values": ["O", "F", "P"]},
+            {"kind": "row_count_min", "n": 1},
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_unknown_kind_raises(spark, dirty):
+    with pytest.raises(ValueError, match="unknown check kind"):
+        run_checks(dirty, [{"kind": "frobnicate", "column": "id"}])
+
+
+def test_empty_suite_raises(spark, dirty):
+    with pytest.raises(ValueError, match="empty check suite"):
+        run_checks(dirty, [])

@@ -86,6 +86,7 @@ SKIP = {
     "ann_topk_ivf",
     "ann_topk_pq",
     "ann_topk_ivfadc",
+    "ann_index_roundtrip",
     "item_item_dimsum",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",
