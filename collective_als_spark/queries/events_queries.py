@@ -617,3 +617,68 @@ def streaming_multimodal_ingest_query(spark: SparkSession, sf_dir: str) -> DataF
     from collective_als_spark.streaming.stateful import streaming_multimodal_ingest
 
     return streaming_multimodal_ingest(spark, sf_dir)
+
+
+@register(
+    "seasonal_hourly_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ), stats AS (
+        SELECT CAST(hour(h) AS INTEGER) AS hod,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_events) AS BIGINT) AS s1,
+               CAST(sum(n_events * n_events) AS BIGINT) AS s2
+        FROM hourly GROUP BY 1
+    )
+    SELECT h, CAST(hour(h) AS INTEGER) AS hod, n_events,
+           round((n_events - CAST(s1 AS DOUBLE) / cnt)
+                 / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1)), 4)
+               AS z_score,
+           abs((n_events - CAST(s1 AS DOUBLE) / cnt)
+               / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1))) > 2
+               AS is_anomaly
+    FROM hourly JOIN stats ON CAST(hour(h) AS INTEGER) = stats.hod
+    """,
+)
+def seasonal_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition + anomaly flags for event volume: the
+    hour-of-day profile is the seasonal component (30 observations per
+    hod over the month), each hourly bucket is z-scored against its
+    own hod's distribution, |z| > 2 flags anomalies — the standard
+    seasonal-baseline monitor for ingest pipelines.
+
+    Scale shape: one shuffle to hourly buckets (720 rows per month
+    regardless of event volume — the reduction happens in the
+    partial agg), a 24-row stats frame broadcast back. Cross-engine
+    determinism: mean/variance are computed FROM INTEGER SUMS with the
+    same closed-form expression on both sides ((s2 - s1^2/cnt)/(cnt-1))
+    — builtin stddev implementations (Welford vs two-pass) differ in
+    the last ulp and would flip round(.,4) boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    stats = hourly.groupBy(F.hour("h").cast("int").alias("hod")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("n_events").cast("bigint").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    std = F.sqrt(
+        (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("cnt"))
+        / (F.col("cnt") - 1)
+    )
+    z = (F.col("n_events") - mean) / std
+    return (
+        hourly.withColumn("hod", F.hour("h").cast("int"))
+        .join(F.broadcast(stats), "hod")
+        .select(
+            "h",
+            "hod",
+            "n_events",
+            F.round(z, 4).alias("z_score"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+    )

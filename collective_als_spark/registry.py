@@ -87,15 +87,18 @@ _PRIORITY: list[str] = [
     "table_profile", "grouping_sets_agg", "range_join_attribution",
     # r04 swap: substring_containment_pairs (lossless winnowing-candidate
     # exact dedup, the novel r04 tier) replaces intersect_except (a
-    # trivially-correct set op that stays pytest-oracle-checked below)
-    "substring_containment_pairs", "exact_percentiles",
+    # trivially-correct set op that stays pytest-oracle-checked below);
+    # dq_expectations_suite (the fused Deequ-style constraint engine, a
+    # new r04 family) replaces exact_percentiles (a single-function agg
+    # that stays pytest-oracle-checked below)
+    "substring_containment_pairs", "dq_expectations_suite",
     # r04 swap: multimodal_ppm_decode (REAL byte-parsing image decode,
     # hash-checked against the analytic pixel oracle) replaces
     # psi_drift (stays pytest-oracle-checked below)
     "multimodal_ppm_decode",
     "trend_regression",
     # ---------------- below the driver cap line (50) ----------------
-    "intersect_except", "psi_drift",
+    "intersect_except", "psi_drift", "exact_percentiles",
     # -- §2 dupes demoted in r03 (still oracle-checked by pytest; their
     #    §2 ops keep an in-cap witness per SURVEY2_WITNESSES)
     "running_window_frame",

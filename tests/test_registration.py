@@ -86,14 +86,16 @@ def test_registry_priority_ordering():
                  "rmse_mae", "cmf_fit_predict"]:
         assert must in head, f"{must} fell below the driver cap"
     # r03 promotions (verdict #1): extension oracles that never had a
-    # driver row must now sit inside the cap. r04 swapped two of the
-    # redundant SQL-family slots (intersect_except, psi_drift — both
-    # still pytest-oracle-checked below the cap) for the round's novel
-    # witnesses: exact substring containment and the REAL PPM decode.
+    # driver row must now sit inside the cap. r04 swapped three of the
+    # redundant SQL-family slots (intersect_except, psi_drift,
+    # exact_percentiles — all still pytest-oracle-checked below the
+    # cap) for the round's novel witnesses: exact substring
+    # containment, the REAL PPM decode, and the fused Deequ-style
+    # constraint suite.
     for promoted in ["tfidf_term_stats", "item_item_cosine",
                      "prefix_jaccard_pairs", "table_profile",
                      "grouping_sets_agg", "range_join_attribution",
-                     "substring_containment_pairs", "exact_percentiles",
+                     "substring_containment_pairs", "dq_expectations_suite",
                      "multimodal_ppm_decode", "trend_regression"]:
         assert promoted in head, f"{promoted} not promoted into the cap"
 
