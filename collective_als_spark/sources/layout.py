@@ -213,6 +213,104 @@ class SnapshotTable:
         files = self._manifest(v)["files"]
         return self.spark.read.parquet(*files)
 
+    def compact(self, target_rows_per_file: int) -> int:
+        """Small-file compaction as a COMMIT: read the current
+        snapshot, rewrite into ceil(rows/target) round-robin files, and
+        commit the rewrite as a new version. Unlike the in-place
+        directory swap (`files.compact_small_files`), readers of older
+        versions are untouched — the pre-compaction snapshot stays
+        time-travelable until expired, and a crash mid-compaction
+        leaves only orphan files. This is how maintenance must work on
+        a versioned table: data files are immutable, so compaction is
+        just another writer."""
+        import math
+
+        cur = self.read()
+        n = cur.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        return self.overwrite(cur.repartition(n_files))
+
+    def wap_commit(
+        self, df: DataFrame, checks: list[dict], mode: str = "append"
+    ) -> int:
+        """Write-Audit-Publish: stage the data files, audit WHAT WAS
+        WRITTEN (the staged files are read back, so the audit sees
+        exactly the bytes readers would), and only then flip the
+        pointer. A failing audit raises with the violations and leaves
+        the table at its previous version — the staged files are
+        unreferenced orphans that the next `expire` removes.
+
+        This is the canonical quality gate for a 100 TB ingest: bad
+        batches never become visible, and the audit artifact is
+        persisted next to the manifest (`v<N>.audit.json`) as commit
+        provenance. Checks use the fused expectations engine
+        (operators/expectations.py): one scan of the staged files for
+        all row-level constraints.
+        """
+        from collective_als_spark.operators.expectations import run_checks
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown mode {mode!r}")
+        files = self._write_data(df)
+        audit_rows = [
+            r.asDict() for r in run_checks(self.spark.read.parquet(*files), checks).collect()
+        ]
+        failed = [r for r in audit_rows if not r["passed"]]
+        if failed:
+            raise ValueError(
+                "wap_commit audit failed; table unchanged at version "
+                f"{self.current_version()}: "
+                + ", ".join(f"{r['check']} (metric={r['metric']})" for r in failed)
+            )
+        prev = (
+            self._manifest(self.current_version())["files"]
+            if mode == "append" and self.current_version()
+            else []
+        )
+        version = self._commit(prev + files)
+        with open(f"{self.root}/_snapshots/v{version}.audit.json", "w") as f:
+            json.dump(audit_rows, f, default=str)
+        return version
+
+    def streaming_sink(self, checkpoint_dir: str, checks: list[dict] | None = None):
+        """foreachBatch writer committing every micro-batch as an
+        atomic snapshot append (optionally WAP-audited). Concurrent
+        batch readers pin a manifest, so they NEVER observe a torn
+        micro-batch — the property a raw parquet file-sink cannot give.
+        Use as::
+
+            q = (stream.writeStream
+                 .option("checkpointLocation", ckpt)
+                 .foreachBatch(table.streaming_sink(ckpt))
+                 .start())
+
+        Exactly-once note: Structured Streaming replays a failed batch;
+        an append re-commit of a replayed batch would double rows. The
+        sink makes the commit idempotent by recording the last
+        committed batch id inside the manifest dir and skipping
+        already-committed ids (the same transactional-marker pattern a
+        real lake sink uses).
+        """
+        marker = f"{self.root}/_snapshots/last_batch_id"
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            try:
+                with open(marker) as f:
+                    if batch_id <= int(f.read().strip()):
+                        return  # replayed batch: already committed
+            except FileNotFoundError:
+                pass
+            if checks:
+                self.wap_commit(batch_df, checks, mode="append")
+            else:
+                self.append(batch_df)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(batch_id))
+            os.replace(tmp, marker)
+
+        return write_batch
+
     def expire(self, keep_last: int = 1) -> int:
         """Drop manifests older than the last ``keep_last`` versions
         and delete data files no retained manifest references (orphans
@@ -228,10 +326,14 @@ class SnapshotTable:
             referenced.update(self._manifest(v)["files"])
         for v in range(1, cur + 1):
             if v not in keep_versions:
-                try:
-                    os.remove(self._manifest_path(v))
-                except FileNotFoundError:
-                    pass
+                for stale in (
+                    self._manifest_path(v),
+                    f"{self.root}/_snapshots/v{v}.audit.json",
+                ):
+                    try:
+                        os.remove(stale)
+                    except FileNotFoundError:
+                        pass
         deleted = 0
         data_root = f"{self.root}/data"
         for commit in list(os.listdir(data_root)):

@@ -121,3 +121,81 @@ def test_snapshot_empty_read_raises(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "tbl"))
     with pytest.raises(ValueError):
         t.read()
+
+
+def test_compact_is_a_commit(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):
+        t.append(spark.range(i * 25, (i + 1) * 25))
+    pre = t.current_version()
+    files_pre = len(t._manifest(pre)["files"])
+    v = t.compact(target_rows_per_file=100)
+    assert v == pre + 1
+    assert len(t._manifest(v)["files"]) < files_pre
+    assert t.read().count() == 100
+    # pre-compaction snapshot still time-travelable
+    assert t.read(pre).count() == 100
+
+
+def test_wap_commit_publishes_clean_batch(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(50).withColumn("v", F.col("id") * 2)
+    v = t.wap_commit(
+        df,
+        [
+            {"kind": "not_null", "column": "id"},
+            {"kind": "unique", "column": "id"},
+            {"kind": "row_count_min", "n": 10},
+        ],
+    )
+    assert v == 1 and t.read().count() == 50
+    import json as J, os as O
+
+    audit = J.load(open(f"{t.root}/_snapshots/v1.audit.json"))
+    assert {a["check"] for a in audit} == {
+        "not_null_id", "unique_id", "row_count_min_10"
+    }
+    assert all(a["passed"] for a in audit)
+
+
+def test_wap_commit_blocks_dirty_batch(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.range(10).withColumn("v", F.lit(1)))
+    dirty = spark.createDataFrame(
+        [(1, 5), (1, 6), (None, 7)], "id long, v long"
+    )
+    with pytest.raises(ValueError, match="audit failed"):
+        t.wap_commit(
+            dirty,
+            [{"kind": "not_null", "column": "id"},
+             {"kind": "unique", "column": "id"}],
+        )
+    # table unchanged; the staged orphans are expirable
+    assert t.current_version() == 1 and t.read().count() == 10
+    t.expire(keep_last=1)
+    assert t.read().count() == 10
+
+
+def test_streaming_sink_commits_batches_atomically(spark, sf_small, tmp_path):
+    """Every micro-batch becomes one snapshot version; a replayed batch
+    id is skipped (idempotent commit)."""
+    from collective_als_spark.streaming.stateful import _events_stream
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt")
+    sink = t.streaming_sink(ckpt)
+    stream = _events_stream(spark, sf_small).select("event_id", "user_id", "value")
+    q = (
+        stream.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_expected = spark.read.parquet(f"{sf_small}/events.parquet").count()
+    assert t.current_version() >= 1
+    assert t.read().count() == n_expected
+    # replay the last batch id manually: must be a no-op
+    v = t.current_version()
+    sink(spark.range(5).selectExpr("id AS event_id", "id AS user_id", "CAST(id AS DOUBLE) AS value"), 0)
+    assert t.current_version() == v and t.read().count() == n_expected
