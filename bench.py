@@ -55,6 +55,14 @@ HEADLINE = [
     "substring_containment_pairs",
     "customer_distribution_q13",
     "multimodal_ppm_decode",
+    # round-4 session-2 families: pure pushdown scan (Q6), deepest join
+    # (Q8, 8 tables), exists/not-exists decorrelation (Q21), the fused
+    # DQ constraint suite, seasonal anomaly scoring
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "waiting_supplier_q21",
+    "dq_expectations_suite",
+    "seasonal_hourly_anomalies",
 ]
 
 
