@@ -172,7 +172,7 @@ def main() -> None:
                 line = f.readline()
             return int(line.rsplit("total=", 1)[-1]) / 1e6
         except (OSError, ValueError):
-            return float("nan")
+            return None  # no PSI on this host; JSON must stay strict (no NaN)
 
     load_before = [round(x, 2) for x in os.getloadavg()]
     psi_before = {r: _psi_total(r) for r in ("cpu", "io")}
@@ -235,7 +235,12 @@ def main() -> None:
         # quantifies host contention/stall episodes (load averages
         # alone missed a ~1 min stall window this round)
         "psi_stall_sec": {
-            r: round(_psi_total(r) - psi_before[r], 1) for r in ("cpu", "io")
+            r: (
+                round(_psi_total(r) - psi_before[r], 1)
+                if psi_before[r] is not None and _psi_total(r) is not None
+                else None
+            )
+            for r in ("cpu", "io")
         },
     }
     print(json.dumps(out))

@@ -235,11 +235,19 @@ class IvfPqIndex:
             .mapInPandas(adc_scan, _CAND_SCHEMA)
         )
 
-        dvec = vectors.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        # query-side rerank vectors come from the QUERY BATCH itself,
+        # not the corpus table — out-of-corpus query ids (the
+        # build-once/serve-many case) must rerank against their own
+        # vector, and an id that happens to collide with an unrelated
+        # corpus row must not score against the wrong one
+        e_q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
         )
-        e_q = dvec.select(F.col(id_col).alias("query_id"), F.col("v").alias("_qv"))
-        e_c = dvec.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("_cv"))
+        e_c = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
         scored = (
             cand.join(e_q, "query_id")
             .join(e_c, "neighbor_id")

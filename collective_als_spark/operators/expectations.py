@@ -20,6 +20,9 @@ Checks are plain dicts so suites can live in config::
     {"kind": "ref_integrity", "column": "o_custkey", "ref": customer_df,
      "ref_column": "c_custkey"}
 
+An optional ``"name"`` overrides the auto-derived check name; repeated
+kind+column pairs auto-suffix (_2, _3 …) to keep names unique.
+
 `metric` is the count of VIOLATING rows (0 = clean) except
 row_count_min, where it is the observed row count; uniqueness counts
 rows in excess of their key's first occurrence (count - distinct).
@@ -32,9 +35,34 @@ from pyspark.sql import functions as F
 
 
 def _check_name(c: dict) -> str:
+    if "name" in c:
+        return c["name"]
     if c["kind"] == "row_count_min":
         return f"row_count_min_{c['n']}"
     return f"{c['kind']}_{c['column']}"
+
+
+def _unique_names(checks: list[dict]) -> list[str]:
+    """One stable, UNIQUE name per check: duplicate kind+column pairs
+    (e.g. two range bands on one column) get an ordinal suffix —
+    without it the fused agg would alias two expressions identically
+    and the stack() unpivot would raise AMBIGUOUS_REFERENCE."""
+    seen: dict[str, int] = {}
+    names = []
+    for c in checks:
+        base = _check_name(c)
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        names.append(base if n == 0 else f"{base}_{n + 1}")
+    return names
+
+
+def _nullsafe(agg):
+    """F.sum over zero rows is NULL; a constraint with no rows to
+    violate is CLEAN (metric 0), and NULL would poison the passed
+    column (NULL == 0 is NULL -> a WAP gate would fail an empty,
+    vacuously clean micro-batch)."""
+    return F.coalesce(agg, F.lit(0))
 
 
 def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
@@ -43,31 +71,37 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     check; returns (check, kind, column, metric, passed)."""
     aggs: list = []
     rows_meta: list[tuple[str, str, str]] = []  # (name, kind, column)
+    names = _unique_names(checks)
 
-    for c in checks:
+    for c, name in zip(checks, names):
         kind = c["kind"]
-        name = _check_name(c)
         if kind == "not_null":
             aggs.append(
-                F.sum(F.when(F.col(c["column"]).isNull(), 1).otherwise(0))
+                _nullsafe(F.sum(F.when(F.col(c["column"]).isNull(), 1).otherwise(0)))
                 .cast("bigint")
                 .alias(name)
             )
         elif kind == "range":
             aggs.append(
-                F.sum(
-                    F.when(
-                        ~F.col(c["column"]).between(F.lit(c["lo"]), F.lit(c["hi"])),
-                        1,
-                    ).otherwise(0)
+                _nullsafe(
+                    F.sum(
+                        F.when(
+                            ~F.col(c["column"]).between(
+                                F.lit(c["lo"]), F.lit(c["hi"])
+                            ),
+                            1,
+                        ).otherwise(0)
+                    )
                 )
                 .cast("bigint")
                 .alias(name)
             )
         elif kind == "in_set":
             aggs.append(
-                F.sum(
-                    F.when(~F.col(c["column"]).isin(*c["values"]), 1).otherwise(0)
+                _nullsafe(
+                    F.sum(
+                        F.when(~F.col(c["column"]).isin(*c["values"]), 1).otherwise(0)
+                    )
                 )
                 .cast("bigint")
                 .alias(name)
@@ -108,7 +142,9 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
             *[x for n, (_, col) in meta_map.items() for x in (F.lit(n), F.lit(col))]
         )
         min_rows = {
-            _check_name(c): int(c["n"]) for c in checks if c["kind"] == "row_count_min"
+            name: int(c["n"])
+            for c, name in zip(checks, names)
+            if c["kind"] == "row_count_min"
         }
         passed = F.when(
             F.col("kind") == "row_count_min",
@@ -133,10 +169,9 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
             .select("check", "kind", "column", "metric", "passed")
         )
 
-    for c in checks:
+    for c, name in zip(checks, names):
         if c["kind"] != "ref_integrity":
             continue
-        name = _check_name(c)
         ref_keys = (
             c["ref"]
             .select(F.col(c["ref_column"]).alias("_rk"))

@@ -1478,13 +1478,18 @@ def ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     saved codes (asserted in tests/test_ann_index.py). Rows-only (two
     k-means stages; load-equals-build and recall pinned in
     tests/test_ann_index.py)."""
+    import os
     import tempfile
 
     from collective_als_spark.operators.ann_index import IvfPqIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
     idx = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
-    path = tempfile.mkdtemp(prefix="annix_") + "/ivfpq"
+    # fixed, overwritten location: repeated driver/bench invocations
+    # must not accumulate a fresh mkdtemp copy of the codes per run
+    path = os.path.join(
+        tempfile.gettempdir(), f"annix_{os.getpid()}", "ivfpq"
+    )
     idx.save(path)
     loaded = IvfPqIndex.load(spark, path)
     queries = emb.orderBy("vec_id").limit(50)

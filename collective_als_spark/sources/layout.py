@@ -168,15 +168,28 @@ class SnapshotTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str]) -> int:
+    def _commit(self, files: list[str], markers: dict[str, int] | None = None) -> int:
+        """`markers` (streaming writer id -> last committed batch id)
+        rides INSIDE the manifest so it becomes visible in the same
+        atomic pointer flip as the data — a crash can never separate
+        'batch committed' from 'batch recorded' (the dedup guard the
+        streaming sink's exactly-once claim rests on)."""
         version = self.current_version() + 1
+        manifest = {"version": version, "files": sorted(files)}
+        if markers:
+            manifest["batch_markers"] = markers
         with open(self._manifest_path(version), "w") as f:
-            json.dump({"version": version, "files": sorted(files)}, f)
+            json.dump(manifest, f)
         tmp = f"{self.root}/_snapshots/current.tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, f"{self.root}/_snapshots/current")  # the atomic flip
         return version
+
+    def _current_markers(self) -> dict[str, int]:
+        if not self.current_version():
+            return {}
+        return self._manifest(self.current_version()).get("batch_markers", {})
 
     def _write_data(self, df: DataFrame) -> list[str]:
         commit_dir = f"{self.root}/data/{uuid.uuid4().hex}"
@@ -189,19 +202,23 @@ class SnapshotTable:
 
     # -- public API
 
-    def append(self, df: DataFrame) -> int:
-        """New snapshot = previous files + this commit's files."""
+    def append(self, df: DataFrame, _markers: dict[str, int] | None = None) -> int:
+        """New snapshot = previous files + this commit's files.
+        Streaming batch markers carry forward (a non-streaming commit
+        must not erase a streaming writer's dedup state)."""
         prev = (
             self._manifest(self.current_version())["files"]
             if self.current_version()
             else []
         )
-        return self._commit(prev + self._write_data(df))
+        markers = self._current_markers() | (_markers or {})
+        return self._commit(prev + self._write_data(df), markers)
 
     def overwrite(self, df: DataFrame) -> int:
         """New snapshot = this commit's files only. The replaced files
-        are NOT deleted — older versions still reference them."""
-        return self._commit(self._write_data(df))
+        are NOT deleted — older versions still reference them. Batch
+        markers carry forward (see append)."""
+        return self._commit(self._write_data(df), self._current_markers())
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read a snapshot (default: current). Time travel = pass an
@@ -231,7 +248,11 @@ class SnapshotTable:
         return self.overwrite(cur.repartition(n_files))
 
     def wap_commit(
-        self, df: DataFrame, checks: list[dict], mode: str = "append"
+        self,
+        df: DataFrame,
+        checks: list[dict],
+        mode: str = "append",
+        _markers: dict[str, int] | None = None,
     ) -> int:
         """Write-Audit-Publish: stage the data files, audit WHAT WAS
         WRITTEN (the staged files are read back, so the audit sees
@@ -267,7 +288,8 @@ class SnapshotTable:
             if mode == "append" and self.current_version()
             else []
         )
-        version = self._commit(prev + files)
+        markers = self._current_markers() | (_markers or {})
+        version = self._commit(prev + files, markers)
         with open(f"{self.root}/_snapshots/v{version}.audit.json", "w") as f:
             json.dump(audit_rows, f, default=str)
         return version
@@ -286,28 +308,29 @@ class SnapshotTable:
 
         Exactly-once note: Structured Streaming replays a failed batch;
         an append re-commit of a replayed batch would double rows. The
-        sink makes the commit idempotent by recording the last
-        committed batch id inside the manifest dir and skipping
-        already-committed ids (the same transactional-marker pattern a
-        real lake sink uses).
+        dedup guard is a (writer, last-batch-id) marker stored INSIDE
+        the manifest, so it commits in the same atomic pointer flip as
+        the data — a crash can never land between "rows visible" and
+        "batch recorded" (the two-file version of this pattern has
+        exactly that double-append window). The writer id is derived
+        from ``checkpoint_dir``, so independent queries (each with its
+        own checkpoint, each restarting batch ids at 0) writing to one
+        table keep separate markers and cannot swallow each other's
+        batches; batch ids are monotonic per checkpoint, which is what
+        makes the ``<=`` comparison a correct replay test.
         """
-        marker = f"{self.root}/_snapshots/last_batch_id"
+        import hashlib
+
+        writer_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-            try:
-                with open(marker) as f:
-                    if batch_id <= int(f.read().strip()):
-                        return  # replayed batch: already committed
-            except FileNotFoundError:
-                pass
+            if self._current_markers().get(writer_id, -1) >= batch_id:
+                return  # replayed batch: already committed atomically
+            markers = {writer_id: batch_id}
             if checks:
-                self.wap_commit(batch_df, checks, mode="append")
+                self.wap_commit(batch_df, checks, mode="append", _markers=markers)
             else:
-                self.append(batch_df)
-            tmp = marker + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(batch_id))
-            os.replace(tmp, marker)
+                self.append(batch_df, _markers=markers)
 
         return write_batch
 
@@ -319,6 +342,11 @@ class SnapshotTable:
         Deletion order is manifest-first so a crash mid-expire never
         leaves a live manifest pointing at deleted files.
         """
+        if keep_last < 1:
+            raise ValueError(
+                f"keep_last must be >= 1 (got {keep_last}): the current "
+                f"version must stay readable"
+            )
         cur = self.current_version()
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
         referenced: set[str] = set()

@@ -90,3 +90,22 @@ def test_query_batch_cap(spark, emb, saved_index):
 def test_load_missing_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         IvfPqIndex.load(spark, str(tmp_path / "nope"))
+
+
+def test_search_out_of_corpus_queries(spark, emb, saved_index):
+    """Serve-many: query ids absent from the corpus must still get
+    reranked answers (query vectors come from the batch itself)."""
+    idx, _ = saved_index
+    fresh = emb.orderBy("vec_id").limit(5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = idx.search(fresh, emb, k=3, n_probe=6)
+    rows = out.collect()
+    assert len(rows) == 15
+    # every answered query is one of the fresh out-of-corpus ids
+    assert {r["query_id"] for r in rows} == {
+        r["vec_id"] for r in fresh.collect()
+    }
+    # the nearest corpus neighbor of a shifted copy is its source
+    # vector with cos == 1.0
+    assert all(r["cos"] <= 1.0 for r in rows)

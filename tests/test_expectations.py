@@ -89,3 +89,31 @@ def test_unknown_kind_raises(spark, dirty):
 def test_empty_suite_raises(spark, dirty):
     with pytest.raises(ValueError, match="empty check suite"):
         run_checks(dirty, [])
+
+
+def test_duplicate_checks_get_unique_names(spark, dirty):
+    out = run_checks(
+        dirty,
+        [
+            {"kind": "range", "column": "amount", "lo": 0, "hi": 100},
+            {"kind": "range", "column": "amount", "lo": -100, "hi": 25},
+            {"kind": "range", "column": "amount", "lo": 0, "hi": 5,
+             "name": "amount_tight_band"},
+        ],
+    )
+    got = {r["check"]: r["metric"] for r in out.collect()}
+    # amounts are (10, -5, 20, 30, 40): one below 0; two above 25;
+    # all five outside [0, 5]
+    assert got == {"range_amount": 1, "range_amount_2": 2, "amount_tight_band": 5}
+
+
+def test_empty_table_metrics_are_zero_not_null(spark):
+    empty = spark.range(0).withColumn("v", F.col("id"))
+    out = run_checks(
+        empty,
+        [{"kind": "not_null", "column": "id"},
+         {"kind": "range", "column": "v", "lo": 0, "hi": 1},
+         {"kind": "in_set", "column": "v", "values": [0]}],
+    )
+    for r in out.collect():
+        assert r["metric"] == 0 and r["passed"] is True

@@ -199,3 +199,46 @@ def test_streaming_sink_commits_batches_atomically(spark, sf_small, tmp_path):
     v = t.current_version()
     sink(spark.range(5).selectExpr("id AS event_id", "id AS user_id", "CAST(id AS DOUBLE) AS value"), 0)
     assert t.current_version() == v and t.read().count() == n_expected
+
+
+def test_streaming_sink_separate_writers_dont_collide(spark, tmp_path):
+    """Two queries (distinct checkpoints, both restarting batch ids at
+    0) writing to one table must keep independent markers."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    sink_a = t.streaming_sink(str(tmp_path / "ckpt_a"))
+    sink_b = t.streaming_sink(str(tmp_path / "ckpt_b"))
+    sink_a(spark.range(10), 0)
+    sink_b(spark.range(5), 0)  # same batch id, different writer: must commit
+    assert t.read().count() == 15
+    sink_a(spark.range(3), 0)  # true replay for writer A: no-op
+    assert t.read().count() == 15
+
+
+def test_streaming_sink_marker_survives_maintenance_commit(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    sink = t.streaming_sink(str(tmp_path / "ckpt"))
+    sink(spark.range(10), 0)
+    t.compact(target_rows_per_file=100)  # maintenance commit in between
+    sink(spark.range(99), 0)  # replay after compaction: still deduped
+    assert t.read().count() == 10
+
+
+def test_wap_commit_empty_batch_passes(spark, tmp_path):
+    """A zero-row batch is vacuously clean — NULL-sum metrics must not
+    fail the audit (they coalesce to 0)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    empty = spark.range(0).withColumn("v", F.col("id"))
+    v = t.wap_commit(
+        empty,
+        [{"kind": "not_null", "column": "id"},
+         {"kind": "range", "column": "v", "lo": 0, "hi": 10}],
+    )
+    assert v == 1 and t.read().count() == 0
+
+
+def test_expire_keep_last_zero_rejected(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.range(5))
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire(keep_last=0)
+    assert t.read().count() == 5
