@@ -3,5 +3,12 @@ from collective_als_spark.plans.inspect import (
     plan_summary,
     runtime_metrics,
 )
+from collective_als_spark.plans.lint import assert_clean, lint_plan
 
-__all__ = ["formatted_plan", "plan_summary", "runtime_metrics"]
+__all__ = [
+    "assert_clean",
+    "formatted_plan",
+    "lint_plan",
+    "plan_summary",
+    "runtime_metrics",
+]
