@@ -248,3 +248,40 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(d, lambda x: x > 0)).alias("n_pos"),
         F.round(F.element_at(d, 1), 4).alias("first_dim"),
     )
+
+
+@register(
+    "select_list_scalar_subquery",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal, 2) AS acctbal,
+           (SELECT round(CAST(sum(CAST(round(i.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                         / count(*) / 100.0, 2)
+            FROM customer i WHERE i.c_nationkey = c.c_nationkey) AS nation_avg
+    FROM customer c
+    WHERE c_custkey <= 500
+    """,
+)
+def select_list_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list — the OTHER
+    decorrelation shape: where the WHERE-clause form
+    (scalar_subquery_above_avg) rewrites to a filtering join, this one
+    must PRESERVE every outer row and attach the aggregate, so Catalyst
+    plans aggregate-then-LEFT-OUTER-join on the correlation key — no
+    per-row subquery execution at any scale.
+
+    The emitted average is integer-cent sum / count (exact bigint sum,
+    one double division) — avg(double) would differ between engines in
+    summation order and flip round(.,2) boundaries."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(c_acctbal, 2) AS acctbal,
+               (SELECT round(CAST(sum(CAST(round(i.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                             / count(*) / 100.0, 2)
+                FROM customer i WHERE i.c_nationkey = c.c_nationkey) AS nation_avg
+        FROM customer c
+        WHERE c_custkey <= 500
+        """
+    )
