@@ -76,6 +76,32 @@ def build_stats_index(
     )
 
 
+def update_stats_index(
+    spark: SparkSession, stats: DataFrame, new_files: list[str], columns: list[str]
+) -> DataFrame:
+    """Incremental index maintenance: scan ONLY the newly ingested
+    files and union their per-file rows into the existing stats table
+    (latest row wins per file, so re-stating a rewritten file is safe).
+    This is how the index keeps up with streaming ingest at 100 TB —
+    the alternative, re-scanning the whole table per batch, costs more
+    than the skipping saves."""
+    if not new_files:
+        return stats
+    aggs = []
+    for c in columns:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    fresh = (
+        spark.read.parquet(*new_files)
+        .select(F.input_file_name().alias("file"), *columns)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    return (
+        stats.join(fresh.select("file"), "file", "left_anti").unionByName(fresh)
+    )
+
+
 def prune_files(stats: DataFrame, column: str, lo, hi) -> list[str]:
     """Files whose [min,max] range for ``column`` intersects [lo,hi].
 

@@ -242,3 +242,29 @@ def test_expire_keep_last_zero_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_last"):
         t.expire(keep_last=0)
     assert t.read().count() == 5
+
+
+def test_update_stats_index_incremental(spark, clustered_orders, tmp_path):
+    from collective_als_spark.sources.layout import update_stats_index
+
+    stats = build_stats_index(spark, clustered_orders, ["o_totalprice"])
+    n0 = stats.count()
+    # new ingest batch: one extra file outside the indexed range
+    extra = str(tmp_path / "extra")
+    spark.createDataFrame(
+        [(9_000_001, 5_000_000.0)], "o_orderkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(extra)
+    new_files = [
+        f"{extra}/{n}" for n in os.listdir(extra) if n.endswith(".parquet")
+    ]
+    updated = update_stats_index(spark, stats, new_files, ["o_totalprice"])
+    assert updated.count() == n0 + 1
+    # re-stating the same files is idempotent (latest row wins per file)
+    again = update_stats_index(spark, updated, new_files, ["o_totalprice"])
+    assert again.count() == n0 + 1
+    # the new file is found by a band only it covers (stats store
+    # input_file_name()'s file:// URI form)
+    kept = prune_files(updated, "o_totalprice", 4_000_000.0, 6_000_000.0)
+    assert [k.removeprefix("file://") for k in kept] == new_files
+    # no-op on empty batch
+    assert update_stats_index(spark, updated, [], ["o_totalprice"]) is updated
