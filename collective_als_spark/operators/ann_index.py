@@ -181,6 +181,14 @@ class IvfPqIndex:
             )
         if not qrows:
             raise ValueError("empty query batch")
+        # a duplicated query id would produce duplicate LUT rows and
+        # duplicate candidates, and the rerank's row_number would then
+        # fill top-k slots with copies of one neighbor — dedupe by id
+        # (first row wins) so each id is answered exactly once
+        by_id: dict = {}
+        for r in qrows:
+            by_id.setdefault(r[id_col], r)
+        qrows = list(by_id.values())
         q_ids = np.array([r[id_col] for r in qrows])
         q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
 
@@ -243,7 +251,7 @@ class IvfPqIndex:
         e_q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_qv"),
-        )
+        ).dropDuplicates(["query_id"])  # mirror the LUT-side id dedupe
         e_c = vectors.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("_cv"),

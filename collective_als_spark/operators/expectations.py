@@ -30,8 +30,15 @@ rows in excess of their key's first occurrence (count - distinct).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# names end up interpolated into the stack() unpivot expression; a
+# quote or backtick in a user-supplied name would be SQL-expression
+# injection into the audit query, so only identifier characters pass
+_SAFE_NAME = re.compile(r"^[A-Za-z0-9_]+$")
 
 
 def _check_name(c: dict) -> str:
@@ -72,6 +79,12 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     aggs: list = []
     rows_meta: list[tuple[str, str, str]] = []  # (name, kind, column)
     names = _unique_names(checks)
+    for name in names:
+        if not _SAFE_NAME.match(name):
+            raise ValueError(
+                f"unsafe check name {name!r}: names are interpolated into "
+                f"the fused audit expression and must match [A-Za-z0-9_]+"
+            )
 
     for c, name in zip(checks, names):
         kind = c["kind"]

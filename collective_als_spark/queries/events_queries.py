@@ -633,12 +633,14 @@ def streaming_multimodal_ingest_query(spark: SparkSession, sf_dir: str) -> DataF
         FROM hourly GROUP BY 1
     )
     SELECT h, CAST(hour(h) AS INTEGER) AS hod, n_events,
-           round((n_events - CAST(s1 AS DOUBLE) / cnt)
-                 / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1)), 4)
-               AS z_score,
-           abs((n_events - CAST(s1 AS DOUBLE) / cnt)
-               / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1))) > 2
-               AS is_anomaly
+           CASE WHEN cnt >= 2 AND s2 - CAST(s1 AS DOUBLE) * s1 / cnt > 0
+                THEN round((n_events - CAST(s1 AS DOUBLE) / cnt)
+                     / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1)), 4)
+           END AS z_score,
+           COALESCE(CASE WHEN cnt >= 2 AND s2 - CAST(s1 AS DOUBLE) * s1 / cnt > 0
+                THEN abs((n_events - CAST(s1 AS DOUBLE) / cnt)
+                     / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1))) > 2
+           END, FALSE) AS is_anomaly
     FROM hourly JOIN stats ON CAST(hour(h) AS INTEGER) = stats.hod
     """,
 )
@@ -666,11 +668,14 @@ def seasonal_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("cnt")
-    std = F.sqrt(
-        (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("cnt"))
-        / (F.col("cnt") - 1)
-    )
-    z = (F.col("n_events") - mean) / std
+    ssq = F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("cnt")
+    std = F.sqrt(ssq / (F.col("cnt") - 1))
+    # z is undefined for a single observation (cnt-1 = 0) or a
+    # zero-variance profile: Spark's x/0 yields NULL while DuckDB's
+    # IEEE floats yield inf/nan, so BOTH engines must emit NULL z /
+    # false anomaly explicitly for the oracle to agree
+    defined = (F.col("cnt") >= 2) & (ssq > 0)
+    z = F.when(defined, (F.col("n_events") - mean) / std)
     return (
         hourly.withColumn("hod", F.hour("h").cast("int"))
         .join(F.broadcast(stats), "hod")
@@ -679,6 +684,6 @@ def seasonal_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hod",
             "n_events",
             F.round(z, 4).alias("z_score"),
-            (F.abs(z) > 2).alias("is_anomaly"),
+            F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
         )
     )

@@ -377,7 +377,14 @@ class SnapshotTable:
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
         referenced: set[str] = set()
         for v in keep_versions:
-            referenced.update(self._manifest(v)["files"])
+            # a prior expire(keep_last=small) may have already deleted
+            # manifests inside this range; raising here would abort
+            # maintenance forever (orphans accumulate) — a missing
+            # manifest references nothing, so skip it
+            try:
+                referenced.update(self._manifest(v)["files"])
+            except FileNotFoundError:
+                continue
         for v in range(1, cur + 1):
             if v not in keep_versions:
                 for stale in (

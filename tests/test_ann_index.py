@@ -109,3 +109,21 @@ def test_search_out_of_corpus_queries(spark, emb, saved_index):
     # the nearest corpus neighbor of a shifted copy is its source
     # vector with cos == 1.0
     assert all(r["cos"] <= 1.0 for r in rows)
+
+
+def test_duplicate_query_ids_answered_once(spark, emb, saved_index):
+    """Regression (ADVICE r04): a batch containing the same id twice
+    must not fill top-k slots with copies of one neighbor — the batch
+    is deduped by id and answered exactly once."""
+    idx, _ = saved_index
+    one = emb.orderBy("vec_id").limit(3)
+    doubled = one.unionAll(one)
+    clean = _result_set(idx.search(one, emb, k=5, n_probe=4, rerank_depth=1000))
+    duped = _result_set(idx.search(doubled, emb, k=5, n_probe=4, rerank_depth=1000))
+    assert duped == clean
+    rows = idx.search(doubled, emb, k=5, n_probe=4, rerank_depth=1000).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q, ns in per_q.items():
+        assert len(ns) == len(set(ns)), f"duplicate neighbors for {q}"

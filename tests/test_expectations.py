@@ -117,3 +117,13 @@ def test_empty_table_metrics_are_zero_not_null(spark):
     )
     for r in out.collect():
         assert r["metric"] == 0 and r["passed"] is True
+
+
+def test_unsafe_check_name_rejected(spark):
+    """Regression (ADVICE r04): names are interpolated into the fused
+    stack() expression — quotes/backticks must be rejected, not
+    injected."""
+    df = spark.range(3)
+    for bad in ["a'b", "a`b", "a, 1) --", "x y"]:
+        with pytest.raises(ValueError, match="unsafe check name"):
+            run_checks(df, [{"kind": "not_null", "column": "id", "name": bad}])

@@ -268,3 +268,18 @@ def test_update_stats_index_incremental(spark, clustered_orders, tmp_path):
     assert [k.removeprefix("file://") for k in kept] == new_files
     # no-op on empty batch
     assert update_stats_index(spark, updated, [], ["o_totalprice"]) is updated
+
+
+def test_expire_after_smaller_keep_last(spark, tmp_path):
+    """Regression (ADVICE r04): expire(keep_last=1) then
+    expire(keep_last=3) must not raise on the already-deleted
+    manifests inside the widened retention range — a missing manifest
+    references nothing and is skipped."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):
+        t.append(spark.range(i * 10, (i + 1) * 10))
+    t.expire(keep_last=1)          # deletes v1..v3 manifests
+    t.append(spark.range(40, 50))  # v5
+    deleted = t.expire(keep_last=3)  # range covers deleted v3
+    assert deleted >= 0
+    assert t.read().count() == 50
