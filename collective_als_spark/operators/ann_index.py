@@ -32,7 +32,6 @@ Storage layout::
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 import pandas as pd
@@ -112,30 +111,40 @@ class IvfPqIndex:
     # ------------------------------------------------------------ persist
 
     def save(self, path: str) -> None:
+        from collective_als_spark.sources.logstore import logstore_for
+
         path = path.rstrip("/")
         # partitionBy("cell") = the serve path's cell filter becomes
         # directory-level partition pruning on every future search
         self.encoded.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/codes"
         )
-        with open(f"{path}/quantizers.json", "w") as f:
-            json.dump(
+        # the JSON sidecar goes through the same filesystem layer as
+        # the parquet (Hadoop FS for any URI scheme), so an index on
+        # hdfs:/s3a: keeps quantizers and codes in ONE store
+        log = logstore_for(self.spark, path)
+        log.write_text(
+            f"{path}/quantizers.json",
+            json.dumps(
                 {
                     "centroids": self.centroids.tolist(),
                     "codebooks": self.codebooks.tolist(),
                     "id_col": self.id_col,
                     "vec_col": self.vec_col,
-                },
-                f,
-            )
+                }
+            ),
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfPqIndex":
+        from collective_als_spark.sources.logstore import logstore_for
+
         path = path.rstrip("/")
-        if not os.path.exists(f"{path}/quantizers.json"):
+        log = logstore_for(spark, path)
+        try:
+            meta = json.loads(log.read_text(f"{path}/quantizers.json"))
+        except FileNotFoundError:
             raise FileNotFoundError(f"no ANN index at {path}")
-        with open(f"{path}/quantizers.json") as f:
-            meta = json.load(f)
         encoded = spark.read.parquet(f"{path}/codes")
         return cls(
             spark,

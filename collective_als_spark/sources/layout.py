@@ -16,30 +16,39 @@ raw `spark.read.parquet(dir)` can't give:
   result is EXACTLY the full scan's — pruning is a pure optimization
   and is asserted as such in tests/test_layout_storage.py.
 
-- **Snapshot isolation / time travel** (`SnapshotTable`): object
-  stores have no atomic multi-file commit, so concurrent readers of a
-  directory being overwritten see torn state. The manifest pattern
-  (Iceberg's core idea) fixes this with one level of indirection:
-  immutable data files + a versioned JSON manifest listing the files
-  of each snapshot + a single atomically-replaced `current` pointer.
-  Appends and overwrites write NEW files only, then flip the pointer;
-  readers pin a manifest and are isolated from later commits; old
-  versions stay readable until expired.
+- **Snapshot isolation / time travel / optimistic concurrency**
+  (`SnapshotTable`): object stores have no atomic multi-file commit,
+  so concurrent readers of a directory being overwritten see torn
+  state. The manifest pattern (Iceberg's core idea) fixes this with
+  one level of indirection: immutable data files + a versioned JSON
+  manifest listing the files of each snapshot. The commit itself is
+  Delta's: creating ``v<N>.json`` EXCLUSIVELY **is** the commit (cf.
+  Delta's ``_delta_log/<N>.json``), so two racing writers can never
+  both publish version N — the loser re-reads state and retries
+  (optimistic CAS). Manifests also CARRY per-file min/max stats for
+  the configured columns, so time-travel reads data-skip too — the
+  Iceberg manifests-with-stats design rather than a side index.
 
-Both operate on local paths in tests but contain no local-FS
-assumptions beyond `os.replace` atomicity for the pointer file (the
-same primitive Delta's LogStore needs from its backing store).
+All manifest IO goes through a Delta-style LogStore
+(`sources/logstore.py`): local paths use in-process ``os`` primitives
+(O_EXCL link for the CAS), any URI scheme routes through Hadoop's
+FileSystem/FileContext so the table can live where 100 TB actually
+lives (HDFS, S3A, ...). Data files are written by Spark itself and
+already go through Hadoop IO on every scheme.
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
-import os
-import shutil
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from collective_als_spark.sources.logstore import CommitConflict, logstore_for
 
 # ---------------------------------------------------------------------------
 # data-skipping stats index
@@ -144,38 +153,87 @@ def pruned_read(
 # snapshot manifests (Iceberg-lite)
 # ---------------------------------------------------------------------------
 
+_MANIFEST_RE = re.compile(r"v(\d+)\.json")
+_MAX_COMMIT_RETRIES = 20
+
+
+def _jsonable(v):
+    """Manifest stats must round-trip through JSON with their ordering
+    preserved: numerics/strings/bools pass through; date/timestamp
+    become ISO strings (ISO order == chronological order, so interval
+    pruning over the strings stays correct); Decimal becomes float."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return str(v)
+
+
+def _rel(path: str) -> str:
+    """Scheme-independent per-file stats key: `<commit-uuid>/<name>`.
+    input_file_name() reports `file://...` URIs while manifests store
+    the paths the writer composed; the last two components (the
+    per-commit uuid dir + the part file) are unique per table and
+    identical in both spellings."""
+    return "/".join(path.rstrip("/").split("/")[-2:])
+
 
 class SnapshotTable:
-    """Versioned parquet table: immutable data files + JSON manifests +
-    an atomically-replaced ``current`` pointer.
+    """Versioned parquet table: immutable data files + JSON manifests,
+    committed by exclusive manifest creation (optimistic CAS).
 
     Layout::
 
         <root>/data/<commit-uuid>/part-*.parquet   (immutable once committed)
-        <root>/_snapshots/v<N>.json                ({"version", "files": [...]})
-        <root>/_snapshots/current                  (text: latest version number)
+        <root>/_snapshots/v<N>.json
+            {"version": N, "files": [...],
+             "stats":   {"<uuid>/<part>": {"col": [min, max]}, ...},
+             "batch_markers": {"<writer>": last_batch_id, ...}}
 
-    Commit protocol (the only ordering that is crash-safe without an
-    atomic multi-file primitive):
+    Commit protocol (Delta's ``_delta_log`` core, cf. reference-free
+    public design):
 
     1. write the new data files to a fresh ``data/<uuid>/`` dir —
        invisible to readers (nothing references them);
-    2. write manifest ``v<N+1>.json`` — still invisible;
-    3. ``os.replace`` a temp pointer over ``current`` — the single
-       atomic step that makes the snapshot live.
+    2. (if ``stats_columns``) scan ONLY the new files for per-file
+       min/max — incremental, like ``update_stats_index``;
+    3. compose manifest ``v<N+1>.json`` from the CURRENT manifest and
+       publish it with an atomic EXCLUSIVE write. Success **is** the
+       commit. A concurrent committer that claimed ``v<N+1>`` first
+       makes the write raise :class:`CommitConflict`; the loser
+       re-reads the new current state, re-composes (its data files
+       are already safely staged) and retries — so concurrent appends
+       serialize into strictly sequential versions with no lost
+       update, which `tests/test_layout_storage.py` drives with
+       racing threads.
 
     A crash before (3) leaves orphan files (cleaned by ``expire``) and
-    the table readable at the previous version. Readers resolve
-    ``current`` once, then read a pinned manifest — concurrent commits
-    can't tear their view. This is exactly the Iceberg/Delta commit
-    core, minus optimistic-concurrency retry (single-writer assumed).
+    the table readable at the previous version. Readers resolve the
+    current version once (max ``v<N>.json`` present), then read a
+    pinned manifest — concurrent commits can't tear their view.
+
+    ``stats_columns`` opts a table into manifests-with-stats: each
+    commit records min/max per NEW file for those columns, and
+    ``read(where=(col, lo, hi))`` prunes the file list BEFORE the scan
+    at any time-travel version — the Iceberg design where the snapshot
+    metadata and the data-skipping index are one structure.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats_columns: list[str] | None = None,
+        log=None,
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
-        os.makedirs(f"{self.root}/_snapshots", exist_ok=True)
-        os.makedirs(f"{self.root}/data", exist_ok=True)
+        self.stats_columns = list(stats_columns or [])
+        self.log = log if log is not None else logstore_for(spark, self.root)
+        self.log.mkdirs(f"{self.root}/_snapshots")
+        self.log.mkdirs(f"{self.root}/data")
 
     # -- internals
 
@@ -183,78 +241,177 @@ class SnapshotTable:
         return f"{self.root}/_snapshots/v{version}.json"
 
     def current_version(self) -> int:
-        """0 = empty table (no committed snapshot)."""
-        try:
-            with open(f"{self.root}/_snapshots/current") as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return 0
+        """0 = empty table (no committed snapshot). Derived by listing
+        the manifest dir — the manifest IS the commit record, so there
+        is no separate pointer to drift out of sync."""
+        best = 0
+        for name in self.log.list_dir(f"{self.root}/_snapshots"):
+            m = _MANIFEST_RE.fullmatch(name)
+            if m:
+                best = max(best, int(m.group(1)))
+        return best
 
     def _manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        return json.loads(self.log.read_text(self._manifest_path(version)))
 
-    def _commit(self, files: list[str], markers: dict[str, int] | None = None) -> int:
-        """`markers` (streaming writer id -> last committed batch id)
-        rides INSIDE the manifest so it becomes visible in the same
-        atomic pointer flip as the data — a crash can never separate
-        'batch committed' from 'batch recorded' (the dedup guard the
-        streaming sink's exactly-once claim rests on)."""
-        version = self.current_version() + 1
-        manifest = {"version": version, "files": sorted(files)}
-        if markers:
-            manifest["batch_markers"] = markers
-        with open(self._manifest_path(version), "w") as f:
-            json.dump(manifest, f)
-        tmp = f"{self.root}/_snapshots/current.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, f"{self.root}/_snapshots/current")  # the atomic flip
-        return version
+    def _base_manifest(self, base: int) -> dict:
+        if base == 0:
+            return {"files": [], "stats": {}, "batch_markers": {}}
+        return self._manifest(base)
+
+    def _commit(self, build) -> int:
+        """Optimistic-concurrency loop: compose the next manifest from
+        the freshest current state, publish exclusively, retry on CAS
+        loss. ``build(version, base_manifest) -> manifest dict``."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version()
+            manifest = build(base + 1, self._base_manifest(base))
+            try:
+                self.log.write_text_exclusive(
+                    self._manifest_path(base + 1), json.dumps(manifest)
+                )
+            except CommitConflict:
+                continue  # lost the race: re-read state, re-compose
+            return base + 1
+        raise CommitConflict(
+            f"commit to {self.root} lost {_MAX_COMMIT_RETRIES} CAS races"
+        )
 
     def _current_markers(self) -> dict[str, int]:
-        if not self.current_version():
+        cur = self.current_version()
+        if not cur:
             return {}
-        return self._manifest(self.current_version()).get("batch_markers", {})
+        return self._manifest(cur).get("batch_markers", {})
 
     def _write_data(self, df: DataFrame) -> list[str]:
         commit_dir = f"{self.root}/data/{uuid.uuid4().hex}"
         df.write.mode("error").parquet(commit_dir)
         return [
             f"{commit_dir}/{name}"
-            for name in os.listdir(commit_dir)
+            for name in self.log.list_dir(commit_dir)
             if name.endswith(".parquet")
         ]
+
+    def _file_stats(self, files: list[str]) -> dict[str, dict]:
+        """Per-file min/max for the configured stats columns, scanning
+        ONLY the newly staged files (column-pruned; one output row per
+        file, so the collect is manifest-sized). Empty files produce
+        no row and are conservatively unpruneable."""
+        if not self.stats_columns or not files:
+            return {}
+        aggs = []
+        for c in self.stats_columns:
+            aggs.append(F.min(c).alias(f"{c}__min"))
+            aggs.append(F.max(c).alias(f"{c}__max"))
+        rows = (
+            self.spark.read.parquet(*files)
+            .select(F.input_file_name().alias("file"), *self.stats_columns)
+            .groupBy("file")
+            .agg(*aggs)
+            .collect()
+        )
+        return {
+            _rel(r["file"]): {
+                c: [_jsonable(r[f"{c}__min"]), _jsonable(r[f"{c}__max"])]
+                for c in self.stats_columns
+            }
+            for r in rows
+        }
+
+    def _compose(
+        self,
+        version: int,
+        files: list[str],
+        stats: dict,
+        markers: dict[str, int],
+    ) -> dict:
+        manifest: dict = {"version": version, "files": sorted(files)}
+        if stats:
+            manifest["stats"] = stats
+        if markers:
+            manifest["batch_markers"] = markers
+        return manifest
 
     # -- public API
 
     def append(self, df: DataFrame, _markers: dict[str, int] | None = None) -> int:
         """New snapshot = previous files + this commit's files.
         Streaming batch markers carry forward (a non-streaming commit
-        must not erase a streaming writer's dedup state)."""
-        prev = (
-            self._manifest(self.current_version())["files"]
-            if self.current_version()
-            else []
-        )
-        markers = self._current_markers() | (_markers or {})
-        return self._commit(prev + self._write_data(df), markers)
+        must not erase a streaming writer's dedup state). Data files
+        are staged once; only the manifest composition re-runs on a
+        CAS retry."""
+        new_files = self._write_data(df)
+        new_stats = self._file_stats(new_files)
+
+        def build(version: int, prev: dict) -> dict:
+            live_stats = {
+                k: v
+                for k, v in prev.get("stats", {}).items()
+            }
+            live_stats.update(new_stats)
+            return self._compose(
+                version,
+                prev["files"] + new_files,
+                live_stats,
+                prev.get("batch_markers", {}) | (_markers or {}),
+            )
+
+        return self._commit(build)
 
     def overwrite(self, df: DataFrame) -> int:
         """New snapshot = this commit's files only. The replaced files
         are NOT deleted — older versions still reference them. Batch
         markers carry forward (see append)."""
-        return self._commit(self._write_data(df), self._current_markers())
+        new_files = self._write_data(df)
+        new_stats = self._file_stats(new_files)
 
-    def read(self, version: int | None = None) -> DataFrame:
+        def build(version: int, prev: dict) -> dict:
+            return self._compose(
+                version, new_files, new_stats, prev.get("batch_markers", {})
+            )
+
+        return self._commit(build)
+
+    def read(
+        self,
+        version: int | None = None,
+        where: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
         """Read a snapshot (default: current). Time travel = pass an
         older version; the manifest pins the exact file list, so the
-        read is reproducible regardless of later commits."""
+        read is reproducible regardless of later commits.
+
+        ``where=(column, lo, hi)`` turns the read into a data-skipping
+        scan: files whose manifest [min,max] interval for ``column``
+        cannot intersect [lo,hi] are never opened, and the exact
+        BETWEEN predicate is still applied as a residual filter — the
+        result equals the full scan's filter by construction, at any
+        version (manifest stats travel with the snapshot). Files
+        without stats (table built before ``stats_columns``, all-null
+        or empty files) are kept conservatively.
+        """
         v = self.current_version() if version is None else version
         if v == 0:
             raise ValueError("empty table: no committed snapshot")
-        files = self._manifest(v)["files"]
-        return self.spark.read.parquet(*files)
+        manifest = self._manifest(v)
+        files = manifest["files"]
+        if where is None:
+            return self.spark.read.parquet(*files)
+        column, lo, hi = where
+        stats = manifest.get("stats", {})
+        kept = []
+        for f in files:
+            band = stats.get(_rel(f), {}).get(column)
+            if band is None or band[0] is None or band[1] is None:
+                kept.append(f)  # unproven → must open
+            elif not (band[1] < lo or band[0] > hi):
+                kept.append(f)
+        if not kept:
+            # schema-preserving empty result; no data file opened at scan
+            return self.spark.read.parquet(files[0]).filter(F.lit(False))
+        return self.spark.read.parquet(*kept).filter(
+            F.col(column).between(F.lit(lo), F.lit(hi))
+        )
 
     def compact(self, target_rows_per_file: int) -> int:
         """Small-file compaction as a COMMIT: read the current
@@ -282,8 +439,8 @@ class SnapshotTable:
     ) -> int:
         """Write-Audit-Publish: stage the data files, audit WHAT WAS
         WRITTEN (the staged files are read back, so the audit sees
-        exactly the bytes readers would), and only then flip the
-        pointer. A failing audit raises with the violations and leaves
+        exactly the bytes readers would), and only then publish the
+        manifest. A failing audit raises with the violations and leaves
         the table at its previous version — the staged files are
         unreferenced orphans that the next `expire` removes.
 
@@ -309,15 +466,26 @@ class SnapshotTable:
                 f"{self.current_version()}: "
                 + ", ".join(f"{r['check']} (metric={r['metric']})" for r in failed)
             )
-        prev = (
-            self._manifest(self.current_version())["files"]
-            if mode == "append" and self.current_version()
-            else []
+        new_stats = self._file_stats(files)
+
+        def build(version: int, prev: dict) -> dict:
+            if mode == "append":
+                all_files = prev["files"] + files
+                stats = {**prev.get("stats", {}), **new_stats}
+            else:
+                all_files, stats = files, new_stats
+            return self._compose(
+                version,
+                all_files,
+                stats,
+                prev.get("batch_markers", {}) | (_markers or {}),
+            )
+
+        version = self._commit(build)
+        self.log.write_text(
+            f"{self.root}/_snapshots/v{version}.audit.json",
+            json.dumps(audit_rows, default=str),
         )
-        markers = self._current_markers() | (_markers or {})
-        version = self._commit(prev + files, markers)
-        with open(f"{self.root}/_snapshots/v{version}.audit.json", "w") as f:
-            json.dump(audit_rows, f, default=str)
         return version
 
     def streaming_sink(self, checkpoint_dir: str, checks: list[dict] | None = None):
@@ -335,15 +503,15 @@ class SnapshotTable:
         Exactly-once note: Structured Streaming replays a failed batch;
         an append re-commit of a replayed batch would double rows. The
         dedup guard is a (writer, last-batch-id) marker stored INSIDE
-        the manifest, so it commits in the same atomic pointer flip as
-        the data — a crash can never land between "rows visible" and
-        "batch recorded" (the two-file version of this pattern has
-        exactly that double-append window). The writer id is derived
-        from ``checkpoint_dir``, so independent queries (each with its
-        own checkpoint, each restarting batch ids at 0) writing to one
-        table keep separate markers and cannot swallow each other's
-        batches; batch ids are monotonic per checkpoint, which is what
-        makes the ``<=`` comparison a correct replay test.
+        the manifest, so it commits in the same atomic exclusive
+        manifest write as the data — a crash can never land between
+        "rows visible" and "batch recorded" (the two-file version of
+        this pattern has exactly that double-append window). The writer
+        id is derived from ``checkpoint_dir``, so independent queries
+        (each with its own checkpoint, each restarting batch ids at 0)
+        writing to one table keep separate markers and cannot swallow
+        each other's batches; batch ids are monotonic per checkpoint,
+        which is what makes the ``<=`` comparison a correct replay test.
         """
         import hashlib
 
@@ -387,22 +555,18 @@ class SnapshotTable:
                 continue
         for v in range(1, cur + 1):
             if v not in keep_versions:
-                for stale in (
-                    self._manifest_path(v),
-                    f"{self.root}/_snapshots/v{v}.audit.json",
-                ):
-                    try:
-                        os.remove(stale)
-                    except FileNotFoundError:
-                        pass
+                self.log.delete(self._manifest_path(v))
+                self.log.delete(f"{self.root}/_snapshots/v{v}.audit.json")
         deleted = 0
         data_root = f"{self.root}/data"
-        for commit in list(os.listdir(data_root)):
+        for commit in self.log.list_dir(data_root):
             cdir = f"{data_root}/{commit}"
             live = {
-                f"{cdir}/{n}" for n in os.listdir(cdir) if n.endswith(".parquet")
+                f"{cdir}/{n}"
+                for n in self.log.list_dir(cdir)
+                if n.endswith(".parquet")
             }
             if live and not (live & referenced):
                 deleted += len(live)
-                shutil.rmtree(cdir)
+                self.log.delete(cdir, recursive=True)
         return deleted

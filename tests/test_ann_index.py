@@ -127,3 +127,19 @@ def test_duplicate_query_ids_answered_once(spark, emb, saved_index):
         per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     for q, ns in per_q.items():
         assert len(ns) == len(set(ns)), f"duplicate neighbors for {q}"
+
+
+def test_save_load_on_file_uri(spark, emb, tmp_path):
+    """The quantizers.json sidecar rides the same filesystem layer as
+    the codes parquet: a `file:`-scheme root round-trips through
+    Hadoop IO with identical answers (ADVICE r04)."""
+    idx = IvfPqIndex.build(emb.limit(200), n_cells=4, m=8, n_codes=8, seed=7)
+    root = "file:" + str(tmp_path / "ivfpq_uri")
+    idx.save(root)
+    loaded = IvfPqIndex.load(spark, root)
+    q = emb.orderBy("vec_id").limit(5)
+    a = _result_set(idx.search(q, emb, k=3, n_probe=4, rerank_depth=1000))
+    b = _result_set(loaded.search(q, emb, k=3, n_probe=4, rerank_depth=1000))
+    assert a == b and len(a) > 0
+    with pytest.raises(FileNotFoundError):
+        IvfPqIndex.load(spark, "file:" + str(tmp_path / "nope"))
