@@ -55,6 +55,71 @@ _CAND_SCHEMA = T.StructType(
 
 _MAX_QUERY_BATCH = 10_000  # LUTs are (q, m, n_codes) driver-side; keep bounded
 
+_RES_SCHEMA = T.StructType(
+    [
+        T.StructField("err_sum", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _encode_with(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(nid, codes, cell) for a vector frame using FROZEN quantizers —
+    the shared encode path of build() and add(): cell assignment and
+    PQ codes are both one narrow Arrow pass; nothing is refit."""
+    dvec = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cell_of = _assign_cells(vectors, centroids, id_col, vec_col, 1).select(
+        F.col("vid").alias("nid"), "cell"
+    )
+    return _pq_encode(dvec, codebooks, id_col).join(cell_of, "nid")
+
+
+def _mean_relative_residual(
+    vectors: DataFrame, codebooks: np.ndarray, id_col: str, vec_col: str
+) -> float:
+    """Mean ||v - PQ-reconstruction(v)|| / ||v|| over a vector frame:
+    the quantization-distortion statistic. Computed distributedly (one
+    narrow Arrow pass emitting per-batch partial sums; the driver sees
+    one row). Comparing a fresh batch's residual to the build-time
+    corpus residual is the standard retrain signal — codebooks fitted
+    on yesterday's distribution reconstruct today's drifted vectors
+    worse, and recall degrades in proportion."""
+    m, _, sub = codebooks.shape
+
+    def res(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].values)
+            parts = x.reshape(len(x), m, sub)
+            recon = np.empty_like(parts)
+            for j in range(m):
+                d2 = ((parts[:, j, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
+                recon[:, j, :] = codebooks[j][d2.argmin(1)]
+            err = np.sqrt(((parts - recon) ** 2).sum((1, 2)))
+            norm = np.sqrt((x**2).sum(1)) + 1e-12
+            yield pd.DataFrame(
+                {"err_sum": [float((err / norm).sum())], "n": [len(x)]}
+            )
+
+    row = (
+        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .mapInPandas(res, _RES_SCHEMA)
+        .agg(F.sum("err_sum").alias("e"), F.sum("n").alias("n"))
+        .first()
+    )
+    if not row["n"]:
+        raise ValueError("empty vector frame")
+    return float(row["e"]) / int(row["n"])
+
 
 class IvfPqIndex:
     """IVF coarse quantizer + per-subspace PQ codebooks + encoded
@@ -68,6 +133,8 @@ class IvfPqIndex:
         encoded: DataFrame,  # (nid, codes, cell)
         id_col: str,
         vec_col: str,
+        build_residual: float | None = None,
+        path: str | None = None,
     ):
         self.spark = spark
         self.centroids = centroids
@@ -75,6 +142,10 @@ class IvfPqIndex:
         self.encoded = encoded
         self.id_col = id_col
         self.vec_col = vec_col
+        # mean relative PQ residual over the BUILD corpus: the baseline
+        # the drift metric compares fresh ingest batches against
+        self.build_residual = build_residual
+        self.path = path  # set once saved/loaded; add() appends there
 
     # ------------------------------------------------------------- build
 
@@ -102,11 +173,17 @@ class IvfPqIndex:
         km = KMeans(k=n_cells, seed=seed, maxIter=20, featuresCol="fv")
         centroids = np.stack([c for c in km.fit(train).clusterCenters()])
         cb = _fit_pq_codebooks(dvec, m, n_codes, seed)
-        cell_of = _assign_cells(embeddings, centroids, id_col, vec_col, 1).select(
-            F.col("vid").alias("nid"), "cell"
+        encoded = _encode_with(embeddings, centroids, cb, id_col, vec_col)
+        residual = _mean_relative_residual(embeddings, cb, id_col, vec_col)
+        return cls(
+            embeddings.sparkSession,
+            centroids,
+            cb,
+            encoded,
+            id_col,
+            vec_col,
+            build_residual=residual,
         )
-        encoded = _pq_encode(dvec, cb, id_col).join(cell_of, "nid")
-        return cls(embeddings.sparkSession, centroids, cb, encoded, id_col, vec_col)
 
     # ------------------------------------------------------------ persist
 
@@ -131,9 +208,13 @@ class IvfPqIndex:
                     "codebooks": self.codebooks.tolist(),
                     "id_col": self.id_col,
                     "vec_col": self.vec_col,
+                    "build_residual": self.build_residual,
                 }
             ),
         )
+        # serve from (and append to) the persisted cell-partitioned codes
+        self.path = path
+        self.encoded = self.spark.read.parquet(f"{path}/codes")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfPqIndex":
@@ -153,7 +234,61 @@ class IvfPqIndex:
             encoded,
             meta["id_col"],
             meta["vec_col"],
+            build_residual=meta.get("build_residual"),
+            path=path,
         )
+
+    # ------------------------------------------------------------- ingest
+
+    def add(self, new_vectors: DataFrame) -> dict:
+        """Incremental ingest: assign the new vectors to EXISTING
+        cells, encode with EXISTING codebooks, and append the codes —
+        into the cell-partitioned parquet when the index is persisted
+        (dynamic-partition append: new part files land inside the
+        matching ``cell=<c>/`` directories, so serve-time directory
+        pruning keeps working), or as a union for an in-memory index.
+        Nothing is refit; a streaming corpus ingests without pausing
+        serving. Callers own id uniqueness (re-adding an id would
+        duplicate its codes, same as any append sink).
+
+        Returns the retrain signal::
+
+            {"added": n, "batch_residual": r_b,
+             "build_residual": r_0, "drift": r_b / r_0}
+
+        ``drift`` near 1 → the frozen quantizers still fit the
+        incoming distribution; sustained growth → reconstruction is
+        degrading and a rebuild (build + save + atomic pointer swap)
+        is due. The same one-pass statistic the build recorded, so the
+        ratio is apples-to-apples.
+        """
+        n = new_vectors.count()
+        if n == 0:
+            raise ValueError("empty ingest batch")
+        fresh = _encode_with(
+            new_vectors, self.centroids, self.codebooks, self.id_col, self.vec_col
+        )
+        if self.path is not None:
+            fresh.write.mode("append").partitionBy("cell").parquet(
+                f"{self.path}/codes"
+            )
+            self.encoded = self.spark.read.parquet(f"{self.path}/codes")
+        else:
+            self.encoded = self.encoded.unionByName(fresh)
+        batch_residual = _mean_relative_residual(
+            new_vectors, self.codebooks, self.id_col, self.vec_col
+        )
+        drift = (
+            batch_residual / self.build_residual
+            if self.build_residual
+            else float("nan")
+        )
+        return {
+            "added": n,
+            "batch_residual": batch_residual,
+            "build_residual": self.build_residual,
+            "drift": drift,
+        }
 
     # -------------------------------------------------------------- serve
 

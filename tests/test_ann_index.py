@@ -143,3 +143,76 @@ def test_save_load_on_file_uri(spark, emb, tmp_path):
     assert a == b and len(a) > 0
     with pytest.raises(FileNotFoundError):
         IvfPqIndex.load(spark, "file:" + str(tmp_path / "nope"))
+
+
+def _recall(approx_df, exact_df):
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact_df.collect()}
+    return len(a & e) / len(e)
+
+
+def test_incremental_add_appends_and_serves(spark, emb, tmp_path):
+    """add(): new vectors are assigned to existing cells, encoded with
+    existing codebooks, appended INTO the cell-partitioned codes —
+    and a fresh load serves the combined corpus identically."""
+    base = emb.orderBy("vec_id").limit(400)
+    rest = emb.orderBy("vec_id").offset(400)
+    n_rest = rest.count()
+    assert n_rest > 0
+    idx = IvfPqIndex.build(base, n_cells=8, m=8, n_codes=16, seed=42)
+    path = str(tmp_path / "incr")
+    idx.save(path)
+    metrics = idx.add(rest)
+    assert metrics["added"] == n_rest
+    assert idx.encoded.count() == 400 + n_rest
+    # a FRESH load sees the appended codes (persisted, not in-memory)
+    loaded = IvfPqIndex.load(spark, path)
+    assert loaded.encoded.count() == 400 + n_rest
+    queries = emb.orderBy("vec_id").limit(10)
+    a = _result_set(idx.search(queries, emb, k=5, n_probe=8, rerank_depth=1000))
+    b = _result_set(loaded.search(queries, emb, k=5, n_probe=8, rerank_depth=1000))
+    assert a == b and len(a) > 0
+    # added vectors are findable: query FROM the added set
+    added_q = rest.limit(3)
+    hits = loaded.search(added_q, emb, k=3, n_probe=8, rerank_depth=1000)
+    assert hits.count() > 0
+
+
+def test_incremental_recall_within_tolerance_of_rebuild(spark, emb, tmp_path):
+    """Recall on the combined corpus: incremental ingest (frozen
+    quantizers) must stay within tolerance of a fresh rebuild."""
+    base = emb.orderBy("vec_id").limit(400)
+    rest = emb.orderBy("vec_id").offset(400)
+    idx = IvfPqIndex.build(base, n_cells=8, m=8, n_codes=16, seed=42)
+    path = str(tmp_path / "incr2")
+    idx.save(path)
+    idx.add(rest)
+    fresh = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
+    queries = emb.orderBy("vec_id").limit(25)
+    exact = brute_force_topk(emb, queries, k=5)
+    r_incr = _recall(idx.search(queries, emb, k=5, n_probe=6, rerank_depth=1000), exact)
+    r_fresh = _recall(fresh.search(queries, emb, k=5, n_probe=6, rerank_depth=1000), exact)
+    assert r_incr >= r_fresh - 0.15, f"incr {r_incr:.2f} vs fresh {r_fresh:.2f}"
+
+
+def test_add_drift_metric_is_retrain_signal(spark, emb):
+    """In-distribution ingest drifts ~1; a shifted batch (vectors the
+    codebooks never saw, offset far outside the corpus range) must
+    report markedly higher drift — the retrain trigger."""
+    base = emb.orderBy("vec_id").limit(400)
+    rest = emb.orderBy("vec_id").offset(400)
+    idx = IvfPqIndex.build(base, n_cells=8, m=8, n_codes=16, seed=42)
+    m1 = idx.add(rest)  # in-memory union path
+    assert set(m1) == {"added", "batch_residual", "build_residual", "drift"}
+    assert 0.8 < m1["drift"] < 1.25, m1
+    shifted = emb.limit(50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(-7.0) + F.lit(3.5)).alias(
+            "embedding"
+        ),
+    )
+    m2 = idx.add(shifted)
+    # the relative-residual metric is bounded near 1 once codebooks
+    # stop reconstructing at all, so the signal is an absolute margin
+    # over the in-distribution baseline, not a multiplicative blowup
+    assert m2["drift"] > m1["drift"] + 0.15, (m1, m2)
