@@ -18,7 +18,13 @@ from collective_als_spark.operators.split import split_chronologically
 from collective_als_spark.sources import load_table
 
 
-def flagship(spark: SparkSession, sf_dir: str, rank: int = 8, max_iter: int = 5) -> DataFrame:
+def flagship(
+    spark: SparkSession,
+    sf_dir: str,
+    rank: int = 8,
+    max_iter: int = 5,
+    num_blocks: int | str = "auto",
+) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
 
     # dictionary: event_type -> dense code (reference genre-dictionary
@@ -47,7 +53,7 @@ def flagship(spark: SparkSession, sf_dir: str, rank: int = 8, max_iter: int = 5)
         max_iter=max_iter,
         reg_param=0.1,
         seed=42,
-        num_blocks="auto",
+        num_blocks=num_blocks,
     )
     model = als.fit(train)
     scored = model.predict(test)

@@ -19,6 +19,10 @@ Checks are plain dicts so suites can live in config::
     {"kind": "row_count_min", "n": 1000}
     {"kind": "ref_integrity", "column": "o_custkey", "ref": customer_df,
      "ref_column": "c_custkey"}
+    {"kind": "mean_between",     "column": "o_totalprice", "lo": 1e4, "hi": 1e6}
+    {"kind": "stddev_between",   "column": "o_totalprice", "lo": 0,   "hi": 1e6}
+    {"kind": "quantile_between", "column": "o_totalprice", "q": 0.5,
+     "lo": 1e4, "hi": 1e6}
 
 An optional ``"name"`` overrides the auto-derived check name; repeated
 kind+column pairs auto-suffix (_2, _3 …) to keep names unique.
@@ -26,6 +30,15 @@ kind+column pairs auto-suffix (_2, _3 …) to keep names unique.
 `metric` is the count of VIOLATING rows (0 = clean) except
 row_count_min, where it is the observed row count; uniqueness counts
 rows in excess of their key's first occurrence (count - distinct).
+The STATISTICAL kinds (Deequ's most-used drift checks) report the
+observed statistic itself — mean, sample stddev, approx quantile
+(percentile_approx, default accuracy) — and pass iff it lands inside
+[lo, hi]. They compile into the SAME single hash aggregate as the
+row-level checks (metric is therefore double for every kind). A batch
+with no rows has no statistic: statistical checks FAIL on it (NULL
+metric), by design — if empty batches are legal, gate emptiness
+explicitly with row_count_min rather than letting a vacuous mean pass
+a drift gate.
 """
 
 from __future__ import annotations
@@ -39,6 +52,10 @@ from pyspark.sql import functions as F
 # quote or backtick in a user-supplied name would be SQL-expression
 # injection into the audit query, so only identifier characters pass
 _SAFE_NAME = re.compile(r"^[A-Za-z0-9_]+$")
+
+# statistic-in-band kinds: metric = the observed statistic, pass =
+# lo <= metric <= hi (vs violation-count kinds where pass = metric 0)
+_STAT_KINDS = ("mean_between", "stddev_between", "quantile_between")
 
 
 def _check_name(c: dict) -> str:
@@ -91,7 +108,7 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
         if kind == "not_null":
             aggs.append(
                 _nullsafe(F.sum(F.when(F.col(c["column"]).isNull(), 1).otherwise(0)))
-                .cast("bigint")
+                .cast("double")
                 .alias(name)
             )
         elif kind == "range":
@@ -106,7 +123,7 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
                         ).otherwise(0)
                     )
                 )
-                .cast("bigint")
+                .cast("double")
                 .alias(name)
             )
         elif kind == "in_set":
@@ -116,7 +133,7 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
                         F.when(~F.col(c["column"]).isin(*c["values"]), 1).otherwise(0)
                     )
                 )
-                .cast("bigint")
+                .cast("double")
                 .alias(name)
             )
         elif kind == "unique":
@@ -128,11 +145,23 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
                     F.count(F.col(c["column"]))
                     - F.count_distinct(F.col(c["column"]))
                 )
-                .cast("bigint")
+                .cast("double")
                 .alias(name)
             )
         elif kind == "row_count_min":
-            aggs.append(F.count(F.lit(1)).cast("bigint").alias(name))
+            aggs.append(F.count(F.lit(1)).cast("double").alias(name))
+        elif kind == "mean_between":
+            aggs.append(F.avg(F.col(c["column"])).cast("double").alias(name))
+        elif kind == "stddev_between":
+            aggs.append(
+                F.stddev_samp(F.col(c["column"])).cast("double").alias(name)
+            )
+        elif kind == "quantile_between":
+            aggs.append(
+                F.percentile_approx(F.col(c["column"]), float(c["q"]))
+                .cast("double")
+                .alias(name)
+            )
         elif kind == "ref_integrity":
             continue  # separate pass below
         else:
@@ -171,10 +200,33 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
                     ]
                 )[F.col("check")]
                 if min_rows
-                else F.lit(None).cast("bigint"),
+                else F.lit(None).cast("double"),
                 F.lit(0),
             ),
-        ).otherwise(F.col("metric") == 0)
+        )
+        stat_bounds = {
+            name: (float(c["lo"]), float(c["hi"]))
+            for c, name in zip(checks, names)
+            if c["kind"] in _STAT_KINDS
+        }
+        if stat_bounds:
+            lo_map = F.create_map(
+                *[x for n, (lo, _) in stat_bounds.items() for x in (F.lit(n), F.lit(lo))]
+            )
+            hi_map = F.create_map(
+                *[x for n, (_, hi) in stat_bounds.items() for x in (F.lit(n), F.lit(hi))]
+            )
+            # NULL statistic (empty batch) -> failed, never NULL passed
+            passed = passed.when(
+                F.col("kind").isin(*_STAT_KINDS),
+                F.coalesce(
+                    F.col("metric").between(
+                        lo_map[F.col("check")], hi_map[F.col("check")]
+                    ),
+                    F.lit(False),
+                ),
+            )
+        passed = passed.otherwise(F.col("metric") == 0)
         out = (
             long.withColumn("kind", kind_expr[F.col("check")])
             .withColumn("column", col_expr[F.col("check")])
@@ -198,7 +250,7 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
                 df[c["column"]] == F.col("_rk"),
                 "left_anti",
             )
-            .agg(F.count(F.lit(1)).cast("bigint").alias("metric"))
+            .agg(F.count(F.lit(1)).cast("double").alias("metric"))
             .select(
                 F.lit(name).alias("check"),
                 F.lit("ref_integrity").alias("kind"),

@@ -964,43 +964,49 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT
-            CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
-            CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS uq,
-            CAST(sum(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS rng,
-            CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS st,
-            CAST(count(*) AS BIGINT) AS rc
+            CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn,
+            CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS DOUBLE) AS uq,
+            CAST(sum(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 ELSE 0 END) AS DOUBLE) AS rng,
+            CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS DOUBLE) AS st,
+            CAST(count(*) AS DOUBLE) AS rc,
+            CAST(avg(o_totalprice) AS DOUBLE) AS mn
         FROM orders
     ), ri AS (
-        SELECT CAST(count(*) AS BIGINT) AS orphans
+        SELECT CAST(count(*) AS DOUBLE) AS orphans
         FROM orders o
         WHERE o.o_custkey IS NOT NULL
           AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
     )
     SELECT 'not_null_o_orderkey' AS "check", 'not_null' AS kind,
-           'o_orderkey' AS "column", nn AS metric, nn = 0 AS passed FROM m
-    UNION ALL SELECT 'unique_o_orderkey', 'unique', 'o_orderkey', uq, uq = 0 FROM m
-    UNION ALL SELECT 'range_o_totalprice', 'range', 'o_totalprice', rng, rng = 0 FROM m
-    UNION ALL SELECT 'in_set_o_orderstatus', 'in_set', 'o_orderstatus', st, st = 0 FROM m
-    UNION ALL SELECT 'row_count_min_1000', 'row_count_min', '', rc, rc >= 1000 FROM m
+           'o_orderkey' AS "column", round(nn, 4) AS metric, nn = 0 AS passed FROM m
+    UNION ALL SELECT 'unique_o_orderkey', 'unique', 'o_orderkey', round(uq, 4), uq = 0 FROM m
+    UNION ALL SELECT 'range_o_totalprice', 'range', 'o_totalprice', round(rng, 4), rng = 0 FROM m
+    UNION ALL SELECT 'in_set_o_orderstatus', 'in_set', 'o_orderstatus', round(st, 4), st = 0 FROM m
+    UNION ALL SELECT 'row_count_min_1000', 'row_count_min', '', round(rc, 4), rc >= 1000 FROM m
+    UNION ALL SELECT 'mean_between_o_totalprice', 'mean_between', 'o_totalprice',
+                     round(mn, 4), mn BETWEEN 50000 AND 500000 FROM m
     UNION ALL SELECT 'ref_integrity_o_custkey', 'ref_integrity', 'o_custkey',
-                     orphans, orphans = 0 FROM ri
+                     round(orphans, 4), orphans = 0 FROM ri
     """,
 )
 def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint suite (Deequ-style) over orders: five
     row-level checks FUSED into one hash aggregate over one scan
     (completeness, uniqueness, range, set membership, minimum row
-    count — the unique check's exact distinct fuses into the same agg
-    as a two-phase expand) plus one broadcast anti-join pass for
+    count, plus the r05 STATISTICAL tier: a mean-drift band on
+    o_totalprice — the unique check's exact distinct and the mean both
+    fuse into the same agg) plus one broadcast anti-join pass for
     referential integrity against customer. At 100 TB the fusion is
-    the feature: a 6-check suite costs one table scan + one key-set
-    anti join, not six scans. Emits the audit artifact
-    (check, kind, column, metric, passed) a pipeline gate consumes."""
+    the feature: a 7-check suite costs one table scan + one key-set
+    anti join, not seven scans. Emits the audit artifact
+    (check, kind, column, metric, passed) a pipeline gate consumes;
+    metrics are rounded in BOTH engines (the mean is a float whose
+    summation order differs across engines)."""
     from collective_als_spark.operators.expectations import run_checks
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    return run_checks(
+    out = run_checks(
         orders,
         [
             {"kind": "not_null", "column": "o_orderkey"},
@@ -1008,6 +1014,7 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"kind": "range", "column": "o_totalprice", "lo": 0, "hi": 1000000},
             {"kind": "in_set", "column": "o_orderstatus", "values": ["O", "F", "P"]},
             {"kind": "row_count_min", "n": 1000},
+            {"kind": "mean_between", "column": "o_totalprice", "lo": 50000, "hi": 500000},
             {
                 "kind": "ref_integrity",
                 "column": "o_custkey",
@@ -1016,3 +1023,4 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ],
     )
+    return out.withColumn("metric", F.round("metric", 4))

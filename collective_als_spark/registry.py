@@ -67,12 +67,17 @@ _PRIORITY: list[str] = [
     "pair_inner_join", "full_outer_merge", "gramian_yty", "sql_passthrough",
     "pricing_summary", "ranking_metrics_at_k",
     "cmf_fit_predict", "cmf_fit_3entity",
-    "cmf_recommend_topk",
     # r04 promotion (r03 verdict #4): the implicit-feedback fit (L5/Q6,
     # the reference's most idiosyncratic semantics) gets a driver row;
     # running_window_frame demoted (window frames keep in-cap witnesses
     # via topk_per_group + sessionization, and stay pytest-oracle-checked)
     "cmf_fit_implicit",
+    # r05 swap (r04 verdict #6): the quality GATE (fit -> chrono holdout
+    # -> threshold booleans vs a constant oracle) takes
+    # cmf_recommend_topk's slot — a hash-green row that actually asserts
+    # fit quality under the driver; recommend_topk stays rows-only
+    # checked by pytest below the cap
+    "cmf_quality_gate",
     # -- LLM-pipeline north star
     "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
     "simhash_fingerprint", "ngram_jaccard_pairs", "ann_topk_cosine",
@@ -98,6 +103,7 @@ _PRIORITY: list[str] = [
     "multimodal_ppm_decode",
     "trend_regression",
     # ---------------- below the driver cap line (50) ----------------
+    "cmf_recommend_topk",
     "intersect_except", "psi_drift", "exact_percentiles",
     # -- §2 dupes demoted in r03 (still oracle-checked by pytest; their
     #    §2 ops keep an in-cap witness per SURVEY2_WITNESSES)

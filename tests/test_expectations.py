@@ -127,3 +127,92 @@ def test_unsafe_check_name_rejected(spark):
     for bad in ["a'b", "a`b", "a, 1) --", "x y"]:
         with pytest.raises(ValueError, match="unsafe check name"):
             run_checks(df, [{"kind": "not_null", "column": "id", "name": bad}])
+
+
+def test_statistical_checks_values_and_bounds(spark):
+    """mean/stddev/quantile checks report the observed statistic and
+    pass iff it lands inside [lo, hi]."""
+    df = spark.createDataFrame([(float(v),) for v in (10, 20, 30, 40)], "x double")
+    out = {
+        r["check"]: r
+        for r in run_checks(
+            df,
+            [
+                {"kind": "mean_between", "column": "x", "lo": 20, "hi": 30},
+                {"kind": "mean_between", "column": "x", "lo": 0, "hi": 5,
+                 "name": "mean_too_low"},
+                {"kind": "stddev_between", "column": "x", "lo": 10, "hi": 15},
+                {"kind": "quantile_between", "column": "x", "q": 0.5,
+                 "lo": 15, "hi": 35},
+            ],
+        ).collect()
+    }
+    assert out["mean_between_x"]["metric"] == 25.0
+    assert out["mean_between_x"]["passed"] is True
+    assert out["mean_too_low"]["passed"] is False
+    assert abs(out["stddev_between_x"]["metric"] - 12.909944) < 1e-4
+    assert out["stddev_between_x"]["passed"] is True
+    assert out["quantile_between_x"]["passed"] is True
+    assert out["quantile_between_x"]["metric"] in (20.0, 30.0)  # approx median
+
+
+def test_statistical_checks_fuse_with_row_level(spark, sf_med):
+    """A MIXED suite (row-level + statistical) still compiles to ONE
+    scan — the r05 statistical tier rides the same hash aggregate."""
+    from collective_als_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_med, "orders")
+    out = run_checks(
+        orders,
+        [
+            {"kind": "not_null", "column": "o_orderkey"},
+            {"kind": "unique", "column": "o_orderkey"},
+            {"kind": "range", "column": "o_totalprice", "lo": 0, "hi": 1e9},
+            {"kind": "row_count_min", "n": 1},
+            {"kind": "mean_between", "column": "o_totalprice", "lo": 0, "hi": 1e9},
+            {"kind": "stddev_between", "column": "o_totalprice", "lo": 0, "hi": 1e9},
+            {"kind": "quantile_between", "column": "o_totalprice", "q": 0.9,
+             "lo": 0, "hi": 1e9},
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
+    assert all(r["passed"] for r in out.collect())
+
+
+def test_statistical_check_fails_on_empty_batch(spark):
+    """No rows -> no statistic -> the drift check FAILS (passed False,
+    never NULL); violation-count checks on the same batch stay
+    vacuously clean."""
+    empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
+    out = {
+        r["check"]: r
+        for r in run_checks(
+            empty,
+            [
+                {"kind": "mean_between", "column": "x", "lo": 0, "hi": 1},
+                {"kind": "not_null", "column": "x"},
+            ],
+        ).collect()
+    }
+    assert out["mean_between_x"]["passed"] is False
+    assert out["mean_between_x"]["metric"] is None
+    assert out["not_null_x"]["passed"] is True
+
+
+def test_wap_commit_gated_on_mean_drift(spark, tmp_path):
+    """The WAP integration the statistical tier exists for: an ingest
+    batch whose mean drifts outside the band never becomes visible."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    checks = [{"kind": "mean_between", "column": "amount", "lo": 50, "hi": 150}]
+    good = spark.createDataFrame([(float(v),) for v in (90, 100, 110)], "amount double")
+    v1 = t.wap_commit(good, checks)
+    assert v1 == 1 and t.read().count() == 3
+    drifted = spark.createDataFrame(
+        [(float(v),) for v in (900, 1000, 1100)], "amount double"
+    )
+    with pytest.raises(ValueError, match="mean_between_amount"):
+        t.wap_commit(drifted, checks)
+    assert t.current_version() == 1 and t.read().count() == 3

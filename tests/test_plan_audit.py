@@ -79,6 +79,7 @@ SKIP = {
     "cmf_fit_predict",
     "cmf_fit_3entity",
     "cmf_recommend_topk",
+    "cmf_quality_gate",
     "cmf_grid_search",
     "cmf_foldin_predict",
     "cmf_rec_coverage_novelty",
