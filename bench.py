@@ -243,6 +243,25 @@ def main() -> None:
             for r in ("cpu", "io")
         },
     }
+    # scale-ramp evidence (r04 verdict #5): bench_scale_ramp.py measures
+    # the heavy family at sf0.1 vs a synthetic 10x tier and records
+    # SCALE_RAMP.json; inline the curve (minus raw runs) so the growth
+    # ratios ride along in BENCH_r{N}.json without re-measuring per round
+    ramp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_RAMP.json")
+    if os.path.exists(ramp_path):
+        try:
+            with open(ramp_path) as f:
+                ramp = json.load(f)
+            out["scale_ramp"] = {
+                "replicas": ramp.get("replicas"),
+                "queries": {
+                    n: {k: v for k, v in q.items() if k != "runs"}
+                    for n, q in ramp.get("queries", {}).items()
+                },
+                "timing": ramp.get("timing"),
+            }
+        except (OSError, ValueError):
+            pass
     print(json.dumps(out))
 
 

@@ -1,0 +1,216 @@
+"""Scale-ramp bench (r04 verdict #5): measure the heavy operator
+family's growth curve from sf0.1 to a synthetic ~sf1, so "the plan
+looks 100x-safe" becomes a measured ratio instead of an inference.
+
+The ramp dataset is derived from sf0.1 (TESTDATA.md says use the
+driver's parquet as inputs; there is no driver sf1, so the 10x tier is
+constructed FROM it) with growth that mimics real corpus growth:
+
+- ``documents`` x10: replica k>0 shifts doc_id and suffixes every
+  token with ``_r<k>`` — WITHIN a replica the near-dup structure is
+  identical to sf0.1, ACROSS replicas token universes are disjoint, so
+  duplicate pairs scale ~linearly with the corpus (10x), exactly like
+  ingesting ten similar-but-unrelated crawl shards. Naive verbatim
+  replication would instead turn every dup cluster into a 10x-bigger
+  clique (pairs x100) and measure a workload no real corpus has.
+  ``n_chars`` is recomputed from the transformed text.
+- ``orders``/``lineitem`` x10: order and customer keys shift per
+  replica (the transaction log and user base grow 10x), the part
+  universe stays fixed (item catalogs grow far slower than traffic) —
+  so item_item_cosine sees 10x baskets over the same items, the
+  realistic hard case for co-occurrence.
+
+Timing mirrors bench.py: noop sink (full plan, nothing collected), two
+interleaved passes, min per query, PSI/load bracketing. Output:
+``SCALE_RAMP.json`` with per-query sf0.1/sf1 seconds, the time ratio,
+and result-row counts at both scales (to confirm OUTPUT grew ~10x, so
+a ~10x time ratio means linear scaling, not a lucky small result).
+bench.py inlines this artifact as a ``scale_ramp`` block so the curve
+rides along in BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPLICAS = 10
+ID_OFFSET = 10_000_000
+RAMP_DIR = os.environ.get("SPARK_GRAFT_RAMP_DIR", "/tmp/spark_graft_ramp_sf1")
+SRC_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# the quadratic-adjacent family the r04 verdict names, plus the full
+# dedup pipeline; minhash/lsh are the registered end-to-end queries
+HEAVY = [
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "dedup_clusters",
+    "prefix_jaccard_pairs",
+    "winnowing_fingerprints",
+    "substring_containment_pairs",
+    "item_item_cosine",
+]
+
+
+def build_scaled(spark, src: str, out: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    marker = f"{out}/_RAMP_COMPLETE"
+    if os.path.exists(marker):
+        return
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    doc_parts = [docs]
+    for k in range(1, replicas):
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x: F.concat(x, F.lit(f"_r{k}")),
+            ),
+            " ",
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + k * ID_OFFSET).alias("doc_id"),
+                suffixed.alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length("text").cast("int"))
+            .select("doc_id", "text", "lang", "source", "n_chars")
+        )
+    scaled_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    o_parts = []
+    for k in range(replicas):
+        o_parts.append(
+            orders.select(
+                (F.col("o_orderkey") + k * ID_OFFSET).alias("o_orderkey"),
+                (F.col("o_custkey") + k * ID_OFFSET).alias("o_custkey"),
+                *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+            )
+        )
+    so = o_parts[0]
+    for p in o_parts[1:]:
+        so = so.unionByName(p)
+    so.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    l_parts = []
+    for k in range(replicas):
+        l_parts.append(
+            li.select(
+                (F.col("l_orderkey") + k * ID_OFFSET).alias("l_orderkey"),
+                *[c for c in li.columns if c != "l_orderkey"],
+            )
+        )
+    sl = l_parts[0]
+    for p in l_parts[1:]:
+        sl = sl.unionByName(p)
+    sl.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    with open(marker, "w") as f:
+        f.write(f"replicas={replicas} src={src}\n")
+
+
+def _psi_total(resource: str):
+    try:
+        with open(f"/proc/pressure/{resource}") as f:
+            line = f.readline()
+        return int(line.rsplit("total=", 1)[-1]) / 1e6
+    except (OSError, ValueError):
+        return None
+
+
+def main() -> None:
+    import gc
+
+    from collective_als_spark.registry import spark_queries
+    from collective_als_spark.session import get_spark
+
+    spark = get_spark("collective_als_spark_scale_ramp")
+    qs = spark_queries()
+
+    build_scaled(spark, SRC_DIR, RAMP_DIR, REPLICAS)
+
+    # codegen/JIT warmup on the small scale
+    qs["winnowing_fingerprints"](spark, SRC_DIR).limit(1).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    psi_before = {r: _psi_total(r) for r in ("cpu", "io")}
+
+    # resumable: partial results persist per query so a bounded-time
+    # invocation completes the ramp over several runs if needed
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, "SCALE_RAMP.json")
+    out: dict = {
+        "replicas": REPLICAS,
+        "src": SRC_DIR,
+        "ramp_dir": RAMP_DIR,
+        "queries": {},
+        "timing": "min of 2 passes per query (scales interleaved within "
+        "each pass), noop sink (same as bench.py)",
+    }
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            if prev.get("replicas") == REPLICAS and prev.get("src") == SRC_DIR:
+                out["queries"] = prev.get("queries", {})
+        except (OSError, ValueError):
+            pass
+
+    scales = [("sf0.1", SRC_DIR), ("sf1", RAMP_DIR)]
+    for name in HEAVY:
+        if name in out["queries"]:
+            continue
+        raw: dict[str, list[float]] = {s: [] for s, _ in scales}
+        for _pass in range(2):
+            for slabel, sdir in scales:
+                t0 = time.perf_counter()
+                df = qs[name](spark, sdir)
+                df.write.format("noop").mode("overwrite").save()
+                raw[slabel].append(round(time.perf_counter() - t0, 3))
+                del df
+                gc.collect()
+        rows = {slabel: qs[name](spark, sdir).count() for slabel, sdir in scales}
+        a, b = min(raw["sf0.1"]), min(raw["sf1"])
+        out["queries"][name] = {
+            "sf0.1_sec": a,
+            "sf1_sec": b,
+            "time_ratio": round(b / a, 2) if a > 0 else None,
+            "rows_sf0.1": rows["sf0.1"],
+            "rows_sf1": rows["sf1"],
+            "rows_ratio": (
+                round(rows["sf1"] / rows["sf0.1"], 2) if rows["sf0.1"] else None
+            ),
+            "runs": raw,
+        }
+        out["load_after"] = [round(x, 2) for x in os.getloadavg()]
+        out["load_before"] = load_before
+        out["psi_stall_sec"] = {
+            r: (
+                round(_psi_total(r) - psi_before[r], 1)
+                if psi_before[r] is not None
+                else None
+            )
+            for r in ("cpu", "io")
+        }
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(name, json.dumps(out["queries"][name]))
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+
+
+if __name__ == "__main__":
+    main()
