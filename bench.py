@@ -63,6 +63,10 @@ HEADLINE = [
     "waiting_supplier_q21",
     "dq_expectations_suite",
     "seasonal_hourly_anomalies",
+    # round-5 families: output-bounded neighbor lists (the scale-ramp
+    # finding's production form), the oracle-checked CMF quality gate
+    "item_item_topk",
+    "cmf_quality_gate",
 ]
 
 

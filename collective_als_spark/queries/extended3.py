@@ -249,6 +249,122 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "item_item_topk",
+    oracle="""
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT u, count(*) AS n_items FROM ui GROUP BY u),
+    ui2 AS (
+        SELECT ui.u, ui.i FROM ui JOIN deg ON deg.u = ui.u
+        WHERE deg.n_items <= 200
+    ),
+    icnt AS (SELECT i, count(*) AS n_i FROM ui2 GROUP BY i),
+    pairs AS (
+        SELECT a.i AS part_i, b.i AS part_j, count(*) AS n_ij
+        FROM ui2 a JOIN ui2 b ON a.u = b.u AND a.i < b.i
+        GROUP BY a.i, b.i
+        HAVING count(*) >= 3
+    ),
+    sym AS (
+        SELECT part_i AS item, part_j AS neighbor, n_ij FROM pairs
+        UNION ALL
+        SELECT part_j AS item, part_i AS neighbor, n_ij FROM pairs
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor, s.n_ij,
+               round(s.n_ij / sqrt(ci.n_i * cj.n_i), 6) AS cosine
+        FROM sym s
+        JOIN icnt ci ON ci.i = s.item
+        JOIN icnt cj ON cj.i = s.neighbor
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY item ORDER BY cosine DESC, neighbor
+        ) AS rk
+        FROM scored
+    )
+    SELECT item, neighbor, n_ij, cosine, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k item-item neighbors: the OUTPUT-BOUNDED form of
+    `item_item_cosine`, added after the r05 scale ramp measured the
+    absolute-support form's result density super-linear (8,976 ->
+    12.7M pairs at 10x traffic over a fixed catalog; SCALE_RAMP.json).
+    A neighbor list is what co-occurrence similarity is FOR in
+    production, and its size is n_items x k — INDEPENDENT of traffic
+    density, so the operator's output (and every downstream consumer)
+    scales with the catalog, not the interaction volume.
+
+    Plan shape: identical pair generation (heavy-user cap, support
+    floor, degrees joined post-agg on the pair-count-sized frame),
+    then pairs symmetrized (each undirected pair serves both items'
+    lists) and a per-item rank window — key-partitioned on item, never
+    global. The rank runs on the PAIR frame (already support-filtered),
+    not the interaction frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ui = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    wu = Window.partitionBy("u")
+    ui2 = (
+        ui.withColumn("n_items", F.count(F.lit(1)).over(wu))
+        .filter(F.col("n_items") <= 200)
+        .select("u", "i")
+        .localCheckpoint(eager=True)
+    )
+    deg = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    a = ui2.select("u", F.col("i").alias("part_i"))
+    b = ui2.select("u", F.col("i").alias("part_j"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("part_i") < F.col("part_j"))
+        .groupBy("part_i", "part_j")
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+        .filter(F.col("n_ij") >= 3)
+    )
+    sym = pairs.select(
+        F.col("part_i").alias("item"), F.col("part_j").alias("neighbor"), "n_ij"
+    ).unionByName(
+        pairs.select(
+            F.col("part_j").alias("item"), F.col("part_i").alias("neighbor"), "n_ij"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(deg.select(F.col("i").alias("item"), F.col("n_i").alias("ni"))),
+            "item",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("i").alias("neighbor"), F.col("n_i").alias("nj"))
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "n_ij",
+            F.round(F.col("n_ij") / F.sqrt(F.col("ni") * F.col("nj")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("item", "neighbor", "n_ij", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@register(
     "event_transition_matrix",
     oracle="""
     WITH seq AS (

@@ -413,6 +413,146 @@ class SnapshotTable:
             F.col(column).between(F.lit(lo), F.lit(hi))
         )
 
+    def _split_by_band(
+        self, manifest: dict, column: str, lo, hi
+    ) -> tuple[list[str], list[str]]:
+        """(candidates, untouched): files whose manifest [min,max] for
+        ``column`` may intersect [lo,hi] vs files provably outside it.
+        Files without stats are conservatively candidates."""
+        stats = manifest.get("stats", {})
+        candidates, untouched = [], []
+        for f in manifest["files"]:
+            band = stats.get(_rel(f), {}).get(column)
+            if band is None or band[0] is None or band[1] is None:
+                candidates.append(f)
+            elif band[1] < lo or band[0] > hi:
+                untouched.append(f)
+            else:
+                candidates.append(f)
+        return candidates, untouched
+
+    def delete_where(self, column: str, lo, hi) -> int:
+        """Copy-on-write DELETE of rows with ``column`` in [lo, hi].
+
+        The manifest stats bound the rewrite set: files whose interval
+        cannot intersect the band survive UNTOUCHED — same path
+        strings in the new manifest, never opened, never rewritten —
+        and only candidate files are read, filtered to the survivors,
+        and rewritten as new files. At 100 TB this is the difference
+        between rewriting a partition's worth of files and rewriting
+        the table; it is exactly Delta's data-skipping DELETE. Old
+        versions still reference the pre-delete files (time travel
+        intact until expire). No candidate files -> no-op (current
+        version returned, no empty commit)."""
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("empty table: no committed snapshot")
+        manifest = self._manifest(cur)
+        candidates, untouched = self._split_by_band(manifest, column, lo, hi)
+        if not candidates:
+            return cur
+        survivors = self.spark.read.parquet(*candidates).filter(
+            ~F.col(column).between(F.lit(lo), F.lit(hi))
+        )
+        new_files = self._write_data(survivors)
+        new_stats = self._file_stats(new_files)
+
+        def build(version: int, prev: dict) -> dict:
+            # recompute the split against the FRESH current manifest on
+            # a CAS retry — a concurrent append may have added files
+            cands, untch = self._split_by_band(prev, column, lo, hi)
+            if set(cands) != set(candidates):
+                raise CommitConflict(
+                    "concurrent commit changed the candidate file set; "
+                    "re-run delete_where"
+                )
+            prev_stats = prev.get("stats", {})
+            stats = {
+                k: v
+                for k, v in prev_stats.items()
+                if k in {_rel(f) for f in untch}
+            }
+            stats.update(new_stats)
+            return self._compose(
+                version,
+                untch + new_files,
+                stats,
+                prev.get("batch_markers", {}),
+            )
+
+        return self._commit(build)
+
+    def merge(self, source: DataFrame, key: str) -> int:
+        """Copy-on-write MERGE (upsert) keyed on a single column:
+        target rows whose ``key`` matches a source row are replaced by
+        the source row; unmatched source rows are inserted. Equivalent
+        to Delta's ``MERGE .. WHEN MATCHED UPDATE SET * WHEN NOT
+        MATCHED INSERT *``.
+
+        File-level pruning via the manifest stats: the source's
+        [min(key), max(key)] interval selects candidate files; files
+        provably outside it cannot contain a matched key and carry
+        over UNTOUCHED. Candidates are read once, matched rows dropped
+        with a broadcast-able anti-join against the distinct source
+        keys, and the survivors + the full source are rewritten as new
+        files. Duplicate keys WITHIN the source are rejected (their
+        merge order would be undefined — same check Delta errors with).
+        """
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("empty table: no committed snapshot (append instead)")
+        bounds = source.agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key)).alias("nd"),
+        ).first()
+        if bounds["n"] == 0:
+            return cur
+        if bounds["nd"] < bounds["n"]:
+            raise ValueError(
+                f"source has duplicate merge keys ({bounds['n'] - bounds['nd']} "
+                f"extra rows): per-key merge order would be undefined"
+            )
+        lo, hi = bounds["lo"], bounds["hi"]
+        manifest = self._manifest(cur)
+        candidates, untouched = self._split_by_band(manifest, key, lo, hi)
+        if candidates:
+            keys = source.select(F.col(key).alias("_mk")).distinct()
+            survivors = self.spark.read.parquet(*candidates).join(
+                F.broadcast(keys),
+                F.col(key) == F.col("_mk"),
+                "left_anti",
+            )
+            rewritten = survivors.unionByName(source)
+        else:
+            rewritten = source
+        new_files = self._write_data(rewritten)
+        new_stats = self._file_stats(new_files)
+
+        def build(version: int, prev: dict) -> dict:
+            cands, untch = self._split_by_band(prev, key, lo, hi)
+            if set(cands) != set(candidates):
+                raise CommitConflict(
+                    "concurrent commit changed the candidate file set; "
+                    "re-run merge"
+                )
+            prev_stats = prev.get("stats", {})
+            stats = {
+                k: v
+                for k, v in prev_stats.items()
+                if k in {_rel(f) for f in untch}
+            }
+            stats.update(new_stats)
+            return self._compose(
+                version,
+                untch + new_files,
+                stats,
+                prev.get("batch_markers", {}),
+            )
+
+        return self._commit(build)
+
     def compact(self, target_rows_per_file: int) -> int:
         """Small-file compaction as a COMMIT: read the current
         snapshot, rewrite into ceil(rows/target) round-robin files, and

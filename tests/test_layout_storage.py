@@ -380,3 +380,71 @@ def test_manifest_stats_prune_snapshot_reads(spark, tmp_path):
     t2.append(spark.range(3000, 3100).select(F.col("id").alias("v")))
     got = t2.read(where=("v", 3000, 3001))
     assert got.count() == 2
+
+
+def _manifest_files(t, version=None):
+    v = t.current_version() if version is None else version
+    return set(t._manifest(v)["files"])
+
+
+def test_delete_where_rewrites_only_candidate_files(spark, tmp_path):
+    """Copy-on-write DELETE: files provably outside the band carry
+    over as the SAME path strings (never rewritten); the result equals
+    the full-scan anti-filter; old versions stay intact."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    for lo in (0, 1000, 2000):  # three disjoint single-file commits
+        t.append(spark.range(lo, lo + 100).select(F.col("id").alias("v")).coalesce(1))
+    before = _manifest_files(t)
+    pre_version = t.current_version()
+    v = t.delete_where("v", 1000, 1049)
+    assert v == pre_version + 1
+    after = _manifest_files(t)
+    # the 0- and 2000-band files are untouched (identical paths)
+    assert len(before & after) == 2
+    got = sorted(r["v"] for r in t.read().collect())
+    assert got == list(range(0, 100)) + list(range(1050, 1100)) + list(
+        range(2000, 2100)
+    )
+    # time travel pre-delete intact
+    assert t.read(pre_version).count() == 300
+    # stats were maintained: banded reads still prune to single files
+    assert len(t.read(where=("v", 2000, 2010)).inputFiles()) == 1
+    # band hitting nothing: no-op, no new version
+    assert t.delete_where("v", 50000, 60000) == v
+
+
+def test_merge_upserts_with_file_pruning(spark, tmp_path):
+    """MERGE: matched keys replaced, unmatched inserted, files outside
+    the source key range untouched; duplicate source keys rejected."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 10)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("val"))
+            .coalesce(1)
+        )
+    before = _manifest_files(t)
+    pre_version = t.current_version()
+    # update k=1001..1003, insert k=1500..1501 — all inside the 1000-band
+    source = spark.createDataFrame(
+        [(1001, -1), (1002, -2), (1003, -3), (1500, -4), (1501, -5)],
+        "k long, val long",
+    )
+    v = t.merge(source, "k")
+    assert v == pre_version + 1
+    after = _manifest_files(t)
+    assert len(before & after) == 2  # 0- and 2000-band files untouched
+    rows = {r["k"]: r["val"] for r in t.read().collect()}
+    assert len(rows) == 32  # 30 original rows, 3 updated in place, 2 inserted
+    assert rows[1001] == -1 and rows[1002] == -2 and rows[1003] == -3
+    assert rows[1500] == -4 and rows[1501] == -5
+    assert rows[1004] == 2008  # untouched row in the rewritten file
+    assert rows[5] == 10  # untouched file
+    assert t.read(pre_version).count() == 30
+    # duplicate source keys are an error, table unchanged
+    dup = spark.createDataFrame([(7, 1), (7, 2)], "k long, val long")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge(dup, "k")
+    assert t.current_version() == v
+    # empty source: no-op
+    assert t.merge(source.limit(0), "k") == v
