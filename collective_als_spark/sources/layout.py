@@ -482,7 +482,9 @@ class SnapshotTable:
 
         return self._commit(build)
 
-    def merge(self, source: DataFrame, key: str) -> int:
+    def merge(
+        self, source: DataFrame, key: str, _markers: dict[str, int] | None = None
+    ) -> int:
         """Copy-on-write MERGE (upsert) keyed on a single column:
         target rows whose ``key`` matches a source row are replaced by
         the source row; unmatched source rows are inserted. Equivalent
@@ -499,8 +501,6 @@ class SnapshotTable:
         merge order would be undefined — same check Delta errors with).
         """
         cur = self.current_version()
-        if cur == 0:
-            raise ValueError("empty table: no committed snapshot (append instead)")
         bounds = source.agg(
             F.min(key).alias("lo"),
             F.max(key).alias("hi"),
@@ -514,6 +514,9 @@ class SnapshotTable:
                 f"source has duplicate merge keys ({bounds['n'] - bounds['nd']} "
                 f"extra rows): per-key merge order would be undefined"
             )
+        if cur == 0:
+            # merge into an empty table: every source row is unmatched
+            return self.append(source, _markers=_markers)
         lo, hi = bounds["lo"], bounds["hi"]
         manifest = self._manifest(cur)
         candidates, untouched = self._split_by_band(manifest, key, lo, hi)
@@ -548,7 +551,7 @@ class SnapshotTable:
                 version,
                 untch + new_files,
                 stats,
-                prev.get("batch_markers", {}),
+                prev.get("batch_markers", {}) | (_markers or {}),
             )
 
         return self._commit(build)
@@ -628,7 +631,12 @@ class SnapshotTable:
         )
         return version
 
-    def streaming_sink(self, checkpoint_dir: str, checks: list[dict] | None = None):
+    def streaming_sink(
+        self,
+        checkpoint_dir: str,
+        checks: list[dict] | None = None,
+        merge_key: str | None = None,
+    ):
         """foreachBatch writer committing every micro-batch as an
         atomic snapshot append (optionally WAP-audited). Concurrent
         batch readers pin a manifest, so they NEVER observe a torn
@@ -657,11 +665,21 @@ class SnapshotTable:
 
         writer_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
+        if checks and merge_key:
+            raise ValueError("checks and merge_key are mutually exclusive")
+
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             if self._current_markers().get(writer_id, -1) >= batch_id:
                 return  # replayed batch: already committed atomically
             markers = {writer_id: batch_id}
-            if checks:
+            if merge_key is not None:
+                # durable streaming UPSERT: each micro-batch merges by
+                # key (copy-on-write, stats-pruned) in one atomic
+                # commit; replay-idempotent via the same marker. The
+                # upstream must emit one row per key per batch (e.g.
+                # latest-by-timestamp) — merge rejects duplicates.
+                self.merge(batch_df, merge_key, _markers=markers)
+            elif checks:
                 self.wap_commit(batch_df, checks, mode="append", _markers=markers)
             else:
                 self.append(batch_df, _markers=markers)

@@ -448,3 +448,22 @@ def test_merge_upserts_with_file_pruning(spark, tmp_path):
     assert t.current_version() == v
     # empty source: no-op
     assert t.merge(source.limit(0), "k") == v
+
+
+def test_streaming_merge_sink_upserts_idempotently(spark, tmp_path):
+    """Durable streaming upsert: each micro-batch merges by key in one
+    atomic commit; replays are no-ops; later batches overwrite earlier
+    values for the same key; first batch lands in an empty table."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    sink = t.streaming_sink(str(tmp_path / "ckpt"), merge_key="k")
+    sink(spark.createDataFrame([(1, 10), (2, 20)], "k long, val long"), 0)
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {1: 10, 2: 20}
+    sink(spark.createDataFrame([(2, 99), (3, 30)], "k long, val long"), 1)
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {1: 10, 2: 99, 3: 30}
+    v = t.current_version()
+    # replayed batch id: no-op even though values differ
+    sink(spark.createDataFrame([(2, -1)], "k long, val long"), 1)
+    assert t.current_version() == v
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {1: 10, 2: 99, 3: 30}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.streaming_sink(str(tmp_path / "c2"), checks=[{"kind": "not_null", "column": "k"}], merge_key="k")
