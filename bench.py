@@ -204,6 +204,15 @@ def main() -> None:
             # item_item_cosine 16.7s late in the run vs 7.4s isolated)
             del df
             gc.collect()
+            # ContextCleaner releases persisted/localCheckpointed blocks
+            # via JVM weak references — which only enqueue on a JVM GC.
+            # Python gc frees the py4j refs, but without a JVM GC the
+            # blocks linger in executor storage across queries and the
+            # r05 heavy tail (ALS fit + eager checkpoints) measurably
+            # polluted every pass-B run (range_join 0.9s pass A vs 3.7s
+            # pass B, reproducibly). One System.gc() per query (~0.1s)
+            # makes queries independent, which is what min-of-2 assumes.
+            spark.sparkContext._jvm.System.gc()
     timings: dict[str, float] = {name: min(raw_runs[name]) for name in HEADLINE}
     if sig_state["df"] is not None:
         sig_state["df"].unpersist()
