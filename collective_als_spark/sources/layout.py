@@ -292,6 +292,34 @@ class SnapshotTable:
             if name.endswith(".parquet")
         ]
 
+    @staticmethod
+    def _evolved_schema(prev_schema: dict | None, new_schema: dict) -> dict:
+        """Commit-time schema evolution (the Delta rule): a commit may
+        ADD columns — the manifest schema widens, and older files read
+        the new columns as NULL because readers take the TABLE schema
+        from the manifest, not the file footers — but may not CHANGE
+        an existing column's type, which would make old files
+        unreadable; the right place to find that out is the failing
+        COMMIT, not a reader three weeks later. Returns the widened
+        schema (prev columns first, additions appended)."""
+        if prev_schema is None:
+            return new_schema
+        prev_types = {f["name"]: f["type"] for f in prev_schema["fields"]}
+        for f in new_schema["fields"]:
+            old = prev_types.get(f["name"])
+            if old is not None and old != f["type"]:
+                raise ValueError(
+                    f"schema evolution rejected: column {f['name']!r} is "
+                    f"{old} in the table but {f['type']} in this commit; "
+                    f"additive columns are allowed, type changes are not"
+                )
+        known = set(prev_types)
+        return {
+            **prev_schema,
+            "fields": prev_schema["fields"]
+            + [f for f in new_schema["fields"] if f["name"] not in known],
+        }
+
     def _file_stats(self, files: list[str]) -> dict[str, dict]:
         """Per-file min/max for the configured stats columns, scanning
         ONLY the newly staged files (column-pruned; one output row per
@@ -324,12 +352,15 @@ class SnapshotTable:
         files: list[str],
         stats: dict,
         markers: dict[str, int],
+        schema: dict | None = None,
     ) -> dict:
         manifest: dict = {"version": version, "files": sorted(files)}
         if stats:
             manifest["stats"] = stats
         if markers:
             manifest["batch_markers"] = markers
+        if schema is not None:
+            manifest["schema"] = schema
         return manifest
 
     # -- public API
@@ -340,6 +371,13 @@ class SnapshotTable:
         must not erase a streaming writer's dedup state). Data files
         are staged once; only the manifest composition re-runs on a
         CAS retry."""
+        df_schema = df.schema.jsonValue()
+        # fail BEFORE staging data on an obvious type conflict; the
+        # build re-validates against the fresh manifest on CAS retries
+        cur = self.current_version()
+        self._evolved_schema(
+            self._base_manifest(cur).get("schema") if cur else None, df_schema
+        )
         new_files = self._write_data(df)
         new_stats = self._file_stats(new_files)
 
@@ -354,6 +392,7 @@ class SnapshotTable:
                 prev["files"] + new_files,
                 live_stats,
                 prev.get("batch_markers", {}) | (_markers or {}),
+                schema=self._evolved_schema(prev.get("schema"), df_schema),
             )
 
         return self._commit(build)
@@ -364,10 +403,16 @@ class SnapshotTable:
         markers carry forward (see append)."""
         new_files = self._write_data(df)
         new_stats = self._file_stats(new_files)
+        df_schema = df.schema.jsonValue()
 
         def build(version: int, prev: dict) -> dict:
+            # overwrite REPLACES the data, so the schema resets too
             return self._compose(
-                version, new_files, new_stats, prev.get("batch_markers", {})
+                version,
+                new_files,
+                new_stats,
+                prev.get("batch_markers", {}),
+                schema=df_schema,
             )
 
         return self._commit(build)
@@ -395,8 +440,12 @@ class SnapshotTable:
             raise ValueError("empty table: no committed snapshot")
         manifest = self._manifest(v)
         files = manifest["files"]
+        # the TABLE schema comes from the manifest (Iceberg-style), not
+        # the file footers: files written before an additive evolution
+        # read the added columns as NULL, with no mergeSchema footer sweep
+        reader = self._reader_for(manifest)
         if where is None:
-            return self.spark.read.parquet(*files)
+            return reader.parquet(*files)
         column, lo, hi = where
         stats = manifest.get("stats", {})
         kept = []
@@ -408,10 +457,23 @@ class SnapshotTable:
                 kept.append(f)
         if not kept:
             # schema-preserving empty result; no data file opened at scan
-            return self.spark.read.parquet(files[0]).filter(F.lit(False))
-        return self.spark.read.parquet(*kept).filter(
+            return reader.parquet(files[0]).filter(F.lit(False))
+        return reader.parquet(*kept).filter(
             F.col(column).between(F.lit(lo), F.lit(hi))
         )
+
+    def _reader_for(self, manifest: dict):
+        """Reader pinned to the manifest's table schema (when present):
+        every path that opens this snapshot's files — read(), the
+        delete/merge rewrites — must see the SAME NULL-padded view of
+        pre-evolution files, or a maintenance rewrite would fail (or
+        silently drop columns) on a mixed-schema file set."""
+        reader = self.spark.read
+        if manifest.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(manifest["schema"]))
+        return reader
 
     def _split_by_band(
         self, manifest: dict, column: str, lo, hi
@@ -451,7 +513,7 @@ class SnapshotTable:
         candidates, untouched = self._split_by_band(manifest, column, lo, hi)
         if not candidates:
             return cur
-        survivors = self.spark.read.parquet(*candidates).filter(
+        survivors = self._reader_for(manifest).parquet(*candidates).filter(
             ~F.col(column).between(F.lit(lo), F.lit(hi))
         )
         new_files = self._write_data(survivors)
@@ -478,6 +540,7 @@ class SnapshotTable:
                 untch + new_files,
                 stats,
                 prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
             )
 
         return self._commit(build)
@@ -522,7 +585,7 @@ class SnapshotTable:
         candidates, untouched = self._split_by_band(manifest, key, lo, hi)
         if candidates:
             keys = source.select(F.col(key).alias("_mk")).distinct()
-            survivors = self.spark.read.parquet(*candidates).join(
+            survivors = self._reader_for(manifest).parquet(*candidates).join(
                 F.broadcast(keys),
                 F.col(key) == F.col("_mk"),
                 "left_anti",
@@ -552,6 +615,7 @@ class SnapshotTable:
                 untch + new_files,
                 stats,
                 prev.get("batch_markers", {}) | (_markers or {}),
+                schema=prev.get("schema"),
             )
 
         return self._commit(build)
@@ -610,18 +674,21 @@ class SnapshotTable:
                 + ", ".join(f"{r['check']} (metric={r['metric']})" for r in failed)
             )
         new_stats = self._file_stats(files)
+        df_schema = df.schema.jsonValue()
 
         def build(version: int, prev: dict) -> dict:
             if mode == "append":
                 all_files = prev["files"] + files
                 stats = {**prev.get("stats", {}), **new_stats}
+                schema = self._evolved_schema(prev.get("schema"), df_schema)
             else:
-                all_files, stats = files, new_stats
+                all_files, stats, schema = files, new_stats, df_schema
             return self._compose(
                 version,
                 all_files,
                 stats,
                 prev.get("batch_markers", {}) | (_markers or {}),
+                schema=schema,
             )
 
         version = self._commit(build)

@@ -467,3 +467,77 @@ def test_streaming_merge_sink_upserts_idempotently(spark, tmp_path):
     assert {r["k"]: r["val"] for r in t.read().collect()} == {1: 10, 2: 99, 3: 30}
     with pytest.raises(ValueError, match="mutually exclusive"):
         t.streaming_sink(str(tmp_path / "c2"), checks=[{"kind": "not_null", "column": "k"}], merge_key="k")
+
+
+def test_schema_evolution_additive_columns(spark, tmp_path):
+    """Additive evolution: a commit may add columns; older files read
+    them as NULL because readers take the TABLE schema from the
+    manifest (no mergeSchema footer sweep); type changes are rejected
+    AT COMMIT and leave the table untouched."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, name string, score double"
+        )
+    )
+    cur = t.read()
+    assert [f.name for f in cur.schema.fields] == ["id", "name", "score"]
+    rows = {r["id"]: (r["name"], r["score"]) for r in cur.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # time travel: v1 still reads with its own (narrow) schema
+    assert [f.name for f in t.read(1).schema.fields] == ["id", "name"]
+    # type change rejected pre-staging; table unchanged
+    v = t.current_version()
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        t.append(spark.createDataFrame([("x", "c")], "id string, name string"))
+    assert t.current_version() == v
+    # overwrite RESETS the schema
+    t.overwrite(spark.createDataFrame([("x",)], "id string"))
+    assert [f.name for f in t.read().schema.fields] == ["id"]
+    t.append(spark.createDataFrame([("y",)], "id string"))  # consistent again
+
+
+def test_schema_survives_merge_and_delete(spark, tmp_path):
+    """MERGE/DELETE carry the manifest schema forward, so an evolved
+    table keeps returning NULL-padded old files after maintenance."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1))
+    t.append(
+        spark.createDataFrame([(2, 20, "x")], "k long, v long, tag string").coalesce(1)
+    )
+    t.delete_where("k", 100, 200)  # no-op band but exercises the path
+    t.merge(
+        spark.createDataFrame([(2, 21, "y")], "k long, v long, tag string"), "k"
+    )
+    rows = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert rows == {1: (10, None), 2: (21, "y")}
+    assert [f.name for f in t.read().schema.fields] == ["k", "v", "tag"]
+
+
+def test_merge_and_delete_handle_mixed_schema_candidates(spark, tmp_path):
+    """The maintenance rewrites must read candidate files through the
+    manifest schema: a pre-evolution file inside the candidate band is
+    NULL-padded, not a union error or a dropped column."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1))
+    t.append(
+        spark.createDataFrame([(2, 20, "x")], "k long, v long, tag string").coalesce(1)
+    )
+    # band covers BOTH files -> the narrow v1 file is a rewrite candidate
+    t.merge(
+        spark.createDataFrame(
+            [(1, 11, "new"), (3, 30, "z")], "k long, v long, tag string"
+        ),
+        "k",
+    )
+    rows = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert rows == {1: (11, "new"), 2: (20, "x"), 3: (30, "z")}
+    t2 = SnapshotTable(spark, str(tmp_path / "tbl2"), stats_columns=["k"])
+    t2.append(spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1))
+    t2.append(
+        spark.createDataFrame([(5, 50, "x")], "k long, v long, tag string").coalesce(1)
+    )
+    t2.delete_where("k", 1, 5)  # both files are candidates
+    assert t2.read().count() == 0
+    assert [f.name for f in t2.read().schema.fields] == ["k", "v", "tag"]
