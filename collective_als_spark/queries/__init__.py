@@ -8,6 +8,7 @@ from collective_als_spark.queries import (  # noqa: F401
     extended4,
     extended5,
     extended6,
+    lake_queries,
     llm_data,
     ml_queries,
     relational,

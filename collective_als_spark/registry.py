@@ -80,7 +80,13 @@ _PRIORITY: list[str] = [
     "cmf_quality_gate",
     # -- LLM-pipeline north star
     "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
-    "simhash_fingerprint", "ngram_jaccard_pairs", "ann_topk_cosine",
+    # r05 swap: lake_snapshot_lifecycle (the commit protocol end-to-end
+    # under the oracle: CAS appends, copy-on-write merge/delete, time
+    # travel — the lake tier's first driver row) takes
+    # ngram_jaccard_pairs' slot; ngram_jaccard shares its ORACLE with
+    # in-cap prefix_jaccard_pairs (prefix filtering is lossless, same
+    # result set) and stays pytest-oracle-checked below the cap
+    "simhash_fingerprint", "lake_snapshot_lifecycle", "ann_topk_cosine",
     "text_quality_metrics", "lang_id_heuristic", "doc_fingerprint",
     # -- extended SQL coverage, one representative per family
     "semi_anti_join", "star_join_revenue", "topk_per_group",
@@ -103,6 +109,7 @@ _PRIORITY: list[str] = [
     "multimodal_ppm_decode",
     "trend_regression",
     # ---------------- below the driver cap line (50) ----------------
+    "ngram_jaccard_pairs",
     "cmf_recommend_topk",
     "intersect_except", "psi_drift", "exact_percentiles",
     # -- §2 dupes demoted in r03 (still oracle-checked by pytest; their
