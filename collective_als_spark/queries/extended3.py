@@ -322,12 +322,19 @@ def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
     a = ui2.select("u", F.col("i").alias("part_i"))
     b = ui2.select("u", F.col("i").alias("part_j"))
+    # materialize the pair aggregate ONCE: Spark does not CSE across
+    # union branches, so without this the symmetrize union re-executes
+    # the whole SMJ + pair-aggregate subtree per branch (measured in
+    # the r05 plan: two identical 17-operator subtrees, 2x the cost).
+    # The pair frame is support-filtered and tiny relative to the
+    # interaction data, so the checkpoint is cheap.
     pairs = (
         a.join(b, "u")
         .filter(F.col("part_i") < F.col("part_j"))
         .groupBy("part_i", "part_j")
         .agg(F.count(F.lit(1)).alias("n_ij"))
         .filter(F.col("n_ij") >= 3)
+        .localCheckpoint(eager=True)
     )
     sym = pairs.select(
         F.col("part_i").alias("item"), F.col("part_j").alias("neighbor"), "n_ij"
