@@ -53,6 +53,10 @@ HEAVY = [
     "winnowing_fingerprints",
     "substring_containment_pairs",
     "item_item_cosine",
+    # r05: the output-bounded neighbor-list form — at 10x traffic its
+    # row count must stay ~catalog x k while the absolute-support form
+    # floods (the finding recorded in `findings`)
+    "item_item_topk",
 ]
 
 
