@@ -562,6 +562,13 @@ class SnapshotTable:
         keys, and the survivors + the full source are rewritten as new
         files. Duplicate keys WITHIN the source are rejected (their
         merge order would be undefined — same check Delta errors with).
+
+        Schema auto-evolution (Delta's ``autoMerge``): a source that
+        ADDS columns widens the table schema (validated by the same
+        additive-only rule as append — type changes are rejected at
+        commit); a source MISSING table columns NULL-pads them on its
+        inserted/updated rows. Survivors are read through the evolved
+        schema, so mixed-width unions are exact.
         """
         cur = self.current_version()
         bounds = source.agg(
@@ -582,15 +589,28 @@ class SnapshotTable:
             return self.append(source, _markers=_markers)
         lo, hi = bounds["lo"], bounds["hi"]
         manifest = self._manifest(cur)
+        # auto-evolve: additive source columns widen the table schema;
+        # type conflicts raise here, BEFORE any data is staged. A
+        # pre-schema manifest (older table) seeds from its parquet
+        # footers so existing columns can never be silently dropped.
+        prev_schema = manifest.get("schema")
+        if prev_schema is None:
+            prev_schema = (
+                self.spark.read.parquet(*manifest["files"]).schema.jsonValue()
+            )
+        evolved = self._evolved_schema(prev_schema, source.schema.jsonValue())
         candidates, untouched = self._split_by_band(manifest, key, lo, hi)
+        # evolved-width reader: survivors NULL-pad source-added columns,
+        # and the union is by name with source-missing columns padded
+        evolved_manifest = {**manifest, "schema": evolved}
         if candidates:
             keys = source.select(F.col(key).alias("_mk")).distinct()
-            survivors = self._reader_for(manifest).parquet(*candidates).join(
+            survivors = self._reader_for(evolved_manifest).parquet(*candidates).join(
                 F.broadcast(keys),
                 F.col(key) == F.col("_mk"),
                 "left_anti",
             )
-            rewritten = survivors.unionByName(source)
+            rewritten = survivors.unionByName(source, allowMissingColumns=True)
         else:
             rewritten = source
         new_files = self._write_data(rewritten)
@@ -615,7 +635,9 @@ class SnapshotTable:
                 untch + new_files,
                 stats,
                 prev.get("batch_markers", {}) | (_markers or {}),
-                schema=prev.get("schema"),
+                schema=self._evolved_schema(
+                    prev.get("schema") or prev_schema, source.schema.jsonValue()
+                ),
             )
 
         return self._commit(build)

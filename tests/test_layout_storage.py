@@ -541,3 +541,28 @@ def test_merge_and_delete_handle_mixed_schema_candidates(spark, tmp_path):
     t2.delete_where("k", 1, 5)  # both files are candidates
     assert t2.read().count() == 0
     assert [f.name for f in t2.read().schema.fields] == ["k", "v", "tag"]
+
+
+def test_merge_schema_auto_evolution(spark, tmp_path):
+    """Delta autoMerge semantics: a source ADDING columns widens the
+    table (old rows NULL-pad); a source MISSING columns NULL-pads its
+    own rows; a type conflict is rejected before staging."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    # source adds a column
+    t.merge(
+        spark.createDataFrame([(2, 21, "x"), (3, 30, "y")],
+                              "k long, v long, tag string"),
+        "k",
+    )
+    rows = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert rows == {1: (10, None), 2: (21, "x"), 3: (30, "y")}
+    # source misses a column: its rows NULL-pad it
+    t.merge(spark.createDataFrame([(1, 11), (4, 40)], "k long, v long"), "k")
+    rows = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert rows == {1: (11, None), 2: (21, "x"), 3: (30, "y"), 4: (40, None)}
+    # type conflict rejected, table unchanged
+    v = t.current_version()
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        t.merge(spark.createDataFrame([("a", 1)], "k string, v long"), "k")
+    assert t.current_version() == v
