@@ -566,3 +566,53 @@ def test_merge_schema_auto_evolution(spark, tmp_path):
     with pytest.raises(ValueError, match="schema evolution rejected"):
         t.merge(spark.createDataFrame([("a", 1)], "k string, v long"), "k")
     assert t.current_version() == v
+
+
+def test_streaming_merge_sink_end_to_end_with_restart(spark, tmp_path):
+    """Full Structured Streaming path for the upsert sink: a file-
+    source stream merges per micro-batch into the table; restarting
+    the query on the same checkpoint with new files arriving while it
+    was DOWN upserts exactly the new data (and replays nothing)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+
+    def run_query():
+        stream = (
+            spark.readStream.schema("k LONG, val LONG")
+            .format("parquet")
+            .load(str(src))
+            # one row per key per batch: latest val wins (merge rejects
+            # in-batch duplicate keys by design)
+            .groupBy("k")
+            .agg(F.max("val").alias("val"))
+        )
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .foreachBatch(
+                lambda df, bid: t.streaming_sink(ckpt, merge_key="k")(
+                    df.select("k", "val"), bid
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, 10), (2, 20)], "k long, val long").coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run_query()
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {1: 10, 2: 20}
+    # new file lands while the query is down; restart merges the union
+    spark.createDataFrame([(2, 99), (3, 30)], "k long, val long").coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run_query()
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {1: 10, 2: 99, 3: 30}
+    # third restart with NO new data: no new version (nothing replayed)
+    v = t.current_version()
+    run_query()
+    assert t.current_version() == v
