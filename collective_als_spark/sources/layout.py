@@ -775,6 +775,55 @@ class SnapshotTable:
 
         return write_batch
 
+    def history(self) -> DataFrame:
+        """Commit log as a DataFrame (Delta's DESCRIBE HISTORY):
+        one row per retained version — file count, schema width,
+        streaming markers, audit presence. Driver-side work is the
+        manifest listing (metadata-sized), same as every maintenance
+        path."""
+        rows = []
+        for v in range(1, self.current_version() + 1):
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                continue  # expired
+            rows.append(
+                (
+                    v,
+                    len(m["files"]),
+                    len(m.get("schema", {}).get("fields", [])) or None,
+                    json.dumps(m.get("batch_markers", {})) if m.get("batch_markers") else None,
+                    self.log.exists(f"{self.root}/_snapshots/v{v}.audit.json"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, n_files int, n_columns int, batch_markers string, audited boolean",
+        )
+
+    def restore(self, version: int) -> int:
+        """Delta RESTORE: commit an OLD snapshot's state as the NEW
+        current version — rolling back bad data while preserving the
+        full history (the bad versions stay time-travelable until
+        expired, and the restore itself is an auditable commit, not a
+        pointer rewind). Files/stats/schema come from the restored
+        manifest; streaming batch markers come from the CURRENT one —
+        a rollback of data must not rewind the replay-dedup clock, or
+        the next micro-batch would be swallowed as 'already committed'.
+        """
+        target = self._manifest(version)  # raises if expired/absent
+
+        def build(new_version: int, prev: dict) -> dict:
+            return self._compose(
+                new_version,
+                target["files"],
+                target.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=target.get("schema"),
+            )
+
+        return self._commit(build)
+
     def expire(self, keep_last: int = 1) -> int:
         """Drop manifests older than the last ``keep_last`` versions
         and delete data files no retained manifest references (orphans

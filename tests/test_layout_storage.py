@@ -616,3 +616,32 @@ def test_streaming_merge_sink_end_to_end_with_restart(spark, tmp_path):
     v = t.current_version()
     run_query()
     assert t.current_version() == v
+
+
+def test_history_and_restore(spark, tmp_path):
+    """DESCRIBE HISTORY + RESTORE semantics: restore commits an old
+    snapshot's state as a NEW version (history preserved, bad versions
+    still time-travelable), keeps streaming markers un-rewound, and
+    expire after restore keeps the restored files alive."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    t.append(spark.range(10).select(F.col("id").alias("v")))          # v1
+    sink = t.streaming_sink(str(tmp_path / "ckpt"))
+    sink(spark.range(10, 30).select(F.col("id").alias("v")), 0)       # v2 (marker)
+    t.overwrite(spark.range(999).select(F.col("id").alias("v")))      # v3 "bad"
+    v4 = t.restore(2)
+    assert v4 == 4
+    assert t.read().count() == 30                # rolled back
+    assert t.read(3).count() == 999              # bad version still readable
+    # marker NOT rewound: replay of batch 0 is still a no-op
+    sink(spark.range(5).select(F.col("id").alias("v")), 0)
+    assert t.current_version() == 4
+    h = {r["version"]: r for r in t.history().collect()}
+    assert set(h) == {1, 2, 3, 4}
+    assert h[2]["batch_markers"] is not None
+    assert h[4]["n_files"] == h[2]["n_files"]
+    assert h[1]["n_columns"] == 1 and h[1]["audited"] is False
+    # expire keeps the restored files (referenced by v4)
+    t.expire(keep_last=1)
+    assert t.read().count() == 30
+    with pytest.raises(FileNotFoundError):
+        t.restore(3)  # expired manifest can't be restored
