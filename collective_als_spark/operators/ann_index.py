@@ -290,6 +290,62 @@ class IvfPqIndex:
             "drift": drift,
         }
 
+    # ----------------------------------------------------- versioned serve
+
+    def publish(self, root: str) -> int:
+        """Zero-downtime retrain publish: save this index into
+        ``<root>/v<N>/`` and commit it by exclusively creating
+        ``<root>/v<N>.json`` — the same CAS primitive as the snapshot
+        table's manifests, via the same per-scheme LogStore. Serving
+        processes calling :meth:`load_current` keep reading the old
+        version until the new manifest lands atomically; racing
+        publishers serialize (the loser retries with the next number).
+        Old versions stay loadable for rollback until deleted."""
+        from collective_als_spark.sources.logstore import (
+            CommitConflict,
+            logstore_for,
+        )
+
+        root = root.rstrip("/")
+        log = logstore_for(self.spark, root)
+        log.mkdirs(root)
+        for _ in range(20):
+            versions = [
+                int(n[1:-5])
+                for n in log.list_dir(root)
+                if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+            ]
+            version = max(versions, default=0) + 1
+            self.save(f"{root}/v{version}")
+            try:
+                log.write_text_exclusive(
+                    f"{root}/v{version}.json",
+                    json.dumps({"version": version, "path": f"{root}/v{version}"}),
+                )
+            except CommitConflict:
+                continue  # lost the race; next number
+            return version
+        raise CommitConflict(f"publish to {root} lost 20 CAS races")
+
+    @classmethod
+    def load_current(cls, spark: SparkSession, root: str) -> "IvfPqIndex":
+        """Open the latest PUBLISHED version (max committed manifest).
+        A publisher mid-save is invisible — only the atomic manifest
+        creation makes a version current."""
+        from collective_als_spark.sources.logstore import logstore_for
+
+        root = root.rstrip("/")
+        log = logstore_for(spark, root)
+        versions = [
+            int(n[1:-5])
+            for n in log.list_dir(root)
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no published ANN index under {root}")
+        meta = json.loads(log.read_text(f"{root}/v{max(versions)}.json"))
+        return cls.load(spark, meta["path"])
+
     # -------------------------------------------------------------- serve
 
     def search(

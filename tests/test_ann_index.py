@@ -216,3 +216,29 @@ def test_add_drift_metric_is_retrain_signal(spark, emb):
     # stop reconstructing at all, so the signal is an absolute margin
     # over the in-distribution baseline, not a multiplicative blowup
     assert m2["drift"] > m1["drift"] + 0.15, (m1, m2)
+
+
+def test_publish_load_current_retrain_cycle(spark, emb, tmp_path):
+    """Zero-downtime retrain: publish v1, serve it, publish a retrained
+    v2 — load_current flips only after the atomic manifest commit, and
+    v1 stays loadable for rollback."""
+    from collective_als_spark.operators.ann_index import IvfPqIndex as I
+
+    root = str(tmp_path / "serving")
+    idx1 = I.build(emb.limit(300), n_cells=4, m=8, n_codes=8, seed=1)
+    assert idx1.publish(root) == 1
+    cur = I.load_current(spark, root)
+    assert cur.encoded.count() == 300
+    # retrain on the full corpus, publish as v2
+    idx2 = I.build(emb, n_cells=8, m=8, n_codes=16, seed=2)
+    assert idx2.publish(root) == 2
+    cur2 = I.load_current(spark, root)
+    assert cur2.encoded.count() == emb.count()
+    # a half-saved version (no manifest) is invisible
+    idx1.save(f"{root}/v9")
+    assert I.load_current(spark, root).encoded.count() == emb.count()
+    # rollback: the old version directory still loads directly
+    old = I.load(spark, f"{root}/v1")
+    assert old.encoded.count() == 300
+    with pytest.raises(FileNotFoundError):
+        I.load_current(spark, str(tmp_path / "empty"))
