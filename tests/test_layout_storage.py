@@ -645,3 +645,40 @@ def test_history_and_restore(spark, tmp_path):
     assert t.read().count() == 30
     with pytest.raises(FileNotFoundError):
         t.restore(3)  # expired manifest can't be restored
+
+
+def test_concurrent_disjoint_merges_both_commit(spark, tmp_path):
+    """Two racing merges over DISJOINT key bands: the CAS loser's
+    retry re-splits against the fresh manifest, finds its own
+    candidate set untouched by the winner, and commits — no lost
+    update, both upserts present."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    for lo in (0, 1000):
+        t.append(
+            spark.range(lo, lo + 10)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("val"))
+            .coalesce(1)
+        )
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def merger(lo):
+        try:
+            barrier.wait()
+            t.merge(
+                spark.createDataFrame([(lo + 1, -lo - 1)], "k long, val long"), "k"
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=merger, args=(lo,)) for lo in (0, 1000)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    rows = {r["k"]: r["val"] for r in t.read().collect()}
+    assert rows[1] == -1 and rows[1001] == -1001
+    assert len(rows) == 20 and t.current_version() == 4
