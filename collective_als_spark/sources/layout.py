@@ -156,6 +156,45 @@ def pruned_read(
 _MANIFEST_RE = re.compile(r"v(\d+)\.json")
 _MAX_COMMIT_RETRIES = 20
 
+# per-file Bloom filters (point-key skipping): 8192 bits = 1 KiB per
+# file per column in the manifest; k=4 double-hashed probes
+# (Kirsch-Mitzenmacher: p_i = (h1 + i*h2) mod m from one xxhash64) —
+# false-positive rate ~ (1 - e^(-4n/8192))^4, i.e. ~2.4% at n=1000
+# distinct keys per file, and a false positive only costs reading one
+# extra file. Probing caps at _BLOOM_MAX_KEYS source keys (collected
+# as two hash ints per key); larger sources fall back to interval-only
+# pruning rather than unbounded driver state.
+_BLOOM_BITS = 8192
+_BLOOM_K = 4
+_BLOOM_MAX_KEYS = 10_000
+
+
+def _bloom_hash_cols(column: str):
+    """(h1, h2) Column pair for the double-hashing scheme; h2 forced
+    odd so the probe sequence cycles the whole bit space."""
+    h = F.xxhash64(F.col(column).cast("string"))
+    h1 = F.pmod(h, F.lit(_BLOOM_BITS))
+    h2 = F.pmod(F.shiftright(h, 13), F.lit(_BLOOM_BITS)) * 2 + 1
+    return h1, h2
+
+
+def _bloom_probe(bloom_b64: str, hashes) -> bool:
+    """True if ANY (h1, h2) key may be present in the encoded bloom."""
+    import base64
+
+    import numpy as np
+
+    bits = np.frombuffer(base64.b64decode(bloom_b64), dtype=np.uint8)
+    h1 = np.array([h[0] for h in hashes], dtype=np.int64)
+    h2 = np.array([h[1] for h in hashes], dtype=np.int64)
+    present = np.ones(len(hashes), dtype=bool)
+    for i in range(_BLOOM_K):
+        pos = (h1 + i * h2) % _BLOOM_BITS
+        present &= (bits[pos >> 3] >> (pos & 7) & 1).astype(bool)
+        if not present.any():
+            return False
+    return True
+
 
 def _jsonable(v):
     """Manifest stats must round-trip through JSON with their ordering
@@ -227,10 +266,16 @@ class SnapshotTable:
         root: str,
         stats_columns: list[str] | None = None,
         log=None,
+        bloom_columns: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.stats_columns = list(stats_columns or [])
+        # per-file Bloom filters for these columns ride the manifest:
+        # the point-key skipping min/max CANNOT give (a CDC batch with
+        # keys {5, 9000005} interval-overlaps every file; its bloom
+        # probes hit only the files that may actually hold those keys)
+        self.bloom_columns = list(bloom_columns or [])
         self.log = log if log is not None else logstore_for(spark, self.root)
         self.log.mkdirs(f"{self.root}/_snapshots")
         self.log.mkdirs(f"{self.root}/data")
@@ -346,6 +391,75 @@ class SnapshotTable:
             for r in rows
         }
 
+    def _file_blooms(self, files: list[str]) -> dict[str, dict]:
+        """Per-file Bloom bitsets for the configured bloom columns,
+        scanning ONLY the newly staged files. One column-pruned pass
+        per bloom column: explode the k probe positions, collect the
+        distinct set per file (bounded by the bit width), fold to a
+        bitset driver-side. Manifest cost: 1 KiB base64 per file per
+        column."""
+        import base64
+
+        if not self.bloom_columns or not files:
+            return {}
+        out: dict[str, dict] = {}
+        for col in self.bloom_columns:
+            h1, h2 = _bloom_hash_cols(col)
+            positions = F.array(
+                *[
+                    F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_BITS)).cast("int")
+                    for i in range(_BLOOM_K)
+                ]
+            )
+            rows = (
+                self.spark.read.parquet(*files)
+                .select(F.input_file_name().alias("file"), positions.alias("_pos"))
+                .select("file", F.explode("_pos").alias("pos"))
+                .groupBy("file")
+                .agg(F.collect_set("pos").alias("ps"))
+                .collect()
+            )
+            for r in rows:
+                bits = bytearray(_BLOOM_BITS // 8)
+                for p in r["ps"]:
+                    bits[p >> 3] |= 1 << (p & 7)
+                out.setdefault(_rel(r["file"]), {})[col] = base64.b64encode(
+                    bytes(bits)
+                ).decode()
+        return out
+
+    def _source_key_hashes(self, source: DataFrame, key: str):
+        """Bounded (h1, h2) collection for bloom probing; None when the
+        source exceeds the cap (caller falls back to interval-only)."""
+        h1, h2 = _bloom_hash_cols(key)
+        rows = (
+            source.select(h1.alias("h1"), h2.alias("h2"))
+            .distinct()
+            .limit(_BLOOM_MAX_KEYS + 1)
+            .collect()
+        )
+        if len(rows) > _BLOOM_MAX_KEYS:
+            return None
+        return [(r["h1"], r["h2"]) for r in rows]
+
+    def _bloom_prune(
+        self, manifest: dict, key: str, candidates: list[str], hashes
+    ) -> tuple[list[str], list[str]]:
+        """(kept, dropped): candidate files whose stored bloom proves
+        no source key can be present are dropped; files without a
+        bloom for ``key`` are kept conservatively."""
+        if hashes is None:
+            return candidates, []
+        blooms = manifest.get("blooms", {})
+        kept, dropped = [], []
+        for f in candidates:
+            b = blooms.get(_rel(f), {}).get(key)
+            if b is None or _bloom_probe(b, hashes):
+                kept.append(f)
+            else:
+                dropped.append(f)
+        return kept, dropped
+
     def _compose(
         self,
         version: int,
@@ -353,6 +467,7 @@ class SnapshotTable:
         stats: dict,
         markers: dict[str, int],
         schema: dict | None = None,
+        blooms: dict | None = None,
     ) -> dict:
         manifest: dict = {"version": version, "files": sorted(files)}
         if stats:
@@ -361,6 +476,8 @@ class SnapshotTable:
             manifest["batch_markers"] = markers
         if schema is not None:
             manifest["schema"] = schema
+        if blooms:
+            manifest["blooms"] = blooms
         return manifest
 
     # -- public API
@@ -380,6 +497,7 @@ class SnapshotTable:
         )
         new_files = self._write_data(df)
         new_stats = self._file_stats(new_files)
+        new_blooms = self._file_blooms(new_files)
 
         def build(version: int, prev: dict) -> dict:
             live_stats = {
@@ -393,6 +511,7 @@ class SnapshotTable:
                 live_stats,
                 prev.get("batch_markers", {}) | (_markers or {}),
                 schema=self._evolved_schema(prev.get("schema"), df_schema),
+                blooms={**prev.get("blooms", {}), **new_blooms},
             )
 
         return self._commit(build)
@@ -403,6 +522,7 @@ class SnapshotTable:
         markers carry forward (see append)."""
         new_files = self._write_data(df)
         new_stats = self._file_stats(new_files)
+        new_blooms = self._file_blooms(new_files)
         df_schema = df.schema.jsonValue()
 
         def build(version: int, prev: dict) -> dict:
@@ -413,6 +533,7 @@ class SnapshotTable:
                 new_stats,
                 prev.get("batch_markers", {}),
                 schema=df_schema,
+                blooms=new_blooms,
             )
 
         return self._commit(build)
@@ -518,6 +639,7 @@ class SnapshotTable:
         )
         new_files = self._write_data(survivors)
         new_stats = self._file_stats(new_files)
+        new_blooms = self._file_blooms(new_files)
 
         def build(version: int, prev: dict) -> dict:
             # recompute the split against the FRESH current manifest on
@@ -535,12 +657,18 @@ class SnapshotTable:
                 if k in {_rel(f) for f in untch}
             }
             stats.update(new_stats)
+            keep = {_rel(f) for f in untch}
+            blooms = {
+                k: v for k, v in prev.get("blooms", {}).items() if k in keep
+            }
+            blooms.update(new_blooms)
             return self._compose(
                 version,
                 untch + new_files,
                 stats,
                 prev.get("batch_markers", {}),
                 schema=prev.get("schema"),
+                blooms=blooms,
             )
 
         return self._commit(build)
@@ -599,7 +727,19 @@ class SnapshotTable:
                 self.spark.read.parquet(*manifest["files"]).schema.jsonValue()
             )
         evolved = self._evolved_schema(prev_schema, source.schema.jsonValue())
+        # point-key skipping: when manifests carry blooms for the key,
+        # probe them with the (bounded) source key hashes — the pruning
+        # interval stats cannot do for scattered CDC keys
+        key_hashes = (
+            self._source_key_hashes(source, key)
+            if manifest.get("blooms")
+            else None
+        )
         candidates, untouched = self._split_by_band(manifest, key, lo, hi)
+        candidates, _dropped = self._bloom_prune(
+            manifest, key, candidates, key_hashes
+        )
+        untouched = untouched + _dropped
         # evolved-width reader: survivors NULL-pad source-added columns,
         # and the union is by name with source-missing columns padded
         evolved_manifest = {**manifest, "schema": evolved}
@@ -615,9 +755,12 @@ class SnapshotTable:
             rewritten = source
         new_files = self._write_data(rewritten)
         new_stats = self._file_stats(new_files)
+        new_blooms = self._file_blooms(new_files)
 
         def build(version: int, prev: dict) -> dict:
             cands, untch = self._split_by_band(prev, key, lo, hi)
+            cands, dropped = self._bloom_prune(prev, key, cands, key_hashes)
+            untch = untch + dropped
             if set(cands) != set(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
@@ -630,6 +773,11 @@ class SnapshotTable:
                 if k in {_rel(f) for f in untch}
             }
             stats.update(new_stats)
+            keep = {_rel(f) for f in untch}
+            blooms = {
+                k: v for k, v in prev.get("blooms", {}).items() if k in keep
+            }
+            blooms.update(new_blooms)
             return self._compose(
                 version,
                 untch + new_files,
@@ -638,6 +786,7 @@ class SnapshotTable:
                 schema=self._evolved_schema(
                     prev.get("schema") or prev_schema, source.schema.jsonValue()
                 ),
+                blooms=blooms,
             )
 
         return self._commit(build)
@@ -696,6 +845,7 @@ class SnapshotTable:
                 + ", ".join(f"{r['check']} (metric={r['metric']})" for r in failed)
             )
         new_stats = self._file_stats(files)
+        new_blooms = self._file_blooms(files)
         df_schema = df.schema.jsonValue()
 
         def build(version: int, prev: dict) -> dict:
@@ -703,14 +853,17 @@ class SnapshotTable:
                 all_files = prev["files"] + files
                 stats = {**prev.get("stats", {}), **new_stats}
                 schema = self._evolved_schema(prev.get("schema"), df_schema)
+                blooms = {**prev.get("blooms", {}), **new_blooms}
             else:
                 all_files, stats, schema = files, new_stats, df_schema
+                blooms = new_blooms
             return self._compose(
                 version,
                 all_files,
                 stats,
                 prev.get("batch_markers", {}) | (_markers or {}),
                 schema=schema,
+                blooms=blooms,
             )
 
         version = self._commit(build)
@@ -820,6 +973,7 @@ class SnapshotTable:
                 target.get("stats", {}),
                 prev.get("batch_markers", {}),
                 schema=target.get("schema"),
+                blooms=target.get("blooms", {}),
             )
 
         return self._commit(build)

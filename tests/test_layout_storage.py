@@ -682,3 +682,69 @@ def test_concurrent_disjoint_merges_both_commit(spark, tmp_path):
     rows = {r["k"]: r["val"] for r in t.read().collect()}
     assert rows[1] == -1 and rows[1001] == -1001
     assert len(rows) == 20 and t.current_version() == 4
+
+
+def test_bloom_point_key_merge_prunes_scattered_keys(spark, tmp_path):
+    """Point-key skipping: a CDC batch with keys {1, 2005} interval-
+    overlaps every file (min/max pruning is useless for scattered
+    keys), but the manifest blooms prove the middle file holds neither
+    key — it carries over untouched."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), stats_columns=["k"], bloom_columns=["k"]
+    )
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 10)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("val"))
+            .coalesce(1)
+        )
+    before = _manifest_files(t)
+    src = spark.createDataFrame([(1, -1), (2005, -5)], "k long, val long")
+    t.merge(src, "k")
+    after = _manifest_files(t)
+    # without blooms all 3 files are rewrite candidates; with them the
+    # 1000-band file is proven key-free and survives as the same path
+    assert len(before & after) == 1
+    rows = {r["k"]: r["val"] for r in t.read().collect()}
+    assert rows[1] == -1 and rows[2005] == -5
+    assert rows[1005] == 2010 and len(rows) == 30
+    # compaction/overwrite rebuild blooms; a follow-up point merge
+    # against the compacted table is still correct
+    t.compact(target_rows_per_file=100)
+    t.merge(spark.createDataFrame([(7, -7)], "k long, val long"), "k")
+    assert {r["k"]: r["val"] for r in t.read().collect()}[7] == -7
+
+
+def test_bloom_probe_roundtrip_unit(spark):
+    """The Spark-side bloom build and the driver-side probe use the
+    same double-hash: present keys always hit; absent keys mostly
+    miss (false-positive rate is bounded, never a false negative)."""
+    from collective_als_spark.sources.layout import (
+        SnapshotTable as ST,
+    )
+
+    t = ST(spark, "/tmp/_bloom_unit_unused", bloom_columns=["k"])
+    df = spark.range(100).select(F.col("id").alias("k"))
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    import os
+
+    files = [f"{d}/{n}" for n in os.listdir(d) if n.endswith(".parquet")]
+    blooms = t._file_blooms(files)
+    [(rel, by_col)] = blooms.items()
+    b64 = by_col["k"]
+    present = t._source_key_hashes(
+        spark.range(100).select(F.col("id").alias("k")), "k"
+    )
+    absent = t._source_key_hashes(
+        spark.range(10_000, 10_100).select(F.col("id").alias("k")), "k"
+    )
+    from collective_als_spark.sources.layout import _bloom_probe
+
+    assert _bloom_probe(b64, present) is True
+    for h in present:
+        assert _bloom_probe(b64, [h]) is True  # no false negatives
+    misses = sum(0 if _bloom_probe(b64, [h]) else 1 for h in absent)
+    assert misses >= 90, f"only {misses}/100 absent keys pruned"
