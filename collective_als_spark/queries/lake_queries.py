@@ -63,7 +63,13 @@ def lake_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="lake_lifecycle_")
     try:
         t = SnapshotTable(
-            spark, f"{root}/tbl", stats_columns=["o_orderkey", "o_totalprice"]
+            spark,
+            f"{root}/tbl",
+            stats_columns=["o_orderkey", "o_totalprice"],
+            # the merge step goes through the bloom point-key pruning
+            # path; pruning is a pure optimization, so the oracle's
+            # algebraic counts pin that it stays one
+            bloom_columns=["o_orderkey"],
         )
         t.append(orders.filter(F.col("o_totalprice") < 100000))
         n1 = t.read().count()
