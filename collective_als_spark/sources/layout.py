@@ -482,6 +482,29 @@ class SnapshotTable:
 
     # -- public API
 
+    def append_clustered(
+        self,
+        df: DataFrame,
+        cluster_by: list[str],
+        n_files: int | None = None,
+    ) -> int:
+        """Append with the layout that makes the manifest stats BITE:
+        range-partition on ``cluster_by`` then sort within partitions,
+        so each staged file covers a NARROW value band and banded
+        reads / copy-on-write maintenance prune most files. Skipping
+        machinery without clustering is a no-op — a uniformly shuffled
+        write gives every file the full value range (Delta's OPTIMIZE
+        ZORDER exists for exactly this reason; for 2-D box predicates
+        cluster on ``functions.vector.zorder_key`` instead). One extra
+        range-exchange per commit, amortized over every pruned read."""
+        cols = [F.col(c) for c in cluster_by]
+        clustered = (
+            df.repartitionByRange(n_files, *cols)
+            if n_files
+            else df.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
+        return self.append(clustered)
+
     def append(self, df: DataFrame, _markers: dict[str, int] | None = None) -> int:
         """New snapshot = previous files + this commit's files.
         Streaming batch markers carry forward (a non-streaming commit

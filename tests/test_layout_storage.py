@@ -748,3 +748,30 @@ def test_bloom_probe_roundtrip_unit(spark):
         assert _bloom_probe(b64, [h]) is True  # no false negatives
     misses = sum(0 if _bloom_probe(b64, [h]) else 1 for h in absent)
     assert misses >= 90, f"only {misses}/100 absent keys pruned"
+
+
+def test_append_clustered_makes_stats_prune(spark, tmp_path):
+    """The layout knob: the SAME shuffled data appended clustered vs
+    unclustered — banded reads prune to a fraction of the files on the
+    clustered table and (necessarily) open everything on the shuffled
+    one. Results are identical either way (pruning stays pure)."""
+    shuffled = (
+        spark.range(1000)
+        .select(F.col("id").alias("v"))
+        .orderBy(F.xxhash64("v"))  # destroy natural ordering
+    )
+    t_bad = SnapshotTable(spark, str(tmp_path / "bad"), stats_columns=["v"])
+    t_bad.append(shuffled.repartition(8))
+    t_good = SnapshotTable(spark, str(tmp_path / "good"), stats_columns=["v"])
+    t_good.append_clustered(shuffled, ["v"], n_files=8)
+    band = ("v", 100, 199)
+    got_bad = sorted(r["v"] for r in t_bad.read(where=band).collect())
+    got_good = sorted(r["v"] for r in t_good.read(where=band).collect())
+    assert got_bad == got_good == list(range(100, 200))
+    n_bad = len(t_bad.read(where=band).inputFiles())
+    n_good = len(t_good.read(where=band).inputFiles())
+    assert n_good <= 2 < n_bad, (n_good, n_bad)
+    # maintenance benefits too: a band delete rewrites few files
+    before = _manifest_files(t_good)
+    t_good.delete_where("v", 100, 199)
+    assert len(before & _manifest_files(t_good)) >= 6
