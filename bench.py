@@ -64,9 +64,12 @@ HEADLINE = [
     "dq_expectations_suite",
     "seasonal_hourly_anomalies",
     # round-5 families: output-bounded neighbor lists (the scale-ramp
-    # finding's production form), the oracle-checked CMF quality gate
+    # finding's production form), the oracle-checked CMF quality gate,
+    # the lake commit protocol end-to-end (CAS appends, stats+bloom
+    # pruned merge/delete, time travel on a scratch table)
     "item_item_topk",
     "cmf_quality_gate",
+    "lake_snapshot_lifecycle",
 ]
 
 
