@@ -951,6 +951,42 @@ class SnapshotTable:
 
         return write_batch
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change-data-feed between two snapshots, computed from the
+        manifest FILE diff — only files added or removed between the
+        versions are ever opened, so incremental consumers pay for the
+        delta, not the table (Delta CDF's read-side economics without
+        per-commit change files).
+
+        Returns the net row-level changes with a ``_change_type``
+        column: ``insert`` = rows present at ``to`` but not ``from``,
+        ``delete`` = rows present at ``from`` but not ``to``. An
+        UPDATE therefore appears as its delete+insert pair — exactly
+        how a downstream MERGE consumes a feed. Net semantics: a row
+        inserted and deleted between the two versions appears in
+        neither (full-row comparison via exceptAll, so duplicate-row
+        multiplicity is respected)."""
+        v_to = self.current_version() if to_version is None else to_version
+        m_from = self._base_manifest(from_version)
+        m_to = self._manifest(v_to)
+        files_from = set(m_from["files"])
+        files_to = set(m_to["files"])
+        added = sorted(files_to - files_from)
+        removed = sorted(files_from - files_to)
+        reader = self._reader_for(m_to)
+
+        def rows(files):
+            if not files:
+                ref = (m_to["files"] or m_from["files"])[0]
+                return reader.parquet(ref).filter(F.lit(False))
+            return reader.parquet(*files)
+
+        inserts = rows(added).exceptAll(rows(removed))
+        deletes = rows(removed).exceptAll(rows(added))
+        return inserts.withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
+
     def history(self) -> DataFrame:
         """Commit log as a DataFrame (Delta's DESCRIBE HISTORY):
         one row per retained version — file count, schema width,

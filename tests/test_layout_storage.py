@@ -775,3 +775,33 @@ def test_append_clustered_makes_stats_prune(spark, tmp_path):
     before = _manifest_files(t_good)
     t_good.delete_where("v", 100, 199)
     assert len(before & _manifest_files(t_good)) >= 6
+
+
+def test_changes_cdf_between_versions(spark, tmp_path):
+    """CDF-lite: append -> pure inserts; merge -> update appears as
+    its delete+insert pair plus the new key's insert; only changed
+    files are opened (the untouched file never appears in the scan)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, val long").coalesce(1)
+    )                                                                  # v1
+    t.append(
+        spark.createDataFrame([(1000, 99)], "k long, val long").coalesce(1)
+    )                                                                  # v2
+    ch12 = t.changes(1, 2).collect()
+    assert {(r["k"], r["val"], r["_change_type"]) for r in ch12} == {
+        (1000, 99, "insert")
+    }
+    t.merge(spark.createDataFrame([(2, 21), (3, 30)], "k long, val long"), "k")  # v3
+    ch23 = {(r["k"], r["val"], r["_change_type"]) for r in t.changes(2).collect()}
+    assert ch23 == {(2, 20, "delete"), (2, 21, "insert"), (3, 30, "insert")}
+    # economics: the scan opens ONLY the diffed files — the untouched
+    # 1000-band file (present in both manifests) is never read
+    opened_names = {f.rsplit("/", 1)[-1] for f in t.changes(2).inputFiles()}
+    untouched = set(t._manifest(3)["files"]) & set(t._manifest(2)["files"])
+    assert untouched
+    assert not {f.rsplit("/", 1)[-1] for f in untouched} & opened_names
+    # changes from version 0 = the whole current table as inserts
+    full = t.changes(0)
+    assert full.filter(F.col("_change_type") == "insert").count() == t.read().count()
+    assert full.filter(F.col("_change_type") == "delete").count() == 0
