@@ -258,6 +258,17 @@ class SnapshotTable:
     ``read(where=(col, lo, hi))`` prunes the file list BEFORE the scan
     at any time-travel version — the Iceberg design where the snapshot
     metadata and the data-skipping index are one structure.
+
+    Deletes come in both industry flavors: ``delete_where`` is
+    copy-on-write (candidate files rewritten without the band), and
+    ``delete_where_mor`` is merge-on-read via deletion vectors —
+    matched (file, row-position) pairs land in an immutable DV file
+    set under ``<root>/dv/``, the manifest maps each affected file to
+    its DV, and every read path (read, time travel, merge survivors,
+    COW rewrites, the change feed) masks DV'd rows with a broadcast
+    anti-join on the parquet reader's hidden ``_metadata`` position.
+    ``compact`` / ``overwrite`` materialize DVs away; ``expire``
+    collects unreferenced DV dirs like any other orphan.
     """
 
     def __init__(
@@ -468,6 +479,7 @@ class SnapshotTable:
         markers: dict[str, int],
         schema: dict | None = None,
         blooms: dict | None = None,
+        dvs: dict | None = None,
     ) -> dict:
         manifest: dict = {"version": version, "files": sorted(files)}
         if stats:
@@ -478,7 +490,147 @@ class SnapshotTable:
             manifest["schema"] = schema
         if blooms:
             manifest["blooms"] = blooms
+        if dvs:
+            manifest["dvs"] = dvs
         return manifest
+
+    # -- deletion vectors (merge-on-read deletes)
+
+    def _write_dv(self, rows: DataFrame) -> str:
+        """Stage a deletion-vector file set: ``(file, pos)`` rows under
+        ``<root>/dv/<uuid>/`` — immutable once written, referenced from
+        manifests the same way data files are, expired the same way."""
+        dv_dir = f"{self.root}/dv/{uuid.uuid4().hex}"
+        rows.select(
+            F.col("file").cast("string"), F.col("pos").cast("long")
+        ).write.mode("error").parquet(dv_dir)
+        return dv_dir
+
+    def _dv_rows(self, manifest: dict, files: list[str]) -> DataFrame | None:
+        """The (file, pos) deletion rows this manifest applies to
+        ``files`` — each file's rows come ONLY from the DV directory
+        the manifest maps it to (a consolidated dir may carry a
+        superset written for a LATER version; filtering per mapping is
+        what keeps time travel and restore exact). None when no DV
+        touches these files."""
+        dvs = manifest.get("dvs", {})
+        if not dvs:
+            return None
+        by_dir: dict[str, list[str]] = {}
+        for f in files:
+            d = dvs.get(_rel(f))
+            if d is not None:
+                by_dir.setdefault(d, []).append(_rel(f))
+        if not by_dir:
+            return None
+        out = None
+        for d, rels in sorted(by_dir.items()):
+            part = self.spark.read.parquet(d).filter(F.col("file").isin(rels))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def _scan_live(
+        self, manifest: dict, files: list[str], keep_pos: bool = False
+    ) -> DataFrame:
+        """Scan ``files`` through the manifest's schema, masking rows
+        the manifest's deletion vectors cover: an anti-join on
+        (file, row position) via the parquet reader's ``_metadata``
+        hidden columns — the merge-on-read half of the DV design. When
+        no DV touches these files the raw scan is returned untouched
+        (identical plan to a plain read). The DV side is broadcast: it
+        holds only deleted-row positions accumulated since the file
+        was last rewritten; ``compact`` (or any copy-on-write rewrite)
+        materializes and drops it."""
+        base = self._reader_for(manifest).parquet(*files)
+        dv = self._dv_rows(manifest, files)
+        if dv is None and not keep_pos:
+            return base
+        parts = F.split(F.col("_metadata.file_path"), "/")
+        tagged = base.withColumn(
+            "__dv_rel",
+            F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1)),
+        ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+        if dv is not None:
+            tagged = tagged.join(
+                F.broadcast(dv),
+                (tagged["__dv_rel"] == dv["file"])
+                & (tagged["__dv_pos"] == dv["pos"]),
+                "left_anti",
+            )
+        return tagged if keep_pos else tagged.drop("__dv_rel", "__dv_pos")
+
+    def delete_where_mor(self, column: str, lo, hi) -> int:
+        """Merge-on-read DELETE of rows with ``column`` in [lo, hi]:
+        instead of rewriting candidate files (``delete_where``'s
+        copy-on-write), record the MATCHED ROW POSITIONS in a deletion
+        vector and commit only the manifest pointer — Delta's deletion
+        vectors / Iceberg's position deletes. Write cost is
+        O(matched rows), not O(candidate file bytes): deleting 10 rows
+        from a 1 GB file costs a few KB of positions, which at 100 TB
+        is the difference between a metadata-sized commit and
+        rewriting a partition. Reads apply the DV as a broadcast
+        anti-join on (file, position); ``compact`` materializes DVs
+        back into clean files.
+
+        The manifest stats still bound the work: files provably
+        outside the band are never scanned and get no DV entry.
+        Repeated MOR deletes on a file CONSOLIDATE: the new DV dir
+        carries the union of old + new positions for every affected
+        file (old dirs stay referenced by old versions only), so a
+        read applies exactly one DV per file. Stats/blooms for DV'd
+        files are left as written — conservatively wide, so pruning
+        stays exact. No matched rows -> no-op (current version
+        returned, no empty commit)."""
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("empty table: no committed snapshot")
+        manifest = self._manifest(cur)
+        candidates, _untouched = self._split_by_band(manifest, column, lo, hi)
+        if not candidates:
+            return cur
+        matched = (
+            self._scan_live(manifest, candidates, keep_pos=True)
+            .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
+            .select(F.col("__dv_rel").alias("file"), F.col("__dv_pos").alias("pos"))
+        )
+        # manifest-sized collect: one row per file that had a match
+        affected_rels = {
+            r["file"] for r in matched.select("file").distinct().collect()
+        }
+        if not affected_rels:
+            return cur
+        affected_full = [f for f in candidates if _rel(f) in affected_rels]
+        existing = self._dv_rows(manifest, affected_full)
+        all_rows = (
+            matched if existing is None else matched.unionByName(existing)
+        )
+        dv_dir = self._write_dv(all_rows)
+        base_dvs = manifest.get("dvs", {})
+
+        def build(version: int, prev: dict) -> dict:
+            cands, _ = self._split_by_band(prev, column, lo, hi)
+            if set(cands) != set(candidates):
+                raise CommitConflict(
+                    "concurrent commit changed the candidate file set; "
+                    "re-run delete_where_mor"
+                )
+            prev_dvs = prev.get("dvs", {})
+            if any(prev_dvs.get(r) != base_dvs.get(r) for r in affected_rels):
+                raise CommitConflict(
+                    "concurrent deletion-vector commit on an affected "
+                    "file; re-run delete_where_mor"
+                )
+            return self._compose(
+                version,
+                prev["files"],
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms", {}),
+                dvs={**prev_dvs, **{r: dv_dir for r in affected_rels}},
+            )
+
+        return self._commit(build)
 
     # -- public API
 
@@ -535,6 +687,7 @@ class SnapshotTable:
                 prev.get("batch_markers", {}) | (_markers or {}),
                 schema=self._evolved_schema(prev.get("schema"), df_schema),
                 blooms={**prev.get("blooms", {}), **new_blooms},
+                dvs=prev.get("dvs", {}),
             )
 
         return self._commit(build)
@@ -586,10 +739,10 @@ class SnapshotTable:
         files = manifest["files"]
         # the TABLE schema comes from the manifest (Iceberg-style), not
         # the file footers: files written before an additive evolution
-        # read the added columns as NULL, with no mergeSchema footer sweep
-        reader = self._reader_for(manifest)
+        # read the added columns as NULL, with no mergeSchema footer
+        # sweep; deletion-vector-masked rows are anti-joined out
         if where is None:
-            return reader.parquet(*files)
+            return self._scan_live(manifest, files)
         column, lo, hi = where
         stats = manifest.get("stats", {})
         kept = []
@@ -601,8 +754,8 @@ class SnapshotTable:
                 kept.append(f)
         if not kept:
             # schema-preserving empty result; no data file opened at scan
-            return reader.parquet(files[0]).filter(F.lit(False))
-        return reader.parquet(*kept).filter(
+            return self._reader_for(manifest).parquet(files[0]).filter(F.lit(False))
+        return self._scan_live(manifest, kept).filter(
             F.col(column).between(F.lit(lo), F.lit(hi))
         )
 
@@ -657,12 +810,16 @@ class SnapshotTable:
         candidates, untouched = self._split_by_band(manifest, column, lo, hi)
         if not candidates:
             return cur
-        survivors = self._reader_for(manifest).parquet(*candidates).filter(
+        # DV-aware candidate scan: rows already masked by a deletion
+        # vector must not resurrect in the rewrite
+        survivors = self._scan_live(manifest, candidates).filter(
             ~F.col(column).between(F.lit(lo), F.lit(hi))
         )
         new_files = self._write_data(survivors)
         new_stats = self._file_stats(new_files)
         new_blooms = self._file_blooms(new_files)
+
+        base_dvs = manifest.get("dvs", {})
 
         def build(version: int, prev: dict) -> dict:
             # recompute the split against the FRESH current manifest on
@@ -672,6 +829,18 @@ class SnapshotTable:
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
                     "re-run delete_where"
+                )
+            # the survivors were scanned through the DVs current at
+            # compute time; a concurrent MOR delete on a candidate
+            # would resurrect its masked rows in our rewrite
+            prev_dvs = prev.get("dvs", {})
+            if any(
+                prev_dvs.get(_rel(f)) != base_dvs.get(_rel(f))
+                for f in candidates
+            ):
+                raise CommitConflict(
+                    "concurrent deletion-vector commit on a candidate "
+                    "file; re-run delete_where"
                 )
             prev_stats = prev.get("stats", {})
             stats = {
@@ -692,6 +861,10 @@ class SnapshotTable:
                 prev.get("batch_markers", {}),
                 schema=prev.get("schema"),
                 blooms=blooms,
+                # rewritten files materialized their DVs; untouched keep theirs
+                dvs={
+                    k: v for k, v in prev.get("dvs", {}).items() if k in keep
+                },
             )
 
         return self._commit(build)
@@ -768,7 +941,7 @@ class SnapshotTable:
         evolved_manifest = {**manifest, "schema": evolved}
         if candidates:
             keys = source.select(F.col(key).alias("_mk")).distinct()
-            survivors = self._reader_for(evolved_manifest).parquet(*candidates).join(
+            survivors = self._scan_live(evolved_manifest, candidates).join(
                 F.broadcast(keys),
                 F.col(key) == F.col("_mk"),
                 "left_anti",
@@ -780,6 +953,8 @@ class SnapshotTable:
         new_stats = self._file_stats(new_files)
         new_blooms = self._file_blooms(new_files)
 
+        base_dvs = manifest.get("dvs", {})
+
         def build(version: int, prev: dict) -> dict:
             cands, untch = self._split_by_band(prev, key, lo, hi)
             cands, dropped = self._bloom_prune(prev, key, cands, key_hashes)
@@ -788,6 +963,15 @@ class SnapshotTable:
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
                     "re-run merge"
+                )
+            prev_dvs = prev.get("dvs", {})
+            if any(
+                prev_dvs.get(_rel(f)) != base_dvs.get(_rel(f))
+                for f in candidates
+            ):
+                raise CommitConflict(
+                    "concurrent deletion-vector commit on a candidate "
+                    "file; re-run merge"
                 )
             prev_stats = prev.get("stats", {})
             stats = {
@@ -810,6 +994,10 @@ class SnapshotTable:
                     prev.get("schema") or prev_schema, source.schema.jsonValue()
                 ),
                 blooms=blooms,
+                # rewritten candidates materialized their DVs
+                dvs={
+                    k: v for k, v in prev.get("dvs", {}).items() if k in keep
+                },
             )
 
         return self._commit(build)
@@ -877,9 +1065,11 @@ class SnapshotTable:
                 stats = {**prev.get("stats", {}), **new_stats}
                 schema = self._evolved_schema(prev.get("schema"), df_schema)
                 blooms = {**prev.get("blooms", {}), **new_blooms}
+                dvs = prev.get("dvs", {})
             else:
                 all_files, stats, schema = files, new_stats, df_schema
                 blooms = new_blooms
+                dvs = None
             return self._compose(
                 version,
                 all_files,
@@ -887,6 +1077,7 @@ class SnapshotTable:
                 prev.get("batch_markers", {}) | (_markers or {}),
                 schema=schema,
                 blooms=blooms,
+                dvs=dvs,
             )
 
         version = self._commit(build)
@@ -965,7 +1156,14 @@ class SnapshotTable:
         how a downstream MERGE consumes a feed. Net semantics: a row
         inserted and deleted between the two versions appears in
         neither (full-row comparison via exceptAll, so duplicate-row
-        multiplicity is respected)."""
+        multiplicity is respected).
+
+        Merge-on-read deletes participate: a file present in BOTH
+        manifests but mapped to a different deletion vector is a
+        changed file — it is scanned on both sides through each
+        version's own DV, so the newly masked rows surface as
+        ``delete`` rows. Cost stays delta-proportional: only
+        added/removed/DV-changed files are opened."""
         v_to = self.current_version() if to_version is None else to_version
         m_from = self._base_manifest(from_version)
         m_to = self._manifest(v_to)
@@ -973,16 +1171,29 @@ class SnapshotTable:
         files_to = set(m_to["files"])
         added = sorted(files_to - files_from)
         removed = sorted(files_from - files_to)
-        reader = self._reader_for(m_to)
+        dvs_from = m_from.get("dvs", {})
+        dvs_to = m_to.get("dvs", {})
+        dv_changed = sorted(
+            f
+            for f in files_from & files_to
+            if dvs_from.get(_rel(f)) != dvs_to.get(_rel(f))
+        )
+        # both sides read through the TO schema (NULL-padding older
+        # files) so exceptAll compares like with like
+        sch = m_to.get("schema") or m_from.get("schema")
 
-        def rows(files):
+        def rows(manifest, files):
             if not files:
                 ref = (m_to["files"] or m_from["files"])[0]
-                return reader.parquet(ref).filter(F.lit(False))
-            return reader.parquet(*files)
+                return self._reader_for({**m_to, "schema": sch}).parquet(
+                    ref
+                ).filter(F.lit(False))
+            return self._scan_live({**manifest, "schema": sch}, files)
 
-        inserts = rows(added).exceptAll(rows(removed))
-        deletes = rows(removed).exceptAll(rows(added))
+        rows_to = rows(m_to, added + dv_changed)
+        rows_from = rows(m_from, removed + dv_changed)
+        inserts = rows_to.exceptAll(rows_from)
+        deletes = rows_from.exceptAll(rows_to)
         return inserts.withColumn(
             "_change_type", F.lit("insert")
         ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
@@ -1033,6 +1244,7 @@ class SnapshotTable:
                 prev.get("batch_markers", {}),
                 schema=target.get("schema"),
                 blooms=target.get("blooms", {}),
+                dvs=target.get("dvs", {}),
             )
 
         return self._commit(build)
@@ -1053,15 +1265,18 @@ class SnapshotTable:
         cur = self.current_version()
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
         referenced: set[str] = set()
+        referenced_dv: set[str] = set()
         for v in keep_versions:
             # a prior expire(keep_last=small) may have already deleted
             # manifests inside this range; raising here would abort
             # maintenance forever (orphans accumulate) — a missing
             # manifest references nothing, so skip it
             try:
-                referenced.update(self._manifest(v)["files"])
+                m = self._manifest(v)
             except FileNotFoundError:
                 continue
+            referenced.update(m["files"])
+            referenced_dv.update(m.get("dvs", {}).values())
         for v in range(1, cur + 1):
             if v not in keep_versions:
                 self.log.delete(self._manifest_path(v))
@@ -1078,4 +1293,13 @@ class SnapshotTable:
             if live and not (live & referenced):
                 deleted += len(live)
                 self.log.delete(cdir, recursive=True)
+        # deletion-vector dirs are referenced-or-orphaned the same way
+        dv_root = f"{self.root}/dv"
+        for commit in self.log.list_dir(dv_root):
+            ddir = f"{dv_root}/{commit}"
+            if ddir not in referenced_dv:
+                deleted += len(
+                    [n for n in self.log.list_dir(ddir) if n.endswith(".parquet")]
+                )
+                self.log.delete(ddir, recursive=True)
         return deleted

@@ -1,0 +1,191 @@
+"""Deletion vectors: merge-on-read DELETE for the snapshot table
+(sources/layout.py::SnapshotTable.delete_where_mor).
+
+The storage-engine contract: a MOR delete commits ONLY metadata + a
+position file (no data-file rewrite — manifest file list identical),
+yet every read path (read, where-pruned read, time travel, merge
+survivors, copy-on-write rewrites, the change feed) sees exactly the
+rows a copy-on-write delete would produce. Compaction/overwrite
+materialize DVs away; expire treats DV dirs like any other
+referenced-or-orphaned file set.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from collective_als_spark.sources.layout import SnapshotTable, _rel
+
+
+def _manifest(t, version=None):
+    v = t.current_version() if version is None else version
+    return t._manifest(v)
+
+
+def _three_band_table(spark, path, col="v"):
+    t = SnapshotTable(spark, path, stats_columns=[col])
+    for lo in (0, 1000, 2000):
+        t.append(spark.range(lo, lo + 100).select(F.col("id").alias(col)).coalesce(1))
+    return t
+
+
+def test_mor_delete_masks_rows_without_rewriting_files(spark, tmp_path):
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    before = set(_manifest(t)["files"])
+    pre_version = t.current_version()
+    v = t.delete_where_mor("v", 1000, 1049)
+    assert v == pre_version + 1
+    m = _manifest(t)
+    # the commit is metadata-only: identical data file list
+    assert set(m["files"]) == before
+    # only the in-band file carries a DV (stats bounded the scan)
+    assert len(m["dvs"]) == 1
+    got = sorted(r["v"] for r in t.read().collect())
+    assert got == list(range(0, 100)) + list(range(1050, 1100)) + list(
+        range(2000, 2100)
+    )
+    # time travel pre-delete intact
+    assert t.read(pre_version).count() == 300
+    # where-pruned read applies the DV too
+    banded = sorted(
+        r["v"] for r in t.read(where=("v", 1000, 1099)).collect()
+    )
+    assert banded == list(range(1050, 1100))
+    # band hitting nothing: no-op, no new version
+    assert t.delete_where_mor("v", 50000, 60000) == v
+    # band overlapping stats but matching no live rows: no-op too
+    assert t.delete_where_mor("v", 1000, 1049) == v
+
+
+def test_mor_equals_cow_delete(spark, tmp_path):
+    a = _three_band_table(spark, str(tmp_path / "cow"))
+    b = _three_band_table(spark, str(tmp_path / "mor"))
+    a.delete_where("v", 950, 2050)
+    b.delete_where_mor("v", 950, 2050)
+    assert sorted(r["v"] for r in a.read().collect()) == sorted(
+        r["v"] for r in b.read().collect()
+    )
+
+
+def test_mor_deletes_stack_and_consolidate(spark, tmp_path):
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    t.delete_where_mor("v", 1000, 1019)
+    v2_dv = _manifest(t)["dvs"]
+    t.delete_where_mor("v", 1010, 1039)  # overlaps the first delete
+    m = _manifest(t)
+    # still one DV pointer per file, now consolidated into a new dir
+    assert len(m["dvs"]) == 1
+    assert list(m["dvs"].values()) != list(v2_dv.values())
+    got = sorted(r["v"] for r in t.read().collect())
+    assert got == list(range(0, 100)) + list(range(1040, 1100)) + list(
+        range(2000, 2100)
+    )
+    # the intermediate version still reads through ITS dv only
+    assert t.read(version=4).count() == 280
+    assert t.read(version=5).count() == 260
+
+
+def test_compact_materializes_dvs(spark, tmp_path):
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    t.delete_where_mor("v", 0, 49)
+    t.compact(target_rows_per_file=1000)
+    m = _manifest(t)
+    assert "dvs" not in m
+    assert sorted(r["v"] for r in t.read().collect()) == list(
+        range(50, 100)
+    ) + list(range(1000, 1100)) + list(range(2000, 2100))
+
+
+def test_cow_rewrites_respect_and_drop_dvs(spark, tmp_path):
+    """A copy-on-write delete over a DV'd file must not resurrect the
+    masked rows, and the rewritten file sheds its DV pointer."""
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    t.delete_where_mor("v", 1000, 1009)
+    t.delete_where("v", 1050, 1059)  # COW rewrite of the same file
+    m = _manifest(t)
+    assert m.get("dvs", {}) == {}
+    got = sorted(r["v"] for r in t.read().collect())
+    assert got == list(range(0, 100)) + list(range(1010, 1050)) + list(
+        range(1060, 1100)
+    ) + list(range(2000, 2100))
+
+
+def test_merge_survivors_respect_dvs(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    t.append(
+        spark.range(0, 10)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("val"))
+        .coalesce(1)
+    )
+    t.delete_where_mor("k", 3, 4)
+    # merge updates k=5 — the rewrite must not resurrect k=3,4
+    t.merge(spark.createDataFrame([(5, -1)], "k long, val long"), "k")
+    rows = {r["k"]: r["val"] for r in t.read().collect()}
+    assert 3 not in rows and 4 not in rows
+    assert rows[5] == -1 and rows[2] == 4 and len(rows) == 8
+    assert _manifest(t).get("dvs", {}) == {}  # materialized by the rewrite
+
+
+def test_changes_cdf_sees_mor_deletes(spark, tmp_path):
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    v3 = t.current_version()
+    t.delete_where_mor("v", 1000, 1004)
+    ch = t.changes(v3).collect()
+    assert sorted(r["v"] for r in ch) == [1000, 1001, 1002, 1003, 1004]
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    # over a window containing append + its mor-delete, the rows net out
+    ch_all = t.changes(0)
+    assert ch_all.filter(F.col("_change_type") == "delete").count() == 0
+    assert ch_all.count() == 295
+
+
+def test_restore_and_expire_with_dvs(spark, tmp_path):
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    t.delete_where_mor("v", 0, 9)  # v4
+    t.delete_where_mor("v", 10, 19)  # v5 (consolidates v4's dv)
+    v4_dirs = set(_manifest(t, 4)["dvs"].values())
+    t.restore(4)  # v6 points back at v4's dv
+    assert set(_manifest(t)["dvs"].values()) == v4_dirs
+    assert t.read().count() == 290
+    # expire to the restored version only: v4's dv dir is still
+    # referenced and must survive; v5's consolidated dir is orphaned
+    deleted = t.expire(keep_last=1)
+    assert deleted > 0
+    assert t.read().count() == 290
+    assert sorted(r["v"] for r in t.read(where=("v", 0, 99)).collect()) == list(
+        range(10, 100)
+    )
+
+
+def test_concurrent_mor_and_cow_conflict_detected(spark, tmp_path):
+    """A MOR delete computed against a manifest whose candidate set a
+    concurrent COW rewrite then changed must surface a conflict, not
+    silently mis-apply positions to rewritten files."""
+    from collective_als_spark.sources.logstore import CommitConflict
+
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    manifest = _manifest(t)
+    candidates, _ = t._split_by_band(manifest, "v", 1000, 1049)
+    # simulate: another writer COW-rewrites the band before our commit
+    t.delete_where("v", 1040, 1049)
+    matched = (
+        t._scan_live(manifest, candidates, keep_pos=True)
+        .filter(F.col("v").between(1000, 1049))
+        .select(F.col("__dv_rel").alias("file"), F.col("__dv_pos").alias("pos"))
+    )
+    dv_dir = t._write_dv(matched)
+    affected = {_rel(f) for f in candidates}
+
+    def build(version, prev):
+        cands, _ = t._split_by_band(prev, "v", 1000, 1049)
+        if set(cands) != set(candidates):
+            raise CommitConflict("candidate set changed")
+        return prev
+
+    with pytest.raises(CommitConflict):
+        t._commit(build)
+    assert dv_dir  # staged dv is an orphan; expire collects it
+    before = t.read().count()
+    t.expire(keep_last=1)
+    assert t.read().count() == before
