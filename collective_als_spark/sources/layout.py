@@ -692,22 +692,42 @@ class SnapshotTable:
 
         return self._commit(build)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        _markers: dict[str, int] | None = None,
+        _expect_markers: dict[str, int] | None = None,
+    ) -> int:
         """New snapshot = this commit's files only. The replaced files
         are NOT deleted — older versions still reference them. Batch
-        markers carry forward (see append)."""
+        markers carry forward (see append); ``_markers`` lets a caller
+        (e.g. the incremental materialized view) commit its own
+        watermark in the SAME atomic manifest write as the data, and
+        ``_expect_markers`` makes the commit conditional on the
+        CURRENT manifest still carrying the given marker values — the
+        read-state-was-fresh check a read-modify-write maintainer
+        (the view's refresh) needs to lose a race cleanly instead of
+        double-applying its delta."""
         new_files = self._write_data(df)
         new_stats = self._file_stats(new_files)
         new_blooms = self._file_blooms(new_files)
         df_schema = df.schema.jsonValue()
 
         def build(version: int, prev: dict) -> dict:
+            if _expect_markers is not None:
+                prev_markers = prev.get("batch_markers", {})
+                for k, v in _expect_markers.items():
+                    if prev_markers.get(k, 0) != v:
+                        raise CommitConflict(
+                            f"marker {k!r} moved ({prev_markers.get(k, 0)} != "
+                            f"{v}): state read for this overwrite is stale"
+                        )
             # overwrite REPLACES the data, so the schema resets too
             return self._compose(
                 version,
                 new_files,
                 new_stats,
-                prev.get("batch_markers", {}),
+                prev.get("batch_markers", {}) | (_markers or {}),
                 schema=df_schema,
                 blooms=new_blooms,
             )

@@ -1,0 +1,111 @@
+"""Incremental materialized view maintenance (sources/matview.py).
+
+Contract: after ANY sequence of snapshot-table commits — appends,
+copy-on-write merges/deletes, merge-on-read (deletion-vector) deletes,
+restores — ``refresh()`` folds only the change feed into the view and
+the result EQUALS the defining query recomputed from scratch,
+including groups that vanish (count reaches zero). The watermark rides
+the view's own manifest, so replays are no-ops and racing refreshers
+conflict instead of double-applying.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from collective_als_spark.sources.layout import SnapshotTable
+from collective_als_spark.sources.logstore import CommitConflict
+from collective_als_spark.sources.matview import IncrementalAggView
+
+
+def _rows(df):
+    return sorted(
+        (r["k"], r["sum_v"], r["n_rows"]) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def fact_and_view(spark, tmp_path):
+    fact = SnapshotTable(spark, str(tmp_path / "fact"), stats_columns=["v"])
+    fact.append(
+        spark.createDataFrame(
+            [(1, 10), (1, 20), (2, 5), (3, 7)], "k long, v long"
+        )
+    )
+    view = IncrementalAggView(
+        spark, fact, str(tmp_path / "mv"), group_by=["k"], sums={"sum_v": "v"}
+    )
+    return fact, view
+
+
+def test_initial_materialize_equals_recompute(spark, fact_and_view):
+    fact, view = fact_and_view
+    v = view.refresh()
+    assert v == fact.current_version()
+    assert _rows(view.read()) == [(1, 30, 2), (2, 5, 1), (3, 7, 1)]
+    assert _rows(view.read()) == _rows(view.recompute())
+
+
+def test_refresh_folds_appends_and_is_idempotent(spark, fact_and_view):
+    fact, view = fact_and_view
+    view.refresh()
+    mv_version = view.table.current_version()
+    # source unchanged: pure no-op, not even a view commit
+    view.refresh()
+    assert view.table.current_version() == mv_version
+    fact.append(spark.createDataFrame([(1, 100), (4, 1)], "k long, v long"))
+    view.refresh()
+    assert _rows(view.read()) == _rows(view.recompute())
+    assert (1, 130, 3) in _rows(view.read())
+    assert view.last_source_version() == fact.current_version()
+
+
+def test_refresh_folds_merge_updates(spark, fact_and_view):
+    """An upsert arrives in the feed as delete+insert; the fold must
+    retract the old value and add the new one."""
+    fact, view = fact_and_view
+    view.refresh()
+    # the fact table keys on v for merge purposes: update row v=5 -> k=9
+    fact.merge(
+        spark.createDataFrame([(9, 5), (9, 999)], "k long, v long"), "v"
+    )
+    view.refresh()
+    assert _rows(view.read()) == _rows(view.recompute())
+    got = dict((k, (s, n)) for k, s, n in _rows(view.read()))
+    assert 2 not in got  # its only row was re-keyed to 9
+    assert got[9] == (1004, 2)
+
+
+def test_refresh_drops_vanished_groups_cow_and_mor(spark, fact_and_view):
+    fact, view = fact_and_view
+    view.refresh()
+    fact.delete_where("v", 5, 7)  # removes all of k=2 and k=3
+    view.refresh()
+    assert _rows(view.read()) == [(1, 30, 2)]
+    fact.delete_where_mor("v", 20, 20)  # DV-masked delete of one k=1 row
+    view.refresh()
+    assert _rows(view.read()) == [(1, 10, 1)]
+    assert _rows(view.read()) == _rows(view.recompute())
+
+
+def test_stale_refresh_conflicts_instead_of_double_applying(
+    spark, fact_and_view
+):
+    fact, view = fact_and_view
+    view.refresh()
+    state = view.read()
+    with pytest.raises(CommitConflict, match="moved"):
+        view.table.overwrite(
+            state,
+            _markers={"mv:src_version": 99},
+            _expect_markers={"mv:src_version": view.last_source_version() + 1},
+        )
+
+
+def test_reserved_count_column_rejected(spark, tmp_path):
+    fact = SnapshotTable(spark, str(tmp_path / "f"))
+    with pytest.raises(ValueError, match="reserved"):
+        IncrementalAggView(
+            spark, fact, str(tmp_path / "m"), ["k"], {"n_rows": "v"}
+        )
