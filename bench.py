@@ -70,6 +70,9 @@ HEADLINE = [
     "item_item_topk",
     "cmf_quality_gate",
     "lake_snapshot_lifecycle",
+    # deletion vectors + change feed + incremental view maintenance
+    # exercised end-to-end (4 commits, 4 refreshes on a scratch table)
+    "lake_incremental_view",
 ]
 
 

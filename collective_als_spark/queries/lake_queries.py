@@ -95,3 +95,85 @@ def lake_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step string, version int, n_rows bigint"
     )
+
+
+@register(
+    "lake_incremental_view",
+    oracle="""
+    WITH f AS (
+        SELECT CASE WHEN o_orderkey % 500 = 0 THEN 'Z-SYNTH'
+                    ELSE o_orderpriority END AS p,
+               CASE WHEN o_orderkey % 500 = 0 THEN CAST(123456 AS BIGINT)
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS c
+        FROM orders
+        WHERE o_orderkey % 500 = 0
+           OR CAST(round(o_totalprice * 100) AS BIGINT) >= 5000000
+    )
+    SELECT p AS o_orderpriority,
+           CAST(sum(c) AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM f GROUP BY p
+    """,
+)
+def lake_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the full commit
+    mix, hash-pinned by the oracle: two appends -> a MERGE-ON-READ
+    (deletion-vector) delete -> a copy-on-write MERGE that re-keys a
+    slice of rows, with the per-priority (sum, count) rollup refreshed
+    from the CHANGE FEED after every commit — the fact table is never
+    rescanned after the initial materialize.
+
+    What a red hash would catch: a CDF that misses deletion-vector
+    masking, a fold that double-applies or loses a delta, an upsert
+    whose delete+insert pair doesn't retract the old group, a group
+    that should vanish and doesn't, or a stale watermark replaying a
+    refresh. The oracle computes the final rollup algebraically from
+    ``orders`` (integer cents, so sums are order-independent):
+    every orderkey divisible by 500 ends as one synthetic
+    ('Z-SYNTH', 123456) row via the merge; every other order survives
+    iff its cents are >= 5,000,000 (the MOR delete removes the rest).
+
+    At 100 TB each refresh costs O(view + changed files): the change
+    feed opens only files added/removed/DV-remapped between versions,
+    and the fold is one view-sized aggregate (sources/matview.py)."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.matview import IncrementalAggView
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    fact_rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderpriority",
+        cents.alias("c"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_mv_")
+    try:
+        fact = SnapshotTable(spark, f"{root}/fact", stats_columns=["c", "k"])
+        view = IncrementalAggView(
+            spark,
+            fact,
+            f"{root}/mv",
+            group_by=["o_orderpriority"],
+            sums={"sum_cents": "c"},
+        )
+        fact.append(fact_rows.filter(F.col("k") % 2 == 0))
+        view.refresh()  # initial materialize (the only full scan)
+        fact.append(fact_rows.filter(F.col("k") % 2 == 1))
+        view.refresh()  # fold: pure-insert delta
+        fact.delete_where_mor("c", 0, 4_999_999)
+        view.refresh()  # fold: deletion-vector retractions via CDF
+        synth = fact_rows.filter(F.col("k") % 500 == 0).select(
+            "k",
+            F.lit("Z-SYNTH").alias("o_orderpriority"),
+            F.lit(123456).cast("bigint").alias("c"),
+        )
+        fact.merge(synth, "k")
+        view.refresh()  # fold: upsert delete+insert pairs
+        out = [
+            (r["o_orderpriority"], r["sum_cents"], r["n_rows"])
+            for r in view.read().collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "o_orderpriority string, sum_cents bigint, n_rows bigint"
+    )

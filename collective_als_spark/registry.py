@@ -107,8 +107,14 @@ _PRIORITY: list[str] = [
     # hash-checked against the analytic pixel oracle) replaces
     # psi_drift (stays pytest-oracle-checked below)
     "multimodal_ppm_decode",
-    "trend_regression",
+    # r05 swap: lake_incremental_view (deletion-vector deletes + the
+    # change feed + incremental view maintenance, the round's new
+    # storage tier, all in one hash-pinned lifecycle) takes
+    # trend_regression's slot (a single closed-form agg that stays
+    # pytest-oracle-checked below the cap)
+    "lake_incremental_view",
     # ---------------- below the driver cap line (50) ----------------
+    "trend_regression",
     "ngram_jaccard_pairs",
     "cmf_recommend_topk",
     "intersect_except", "psi_drift", "exact_percentiles",

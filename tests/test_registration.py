@@ -92,11 +92,14 @@ def test_registry_priority_ordering():
     # cap) for the round's novel witnesses: exact substring
     # containment, the REAL PPM decode, and the fused Deequ-style
     # constraint suite.
+    # r05 swapped trend_regression (still pytest-oracle-checked below
+    # the cap) for lake_incremental_view — deletion vectors + change
+    # feed + incremental view maintenance under one driver hash.
     for promoted in ["tfidf_term_stats", "item_item_cosine",
                      "prefix_jaccard_pairs", "table_profile",
                      "grouping_sets_agg", "range_join_attribution",
                      "substring_containment_pairs", "dq_expectations_suite",
-                     "multimodal_ppm_decode", "trend_regression"]:
+                     "multimodal_ppm_decode", "lake_incremental_view"]:
         assert promoted in head, f"{promoted} not promoted into the cap"
 
 
