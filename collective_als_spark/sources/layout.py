@@ -1022,22 +1022,43 @@ class SnapshotTable:
 
         return self._commit(build)
 
-    def compact(self, target_rows_per_file: int) -> int:
+    def compact(
+        self, target_rows_per_file: int, cluster_by: list[str] | None = None
+    ) -> int:
         """Small-file compaction as a COMMIT: read the current
-        snapshot, rewrite into ceil(rows/target) round-robin files, and
-        commit the rewrite as a new version. Unlike the in-place
-        directory swap (`files.compact_small_files`), readers of older
-        versions are untouched — the pre-compaction snapshot stays
-        time-travelable until expired, and a crash mid-compaction
-        leaves only orphan files. This is how maintenance must work on
-        a versioned table: data files are immutable, so compaction is
-        just another writer."""
+        snapshot, rewrite into ceil(rows/target) files, and commit the
+        rewrite as a new version. Unlike the in-place directory swap
+        (`files.compact_small_files`), readers of older versions are
+        untouched — the pre-compaction snapshot stays time-travelable
+        until expired, and a crash mid-compaction leaves only orphan
+        files. This is how maintenance must work on a versioned table:
+        data files are immutable, so compaction is just another
+        writer. Merge-on-read deletion vectors are materialized away
+        (the rewrite reads only live rows).
+
+        ``cluster_by`` makes compaction ALSO the re-clustering pass
+        (Delta's OPTIMIZE ... ZORDER BY shape): range-partition + sort
+        on the given columns so each output file covers a narrow value
+        band and the fresh manifest stats prune tightly again. A
+        round-robin compaction of a clustered table silently WIDENS
+        every file's [min,max] to the full range — data skipping
+        degrades to no-ops until the next clustered write — so tables
+        written via ``append_clustered`` should compact with the same
+        keys (for 2-D box predicates, a
+        ``functions.vector.zorder_key`` column)."""
         import math
 
         cur = self.read()
         n = cur.count()
         n_files = max(1, math.ceil(n / target_rows_per_file))
-        return self.overwrite(cur.repartition(n_files))
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            rewritten = cur.repartitionByRange(
+                n_files, *cols
+            ).sortWithinPartitions(*cols)
+        else:
+            rewritten = cur.repartition(n_files)
+        return self.overwrite(rewritten)
 
     def wap_commit(
         self,

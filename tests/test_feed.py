@@ -1,0 +1,93 @@
+"""Change-feed consumer cursor (sources/feed.py) + clustered
+compaction (layout.py::compact(cluster_by=...)).
+
+Feed contract: poll/commit delivers every net change exactly once in
+commit order when commits interleave with polls; uncommitted polls
+replay identically; positions only move forward; falling behind
+retention errors instead of skipping.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from collective_als_spark.sources.feed import ChangeFeedReader, FeedLagError
+from collective_als_spark.sources.layout import SnapshotTable
+
+
+def _vals(df):
+    return sorted((r["v"], r["_change_type"]) for r in df.collect())
+
+
+def test_poll_commit_delivers_each_change_once(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    r = ChangeFeedReader(t, str(tmp_path / "cursor.json"))
+    assert r.poll() is None  # empty table, nothing to consume
+    t.append(spark.createDataFrame([(1,), (2,)], "v long"))
+    ch, to = r.poll()
+    assert _vals(ch) == [(1, "insert"), (2, "insert")]
+    # crash-before-commit: identical replay
+    ch2, to2 = r.poll()
+    assert to2 == to and _vals(ch2) == _vals(ch)
+    r.commit(to)
+    assert r.poll() is None
+    # two more commits consumed as ONE net window
+    t.append(spark.createDataFrame([(3,)], "v long"))
+    t.delete_where_mor("v", 1, 1)
+    ch, to = r.poll()
+    assert _vals(ch) == [(1, "delete"), (3, "insert")]
+    r.commit(to)
+    assert r.poll() is None
+    assert r.position() == t.current_version()
+
+
+def test_cursor_monotonic_and_lag_detected(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    r = ChangeFeedReader(t, str(tmp_path / "cursor.json"))
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], "v long"))
+    ch, to = r.poll()
+    r.commit(2)  # partially consume (e.g. bounded batch)
+    with pytest.raises(ValueError, match="forward only"):
+        r.commit(1)
+    # retention passes the cursor: expire keeps only the last version
+    t.expire(keep_last=1)
+    with pytest.raises(FeedLagError, match="expired"):
+        r.poll()
+
+
+def test_two_consumers_independent(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    a = ChangeFeedReader(t, str(tmp_path / "a.json"))
+    b = ChangeFeedReader(t, str(tmp_path / "b.json"))
+    t.append(spark.createDataFrame([(1,)], "v long"))
+    ch, to = a.poll()
+    a.commit(to)
+    t.append(spark.createDataFrame([(2,)], "v long"))
+    # b sees both appends; a only the second
+    assert _vals(b.poll()[0]) == [(1, "insert"), (2, "insert")]
+    assert _vals(a.poll()[0]) == [(2, "insert")]
+
+
+def test_compact_clustered_restores_pruning(spark, tmp_path):
+    """Round-robin compaction widens every file's stats to the full
+    range; cluster_by compaction restores narrow bands so banded
+    snapshot reads prune again."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    # interleaved appends: each commit spans the whole value range
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(i + 4 * j,) for j in range(250)], "v long")
+        )
+    t.compact(target_rows_per_file=250, cluster_by=["v"])
+    banded = t.read(where=("v", 0, 99))
+    assert banded.count() == 100
+    n_total = len(t.read().inputFiles())
+    assert len(banded.inputFiles()) < n_total
+    assert sorted(r["v"] for r in banded.collect()) == list(range(100))
+    # DVs are materialized by the clustered rewrite too
+    t.delete_where_mor("v", 500, 509)
+    t.compact(target_rows_per_file=250, cluster_by=["v"])
+    assert "dvs" not in t._manifest(t.current_version())
+    assert t.read().count() == 990
