@@ -19,6 +19,15 @@ O(|view| + |delta|) — the fact table is NEVER rescanned, and the
 change feed itself only opens files added/removed/DV-changed between
 the two versions.
 
+MIN/MAX are NOT self-maintainable under deletes (retracting the
+current minimum says nothing about the runner-up), so they use the
+standard two-tier rule: inserts fold for free
+(``least(old_min, inserted_min)``), and only groups the delta
+DELETED FROM are recomputed — one fact scan restricted by a
+broadcast semi-join on the dirty keys, so filter pushdown (and
+group-key clustering) bounds it to the touched groups' files, not
+the table. Insert-only refreshes never touch the fact table.
+
 Consistency comes from two pins:
 
 - the refresh reads the source at an explicit VERSION (no torn view
@@ -27,14 +36,13 @@ Consistency comes from two pins:
   as a batch marker INSIDE the view table's own manifest, committed
   in the SAME atomic manifest write as the refreshed state — a crash
   can never land between "state visible" and "watermark advanced",
-  so a replayed refresh is a no-op, never a double-apply.
+  so a replayed refresh is a no-op, never a double-apply; a RACING
+  refresher fails its expected-marker check and conflicts instead of
+  double-applying.
 
-SUM/COUNT (and AVG = SUM/COUNT at read) are the self-maintainable
-aggregates; MIN/MAX are not under deletes (a deleted minimum forces a
-rescan of its group) and are intentionally not offered here. Float
-sums accumulate in a different order than a recompute would — views
-that must be bit-identical to a recompute should aggregate integers
-or decimals (the tests do).
+Float sums accumulate in a different order than a recompute would —
+views that must be bit-identical to a recompute should aggregate
+integers or decimals (the tests do).
 """
 
 from __future__ import annotations
@@ -49,14 +57,14 @@ _COUNT_COL = "n_rows"
 
 
 class IncrementalAggView:
-    """A SUM/COUNT group-by over a :class:`SnapshotTable`, maintained
-    incrementally from its change feed.
+    """A SUM/COUNT/MIN/MAX group-by over a :class:`SnapshotTable`,
+    maintained incrementally from its change feed.
 
-    ``sums`` maps output column -> source SQL expression (any
-    expression over the fact columns — it is evaluated per change row
-    and signed). The view always carries ``n_rows`` (the group's live
-    row count); a group whose count reaches zero is dropped, so the
-    view's key set always equals the recompute's.
+    ``sums`` / ``mins`` / ``maxs`` map output column -> source SQL
+    expression (any expression over the fact columns). The view
+    always carries ``n_rows`` (the group's live row count); a group
+    whose count reaches zero is dropped, so the view's key set always
+    equals the recompute's.
 
     The view state is itself a :class:`SnapshotTable` (under
     ``root``), so refreshes are atomic versioned commits, readers pin
@@ -69,26 +77,37 @@ class IncrementalAggView:
         source: SnapshotTable,
         root: str,
         group_by: list[str],
-        sums: dict[str, str],
+        sums: dict[str, str] | None = None,
+        mins: dict[str, str] | None = None,
+        maxs: dict[str, str] | None = None,
     ):
-        if _COUNT_COL in sums or _COUNT_COL in group_by:
-            raise ValueError(f"{_COUNT_COL!r} is reserved for the view's count")
         self.spark = spark
         self.source = source
         self.group_by = list(group_by)
-        self.sums = dict(sums)
+        self.sums = dict(sums or {})
+        self.mins = dict(mins or {})
+        self.maxs = dict(maxs or {})
+        if not (self.sums or self.mins or self.maxs):
+            raise ValueError("view needs at least one measure")
+        out_cols = [*self.sums, *self.mins, *self.maxs]
+        if len(set(out_cols)) != len(out_cols):
+            raise ValueError("duplicate output column across measures")
+        if _COUNT_COL in out_cols or _COUNT_COL in group_by:
+            raise ValueError(f"{_COUNT_COL!r} is reserved for the view's count")
         self.table = SnapshotTable(spark, root)
 
     # -- internals
 
-    def _signed_agg(self, df: DataFrame, sign) -> DataFrame:
-        """Group the (change) rows with each measure multiplied by the
-        per-row sign: +1 contributes, -1 retracts."""
-        aggs = [
-            F.sum(F.expr(expr) * sign).alias(out)
-            for out, expr in self.sums.items()
-        ]
-        aggs.append(F.sum(sign).alias(_COUNT_COL))
+    @property
+    def _measure_cols(self) -> list[str]:
+        return [*self.sums, *self.mins, *self.maxs, _COUNT_COL]
+
+    def _full_agg(self, df: DataFrame) -> DataFrame:
+        """The defining query: plain aggregate of live rows."""
+        aggs = [F.sum(F.expr(e)).alias(o) for o, e in self.sums.items()]
+        aggs += [F.min(F.expr(e)).alias(o) for o, e in self.mins.items()]
+        aggs += [F.max(F.expr(e)).alias(o) for o, e in self.maxs.items()]
+        aggs.append(F.count(F.lit(1)).alias(_COUNT_COL))
         return df.groupBy(*self.group_by).agg(*aggs)
 
     def last_source_version(self) -> int:
@@ -102,56 +121,111 @@ class IncrementalAggView:
         """Advance the view to the source's current version.
 
         First call materializes from a full (version-pinned) scan;
-        every later call reads ONLY ``source.changes(last, now)`` and
-        folds the signed delta into the existing state with one
-        view-sized aggregate. Returns the source version the view now
-        reflects. No source commits since the last refresh -> pure
-        no-op (no view commit)."""
+        every later call reads ONLY ``source.changes(last, now)``:
+        SUM/COUNT fold as signed contributions, MIN/MAX fold inserts
+        and partially recompute just the delete-touched groups.
+        Returns the source version the view now reflects. No source
+        commits since the last refresh -> pure no-op (no view
+        commit)."""
         src_v = self.source.current_version()
         last = self.last_source_version()
         if src_v == last:
             return last
         if last == 0:
-            state = self._signed_agg(
-                self.source.read(version=src_v), F.lit(1)
-            ).filter(F.col(_COUNT_COL) > 0)
+            state = self._full_agg(self.source.read(version=src_v))
         else:
             delta = self.source.changes(last, src_v)
             sign = F.when(
                 F.col("_change_type") == "insert", F.lit(1)
             ).otherwise(F.lit(-1))
-            signed = self._signed_agg(delta, sign)
+            ins = F.col("_change_type") == "insert"
+            aggs = [
+                F.sum(F.expr(e) * sign).alias(o) for o, e in self.sums.items()
+            ]
+            # inserts fold into min/max; delete rows contribute NULL
+            # here and mark their group dirty below
+            aggs += [
+                F.min(F.when(ins, F.expr(e))).alias(o)
+                for o, e in self.mins.items()
+            ]
+            aggs += [
+                F.max(F.when(ins, F.expr(e))).alias(o)
+                for o, e in self.maxs.items()
+            ]
+            aggs.append(F.sum(sign).alias(_COUNT_COL))
+            signed = delta.groupBy(*self.group_by).agg(*aggs)
             # old state re-enters the same fold as a +1 contribution;
             # one shuffle of |view| + |delta-groups| rows, fact table
-            # untouched
+            # untouched (for SUM/COUNT; MIN/MAX inserts too)
             merged = (
                 self.table.read()
                 .unionByName(signed)
                 .groupBy(*self.group_by)
                 .agg(
-                    *[F.sum(out).alias(out) for out in self.sums],
+                    *[F.sum(o).alias(o) for o in self.sums],
+                    *[F.min(o).alias(o) for o in self.mins],
+                    *[F.max(o).alias(o) for o in self.maxs],
                     F.sum(_COUNT_COL).alias(_COUNT_COL),
                 )
                 .filter(F.col(_COUNT_COL) > 0)
             )
+            if self.mins or self.maxs:
+                # partial recompute: ONLY groups the window deleted
+                # from can have lost their extremum. Broadcast
+                # semi-join restricts the fact scan to those keys —
+                # at scale the pushed filter (+ clustering on the
+                # group key) prunes to the touched groups' files.
+                dirty = (
+                    delta.filter(~ins).select(*self.group_by).distinct()
+                )
+                fixes = self._full_agg(
+                    self.source.read(version=src_v).join(
+                        F.broadcast(dirty), self.group_by, "left_semi"
+                    )
+                ).select(
+                    *self.group_by,
+                    *[
+                        F.col(o).alias(f"__fix_{o}")
+                        for o in [*self.mins, *self.maxs]
+                    ],
+                    F.lit(True).alias("__dirty"),
+                )
+                merged = (
+                    merged.join(F.broadcast(fixes), self.group_by, "left")
+                    .select(
+                        *self.group_by,
+                        *[F.col(o) for o in self.sums],
+                        *[
+                            F.when(
+                                F.col("__dirty").isNotNull(),
+                                F.col(f"__fix_{o}"),
+                            )
+                            .otherwise(F.col(o))
+                            .alias(o)
+                            for o in [*self.mins, *self.maxs]
+                        ],
+                        F.col(_COUNT_COL),
+                    )
+                )
             state = merged
         # conditional commit: if another refresher advanced the
         # watermark after we read state/delta, our fold is stale —
         # lose the race (CommitConflict) instead of double-applying
         self.table.overwrite(
-            state,
+            state.select(*self.group_by, *self._measure_cols),
             _markers={_WATERMARK: src_v},
             _expect_markers={_WATERMARK: last},
         )
         return src_v
 
     def read(self) -> DataFrame:
-        """Current view state: group keys, sum columns, ``n_rows``."""
+        """Current view state: group keys, measure columns, ``n_rows``."""
         return self.table.read()
 
     def recompute(self, version: int | None = None) -> DataFrame:
         """The view's defining query run from scratch against the
         source (at ``version`` or current) — the correctness oracle
         the incremental path must equal."""
-        df = self.source.read(version=version)
-        return self._signed_agg(df, F.lit(1)).filter(F.col(_COUNT_COL) > 0)
+        return self._full_agg(self.source.read(version=version)).select(
+            *self.group_by, *self._measure_cols
+        )

@@ -158,6 +158,25 @@ def test_restore_and_expire_with_dvs(spark, tmp_path):
     )
 
 
+def test_mor_delete_on_file_uri_root(spark, tmp_path):
+    """DV staging (Spark write), masking reads, and expire's DV-dir
+    collection all work through the Hadoop IO path a URI-scheme table
+    uses — where 100 TB actually lives."""
+    from collective_als_spark.sources.logstore import HadoopLogStore
+
+    t = SnapshotTable(
+        spark, "file:" + str(tmp_path / "htbl"), stats_columns=["v"]
+    )
+    assert isinstance(t.log, HadoopLogStore)
+    t.append(spark.range(100).select(F.col("id").alias("v")))
+    t.delete_where_mor("v", 10, 19)
+    assert t.read().count() == 90
+    t.compact(target_rows_per_file=1000)
+    deleted = t.expire(keep_last=1)
+    assert deleted > 0  # pre-compaction data files AND the dv dir
+    assert t.read().count() == 90
+
+
 def test_concurrent_mor_and_cow_conflict_detected(spark, tmp_path):
     """A MOR delete computed against a manifest whose candidate set a
     concurrent COW rewrite then changed must surface a conflict, not

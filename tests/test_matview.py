@@ -103,6 +103,65 @@ def test_stale_refresh_conflicts_instead_of_double_applying(
         )
 
 
+def test_minmax_fold_and_partial_recompute(spark, tmp_path):
+    """MIN/MAX: inserts fold without touching the fact table; a delete
+    that removes a group's extremum triggers the partial recompute of
+    just that group and lands on the runner-up."""
+    fact = SnapshotTable(spark, str(tmp_path / "fact"), stats_columns=["v"])
+    fact.append(
+        spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 30), (2, 5)], "k long, v long"
+        )
+    )
+    view = IncrementalAggView(
+        spark,
+        fact,
+        str(tmp_path / "mv"),
+        group_by=["k"],
+        sums={"sum_v": "v"},
+        mins={"min_v": "v"},
+        maxs={"max_v": "v"},
+    )
+    view.refresh()
+
+    def rows():
+        return sorted(
+            (r["k"], r["sum_v"], r["min_v"], r["max_v"], r["n_rows"])
+            for r in view.read().collect()
+        )
+
+    assert rows() == [(1, 60, 10, 30, 3), (2, 5, 5, 5, 1)]
+    # insert-only window: new extremes fold in
+    fact.append(spark.createDataFrame([(1, 1), (2, 99)], "k long, v long"))
+    view.refresh()
+    assert rows() == [(1, 61, 1, 30, 4), (2, 104, 5, 99, 2)]
+    # delete the group-1 minimum (MOR) — runner-up must surface
+    fact.delete_where_mor("v", 1, 1)
+    view.refresh()
+    assert rows() == [(1, 60, 10, 30, 3), (2, 104, 5, 99, 2)]
+    # delete group 2 entirely (both its rows, one per delete flavor):
+    # vanishes despite being 'dirty'
+    fact.delete_where("v", 99, 99)
+    fact.delete_where_mor("v", 5, 5)
+    view.refresh()
+    assert rows() == sorted(
+        (r["k"], r["sum_v"], r["min_v"], r["max_v"], r["n_rows"])
+        for r in view.recompute().collect()
+    )
+    assert [r[0] for r in rows()] == [1]
+
+
+def test_view_requires_a_measure_and_unique_outputs(spark, tmp_path):
+    fact = SnapshotTable(spark, str(tmp_path / "f"))
+    with pytest.raises(ValueError, match="at least one measure"):
+        IncrementalAggView(spark, fact, str(tmp_path / "m"), ["k"])
+    with pytest.raises(ValueError, match="duplicate output"):
+        IncrementalAggView(
+            spark, fact, str(tmp_path / "m2"), ["k"],
+            sums={"x": "v"}, mins={"x": "v"},
+        )
+
+
 def test_reserved_count_column_rejected(spark, tmp_path):
     fact = SnapshotTable(spark, str(tmp_path / "f"))
     with pytest.raises(ValueError, match="reserved"):
