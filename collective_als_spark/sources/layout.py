@@ -798,16 +798,28 @@ class SnapshotTable:
         """(candidates, untouched): files whose manifest [min,max] for
         ``column`` may intersect [lo,hi] vs files provably outside it.
         Files without stats are conservatively candidates."""
+        return self._split_by_bands(manifest, [(column, lo, hi)])
+
+    def _split_by_bands(
+        self, manifest: dict, bands: list[tuple[str, object, object]]
+    ) -> tuple[list[str], list[str]]:
+        """Multi-column split: a file is untouched if it is provably
+        outside ANY one of the bands (a composite-key match needs all
+        columns to land in the file). Files without stats for a column
+        are conservatively unprovable on that column."""
         stats = manifest.get("stats", {})
         candidates, untouched = [], []
         for f in manifest["files"]:
-            band = stats.get(_rel(f), {}).get(column)
-            if band is None or band[0] is None or band[1] is None:
-                candidates.append(f)
-            elif band[1] < lo or band[0] > hi:
-                untouched.append(f)
-            else:
-                candidates.append(f)
+            fstats = stats.get(_rel(f), {})
+            provably_out = False
+            for column, lo, hi in bands:
+                band = fstats.get(column)
+                if band is None or band[0] is None or band[1] is None:
+                    continue
+                if band[1] < lo or band[0] > hi:
+                    provably_out = True
+                    break
+            (untouched if provably_out else candidates).append(f)
         return candidates, untouched
 
     def delete_where(self, column: str, lo, hi) -> int:
@@ -890,22 +902,30 @@ class SnapshotTable:
         return self._commit(build)
 
     def merge(
-        self, source: DataFrame, key: str, _markers: dict[str, int] | None = None
+        self,
+        source: DataFrame,
+        key: str | list[str],
+        _markers: dict[str, int] | None = None,
     ) -> int:
-        """Copy-on-write MERGE (upsert) keyed on a single column:
-        target rows whose ``key`` matches a source row are replaced by
-        the source row; unmatched source rows are inserted. Equivalent
-        to Delta's ``MERGE .. WHEN MATCHED UPDATE SET * WHEN NOT
-        MATCHED INSERT *``.
+        """Copy-on-write MERGE (upsert) keyed on one or more columns:
+        target rows whose key tuple matches a source row are replaced
+        by the source row; unmatched source rows are inserted.
+        Equivalent to Delta's ``MERGE .. WHEN MATCHED UPDATE SET *
+        WHEN NOT MATCHED INSERT *`` on an equality condition.
 
-        File-level pruning via the manifest stats: the source's
-        [min(key), max(key)] interval selects candidate files; files
-        provably outside it cannot contain a matched key and carry
-        over UNTOUCHED. Candidates are read once, matched rows dropped
-        with a broadcast-able anti-join against the distinct source
-        keys, and the survivors + the full source are rewritten as new
-        files. Duplicate keys WITHIN the source are rejected (their
-        merge order would be undefined — same check Delta errors with).
+        File-level pruning via the manifest stats: per key column, the
+        source's [min, max] interval splits the file list — a file
+        provably outside ANY key column's interval cannot contain a
+        matched tuple and carries over UNTOUCHED (the per-column
+        rectangle over-approximates the key set, so pruning stays a
+        pure optimization). Candidates are read once, matched rows
+        dropped with a broadcast-able anti-join against the distinct
+        source key tuples, and the survivors + the full source are
+        rewritten as new files. Duplicate key tuples WITHIN the source
+        are rejected (their merge order would be undefined — same
+        check Delta errors with). Bloom point-key skipping applies to
+        single-column keys (composite tuples aren't in the per-column
+        blooms).
 
         Schema auto-evolution (Delta's ``autoMerge``): a source that
         ADDS columns widens the table schema (validated by the same
@@ -914,13 +934,17 @@ class SnapshotTable:
         inserted/updated rows. Survivors are read through the evolved
         schema, so mixed-width unions are exact.
         """
+        keys = [key] if isinstance(key, str) else list(key)
+        if not keys:
+            raise ValueError("merge needs at least one key column")
         cur = self.current_version()
-        bounds = source.agg(
-            F.min(key).alias("lo"),
-            F.max(key).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(key)).alias("nd"),
-        ).first()
+        aggs = []
+        for i, k in enumerate(keys):
+            aggs.append(F.min(k).alias(f"lo_{i}"))
+            aggs.append(F.max(k).alias(f"hi_{i}"))
+        aggs.append(F.count(F.lit(1)).alias("n"))
+        aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("nd"))
+        bounds = source.agg(*aggs).first()
         if bounds["n"] == 0:
             return cur
         if bounds["nd"] < bounds["n"]:
@@ -931,7 +955,9 @@ class SnapshotTable:
         if cur == 0:
             # merge into an empty table: every source row is unmatched
             return self.append(source, _markers=_markers)
-        lo, hi = bounds["lo"], bounds["hi"]
+        bands = [
+            (k, bounds[f"lo_{i}"], bounds[f"hi_{i}"]) for i, k in enumerate(keys)
+        ]
         manifest = self._manifest(cur)
         # auto-evolve: additive source columns widen the table schema;
         # type conflicts raise here, BEFORE any data is staged. A
@@ -943,28 +969,27 @@ class SnapshotTable:
                 self.spark.read.parquet(*manifest["files"]).schema.jsonValue()
             )
         evolved = self._evolved_schema(prev_schema, source.schema.jsonValue())
-        # point-key skipping: when manifests carry blooms for the key,
-        # probe them with the (bounded) source key hashes — the pruning
-        # interval stats cannot do for scattered CDC keys
+        # point-key skipping: when manifests carry blooms for a
+        # single-column key, probe them with the (bounded) source key
+        # hashes — the pruning interval stats cannot do for scattered
+        # CDC keys
         key_hashes = (
-            self._source_key_hashes(source, key)
-            if manifest.get("blooms")
+            self._source_key_hashes(source, keys[0])
+            if manifest.get("blooms") and len(keys) == 1
             else None
         )
-        candidates, untouched = self._split_by_band(manifest, key, lo, hi)
+        candidates, untouched = self._split_by_bands(manifest, bands)
         candidates, _dropped = self._bloom_prune(
-            manifest, key, candidates, key_hashes
+            manifest, keys[0], candidates, key_hashes
         )
         untouched = untouched + _dropped
         # evolved-width reader: survivors NULL-pad source-added columns,
         # and the union is by name with source-missing columns padded
         evolved_manifest = {**manifest, "schema": evolved}
         if candidates:
-            keys = source.select(F.col(key).alias("_mk")).distinct()
+            key_tuples = source.select(*keys).distinct()
             survivors = self._scan_live(evolved_manifest, candidates).join(
-                F.broadcast(keys),
-                F.col(key) == F.col("_mk"),
-                "left_anti",
+                F.broadcast(key_tuples), keys, "left_anti"
             )
             rewritten = survivors.unionByName(source, allowMissingColumns=True)
         else:
@@ -976,8 +1001,8 @@ class SnapshotTable:
         base_dvs = manifest.get("dvs", {})
 
         def build(version: int, prev: dict) -> dict:
-            cands, untch = self._split_by_band(prev, key, lo, hi)
-            cands, dropped = self._bloom_prune(prev, key, cands, key_hashes)
+            cands, untch = self._split_by_bands(prev, bands)
+            cands, dropped = self._bloom_prune(prev, keys[0], cands, key_hashes)
             untch = untch + dropped
             if set(cands) != set(candidates):
                 raise CommitConflict(

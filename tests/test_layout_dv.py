@@ -158,6 +158,37 @@ def test_restore_and_expire_with_dvs(spark, tmp_path):
     )
 
 
+def test_concurrent_disjoint_mor_deletes_both_commit(spark, tmp_path):
+    """Two racing MOR deletes over DISJOINT bands (different files):
+    the CAS loser re-splits against the fresh manifest, finds its
+    candidate set and their DV pointers untouched by the winner, and
+    commits — both masks land, versions strictly sequential."""
+    import threading
+
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def deleter(lo):
+        try:
+            barrier.wait()
+            t.delete_where_mor("v", lo, lo + 9)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=deleter, args=(lo,)) for lo in (0, 2000)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.current_version() == 5
+    assert sorted(r["v"] for r in t.read().collect()) == list(
+        range(10, 100)
+    ) + list(range(1000, 1100)) + list(range(2010, 2100))
+    assert len(_manifest(t)["dvs"]) == 2
+
+
 def test_mor_delete_on_file_uri_root(spark, tmp_path):
     """DV staging (Spark write), masking reads, and expire's DV-dir
     collection all work through the Hadoop IO path a URI-scheme table

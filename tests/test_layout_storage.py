@@ -450,6 +450,44 @@ def test_merge_upserts_with_file_pruning(spark, tmp_path):
     assert t.merge(source.limit(0), "k") == v
 
 
+def test_merge_composite_key(spark, tmp_path):
+    """MERGE on a multi-column key: matched (k1, k2) tuples replaced,
+    unmatched inserted, per-column rectangle pruning keeps files
+    outside ANY key column's range untouched, and duplicate TUPLES
+    (not merely duplicate single-column values) are rejected."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k1", "k2"])
+    for lo in (0, 1000):
+        t.append(
+            spark.range(lo, lo + 10)
+            .select(
+                F.col("id").alias("k1"),
+                (F.col("id") % 2).alias("k2"),
+                (F.col("id") * 2).alias("val"),
+            )
+            .coalesce(1)
+        )
+    before = _manifest_files(t)
+    # update (1001, 1), insert (1001, 7): same k1, different k2
+    source = spark.createDataFrame(
+        [(1001, 1, -1), (1001, 7, -7)], "k1 long, k2 long, val long"
+    )
+    t.merge(source, ["k1", "k2"])
+    after = _manifest_files(t)
+    assert len(before & after) == 1  # 0-band file untouched (k1 pruning)
+    rows = {(r["k1"], r["k2"]): r["val"] for r in t.read().collect()}
+    assert len(rows) == 21
+    assert rows[(1001, 1)] == -1 and rows[(1001, 7)] == -7
+    assert rows[(1002, 0)] == 2004  # untouched row in the rewritten file
+    # duplicate TUPLE rejected; duplicate single-column value is fine
+    dup = spark.createDataFrame(
+        [(5, 1, 1), (5, 1, 2)], "k1 long, k2 long, val long"
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge(dup, ["k1", "k2"])
+    with pytest.raises(ValueError, match="at least one key"):
+        t.merge(source, [])
+
+
 def test_streaming_merge_sink_upserts_idempotently(spark, tmp_path):
     """Durable streaming upsert: each micro-batch merges by key in one
     atomic commit; replays are no-ops; later batches overwrite earlier
