@@ -234,44 +234,36 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    out = {
-        "metric": "headline_queries_wall_sec",
-        # the derived minhash_plus_lsh entry is informational — exclude
-        # it from the total so its components aren't counted twice
-        "value": round(sum(timings[n] for n in HEADLINE), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_val,
-        # 1/5/15-min load averages around the run, so a reviewer can
-        # tell box contention from a real regression without a re-run
+    psi_stall = {
+        r: (
+            round(_psi_total(r) - psi_before[r], 1)
+            if psi_before[r] is not None and _psi_total(r) is not None
+            else None
+        )
+        for r in ("cpu", "io")
+    }
+    # Output protocol (r05 verdict #1): the driver captures a BOUNDED
+    # TAIL of stdout and json-parses the LAST line; rounds 4 and 5 both
+    # lost the headline because raw runs + the inlined scale ramp pushed
+    # it past the window. So: everything verbose (raw per-run timings,
+    # load averages, override guard, scale-ramp curve) goes to
+    # BENCH_DETAIL.json on disk, and the final stdout line is ONE
+    # compact JSON object — total, per-query mins, sf, PSI — small
+    # enough to always fit the tail window.
+    detail = {
         "load_before": load_before,
         "load_after": [round(x, 2) for x in os.getloadavg()],
         "override_guard": override_guard,
         "timing": "min of 2 interleaved passes (pass A pays codegen compile; "
         "see bench.py comment)",
         "runs": raw_runs,
-        # PSI stall-seconds accumulated DURING the bench: directly
-        # quantifies host contention/stall episodes (load averages
-        # alone missed a ~1 min stall window this round)
-        "psi_stall_sec": {
-            r: (
-                round(_psi_total(r) - psi_before[r], 1)
-                if psi_before[r] is not None and _psi_total(r) is not None
-                else None
-            )
-            for r in ("cpu", "io")
-        },
     }
-    # scale-ramp evidence (r04 verdict #5): bench_scale_ramp.py measures
-    # the heavy family at sf0.1 vs a synthetic 10x tier and records
-    # SCALE_RAMP.json; inline the curve (minus raw runs) so the growth
-    # ratios ride along in BENCH_r{N}.json without re-measuring per round
     ramp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_RAMP.json")
     if os.path.exists(ramp_path):
         try:
             with open(ramp_path) as f:
                 ramp = json.load(f)
-            out["scale_ramp"] = {
+            detail["scale_ramp"] = {
                 "replicas": ramp.get("replicas"),
                 "queries": {
                     n: {k: v for k, v in q.items() if k != "runs"}
@@ -281,6 +273,25 @@ def main() -> None:
             }
         except (OSError, ValueError):
             pass
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail is best-effort; the headline line below must still print
+    out = {
+        "metric": "headline_queries_wall_sec",
+        # the derived minhash_plus_lsh entry is informational — exclude
+        # it from the total so its components aren't counted twice
+        "value": round(sum(timings[n] for n in HEADLINE), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "psi_stall_sec": psi_stall,
+        "detail": "BENCH_DETAIL.json",
+    }
     print(json.dumps(out))
 
 

@@ -47,6 +47,15 @@ class FeedLagError(RuntimeError):
     """The consumer's position predates the source's retained history."""
 
 
+class FeedCursorError(RuntimeError):
+    """The cursor state file exists but is unreadable. Both LogStores
+    write the cursor atomically (tmp + replace/rename), so this means
+    external corruption, not a crash window. Recoverable: delete the
+    state file to replay from genesis (at-least-once semantics make
+    that safe for idempotent consumers), or rewrite it with a known
+    position."""
+
+
 class ChangeFeedReader:
     """A named, durable cursor over ``table.changes``.
 
@@ -63,9 +72,17 @@ class ChangeFeedReader:
     def position(self) -> int:
         """Last committed source version (0 = consume from genesis)."""
         try:
-            return int(json.loads(self.log.read_text(self.state_path))["version"])
+            raw = self.log.read_text(self.state_path)
         except FileNotFoundError:
             return 0
+        try:
+            return int(json.loads(raw)["version"])
+        except (ValueError, KeyError, TypeError) as e:
+            raise FeedCursorError(
+                f"cursor state at {self.state_path} is unreadable ({e}); "
+                f"delete it to replay from genesis or rewrite it with a "
+                f"known position"
+            ) from e
 
     def poll(self) -> tuple[DataFrame, int] | None:
         """(changes, to_version) since the committed position, or None
@@ -91,10 +108,19 @@ class ChangeFeedReader:
 
     def commit(self, version: int) -> None:
         """Durably advance the cursor. Monotonic: rewinding would
-        replay deltas downstream already acknowledged."""
+        replay deltas downstream already acknowledged. Bounded above by
+        the table's current version: committing a position the table
+        has not reached would silently skip every change between the
+        real position and the bogus one once the table catches up."""
         cur = self.position()
         if version < cur:
             raise ValueError(
                 f"cursor moves forward only (committed v{cur}, got v{version})"
+            )
+        head = self.table.current_version()
+        if version > head:
+            raise ValueError(
+                f"cannot commit v{version}: {self.table.root} is at "
+                f"v{head} — commit only the to_version poll() returned"
             )
         self.log.write_text(self.state_path, json.dumps({"version": version}))

@@ -944,9 +944,23 @@ class SnapshotTable:
             aggs.append(F.max(k).alias(f"hi_{i}"))
         aggs.append(F.count(F.lit(1)).alias("n"))
         aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("nd"))
+        null_any = F.lit(False)
+        for k in keys:
+            null_any = null_any | F.col(k).isNull()
+        aggs.append(F.sum(null_any.cast("long")).alias("n_null"))
         bounds = source.agg(*aggs).first()
         if bounds["n"] == 0:
             return cur
+        # NULL merge keys are rejected outright (Delta does the same):
+        # they never match an equality anti-join, so they'd be silently
+        # inserted every run, and count_distinct skips them — making
+        # the duplicate check below meaningless for such rows.
+        if bounds["n_null"]:
+            raise ValueError(
+                f"source has {bounds['n_null']} rows with NULL merge-key "
+                f"values: NULL keys never match and would be re-inserted "
+                f"on every merge — filter them out or use a sentinel"
+            )
         if bounds["nd"] < bounds["n"]:
             raise ValueError(
                 f"source has duplicate merge keys ({bounds['n'] - bounds['nd']} "
@@ -1073,7 +1087,16 @@ class SnapshotTable:
         ``functions.vector.zorder_key`` column)."""
         import math
 
-        cur = self.read()
+        # pin the snapshot the rewrite is computed from: the commit
+        # below conflicts if ANY writer (append, delete, MOR delete)
+        # lands in between — otherwise compact's overwrite would
+        # silently discard their files/DVs (e.g. resurrect rows a
+        # concurrent delete_where_mor masked). ADVICE r05.
+        base_v = self.current_version()
+        if base_v == 0:
+            raise ValueError("empty table: no committed snapshot")
+        base = self._manifest(base_v)
+        cur = self.read(version=base_v)
         n = cur.count()
         n_files = max(1, math.ceil(n / target_rows_per_file))
         if cluster_by:
@@ -1083,7 +1106,28 @@ class SnapshotTable:
             ).sortWithinPartitions(*cols)
         else:
             rewritten = cur.repartition(n_files)
-        return self.overwrite(rewritten)
+        new_files = self._write_data(rewritten)
+        new_stats = self._file_stats(new_files)
+        new_blooms = self._file_blooms(new_files)
+
+        def build(version: int, prev: dict) -> dict:
+            if set(prev["files"]) != set(base["files"]) or prev.get(
+                "dvs", {}
+            ) != base.get("dvs", {}):
+                raise CommitConflict(
+                    "concurrent commit during compact: the rewrite was "
+                    "computed from a stale snapshot; re-run compact"
+                )
+            return self._compose(
+                version,
+                new_files,
+                new_stats,
+                prev.get("batch_markers", {}),
+                schema=base.get("schema"),
+                blooms=new_blooms,
+            )
+
+        return self._commit(build)
 
     def wap_commit(
         self,

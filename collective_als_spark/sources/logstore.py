@@ -117,6 +117,8 @@ class HadoopLogStore:
         Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
         self._rename_none = self._gw.new_array(Rename, 1)
         self._rename_none[0] = Rename.NONE
+        self._rename_overwrite = self._gw.new_array(Rename, 1)
+        self._rename_overwrite[0] = Rename.OVERWRITE
 
     # -- helpers
 
@@ -141,18 +143,34 @@ class HadoopLogStore:
             stream.close()
         return data
 
-    def write_text(self, path: str, content: str) -> None:
+    def _write_raw(self, path: str, content: str) -> None:
         out = self._fs.create(self._Path(path), True)
         try:
             out.write(bytearray(content.encode("utf-8")))
         finally:
             out.close()
 
+    def write_text(self, path: str, content: str) -> None:
+        """Atomic overwrite: tmp sibling + ``FileContext.rename(..,
+        OVERWRITE)`` (atomic on HDFS), matching LocalLogStore's
+        ``os.replace`` — a crash mid-write can leave a stray tmp file
+        but never a truncated destination (consumers' cursor files
+        depend on this)."""
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        self._write_raw(tmp, content)
+        try:
+            self._fc.rename(
+                self._Path(tmp), self._Path(path), self._rename_overwrite
+            )
+        except Exception:
+            self.delete(tmp)
+            raise
+
     def write_text_exclusive(self, path: str, content: str) -> None:
         from py4j.protocol import Py4JJavaError
 
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-        self.write_text(tmp, content)
+        self._write_raw(tmp, content)
         try:
             self._fc.rename(self._Path(tmp), self._Path(path), self._rename_none)
         except Py4JJavaError as e:

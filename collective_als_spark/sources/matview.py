@@ -175,13 +175,25 @@ class IncrementalAggView:
                 # semi-join restricts the fact scan to those keys —
                 # at scale the pushed filter (+ clustering on the
                 # group key) prunes to the touched groups' files.
+                # Both joins use NULL-SAFE key equality (<=>): groupBy
+                # treats NULL as a real group, so a NULL-keyed group
+                # that loses its extremum must be restricted to and
+                # fixed like any other — plain `=` would never match
+                # it and the view would keep the stale MIN/MAX.
                 dirty = (
                     delta.filter(~ins).select(*self.group_by).distinct()
                 )
+
+                def _ns_cond(left, right):
+                    cond = F.lit(True)
+                    for k in self.group_by:
+                        cond = cond & left[k].eqNullSafe(right[k])
+                    return cond
+
+                fact = self.source.read(version=src_v).alias("__mv_f")
+                dirty_b = F.broadcast(dirty.alias("__mv_d"))
                 fixes = self._full_agg(
-                    self.source.read(version=src_v).join(
-                        F.broadcast(dirty), self.group_by, "left_semi"
-                    )
+                    fact.join(dirty_b, _ns_cond(fact, dirty_b), "left_semi")
                 ).select(
                     *self.group_by,
                     *[
@@ -190,22 +202,21 @@ class IncrementalAggView:
                     ],
                     F.lit(True).alias("__dirty"),
                 )
-                merged = (
-                    merged.join(F.broadcast(fixes), self.group_by, "left")
-                    .select(
-                        *self.group_by,
-                        *[F.col(o) for o in self.sums],
-                        *[
-                            F.when(
-                                F.col("__dirty").isNotNull(),
-                                F.col(f"__fix_{o}"),
-                            )
-                            .otherwise(F.col(o))
-                            .alias(o)
-                            for o in [*self.mins, *self.maxs]
-                        ],
-                        F.col(_COUNT_COL),
-                    )
+                m = merged.alias("__mv_m")
+                fixes_b = F.broadcast(fixes.alias("__mv_x"))
+                merged = m.join(fixes_b, _ns_cond(m, fixes_b), "left").select(
+                    *[m[k] for k in self.group_by],
+                    *[m[o] for o in self.sums],
+                    *[
+                        F.when(
+                            F.col("__dirty").isNotNull(),
+                            F.col(f"__fix_{o}"),
+                        )
+                        .otherwise(m[o])
+                        .alias(o)
+                        for o in [*self.mins, *self.maxs]
+                    ],
+                    m[_COUNT_COL],
                 )
             state = merged
         # conditional commit: if another refresher advanced the

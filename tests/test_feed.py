@@ -12,7 +12,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from collective_als_spark.sources.feed import ChangeFeedReader, FeedLagError
+from collective_als_spark.sources.feed import (
+    ChangeFeedReader,
+    FeedCursorError,
+    FeedLagError,
+)
 from collective_als_spark.sources.layout import SnapshotTable
 
 
@@ -55,6 +59,35 @@ def test_cursor_monotonic_and_lag_detected(spark, tmp_path):
     t.expire(keep_last=1)
     with pytest.raises(FeedLagError, match="expired"):
         r.poll()
+
+
+def test_commit_bounded_by_table_head(spark, tmp_path):
+    """Committing a position the table has not reached would silently
+    skip every change between the real head and the bogus version once
+    the table catches up (ADVICE r05) — rejected instead."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    r = ChangeFeedReader(t, str(tmp_path / "cursor.json"))
+    t.append(spark.createDataFrame([(1,)], "v long"))
+    with pytest.raises(ValueError, match="commit only the to_version"):
+        r.commit(7)
+    ch, to = r.poll()
+    r.commit(to)  # the poll-returned version is always accepted
+    assert r.position() == 1
+
+
+def test_corrupt_cursor_is_a_clear_recoverable_error(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1,)], "v long"))
+    state = tmp_path / "cursor.json"
+    r = ChangeFeedReader(t, str(state))
+    ch, to = r.poll()
+    r.commit(to)
+    state.write_text('{"version": 1')  # externally truncated
+    with pytest.raises(FeedCursorError, match="unreadable"):
+        r.position()
+    state.unlink()  # documented recovery: replay from genesis
+    assert r.position() == 0
+    assert _vals(r.poll()[0]) == [(1, "insert")]
 
 
 def test_two_consumers_independent(spark, tmp_path):

@@ -151,6 +151,58 @@ def test_minmax_fold_and_partial_recompute(spark, tmp_path):
     assert [r[0] for r in rows()] == [1]
 
 
+def test_minmax_partial_recompute_null_group_key(spark, tmp_path):
+    """groupBy treats NULL as a real group, so the dirty-group
+    restriction and the fix join must use null-safe equality: deleting
+    the NULL group's extremum must surface its runner-up, not leave a
+    stale MIN/MAX (ADVICE r05)."""
+    fact = SnapshotTable(spark, str(tmp_path / "fact"), stats_columns=["v"])
+    fact.append(
+        spark.createDataFrame(
+            [(None, 10), (None, 20), (1, 5)], "k long, v long"
+        )
+    )
+    view = IncrementalAggView(
+        spark,
+        fact,
+        str(tmp_path / "mv"),
+        group_by=["k"],
+        sums={"sum_v": "v"},
+        mins={"min_v": "v"},
+        maxs={"max_v": "v"},
+    )
+    view.refresh()
+
+    def rows():
+        key = lambda t: (t[0] is None, t[0] or 0)  # noqa: E731
+        return sorted(
+            (
+                (r["k"], r["sum_v"], r["min_v"], r["max_v"], r["n_rows"])
+                for r in view.read().collect()
+            ),
+            key=key,
+        ), sorted(
+            (
+                (r["k"], r["sum_v"], r["min_v"], r["max_v"], r["n_rows"])
+                for r in view.recompute().collect()
+            ),
+            key=key,
+        )
+
+    got, want = rows()
+    assert got == want == [(1, 5, 5, 5, 1), (None, 30, 10, 20, 2)]
+    # delete the NULL group's maximum — runner-up (10) must surface
+    fact.delete_where("v", 20, 20)
+    view.refresh()
+    got, want = rows()
+    assert got == want == [(1, 5, 5, 5, 1), (None, 10, 10, 10, 1)]
+    # and a MOR delete removing the NULL group's minimum entirely
+    fact.delete_where_mor("v", 10, 10)
+    view.refresh()
+    got, want = rows()
+    assert got == want == [(1, 5, 5, 5, 1)]
+
+
 def test_view_requires_a_measure_and_unique_outputs(spark, tmp_path):
     fact = SnapshotTable(spark, str(tmp_path / "f"))
     with pytest.raises(ValueError, match="at least one measure"):
