@@ -32,6 +32,7 @@ Storage layout::
 from __future__ import annotations
 
 import json
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -289,6 +290,76 @@ class IvfPqIndex:
             "build_residual": self.build_residual,
             "drift": drift,
         }
+
+    # -------------------------------------------------------- maintenance
+
+    def compact_codes(self) -> dict:
+        """Fold the small per-cell part files repeated :meth:`add`
+        batches accumulate back into ~one file per cell (r05 verdict
+        #7): every streaming ingest appends a part file into each
+        touched ``cell=<c>/`` directory, and after hundreds of batches
+        the serve-time scan pays per-file open cost that dwarfs the
+        data. One ``repartition(n_cells, "cell")`` pass rewrites the
+        codes clustered by cell (each cell's rows in exactly one task
+        → one file per cell directory), staged to a sibling dir and
+        swapped in. Search results are identical — same rows, same
+        partition pruning, fewer files.
+
+        The swap (delete + rename) is NOT atomic for concurrent
+        readers of THIS version dir; compact a serving index by
+        publishing the compacted index as a new version instead
+        (``publish`` + ``load_current``), which is atomic."""
+        if self.path is None:
+            raise ValueError(
+                "compact_codes needs a persisted index (save() first)"
+            )
+        from collective_als_spark.sources.logstore import logstore_for
+
+        codes_dir = f"{self.path}/codes"
+        codes = self.spark.read.parquet(codes_dir)
+        files_before = len(codes.inputFiles())
+        n_cells = int(self.centroids.shape[0])
+        staged = f"{self.path}/codes.compact.{uuid.uuid4().hex}"
+        codes.repartition(n_cells, "cell").write.mode("error").partitionBy(
+            "cell"
+        ).parquet(staged)
+        log = logstore_for(self.spark, self.path)
+        log.delete(codes_dir, recursive=True)
+        log.rename(staged, codes_dir)
+        self.encoded = self.spark.read.parquet(codes_dir)
+        files_after = len(self.encoded.inputFiles())
+        return {"files_before": files_before, "files_after": files_after}
+
+    def retrain_if_drifted(
+        self,
+        corpus: DataFrame,
+        root: str,
+        drift: float,
+        threshold: float = 1.25,
+        seed: int = 42,
+    ) -> int | None:
+        """Act on the drift signal :meth:`add` returns (r05 verdict
+        #7): when ``drift`` (batch residual / build residual) exceeds
+        ``threshold``, the frozen quantizers no longer fit the incoming
+        distribution — rebuild them from ``corpus`` (the full CURRENT
+        vector set; codes are lossy, so a retrain needs the originals)
+        with the same index shape, and publish the fresh index under
+        ``root`` as a new version (atomic pointer swap; serving
+        processes keep reading the old version until the commit).
+        Returns the published version, or None when the drift is under
+        the threshold (no work done)."""
+        if not drift > threshold:
+            return None
+        fresh = type(self).build(
+            corpus,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            n_cells=int(self.centroids.shape[0]),
+            m=int(self.codebooks.shape[0]),
+            n_codes=int(self.codebooks.shape[1]),
+            seed=seed,
+        )
+        return fresh.publish(root)
 
     # ----------------------------------------------------- versioned serve
 

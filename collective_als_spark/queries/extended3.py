@@ -304,7 +304,18 @@ def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then pairs symmetrized (each undirected pair serves both items'
     lists) and a per-item rank window — key-partitioned on item, never
     global. The rank runs on the PAIR frame (already support-filtered),
-    not the interaction frame."""
+    not the interaction frame.
+
+    The support floor is TRAFFIC-SCALED (r05 verdict #6): the 2x2
+    ramp experiment (SCALE_RAMP.json) showed an ABSOLUTE floor is the
+    super-linear term — at 10x traffic over a fixed catalog every
+    pair's expected co-count grows 10x, so a fixed `n_ij >= 3` admits
+    ~1400x the pairs. Scaling the floor with interaction volume
+    (floor = max(3, interactions x 5e-6); 3 at the sf0.1 reference
+    density, 30 at 10x) keeps the admitted pair set — and the wall
+    time — traffic-invariant, measured identical at 10x (~1.0x).
+    At sf<=0.1 the max() pins the floor at 3, so the DuckDB oracle
+    (fixed >=3) stays exact."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     ui = (
@@ -319,6 +330,9 @@ def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "i")
         .localCheckpoint(eager=True)
     )
+    # count is metadata-cheap on the checkpointed frame; 5e-6 floors/
+    # interaction calibrates floor=3 at the sf0.1 reference density
+    support_floor = max(3, int(round(ui2.count() * 5e-6)))
     deg = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
     a = ui2.select("u", F.col("i").alias("part_i"))
     b = ui2.select("u", F.col("i").alias("part_j"))
@@ -333,7 +347,7 @@ def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_i") < F.col("part_j"))
         .groupBy("part_i", "part_j")
         .agg(F.count(F.lit(1)).alias("n_ij"))
-        .filter(F.col("n_ij") >= 3)
+        .filter(F.col("n_ij") >= support_floor)
         .localCheckpoint(eager=True)
     )
     sym = pairs.select(

@@ -156,6 +156,14 @@ def pruned_read(
 _MANIFEST_RE = re.compile(r"v(\d+)\.json")
 _MAX_COMMIT_RETRIES = 20
 
+# manifest-chunk consolidation thresholds (r05 verdict #1): the
+# version manifest is O(chunks + dead + DVs), not O(table files); a
+# consolidation pass (Iceberg's manifest-merge / Delta's checkpoint)
+# rewrites the per-file metadata into one chunk when the chunk list or
+# the dead list would otherwise grow without bound
+_MAX_META_CHUNKS = 32
+_MIN_DEAD_FOR_CONSOLIDATION = 64
+
 # per-file Bloom filters (point-key skipping): 8192 bits = 1 KiB per
 # file per column in the manifest; k=4 double-hashed probes
 # (Kirsch-Mitzenmacher: p_i = (h1 + i*h2) mod m from one xxhash64) —
@@ -278,10 +286,28 @@ class SnapshotTable:
         stats_columns: list[str] | None = None,
         log=None,
         bloom_columns: list[str] | None = None,
+        dv_broadcast_max_rows: int = 4_000_000,
+        mor_fallback_max_rows: int = 10_000_000,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.stats_columns = list(stats_columns or [])
+        # DV scale guards (r05 verdict #4): deletion vectors are built
+        # for NARROW deletes. Past `dv_broadcast_max_rows` total masked
+        # positions on the files being scanned, the read-side anti-join
+        # stops broadcasting (a DV with billions of positions would OOM
+        # every executor) and shuffles instead; past
+        # `mor_fallback_max_rows` MATCHED rows, delete_where_mor /
+        # merge_mor auto-switch to copy-on-write — at that width the
+        # rewrite costs less than dragging a giant DV through every
+        # subsequent read. Manifests track per-file DV row counts
+        # ("dv_rows") so both guards are metadata decisions, not jobs.
+        self.dv_broadcast_max_rows = dv_broadcast_max_rows
+        self.mor_fallback_max_rows = mor_fallback_max_rows
+        # metadata chunks and bloom sidecars are IMMUTABLE once
+        # written, so they cache safely for the table's lifetime
+        self._chunk_cache: dict[str, dict] = {}
+        self._bloom_cache: dict[str, dict] = {}
         # per-file Bloom filters for these columns ride the manifest:
         # the point-key skipping min/max CANNOT give (a CDC batch with
         # keys {5, 9000005} interval-overlaps every file; its bloom
@@ -307,24 +333,191 @@ class SnapshotTable:
                 best = max(best, int(m.group(1)))
         return best
 
-    def _manifest(self, version: int) -> dict:
+    # -- manifest segmentation (commit metadata is O(delta), not O(table))
+    #
+    # On disk a version manifest is SMALL: it lists immutable metadata
+    # CHUNK files plus a `dead` tombstone list, instead of inlining the
+    # per-file metadata (Iceberg's manifest-list over manifest-files;
+    # Delta's append-only log + checkpoints):
+    #
+    #   v<N>.json        {"version": N, "chunks": ["chunk-<id>.json",..],
+    #                     "dead": ["<rel>", ..], "dvs": .., "dv_rows": ..,
+    #                     "batch_markers": .., "schema": ..}
+    #   chunk-<id>.json  {"files": [..], "stats": {rel: ..},
+    #                     "bloom_sidecar": "bloom-<id>.json" | absent}
+    #   bloom-<id>.json  {rel: {col: b64}}   (loaded ONLY when probing)
+    #
+    # A commit writes ONE chunk holding its own files' stats/blooms +
+    # the tiny version file; at millions of table files the per-commit
+    # metadata IO stays proportional to the commit. Chunks/sidecars are
+    # immutable and shared across versions (time travel reuses them);
+    # a consolidation pass folds them when the chunk or dead list grows
+    # past the thresholds above. Build functions still see and produce
+    # the RESOLVED form (files/stats inline) — `_resolve`/`_serialize`
+    # translate at the read/write boundary, so every commit path and
+    # pre-segmentation (legacy inline) manifest keeps working; a legacy
+    # manifest migrates to chunked form on its next commit.
+
+    def _raw_manifest(self, version: int) -> dict:
         return json.loads(self.log.read_text(self._manifest_path(version)))
+
+    def _load_chunk(self, name: str) -> dict:
+        chunk = self._chunk_cache.get(name)
+        if chunk is None:
+            chunk = json.loads(self.log.read_text(f"{self.root}/_snapshots/{name}"))
+            self._chunk_cache[name] = chunk
+        return chunk
+
+    def _load_sidecar(self, name: str) -> dict:
+        blooms = self._bloom_cache.get(name)
+        if blooms is None:
+            blooms = json.loads(self.log.read_text(f"{self.root}/_snapshots/{name}"))
+            self._bloom_cache[name] = blooms
+        return blooms
+
+    def _resolve(self, raw: dict) -> dict:
+        """Raw (possibly chunked) manifest -> resolved view with
+        inline ``files``/``stats``. Bloom bitsets stay OUT of the
+        resolved dict (``has_blooms`` + sidecar refs instead): they are
+        1 KiB/file/column and only ``_bloom_prune`` needs them."""
+        if "chunks" not in raw:
+            out = dict(raw)
+            if out.get("blooms"):
+                out["has_blooms"] = True
+            return out
+        dead = set(raw.get("dead", []))
+        files: list[str] = []
+        stats: dict[str, dict] = {}
+        sidecars: list[str] = []
+        for cname in raw["chunks"]:
+            chunk = self._load_chunk(cname)
+            files.extend(f for f in chunk["files"] if _rel(f) not in dead)
+            for k, v in chunk.get("stats", {}).items():
+                if k not in dead:
+                    stats[k] = v
+            if chunk.get("bloom_sidecar"):
+                sidecars.append(chunk["bloom_sidecar"])
+        out = {k: v for k, v in raw.items() if k not in ("chunks", "dead")}
+        out["files"] = files
+        if stats:
+            out["stats"] = stats
+        if sidecars:
+            out["has_blooms"] = True
+            out["_bloom_sidecars"] = sidecars
+            out["_dead"] = sorted(dead)
+        return out
+
+    def _manifest(self, version: int) -> dict:
+        return self._resolve(self._raw_manifest(version))
 
     def _base_manifest(self, base: int) -> dict:
         if base == 0:
             return {"files": [], "stats": {}, "batch_markers": {}}
         return self._manifest(base)
 
+    def _write_chunk(self, files: list[str], stats: dict, blooms: dict) -> str:
+        """Publish one immutable metadata chunk (+ bloom sidecar when
+        any of its files carries a bloom). Content-addressed by uuid,
+        so racing committers can never collide; a chunk staged by a
+        commit that loses its CAS race is an orphan `expire` collects."""
+        rels = {_rel(f) for f in files}
+        payload: dict = {
+            "files": sorted(files),
+            "stats": {r: stats[r] for r in rels if r in stats},
+        }
+        cblooms = {r: blooms[r] for r in rels if r in blooms}
+        if cblooms:
+            sidecar = f"bloom-{uuid.uuid4().hex}.json"
+            self.log.write_text(
+                f"{self.root}/_snapshots/{sidecar}", json.dumps(cblooms)
+            )
+            self._bloom_cache[sidecar] = cblooms
+            payload["bloom_sidecar"] = sidecar
+        name = f"chunk-{uuid.uuid4().hex}.json"
+        self.log.write_text(f"{self.root}/_snapshots/{name}", json.dumps(payload))
+        self._chunk_cache[name] = payload
+        return name
+
+    def _serialize(self, desired: dict, prev_raw: dict) -> dict:
+        """Resolved (build output) -> raw chunked manifest. New files
+        (not present in any carried chunk) land in one fresh chunk;
+        files the build dropped become tombstones; everything else is
+        carried by REFERENCE — per-commit metadata IO is O(this
+        commit's files + tombstones)."""
+        raw: dict = {"version": desired["version"]}
+        restore = desired.get("_restore_raw")
+        if restore is not None:
+            # reuse the restored version's metadata tree wholesale —
+            # a restore is an O(1)-metadata commit
+            for k in ("chunks", "dead", "files", "stats", "blooms"):
+                if restore.get(k):
+                    raw[k] = restore[k]
+            for k in ("schema", "dvs", "dv_rows"):
+                if restore.get(k):
+                    raw[k] = restore[k]
+            if desired.get("batch_markers"):
+                raw["batch_markers"] = desired["batch_markers"]
+            return raw
+        for k in ("batch_markers", "schema", "dvs", "dv_rows"):
+            if desired.get(k):
+                raw[k] = desired[k]
+        prev_chunks = list(prev_raw.get("chunks", []))
+        prev_dead = set(prev_raw.get("dead", []))
+        entries: set[str] = set()
+        for cname in prev_chunks:
+            entries.update(_rel(f) for f in self._load_chunk(cname)["files"])
+        desired_files = desired.get("files", [])
+        desired_rels = {_rel(f) for f in desired_files}
+        # a legacy inline prev has no chunks: every carried file counts
+        # as new and migrates into this commit's chunk (one-time cost)
+        new_files = [f for f in desired_files if _rel(f) not in entries]
+        removed = {
+            r for r in entries if r not in prev_dead and r not in desired_rels
+        }
+        dead = (prev_dead - desired_rels) | removed
+        d_stats = desired.get("stats", {})
+        d_blooms = desired.get("blooms", {})
+        chunks = prev_chunks
+        if new_files:
+            chunks = prev_chunks + [
+                self._write_chunk(new_files, d_stats, d_blooms)
+            ]
+        total = len(entries) + len(new_files)
+        if chunks and (
+            len(dead) > max(_MIN_DEAD_FOR_CONSOLIDATION, total // 2)
+            or len(chunks) > _MAX_META_CHUNKS
+        ):
+            # consolidation (Iceberg manifest-merge / Delta checkpoint):
+            # fold all live entries into ONE chunk. Sidecars are loaded
+            # here — the one place carrying blooms forward costs IO —
+            # and the dead list resets. O(live metadata), amortized.
+            blooms = {}
+            for cname in prev_chunks:
+                sc = self._load_chunk(cname).get("bloom_sidecar")
+                if sc:
+                    blooms.update(self._load_sidecar(sc))
+            blooms.update(d_blooms)
+            blooms = {k: v for k, v in blooms.items() if k in desired_rels}
+            chunks = [self._write_chunk(desired_files, d_stats, blooms)]
+            dead = set()
+        raw["chunks"] = chunks
+        if dead:
+            raw["dead"] = sorted(dead)
+        return raw
+
     def _commit(self, build) -> int:
         """Optimistic-concurrency loop: compose the next manifest from
         the freshest current state, publish exclusively, retry on CAS
-        loss. ``build(version, base_manifest) -> manifest dict``."""
+        loss. ``build(version, base_manifest) -> resolved manifest``;
+        serialization to the chunked on-disk form happens here."""
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version()
+            prev_raw = self._raw_manifest(base) if base else {}
             manifest = build(base + 1, self._base_manifest(base))
+            raw = self._serialize(manifest, prev_raw)
             try:
                 self.log.write_text_exclusive(
-                    self._manifest_path(base + 1), json.dumps(manifest)
+                    self._manifest_path(base + 1), json.dumps(raw)
                 )
             except CommitConflict:
                 continue  # lost the race: re-read state, re-compose
@@ -377,16 +570,25 @@ class SnapshotTable:
         }
 
     def _file_stats(self, files: list[str]) -> dict[str, dict]:
-        """Per-file min/max for the configured stats columns, scanning
-        ONLY the newly staged files (column-pruned; one output row per
-        file, so the collect is manifest-sized). Empty files produce
-        no row and are conservatively unpruneable."""
+        """Per-file min/max + NULL COUNT for the configured stats
+        columns, plus the file's row count, scanning ONLY the newly
+        staged files (column-pruned; one output row per file, so the
+        collect is manifest-sized). Empty files produce no row and are
+        conservatively unpruneable.
+
+        Stats entry shape: ``{col: [min, max, null_count], "__rows":
+        n}`` (Iceberg records null/value counts per file for the same
+        reason: min/max alone can't prune IS NULL / IS NOT NULL, and
+        an all-null file is invisible to interval pruning)."""
         if not self.stats_columns or not files:
             return {}
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in self.stats_columns:
             aggs.append(F.min(c).alias(f"{c}__min"))
             aggs.append(F.max(c).alias(f"{c}__max"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
+            )
         rows = (
             self.spark.read.parquet(*files)
             .select(F.input_file_name().alias("file"), *self.stats_columns)
@@ -396,8 +598,15 @@ class SnapshotTable:
         )
         return {
             _rel(r["file"]): {
-                c: [_jsonable(r[f"{c}__min"]), _jsonable(r[f"{c}__max"])]
-                for c in self.stats_columns
+                "__rows": r["__rows"],
+                **{
+                    c: [
+                        _jsonable(r[f"{c}__min"]),
+                        _jsonable(r[f"{c}__max"]),
+                        r[f"{c}__nulls"],
+                    ]
+                    for c in self.stats_columns
+                },
             }
             for r in rows
         }
@@ -453,6 +662,20 @@ class SnapshotTable:
             return None
         return [(r["h1"], r["h2"]) for r in rows]
 
+    def _manifest_blooms(self, manifest: dict) -> dict:
+        """The manifest's per-file blooms — inline for a legacy
+        manifest, lazily loaded from the chunk sidecars otherwise
+        (only the probing path pays the sidecar IO)."""
+        if manifest.get("blooms"):
+            return manifest["blooms"]
+        out: dict = {}
+        for sc in manifest.get("_bloom_sidecars", []):
+            out.update(self._load_sidecar(sc))
+        dead = set(manifest.get("_dead", []))
+        if dead:
+            out = {k: v for k, v in out.items() if k not in dead}
+        return out
+
     def _bloom_prune(
         self, manifest: dict, key: str, candidates: list[str], hashes
     ) -> tuple[list[str], list[str]]:
@@ -461,7 +684,7 @@ class SnapshotTable:
         bloom for ``key`` are kept conservatively."""
         if hashes is None:
             return candidates, []
-        blooms = manifest.get("blooms", {})
+        blooms = self._manifest_blooms(manifest)
         kept, dropped = [], []
         for f in candidates:
             b = blooms.get(_rel(f), {}).get(key)
@@ -480,6 +703,7 @@ class SnapshotTable:
         schema: dict | None = None,
         blooms: dict | None = None,
         dvs: dict | None = None,
+        dv_rows: dict | None = None,
     ) -> dict:
         manifest: dict = {"version": version, "files": sorted(files)}
         if stats:
@@ -492,6 +716,14 @@ class SnapshotTable:
             manifest["blooms"] = blooms
         if dvs:
             manifest["dvs"] = dvs
+            # dv_rows is pruned HERE to the live dvs keys so builds can
+            # pass the previous map through unfiltered — one filter
+            # point instead of one per maintenance path
+            live_counts = {
+                k: v for k, v in (dv_rows or {}).items() if k in dvs
+            }
+            if live_counts:
+                manifest["dv_rows"] = live_counts
         return manifest
 
     # -- deletion vectors (merge-on-read deletes)
@@ -537,10 +769,13 @@ class SnapshotTable:
         (file, row position) via the parquet reader's ``_metadata``
         hidden columns — the merge-on-read half of the DV design. When
         no DV touches these files the raw scan is returned untouched
-        (identical plan to a plain read). The DV side is broadcast: it
-        holds only deleted-row positions accumulated since the file
-        was last rewritten; ``compact`` (or any copy-on-write rewrite)
-        materializes and drops it."""
+        (identical plan to a plain read). The DV side is broadcast
+        while the manifest's per-file DV row counts stay under
+        ``dv_broadcast_max_rows`` (it holds only deleted-row positions
+        accumulated since the file was last rewritten); a wider DV
+        falls back to a shuffled anti-join — broadcasting billions of
+        positions would OOM the executors. ``compact`` (or any
+        copy-on-write rewrite) materializes and drops DVs."""
         base = self._reader_for(manifest).parquet(*files)
         dv = self._dv_rows(manifest, files)
         if dv is None and not keep_pos:
@@ -551,8 +786,23 @@ class SnapshotTable:
             F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1)),
         ).withColumn("__dv_pos", F.col("_metadata.row_index"))
         if dv is not None:
+            counts = manifest.get("dv_rows", {})
+            dvs = manifest.get("dvs", {})
+            # a mapped file with no recorded count is unknown width →
+            # conservatively treated as over the broadcast threshold
+            known = all(
+                _rel(f) in counts for f in files if _rel(f) in dvs
+            )
+            total = sum(counts.get(_rel(f), 0) for f in files)
+            if known and total <= self.dv_broadcast_max_rows:
+                dv = F.broadcast(dv)
+            else:
+                # size-estimation would still auto-broadcast a
+                # compressed position file whose EXPANDED row set is
+                # huge; pin the strategy to a shuffled hash join
+                dv = dv.hint("shuffle_hash")
             tagged = tagged.join(
-                F.broadcast(dv),
+                dv,
                 (tagged["__dv_rel"] == dv["file"])
                 & (tagged["__dv_pos"] == dv["pos"]),
                 "left_anti",
@@ -593,12 +843,20 @@ class SnapshotTable:
             .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
             .select(F.col("__dv_rel").alias("file"), F.col("__dv_pos").alias("pos"))
         )
-        # manifest-sized collect: one row per file that had a match
-        affected_rels = {
-            r["file"] for r in matched.select("file").distinct().collect()
+        # manifest-sized collect: one row per file that had a match,
+        # with its matched-row count — feeds both the dv_rows metadata
+        # and the width guard below
+        matched_counts = {
+            r["file"]: r["n"]
+            for r in matched.groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        if not affected_rels:
+        if not matched_counts:
             return cur
+        if sum(matched_counts.values()) > self.mor_fallback_max_rows:
+            # too wide for merge-on-read: a DV this size would burden
+            # every subsequent read; rewrite the candidates instead
+            return self.delete_where(column, lo, hi)
+        affected_rels = set(matched_counts)
         affected_full = [f for f in candidates if _rel(f) in affected_rels]
         existing = self._dv_rows(manifest, affected_full)
         all_rows = (
@@ -606,6 +864,13 @@ class SnapshotTable:
         )
         dv_dir = self._write_dv(all_rows)
         base_dvs = manifest.get("dvs", {})
+        # consolidated per-file DV width = prior masked + newly matched
+        # (disjoint by construction: the matched scan already excludes
+        # rows the prior DV masks)
+        base_counts = manifest.get("dv_rows", {})
+        new_counts = {
+            r: base_counts.get(r, 0) + matched_counts[r] for r in affected_rels
+        }
 
         def build(version: int, prev: dict) -> dict:
             cands, _ = self._split_by_band(prev, column, lo, hi)
@@ -628,6 +893,7 @@ class SnapshotTable:
                 schema=prev.get("schema"),
                 blooms=prev.get("blooms", {}),
                 dvs={**prev_dvs, **{r: dv_dir for r in affected_rels}},
+                dv_rows={**prev.get("dv_rows", {}), **new_counts},
             )
 
         return self._commit(build)
@@ -688,6 +954,7 @@ class SnapshotTable:
                 schema=self._evolved_schema(prev.get("schema"), df_schema),
                 blooms={**prev.get("blooms", {}), **new_blooms},
                 dvs=prev.get("dvs", {}),
+                dv_rows=prev.get("dv_rows", {}),
             )
 
         return self._commit(build)
@@ -738,6 +1005,7 @@ class SnapshotTable:
         self,
         version: int | None = None,
         where: tuple[str, object, object] | None = None,
+        where_null: tuple[str, bool] | None = None,
     ) -> DataFrame:
         """Read a snapshot (default: current). Time travel = pass an
         older version; the manifest pins the exact file list, so the
@@ -751,6 +1019,12 @@ class SnapshotTable:
         version (manifest stats travel with the snapshot). Files
         without stats (table built before ``stats_columns``, all-null
         or empty files) are kept conservatively.
+
+        ``where_null=(column, True)`` / ``(column, False)`` prunes via
+        the per-file NULL COUNTS (Iceberg-style): files provably
+        without NULLs are skipped for an IS NULL read, all-NULL files
+        for an IS NOT NULL read, and the exact isNull/isNotNull
+        residual is always applied. Composable with ``where``.
         """
         v = self.current_version() if version is None else version
         if v == 0:
@@ -761,23 +1035,43 @@ class SnapshotTable:
         # the file footers: files written before an additive evolution
         # read the added columns as NULL, with no mergeSchema footer
         # sweep; deletion-vector-masked rows are anti-joined out
-        if where is None:
+        if where is None and where_null is None:
             return self._scan_live(manifest, files)
-        column, lo, hi = where
-        stats = manifest.get("stats", {})
-        kept = []
-        for f in files:
-            band = stats.get(_rel(f), {}).get(column)
-            if band is None or band[0] is None or band[1] is None:
-                kept.append(f)  # unproven → must open
-            elif not (band[1] < lo or band[0] > hi):
-                kept.append(f)
+        kept = files
+        residual = F.lit(True)
+        if where is not None:
+            column, lo, hi = where
+            kept, _out = self._split_by_band(manifest, column, lo, hi)
+            residual = residual & F.col(column).between(F.lit(lo), F.lit(hi))
+        if where_null is not None:
+            ncol, want_null = where_null
+            stats = manifest.get("stats", {})
+            survivors = []
+            for f in kept:
+                fstats = stats.get(_rel(f), {})
+                band = fstats.get(ncol)
+                rows = fstats.get("__rows")
+                nulls = (
+                    band[2]
+                    if band is not None and len(band) > 2
+                    else None
+                )
+                if nulls is None or rows is None:
+                    survivors.append(f)  # unproven → must open
+                elif want_null and nulls == 0:
+                    continue  # provably no NULLs here
+                elif (not want_null) and nulls == rows:
+                    continue  # provably all-NULL
+                else:
+                    survivors.append(f)
+            kept = survivors
+            residual = residual & (
+                F.col(ncol).isNull() if want_null else F.col(ncol).isNotNull()
+            )
         if not kept:
             # schema-preserving empty result; no data file opened at scan
             return self._reader_for(manifest).parquet(files[0]).filter(F.lit(False))
-        return self._scan_live(manifest, kept).filter(
-            F.col(column).between(F.lit(lo), F.lit(hi))
-        )
+        return self._scan_live(manifest, kept).filter(residual)
 
     def _reader_for(self, manifest: dict):
         """Reader pinned to the manifest's table schema (when present):
@@ -814,7 +1108,19 @@ class SnapshotTable:
             provably_out = False
             for column, lo, hi in bands:
                 band = fstats.get(column)
-                if band is None or band[0] is None or band[1] is None:
+                if band is None:
+                    continue
+                if band[0] is None or band[1] is None:
+                    # a NULL min/max means every value is NULL; with a
+                    # recorded null count proving it (nulls == rows),
+                    # no band predicate can match this file
+                    if (
+                        len(band) > 2
+                        and band[2] is not None
+                        and band[2] == fstats.get("__rows")
+                    ):
+                        provably_out = True
+                        break
                     continue
                 if band[1] < lo or band[0] > hi:
                     provably_out = True
@@ -897,9 +1203,95 @@ class SnapshotTable:
                 dvs={
                     k: v for k, v in prev.get("dvs", {}).items() if k in keep
                 },
+                dv_rows=prev.get("dv_rows", {}),
             )
 
         return self._commit(build)
+
+    def _plan_merge(self, source: DataFrame, key: str | list[str]):
+        """Shared head of the COW and MOR merge paths: validate the
+        source (non-null, duplicate-free key tuples — one agg job),
+        evolve the schema (additive-only, fails BEFORE staging data),
+        and plan the candidate file set (per-key-column interval
+        rectangle + bloom point-key probes). Returns the current
+        version (int) for an empty source, None for a merge into an
+        empty table (caller appends), else the plan dict."""
+        keys = [key] if isinstance(key, str) else list(key)
+        if not keys:
+            raise ValueError("merge needs at least one key column")
+        cur = self.current_version()
+        aggs = []
+        for i, k in enumerate(keys):
+            aggs.append(F.min(k).alias(f"lo_{i}"))
+            aggs.append(F.max(k).alias(f"hi_{i}"))
+        aggs.append(F.count(F.lit(1)).alias("n"))
+        aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("nd"))
+        null_any = F.lit(False)
+        for k in keys:
+            null_any = null_any | F.col(k).isNull()
+        aggs.append(F.sum(null_any.cast("long")).alias("n_null"))
+        bounds = source.agg(*aggs).first()
+        if bounds["n"] == 0:
+            return cur
+        # NULL merge keys are rejected outright (Delta does the same):
+        # they never match an equality anti-join, so they'd be silently
+        # inserted every run, and count_distinct skips them — making
+        # the duplicate check below meaningless for such rows.
+        if bounds["n_null"]:
+            raise ValueError(
+                f"source has {bounds['n_null']} rows with NULL merge-key "
+                f"values: NULL keys never match and would be re-inserted "
+                f"on every merge — filter them out or use a sentinel"
+            )
+        if bounds["nd"] < bounds["n"]:
+            raise ValueError(
+                f"source has duplicate merge keys ({bounds['n'] - bounds['nd']} "
+                f"extra rows): per-key merge order would be undefined"
+            )
+        if cur == 0:
+            return None
+        bands = [
+            (k, bounds[f"lo_{i}"], bounds[f"hi_{i}"]) for i, k in enumerate(keys)
+        ]
+        manifest = self._manifest(cur)
+        # auto-evolve: additive source columns widen the table schema;
+        # type conflicts raise here, BEFORE any data is staged. A
+        # pre-schema manifest (older table) seeds from its parquet
+        # footers so existing columns can never be silently dropped.
+        prev_schema = manifest.get("schema")
+        if prev_schema is None:
+            prev_schema = (
+                self.spark.read.parquet(*manifest["files"]).schema.jsonValue()
+            )
+        evolved = self._evolved_schema(prev_schema, source.schema.jsonValue())
+        # point-key skipping: when manifests carry blooms for a
+        # single-column key, probe them with the (bounded) source key
+        # hashes — the pruning interval stats cannot do for scattered
+        # CDC keys
+        key_hashes = (
+            self._source_key_hashes(source, keys[0])
+            if manifest.get("has_blooms") and len(keys) == 1
+            else None
+        )
+        candidates, untouched = self._split_by_bands(manifest, bands)
+        candidates, _dropped = self._bloom_prune(
+            manifest, keys[0], candidates, key_hashes
+        )
+        untouched = untouched + _dropped
+        # evolved-width reader: survivors NULL-pad source-added columns,
+        # and the union is by name with source-missing columns padded
+        return {
+            "keys": keys,
+            "cur": cur,
+            "bands": bands,
+            "manifest": manifest,
+            "prev_schema": prev_schema,
+            "evolved": evolved,
+            "key_hashes": key_hashes,
+            "candidates": candidates,
+            "untouched": untouched,
+            "evolved_manifest": {**manifest, "schema": evolved},
+        }
 
     def merge(
         self,
@@ -934,72 +1326,19 @@ class SnapshotTable:
         inserted/updated rows. Survivors are read through the evolved
         schema, so mixed-width unions are exact.
         """
-        keys = [key] if isinstance(key, str) else list(key)
-        if not keys:
-            raise ValueError("merge needs at least one key column")
-        cur = self.current_version()
-        aggs = []
-        for i, k in enumerate(keys):
-            aggs.append(F.min(k).alias(f"lo_{i}"))
-            aggs.append(F.max(k).alias(f"hi_{i}"))
-        aggs.append(F.count(F.lit(1)).alias("n"))
-        aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("nd"))
-        null_any = F.lit(False)
-        for k in keys:
-            null_any = null_any | F.col(k).isNull()
-        aggs.append(F.sum(null_any.cast("long")).alias("n_null"))
-        bounds = source.agg(*aggs).first()
-        if bounds["n"] == 0:
-            return cur
-        # NULL merge keys are rejected outright (Delta does the same):
-        # they never match an equality anti-join, so they'd be silently
-        # inserted every run, and count_distinct skips them — making
-        # the duplicate check below meaningless for such rows.
-        if bounds["n_null"]:
-            raise ValueError(
-                f"source has {bounds['n_null']} rows with NULL merge-key "
-                f"values: NULL keys never match and would be re-inserted "
-                f"on every merge — filter them out or use a sentinel"
-            )
-        if bounds["nd"] < bounds["n"]:
-            raise ValueError(
-                f"source has duplicate merge keys ({bounds['n'] - bounds['nd']} "
-                f"extra rows): per-key merge order would be undefined"
-            )
-        if cur == 0:
+        plan = self._plan_merge(source, key)
+        if isinstance(plan, int):
+            return plan  # empty source: no-op at the current version
+        if plan is None:
             # merge into an empty table: every source row is unmatched
             return self.append(source, _markers=_markers)
-        bands = [
-            (k, bounds[f"lo_{i}"], bounds[f"hi_{i}"]) for i, k in enumerate(keys)
-        ]
-        manifest = self._manifest(cur)
-        # auto-evolve: additive source columns widen the table schema;
-        # type conflicts raise here, BEFORE any data is staged. A
-        # pre-schema manifest (older table) seeds from its parquet
-        # footers so existing columns can never be silently dropped.
-        prev_schema = manifest.get("schema")
-        if prev_schema is None:
-            prev_schema = (
-                self.spark.read.parquet(*manifest["files"]).schema.jsonValue()
-            )
-        evolved = self._evolved_schema(prev_schema, source.schema.jsonValue())
-        # point-key skipping: when manifests carry blooms for a
-        # single-column key, probe them with the (bounded) source key
-        # hashes — the pruning interval stats cannot do for scattered
-        # CDC keys
-        key_hashes = (
-            self._source_key_hashes(source, keys[0])
-            if manifest.get("blooms") and len(keys) == 1
-            else None
-        )
-        candidates, untouched = self._split_by_bands(manifest, bands)
-        candidates, _dropped = self._bloom_prune(
-            manifest, keys[0], candidates, key_hashes
-        )
-        untouched = untouched + _dropped
-        # evolved-width reader: survivors NULL-pad source-added columns,
-        # and the union is by name with source-missing columns padded
-        evolved_manifest = {**manifest, "schema": evolved}
+        keys = plan["keys"]
+        bands = plan["bands"]
+        manifest = plan["manifest"]
+        prev_schema = plan["prev_schema"]
+        key_hashes = plan["key_hashes"]
+        candidates, untouched = plan["candidates"], plan["untouched"]
+        evolved_manifest = plan["evolved_manifest"]
         if candidates:
             key_tuples = source.select(*keys).distinct()
             survivors = self._scan_live(evolved_manifest, candidates).join(
@@ -1057,6 +1396,114 @@ class SnapshotTable:
                 dvs={
                     k: v for k, v in prev.get("dvs", {}).items() if k in keep
                 },
+                dv_rows=prev.get("dv_rows", {}),
+            )
+
+        return self._commit(build)
+
+    def merge_mor(
+        self,
+        source: DataFrame,
+        key: str | list[str],
+        _markers: dict[str, int] | None = None,
+    ) -> int:
+        """Merge-on-read MERGE (upsert): matched target rows are MASKED
+        via deletion vectors and the source rows are APPENDED as new
+        files — no candidate data file is rewritten. Result-equivalent
+        to :meth:`merge` (same matched/unmatched semantics, same
+        duplicate/NULL-key validation, same schema auto-evolution), but
+        the write cost is O(source + matched positions) instead of
+        O(candidate file bytes) — the difference between a
+        metadata-sized commit and rewriting a partition per micro-batch
+        when a streaming upsert lands every few seconds (Delta's DV
+        write path for MERGE). ``compact`` later materializes the
+        accumulated DVs back into clean files.
+
+        Above ``mor_fallback_max_rows`` matched rows the call
+        auto-falls back to the copy-on-write merge: at that width the
+        rewrite is cheaper than dragging a giant DV through every
+        subsequent read."""
+        plan = self._plan_merge(source, key)
+        if isinstance(plan, int):
+            return plan  # empty source: no-op at the current version
+        if plan is None:
+            return self.append(source, _markers=_markers)
+        keys = plan["keys"]
+        manifest = plan["manifest"]
+        candidates = plan["candidates"]
+        matched_counts: dict[str, int] = {}
+        matched = None
+        if candidates:
+            key_tuples = source.select(*keys).distinct()
+            matched = (
+                self._scan_live(plan["evolved_manifest"], candidates, keep_pos=True)
+                .join(F.broadcast(key_tuples), keys, "left_semi")
+                .select(
+                    F.col("__dv_rel").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
+                )
+            )
+            # manifest-sized collect: one row per file that had a match
+            matched_counts = {
+                r["file"]: r["n"]
+                for r in matched.groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        if sum(matched_counts.values()) > self.mor_fallback_max_rows:
+            return self.merge(source, key, _markers=_markers)
+        affected_rels = set(matched_counts)
+        dv_dir = None
+        if affected_rels:
+            affected_full = [f for f in candidates if _rel(f) in affected_rels]
+            existing = self._dv_rows(manifest, affected_full)
+            all_rows = (
+                matched if existing is None else matched.unionByName(existing)
+            )
+            dv_dir = self._write_dv(all_rows)
+        base_dvs = manifest.get("dvs", {})
+        base_counts = manifest.get("dv_rows", {})
+        new_counts = {
+            r: base_counts.get(r, 0) + matched_counts[r] for r in affected_rels
+        }
+        new_files = self._write_data(source)
+        new_stats = self._file_stats(new_files)
+        new_blooms = self._file_blooms(new_files)
+        src_schema = source.schema.jsonValue()
+        prev_schema = plan["prev_schema"]
+        bands = plan["bands"]
+        key_hashes = plan["key_hashes"]
+
+        def build(version: int, prev: dict) -> dict:
+            cands, _untch = self._split_by_bands(prev, bands)
+            cands, _d = self._bloom_prune(prev, keys[0], cands, key_hashes)
+            if set(cands) != set(candidates):
+                raise CommitConflict(
+                    "concurrent commit changed the candidate file set; "
+                    "re-run merge_mor"
+                )
+            prev_dvs = prev.get("dvs", {})
+            if any(prev_dvs.get(r) != base_dvs.get(r) for r in affected_rels):
+                raise CommitConflict(
+                    "concurrent deletion-vector commit on an affected "
+                    "file; re-run merge_mor"
+                )
+            dvs = (
+                prev_dvs
+                if dv_dir is None
+                else {**prev_dvs, **{r: dv_dir for r in affected_rels}}
+            )
+            return self._compose(
+                version,
+                prev["files"] + new_files,
+                {**prev.get("stats", {}), **new_stats},
+                prev.get("batch_markers", {}) | (_markers or {}),
+                schema=self._evolved_schema(
+                    prev.get("schema") or prev_schema, src_schema
+                ),
+                blooms={**prev.get("blooms", {}), **new_blooms},
+                dvs=dvs,
+                dv_rows={**prev.get("dv_rows", {}), **new_counts},
             )
 
         return self._commit(build)
@@ -1188,6 +1635,7 @@ class SnapshotTable:
                 schema=schema,
                 blooms=blooms,
                 dvs=dvs,
+                dv_rows=prev.get("dv_rows", {}),
             )
 
         version = self._commit(build)
@@ -1240,11 +1688,17 @@ class SnapshotTable:
             markers = {writer_id: batch_id}
             if merge_key is not None:
                 # durable streaming UPSERT: each micro-batch merges by
-                # key (copy-on-write, stats-pruned) in one atomic
-                # commit; replay-idempotent via the same marker. The
-                # upstream must emit one row per key per batch (e.g.
+                # key MERGE-ON-READ (mask matched rows via deletion
+                # vectors + append the batch) in one atomic commit —
+                # per-batch write cost is O(batch + matched positions),
+                # not O(candidate file bytes); a copy-on-write merge
+                # here would rewrite every candidate file every few
+                # seconds (r05 verdict #3). Replay-idempotent via the
+                # same marker; run `compact` periodically to fold the
+                # accumulated DVs and small files away. The upstream
+                # must emit one row per key per batch (e.g.
                 # latest-by-timestamp) — merge rejects duplicates.
-                self.merge(batch_df, merge_key, _markers=markers)
+                self.merge_mor(batch_df, merge_key, _markers=markers)
             elif checks:
                 self.wap_commit(batch_df, checks, mode="append", _markers=markers)
             else:
@@ -1344,18 +1798,16 @@ class SnapshotTable:
         a rollback of data must not rewind the replay-dedup clock, or
         the next micro-batch would be swallowed as 'already committed'.
         """
-        target = self._manifest(version)  # raises if expired/absent
+        target_raw = self._raw_manifest(version)  # raises if expired/absent
 
         def build(new_version: int, prev: dict) -> dict:
-            return self._compose(
-                new_version,
-                target["files"],
-                target.get("stats", {}),
-                prev.get("batch_markers", {}),
-                schema=target.get("schema"),
-                blooms=target.get("blooms", {}),
-                dvs=target.get("dvs", {}),
-            )
+            # O(1)-metadata commit: the serializer re-references the
+            # restored version's chunk tree instead of re-listing files
+            return {
+                "version": new_version,
+                "_restore_raw": target_raw,
+                "batch_markers": prev.get("batch_markers", {}),
+            }
 
         return self._commit(build)
 
@@ -1376,21 +1828,38 @@ class SnapshotTable:
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
         referenced: set[str] = set()
         referenced_dv: set[str] = set()
+        referenced_meta: set[str] = set()
         for v in keep_versions:
             # a prior expire(keep_last=small) may have already deleted
             # manifests inside this range; raising here would abort
             # maintenance forever (orphans accumulate) — a missing
             # manifest references nothing, so skip it
             try:
-                m = self._manifest(v)
+                raw = self._raw_manifest(v)
             except FileNotFoundError:
                 continue
+            m = self._resolve(raw)
             referenced.update(m["files"])
             referenced_dv.update(m.get("dvs", {}).values())
+            for cname in raw.get("chunks", []):
+                referenced_meta.add(cname)
+                sc = self._load_chunk(cname).get("bloom_sidecar")
+                if sc:
+                    referenced_meta.add(sc)
         for v in range(1, cur + 1):
             if v not in keep_versions:
                 self.log.delete(self._manifest_path(v))
                 self.log.delete(f"{self.root}/_snapshots/v{v}.audit.json")
+        # metadata chunks / bloom sidecars no retained manifest
+        # references (expired versions' chunks, CAS-race orphans)
+        for name in self.log.list_dir(f"{self.root}/_snapshots"):
+            if (
+                name.startswith(("chunk-", "bloom-"))
+                and name not in referenced_meta
+            ):
+                self.log.delete(f"{self.root}/_snapshots/{name}")
+                self._chunk_cache.pop(name, None)
+                self._bloom_cache.pop(name, None)
         deleted = 0
         data_root = f"{self.root}/data"
         for commit in self.log.list_dir(data_root):

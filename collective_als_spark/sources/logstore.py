@@ -95,6 +95,11 @@ class LocalLogStore:
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
+    def rename(self, src: str, dst: str) -> None:
+        """Move a file or directory; dst must not exist (or be an
+        empty dir for directory moves)."""
+        os.replace(src, dst)
+
 
 class HadoopLogStore:
     """Hadoop-FileSystem store: one impl for every scheme the cluster's

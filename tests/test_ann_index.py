@@ -242,3 +242,77 @@ def test_publish_load_current_retrain_cycle(spark, emb, tmp_path):
     assert old.encoded.count() == 300
     with pytest.raises(FileNotFoundError):
         I.load_current(spark, str(tmp_path / "empty"))
+
+
+def test_compact_codes_fewer_files_same_results(spark, emb, tmp_path):
+    """Repeated add() batches pile small part files into the cell
+    dirs; compact_codes folds them to ~one file per cell with
+    byte-identical search behavior (r05 verdict #7)."""
+    base = emb.orderBy("vec_id").limit(300)
+    idx = IvfPqIndex.build(base, n_cells=8, m=8, n_codes=16, seed=42)
+    path = str(tmp_path / "cc")
+    idx.save(path)
+    rest = emb.orderBy("vec_id").offset(300)
+    for i in range(3):  # three small ingest batches
+        idx.add(rest.filter(F.col("vec_id") % 3 == i))
+    queries = emb.orderBy("vec_id").limit(10)
+    before = _result_set(
+        idx.search(queries, emb, k=5, n_probe=8, rerank_depth=1000)
+    )
+    rows_before = idx.encoded.count()
+    stats = idx.compact_codes()
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 8  # ~one file per cell
+    assert idx.encoded.count() == rows_before
+    after = _result_set(
+        idx.search(queries, emb, k=5, n_probe=8, rerank_depth=1000)
+    )
+    assert after == before
+    # partition pruning still directory-level after the rewrite
+    plan = (
+        idx.encoded.filter(F.col("cell").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    # unpersisted index refuses (the swap is for owned paths)
+    mem = IvfPqIndex.build(base.limit(50), n_cells=2, m=8, n_codes=8, seed=1)
+    with pytest.raises(ValueError, match="persisted"):
+        mem.compact_codes()
+
+
+def test_retrain_if_drifted_publishes_new_version(spark, emb, tmp_path):
+    """The drift signal now CLOSES the loop: under the threshold no
+    work happens; over it a same-shape rebuild is published atomically
+    and load_current serves the retrained index."""
+    root = str(tmp_path / "serving")
+    base = emb.orderBy("vec_id").limit(300)
+    idx = IvfPqIndex.build(base, n_cells=4, m=8, n_codes=8, seed=1)
+    assert idx.publish(root) == 1
+    # in-distribution batch: drift ~1 → no retrain (the add itself
+    # appends into the published version's codes — incremental ingest)
+    calm = idx.add(emb.orderBy("vec_id").offset(300).limit(100))
+    assert idx.retrain_if_drifted(emb, root, calm["drift"]) is None
+    assert IvfPqIndex.load_current(spark, root).encoded.count() == 400
+    # shifted batch: drift over threshold → retrain from the full
+    # current corpus, published as v2
+    shifted = emb.limit(60).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(-7.0) + F.lit(3.5)).alias(
+            "embedding"
+        ),
+    )
+    m = idx.add(shifted)
+    corpus = emb.select("vec_id", "embedding").unionByName(shifted)
+    v = idx.retrain_if_drifted(corpus, root, m["drift"], threshold=1.1)
+    assert v == 2
+    cur = IvfPqIndex.load_current(spark, root)
+    assert cur.encoded.count() == corpus.count()
+    # the retrained codebooks reconstruct the shifted vectors better
+    from collective_als_spark.operators.ann_index import (
+        _mean_relative_residual,
+    )
+    old_res = _mean_relative_residual(shifted, idx.codebooks, "vec_id", "embedding")
+    new_res = _mean_relative_residual(shifted, cur.codebooks, "vec_id", "embedding")
+    assert new_res < old_res

@@ -239,3 +239,134 @@ def test_concurrent_mor_and_cow_conflict_detected(spark, tmp_path):
     before = t.read().count()
     t.expire(keep_last=1)
     assert t.read().count() == before
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read MERGE + DV scale guards (r05 verdict #3/#4)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_mor_equals_cow_merge(spark, tmp_path):
+    """merge_mor is result-equivalent to the copy-on-write merge:
+    matched rows replaced, unmatched inserted — including over an
+    existing deletion vector and with schema auto-evolution."""
+    a = _three_band_table(spark, str(tmp_path / "cow"))
+    b = _three_band_table(spark, str(tmp_path / "mor"))
+    for t in (a, b):
+        t.delete_where_mor("v", 10, 19)  # pre-existing DV participates
+    src = spark.createDataFrame(
+        [(15, "resurrected"), (1005, "updated"), (9999, "inserted")],
+        "v long, tag string",
+    )
+    a.merge(src, "v")
+    b.merge_mor(src, "v")
+    rows = lambda t: sorted(  # noqa: E731
+        (r["v"], r["tag"]) for r in t.read().collect()
+    )
+    assert rows(a) == rows(b)
+    assert (15, "resurrected") in rows(b)  # key matching a DV-masked row inserts
+    assert (1005, "updated") in rows(b)
+    # and a second upsert on the SAME key through merge_mor wins
+    b.merge_mor(spark.createDataFrame([(1005, "updated2")], "v long, tag string"), "v")
+    got = dict(rows(b))
+    assert got[1005] == "updated2"
+    assert a.read().count() == b.read().count() == 292
+
+
+def test_merge_mor_never_rewrites_candidate_files(spark, tmp_path):
+    """The MOR merge commit is append + metadata: every pre-existing
+    data file is still in the manifest, batch after batch."""
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    files_before = set(_manifest(t)["files"])
+    for i in range(3):
+        t.merge_mor(
+            spark.createDataFrame([(1005 + i, i)], "v long, val long"), "v"
+        )
+        m = _manifest(t)
+        assert files_before <= set(m["files"])  # nothing rewritten, ever
+        files_before = set(m["files"])
+    # matched row is masked exactly once per upsert; DV width tracked
+    m = _manifest(t)
+    assert sum(m.get("dv_rows", {}).values()) >= 1
+    # compact materializes DVs and the small appended files away
+    t.compact(target_rows_per_file=1000)
+    m = _manifest(t)
+    assert m.get("dvs", {}) == {}
+    assert t.read().count() == 300  # three in-place updates, no inserts
+
+
+def test_streaming_merge_sink_is_merge_on_read(spark, tmp_path):
+    """The streaming upsert path must not rewrite candidate data files
+    per micro-batch (write amplification at commit frequency)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    sink = t.streaming_sink(str(tmp_path / "ckpt"), merge_key="k")
+    sink(spark.createDataFrame([(1, 10), (2, 20)], "k long, val long"), 0)
+    base_files = set(_manifest(t)["files"])
+    sink(spark.createDataFrame([(2, 99), (3, 30)], "k long, val long"), 1)
+    sink(spark.createDataFrame([(3, 31), (4, 40)], "k long, val long"), 2)
+    m = _manifest(t)
+    assert base_files <= set(m["files"])  # batch 0's files never rewritten
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {
+        1: 10, 2: 99, 3: 31, 4: 40,
+    }
+    # replay still a no-op
+    v = t.current_version()
+    sink(spark.createDataFrame([(4, -4)], "k long, val long"), 2)
+    assert t.current_version() == v
+
+
+def test_wide_mor_delete_falls_back_to_cow(spark, tmp_path):
+    """Past mor_fallback_max_rows matched rows, delete_where_mor
+    rewrites (copy-on-write) instead of building a giant DV."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), stats_columns=["v"],
+        mor_fallback_max_rows=10,
+    )
+    t.append(spark.range(0, 100).select(F.col("id").alias("v")).coalesce(1))
+    v = t.delete_where_mor("v", 0, 49)  # 50 matched > 10 → COW
+    m = _manifest(t)
+    assert "dvs" not in m  # no deletion vector: the file was rewritten
+    assert t.read().count() == 50
+    # narrow delete under the threshold still uses a DV
+    t.delete_where_mor("v", 50, 52)
+    m = _manifest(t)
+    assert len(m.get("dvs", {})) == 1
+    assert m["dv_rows"] == {next(iter(m["dvs"])): 3}
+    assert t.read().count() == 47
+
+
+def test_wide_mor_merge_falls_back_to_cow(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), stats_columns=["v"],
+        mor_fallback_max_rows=5,
+    )
+    t.append(spark.range(0, 100).select(F.col("id").alias("v")).coalesce(1))
+    files_before = set(_manifest(t)["files"])
+    src = spark.range(0, 50).select(F.col("id").alias("v"), F.lit(1).alias("x"))
+    t.merge_mor(src, "v")  # 50 matched > 5 → routed to COW merge
+    m = _manifest(t)
+    assert "dvs" not in m
+    assert not (files_before & set(m["files"]))  # candidate was rewritten
+    assert t.read().count() == 100
+
+
+def test_dv_broadcast_guard_switches_join_strategy(spark, tmp_path):
+    """Under the threshold the DV anti-join is broadcast; over it the
+    plan must NOT broadcast the position list (an executor-OOM at real
+    DV widths)."""
+    small = SnapshotTable(spark, str(tmp_path / "s"), stats_columns=["v"])
+    small.append(spark.range(0, 100).select(F.col("id").alias("v")).coalesce(1))
+    small.delete_where_mor("v", 0, 9)
+    plan_small = small.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+
+    wide = SnapshotTable(
+        spark, str(tmp_path / "w"), stats_columns=["v"],
+        dv_broadcast_max_rows=5, mor_fallback_max_rows=10_000,
+    )
+    wide.append(spark.range(0, 100).select(F.col("id").alias("v")).coalesce(1))
+    wide.delete_where_mor("v", 0, 49)  # 50 positions > 5 → shuffle join
+    df = wide.read()
+    plan_wide = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_wide
+    assert df.count() == 50  # strategy change, identical result

@@ -843,3 +843,167 @@ def test_changes_cdf_between_versions(spark, tmp_path):
     full = t.changes(0)
     assert full.filter(F.col("_change_type") == "insert").count() == t.read().count()
     assert full.filter(F.col("_change_type") == "delete").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# per-file null-count stats (r05 verdict #5)
+# ---------------------------------------------------------------------------
+
+
+def test_null_count_stats_prune_null_reads(spark, tmp_path):
+    """Manifests record per-file null counts; IS NULL / IS NOT NULL
+    reads skip files the counts prove empty of matches, with the exact
+    residual applied — result equals the full-scan filter."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["c"])
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, c long").coalesce(1)
+    )  # no nulls
+    t.append(
+        spark.createDataFrame(
+            [(3, None), (4, None)], "id long, c long"
+        ).coalesce(1)
+    )  # all null
+    t.append(
+        spark.createDataFrame([(5, 50), (6, None)], "id long, c long").coalesce(1)
+    )  # mixed
+    full = t.read()
+    # IS NULL: the no-null file is never opened
+    nulls = t.read(where_null=("c", True))
+    assert sorted(r["id"] for r in nulls.collect()) == sorted(
+        r["id"] for r in full.filter(F.col("c").isNull()).collect()
+    ) == [3, 4, 6]
+    assert len(nulls.inputFiles()) == 2
+    # IS NOT NULL: the all-null file is never opened
+    notnulls = t.read(where_null=("c", False))
+    assert sorted(r["id"] for r in notnulls.collect()) == [1, 2, 5]
+    assert len(notnulls.inputFiles()) == 2
+    # banded read: the all-null file is provably out (min/max are NULL
+    # with nulls == rows) instead of conservatively opened
+    banded = t.read(where=("c", 0, 100))
+    assert len(banded.inputFiles()) == 2
+    assert sorted(r["id"] for r in banded.collect()) == [1, 2, 5]
+    # composition: band + not-null
+    both = t.read(where=("c", 15, 60), where_null=("c", False))
+    assert sorted(r["id"] for r in both.collect()) == [2, 5]
+
+
+def test_merge_rejects_null_keys(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    bad = spark.createDataFrame([(None, 99), (2, 20)], "k long, v long")
+    with pytest.raises(ValueError, match="NULL merge-key"):
+        t.merge(bad, "k")
+    with pytest.raises(ValueError, match="NULL merge-key"):
+        t.merge_mor(bad, "k")
+    # composite key with one NULL component also rejected
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1, 1, 10)], "a long, b long, v long"))
+    with pytest.raises(ValueError, match="NULL merge-key"):
+        t2.merge(
+            spark.createDataFrame([(1, None, 5)], "a long, b long, v long"),
+            ["a", "b"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# segmented manifest metadata: commits are O(delta), not O(table)
+# (r05 verdict #1)
+# ---------------------------------------------------------------------------
+
+
+def test_commit_metadata_is_delta_proportional(spark, tmp_path):
+    """Each commit writes ONE chunk (its own files' stats/blooms) plus
+    a tiny version manifest referencing the chunk list — per-commit
+    metadata bytes stay flat while the table's file count grows."""
+    root = tmp_path / "tbl"
+    t = SnapshotTable(
+        spark, str(root), stats_columns=["v"], bloom_columns=["v"]
+    )
+    snap = root / "_snapshots"
+
+    def new_meta_bytes(before):
+        sizes = {p.name: p.stat().st_size for p in snap.iterdir()}
+        return sum(sz for n, sz in sizes.items() if n not in before), sizes
+
+    seen: dict = {}
+    per_commit = []
+    for i in range(10):
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j,) for j in range(10)], "v long"
+            ).coalesce(1)
+        )
+        nb, seen = new_meta_bytes(seen)
+        per_commit.append(nb)
+    # the 10th commit (10x the files in the table) writes no more
+    # metadata than 2x the 2nd commit — delta-proportional, not
+    # table-proportional (inline manifests grew linearly)
+    assert per_commit[-1] <= 2 * per_commit[1], per_commit
+    raw = t._raw_manifest(t.current_version())
+    assert "files" not in raw and len(raw["chunks"]) == 10
+    # resolution still sees everything, at any time-travel version,
+    # with stats pruning intact
+    assert t.read().count() == 100
+    assert t.read(version=3).count() == 30
+    assert sorted(
+        r["v"] for r in t.read(where=("v", 35, 44)).collect()
+    ) == list(range(35, 45))
+
+
+def test_metadata_consolidation_bounds_chunk_count(spark, tmp_path, monkeypatch):
+    from collective_als_spark.sources import layout as L
+
+    monkeypatch.setattr(L, "_MAX_META_CHUNKS", 4)
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    for i in range(7):
+        t.append(spark.createDataFrame([(i,)], "v long").coalesce(1))
+    raw = t._raw_manifest(t.current_version())
+    assert len(raw["chunks"]) <= L._MAX_META_CHUNKS + 1
+    assert t.read().count() == 7
+    assert sorted(r["v"] for r in t.read().collect()) == list(range(7))
+    # a COW delete tombstones the rewritten file instead of rewriting
+    # carried chunk metadata
+    t.delete_where("v", 2, 2)
+    assert t.read().count() == 6
+    # expire collects chunks/sidecars no retained manifest references
+    n_before = len(list((tmp_path / "t" / "_snapshots").glob("chunk-*")))
+    t.expire(keep_last=1)
+    n_after = len(list((tmp_path / "t" / "_snapshots").glob("chunk-*")))
+    assert n_after < n_before
+    assert t.read().count() == 6
+
+
+def test_legacy_inline_manifest_migrates_on_next_commit(spark, tmp_path):
+    """Pre-segmentation tables (inline files/stats/blooms in v<N>.json)
+    stay readable, and their first new commit migrates the carried
+    metadata into a chunk."""
+    import json as _json
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stats_columns=["v"], bloom_columns=["v"]
+    )
+    t.append(spark.createDataFrame([(1,), (2,)], "v long").coalesce(1))
+    # rewrite v1 in the legacy inline form
+    raw = t._raw_manifest(1)
+    resolved = t._resolve(raw)
+    legacy = {
+        "version": 1,
+        "files": resolved["files"],
+        "stats": resolved.get("stats", {}),
+        "blooms": t._manifest_blooms(resolved),
+        "schema": resolved.get("schema"),
+    }
+    (tmp_path / "t" / "_snapshots" / "v1.json").write_text(_json.dumps(legacy))
+    t2 = SnapshotTable(
+        spark, str(tmp_path / "t"), stats_columns=["v"], bloom_columns=["v"]
+    )  # fresh instance: no stale caches
+    assert sorted(r["v"] for r in t2.read().collect()) == [1, 2]
+    t2.append(spark.createDataFrame([(3,)], "v long").coalesce(1))
+    raw2 = t2._raw_manifest(2)
+    assert "files" not in raw2 and "chunks" in raw2
+    assert sorted(r["v"] for r in t2.read().collect()) == [1, 2, 3]
+    # point-key merge still probes the migrated blooms
+    t2.merge(spark.createDataFrame([(2, "x")], "v long, tag string"), "v")
+    assert {r["v"]: r["tag"] for r in t2.read().collect()} == {
+        1: None, 2: "x", 3: None,
+    }

@@ -220,3 +220,67 @@ def test_reserved_count_column_rejected(spark, tmp_path):
         IncrementalAggView(
             spark, fact, str(tmp_path / "m"), ["k"], {"n_rows": "v"}
         )
+
+
+def test_minmax_partial_recompute_opens_only_dirty_group_files(spark, tmp_path):
+    """Pin the pruning claim (r05 verdict #8): with the fact table
+    clustered on the group key and the key in stats_columns, the
+    MIN/MAX fix scan is a manifest-banded read that opens ONLY the
+    dirty groups' files — not the table."""
+    fact = SnapshotTable(
+        spark, str(tmp_path / "fact"), stats_columns=["k", "v"]
+    )
+    # one file per group: clustered layout the pruning relies on
+    for k in (1, 2, 3):
+        fact.append(
+            spark.createDataFrame(
+                [(k, 10 * k), (k, 20 * k)], "k long, v long"
+            ).coalesce(1)
+        )
+    view = IncrementalAggView(
+        spark,
+        fact,
+        str(tmp_path / "mv"),
+        group_by=["k"],
+        sums={"sum_v": "v"},
+        mins={"min_v": "v"},
+        maxs={"max_v": "v"},
+    )
+    view.refresh()
+    last = view.last_source_version()
+    # delete group 2's maximum (v=40): only k=2 becomes dirty
+    fact.delete_where("v", 40, 40)
+    delta = fact.changes(last, fact.current_version())
+    dirty = (
+        delta.filter(F.col("_change_type") == "delete").select("k").distinct()
+    )
+    scan = view._dirty_fact_scan(fact.current_version(), dirty)
+    opened = [f for f in scan.inputFiles() if "/data/" in f]
+    all_files = [
+        f for f in fact.read().inputFiles() if "/data/" in f
+    ]
+    assert len(all_files) == 3
+    assert len(opened) == 1  # ONLY the dirty group's (rewritten) file
+    assert sorted(r["k"] for r in scan.select("k").distinct().collect()) == [2]
+    # and the refresh lands on the recompute exactly
+    view.refresh()
+    got = sorted(
+        (r["k"], r["sum_v"], r["min_v"], r["max_v"], r["n_rows"])
+        for r in view.read().collect()
+    )
+    want = sorted(
+        (r["k"], r["sum_v"], r["min_v"], r["max_v"], r["n_rows"])
+        for r in view.recompute().collect()
+    )
+    assert got == want
+    assert (2, 20, 20, 20, 1) in got
+    # insert-only window: the dirty scan short-circuits to ZERO files
+    fact.append(spark.createDataFrame([(1, 99)], "k long, v long"))
+    empty_dirty = dirty.filter(F.lit(False))
+    scan2 = view._dirty_fact_scan(fact.current_version(), empty_dirty)
+    assert scan2.count() == 0
+    assert [f for f in scan2.inputFiles() if "/data/" in f] == []
+    view.refresh()
+    assert sorted(
+        (r["k"], r["sum_v"]) for r in view.read().collect()
+    ) == sorted((r["k"], r["sum_v"]) for r in view.recompute().collect())
