@@ -177,3 +177,84 @@ def lake_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "o_orderpriority string, sum_cents bigint, n_rows bigint"
     )
+
+
+@register(
+    "lake_mor_upsert_nullstats",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN o_orderkey % 300 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+               CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seven,
+               CAST(sum(CASE WHEN o_orderkey % 2100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN o_orderkey % 300 = 0
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents_upd_before,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_all
+        FROM orders
+    )
+    SELECT 'n_total_after_upsert' AS step, n_total AS value FROM c
+    UNION ALL SELECT 'n_band_null', n_seven - n_both FROM c
+    UNION ALL SELECT 'n_band_notnull', n_total - (n_seven - n_both) FROM c
+    UNION ALL SELECT 'tt_v1_band_null', n_seven FROM c
+    UNION ALL SELECT 'cents_total', cents_all - cents_upd_before + 777 * n_upd FROM c
+    """,
+)
+def lake_mor_upsert_nullstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 lake surface end-to-end under the oracle: a
+    MERGE-ON-READ upsert (`merge_mor`: matched rows masked via
+    deletion vectors, source appended — no candidate file rewritten)
+    plus NULL-COUNT data skipping (`read(where_null=...)` prunes
+    IS NULL / IS NOT NULL scans from the per-file null counts the
+    manifests now record).
+
+    The scratch table holds every order with a nullable `band`
+    (NULL when o_orderkey % 7 = 0). The upsert replaces every
+    orderkey divisible by 300 with a (band=5, cents=777) row. The
+    oracle derives algebraically from ``orders`` what the protocol
+    must then measure: total count invariant under upsert, the NULL
+    band census after the upsert un-NULLs the %2100 overlap, the
+    pre-upsert census via time travel (DV masking must NOT leak into
+    v1), and the value-level cents total (catches a mask that drops
+    the wrong positions or an append that duplicates).
+
+    At 100 TB the point of this path: the upsert commit writes the
+    batch + matched positions + metadata — candidate data files are
+    untouched, so commit cost tracks the batch, not the table."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderkey") % 7
+        ).cast("long").alias("band"),
+        cents.alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_mor_")
+    try:
+        t = SnapshotTable(
+            spark,
+            f"{root}/tbl",
+            stats_columns=["k", "band"],
+            bloom_columns=["k"],
+        )
+        t.append(rows)
+        upserts = rows.filter(F.col("k") % 300 == 0).select(
+            "k", F.lit(5).cast("long").alias("band"),
+            F.lit(777).cast("bigint").alias("cents"),
+        )
+        t.merge_mor(upserts, "k")
+        out = [
+            ("n_total_after_upsert", t.read().count()),
+            ("n_band_null", t.read(where_null=("band", True)).count()),
+            ("n_band_notnull", t.read(where_null=("band", False)).count()),
+            ("tt_v1_band_null", t.read(version=1, where_null=("band", True)).count()),
+            (
+                "cents_total",
+                t.read().agg(F.sum("cents")).first()[0],
+            ),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
