@@ -156,6 +156,18 @@ def pruned_read(
 _MANIFEST_RE = re.compile(r"v(\d+)\.json")
 _MAX_COMMIT_RETRIES = 20
 
+# On Iceberg-style partition TRANSFORMS (day/month/bucket/truncate —
+# considered for r06 and deliberately not added): transforms exist
+# there because partition VALUES are materialized into the metadata
+# tree. For pure stats-range pruning, raw per-file min/max on the
+# source column is strictly FINER than min/max of any monotonic
+# transform of it (day(ts) coarsens ts), so range predicates lose
+# nothing without transforms; and the one case raw ranges can't serve —
+# bucket(id) point lookups over scattered keys — is covered more
+# precisely by the per-file bloom sidecars. What transforms would buy
+# is ingest-time clustering ergonomics, which `append_clustered` /
+# `compact(cluster_by=...)` provide directly.
+
 # manifest-chunk consolidation thresholds (r05 verdict #1): the
 # version manifest is O(chunks + dead + DVs), not O(table files); a
 # consolidation pass (Iceberg's manifest-merge / Delta's checkpoint)
@@ -540,6 +552,28 @@ class SnapshotTable:
             for name in self.log.list_dir(commit_dir)
             if name.endswith(".parquet")
         ]
+
+    def _stage(self, df: DataFrame) -> tuple[list[str], dict, dict]:
+        """Stage a commit's data files and compute their metadata.
+        ZERO-ROW part files (a sparse upstream partitioning can emit
+        them) are deleted and dropped from the manifest when the stats
+        prove them empty: they carry no data, can never be pruned
+        (no stats entry → conservative candidate forever), and a
+        planned merge/delete would spuriously CommitConflict when a
+        concurrent writer introduces one. If every file is empty (an
+        empty batch) one file is kept so the commit stays
+        schema-carrying."""
+        files = self._write_data(df)
+        stats = self._file_stats(files)
+        if self.stats_columns and stats:
+            nonempty = [f for f in files if _rel(f) in stats]
+            if nonempty:
+                for f in files:
+                    if _rel(f) not in stats:
+                        self.log.delete(f)
+                files = nonempty
+        blooms = self._file_blooms(files)
+        return files, stats, blooms
 
     @staticmethod
     def _evolved_schema(prev_schema: dict | None, new_schema: dict) -> dict:
@@ -936,9 +970,7 @@ class SnapshotTable:
         self._evolved_schema(
             self._base_manifest(cur).get("schema") if cur else None, df_schema
         )
-        new_files = self._write_data(df)
-        new_stats = self._file_stats(new_files)
-        new_blooms = self._file_blooms(new_files)
+        new_files, new_stats, new_blooms = self._stage(df)
 
         def build(version: int, prev: dict) -> dict:
             live_stats = {
@@ -975,9 +1007,7 @@ class SnapshotTable:
         read-state-was-fresh check a read-modify-write maintainer
         (the view's refresh) needs to lose a race cleanly instead of
         double-applying its delta."""
-        new_files = self._write_data(df)
-        new_stats = self._file_stats(new_files)
-        new_blooms = self._file_blooms(new_files)
+        new_files, new_stats, new_blooms = self._stage(df)
         df_schema = df.schema.jsonValue()
 
         def build(version: int, prev: dict) -> dict:
@@ -1153,9 +1183,7 @@ class SnapshotTable:
         survivors = self._scan_live(manifest, candidates).filter(
             ~F.col(column).between(F.lit(lo), F.lit(hi))
         )
-        new_files = self._write_data(survivors)
-        new_stats = self._file_stats(new_files)
-        new_blooms = self._file_blooms(new_files)
+        new_files, new_stats, new_blooms = self._stage(survivors)
 
         base_dvs = manifest.get("dvs", {})
 
@@ -1347,9 +1375,7 @@ class SnapshotTable:
             rewritten = survivors.unionByName(source, allowMissingColumns=True)
         else:
             rewritten = source
-        new_files = self._write_data(rewritten)
-        new_stats = self._file_stats(new_files)
-        new_blooms = self._file_blooms(new_files)
+        new_files, new_stats, new_blooms = self._stage(rewritten)
 
         base_dvs = manifest.get("dvs", {})
 
@@ -1466,9 +1492,7 @@ class SnapshotTable:
         new_counts = {
             r: base_counts.get(r, 0) + matched_counts[r] for r in affected_rels
         }
-        new_files = self._write_data(source)
-        new_stats = self._file_stats(new_files)
-        new_blooms = self._file_blooms(new_files)
+        new_files, new_stats, new_blooms = self._stage(source)
         src_schema = source.schema.jsonValue()
         prev_schema = plan["prev_schema"]
         bands = plan["bands"]
@@ -1553,9 +1577,7 @@ class SnapshotTable:
             ).sortWithinPartitions(*cols)
         else:
             rewritten = cur.repartition(n_files)
-        new_files = self._write_data(rewritten)
-        new_stats = self._file_stats(new_files)
-        new_blooms = self._file_blooms(new_files)
+        new_files, new_stats, new_blooms = self._stage(rewritten)
 
         def build(version: int, prev: dict) -> dict:
             if set(prev["files"]) != set(base["files"]) or prev.get(
@@ -1601,7 +1623,7 @@ class SnapshotTable:
 
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown mode {mode!r}")
-        files = self._write_data(df)
+        files, new_stats, new_blooms = self._stage(df)
         audit_rows = [
             r.asDict() for r in run_checks(self.spark.read.parquet(*files), checks).collect()
         ]
@@ -1612,8 +1634,6 @@ class SnapshotTable:
                 f"{self.current_version()}: "
                 + ", ".join(f"{r['check']} (metric={r['metric']})" for r in failed)
             )
-        new_stats = self._file_stats(files)
-        new_blooms = self._file_blooms(files)
         df_schema = df.schema.jsonValue()
 
         def build(version: int, prev: dict) -> dict:

@@ -370,3 +370,41 @@ def test_dv_broadcast_guard_switches_join_strategy(spark, tmp_path):
     plan_wide = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan_wide
     assert df.count() == 50  # strategy change, identical result
+
+
+def test_concurrent_disjoint_mor_merges_both_commit(spark, tmp_path):
+    """Two racing merge_mor upserts over DISJOINT key bands: the CAS
+    loser re-plans against the fresh manifest (its candidate files and
+    their DV pointers untouched by the winner) and commits — both
+    upserts land, no lost update, files strictly append-only."""
+    import threading
+
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    files_before = set(_manifest(t)["files"])
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def merger(key):
+        try:
+            barrier.wait()
+            t.merge_mor(
+                spark.createDataFrame([(key, "upd")], "v long, tag string"),
+                "v",
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=merger, args=(k,)) for k in (50, 2050)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.current_version() == 5
+    got = {r["v"]: r["tag"] for r in t.read().collect()}
+    assert len(got) == 300  # both were updates: count invariant
+    assert got[50] == "upd" and got[2050] == "upd"
+    assert got[51] is None
+    assert files_before <= set(_manifest(t)["files"])  # append-only
