@@ -656,8 +656,8 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
         SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM documents
     ),
-    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
     agg AS (
         SELECT t.doc_id,
                count(*) AS n_shingles,
@@ -1506,4 +1506,64 @@ def ann_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfadc_topk(
         emb, k=5, n_cells=16, n_probe=6, m=8, n_codes=16, rerank_depth=50,
         n_queries=100,
+    )
+
+
+# ------------------------------------------------------ decontamination
+@register(
+    "benchmark_decontamination",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+              FROM tok WHERE len(t) >= 8)
+    ),
+    bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0)
+    SELECT train.doc_id, CAST(count(DISTINCT train.g) AS BIGINT) AS n_hit_grams
+    FROM train JOIN bench USING (g)
+    GROUP BY train.doc_id
+    ORDER BY doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination against a benchmark/eval set — the
+    GPT-3/PaLM-style gate: a TRAINING document is contaminated if it
+    shares any 8-token n-gram with a benchmark document (here the
+    deterministic ``doc_id % 10 == 0`` slice stands in for the eval
+    set). Returns each contaminated train doc with its count of
+    distinct offending benchmark grams, so the pipeline can drop or
+    redact by severity.
+
+    Scale shape (the reason this form survives 100 TB): benchmark
+    suites are tiny relative to the corpus — their distinct 8-gram set
+    BROADCASTS, so the train side is one map-only gram explode + a
+    broadcast semi-equi-join + a per-doc count; zero corpus-sized
+    shuffles (only the contaminated-doc aggregate, bounded by hit
+    count). An 8-gram is the published contamination granularity
+    (GPT-3 used 13-grams; smaller n = stricter), and exact string
+    grams (not hashes) keep the DuckDB oracle bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 8 THEN transform(sequence(0, size(t) - 8), "
+                "i -> array_join(slice(t, i + 1, 8), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hit_grams"))
+        .orderBy("doc_id")
     )

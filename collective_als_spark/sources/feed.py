@@ -84,14 +84,19 @@ class ChangeFeedReader:
                 f"known position"
             ) from e
 
-    def poll(self) -> tuple[DataFrame, int] | None:
+    def poll(self, per_commit: bool = False) -> tuple[DataFrame, int] | None:
         """(changes, to_version) since the committed position, or None
         when the consumer is caught up. The changes frame is the net
         row-level delta with ``_change_type`` (insert/delete) — an
         upsert arrives as its delete+insert pair; deletion-vector
         deletes surface as deletes. Process it, land the output, then
         ``commit(to_version)``; crash before commit -> the identical
-        delta is returned again."""
+        delta is returned again.
+
+        ``per_commit=True`` returns the per-commit form instead
+        (``changes_by_version``): every change carries its
+        ``_commit_version``, and intra-window churn is NOT netted —
+        for consumers that replay commit-by-commit."""
         frm = self.position()
         to = self.table.current_version()
         if to <= frm:
@@ -104,7 +109,12 @@ class ChangeFeedReader:
                 f"changes since then are unrecoverable — re-seed the "
                 f"consumer from a full snapshot read"
             )
-        return self.table.changes(frm, to), to
+        ch = (
+            self.table.changes_by_version(frm, to)
+            if per_commit
+            else self.table.changes(frm, to)
+        )
+        return ch, to
 
     def commit(self, version: int) -> None:
         """Durably advance the cursor. Monotonic: rewinding would

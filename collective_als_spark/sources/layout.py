@@ -456,7 +456,17 @@ class SnapshotTable:
         files the build dropped become tombstones; everything else is
         carried by REFERENCE — per-commit metadata IO is O(this
         commit's files + tombstones)."""
-        raw: dict = {"version": desired["version"]}
+        import time as _time
+
+        # wall-clock commit timestamp (Delta writes one per log entry):
+        # powers DESCRIBE HISTORY and TIME-BASED retention (`expire
+        # (older_than=...)`). Stamped at serialization so a CAS retry
+        # refreshes it; informational only — never part of any oracle
+        # hash or data path.
+        raw: dict = {
+            "version": desired["version"],
+            "committed_at": round(_time.time(), 3),
+        }
         restore = desired.get("_restore_raw")
         if restore is not None:
             # reuse the restored version's metadata tree wholesale —
@@ -1782,6 +1792,36 @@ class SnapshotTable:
             "_change_type", F.lit("insert")
         ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
 
+    def changes_by_version(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Per-commit change feed: like :meth:`changes`, but each
+        row-level change carries the ``_commit_version`` that produced
+        it (Delta CDF's ``_commit_version`` column) instead of being
+        netted across the whole window. Consumers that must replay
+        commit-by-commit (audit trails, ordered downstream MERGEs,
+        exactly-once per-commit markers) need the attribution; bulk
+        folds (the incremental matview) prefer the netted form — a row
+        inserted and deleted inside the window appears here TWICE
+        (insert@vi, delete@vj) but not at all in ``changes``.
+
+        Cost is the sum of the per-commit diffs: each step opens only
+        the files added/removed/DV-remapped by that one commit, so the
+        whole frame stays delta-proportional; the union is lazy (one
+        Spark job when consumed, no per-version collect)."""
+        v_to = self.current_version() if to_version is None else to_version
+        if v_to <= from_version:
+            raise ValueError(
+                f"empty window: from v{from_version} to v{v_to}"
+            )
+        out = None
+        for v in range(from_version + 1, v_to + 1):
+            step = self.changes(v - 1, v).withColumn(
+                "_commit_version", F.lit(v)
+            )
+            out = step if out is None else out.unionByName(step)
+        return out
+
     def history(self) -> DataFrame:
         """Commit log as a DataFrame (Delta's DESCRIBE HISTORY):
         one row per retained version — file count, schema width,
@@ -1801,11 +1841,13 @@ class SnapshotTable:
                     len(m.get("schema", {}).get("fields", [])) or None,
                     json.dumps(m.get("batch_markers", {})) if m.get("batch_markers") else None,
                     self.log.exists(f"{self.root}/_snapshots/v{v}.audit.json"),
+                    float(m["committed_at"]) if m.get("committed_at") else None,
                 )
             )
         return self.spark.createDataFrame(
             rows,
-            "version int, n_files int, n_columns int, batch_markers string, audited boolean",
+            "version int, n_files int, n_columns int, batch_markers string, "
+            "audited boolean, committed_at double",
         )
 
     def restore(self, version: int) -> int:
@@ -1831,14 +1873,26 @@ class SnapshotTable:
 
         return self._commit(build)
 
-    def expire(self, keep_last: int = 1) -> int:
+    def expire(self, keep_last: int = 1, older_than: float | None = None) -> int:
         """Drop manifests older than the last ``keep_last`` versions
         and delete data files no retained manifest references (orphans
         from crashed commits included). Returns files deleted.
 
+        ``older_than`` (seconds) adds Delta-style TIME-BASED retention:
+        versions whose commit timestamp is within the window are kept
+        EVEN IF beyond ``keep_last`` — so ``expire(keep_last=1,
+        older_than=7*86400)`` keeps a week of time travel while
+        bounding history. A version with no timestamp (pre-r06
+        manifest) is kept conservatively (can't prove it old). The
+        retention window must out-last the slowest change-feed
+        consumer's lag (``ChangeFeedReader`` raises ``FeedLagError``
+        past it).
+
         Deletion order is manifest-first so a crash mid-expire never
         leaves a live manifest pointing at deleted files.
         """
+        import time as _time
+
         if keep_last < 1:
             raise ValueError(
                 f"keep_last must be >= 1 (got {keep_last}): the current "
@@ -1846,6 +1900,17 @@ class SnapshotTable:
             )
         cur = self.current_version()
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
+        if older_than is not None:
+            cutoff = _time.time() - older_than
+            for v in range(1, cur + 1):
+                if v in keep_versions:
+                    continue
+                try:
+                    ts = self._raw_manifest(v).get("committed_at")
+                except FileNotFoundError:
+                    continue
+                if ts is None or ts >= cutoff:
+                    keep_versions.add(v)
         referenced: set[str] = set()
         referenced_dv: set[str] = set()
         referenced_meta: set[str] = set()

@@ -124,3 +124,59 @@ def test_compact_clustered_restores_pruning(spark, tmp_path):
     t.compact(target_rows_per_file=250, cluster_by=["v"])
     assert "dvs" not in t._manifest(t.current_version())
     assert t.read().count() == 990
+
+
+def test_changes_by_version_attributes_each_commit(spark, tmp_path):
+    """Per-commit CDC: every change carries _commit_version; churn
+    inside the window is NOT netted (insert@v2 + delete@v3 both
+    surface), while the netted form drops it."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    t.append(spark.createDataFrame([(1,), (2,)], "v long"))   # v1
+    t.append(spark.createDataFrame([(3,)], "v long"))          # v2
+    t.delete_where_mor("v", 3, 3)                              # v3
+    ch = t.changes_by_version(0).collect()
+    got = sorted((r["v"], r["_change_type"], r["_commit_version"]) for r in ch)
+    assert got == [
+        (1, "insert", 1),
+        (2, "insert", 1),
+        (3, "delete", 3),
+        (3, "insert", 2),
+    ]
+    # the netted window hides the intra-window churn entirely
+    assert sorted(r["v"] for r in t.changes(0).collect()) == [1, 2]
+    with pytest.raises(ValueError, match="empty window"):
+        t.changes_by_version(3, 3)
+    # reader passthrough
+    r = ChangeFeedReader(t, str(tmp_path / "cursor.json"))
+    pc, to = r.poll(per_commit=True)
+    assert to == 3 and pc.count() == 4
+    assert "_commit_version" in pc.columns
+
+
+def test_time_based_retention(spark, tmp_path):
+    """expire(older_than=...) keeps versions inside the time window
+    even beyond keep_last; aging a manifest's commit timestamp makes
+    it expirable."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], "v long"))
+    hist = {r["version"]: r["committed_at"] for r in t.history().collect()}
+    assert all(ts is not None for ts in hist.values())
+    # everything is fresh: nothing but orphans may go
+    t.expire(keep_last=1, older_than=3600)
+    for v in range(1, 5):
+        assert t.read(version=v).count() == v  # all still readable
+    # age v1/v2 artificially (manifests are plain files)
+    for v in (1, 2):
+        p = tmp_path / "tbl" / "_snapshots" / f"v{v}.json"
+        raw = _json.loads(p.read_text())
+        raw["committed_at"] = raw["committed_at"] - 7200
+        p.write_text(_json.dumps(raw))
+    t.expire(keep_last=1, older_than=3600)
+    for v in (1, 2):
+        with pytest.raises(FileNotFoundError):
+            t._manifest(v)
+    assert t.read(version=3).count() == 3  # in-window survivor
+    assert t.read().count() == 4

@@ -78,3 +78,47 @@ def test_streaming_checkpoint_restart_resumes_state(spark, sf_small, tmp_path):
     # re-emission must still equal the true totals
     got_idem = run("restart_run3")
     assert got_idem in (set(), want_all)
+
+
+def test_streaming_upserts_feed_incremental_view_end_to_end(spark, tmp_path):
+    """The round-6 composition: a micro-batch upsert stream lands via
+    merge-on-read deletion vectors (no candidate rewrite per batch),
+    and an incremental materialized view follows the change feed —
+    after every batch the view equals the defining query recomputed
+    from scratch, and replayed batches change nothing."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.matview import IncrementalAggView
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    sink = t.streaming_sink(str(tmp_path / "ckpt"), merge_key="k")
+    view = IncrementalAggView(
+        spark, t, str(tmp_path / "mv"), group_by=["grp"],
+        sums={"total": "val"},
+    )
+    batches = [
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        [(2, "a", 25), (4, "b", 40)],   # upsert k=2
+        [(1, "b", 11), (5, "a", 50)],   # re-group k=1
+    ]
+    files_after_first = None
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, "k long, grp string, val long"), i)
+        view.refresh()
+        got = sorted(
+            (r["grp"], r["total"], r["n_rows"]) for r in view.read().collect()
+        )
+        want = sorted(
+            (r["grp"], r["total"], r["n_rows"])
+            for r in view.recompute().collect()
+        )
+        assert got == want, f"batch {i}: {got} != {want}"
+        if i == 0:
+            files_after_first = set(t._manifest(t.current_version())["files"])
+    # merge-on-read: batch 0's files never rewritten by later upserts
+    assert files_after_first <= set(t._manifest(t.current_version())["files"])
+    assert got == [("a", 75, 2), ("b", 81, 3)]
+    # replay of the last batch: no table commit, refresh is a no-op
+    v_t, v_mv = t.current_version(), view.table.current_version()
+    sink(spark.createDataFrame([(9, "z", 9)], "k long, grp string, val long"), 2)
+    view.refresh()
+    assert (t.current_version(), view.table.current_version()) == (v_t, v_mv)
