@@ -656,8 +656,8 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
         SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM documents
     ),
-    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
-    train AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
     agg AS (
         SELECT t.doc_id,
                count(*) AS n_shingles,

@@ -109,12 +109,24 @@ class ChangeFeedReader:
                 f"changes since then are unrecoverable — re-seed the "
                 f"consumer from a full snapshot read"
             )
-        ch = (
-            self.table.changes_by_version(frm, to)
-            if per_commit
-            else self.table.changes(frm, to)
-        )
-        return ch, to
+        if per_commit:
+            # the per-commit form opens EVERY manifest in the window
+            # (the netted form only needs the endpoints) — a missing
+            # intermediate means the attribution is unrecoverable, so
+            # fail with the same clear lag error, not FileNotFoundError
+            missing = [
+                v
+                for v in range(max(frm, 1), to + 1)
+                if not self.table.log.exists(self.table._manifest_path(v))
+            ]
+            if missing:
+                raise FeedLagError(
+                    f"per-commit replay needs manifest v{missing[0]} "
+                    f"which was expired from {self.table.root}; use the "
+                    f"netted poll() or re-seed from a snapshot read"
+                )
+            return self.table.changes_by_version(frm, to), to
+        return self.table.changes(frm, to), to
 
     def commit(self, version: int) -> None:
         """Durably advance the cursor. Monotonic: rewinding would

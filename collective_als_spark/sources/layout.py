@@ -499,20 +499,18 @@ class SnapshotTable:
         dead = (prev_dead - desired_rels) | removed
         d_stats = desired.get("stats", {})
         d_blooms = desired.get("blooms", {})
-        chunks = prev_chunks
-        if new_files:
-            chunks = prev_chunks + [
-                self._write_chunk(new_files, d_stats, d_blooms)
-            ]
         total = len(entries) + len(new_files)
-        if chunks and (
+        n_chunks = len(prev_chunks) + (1 if new_files else 0)
+        if n_chunks and (
             len(dead) > max(_MIN_DEAD_FOR_CONSOLIDATION, total // 2)
-            or len(chunks) > _MAX_META_CHUNKS
+            or n_chunks > _MAX_META_CHUNKS
         ):
             # consolidation (Iceberg manifest-merge / Delta checkpoint):
-            # fold all live entries into ONE chunk. Sidecars are loaded
-            # here — the one place carrying blooms forward costs IO —
-            # and the dead list resets. O(live metadata), amortized.
+            # fold all live entries into ONE chunk — decided BEFORE
+            # writing this commit's own chunk, which would otherwise be
+            # orphaned in the same breath. Sidecars are loaded here —
+            # the one place carrying blooms forward costs IO — and the
+            # dead list resets. O(live metadata), amortized.
             blooms = {}
             for cname in prev_chunks:
                 sc = self._load_chunk(cname).get("bloom_sidecar")
@@ -522,6 +520,12 @@ class SnapshotTable:
             blooms = {k: v for k, v in blooms.items() if k in desired_rels}
             chunks = [self._write_chunk(desired_files, d_stats, blooms)]
             dead = set()
+        elif new_files:
+            chunks = prev_chunks + [
+                self._write_chunk(new_files, d_stats, d_blooms)
+            ]
+        else:
+            chunks = prev_chunks
         raw["chunks"] = chunks
         if dead:
             raw["dead"] = sorted(dead)
@@ -612,6 +616,20 @@ class SnapshotTable:
             "fields": prev_schema["fields"]
             + [f for f in new_schema["fields"] if f["name"] not in known],
         }
+
+    def _conform_to_schema(self, df: DataFrame, schema_json: dict) -> DataFrame:
+        """NULL-pad and reorder ``df`` to the table's (evolved) schema
+        — staged merge files must carry every table column, or the
+        stats/bloom pass (which selects the configured columns by
+        name) would fail on a source missing one of them."""
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(schema_json)
+        out = df
+        for f in st.fields:
+            if f.name not in df.columns:
+                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return out.select(*[f.name for f in st.fields])
 
     def _file_stats(self, files: list[str]) -> dict[str, dict]:
         """Per-file min/max + NULL COUNT for the configured stats
@@ -882,10 +900,14 @@ class SnapshotTable:
         candidates, _untouched = self._split_by_band(manifest, column, lo, hi)
         if not candidates:
             return cur
+        # materialize the positions ONCE: the counts collect below and
+        # the DV write would otherwise each re-run the candidate scan
+        # (the dominant read cost of the commit). O(matched positions).
         matched = (
             self._scan_live(manifest, candidates, keep_pos=True)
             .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
             .select(F.col("__dv_rel").alias("file"), F.col("__dv_pos").alias("pos"))
+            .localCheckpoint(eager=True)
         )
         # manifest-sized collect: one row per file that had a match,
         # with its matched-row count — feeds both the dv_rows metadata
@@ -912,8 +934,14 @@ class SnapshotTable:
         # (disjoint by construction: the matched scan already excludes
         # rows the prior DV masks)
         base_counts = manifest.get("dv_rows", {})
+        # a rel with a prior DV but NO recorded width (pre-r06 manifest)
+        # stays width-unknown: fabricating `matched` as the total would
+        # let _scan_live broadcast a consolidated DV holding the old
+        # (uncounted) positions too — the exact OOM the guard prevents
         new_counts = {
-            r: base_counts.get(r, 0) + matched_counts[r] for r in affected_rels
+            r: base_counts.get(r, 0) + matched_counts[r]
+            for r in affected_rels
+            if r not in base_dvs or r in base_counts
         }
 
         def build(version: int, prev: dict) -> dict:
@@ -1142,6 +1170,11 @@ class SnapshotTable:
         columns to land in the file). Files without stats for a column
         are conservatively unprovable on that column."""
         stats = manifest.get("stats", {})
+        # compare in the manifest's JSON value space: stored stats went
+        # through _jsonable (dates/timestamps -> ISO strings, order
+        # preserved), so the probe bounds must too — a raw
+        # datetime.date vs a stored ISO string would TypeError
+        bands = [(c, _jsonable(lo), _jsonable(hi)) for c, lo, hi in bands]
         candidates, untouched = [], []
         for f in manifest["files"]:
             fstats = stats.get(_rel(f), {})
@@ -1384,7 +1417,7 @@ class SnapshotTable:
             )
             rewritten = survivors.unionByName(source, allowMissingColumns=True)
         else:
-            rewritten = source
+            rewritten = self._conform_to_schema(source, plan["evolved"])
         new_files, new_stats, new_blooms = self._stage(rewritten)
 
         base_dvs = manifest.get("dvs", {})
@@ -1471,6 +1504,9 @@ class SnapshotTable:
         matched = None
         if candidates:
             key_tuples = source.select(*keys).distinct()
+            # materialized once: the counts collect and the DV write
+            # both consume it — without this the pruned candidate scan
+            # + semi join runs twice per (micro-batch) commit
             matched = (
                 self._scan_live(plan["evolved_manifest"], candidates, keep_pos=True)
                 .join(F.broadcast(key_tuples), keys, "left_semi")
@@ -1478,6 +1514,7 @@ class SnapshotTable:
                     F.col("__dv_rel").alias("file"),
                     F.col("__dv_pos").alias("pos"),
                 )
+                .localCheckpoint(eager=True)
             )
             # manifest-sized collect: one row per file that had a match
             matched_counts = {
@@ -1499,10 +1536,18 @@ class SnapshotTable:
             dv_dir = self._write_dv(all_rows)
         base_dvs = manifest.get("dvs", {})
         base_counts = manifest.get("dv_rows", {})
+        # a rel with a prior DV but NO recorded width (pre-r06 manifest)
+        # stays width-unknown: fabricating `matched` as the total would
+        # let _scan_live broadcast a consolidated DV holding the old
+        # (uncounted) positions too — the exact OOM the guard prevents
         new_counts = {
-            r: base_counts.get(r, 0) + matched_counts[r] for r in affected_rels
+            r: base_counts.get(r, 0) + matched_counts[r]
+            for r in affected_rels
+            if r not in base_dvs or r in base_counts
         }
-        new_files, new_stats, new_blooms = self._stage(source)
+        new_files, new_stats, new_blooms = self._stage(
+            self._conform_to_schema(source, plan["evolved"])
+        )
         src_schema = source.schema.jsonValue()
         prev_schema = plan["prev_schema"]
         bands = plan["bands"]
@@ -1873,7 +1918,12 @@ class SnapshotTable:
 
         return self._commit(build)
 
-    def expire(self, keep_last: int = 1, older_than: float | None = None) -> int:
+    def expire(
+        self,
+        keep_last: int = 1,
+        older_than: float | None = None,
+        orphan_grace_seconds: float = 900,
+    ) -> int:
         """Drop manifests older than the last ``keep_last`` versions
         and delete data files no retained manifest references (orphans
         from crashed commits included). Returns files deleted.
@@ -1911,9 +1961,42 @@ class SnapshotTable:
                     continue
                 if ts is None or ts >= cutoff:
                     keep_versions.add(v)
+        # orphan GRACE window: data files / DV dirs / metadata chunks
+        # are staged BEFORE their manifest publishes, so an expire
+        # racing an in-flight commit would see them unreferenced and
+        # delete them — then the commit's CAS succeeds and the new
+        # head is unreadable. A never-referenced item younger than the
+        # grace window is left alone (a real crashed-commit orphan is
+        # collected by the NEXT expire once it ages out). Items
+        # RELEASED by the manifests this expire drops are provably not
+        # in-flight and are collected immediately regardless of age.
+        now = _time.time()
+
+        def _in_grace(path: str) -> bool:
+            mt = getattr(self.log, "mtime", lambda _p: None)(path)
+            return mt is not None and now - mt < orphan_grace_seconds
+
         referenced: set[str] = set()
         referenced_dv: set[str] = set()
         referenced_meta: set[str] = set()
+        released: set[str] = set()
+        released_dv: set[str] = set()
+        released_meta: set[str] = set()
+        for v in range(1, cur + 1):
+            if v in keep_versions:
+                continue
+            try:
+                raw = self._raw_manifest(v)
+            except FileNotFoundError:
+                continue
+            m = self._resolve(raw)
+            released.update(m["files"])
+            released_dv.update(m.get("dvs", {}).values())
+            for cname in raw.get("chunks", []):
+                released_meta.add(cname)
+                sc = self._load_chunk(cname).get("bloom_sidecar")
+                if sc:
+                    released_meta.add(sc)
         for v in keep_versions:
             # a prior expire(keep_last=small) may have already deleted
             # manifests inside this range; raising here would abort
@@ -1941,6 +2024,10 @@ class SnapshotTable:
             if (
                 name.startswith(("chunk-", "bloom-"))
                 and name not in referenced_meta
+                and (
+                    name in released_meta
+                    or not _in_grace(f"{self.root}/_snapshots/{name}")
+                )
             ):
                 self.log.delete(f"{self.root}/_snapshots/{name}")
                 self._chunk_cache.pop(name, None)
@@ -1954,14 +2041,20 @@ class SnapshotTable:
                 for n in self.log.list_dir(cdir)
                 if n.endswith(".parquet")
             }
-            if live and not (live & referenced):
+            if (
+                live
+                and not (live & referenced)
+                and ((live & released) or not _in_grace(cdir))
+            ):
                 deleted += len(live)
                 self.log.delete(cdir, recursive=True)
         # deletion-vector dirs are referenced-or-orphaned the same way
         dv_root = f"{self.root}/dv"
         for commit in self.log.list_dir(dv_root):
             ddir = f"{dv_root}/{commit}"
-            if ddir not in referenced_dv:
+            if ddir not in referenced_dv and (
+                ddir in released_dv or not _in_grace(ddir)
+            ):
                 deleted += len(
                     [n for n in self.log.list_dir(ddir) if n.endswith(".parquet")]
                 )

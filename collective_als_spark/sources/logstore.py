@@ -100,6 +100,12 @@ class LocalLogStore:
         empty dir for directory moves)."""
         os.replace(src, dst)
 
+    def mtime(self, path: str) -> float | None:
+        try:
+            return os.stat(path).st_mtime
+        except FileNotFoundError:
+            return None
+
 
 class HadoopLogStore:
     """Hadoop-FileSystem store: one impl for every scheme the cluster's
@@ -204,6 +210,21 @@ class HadoopLogStore:
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._Path(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move a file or directory; dst must not exist (Rename.NONE
+        fails atomically if it does)."""
+        self._fc.rename(self._Path(src), self._Path(dst), self._rename_none)
+
+    def mtime(self, path: str) -> float | None:
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            return self._fs.getFileStatus(self._Path(path)).getModificationTime() / 1000.0
+        except Py4JJavaError as e:
+            if self._is_missing(e):
+                return None
+            raise
 
 
 def logstore_for(spark, root: str):

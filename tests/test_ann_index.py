@@ -316,3 +316,17 @@ def test_retrain_if_drifted_publishes_new_version(spark, emb, tmp_path):
     old_res = _mean_relative_residual(shifted, idx.codebooks, "vec_id", "embedding")
     new_res = _mean_relative_residual(shifted, cur.codebooks, "vec_id", "embedding")
     assert new_res < old_res
+
+
+def test_compact_codes_on_file_uri(spark, emb, tmp_path):
+    """compact_codes' stage+swap must work through the Hadoop LogStore
+    (URI-scheme paths) — rename() exists on both stores."""
+    base = emb.orderBy("vec_id").limit(200)
+    idx = IvfPqIndex.build(base, n_cells=4, m=8, n_codes=8, seed=7)
+    path = f"file://{tmp_path}/ccuri"
+    idx.save(path)
+    idx.add(emb.orderBy("vec_id").offset(200).limit(60))
+    rows_before = idx.encoded.count()
+    stats = idx.compact_codes()
+    assert stats["files_after"] <= stats["files_before"]
+    assert idx.encoded.count() == rows_before == 260

@@ -180,3 +180,15 @@ def test_time_based_retention(spark, tmp_path):
             t._manifest(v)
     assert t.read(version=3).count() == 3  # in-window survivor
     assert t.read().count() == 4
+
+
+def test_per_commit_poll_past_retention_is_lag_error(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "v long"))
+    t.expire(keep_last=1)
+    r = ChangeFeedReader(t, str(tmp_path / "cursor.json"))
+    # netted poll from genesis works (endpoints only)
+    assert r.poll() is not None
+    with pytest.raises(FeedLagError, match="per-commit replay"):
+        r.poll(per_commit=True)

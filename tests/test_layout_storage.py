@@ -108,7 +108,10 @@ def test_snapshot_expire_deletes_only_unreferenced(spark, tmp_path):
     t.append(spark.range(10))
     t.overwrite(spark.range(20))
     orphans = t._write_data(spark.range(5))  # crashed commit
-    deleted = t.expire(keep_last=1)
+    # grace disabled: young never-referenced orphans are collectable
+    # immediately (the default 15-min window protects in-flight
+    # commits; covered by test_expire_grace_protects_young_orphans)
+    deleted = t.expire(keep_last=1, orphan_grace_seconds=0)
     # v1's files + the orphan commit are gone, current still reads
     assert deleted >= 2
     assert t.read().count() == 20
@@ -1007,3 +1010,99 @@ def test_legacy_inline_manifest_migrates_on_next_commit(spark, tmp_path):
     assert {r["v"]: r["tag"] for r in t2.read().collect()} == {
         1: None, 2: "x", 3: None,
     }
+
+
+# ---------------------------------------------------------------------------
+# round-6 code-review regression fixes
+# ---------------------------------------------------------------------------
+
+
+def test_merge_source_missing_stats_column_null_pads(spark, tmp_path):
+    """A merge/merge_mor source missing a stats/bloom column must
+    NULL-pad (documented auto-evolution), not crash the staging stats
+    pass that selects the column by name."""
+    for flavor in ("cow", "mor"):
+        t = SnapshotTable(
+            spark, str(tmp_path / flavor),
+            stats_columns=["k", "band"], bloom_columns=["k"],
+        )
+        t.append(
+            spark.createDataFrame(
+                [(1, 10, 100), (2, 20, 200)], "k long, band long, cents long"
+            )
+        )
+        src = spark.createDataFrame([(2, 999), (3, 333)], "k long, cents long")
+        (t.merge if flavor == "cow" else t.merge_mor)(src, "k")
+        rows = {r["k"]: (r["band"], r["cents"]) for r in t.read().collect()}
+        assert rows == {1: (10, 100), 2: (None, 999), 3: (None, 333)}
+        # the staged files carry stats for the padded column too: an
+        # IS NOT NULL read can prove the all-null new file out
+        notnull = t.read(where_null=("band", False))
+        assert sorted(r["k"] for r in notnull.collect()) == [1]
+
+
+def test_banded_read_with_date_bounds(spark, tmp_path):
+    """Manifest stats store dates as ISO strings (_jsonable); probe
+    bounds given as datetime.date must compare in the same space, not
+    TypeError."""
+    import datetime as dt
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["d"])
+    rows = [(dt.date(2024, 1, 1 + i),) for i in range(10)]
+    t.append(spark.createDataFrame(rows[:5], "d date").coalesce(1))
+    t.append(spark.createDataFrame(rows[5:], "d date").coalesce(1))
+    got = t.read(where=("d", dt.date(2024, 1, 2), dt.date(2024, 1, 4)))
+    assert len(got.inputFiles()) == 1  # second file pruned via ISO compare
+    assert sorted(r["d"].day for r in got.collect()) == [2, 3, 4]
+    # delete_where with date band exercises the same comparison
+    t.delete_where("d", dt.date(2024, 1, 6), dt.date(2024, 1, 7))
+    assert t.read().count() == 8
+
+
+def test_expire_grace_protects_young_orphans(spark, tmp_path):
+    """Never-referenced files younger than the grace window survive
+    (they may belong to an in-flight commit); files released by the
+    manifests this expire drops are collected immediately; aged
+    orphans are collected on the next pass."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1,)], "v long"))
+    t.overwrite(spark.createDataFrame([(2,)], "v long"))
+    # a crashed commit's staged-but-unpublished files (young)
+    orphans = t._write_data(spark.createDataFrame([(9,)], "v long"))
+    odir = os.path.dirname(orphans[0])
+    # released-by-expire collection is immediate even though young
+    deleted = t.expire(keep_last=1)
+    assert deleted >= 1  # v1's file released and collected
+    assert t.log.exists(odir)  # young never-referenced orphan survives
+    # age the orphan dir past the window: collected on the next pass
+    old = os.stat(odir).st_mtime - 3600
+    os.utime(odir, (old, old))
+    assert t.expire(keep_last=1) >= 1
+    assert not t.log.exists(odir)
+    assert t.read().count() == 1  # head untouched throughout
+
+
+def test_dv_width_unknown_stays_unblocked_from_broadcast(spark, tmp_path):
+    """A pre-r06 manifest (DV mapped, no dv_rows) must keep the DV
+    width-unknown through later consolidations — never fabricating a
+    small count that would re-enable the broadcast the guard blocks."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    t.append(spark.range(0, 100).select(F.col("v" if False else "id").alias("v")).coalesce(1))
+    t.delete_where_mor("v", 0, 9)
+    # simulate the legacy manifest: strip dv_rows from the head
+    p = tmp_path / "tbl" / "_snapshots" / f"v{t.current_version()}.json"
+    raw = _json.loads(p.read_text())
+    raw.pop("dv_rows", None)
+    p.write_text(_json.dumps(raw))
+    t2 = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    t2.delete_where_mor("v", 10, 11)  # consolidates over the unknown DV
+    m = t2._manifest(t2.current_version())
+    rel = next(iter(m["dvs"]))
+    assert rel not in m.get("dv_rows", {})  # width still unknown
+    plan = t2.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # conservative shuffle join
+    assert t2.read().count() == 88
