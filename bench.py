@@ -73,6 +73,11 @@ HEADLINE = [
     # deletion vectors + change feed + incremental view maintenance
     # exercised end-to-end (4 commits, 4 refreshes on a scratch table)
     "lake_incremental_view",
+    # round-6 families: merge-on-read upsert + null-count skipping
+    # end-to-end (the streaming-upsert commit shape), and the
+    # broadcast 8-gram benchmark-decontamination gate
+    "lake_mor_upsert_nullstats",
+    "benchmark_decontamination",
 ]
 
 

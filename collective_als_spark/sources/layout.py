@@ -300,10 +300,21 @@ class SnapshotTable:
         bloom_columns: list[str] | None = None,
         dv_broadcast_max_rows: int = 4_000_000,
         mor_fallback_max_rows: int = 10_000_000,
+        change_data_feed: bool = False,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.stats_columns = list(stats_columns or [])
+        # Delta's enableChangeDataFeed: when on, COPY-ON-WRITE merge /
+        # delete commits ALSO write their logical row-level changes
+        # (pre/post images) into `_cdc/<uuid>/` files referenced from
+        # the manifest — change-file cost is O(changed rows), while the
+        # rewrite itself is O(candidate files). Without them a CDC
+        # consumer of a COW commit would see every carried row in a
+        # rewritten file as a spurious delete+insert pair. Appends and
+        # MOR commits never need change files (file adds and
+        # DV-position deltas ARE the exact changes).
+        self.change_data_feed = change_data_feed
         # DV scale guards (r05 verdict #4): deletion vectors are built
         # for NARROW deletes. Past `dv_broadcast_max_rows` total masked
         # positions on the files being scanned, the read-side anti-join
@@ -479,8 +490,10 @@ class SnapshotTable:
                     raw[k] = restore[k]
             if desired.get("batch_markers"):
                 raw["batch_markers"] = desired["batch_markers"]
+            if desired.get("op"):
+                raw["op"] = desired["op"]
             return raw
-        for k in ("batch_markers", "schema", "dvs", "dv_rows"):
+        for k in ("batch_markers", "schema", "dvs", "dv_rows", "op", "cdc"):
             if desired.get(k):
                 raw[k] = desired[k]
         prev_chunks = list(prev_raw.get("chunks", []))
@@ -766,8 +779,19 @@ class SnapshotTable:
         blooms: dict | None = None,
         dvs: dict | None = None,
         dv_rows: dict | None = None,
+        op: str | None = None,
+        cdc: str | None = None,
     ) -> dict:
         manifest: dict = {"version": version, "files": sorted(files)}
+        if op is not None:
+            # the committing operation (Delta's operation/ dataChange
+            # log fields): "compact" marks a rewrite that changes NO
+            # live rows, so CDC consumers (the streaming source) can
+            # skip the churn instead of replaying a rewrite as mass
+            # delete+insert
+            manifest["op"] = op
+        if cdc is not None:
+            manifest["cdc"] = cdc
         if stats:
             manifest["stats"] = stats
         if markers:
@@ -799,6 +823,42 @@ class SnapshotTable:
             F.col("file").cast("string"), F.col("pos").cast("long")
         ).write.mode("error").parquet(dv_dir)
         return dv_dir
+
+    def _write_cdc(
+        self,
+        deletes: DataFrame | None,
+        inserts: DataFrame | None,
+        schema_json: dict,
+    ) -> str | None:
+        """Stage a commit's logical change file set (Delta CDF's
+        `_change_data/` files): pre-image rows as ``delete``,
+        post-image rows as ``insert``, both conformed to the table
+        schema. Written BEFORE the manifest publishes (a CAS-lost
+        commit leaves an orphan dir `expire` collects). Returns the
+        dir, or None when CDF is off / there are no changes."""
+        if not self.change_data_feed:
+            return None
+        frames = []
+        if deletes is not None:
+            frames.append(
+                self._conform_to_schema(deletes, schema_json).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        if inserts is not None:
+            frames.append(
+                self._conform_to_schema(inserts, schema_json).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        cdc_dir = f"{self.root}/_cdc/{uuid.uuid4().hex}"
+        out.write.mode("error").parquet(cdc_dir)
+        return cdc_dir
 
     def _dv_rows(self, manifest: dict, files: list[str]) -> DataFrame | None:
         """The (file, pos) deletion rows this manifest applies to
@@ -966,6 +1026,7 @@ class SnapshotTable:
                 blooms=prev.get("blooms", {}),
                 dvs={**prev_dvs, **{r: dv_dir for r in affected_rels}},
                 dv_rows={**prev.get("dv_rows", {}), **new_counts},
+                op="delete_mor",
             )
 
         return self._commit(build)
@@ -1025,6 +1086,7 @@ class SnapshotTable:
                 blooms={**prev.get("blooms", {}), **new_blooms},
                 dvs=prev.get("dvs", {}),
                 dv_rows=prev.get("dv_rows", {}),
+                op="append",
             )
 
         return self._commit(build)
@@ -1065,6 +1127,7 @@ class SnapshotTable:
                 prev.get("batch_markers", {}) | (_markers or {}),
                 schema=df_schema,
                 blooms=new_blooms,
+                op="overwrite",
             )
 
         return self._commit(build)
@@ -1227,6 +1290,12 @@ class SnapshotTable:
             ~F.col(column).between(F.lit(lo), F.lit(hi))
         )
         new_files, new_stats, new_blooms = self._stage(survivors)
+        cdc_dir = None
+        if self.change_data_feed and manifest.get("schema"):
+            matched = self._scan_live(manifest, candidates).filter(
+                F.col(column).between(F.lit(lo), F.lit(hi))
+            )
+            cdc_dir = self._write_cdc(matched, None, manifest["schema"])
 
         base_dvs = manifest.get("dvs", {})
 
@@ -1275,6 +1344,8 @@ class SnapshotTable:
                     k: v for k, v in prev.get("dvs", {}).items() if k in keep
                 },
                 dv_rows=prev.get("dv_rows", {}),
+                op="delete",
+                cdc=cdc_dir,
             )
 
         return self._commit(build)
@@ -1419,6 +1490,22 @@ class SnapshotTable:
         else:
             rewritten = self._conform_to_schema(source, plan["evolved"])
         new_files, new_stats, new_blooms = self._stage(rewritten)
+        cdc_dir = None
+        if self.change_data_feed:
+            # pre-images = matched target rows only (carried rows are
+            # physical rewrites, not logical changes); post-images =
+            # every source row. Delta CDF's update_pre/postimage
+            # semantics flattened to delete+insert pairs.
+            matched = (
+                self._scan_live(evolved_manifest, candidates).join(
+                    F.broadcast(source.select(*keys).distinct()),
+                    keys,
+                    "left_semi",
+                )
+                if candidates
+                else None
+            )
+            cdc_dir = self._write_cdc(matched, source, plan["evolved"])
 
         base_dvs = manifest.get("dvs", {})
 
@@ -1466,6 +1553,8 @@ class SnapshotTable:
                     k: v for k, v in prev.get("dvs", {}).items() if k in keep
                 },
                 dv_rows=prev.get("dv_rows", {}),
+                op="merge",
+                cdc=cdc_dir,
             )
 
         return self._commit(build)
@@ -1583,6 +1672,7 @@ class SnapshotTable:
                 blooms={**prev.get("blooms", {}), **new_blooms},
                 dvs=dvs,
                 dv_rows={**prev.get("dv_rows", {}), **new_counts},
+                op="merge_mor",
             )
 
         return self._commit(build)
@@ -1649,6 +1739,129 @@ class SnapshotTable:
                 prev.get("batch_markers", {}),
                 schema=base.get("schema"),
                 blooms=new_blooms,
+                op="compact",
+            )
+
+        return self._commit(build)
+
+    def compact_partial(
+        self,
+        target_rows_per_file: int,
+        small_file_max_rows: int | None = None,
+        small_file_max_bytes: int | None = None,
+        include_dv_files: bool = True,
+        cluster_by: list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE-style partial compaction: bin-pack ONLY the files
+        worth rewriting — small files and files carrying
+        deletion-vector debt — into ~target-sized files, leaving every
+        other data file byte-identical (same path) in the new
+        manifest. ``compact()`` rewrites the whole table: correct, but
+        at 100 TB a full rewrite is days of cluster time for a problem
+        (small-file accumulation from streaming micro-batch commits)
+        that lives in a tiny fraction of the files. Here rewrite cost
+        is O(selected files), and — unlike ``compact()`` — the commit
+        COMMUTES with concurrent appends and with writes touching
+        unselected files: the conflict check covers only the files
+        being folded, so table maintenance no longer races the ingest
+        path (Delta's OPTIMIZE uses the same narrowed check; Iceberg
+        calls it rewrite_data_files with partial-progress).
+
+        Selection: a file is rewritten when its manifest row count
+        (``stats.__rows``) is below ``small_file_max_rows`` (default:
+        the target itself), when its physical size is below
+        ``small_file_max_bytes`` (the fallback for tables without
+        stats columns, where row counts are unknown), or when a
+        deletion vector masks rows in it (``include_dv_files`` —
+        partial compaction is how MOR debt gets materialized away
+        without touching healthy files). Returns the committed
+        version; when nothing is worth folding (fewer than two
+        selected files and no DV debt) the table is returned
+        UNCHANGED at its current version — maintenance schedulers can
+        call this idempotently off ``detail()``'s numbers."""
+        import math
+
+        base_v = self.current_version()
+        if base_v == 0:
+            raise ValueError("empty table: no committed snapshot")
+        base = self._manifest(base_v)
+        stats = base.get("stats", {})
+        dvs = base.get("dvs", {})
+        max_rows = (
+            target_rows_per_file
+            if small_file_max_rows is None
+            else small_file_max_rows
+        )
+        size_of = getattr(self.log, "size", lambda _p: None)
+        selected: list[str] = []
+        for f in base["files"]:
+            rel = _rel(f)
+            if include_dv_files and rel in dvs:
+                selected.append(f)
+                continue
+            rows = stats.get(rel, {}).get("__rows")
+            if rows is not None:
+                if rows < max_rows:
+                    selected.append(f)
+            elif small_file_max_bytes is not None:
+                sz = size_of(f)
+                if sz is not None and sz < small_file_max_bytes:
+                    selected.append(f)
+        sel_set = set(selected)
+        sel_rels = {_rel(f) for f in selected}
+        has_dv_debt = include_dv_files and any(r in dvs for r in sel_rels)
+        if len(selected) < 2 and not has_dv_debt:
+            return base_v  # nothing to fold; no commit, no new files
+        cur = self._scan_live(base, selected)
+        n = cur.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            rewritten = cur.repartitionByRange(
+                n_files, *cols
+            ).sortWithinPartitions(*cols)
+        else:
+            rewritten = cur.repartition(n_files)
+        new_files, new_stats, new_blooms = self._stage(rewritten)
+
+        def build(version: int, prev: dict) -> dict:
+            prev_files = set(prev["files"])
+            prev_dvs = prev.get("dvs", {})
+            # conflict ONLY on the files being folded: a concurrent
+            # rewrite/expiry of a selected file, or a DV landing on /
+            # leaving one, invalidates the staged fold. Appends and
+            # writes to carried files commute.
+            for f in selected:
+                rel = _rel(f)
+                if f not in prev_files or prev_dvs.get(rel) != dvs.get(rel):
+                    raise CommitConflict(
+                        "concurrent commit touched a file selected for "
+                        "partial compaction; re-run compact_partial"
+                    )
+            carried = [f for f in prev["files"] if f not in sel_set]
+            merged_stats = {
+                rel: s
+                for rel, s in prev.get("stats", {}).items()
+                if rel not in sel_rels
+            } | new_stats
+            merged_blooms = {
+                rel: b
+                for rel, b in prev.get("blooms", {}).items()
+                if rel not in sel_rels
+            } | new_blooms
+            live_dvs = {
+                rel: d for rel, d in prev_dvs.items() if rel not in sel_rels
+            }
+            return self._compose(
+                version,
+                carried + new_files,
+                merged_stats,
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=merged_blooms,
+                dvs=live_dvs or None,
+                dv_rows=prev.get("dv_rows", {}),
+                op="compact",
             )
 
         return self._commit(build)
@@ -1711,6 +1924,7 @@ class SnapshotTable:
                 blooms=blooms,
                 dvs=dvs,
                 dv_rows=prev.get("dv_rows", {}),
+                op="wap",
             )
 
         version = self._commit(build)
@@ -1882,6 +2096,7 @@ class SnapshotTable:
             rows.append(
                 (
                     v,
+                    m.get("op"),
                     len(m["files"]),
                     len(m.get("schema", {}).get("fields", [])) or None,
                     json.dumps(m.get("batch_markers", {})) if m.get("batch_markers") else None,
@@ -1891,8 +2106,45 @@ class SnapshotTable:
             )
         return self.spark.createDataFrame(
             rows,
-            "version int, n_files int, n_columns int, batch_markers string, "
-            "audited boolean, committed_at double",
+            "version int, op string, n_files int, n_columns int, "
+            "batch_markers string, audited boolean, committed_at double",
+        )
+
+    def detail(self) -> DataFrame:
+        """Current-snapshot observability (Delta's DESCRIBE DETAIL):
+        one row of table-health numbers a maintenance scheduler keys
+        off — file count and total bytes (small files → ``compact``),
+        DV count and masked-row total (MOR debt → ``compact``),
+        metadata chunk/tombstone counts (→ consolidation already
+        automatic, but visible), schema width, commit timestamp.
+        Driver-side cost is one manifest resolve + a per-file size
+        stat (manifest-sized, not data-sized)."""
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("empty table: no committed snapshot")
+        raw = self._raw_manifest(cur)
+        m = self._resolve(raw)
+        size_of = getattr(self.log, "size", lambda _p: None)
+        sizes = [size_of(f) for f in m["files"]]
+        known = [s for s in sizes if s is not None]
+        row = (
+            cur,
+            len(m["files"]),
+            sum(known) if len(known) == len(sizes) else None,
+            len(raw.get("chunks", [])),
+            len(raw.get("dead", [])),
+            len(m.get("dvs", {})),
+            sum(m.get("dv_rows", {}).values()) or (
+                None if m.get("dvs") else 0
+            ),
+            len(m.get("schema", {}).get("fields", [])) or None,
+            float(m["committed_at"]) if m.get("committed_at") else None,
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "version int, n_files int, total_bytes bigint, n_meta_chunks int, "
+            "n_tombstones int, n_dv_files int, dv_masked_rows bigint, "
+            "n_columns int, committed_at double",
         )
 
     def restore(self, version: int) -> int:
@@ -1914,6 +2166,7 @@ class SnapshotTable:
                 "version": new_version,
                 "_restore_raw": target_raw,
                 "batch_markers": prev.get("batch_markers", {}),
+                "op": "restore",
             }
 
         return self._commit(build)
@@ -1979,9 +2232,11 @@ class SnapshotTable:
         referenced: set[str] = set()
         referenced_dv: set[str] = set()
         referenced_meta: set[str] = set()
+        referenced_cdc: set[str] = set()
         released: set[str] = set()
         released_dv: set[str] = set()
         released_meta: set[str] = set()
+        released_cdc: set[str] = set()
         for v in range(1, cur + 1):
             if v in keep_versions:
                 continue
@@ -1992,6 +2247,8 @@ class SnapshotTable:
             m = self._resolve(raw)
             released.update(m["files"])
             released_dv.update(m.get("dvs", {}).values())
+            if m.get("cdc"):
+                released_cdc.add(m["cdc"])
             for cname in raw.get("chunks", []):
                 released_meta.add(cname)
                 sc = self._load_chunk(cname).get("bloom_sidecar")
@@ -2009,6 +2266,8 @@ class SnapshotTable:
             m = self._resolve(raw)
             referenced.update(m["files"])
             referenced_dv.update(m.get("dvs", {}).values())
+            if m.get("cdc"):
+                referenced_cdc.add(m["cdc"])
             for cname in raw.get("chunks", []):
                 referenced_meta.add(cname)
                 sc = self._load_chunk(cname).get("bloom_sidecar")
@@ -2059,4 +2318,15 @@ class SnapshotTable:
                     [n for n in self.log.list_dir(ddir) if n.endswith(".parquet")]
                 )
                 self.log.delete(ddir, recursive=True)
+        # change-data-feed dirs: same referenced-or-orphaned protocol
+        cdc_root = f"{self.root}/_cdc"
+        for commit in self.log.list_dir(cdc_root):
+            cdir = f"{cdc_root}/{commit}"
+            if cdir not in referenced_cdc and (
+                cdir in released_cdc or not _in_grace(cdir)
+            ):
+                deleted += len(
+                    [n for n in self.log.list_dir(cdir) if n.endswith(".parquet")]
+                )
+                self.log.delete(cdir, recursive=True)
         return deleted

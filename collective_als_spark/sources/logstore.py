@@ -106,6 +106,12 @@ class LocalLogStore:
         except FileNotFoundError:
             return None
 
+    def size(self, path: str) -> int | None:
+        try:
+            return os.stat(path).st_size
+        except FileNotFoundError:
+            return None
+
 
 class HadoopLogStore:
     """Hadoop-FileSystem store: one impl for every scheme the cluster's
@@ -221,6 +227,16 @@ class HadoopLogStore:
 
         try:
             return self._fs.getFileStatus(self._Path(path)).getModificationTime() / 1000.0
+        except Py4JJavaError as e:
+            if self._is_missing(e):
+                return None
+            raise
+
+    def size(self, path: str) -> int | None:
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            return self._fs.getFileStatus(self._Path(path)).getLen()
         except Py4JJavaError as e:
             if self._is_missing(e):
                 return None

@@ -1106,3 +1106,151 @@ def test_dv_width_unknown_stays_unblocked_from_broadcast(spark, tmp_path):
     plan = t2.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan  # conservative shuffle join
     assert t2.read().count() == 88
+
+
+def test_detail_reports_table_health(spark, tmp_path):
+    """DESCRIBE DETAIL numbers a maintenance scheduler keys off:
+    files/bytes, DV debt, metadata chunk counts."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    with pytest.raises(ValueError, match="empty table"):
+        t.detail()
+    t.append(spark.range(0, 100).select(F.col("id").alias("v")).coalesce(1))
+    t.append(spark.range(100, 200).select(F.col("id").alias("v")).coalesce(1))
+    d = t.detail().first()
+    assert d["version"] == 2 and d["n_files"] == 2
+    assert d["total_bytes"] and d["total_bytes"] > 0
+    assert d["n_meta_chunks"] == 2 and d["n_tombstones"] == 0
+    assert d["n_dv_files"] == 0 and d["dv_masked_rows"] == 0
+    assert d["committed_at"] is not None
+    t.delete_where_mor("v", 0, 9)
+    d = t.detail().first()
+    assert d["n_dv_files"] == 1 and d["dv_masked_rows"] == 10
+    t.compact(target_rows_per_file=1000)
+    d = t.detail().first()
+    assert d["n_dv_files"] == 0 and d["n_files"] == 1
+    assert d["n_tombstones"] >= 0  # carried chunks tombstoned or consolidated
+
+
+def _vals(t):
+    return sorted(r["v"] for r in t.read().collect())
+
+
+def test_compact_partial_folds_only_small_files(spark, tmp_path):
+    """OPTIMIZE semantics: small files fold into ~target-sized files;
+    healthy files are carried by PATH (never rewritten); a second run
+    with nothing to fold is a version-preserving no-op."""
+    from collective_als_spark.sources.layout import _rel
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    t.append(spark.range(0, 1000).select(F.col("id").alias("v")).coalesce(1))
+    t.append(spark.range(1000, 2000).select(F.col("id").alias("v")).coalesce(1))
+    for i in range(3):
+        lo = 2000 + 10 * i
+        t.append(
+            spark.range(lo, lo + 10).select(F.col("id").alias("v")).coalesce(1)
+        )
+    base = t._manifest(t.current_version())
+    big = [
+        f for f in base["files"] if base["stats"][_rel(f)]["__rows"] >= 1000
+    ]
+    assert len(big) == 2 and len(base["files"]) == 5
+    v = t.compact_partial(target_rows_per_file=1000, small_file_max_rows=100)
+    m = t._manifest(v)
+    assert set(big) <= set(m["files"])  # healthy files untouched, same paths
+    assert len(m["files"]) == 3  # 2 big + 1 folded
+    assert _vals(t) == list(range(0, 2030))
+    folded = next(f for f in m["files"] if f not in big)
+    assert m["stats"][_rel(folded)]["__rows"] == 30
+    # idempotent no-op: nothing small remains -> no commit
+    assert t.compact_partial(1000, small_file_max_rows=100) == v
+    assert t.current_version() == v
+
+
+def test_compact_partial_materializes_dv_debt_without_touching_healthy(
+    spark, tmp_path
+):
+    """A DV-masked file is selected even if large (MOR debt
+    materialization); DV-free healthy files stay carried."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    t.append(spark.range(0, 500).select(F.col("id").alias("v")).coalesce(1))
+    t.append(spark.range(500, 1000).select(F.col("id").alias("v")).coalesce(1))
+    t.delete_where_mor("v", 0, 49)  # DV lands on file 1 only
+    base = t._manifest(t.current_version())
+    assert len(base.get("dvs", {})) == 1
+    v = t.compact_partial(target_rows_per_file=10_000, small_file_max_rows=1)
+    m = t._manifest(v)
+    assert not m.get("dvs")  # debt materialized away
+    assert _vals(t) == list(range(50, 1000))
+    # the DV-free file was carried by path
+    from collective_als_spark.sources.layout import _rel
+
+    dv_rel = next(iter(base["dvs"]))
+    carried = [f for f in base["files"] if _rel(f) != dv_rel]
+    assert set(carried) <= set(m["files"])
+
+
+def test_compact_partial_commutes_with_concurrent_append(spark, tmp_path):
+    """The headline concurrency property: an append landing BETWEEN
+    the fold's read and its commit does NOT conflict — the folded
+    manifest carries the appended file (compact() would CommitConflict
+    here)."""
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["v"])
+    for i in range(3):
+        lo = 10 * i
+        t.append(
+            spark.range(lo, lo + 10).select(F.col("id").alias("v")).coalesce(1)
+        )
+    base_v = t.current_version()
+    interleaved = []
+    orig_stage = t._stage
+
+    def stage_then_append(df):
+        out = orig_stage(df)
+        if not interleaved:
+            interleaved.append(True)
+            t2 = SnapshotTable(spark, root, stats_columns=["v"])
+            t2.append(
+                spark.range(1000, 1010)
+                .select(F.col("id").alias("v"))
+                .coalesce(1)
+            )
+        return out
+
+    t._stage = stage_then_append
+    v = t.compact_partial(target_rows_per_file=1000, small_file_max_rows=100)
+    assert v == base_v + 2  # append committed first, fold on top
+    assert _vals(t) == list(range(0, 30)) + list(range(1000, 1010))
+
+
+def test_compact_partial_conflicts_when_selected_file_changes(
+    spark, tmp_path
+):
+    """A concurrent MOR delete masking rows in a SELECTED file must
+    CommitConflict: the staged fold was computed without that DV and
+    would silently resurrect the deleted rows."""
+    from collective_als_spark.sources.logstore import CommitConflict
+
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["v"])
+    for i in range(3):
+        lo = 10 * i
+        t.append(
+            spark.range(lo, lo + 10).select(F.col("id").alias("v")).coalesce(1)
+        )
+    interleaved = []
+    orig_stage = t._stage
+
+    def stage_then_delete(df):
+        out = orig_stage(df)
+        if not interleaved:
+            interleaved.append(True)
+            t2 = SnapshotTable(spark, root, stats_columns=["v"])
+            t2.delete_where_mor("v", 0, 4)  # lands on a selected file
+        return out
+
+    t._stage = stage_then_delete
+    with pytest.raises(CommitConflict, match="selected for"):
+        t.compact_partial(target_rows_per_file=1000, small_file_max_rows=100)
+    # the interleaved delete survives; table is consistent
+    assert _vals(t) == list(range(5, 30))

@@ -1,0 +1,173 @@
+"""Streaming CDF source (streaming/cdf_source.py): the snapshot table
+consumed via `spark.readStream.format("snapshot_cdf")`.
+
+Contract under test: the stream's cumulative output equals
+`SnapshotTable.changes_by_version` over the same window (per-commit
+attribution, MOR deletes as DV-position deltas, compaction commits
+skipped), and a restarted stream resumes from its checkpoint —
+consuming only commits that landed after the first run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from collective_als_spark.sources.layout import SnapshotTable
+from collective_als_spark.streaming.cdf_source import (
+    SnapshotCdfDataSource,
+    register_snapshot_cdf,
+)
+
+
+def _run_available_now(spark, root: str, out_path: str, ckpt: str):
+    """Drain everything currently available into a parquet sink."""
+    stream = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", root)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture()
+def registered(spark):
+    register_snapshot_cdf(spark)
+    return spark
+
+
+def _docs(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.concat(F.lit(tag), F.col("id")).alias("s")
+    )
+
+
+def test_cdf_stream_equals_changes_by_version(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(
+        spark, root, stats_columns=["k"], change_data_feed=True
+    )
+    t.append(_docs(spark, 0, 20, "a").coalesce(1))
+    t.append(_docs(spark, 20, 40, "a").coalesce(2))
+    t.delete_where_mor("k", 5, 9)  # MOR: DV-position delta
+    t.merge(
+        spark.createDataFrame([(38, "upd"), (100, "new")], "k long, s string"),
+        "k",
+    )  # COW merge -> writer-recorded change files
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_available_now(spark, root, out, ckpt)
+    got = spark.read.parquet(out)
+    cols = ["k", "s", "_change_type", "_commit_version"]
+    expected = t.changes_by_version(0, t.current_version())
+    assert _collect_sorted(got, cols) == _collect_sorted(expected, cols)
+    # spot-check the MOR delete surfaced with its commit attribution
+    mor = got.filter(
+        (F.col("_commit_version") == 3) & (F.col("_change_type") == "delete")
+    )
+    assert sorted(r["k"] for r in mor.collect()) == [5, 6, 7, 8, 9]
+    # and the COW merge surfaced pre+post images, not rewrite churn
+    m4 = got.filter(F.col("_commit_version") == 4)
+    assert _collect_sorted(m4, ["k", "s", "_change_type"]) == [
+        (38, "a38", "delete"),
+        (38, "upd", "insert"),
+        (100, "new", "insert"),
+    ]
+
+
+def test_cdf_stream_refuses_cow_commit_without_change_files(
+    registered, tmp_path
+):
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["k"])  # CDF off
+    t.append(_docs(spark, 0, 10, "a").coalesce(1))
+    t.delete_where("k", 0, 4)  # COW delete, no change files
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="change_data_feed|skipChangeCommits"):
+        _run_available_now(spark, root, out, ckpt)
+    # Delta's escape hatch: skipChangeCommits drops those commits
+    stream = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", root)
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 10  # only the append's inserts
+    assert {r["_change_type"] for r in got.collect()} == {"insert"}
+
+
+def test_cdf_stream_resumes_from_checkpoint_and_skips_compaction(
+    registered, tmp_path
+):
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["v"])
+    for i in range(3):
+        t.append(
+            spark.range(10 * i, 10 * i + 10)
+            .select(F.col("id").alias("v"))
+            .coalesce(1)
+        )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_available_now(spark, root, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 30
+    assert {r["_change_type"] for r in first.collect()} == {"insert"}
+    # maintenance + one real append land after the first drain
+    t.compact(target_rows_per_file=1000)  # op=compact: dataChange=false
+    t.append(spark.range(100, 105).select(F.col("id").alias("v")).coalesce(1))
+    _run_available_now(spark, root, out, ckpt)
+    second = spark.read.parquet(out)
+    # ONLY the appended rows arrive: no replay of the first 30, and the
+    # compaction rewrite (30 deletes + 30 inserts of identical rows)
+    # was skipped entirely via the manifest op field
+    assert second.count() == 35
+    new_rows = second.filter(F.col("v") >= 100)
+    assert sorted(r["v"] for r in new_rows.collect()) == [100, 101, 102, 103, 104]
+    assert {r["_change_type"] for r in new_rows.collect()} == {"insert"}
+
+
+def test_cdf_source_schema_and_missing_table(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root)
+    t.append(
+        spark.createDataFrame([(1, "a")], "k long, s string").coalesce(1)
+    )
+    st = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", root)
+        .load()
+        .schema
+    )
+    assert [f.name for f in st.fields] == [
+        "k",
+        "s",
+        "_change_type",
+        "_commit_version",
+    ]
+    ds = SnapshotCdfDataSource({"path": str(tmp_path / "absent")})
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        ds.schema()
