@@ -258,3 +258,106 @@ def lake_mor_upsert_nullstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_cdf_stream",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               o_totalprice AS p
+        FROM orders
+    ),
+    ch AS (
+        SELECT CASE WHEN p < 100000 THEN 1 ELSE 2 END AS version,
+               'insert' AS change, c FROM o
+        UNION ALL
+        SELECT 3, 'delete', c FROM o WHERE k BETWEEN 1 AND 500
+        UNION ALL
+        SELECT 4, 'delete', c FROM o WHERE k % 1000 = 0
+        UNION ALL
+        SELECT 4, 'insert', CAST(-100 AS BIGINT) FROM o WHERE k % 1000 = 0
+    )
+    SELECT version, change,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS cents
+    FROM ch GROUP BY version, change
+    """,
+)
+def lake_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table consumed as a STRUCTURED STREAM
+    (`readStream.format("snapshot_cdf")`, streaming/cdf_source.py)
+    with every change class exercised and the result hash-pinned:
+    two appends (insert partitions), a merge-on-read DELETE (the
+    stream reads the DV-position delta, opening only the affected
+    file + its DV), and a copy-on-write MERGE on a
+    change_data_feed=True table (the stream reads the writer's
+    logical pre/post-image change files — NOT the rewrite churn).
+    The drained feed is folded to per-(version, change_type)
+    counts + cent sums, which the oracle derives algebraically from
+    orders — a wrong offset, a replayed/lost commit, a DV delta
+    misread, or carried-row churn in the COW commit all flip the
+    hash.
+
+    Scale shape: offsets are table versions (planning reads only
+    manifest JSON); each micro-batch input partition is one changed
+    file read as Arrow batches — the same per-file parallelism a
+    native source gets, with maintenance commits (op=compact)
+    skipped entirely."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.streaming.cdf_source import (
+        register_snapshot_cdf,
+    )
+
+    register_snapshot_cdf(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="lake_cdf_")
+    try:
+        t = SnapshotTable(
+            spark,
+            f"{root}/tbl",
+            stats_columns=["o_orderkey"],
+            change_data_feed=True,
+        )
+        t.append(orders.filter(F.col("o_totalprice") < 100000))
+        t.append(orders.filter(F.col("o_totalprice") >= 100000))
+        t.delete_where_mor("o_orderkey", 1, 500)
+        marks = orders.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+            "o_totalprice", F.lit(-1.0)
+        )
+        t.merge(marks, "o_orderkey")
+        stream = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", f"{root}/tbl")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = (
+            spark.read.parquet(f"{root}/out")
+            .groupBy(
+                F.col("_commit_version").cast("int").alias("version"),
+                F.col("_change_type").alias("change"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).alias("cents"),
+            )
+        )
+        rows = [tuple(r) for r in got.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, change string, n_rows bigint, cents bigint"
+    )

@@ -86,7 +86,13 @@ _PRIORITY: list[str] = [
     # ngram_jaccard_pairs' slot; ngram_jaccard shares its ORACLE with
     # in-cap prefix_jaccard_pairs (prefix filtering is lossless, same
     # result set) and stays pytest-oracle-checked below the cap
-    "simhash_fingerprint", "lake_snapshot_lifecycle", "ann_topk_cosine",
+    # r06 swap: simhash_fingerprint demoted (the dedup family keeps six
+    # in-cap witnesses: exact/minhash/lsh/embedding/clusters/prefix;
+    # simhash + its banded pairs stay pytest-oracle-checked below) for
+    # lake_mor_upsert_nullstats — the merge-on-read upsert + null-count
+    # skipping tier under the driver
+    "lake_mor_upsert_nullstats",
+    "lake_snapshot_lifecycle", "ann_topk_cosine",
     "text_quality_metrics", "lang_id_heuristic", "doc_fingerprint",
     # -- extended SQL coverage, one representative per family
     "semi_anti_join", "star_join_revenue", "topk_per_group",
@@ -94,7 +100,12 @@ _PRIORITY: list[str] = [
     # -- windowed/streaming batch twin
     "sessionization",
     # -- r03 promotions: extension oracles never driver-checked before
-    "tfidf_term_stats", "item_item_cosine", "prefix_jaccard_pairs",
+    # (r06: tfidf_term_stats demoted — the text family keeps
+    # text_quality_metrics/lang_id/doc_fingerprint in-cap and tfidf
+    # stays pytest-oracle-checked — for benchmark_decontamination, the
+    # GPT-3-style 8-gram eval-overlap gate)
+    "benchmark_decontamination",
+    "item_item_cosine", "prefix_jaccard_pairs",
     "table_profile", "grouping_sets_agg", "range_join_attribution",
     # r04 swap: substring_containment_pairs (lossless winnowing-candidate
     # exact dedup, the novel r04 tier) replaces intersect_except (a
@@ -102,7 +113,11 @@ _PRIORITY: list[str] = [
     # dq_expectations_suite (the fused Deequ-style constraint engine, a
     # new r04 family) replaces exact_percentiles (a single-function agg
     # that stays pytest-oracle-checked below)
-    "substring_containment_pairs", "dq_expectations_suite",
+    # r06: substring_containment_pairs demoted (same lossless PPJoin
+    # family as in-cap prefix_jaccard_pairs; stays pytest-checked) for
+    # lake_cdf_stream — the snapshot table consumed as a structured
+    # stream (CDF source, DV deltas, writer change files), hash-pinned
+    "lake_cdf_stream", "dq_expectations_suite",
     # r04 swap: multimodal_ppm_decode (REAL byte-parsing image decode,
     # hash-checked against the analytic pixel oracle) replaces
     # psi_drift (stays pytest-oracle-checked below)

@@ -95,11 +95,18 @@ def test_registry_priority_ordering():
     # r05 swapped trend_regression (still pytest-oracle-checked below
     # the cap) for lake_incremental_view — deletion vectors + change
     # feed + incremental view maintenance under one driver hash.
-    for promoted in ["tfidf_term_stats", "item_item_cosine",
+    # r06 swapped tfidf_term_stats, substring_containment_pairs and
+    # simhash_fingerprint (all still pytest-oracle-checked below the
+    # cap, their families keep in-cap witnesses) for the round's novel
+    # tiers: benchmark_decontamination, lake_cdf_stream and
+    # lake_mor_upsert_nullstats.
+    for promoted in ["item_item_cosine",
                      "prefix_jaccard_pairs", "table_profile",
                      "grouping_sets_agg", "range_join_attribution",
-                     "substring_containment_pairs", "dq_expectations_suite",
-                     "multimodal_ppm_decode", "lake_incremental_view"]:
+                     "dq_expectations_suite",
+                     "multimodal_ppm_decode", "lake_incremental_view",
+                     "benchmark_decontamination", "lake_cdf_stream",
+                     "lake_mor_upsert_nullstats"]:
         assert promoted in head, f"{promoted} not promoted into the cap"
 
 
