@@ -1056,6 +1056,162 @@ class SnapshotTable:
         ).sortWithinPartitions(*cols)
         return self.append(clustered)
 
+    def append_bucketed(
+        self, df: DataFrame, key: str, n_buckets: int
+    ) -> int:
+        """Append with Iceberg's ``bucket(n, key)`` HIDDEN-PARTITION
+        transform: rows are placed by ``hash(key) % n``, and each
+        staged file's manifest stats record the exact SET of bucket ids
+        it holds. Point-key reads and merges then prune by bucket
+        membership — an EXACT modular proof, unlike min/max intervals
+        (useless for scattered keys: a CDC batch with keys
+        {5, 9000005} interval-overlaps every file) and unlike blooms
+        (probabilistic, and probe cost grows with the source's key
+        count). The killer property for merge: a source's distinct
+        bucket set is at most ``n`` values no matter how many billions
+        of rows it has — one map-side-combined aggregate, a
+        <= n-row collect, and candidates shrink to the matching
+        buckets' files. Queries never see the bucket (hidden
+        partitioning): pruning consults the transform metadata only.
+
+        Use the same (key, n) across appends; files written by other
+        paths carry no bucket metadata and stay conservative
+        candidates, so mixing layouts degrades pruning, never
+        correctness."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+        bucket = F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+        placed = df.repartition(n_buckets, bucket)
+        df_schema = df.schema.jsonValue()
+        cur = self.current_version()
+        self._evolved_schema(
+            self._base_manifest(cur).get("schema") if cur else None, df_schema
+        )
+        new_files, new_stats, new_blooms = self._stage(placed)
+        if new_files:
+            # one column-pruned pass over the staged files records each
+            # file's bucket-id set (several buckets may co-reside in a
+            # file; membership SETS keep that exact)
+            rows = (
+                self.spark.read.parquet(*new_files)
+                .select(
+                    F.input_file_name().alias("file"), bucket.alias("b")
+                )
+                .groupBy("file")
+                .agg(F.collect_set("b").alias("bs"))
+                .collect()
+            )
+            for r in rows:
+                entry = new_stats.setdefault(_rel(r["file"]), {})
+                entry["__buckets"] = [key, n_buckets, sorted(r["bs"])]
+
+        def build(version: int, prev: dict) -> dict:
+            live_stats = dict(prev.get("stats", {}))
+            live_stats.update(new_stats)
+            return self._compose(
+                version,
+                prev["files"] + new_files,
+                live_stats,
+                prev.get("batch_markers", {}),
+                schema=self._evolved_schema(prev.get("schema"), df_schema),
+                blooms={**prev.get("blooms", {}), **new_blooms},
+                dvs=prev.get("dvs", {}),
+                dv_rows=prev.get("dv_rows", {}),
+                op="append",
+            )
+
+        return self._commit(build)
+
+    def _source_bucket_ids(
+        self, source: DataFrame, key: str, variants: set[int]
+    ) -> dict[int, set[int]]:
+        """Distinct bucket ids the source's keys map to, per bucket
+        width found in the manifest. ONE aggregate job regardless of
+        source size — the result is bounded by sum(n) rows (map-side
+        combine does the heavy lifting), which is why bucket pruning
+        scales where bloom probing (bounded key collect) cannot."""
+        if not variants:
+            return {}
+        cols = [
+            F.pmod(F.hash(F.col(key)), F.lit(n)).alias(f"b_{n}")
+            for n in sorted(variants)
+        ]
+        rows = source.select(*cols).distinct().collect()
+        return {
+            n: {r[f"b_{n}"] for r in rows} for n in sorted(variants)
+        }
+
+    def _literal_bucket_ids(
+        self, manifest: dict, column: str, value, variants: set[int]
+    ) -> dict[int, set[int]]:
+        """Bucket ids a single literal maps to, hashed AT THE COLUMN'S
+        TABLE TYPE (Spark's hash is type-sensitive: hash(1 int) !=
+        hash(1L)); one 1-row job, no data scanned."""
+        dtype = next(
+            (
+                f["type"]
+                for f in manifest.get("schema", {}).get("fields", [])
+                if f["name"] == column
+            ),
+            None,
+        )
+        lit = (
+            F.lit(value).cast(dtype)
+            if isinstance(dtype, str)
+            else F.lit(value)
+        )
+        cols = [
+            F.pmod(F.hash(lit), F.lit(n)).alias(f"b_{n}")
+            for n in sorted(variants)
+        ]
+        r = self.spark.range(1).select(*cols).first()
+        return {n: {r[f"b_{n}"]} for n in sorted(variants)}
+
+    @staticmethod
+    def _bucket_variants(
+        manifest: dict, key: str, files: list[str]
+    ) -> set[int]:
+        """Distinct bucket widths recorded for ``key`` across
+        ``files`` (normally one; layout migrations can leave a mix)."""
+        stats = manifest.get("stats", {})
+        variants: set[int] = set()
+        for f in files:
+            meta = stats.get(_rel(f), {}).get("__buckets")
+            if meta and meta[0] == key:
+                variants.add(meta[1])
+        return variants
+
+    def _bucket_prune(
+        self,
+        manifest: dict,
+        key: str,
+        candidates: list[str],
+        wanted: dict[int, set[int]] | None,
+    ) -> tuple[list[str], list[str]]:
+        """(kept, dropped): drop candidate files whose recorded bucket
+        set for ``key`` provably misses every source key's bucket
+        (``wanted`` = precomputed `_source_bucket_ids`, so CAS-retry
+        builds re-apply the IDENTICAL pruning with zero jobs). Files
+        without bucket metadata, bucketed on another column, or of a
+        width absent from ``wanted`` are kept — pruning stays a pure
+        optimization."""
+        if not wanted:
+            return candidates, []
+        stats = manifest.get("stats", {})
+        kept, dropped = [], []
+        for f in candidates:
+            meta = stats.get(_rel(f), {}).get("__buckets")
+            if (
+                meta
+                and meta[0] == key
+                and meta[1] in wanted
+                and not (set(meta[2]) & wanted[meta[1]])
+            ):
+                dropped.append(f)
+            else:
+                kept.append(f)
+        return kept, dropped
+
     def append(self, df: DataFrame, _markers: dict[str, int] | None = None) -> int:
         """New snapshot = previous files + this commit's files.
         Streaming batch markers carry forward (a non-streaming commit
@@ -1174,6 +1330,18 @@ class SnapshotTable:
             column, lo, hi = where
             kept, _out = self._split_by_band(manifest, column, lo, hi)
             residual = residual & F.col(column).between(F.lit(lo), F.lit(hi))
+            if lo == hi:
+                # hidden-partition point lookup: a bucketed layout
+                # proves non-matching buckets' files out exactly (one
+                # 1-row job to hash the literal at the column's type)
+                variants = self._bucket_variants(manifest, column, kept)
+                if variants:
+                    kept, _bout = self._bucket_prune(
+                        manifest,
+                        column,
+                        kept,
+                        self._literal_bucket_ids(manifest, column, lo, variants),
+                    )
         if where_null is not None:
             ncol, want_null = where_null
             stats = manifest.get("stats", {})
@@ -1420,6 +1588,22 @@ class SnapshotTable:
             manifest, keys[0], candidates, key_hashes
         )
         untouched = untouched + _dropped
+        # hidden-partition bucket pruning: for each key column with
+        # bucket metadata among the candidates, one bounded aggregate
+        # maps the source's keys to <= n bucket ids and files of
+        # non-matching buckets drop out — the wanted sets are kept on
+        # the plan so CAS-retry builds re-apply identical pruning
+        bucket_wanted: dict[str, dict[int, set[int]]] = {}
+        for k in keys:
+            variants = self._bucket_variants(manifest, k, candidates)
+            if variants:
+                bucket_wanted[k] = self._source_bucket_ids(
+                    source, k, variants
+                )
+                candidates, bdropped = self._bucket_prune(
+                    manifest, k, candidates, bucket_wanted[k]
+                )
+                untouched = untouched + bdropped
         # evolved-width reader: survivors NULL-pad source-added columns,
         # and the union is by name with source-missing columns padded
         return {
@@ -1430,6 +1614,7 @@ class SnapshotTable:
             "prev_schema": prev_schema,
             "evolved": evolved,
             "key_hashes": key_hashes,
+            "bucket_wanted": bucket_wanted,
             "candidates": candidates,
             "untouched": untouched,
             "evolved_manifest": {**manifest, "schema": evolved},
@@ -1509,10 +1694,17 @@ class SnapshotTable:
 
         base_dvs = manifest.get("dvs", {})
 
+        bucket_wanted = plan["bucket_wanted"]
+
         def build(version: int, prev: dict) -> dict:
             cands, untch = self._split_by_bands(prev, bands)
             cands, dropped = self._bloom_prune(prev, keys[0], cands, key_hashes)
             untch = untch + dropped
+            for k in keys:
+                cands, bdropped = self._bucket_prune(
+                    prev, k, cands, bucket_wanted.get(k)
+                )
+                untch = untch + bdropped
             if set(cands) != set(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
@@ -1642,9 +1834,15 @@ class SnapshotTable:
         bands = plan["bands"]
         key_hashes = plan["key_hashes"]
 
+        bucket_wanted = plan["bucket_wanted"]
+
         def build(version: int, prev: dict) -> dict:
             cands, _untch = self._split_by_bands(prev, bands)
             cands, _d = self._bloom_prune(prev, keys[0], cands, key_hashes)
+            for k in keys:
+                cands, _bd = self._bucket_prune(
+                    prev, k, cands, bucket_wanted.get(k)
+                )
             if set(cands) != set(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "

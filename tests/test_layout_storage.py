@@ -1254,3 +1254,74 @@ def test_compact_partial_conflicts_when_selected_file_changes(
         t.compact_partial(target_rows_per_file=1000, small_file_max_rows=100)
     # the interleaved delete survives; table is consistent
     assert _vals(t) == list(range(5, 30))
+
+
+def test_append_bucketed_point_read_prunes_exactly(spark, tmp_path):
+    """Iceberg bucket(n, key) hidden partitioning: a hashed layout
+    gives every file the FULL key range (interval stats prune nothing)
+    but point reads open only the literal's bucket file(s), and the
+    result equals the full-scan filter exactly."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.append_bucketed(df, "k", 16)
+    m = t._manifest(t.current_version())
+    n_files = len(m["files"])
+    assert n_files >= 8  # hashed placement actually spread out
+    full = sorted(
+        tuple(r) for r in t.read().filter(F.col("k") == 777).collect()
+    )
+    pruned_df = t.read(where=("k", 777, 777))
+    assert sorted(tuple(r) for r in pruned_df.collect()) == full == [
+        (777, 2331)
+    ]
+    opened = pruned_df.select(F.input_file_name()).distinct().count()
+    assert opened < n_files / 4  # bucket membership, not interval, pruned
+    # a value in no bucket file still returns an exact empty result
+    assert t.read(where=("k", 999999, 999999)).count() == 0
+
+
+def test_bucketed_merge_prunes_candidates_and_carries_files(spark, tmp_path):
+    """Merge against a bucketed layout: the source's bucket set (<= n
+    values regardless of source size) shrinks candidates to matching
+    buckets' files; every other file is carried BY PATH. Scattered CDC
+    keys interval-overlap every file, so only the bucket metadata can
+    prove files out here (no blooms configured)."""
+    from collective_als_spark.sources.layout import _rel
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.append_bucketed(df, "k", 16)
+    base = t._manifest(t.current_version())
+    src = spark.createDataFrame(
+        [(5, -1), (999, -2), (1777, -3), (9999, -4)], "k long, v long"
+    )
+    t.merge(src, "k")
+    m2 = t._manifest(t.current_version())
+    carried = set(base["files"]) & set(m2["files"])
+    # the 4 keys hit at most 4 buckets; with ~16 files, most carry over
+    assert len(carried) >= len(base["files"]) - 4
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 2001
+    assert got[5] == -1 and got[999] == -2 and got[1777] == -3
+    assert got[9999] == -4 and got[4] == 12
+    # carried (bucket-pruned) files keep their bucket metadata for the
+    # NEXT merge's pruning
+    kept_with_meta = [
+        f
+        for f in carried
+        if m2["stats"].get(_rel(f), {}).get("__buckets")
+    ]
+    assert kept_with_meta
+    # mixing layouts degrades pruning, never correctness
+    t.append(
+        spark.createDataFrame([(50000, 1), (50001, 2)], "k long, v long")
+    )
+    t.merge(
+        spark.createDataFrame([(50000, 7), (3, -9)], "k long, v long"), "k"
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[50000] == 7 and got[3] == -9 and len(got) == 2003
