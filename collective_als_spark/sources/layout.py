@@ -1454,16 +1454,22 @@ class SnapshotTable:
             return cur
         # DV-aware candidate scan: rows already masked by a deletion
         # vector must not resurrect in the rewrite
-        survivors = self._scan_live(manifest, candidates).filter(
-            ~F.col(column).between(F.lit(lo), F.lit(hi))
-        )
-        new_files, new_stats, new_blooms = self._stage(survivors)
+        cand_scan = self._scan_live(manifest, candidates)
         cdc_dir = None
         if self.change_data_feed and manifest.get("schema"):
-            matched = self._scan_live(manifest, candidates).filter(
+            # single candidate read: the CDC pre-images and the
+            # survivor rewrite both consume the materialized scan
+            # (the delete_where_mor pattern) instead of scanning the
+            # candidates twice
+            cand_scan = cand_scan.localCheckpoint(eager=True)
+            matched = cand_scan.filter(
                 F.col(column).between(F.lit(lo), F.lit(hi))
             )
             cdc_dir = self._write_cdc(matched, None, manifest["schema"])
+        survivors = cand_scan.filter(
+            ~F.col(column).between(F.lit(lo), F.lit(hi))
+        )
+        new_files, new_stats, new_blooms = self._stage(survivors)
 
         base_dvs = manifest.get("dvs", {})
 
@@ -1666,31 +1672,30 @@ class SnapshotTable:
         key_hashes = plan["key_hashes"]
         candidates, untouched = plan["candidates"], plan["untouched"]
         evolved_manifest = plan["evolved_manifest"]
+        cdc_dir = None
         if candidates:
             key_tuples = source.select(*keys).distinct()
-            survivors = self._scan_live(evolved_manifest, candidates).join(
+            cand_scan = self._scan_live(evolved_manifest, candidates)
+            if self.change_data_feed:
+                # single candidate read shared by the CDC pre-images
+                # and the survivor rewrite. Pre-images = matched target
+                # rows only (carried rows are physical rewrites, not
+                # logical changes); post-images = every source row —
+                # Delta CDF's update_pre/postimage flattened to
+                # delete+insert pairs. No broadcast hint: the source's
+                # key set can be arbitrarily large, let Spark pick.
+                cand_scan = cand_scan.localCheckpoint(eager=True)
+                matched = cand_scan.join(key_tuples, keys, "left_semi")
+                cdc_dir = self._write_cdc(matched, source, plan["evolved"])
+            survivors = cand_scan.join(
                 F.broadcast(key_tuples), keys, "left_anti"
             )
             rewritten = survivors.unionByName(source, allowMissingColumns=True)
         else:
             rewritten = self._conform_to_schema(source, plan["evolved"])
+            if self.change_data_feed:
+                cdc_dir = self._write_cdc(None, source, plan["evolved"])
         new_files, new_stats, new_blooms = self._stage(rewritten)
-        cdc_dir = None
-        if self.change_data_feed:
-            # pre-images = matched target rows only (carried rows are
-            # physical rewrites, not logical changes); post-images =
-            # every source row. Delta CDF's update_pre/postimage
-            # semantics flattened to delete+insert pairs.
-            matched = (
-                self._scan_live(evolved_manifest, candidates).join(
-                    F.broadcast(source.select(*keys).distinct()),
-                    keys,
-                    "left_semi",
-                )
-                if candidates
-                else None
-            )
-            cdc_dir = self._write_cdc(matched, source, plan["evolved"])
 
         base_dvs = manifest.get("dvs", {})
 

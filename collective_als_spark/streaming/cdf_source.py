@@ -150,7 +150,11 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("snapshot_cdf requires .option('path', <root>)")
-        self.start_version = int(options.get("startingversion", 0))
+        # startingVersion is INCLUSIVE, matching Delta's
+        # readChangeFeed: the named version's changes are emitted.
+        # Offsets record the last CONSUMED version, so the initial
+        # offset is startingVersion - 1 (default 1 -> full history).
+        self.start_offset = max(0, int(options.get("startingversion", 1)) - 1)
         self.max_versions = int(options.get("maxversionsperbatch", 100))
         self.skip_change_commits = str(
             options.get("skipchangecommits", "false")
@@ -159,7 +163,13 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
-        return {"version": self.start_version}
+        # a FRESH stream throttles from batch one (the floor is known);
+        # a restart recovers its offset from the checkpoint without
+        # calling this, so its FIRST batch spans the whole backlog —
+        # the API exposes the committed offset only to partitions().
+        # Subsequent batches throttle again.
+        self._last_end = self.start_offset
+        return {"version": self.start_offset}
 
     def latestOffset(self) -> dict:
         cur = _current_version(self.root)
@@ -168,7 +178,7 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         # backlogged stream catches up in bounded micro-batches
         if self._last_end is not None:
             cur = min(cur, self._last_end + self.max_versions)
-        return {"version": max(cur, self.start_version)}
+        return {"version": max(cur, self.start_offset)}
 
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])
