@@ -300,6 +300,7 @@ class SnapshotTable:
         bloom_columns: list[str] | None = None,
         dv_broadcast_max_rows: int = 4_000_000,
         mor_fallback_max_rows: int = 10_000_000,
+        merge_broadcast_max_keys: int = 4_000_000,
         change_data_feed: bool = False,
     ):
         self.spark = spark
@@ -327,6 +328,16 @@ class SnapshotTable:
         # ("dv_rows") so both guards are metadata decisions, not jobs.
         self.dv_broadcast_max_rows = dv_broadcast_max_rows
         self.mor_fallback_max_rows = mor_fallback_max_rows
+        # merge key-set broadcast guard: the COW survivor anti-join and
+        # the MOR matched semi-join probe the source's DISTINCT key
+        # tuples. A CDC micro-batch has thousands of keys (broadcast is
+        # ideal); a backfill merge can carry hundreds of millions —
+        # force-broadcasting that set OOMs the driver and every
+        # executor. `_plan_merge` already computes the exact distinct
+        # count (`nd`) in its one validation agg, so the hint is a
+        # metadata decision: hint broadcast only when nd is bounded,
+        # otherwise leave the strategy to AQE.
+        self.merge_broadcast_max_keys = merge_broadcast_max_keys
         # metadata chunks and bloom sidecars are IMMUTABLE once
         # written, so they cache safely for the table's lifetime
         self._chunk_cache: dict[str, dict] = {}
@@ -1614,6 +1625,7 @@ class SnapshotTable:
         # and the union is by name with source-missing columns padded
         return {
             "keys": keys,
+            "nd": bounds["nd"],
             "cur": cur,
             "bands": bands,
             "manifest": manifest,
@@ -1675,6 +1687,11 @@ class SnapshotTable:
         cdc_dir = None
         if candidates:
             key_tuples = source.select(*keys).distinct()
+            # guarded hint: nd (exact, from _plan_merge's validation
+            # agg) bounds the broadcast side; past the guard a backfill
+            # key set would OOM — let AQE pick the strategy instead
+            if plan["nd"] <= self.merge_broadcast_max_keys:
+                key_tuples = F.broadcast(key_tuples)
             cand_scan = self._scan_live(evolved_manifest, candidates)
             if self.change_data_feed:
                 # single candidate read shared by the CDC pre-images
@@ -1682,14 +1699,12 @@ class SnapshotTable:
                 # rows only (carried rows are physical rewrites, not
                 # logical changes); post-images = every source row —
                 # Delta CDF's update_pre/postimage flattened to
-                # delete+insert pairs. No broadcast hint: the source's
-                # key set can be arbitrarily large, let Spark pick.
+                # delete+insert pairs. key_tuples carries the guarded
+                # broadcast hint iff nd is bounded (set above).
                 cand_scan = cand_scan.localCheckpoint(eager=True)
                 matched = cand_scan.join(key_tuples, keys, "left_semi")
                 cdc_dir = self._write_cdc(matched, source, plan["evolved"])
-            survivors = cand_scan.join(
-                F.broadcast(key_tuples), keys, "left_anti"
-            )
+            survivors = cand_scan.join(key_tuples, keys, "left_anti")
             rewritten = survivors.unionByName(source, allowMissingColumns=True)
         else:
             rewritten = self._conform_to_schema(source, plan["evolved"])
