@@ -336,7 +336,10 @@ class SnapshotTable:
         # executor. `_plan_merge` already computes the exact distinct
         # count (`nd`) in its one validation agg, so the hint is a
         # metadata decision: hint broadcast only when nd is bounded,
-        # otherwise leave the strategy to AQE.
+        # otherwise leave the strategy to AQE. NOTE the guard is
+        # row-count based while broadcast cost is bytes: 4M wide
+        # composite/string key tuples can run hundreds of MB — tune
+        # merge_broadcast_max_keys down for wide keys.
         self.merge_broadcast_max_keys = merge_broadcast_max_keys
         # metadata chunks and bloom sidecars are IMMUTABLE once
         # written, so they cache safely for the table's lifetime
@@ -1466,6 +1469,18 @@ class SnapshotTable:
         # DV-aware candidate scan: rows already masked by a deletion
         # vector must not resurrect in the rewrite
         cand_scan = self._scan_live(manifest, candidates)
+        # NULL-valued rows never match a band predicate (SQL three-
+        # valued logic: NULL BETWEEN lo AND hi is NULL, i.e. not
+        # deleted) — but a bare ~between() is ALSO NULL for them, so
+        # a naive survivor filter would silently drop NULL rows from
+        # the rewrite. The survivor predicate must be the exact
+        # complement of the matched predicate over every row,
+        # including NULLs, so the CDF pre-images + survivors
+        # partition the candidate scan (feed == table delta) and the
+        # COW path agrees with delete_where_mor / the all-NULL-file
+        # band pruning, which both keep NULL rows.
+        matched_pred = F.col(column).between(F.lit(lo), F.lit(hi))
+        survivor_pred = ~matched_pred | F.col(column).isNull()
         cdc_dir = None
         if self.change_data_feed and manifest.get("schema"):
             # single candidate read: the CDC pre-images and the
@@ -1473,13 +1488,9 @@ class SnapshotTable:
             # (the delete_where_mor pattern) instead of scanning the
             # candidates twice
             cand_scan = cand_scan.localCheckpoint(eager=True)
-            matched = cand_scan.filter(
-                F.col(column).between(F.lit(lo), F.lit(hi))
-            )
+            matched = cand_scan.filter(matched_pred)
             cdc_dir = self._write_cdc(matched, None, manifest["schema"])
-        survivors = cand_scan.filter(
-            ~F.col(column).between(F.lit(lo), F.lit(hi))
-        )
+        survivors = cand_scan.filter(survivor_pred)
         new_files, new_stats, new_blooms = self._stage(survivors)
 
         base_dvs = manifest.get("dvs", {})
@@ -1792,12 +1803,24 @@ class SnapshotTable:
         Above ``mor_fallback_max_rows`` matched rows the call
         auto-falls back to the copy-on-write merge: at that width the
         rewrite is cheaper than dragging a giant DV through every
-        subsequent read."""
+        subsequent read. The fallback is decided BEFORE the matched
+        semi-join executes whenever the source's exact distinct-key
+        count ``nd`` (already computed by the planning aggregate)
+        exceeds the budget — a backfill-sized key set can't produce a
+        budget-sized DV when it lands, and probing first would pay
+        the full candidate scan just to discover that. The post-join
+        count check remains as the backstop for the duplicate-target-
+        key case where matched rows exceed ``nd``."""
         plan = self._plan_merge(source, key)
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
         if plan is None:
             return self.append(source, _markers=_markers)
+        if plan["nd"] > self.mor_fallback_max_rows:
+            # pre-join fallback: nd is exact (from the planning agg),
+            # so this decision costs nothing — the OOM-risk broadcast
+            # and the checkpointed semi-join never run for backfills
+            return self.merge(source, key, _markers=_markers)
         keys = plan["keys"]
         manifest = plan["manifest"]
         candidates = plan["candidates"]
@@ -1805,12 +1828,17 @@ class SnapshotTable:
         matched = None
         if candidates:
             key_tuples = source.select(*keys).distinct()
+            # guarded hint (same gate as the COW path): nd bounds the
+            # broadcast side; past merge_broadcast_max_keys a forced
+            # broadcast would OOM the executors — let AQE pick
+            if plan["nd"] <= self.merge_broadcast_max_keys:
+                key_tuples = F.broadcast(key_tuples)
             # materialized once: the counts collect and the DV write
             # both consume it — without this the pruned candidate scan
             # + semi join runs twice per (micro-batch) commit
             matched = (
                 self._scan_live(plan["evolved_manifest"], candidates, keep_pos=True)
-                .join(F.broadcast(key_tuples), keys, "left_semi")
+                .join(key_tuples, keys, "left_semi")
                 .select(
                     F.col("__dv_rel").alias("file"),
                     F.col("__dv_pos").alias("pos"),

@@ -408,3 +408,135 @@ def test_concurrent_disjoint_mor_merges_both_commit(spark, tmp_path):
     assert got[50] == "upd" and got[2050] == "upd"
     assert got[51] is None
     assert files_before <= set(_manifest(t)["files"])  # append-only
+
+
+def test_delete_where_keeps_null_rows(spark, tmp_path):
+    """NULL BETWEEN lo AND hi is NULL (not matched) under SQL
+    three-valued logic, so a band DELETE must KEEP NULL-valued rows —
+    on the COW path, the MOR path, and in the change feed. Guards the
+    r07 regression where the COW survivor filter ~between() silently
+    dropped NULL rows from the rewrite."""
+    rows = [(i, f"k{i}") for i in range(10)] + [(None, "n1"), (None, "n2")]
+    df = spark.createDataFrame(rows, "v long, tag string").coalesce(1)
+
+    cow = SnapshotTable(
+        spark, str(tmp_path / "cow"), stats_columns=["v"],
+        change_data_feed=True,
+    )
+    cow.append(df)
+    v = cow.delete_where("v", 3, 5)
+    got = cow.read()
+    # NULL rows survive the rewrite
+    assert sorted(
+        r["tag"] for r in got.filter(F.col("v").isNull()).collect()
+    ) == ["n1", "n2"]
+    assert sorted(
+        r["v"] for r in got.filter(F.col("v").isNotNull()).collect()
+    ) == [0, 1, 2, 6, 7, 8, 9]
+
+    # the change feed reports EXACTLY the deleted rows — feed == table
+    # delta, NULL rows in neither
+    ch = cow.changes(v - 1, v).collect()
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    assert sorted(r["v"] for r in ch) == [3, 4, 5]
+
+    # MOR agrees with COW row-for-row
+    mor = SnapshotTable(spark, str(tmp_path / "mor"), stats_columns=["v"])
+    mor.append(df)
+    mor.delete_where_mor("v", 3, 5)
+    key = lambda r: (r["v"] if r["v"] is not None else -1, r["tag"])
+    assert sorted(map(key, mor.read().collect())) == sorted(
+        map(key, got.collect())
+    )
+
+
+def _merge_optimized_plans(spark, monkeypatch, table, source, key):
+    """Run table.merge/merge_mor capturing the optimized logical plan
+    of every DataFrame the commit materializes (stage writes and
+    localCheckpoints) — the only places the key-tuple join can hide."""
+    _DF = type(spark.range(1))  # the concrete (classic) DataFrame class
+
+    plans = []
+    orig_stage = table._stage
+
+    def stage_spy(df):
+        plans.append(df._jdf.queryExecution().optimizedPlan().toString())
+        return orig_stage(df)
+
+    monkeypatch.setattr(table, "_stage", stage_spy)
+    orig_ckpt = _DF.localCheckpoint
+
+    def ckpt_spy(self, eager=True):
+        plans.append(self._jdf.queryExecution().optimizedPlan().toString())
+        return orig_ckpt(self, eager=eager)
+
+    monkeypatch.setattr(_DF, "localCheckpoint", ckpt_spy)
+    return plans
+
+
+def test_merge_broadcast_guard_cow_and_mor(spark, tmp_path, monkeypatch):
+    """Both merge paths hint broadcast on the source key tuples only
+    while nd <= merge_broadcast_max_keys; past the guard neither path
+    may force a broadcast (a backfill key set OOMs the executors).
+    auto-broadcast is disabled so the assertion sees exactly the
+    hint's effect, and results must be identical either side."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        base = spark.range(0, 200).select(F.col("id").alias("v"))
+        src = spark.range(100, 300).select(
+            F.col("id").alias("v"), (F.col("id") * 2).alias("x")
+        )
+        results = {}
+        for name, cap in (("hinted", 4_000_000), ("guarded", 5)):
+            for path, meth in (("cow", "merge"), ("mor", "merge_mor")):
+                t = SnapshotTable(
+                    spark, str(tmp_path / f"{name}_{path}"),
+                    stats_columns=["v"], merge_broadcast_max_keys=cap,
+                )
+                t.append(base.coalesce(1))
+                plans = _merge_optimized_plans(spark, monkeypatch, t, src, "v")
+                getattr(t, meth)(src, "v")
+                monkeypatch.undo()
+                joined = "\n".join(plans)
+                if name == "hinted":  # nd=200 <= cap → hint applied
+                    assert "strategy=broadcast" in joined, (name, path)
+                else:  # nd=200 > cap → NO forced broadcast anywhere
+                    assert "strategy=broadcast" not in joined, (name, path)
+                results[(name, path)] = sorted(
+                    (r["v"], r["x"]) for r in t.read().collect()
+                )
+        expect = [(v, None) for v in range(0, 100)] + [
+            (v, 2 * v) for v in range(100, 300)
+        ]
+        for k, got in results.items():
+            assert got == expect, k
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_merge_mor_prejoin_fallback_skips_semijoin(spark, tmp_path):
+    """nd > mor_fallback_max_rows routes merge_mor to COW BEFORE the
+    matched semi-join runs: the positional candidate scan
+    (keep_pos=True) must never execute — the fallback no longer pays
+    the broadcast join + checkpoint it is falling back from."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), stats_columns=["v"],
+        mor_fallback_max_rows=5,
+    )
+    t.append(spark.range(0, 100).select(F.col("id").alias("v")).coalesce(1))
+    pos_scans = []
+    orig = t._scan_live
+
+    def spy(manifest, files, keep_pos=False):
+        if keep_pos:
+            pos_scans.append(files)
+        return orig(manifest, files, keep_pos=keep_pos)
+
+    t._scan_live = spy
+    src = spark.range(0, 50).select(F.col("id").alias("v"), F.lit(1).alias("x"))
+    t.merge_mor(src, "v")  # nd=50 > 5 → COW decided pre-join
+    assert pos_scans == []  # the MOR semi-join never planned a scan
+    m = _manifest(t)
+    assert "dvs" not in m
+    assert t.read().count() == 100
