@@ -2472,8 +2472,13 @@ class SnapshotTable:
         now = _time.time()
 
         def _in_grace(path: str) -> bool:
+            # unknown mtime (store can't answer, or the path vanished
+            # under a racing committer) is conservatively IN grace:
+            # deleting a maybe-in-flight commit's files can corrupt
+            # the next head, while keeping a true orphan one more
+            # cycle costs only storage
             mt = getattr(self.log, "mtime", lambda _p: None)(path)
-            return mt is not None and now - mt < orphan_grace_seconds
+            return mt is None or now - mt < orphan_grace_seconds
 
         referenced: set[str] = set()
         referenced_dv: set[str] = set()

@@ -27,11 +27,15 @@ Semantics (mirrors `SnapshotTable.changes_by_version`):
 Scale shape: offsets/planning read only manifest JSON (driver,
 metadata-sized); each partition reads one data file (+ its DV files)
 on an executor — the same parallelism a native file source gets.
-This implementation resolves manifests with plain ``os`` IO, so the
-table root must be a LOCAL path visible to driver and executors (the
-test/bench topology); an object-store deployment would swap the four
-``_ls/_read_json`` helpers for an fsspec/S3 client — the planning and
-read protocol is storage-agnostic.
+
+Storage: all manifest/data IO routes through ``pyarrow.fs`` when the
+table root carries a URI scheme (``file:``, ``s3:``, ``hdfs:``,
+``gs:``, ...) and plain ``os`` for bare local paths — the pure-Python
+sibling of ``sources/logstore.py``'s per-scheme LogStore. The JVM
+LogStore itself is unusable here because the Python DataSource
+planning thread runs in a separate worker with no py4j bridge; pyarrow
+filesystems give the same reach (a 100 TB table on object storage)
+without it.
 
 Retention interacts with streaming the same way Delta's does: if
 `expire()` drops a manifest the checkpoint still needs, planning
@@ -43,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
@@ -55,15 +60,38 @@ from pyspark.sql.types import LongType, StringType, StructType
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 
 
+def _fs_split(path: str):
+    """(filesystem, fs-native path) for ``path``: ``(None, path)`` for
+    bare local paths (plain ``os`` IO, no dependency), else the
+    ``pyarrow.fs`` filesystem the URI scheme resolves to and the
+    scheme-less path it expects. Paths inside manifests carry the same
+    scheme as the table root, so every helper below re-dispatches."""
+    if "://" in path or path.startswith("file:"):
+        from pyarrow import fs as pafs
+
+        return pafs.FileSystem.from_uri(path)
+    return None, path
+
+
+def _list_dir(path: str) -> list[str]:
+    fs_, p = _fs_split(path)
+    if fs_ is None:
+        try:
+            return os.listdir(p)
+        except FileNotFoundError:
+            return []
+    from pyarrow import fs as pafs
+
+    infos = fs_.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+    return [i.base_name for i in infos]
+
+
 def _snap_dir(root: str) -> str:
-    return os.path.join(root, "_snapshots")
+    return f"{root.rstrip('/')}/_snapshots"
 
 
 def _current_version(root: str) -> int:
-    try:
-        names = os.listdir(_snap_dir(root))
-    except FileNotFoundError:
-        return 0
+    names = _list_dir(_snap_dir(root))
     versions = [
         int(m.group(1)) for m in (_VERSION_RE.match(n) for n in names) if m
     ]
@@ -71,8 +99,39 @@ def _current_version(root: str) -> int:
 
 
 def _read_json(path: str) -> dict:
-    with open(path, "r") as f:
-        return json.load(f)
+    fs_, p = _fs_split(path)
+    if fs_ is None:
+        with open(p, "r") as f:
+            return json.load(f)
+    with fs_.open_input_stream(p) as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    """Overwrite-write via a temp sibling + rename so a concurrent
+    reader never sees a torn file (the cursor below is advisory, but a
+    half-written JSON would crash planning instead of degrading)."""
+    data = json.dumps(obj)
+    fs_, p = _fs_split(path)
+    if fs_ is None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, p)
+        return
+    fs_.create_dir(p.rsplit("/", 1)[0], recursive=True)
+    tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+    with fs_.open_output_stream(tmp) as f:
+        f.write(data.encode("utf-8"))
+    try:
+        fs_.move(tmp, p)
+    except OSError:
+        # object stores without atomic rename: plain overwrite —
+        # last-writer-wins is fine for an advisory monotonic cursor
+        with fs_.open_output_stream(p) as f:
+            f.write(data.encode("utf-8"))
+        fs_.delete_file(tmp)
 
 
 def _rel(path: str) -> str:
@@ -86,7 +145,7 @@ def _resolve_manifest(root: str, version: int) -> dict:
     SnapshotTable._resolve for the planning thread."""
     if version == 0:
         return {"files": [], "dvs": {}, "op": None, "schema": None}
-    path = os.path.join(_snap_dir(root), f"v{version}.json")
+    path = f"{_snap_dir(root)}/v{version}.json"
     try:
         raw = _read_json(path)
     except FileNotFoundError:
@@ -100,7 +159,7 @@ def _resolve_manifest(root: str, version: int) -> dict:
         dead = set(raw.get("dead", []))
         files: list[str] = []
         for cname in raw["chunks"]:
-            chunk = _read_json(os.path.join(_snap_dir(root), cname))
+            chunk = _read_json(f"{_snap_dir(root)}/{cname}")
             files.extend(f for f in chunk["files"] if _rel(f) not in dead)
     else:
         files = list(raw.get("files", []))
@@ -140,7 +199,8 @@ def _dv_positions(dv_dir: str | None, rel: str) -> set[int]:
         return set()
     import pyarrow.dataset as ds
 
-    dataset = ds.dataset(dv_dir, format="parquet")
+    fs_, p = _fs_split(dv_dir)
+    dataset = ds.dataset(p, format="parquet", filesystem=fs_)
     tbl = dataset.to_table(filter=ds.field("file") == rel, columns=["pos"])
     return set(tbl.column("pos").to_pylist())
 
@@ -153,35 +213,73 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         # startingVersion is INCLUSIVE, matching Delta's
         # readChangeFeed: the named version's changes are emitted.
         # Offsets record the last CONSUMED version, so the initial
-        # offset is startingVersion - 1 (default 1 -> full history).
+        # offset is startingVersion - 1 (the default startingVersion=1
+        # consumes the table's full history).
         self.start_offset = max(0, int(options.get("startingversion", 1)) - 1)
         self.max_versions = int(options.get("maxversionsperbatch", 100))
         self.skip_change_commits = str(
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
         self._schema = schema
+        # Admission-control seed. The Python DataSource API never
+        # shows latestOffset() the committed start (no
+        # SupportsAdmissionControl equivalent), so a checkpoint
+        # restart would otherwise plan ONE batch spanning the whole
+        # backlog — a week of downtime as a single micro-batch. The
+        # cursor file persists the last COMMITTED offset per stream
+        # (written in commit(), read here) purely to clamp batch
+        # sizing; correctness never depends on it. Streams sharing a
+        # table root must set distinct cursorId options.
+        self.cursor_id = str(options.get("cursorid", "default"))
         self._last_end: int | None = None
+        try:
+            self._last_end = int(_read_json(self._cursor_path())["version"])
+        except (FileNotFoundError, OSError, KeyError, ValueError):
+            pass
+
+    def _cursor_path(self) -> str:
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", self.cursor_id)
+        return f"{self.root.rstrip('/')}/_cursors/{safe}.json"
 
     def initialOffset(self) -> dict:
-        # a FRESH stream throttles from batch one (the floor is known);
-        # a restart recovers its offset from the checkpoint without
-        # calling this, so its FIRST batch spans the whole backlog —
-        # the API exposes the committed offset only to partitions().
-        # Subsequent batches throttle again.
+        # a FRESH stream (empty checkpoint) starts at the configured
+        # floor — a stale cursor left by a deleted checkpoint must not
+        # skip history, so the seed is overridden here
         self._last_end = self.start_offset
         return {"version": self.start_offset}
 
     def latestOffset(self) -> dict:
         cur = _current_version(self.root)
         # admission control (Delta's maxFilesPerTrigger shape): advance
-        # at most max_versions commits past the last planned batch so a
-        # backlogged stream catches up in bounded micro-batches
-        if self._last_end is not None:
-            cur = min(cur, self._last_end + self.max_versions)
-        return {"version": max(cur, self.start_offset)}
+        # at most max_versions commits past the last known position so
+        # a backlogged stream catches up in bounded micro-batches —
+        # including the FIRST batch (the engine may call latestOffset
+        # before initialOffset, so a fresh stream seeds from the
+        # configured floor) and the first batch after a restart
+        # (cursor-seeded in __init__)
+        seed = (
+            self._last_end if self._last_end is not None else self.start_offset
+        )
+        return {"version": max(min(cur, seed + self.max_versions), self.start_offset)}
 
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])
+        if ev < sv:
+            # only reachable when the advisory cursor lags the real
+            # committed offset (a foreign stream sharing cursorId, or
+            # maxVersionsPerBatch shrunk across a crash): planning a
+            # backward batch would re-emit already-committed versions
+            # — refuse loudly instead of breaking exactly-once
+            raise RuntimeError(
+                f"snapshot_cdf: batch end v{ev} precedes committed "
+                f"start v{sv} — the admission-control seed (cursor "
+                f"{self._cursor_path()}, or the startingVersion floor "
+                "on a checkpoint that predates cursors) lags this "
+                "stream's checkpoint. Give each stream over this "
+                "table a distinct .option('cursorId', ...), or "
+                f"restart with .option('startingVersion', {sv + 1}) "
+                "to re-seed from the checkpointed position."
+            )
         self._last_end = ev
         parts: list[CdfPartition] = []
         prev = _resolve_manifest(self.root, sv) if sv else None
@@ -196,28 +294,39 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
                 # writer-recorded logical change files (COW merge /
                 # delete on a change_data_feed=True table): the exact
                 # pre/post images, no rewrite churn
-                for name in sorted(os.listdir(cur["cdc"])):
+                for name in sorted(_list_dir(cur["cdc"])):
                     if name.endswith(".parquet"):
                         parts.append(
                             CdfPartition(
-                                "cdc", os.path.join(cur["cdc"], name), v
+                                "cdc", f"{cur['cdc'].rstrip('/')}/{name}", v
                             )
                         )
                 prev = cur
                 continue
-            if cur["op"] in ("delete", "merge"):
+            is_rewrite = bool(set(prev["files"]) - set(cur["files"])) and bool(
+                set(cur["files"]) - set(prev["files"])
+            )
+            if cur["op"] in ("delete", "merge") or (
+                cur["op"] is None and is_rewrite
+            ):
                 # a COW rewrite without change files: carried rows in
                 # rewritten files are indistinguishable from real
                 # changes at the file level (Delta streams refuse these
-                # commits the same way unless skipChangeCommits is set)
+                # commits the same way unless skipChangeCommits is set).
+                # A pre-op manifest (op=None, older table) whose diff
+                # is rewrite-shaped — files both added AND removed —
+                # could be such a COW merge/delete, so it gets the same
+                # treatment: replaying carried rows as delete+insert
+                # pairs would corrupt downstream state.
                 if self.skip_change_commits:
                     prev = cur
                     continue
                 raise RuntimeError(
                     f"snapshot_cdf: commit v{v} is a copy-on-write "
-                    f"{cur['op']} on a table without change files — "
-                    "create the table with change_data_feed=True, or "
-                    "set .option('skipChangeCommits', 'true') to skip "
+                    f"{cur['op'] or 'rewrite (pre-op manifest)'} on a "
+                    "table without change files — create the table "
+                    "with change_data_feed=True, or set "
+                    ".option('skipChangeCommits', 'true') to skip "
                     "such commits"
                 )
             f_prev, f_cur = set(prev["files"]), set(cur["files"])
@@ -266,7 +375,8 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
             ]
         )
         target = to_arrow_schema(data_fields)
-        raw_tbl = pq.read_table(partition.file)
+        fs_, fpath = _fs_split(partition.file)
+        raw_tbl = pq.read_table(fpath, filesystem=fs_)
         # conform to the stream's declared schema: NULL-pad columns the
         # file predates, drop columns added after the stream started
         # (consumers restart to pick up widened schemas, as with Delta)
@@ -335,15 +445,27 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         return iter(out)
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in the stream checkpoint; manifests are immutable
+        # exact progress lives in the stream checkpoint (manifests are
+        # immutable); the cursor only re-seeds admission control after
+        # a restart. A failed write fails the batch and is retried, so
+        # the cursor never silently lags by more than the crash-lost
+        # batch — which the clamp absorbs (end_n <= end_{n-1} + max).
+        _write_json_atomic(
+            self._cursor_path(), {"version": int(end["version"])}
+        )
 
 
 class SnapshotCdfDataSource(DataSource):
     """`spark.readStream.format("snapshot_cdf").option("path", root)`.
 
     Options: ``path`` (table root, required), ``startingVersion``
-    (default 0 = the table's full history), ``maxVersionsPerBatch``
-    (admission control, default 100 commits per micro-batch)."""
+    (INCLUSIVE; default 1 = the table's full history),
+    ``maxVersionsPerBatch`` (admission control, default 100 commits
+    per micro-batch — enforced across restarts via the per-stream
+    cursor file), ``cursorId`` (admission-control cursor name,
+    default "default"; give concurrent streams over one table
+    distinct ids), ``skipChangeCommits`` (skip COW rewrite commits
+    instead of erroring, default false)."""
 
     @classmethod
     def name(cls) -> str:

@@ -171,3 +171,137 @@ def test_cdf_source_schema_and_missing_table(registered, tmp_path):
     ds = SnapshotCdfDataSource({"path": str(tmp_path / "absent")})
     with pytest.raises(ValueError, match="no committed snapshot"):
         ds.schema()
+
+
+def test_cdf_stream_on_file_uri_root(registered, tmp_path):
+    """The whole plan/read path (version discovery, manifest JSON,
+    cdc listing, parquet + DV reads) routes through pyarrow.fs when
+    the table root carries a URI scheme — where a 100 TB table
+    actually lives. Same assertions as the local-path suite."""
+    spark = registered
+    root = "file://" + str(tmp_path / "tbl")
+    t = SnapshotTable(
+        spark, root, stats_columns=["k"], change_data_feed=True
+    )
+    t.append(_docs(spark, 0, 20, "a").coalesce(1))
+    t.delete_where_mor("k", 5, 9)  # MOR: DV-position delta partitions
+    t.merge(
+        spark.createDataFrame([(18, "upd"), (100, "new")], "k long, s string"),
+        "k",
+    )  # COW merge -> cdc change files, listed through the fs layer
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_available_now(spark, root, out, ckpt)
+    got = spark.read.parquet(out)
+    cols = ["k", "s", "_change_type", "_commit_version"]
+    expected = t.changes_by_version(0, t.current_version())
+    assert _collect_sorted(got, cols) == _collect_sorted(expected, cols)
+
+
+def _offset_versions(ckpt: str) -> list[int]:
+    """Per-micro-batch end versions from the stream checkpoint's
+    offsets log — the ground truth for admission-control assertions."""
+    import json
+    import os
+
+    odir = os.path.join(ckpt, "offsets")
+    out = []
+    names = [n for n in os.listdir(odir) if n.isdigit()]
+    for name in sorted(names, key=int):
+        with open(os.path.join(odir, name)) as f:
+            last = f.read().strip().splitlines()[-1]
+        out.append(int(json.loads(last)["version"]))
+    return out
+
+
+def test_cdf_restart_throttles_backlog(registered, tmp_path):
+    """A restarted stream facing a backlog > maxVersionsPerBatch must
+    catch up in BOUNDED micro-batches, not one giant batch: the
+    admission-control cursor persisted on commit() re-seeds the clamp
+    that the checkpoint-recovery path never hands latestOffset."""
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["v"])
+
+    def _drain(out, ckpt):
+        # availableNow falls back to ONE batch for Python sources, so
+        # a throttled catch-up needs a live stream: processAllAvailable
+        # runs clamped micro-batches until the backlog is drained
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", root)
+            .option("maxVersionsPerBatch", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+
+    for i in range(3):
+        t.append(
+            spark.range(10 * i, 10 * i + 10)
+            .select(F.col("id").alias("v"))
+            .coalesce(1)
+        )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(out, ckpt)
+    # a 6-commit backlog lands while the stream is down
+    for i in range(3, 9):
+        t.append(
+            spark.range(10 * i, 10 * i + 10)
+            .select(F.col("id").alias("v"))
+            .coalesce(1)
+        )
+    _drain(out, ckpt)  # restart against the same checkpoint
+    assert spark.read.parquet(out).count() == 90  # nothing lost/duped
+    versions = _offset_versions(ckpt)
+    deltas = [b - a for a, b in zip(versions, versions[1:])]
+    # EVERY advance is clamped — including the first one after the
+    # restart, which without the cursor would swallow all 6 commits
+    assert versions[0] <= 2 and all(d <= 2 for d in deltas), versions
+    assert len(versions) >= 5  # the backlog took multiple batches
+
+
+def test_cdf_preop_rewrite_guard(registered, tmp_path):
+    """A pre-op manifest (no "op" recorded — older table layout) whose
+    file diff is rewrite-shaped is indistinguishable from a COW
+    merge/delete: the stream must refuse it (or skip it under
+    skipChangeCommits), never replay carried rows as delete+insert."""
+    import json as _json
+    import os as _os
+
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["k"])
+    t.append(_docs(spark, 0, 10, "a").coalesce(1))
+    t.delete_where("k", 0, 4)  # COW rewrite (op=delete)
+    # age the manifest back to the pre-op layout
+    mpath = _os.path.join(root, "_snapshots", "v2.json")
+    with open(mpath) as f:
+        raw = _json.load(f)
+    raw.pop("op", None)
+    with open(mpath, "w") as f:
+        _json.dump(raw, f)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="pre-op|skipChangeCommits"):
+        _run_available_now(spark, root, out, ckpt)
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", root)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 10  # only the append; the rewrite skipped
+    assert {r["_change_type"] for r in got.collect()} == {"insert"}
