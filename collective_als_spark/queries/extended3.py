@@ -1474,24 +1474,23 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("item_item_dimsum")
 def item_item_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DIMSUM sampled item-item cosine (Zadeh & Carlsson; MLlib
-    ``RowMatrix.columnSimilarities``): the probabilistic companion to
-    the exact ``item_item_cosine`` join. Oversampling is inversely
-    proportional to column-norm products, so popular-item pairs — the
-    quadratic tail that forces the heavy-user cap in the exact path —
-    are DOWN-sampled with bounded relative error while rare pairs stay
+    """DIMSUM sampled item-item cosine (Zadeh & Carlsson): the
+    probabilistic companion to the exact ``item_item_cosine`` join.
+    Sampling keeps each entry with probability inversely proportional
+    to its column norm, so popular-item pairs — the quadratic tail
+    that forces the heavy-user cap in the exact path — are
+    DOWN-sampled with bounded relative error while rare pairs stay
     exact; shuffle size becomes O(n·log n / threshold) independent of
-    the user count. Rows-only: the sampling is randomized (wrapper
-    correctness pinned exactly at threshold=0 in
+    the user count. Rows-only: the sampling is randomized (exactness
+    of the threshold<=0 mode pinned against numpy in
     tests/test_extended4.py).
 
-    Driver/executor footprint note: the item→column index map is
-    item-vocabulary-sized (a product catalog, not a token stream) and
-    ships as one broadcast; rows stream through RowMatrix without
-    materializing the user dimension anywhere.
+    Fully DataFrame-native (operators/similarity.py::dimsum_cosine):
+    no driver-side item dictionary, no ``.rdd``, no MLlib — the plan
+    is a norm aggregate, a codegen'd Bernoulli filter, and one
+    self-equi-join on the user key over the sampled entries.
     """
-    from pyspark.mllib.linalg import Vectors
-    from pyspark.mllib.linalg.distributed import RowMatrix
+    from collective_als_spark.operators.similarity import dimsum_cosine
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1500,21 +1499,12 @@ def item_item_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    items = sorted(r.i for r in ui.select("i").distinct().collect())
-    idx = spark.sparkContext.broadcast({v: k for k, v in enumerate(items)})
-    n = len(items)
-    rows = (
-        ui.groupBy("u")
-        .agg(F.collect_set("i").alias("its"))
-        .rdd.map(
-            lambda r: Vectors.sparse(n, sorted((idx.value[i], 1.0) for i in r.its))
+    return (
+        dimsum_cosine(ui, "u", "i", threshold=0.1, seed=7)
+        .filter(F.col("cosine_est") >= 0.2)
+        .select(
+            F.col("item_a").alias("part_i"),
+            F.col("item_b").alias("part_j"),
+            "cosine_est",
         )
     )
-    sims = RowMatrix(rows).columnSimilarities(threshold=0.1)
-    rev = spark.sparkContext.broadcast(items)
-    return spark.createDataFrame(
-        sims.entries.map(
-            lambda e: (rev.value[int(e.i)], rev.value[int(e.j)], float(e.value))
-        ),
-        "part_i long, part_j long, cosine_est double",
-    ).filter(F.col("cosine_est") >= 0.2)

@@ -161,22 +161,23 @@ def test_pq_topk_recall_vs_brute_force(spark, sf_small):
 
 
 def test_dimsum_exact_mode_matches_numpy(spark):
-    """columnSimilarities(threshold=0) is exact: our RowMatrix wrapper
-    must reproduce numpy cosine on a constructed interaction matrix."""
+    """dimsum_cosine(threshold<=0) disables sampling and must
+    reproduce numpy cosine on a constructed binary interaction
+    matrix — the exactness anchor for the sampled estimator."""
     import numpy as np
 
-    from pyspark.mllib.linalg import Vectors
-    from pyspark.mllib.linalg.distributed import RowMatrix
+    from collective_als_spark.operators.similarity import dimsum_cosine
 
     rng = np.random.default_rng(3)
     m = (rng.random((30, 6)) < 0.4).astype(float)
     m[:, 5] = m[:, 4]  # identical columns -> cosine 1
-    rows = spark.sparkContext.parallelize(
-        [Vectors.dense(r) for r in m], 4
-    )
+    pairs = [
+        (int(u), int(i)) for u in range(30) for i in range(6) if m[u, i]
+    ]
+    ui = spark.createDataFrame(pairs, "u long, i long")
     sims = {
-        (int(e.i), int(e.j)): e.value
-        for e in RowMatrix(rows).columnSimilarities(threshold=0.0).entries.collect()
+        (r.item_a, r.item_b): r.cosine_est
+        for r in dimsum_cosine(ui, "u", "i", threshold=0.0).collect()
     }
     norms = np.sqrt((m**2).sum(0))
     for i in range(6):
@@ -185,6 +186,34 @@ def test_dimsum_exact_mode_matches_numpy(spark):
             got = sims.get((i, j), 0.0)
             assert abs(got - want) < 1e-9, (i, j, got, want)
     assert abs(sims[(4, 5)] - 1.0) < 1e-9
+
+
+def test_dimsum_sampled_estimates_close(spark):
+    """threshold>0 sampling: estimates stay within DIMSUM's bounded
+    relative error of the exact cosine for above-threshold pairs on a
+    dense-enough matrix (seeded rand -> deterministic plan)."""
+    import numpy as np
+
+    from collective_als_spark.operators.similarity import dimsum_cosine
+
+    rng = np.random.default_rng(11)
+    m = (rng.random((400, 8)) < 0.5).astype(float)
+    pairs = [
+        (int(u), int(i)) for u in range(400) for i in range(8) if m[u, i]
+    ]
+    ui = spark.createDataFrame(pairs, "u long, i long")
+    est = {
+        (r.item_a, r.item_b): r.cosine_est
+        for r in dimsum_cosine(ui, "u", "i", threshold=0.2, seed=5).collect()
+    }
+    norms = np.sqrt((m**2).sum(0))
+    errs = []
+    for i in range(8):
+        for j in range(i + 1, 8):
+            want = float(m[:, i] @ m[:, j] / (norms[i] * norms[j]))
+            if want >= 0.2:
+                errs.append(abs(est.get((i, j), 0.0) - want) / want)
+    assert errs and max(errs) < 0.5, errs
 
 
 def test_dimsum_query_rows(spark, sf_small):

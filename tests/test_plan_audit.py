@@ -88,7 +88,6 @@ SKIP = {
     "ann_topk_pq",
     "ann_topk_ivfadc",
     "ann_index_roundtrip",
-    "item_item_dimsum",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",
     "streaming_stateful_totals",
@@ -135,3 +134,24 @@ def test_plan_invariants(spark, sf_small, name):
                     f"{name}: scan reads {len(cols)} columns — pruning broke?\n"
                     f"{cols}"
                 )
+
+
+def test_no_rdd_in_package_source():
+    """Registry-wide source lint: `.rdd` drops out of Catalyst into
+    pickled-Python row processing — a per-row interpreter hop that
+    forfeits codegen, pruning, and AQE. Nothing in the package may
+    use it (the r07 item_item_dimsum collect+rdd.map path was the
+    last one). Docstrings/comments mentioning `.rdd` are fine."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path("collective_als_spark")
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        for lineno, line in enumerate(
+            py.read_text().splitlines(), start=1
+        ):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.rdd\b", code) and "``" not in line:
+                offenders.append(f"{py}:{lineno}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
