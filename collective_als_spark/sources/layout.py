@@ -156,17 +156,18 @@ def pruned_read(
 _MANIFEST_RE = re.compile(r"v(\d+)\.json")
 _MAX_COMMIT_RETRIES = 20
 
-# On Iceberg-style partition TRANSFORMS (day/month/bucket/truncate —
-# considered for r06 and deliberately not added): transforms exist
-# there because partition VALUES are materialized into the metadata
-# tree. For pure stats-range pruning, raw per-file min/max on the
-# source column is strictly FINER than min/max of any monotonic
-# transform of it (day(ts) coarsens ts), so range predicates lose
-# nothing without transforms; and the one case raw ranges can't serve —
-# bucket(id) point lookups over scattered keys — is covered more
-# precisely by the per-file bloom sidecars. What transforms would buy
-# is ingest-time clustering ergonomics, which `append_clustered` /
-# `compact(cluster_by=...)` provide directly.
+# Iceberg-style partition TRANSFORMS. bucket(n, key) ships as
+# `append_bucketed` (exact modular membership for scattered point
+# keys). day/month/truncate ship as `append_transformed` (r08): their
+# per-file metadata is the exact SET of transform values the file
+# holds, which beats raw min/max in the two cases interval stats
+# cannot serve — a file whose periods are scattered (holds Jan and
+# Dec: the interval spans the year, the value set prunes a February
+# probe), and merge pruning, where a source's distinct day/month set
+# stays bounded (one map-side-combined aggregate) while its raw key
+# min/max can span the whole table. For contiguous time data the raw
+# min/max band stats remain finer, and both prune together — value
+# sets and intervals compose, never conflict.
 
 # manifest-chunk consolidation thresholds (r05 verdict #1): the
 # version manifest is O(chunks + dead + DVs), not O(table files); a
@@ -1226,6 +1227,270 @@ class SnapshotTable:
                 kept.append(f)
         return kept, dropped
 
+    # -- day/month/truncate hidden-partition transforms ---------------
+
+    @staticmethod
+    def _transform_expr(key: str, transform: str, param, dtype: str | None):
+        """The transform as a Column over ``key``. All three are
+        MONOTONIC in the column's ordering, which is what lets a
+        BETWEEN probe prune on [T(lo), T(hi)]: day/month map through
+        ISO strings (lexicographic == chronological, and UTF-8 byte
+        order == code-point order, so Python-side set comparisons
+        agree with Spark's); truncate is Iceberg's ``v - (v mod W)``
+        on integers (pmod keeps negatives aligned) and left-W-chars
+        on strings."""
+        col = F.col(key)
+        if transform == "day":
+            return F.date_format(col.cast("timestamp"), "yyyy-MM-dd")
+        if transform == "month":
+            return F.date_format(col.cast("timestamp"), "yyyy-MM")
+        if transform == "truncate":
+            if dtype == "string":
+                return F.substring(col, 1, int(param))
+            return (col - F.pmod(col, F.lit(int(param)))).cast("long")
+        raise ValueError(
+            f"unknown transform {transform!r}: expected day|month|truncate "
+            "(bucket has its own path: append_bucketed)"
+        )
+
+    def append_transformed(
+        self,
+        df: DataFrame,
+        key: str,
+        transform: str,
+        param: int | None = None,
+        n_files: int | None = None,
+    ) -> int:
+        """Append with an Iceberg ``day``/``month``/``truncate`` HIDDEN
+        partition transform on ``key``: rows are range-clustered by the
+        transform value and each staged file's manifest stats record
+        the exact SET of transform values it holds
+        (``__transform: [key, transform, param, values]``).
+
+        Reads with ``where=(key, lo, hi)`` and merges keyed on ``key``
+        then prune by VALUE-SET membership against [T(lo), T(hi)] /
+        the source's bounded distinct transform set — exact proofs
+        that survive layouts where a file's periods are scattered and
+        raw interval stats span everything. Queries never see the
+        transform column (hidden partitioning). Files written by other
+        paths carry no transform metadata and stay conservative
+        candidates: mixing layouts degrades pruning, never
+        correctness. Use one (transform, param) per column across
+        appends for best pruning; mixed variants are each consulted.
+        """
+        if transform == "truncate":
+            if not isinstance(param, int) or param < 1:
+                raise ValueError(
+                    f"truncate needs an integer width >= 1 (got {param!r})"
+                )
+        elif transform in ("day", "month"):
+            if param is not None:
+                raise ValueError(f"{transform} takes no parameter")
+        else:
+            raise ValueError(
+                f"unknown transform {transform!r}: expected day|month|truncate"
+            )
+        dtype = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields])).get(key)
+        if dtype is None:
+            raise ValueError(f"column {key!r} not in dataframe")
+        texpr = self._transform_expr(key, transform, param, dtype)
+        placed = (
+            df.repartitionByRange(n_files, texpr)
+            if n_files
+            else df.repartitionByRange(texpr)
+        )
+        df_schema = df.schema.jsonValue()
+        cur = self.current_version()
+        self._evolved_schema(
+            self._base_manifest(cur).get("schema") if cur else None, df_schema
+        )
+        new_files, new_stats, new_blooms = self._stage(placed)
+        if new_files:
+            # one column-pruned pass records each staged file's
+            # transform-value set (bounded: a few periods per file)
+            rows = (
+                self.spark.read.parquet(*new_files)
+                .select(F.input_file_name().alias("file"), texpr.alias("t"))
+                .groupBy("file")
+                .agg(
+                    F.collect_set("t").alias("ts"),
+                    F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)).alias(
+                        "n_null"
+                    ),
+                )
+                .collect()
+            )
+            for r in rows:
+                if r["n_null"]:
+                    # rows whose TRANSFORM is NULL (NULL key, or a
+                    # failed cast) are invisible to the value set; a
+                    # probe could still match their raw values, so
+                    # this file must stay a conservative candidate
+                    continue
+                entry = new_stats.setdefault(_rel(r["file"]), {})
+                entry["__transform"] = [key, transform, param, sorted(r["ts"])]
+
+        def build(version: int, prev: dict) -> dict:
+            live_stats = dict(prev.get("stats", {}))
+            live_stats.update(new_stats)
+            return self._compose(
+                version,
+                prev["files"] + new_files,
+                live_stats,
+                prev.get("batch_markers", {}),
+                schema=self._evolved_schema(prev.get("schema"), df_schema),
+                blooms={**prev.get("blooms", {}), **new_blooms},
+                dvs=prev.get("dvs", {}),
+                dv_rows=prev.get("dv_rows", {}),
+                op="append",
+            )
+
+        return self._commit(build)
+
+    @staticmethod
+    def _transform_variants(
+        manifest: dict, key: str, files: list[str]
+    ) -> set[tuple[str, int | None]]:
+        """Distinct (transform, param) variants recorded for ``key``
+        across ``files`` (normally one; migrations can leave a mix)."""
+        stats = manifest.get("stats", {})
+        variants: set[tuple[str, int | None]] = set()
+        for f in files:
+            meta = stats.get(_rel(f), {}).get("__transform")
+            if meta and meta[0] == key:
+                variants.add((meta[1], meta[2]))
+        return variants
+
+    def _column_dtype(self, manifest: dict, column: str) -> str | None:
+        for f in manifest.get("schema", {}).get("fields", []):
+            if f["name"] == column:
+                t = f["type"]
+                return t if isinstance(t, str) else None
+        return None
+
+    def _literal_transform_bounds(
+        self, manifest: dict, column: str, lo, hi, variants
+    ) -> dict:
+        """[T(lo), T(hi)] per variant, computed AT THE COLUMN'S TABLE
+        TYPE in one 1-row job (date_format and pmod are type-sensitive
+        the same way hash is for buckets); monotonicity makes the
+        image of [lo, hi] exactly this closed interval."""
+        dtype = self._column_dtype(manifest, column)
+        cols = []
+        for i, (tname, tparam) in enumerate(sorted(variants)):
+            for tag, v in (("lo", lo), ("hi", hi)):
+                lit = F.lit(v).cast(dtype) if dtype else F.lit(v)
+                cols.append(
+                    self._transform_lit_expr(lit, tname, tparam, dtype).alias(
+                        f"{tag}_{i}"
+                    )
+                )
+        r = self.spark.range(1).select(*cols).first()
+        return {
+            v: (r[f"lo_{i}"], r[f"hi_{i}"])
+            for i, v in enumerate(sorted(variants))
+        }
+
+    @staticmethod
+    def _transform_lit_expr(lit, transform: str, param, dtype: str | None):
+        """_transform_expr over a literal instead of a named column."""
+        if transform == "day":
+            return F.date_format(lit.cast("timestamp"), "yyyy-MM-dd")
+        if transform == "month":
+            return F.date_format(lit.cast("timestamp"), "yyyy-MM")
+        if dtype == "string":
+            return F.substring(lit, 1, int(param))
+        return (lit - F.pmod(lit, F.lit(int(param)))).cast("long")
+
+    def _transform_range_prune(
+        self,
+        manifest: dict,
+        column: str,
+        candidates: list[str],
+        bounds: dict,
+    ) -> tuple[list[str], list[str]]:
+        """(kept, dropped): drop candidates whose recorded transform
+        VALUE SET for ``column`` lies entirely outside [T(lo), T(hi)]
+        for their variant. Files without transform metadata, keyed on
+        another column, or of a variant absent from ``bounds`` are
+        kept — pruning stays a pure optimization."""
+        if not bounds:
+            return candidates, []
+        stats = manifest.get("stats", {})
+        kept, dropped = [], []
+        for f in candidates:
+            meta = stats.get(_rel(f), {}).get("__transform")
+            if meta and meta[0] == column and (meta[1], meta[2]) in bounds:
+                tlo, thi = bounds[(meta[1], meta[2])]
+                if tlo is not None and thi is not None and not any(
+                    v is not None and tlo <= v <= thi for v in meta[3]
+                ):
+                    dropped.append(f)
+                    continue
+            kept.append(f)
+        return kept, dropped
+
+    def _source_transform_values(
+        self, source: DataFrame, key: str, variants
+    ) -> dict:
+        """Distinct transform values of the source's keys, per variant
+        — ONE map-side-combined aggregate bounded by the number of
+        periods/prefixes the source touches, never by its row count
+        (the property that makes this usable for backfill merges)."""
+        if not variants:
+            return {}
+        dtype = dict(
+            zip(
+                source.columns,
+                [f.dataType.simpleString() for f in source.schema.fields],
+            )
+        ).get(key)
+        ordered = sorted(variants)
+        cols = [
+            self._transform_expr(key, tname, tparam, dtype).alias(f"t_{i}")
+            for i, (tname, tparam) in enumerate(ordered)
+        ]
+        rows = source.select(*cols).distinct().collect()
+        out = {}
+        for i, v in enumerate(ordered):
+            vals = {r[f"t_{i}"] for r in rows}
+            if None in vals:
+                # a non-NULL key whose TRANSFORM is NULL (failed cast)
+                # can still equality-match target rows: pruning on an
+                # incomplete value set would lose its update — disable
+                # this variant's pruning instead
+                continue
+            out[v] = vals
+        return out
+
+    def _transform_set_prune(
+        self,
+        manifest: dict,
+        key: str,
+        candidates: list[str],
+        wanted: dict | None,
+    ) -> tuple[list[str], list[str]]:
+        """(kept, dropped): drop candidates whose transform value set
+        for ``key`` misses EVERY source transform value (``wanted`` =
+        precomputed `_source_transform_values`, so CAS-retry builds
+        re-apply identical pruning with zero jobs)."""
+        if not wanted:
+            return candidates, []
+        stats = manifest.get("stats", {})
+        kept, dropped = [], []
+        for f in candidates:
+            meta = stats.get(_rel(f), {}).get("__transform")
+            if (
+                meta
+                and meta[0] == key
+                and (meta[1], meta[2]) in wanted
+                and not (set(meta[3]) & wanted[(meta[1], meta[2])])
+            ):
+                dropped.append(f)
+            else:
+                kept.append(f)
+        return kept, dropped
+
     def append(self, df: DataFrame, _markers: dict[str, int] | None = None) -> int:
         """New snapshot = previous files + this commit's files.
         Streaming batch markers carry forward (a non-streaming commit
@@ -1356,6 +1621,20 @@ class SnapshotTable:
                         kept,
                         self._literal_bucket_ids(manifest, column, lo, variants),
                     )
+            # hidden-partition time/prefix range pruning: monotonic
+            # transforms map [lo, hi] to [T(lo), T(hi)]; files whose
+            # recorded VALUE SET misses that interval are proven out —
+            # including scattered-period files the min/max band keeps
+            tvariants = self._transform_variants(manifest, column, kept)
+            if tvariants:
+                kept, _tout = self._transform_range_prune(
+                    manifest,
+                    column,
+                    kept,
+                    self._literal_transform_bounds(
+                        manifest, column, lo, hi, tvariants
+                    ),
+                )
         if where_null is not None:
             ncol, want_null = where_null
             stats = manifest.get("stats", {})
@@ -1632,6 +1911,22 @@ class SnapshotTable:
                     manifest, k, candidates, bucket_wanted[k]
                 )
                 untouched = untouched + bdropped
+        # hidden-partition day/month/truncate pruning: the source's
+        # distinct transform set is bounded by the periods it touches
+        # (one aggregate), and candidate files whose recorded value
+        # sets miss all of them drop out — the wanted sets ride the
+        # plan so CAS-retry builds re-apply identical pruning
+        transform_wanted: dict[str, dict] = {}
+        for k in keys:
+            tvariants = self._transform_variants(manifest, k, candidates)
+            if tvariants:
+                transform_wanted[k] = self._source_transform_values(
+                    source, k, tvariants
+                )
+                candidates, tdropped = self._transform_set_prune(
+                    manifest, k, candidates, transform_wanted[k]
+                )
+                untouched = untouched + tdropped
         # evolved-width reader: survivors NULL-pad source-added columns,
         # and the union is by name with source-missing columns padded
         return {
@@ -1644,6 +1939,7 @@ class SnapshotTable:
             "evolved": evolved,
             "key_hashes": key_hashes,
             "bucket_wanted": bucket_wanted,
+            "transform_wanted": transform_wanted,
             "candidates": candidates,
             "untouched": untouched,
             "evolved_manifest": {**manifest, "schema": evolved},
@@ -1726,6 +2022,7 @@ class SnapshotTable:
         base_dvs = manifest.get("dvs", {})
 
         bucket_wanted = plan["bucket_wanted"]
+        transform_wanted = plan["transform_wanted"]
 
         def build(version: int, prev: dict) -> dict:
             cands, untch = self._split_by_bands(prev, bands)
@@ -1736,6 +2033,10 @@ class SnapshotTable:
                     prev, k, cands, bucket_wanted.get(k)
                 )
                 untch = untch + bdropped
+                cands, tdropped = self._transform_set_prune(
+                    prev, k, cands, transform_wanted.get(k)
+                )
+                untch = untch + tdropped
             if set(cands) != set(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
@@ -1883,6 +2184,7 @@ class SnapshotTable:
         key_hashes = plan["key_hashes"]
 
         bucket_wanted = plan["bucket_wanted"]
+        transform_wanted = plan["transform_wanted"]
 
         def build(version: int, prev: dict) -> dict:
             cands, _untch = self._split_by_bands(prev, bands)
@@ -1890,6 +2192,9 @@ class SnapshotTable:
             for k in keys:
                 cands, _bd = self._bucket_prune(
                     prev, k, cands, bucket_wanted.get(k)
+                )
+                cands, _td = self._transform_set_prune(
+                    prev, k, cands, transform_wanted.get(k)
                 )
             if set(cands) != set(candidates):
                 raise CommitConflict(

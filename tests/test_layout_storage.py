@@ -1325,3 +1325,165 @@ def test_bucketed_merge_prunes_candidates_and_carries_files(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got[50000] == 7 and got[3] == -9 and len(got) == 2003
+
+
+def _ts_df(spark, days, per_day=5):
+    """(ts timestamp, v long) rows: per_day rows on each ISO day."""
+    rows = [
+        (f"{d} 0{h}:00:00", i * 100 + h)
+        for i, d in enumerate(days)
+        for h in range(per_day)
+    ]
+    return spark.createDataFrame(rows, "ts string, v long").select(
+        F.to_timestamp("ts").alias("ts"), "v"
+    )
+
+
+def test_append_transformed_day_prunes_scattered_periods(spark, tmp_path):
+    """Iceberg day(ts) hidden partitioning: a file holding SCATTERED
+    days (Jan + Dec) spans the whole year in min/max band stats — only
+    the transform VALUE SET can prove it out of a February probe. The
+    pruned read equals the full-scan filter exactly and opens only the
+    matching period's files."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["ts"])
+    jan_dec = [f"2024-01-0{d}" for d in range(1, 6)] + [
+        f"2024-12-0{d}" for d in range(1, 6)
+    ]
+    t.append_transformed(_ts_df(spark, jan_dec), "ts", "day", n_files=1)
+    feb = [f"2024-02-0{d}" for d in range(1, 6)]
+    t.append_transformed(_ts_df(spark, feb), "ts", "day", n_files=1)
+    m = t._manifest(t.current_version())
+    assert len(m["files"]) == 2
+    probe = ("ts", "2024-02-01 00:00:00", "2024-02-28 23:59:59")
+    full = sorted(
+        tuple(r)
+        for r in t.read()
+        .filter(F.col("ts").between(F.lit(probe[1]), F.lit(probe[2])))
+        .collect()
+    )
+    pruned = t.read(where=probe)
+    assert sorted(tuple(r) for r in pruned.collect()) == full
+    assert len(full) == 25
+    # the scattered Jan+Dec file is never opened: its interval covers
+    # February but its day SET does not
+    opened = {f.rsplit("/", 1)[-1] for f in pruned.inputFiles()}
+    assert len(opened) == 1
+    # a probe inside the scattered file's interval hole opens nothing
+    empty = t.read(where=("ts", "2024-06-01 00:00:00", "2024-06-30 00:00:00"))
+    assert empty.count() == 0
+    # boundary-spanning probe stays exact (residual always applied)
+    part = t.read(where=("ts", "2024-02-03 02:00:00", "2024-12-02 00:30:00"))
+    want = sorted(
+        tuple(r)
+        for r in t.read()
+        .filter(
+            F.col("ts").between(
+                F.lit("2024-02-03 02:00:00"), F.lit("2024-12-02 00:30:00")
+            )
+        )
+        .collect()
+    )
+    assert sorted(tuple(r) for r in part.collect()) == want
+
+
+def test_append_transformed_truncate_string_prefix(spark, tmp_path):
+    """truncate(2, key) on a string column: prefix-range probes prune
+    by recorded prefix sets; results equal the full-scan filter."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    rows_a = [(f"aa{i:03d}", i) for i in range(20)] + [
+        (f"zz{i:03d}", i) for i in range(20)
+    ]
+    rows_m = [(f"mm{i:03d}", i) for i in range(20)]
+    t.append_transformed(
+        spark.createDataFrame(rows_a, "k string, v long"),
+        "k",
+        "truncate",
+        param=2,
+        n_files=1,
+    )
+    t.append_transformed(
+        spark.createDataFrame(rows_m, "k string, v long"),
+        "k",
+        "truncate",
+        param=2,
+        n_files=1,
+    )
+    pruned = t.read(where=("k", "mm000", "mm999"))
+    assert pruned.count() == 20
+    opened = {f.rsplit("/", 1)[-1] for f in pruned.inputFiles()}
+    assert len(opened) == 1  # the aa/zz file's prefix set misses mm
+    # truncate on integers: v - v mod W, negatives included
+    t2 = SnapshotTable(spark, str(tmp_path / "tbl2"), stats_columns=["k"])
+    t2.append_transformed(
+        spark.createDataFrame(
+            [(i, i) for i in range(-50, 0)], "k long, v long"
+        ),
+        "k",
+        "truncate",
+        param=10,
+        n_files=1,
+    )
+    t2.append_transformed(
+        spark.createDataFrame(
+            [(i, i) for i in range(100, 150)], "k long, v long"
+        ),
+        "k",
+        "truncate",
+        param=10,
+        n_files=1,
+    )
+    got = t2.read(where=("k", -25, -20))
+    assert sorted(r["k"] for r in got.collect()) == list(range(-25, -19))
+    assert len({f for f in got.inputFiles()}) == 1
+
+
+def test_transformed_merge_prunes_candidates_and_carries_files(
+    spark, tmp_path
+):
+    """Merge against a month(ts)-transformed layout: the source's
+    distinct month set (bounded by the periods it touches, not its
+    rows) shrinks candidates to matching months' files; every other
+    file is carried BY PATH, keeping its transform metadata for the
+    next merge."""
+    from collective_als_spark.sources.layout import _rel
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    for mo in range(1, 7):
+        days = [f"2024-{mo:02d}-{d:02d}" for d in range(1, 4)]
+        t.append_transformed(_ts_df(spark, days), "ts", "month", n_files=1)
+    base = t._manifest(t.current_version())
+    assert len(base["files"]) == 6
+    # CDC batch touching only March: merge keyed on ts
+    src = spark.createDataFrame(
+        [("2024-03-01 00:00:00", -1), ("2024-03-02 01:00:00", -2)],
+        "ts string, v long",
+    ).select(F.to_timestamp("ts").alias("ts"), "v")
+    t.merge(src, "ts")
+    m2 = t._manifest(t.current_version())
+    carried = set(base["files"]) & set(m2["files"])
+    assert len(carried) == 5  # only the March file was rewritten
+    got = {r["ts"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 90
+    # carried files keep their transform metadata
+    kept_with_meta = [
+        f
+        for f in carried
+        if m2["stats"].get(_rel(f), {}).get("__transform")
+    ]
+    assert len(kept_with_meta) == 5
+    # mixing layouts degrades pruning, never correctness
+    extra = spark.createDataFrame(
+        [("2030-01-01 00:00:00", 7)], "ts string, v long"
+    ).select(F.to_timestamp("ts").alias("ts"), "v")
+    t.append(extra)
+    t.merge(
+        spark.createDataFrame(
+            [("2030-01-01 00:00:00", 8), ("2024-05-01 00:00:00", 9)],
+            "ts string, v long",
+        ).select(F.to_timestamp("ts").alias("ts"), "v"),
+        "ts",
+    )
+    got = {str(r["ts"]): r["v"] for r in t.read().collect()}
+    assert got["2030-01-01 00:00:00"] == 8
+    assert got["2024-05-01 00:00:00"] == 9
+    assert len(got) == 91
