@@ -361,15 +361,46 @@ class SnapshotTable:
         return f"{self.root}/_snapshots/v{version}.json"
 
     def current_version(self) -> int:
-        """0 = empty table (no committed snapshot). Derived by listing
-        the manifest dir — the manifest IS the commit record, so there
-        is no separate pointer to drift out of sync."""
+        """0 = empty table (no committed snapshot). The manifest IS the
+        commit record — there is no authoritative pointer to drift out
+        of sync — but a full `_snapshots/` listing is O(retained
+        versions) per read, which at a busy table's listing rates is
+        the Delta `_last_checkpoint` problem. Resolution is therefore
+        hint-first: `_snapshots/_head.json` (written best-effort after
+        every commit) names a version known committed; from there the
+        head is found by probing FORWARD with existence checks — a
+        fresh hint costs one read + one miss regardless of history
+        length, a hint lagging k commits costs k+1 checks, and a
+        missing/corrupt/invalid hint (crashed writer, foreign tool)
+        falls back to the full listing. The hint is advisory only:
+        commits never read it, so a wrong hint can never lose a
+        version — only cost listing work."""
+        hinted = self._hinted_version()
+        if hinted is not None:
+            v = hinted
+            while self.log.exists(self._manifest_path(v + 1)):
+                v += 1
+            return v
         best = 0
         for name in self.log.list_dir(f"{self.root}/_snapshots"):
             m = _MANIFEST_RE.fullmatch(name)
             if m:
                 best = max(best, int(m.group(1)))
         return best
+
+    def _hinted_version(self) -> int | None:
+        """The head hint iff it names a version that verifiably exists
+        (anything else -> None -> full-listing fallback)."""
+        try:
+            v = int(json.loads(self.log.read_text(self._head_hint_path()))["version"])
+        except Exception:
+            return None
+        if v < 1 or not self.log.exists(self._manifest_path(v)):
+            return None
+        return v
+
+    def _head_hint_path(self) -> str:
+        return f"{self.root}/_snapshots/_head.json"
 
     # -- manifest segmentation (commit metadata is O(delta), not O(table))
     #
@@ -575,6 +606,18 @@ class SnapshotTable:
                 )
             except CommitConflict:
                 continue  # lost the race: re-read state, re-compose
+            try:
+                # best-effort head hint (Delta's _last_checkpoint):
+                # bounds current_version() to O(1) listing work. A
+                # failed write only costs the next reader a forward
+                # probe; stale overwrites by racing committers are
+                # fixed by the same probe.
+                self.log.write_text(
+                    self._head_hint_path(),
+                    json.dumps({"version": base + 1}),
+                )
+            except Exception:
+                pass
             return base + 1
         raise CommitConflict(
             f"commit to {self.root} lost {_MAX_COMMIT_RETRIES} CAS races"

@@ -90,8 +90,30 @@ def _snap_dir(root: str) -> str:
     return f"{root.rstrip('/')}/_snapshots"
 
 
+def _exists(path: str) -> bool:
+    fs_, p = _fs_split(path)
+    if fs_ is None:
+        return os.path.exists(p)
+    from pyarrow import fs as pafs
+
+    return fs_.get_file_info(p).type != pafs.FileType.NotFound
+
+
 def _current_version(root: str) -> int:
-    names = _list_dir(_snap_dir(root))
+    # hint-first head resolution (the SnapshotTable commit path writes
+    # _head.json best-effort): a fresh hint costs one read + one miss
+    # per latestOffset() poll instead of an O(retained-versions)
+    # listing; anything wrong with the hint falls back to the listing
+    snap = _snap_dir(root)
+    try:
+        v = int(_read_json(f"{snap}/_head.json")["version"])
+    except Exception:
+        v = None
+    if v is not None and v >= 1 and _exists(f"{snap}/v{v}.json"):
+        while _exists(f"{snap}/v{v + 1}.json"):
+            v += 1
+        return v
+    names = _list_dir(snap)
     versions = [
         int(m.group(1)) for m in (_VERSION_RE.match(n) for n in names) if m
     ]

@@ -1487,3 +1487,81 @@ def test_transformed_merge_prunes_candidates_and_carries_files(
     assert got["2030-01-01 00:00:00"] == 8
     assert got["2024-05-01 00:00:00"] == 9
     assert len(got) == 91
+
+
+def test_head_hint_bounds_version_discovery(spark, tmp_path):
+    """current_version() is hint-first (_snapshots/_head.json, the
+    Delta _last_checkpoint shape): a fresh hint resolves with ZERO
+    directory listings; lagging, corrupt, ahead-of-reality, or
+    missing hints all still resolve the true head."""
+    import json as _json
+
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["v"])
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 10).select(F.col("id").alias("v")).coalesce(1)
+        )
+    hint_path = os.path.join(root, "_snapshots", "_head.json")
+    assert _json.load(open(hint_path))["version"] == 3
+
+    calls = {"list": 0}
+    orig = t.log.list_dir
+
+    def counting(path):
+        calls["list"] += 1
+        return orig(path)
+
+    t.log.list_dir = counting
+    assert t.current_version() == 3
+    assert calls["list"] == 0  # fresh hint: no listing at all
+
+    # lagging hint (crashed writer): forward probe finds the head
+    with open(hint_path, "w") as f:
+        _json.dump({"version": 1}, f)
+    assert t.current_version() == 3
+    assert calls["list"] == 0
+    # corrupt hint: full-listing fallback, still correct
+    with open(hint_path, "w") as f:
+        f.write("{not json")
+    assert t.current_version() == 3
+    assert calls["list"] >= 1
+    # hint ahead of reality (names a missing manifest): fallback
+    with open(hint_path, "w") as f:
+        _json.dump({"version": 99}, f)
+    assert t.current_version() == 3
+    # missing hint entirely (pre-hint table): fallback
+    os.remove(hint_path)
+    assert t.current_version() == 3
+    # the next commit repairs the hint
+    t.log.list_dir = orig
+    t.append(spark.range(5).select(F.col("id").alias("v")).coalesce(1))
+    assert _json.load(open(hint_path))["version"] == 4
+    # reads and expire still behave with hints in play
+    assert t.read().count() == 35
+    t.expire(keep_last=1)
+    assert t.current_version() == 4
+    assert t.read().count() == 35
+
+
+def test_expire_unknown_mtime_is_in_grace(spark, tmp_path):
+    """A store that cannot answer mtime (or a path vanishing under a
+    racing committer) must be treated as IN grace — an aged orphan
+    with unknown age survives expire instead of being collected, while
+    manifest-released files are still collected immediately (release
+    needs no age evidence)."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1,)], "v long"))
+    t.overwrite(spark.createDataFrame([(2,)], "v long"))
+    orphans = t._write_data(spark.createDataFrame([(9,)], "v long"))
+    odir = os.path.dirname(orphans[0])
+    # age the orphan far past the window, then blind the store's clock
+    old = os.stat(odir).st_mtime - 3600
+    os.utime(odir, (old, old))
+    t.log.mtime = lambda _p: None
+    deleted = t.expire(keep_last=1)
+    assert deleted >= 1  # released-by-this-expire files still collected
+    assert t.log.exists(odir)  # unknown-age orphan conservatively kept
+    assert t.read().count() == 1
