@@ -25,8 +25,11 @@ and bounded exact rerank are shared with `ivfadc_topk`):
 
 Storage layout::
 
-    <root>/codes/cell=<c>/part-*.parquet   (nid, codes)
-    <root>/quantizers.json                 (centroids, codebooks, meta)
+    <root>/codes/cell=<c>/part-*.parquet     (nid, codes)
+    <root>/_deletes/cell=<c>/part-*.parquet  (nid) — logical delete
+                                             masks, folded away by
+                                             compact_codes()
+    <root>/quantizers.json                   (centroids, codebooks, meta)
 """
 
 from __future__ import annotations
@@ -201,6 +204,10 @@ class IvfPqIndex:
         # the parquet (Hadoop FS for any URI scheme), so an index on
         # hdfs:/s3a: keeps quantizers and codes in ONE store
         log = logstore_for(self.spark, path)
+        # a re-save over a previously-served path must not inherit the
+        # old index's delete masks (they reference the OLD ids)
+        if log.exists(f"{path}/_deletes"):
+            log.delete(f"{path}/_deletes", recursive=True)
         log.write_text(
             f"{path}/quantizers.json",
             json.dumps(
@@ -291,6 +298,54 @@ class IvfPqIndex:
             "drift": drift,
         }
 
+    def delete(self, ids: DataFrame) -> dict:
+        """Logical deletion by id — the snapshot table's deletion-vector
+        pattern applied to the index (r07 verdict: rows removed by
+        dedup / decontamination kept being served until a full
+        retrain). Nothing in ``codes/`` is rewritten: the deleted ids
+        are resolved to their cells (one distributed join against the
+        encoded codes) and appended as a cell-partitioned mask under
+        ``<path>/_deletes/cell=<c>/``. The serve path anti-joins the
+        masks of the PROBED cells only — the same directory-level
+        partition pruning as the codes themselves — so a delete of a
+        few thousand ids costs a tiny mask file, not an index rewrite.
+        :meth:`compact_codes` folds the masks away physically.
+
+        ``ids``: any frame carrying an ``id_col`` column (extra
+        columns ignored). Ids absent from the index are no-ops.
+        Re-:meth:`add`-ing a deleted id does NOT resurrect it until
+        the masks are compacted away — delete masks are by id, the
+        same caller-owns-uniqueness contract as :meth:`add`.
+
+        In-memory (never-saved) indexes apply the anti-join to the
+        encoded frame directly. Returns ``{"requested": distinct ids,
+        "masked": rows actually present and now masked}``.
+        """
+        key = ids.select(F.col(self.id_col).alias("nid")).distinct()
+        masked = self.encoded.select("nid", "cell").join(key, "nid")
+        n_req = key.count()
+        n_masked = masked.count()
+        if self.path is None:
+            self.encoded = self.encoded.join(key, "nid", "left_anti")
+        elif n_masked:
+            masked.write.mode("append").partitionBy("cell").parquet(
+                f"{self.path}/_deletes"
+            )
+        return {"requested": n_req, "masked": n_masked}
+
+    def _delete_masks(self) -> DataFrame | None:
+        """The persisted (nid, cell) delete masks, or None when the
+        index has none. In-memory indexes apply deletes eagerly, so
+        only saved indexes carry masks."""
+        if self.path is None:
+            return None
+        from collective_als_spark.sources.logstore import logstore_for
+
+        d = f"{self.path}/_deletes"
+        if not logstore_for(self.spark, self.path).exists(d):
+            return None
+        return self.spark.read.parquet(d)
+
     # -------------------------------------------------------- maintenance
 
     def compact_codes(self) -> dict:
@@ -318,6 +373,13 @@ class IvfPqIndex:
         codes_dir = f"{self.path}/codes"
         codes = self.spark.read.parquet(codes_dir)
         files_before = len(codes.inputFiles())
+        # fold the logical delete masks away physically: masked rows
+        # are dropped from the rewrite and the mask dir is removed, so
+        # post-compaction serving needs no anti-join at all (the
+        # snapshot table's DV-materializing compact, same shape)
+        masks = self._delete_masks()
+        if masks is not None:
+            codes = codes.join(masks.select("nid").distinct(), "nid", "left_anti")
         n_cells = int(self.centroids.shape[0])
         staged = f"{self.path}/codes.compact.{uuid.uuid4().hex}"
         codes.repartition(n_cells, "cell").write.mode("error").partitionBy(
@@ -326,9 +388,15 @@ class IvfPqIndex:
         log = logstore_for(self.spark, self.path)
         log.delete(codes_dir, recursive=True)
         log.rename(staged, codes_dir)
+        if masks is not None:
+            log.delete(f"{self.path}/_deletes", recursive=True)
         self.encoded = self.spark.read.parquet(codes_dir)
         files_after = len(self.encoded.inputFiles())
-        return {"files_before": files_before, "files_after": files_after}
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "masks_folded": masks is not None,
+        }
 
     def retrain_if_drifted(
         self,
@@ -508,11 +576,22 @@ class IvfPqIndex:
 
         # on a saved index this filter is directory-level partition
         # pruning (codes/cell=<c>/); in-memory it's a plain filter
-        cand = (
-            self.encoded.filter(F.col("cell").isin(probed_any))
-            .select("nid", "codes", "cell")
-            .mapInPandas(adc_scan, _CAND_SCHEMA)
+        enc = self.encoded.filter(F.col("cell").isin(probed_any)).select(
+            "nid", "codes", "cell"
         )
+        # logically-deleted rows never reach the ADC scan: anti-join
+        # the delete masks of the PROBED cells (the same partition
+        # pruning as the codes — a mask scan is O(probed masks), not
+        # O(all deletes)). Masks are tiny next to the corpus; AQE
+        # picks broadcast when they fit, no forced hint.
+        masks = self._delete_masks()
+        if masks is not None:
+            enc = enc.join(
+                masks.filter(F.col("cell").isin(probed_any)).select("nid"),
+                "nid",
+                "left_anti",
+            )
+        cand = enc.mapInPandas(adc_scan, _CAND_SCHEMA)
 
         # query-side rerank vectors come from the QUERY BATCH itself,
         # not the corpus table — out-of-corpus query ids (the

@@ -330,3 +330,93 @@ def test_compact_codes_on_file_uri(spark, emb, tmp_path):
     stats = idx.compact_codes()
     assert stats["files_after"] <= stats["files_before"]
     assert idx.encoded.count() == rows_before == 260
+
+
+def test_delete_masks_exclude_from_search(spark, emb, tmp_path):
+    """delete(): masked ids vanish from search results without any
+    rewrite of codes/ — the masks live as cell-partitioned parquet
+    under _deletes/ (the snapshot table's DV pattern), and a fresh
+    load honors them too."""
+    import os
+
+    idx = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
+    path = str(tmp_path / "del")
+    idx.save(path)
+    queries = emb.orderBy("vec_id").limit(10)
+    before = idx.search(queries, emb, k=5, n_probe=8, rerank_depth=1000)
+    victims = sorted({r["neighbor_id"] for r in before.collect()})[:5]
+    stats = idx.delete(
+        spark.createDataFrame([(int(v),) for v in victims], "vec_id long")
+    )
+    assert stats["requested"] == 5 and stats["masked"] == 5
+    # the codes were NOT rewritten (logical delete), masks are
+    # cell-partitioned like the codes they mask
+    assert idx.encoded.count() == emb.count()
+    mask_cells = [
+        n for n in os.listdir(os.path.join(path, "_deletes"))
+        if n.startswith("cell=")
+    ]
+    assert mask_cells
+    after = idx.search(queries, emb, k=5, n_probe=8, rerank_depth=1000)
+    served = {r["neighbor_id"] for r in after.collect()}
+    assert served.isdisjoint(victims) and len(served) > 0
+    # equivalence oracle: an in-memory index with the SAME quantizers
+    # and the rows dropped eagerly answers identically
+    eager = IvfPqIndex(
+        spark, idx.centroids, idx.codebooks,
+        spark.read.parquet(f"{path}/codes"), idx.id_col, idx.vec_col,
+    )
+    eager.delete(spark.createDataFrame([(int(v),) for v in victims], "vec_id long"))
+    assert _result_set(after) == _result_set(
+        eager.search(queries, emb, k=5, n_probe=8, rerank_depth=1000)
+    )
+    # a fresh load sees the masks (persisted state, not session state)
+    loaded = IvfPqIndex.load(spark, path)
+    assert _result_set(
+        loaded.search(queries, emb, k=5, n_probe=8, rerank_depth=1000)
+    ) == _result_set(after)
+
+
+def test_compact_codes_materializes_delete_masks(spark, emb, tmp_path):
+    """compact_codes() folds the masks away physically: masked rows
+    are gone from codes/, _deletes/ is removed, and answers are
+    unchanged — post-compaction serving needs no anti-join."""
+    import os
+
+    idx = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
+    path = str(tmp_path / "delc")
+    idx.save(path)
+    n_total = emb.count()
+    victims = [int(r["vec_id"]) for r in emb.orderBy("vec_id").limit(7).collect()]
+    idx.delete(spark.createDataFrame([(v,) for v in victims], "vec_id long"))
+    queries = emb.orderBy("vec_id").offset(50).limit(10)
+    before = _result_set(idx.search(queries, emb, k=5, n_probe=8, rerank_depth=1000))
+    out = idx.compact_codes()
+    assert out["masks_folded"] is True
+    assert not os.path.exists(os.path.join(path, "_deletes"))
+    assert idx.encoded.count() == n_total - 7
+    assert idx._delete_masks() is None
+    after = _result_set(idx.search(queries, emb, k=5, n_probe=8, rerank_depth=1000))
+    assert after == before and len(after) > 0
+
+
+def test_delete_absent_ids_is_noop(spark, emb, tmp_path):
+    """Deleting ids not in the index writes no masks and changes no
+    answers; re-running compact stays clean."""
+    import os
+
+    idx = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
+    path = str(tmp_path / "deln")
+    idx.save(path)
+    queries = emb.orderBy("vec_id").limit(5)
+    before = _result_set(idx.search(queries, emb, k=3, n_probe=8, rerank_depth=1000))
+    stats = idx.delete(
+        spark.createDataFrame([(10_000_000,), (10_000_001,)], "vec_id long")
+    )
+    assert stats["requested"] == 2 and stats["masked"] == 0
+    assert not os.path.exists(os.path.join(path, "_deletes"))
+    out = idx.compact_codes()
+    assert out["masks_folded"] is False
+    assert _result_set(
+        idx.search(queries, emb, k=3, n_probe=8, rerank_depth=1000)
+    ) == before
