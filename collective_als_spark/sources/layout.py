@@ -1281,12 +1281,35 @@ class SnapshotTable:
         order == code-point order, so Python-side set comparisons
         agree with Spark's); truncate is Iceberg's ``v - (v mod W)``
         on integers (pmod keeps negatives aligned) and left-W-chars
-        on strings."""
-        col = F.col(key)
-        if transform == "day":
-            return F.date_format(col.cast("timestamp"), "yyyy-MM-dd")
-        if transform == "month":
-            return F.date_format(col.cast("timestamp"), "yyyy-MM")
+        on strings.
+
+        day/month are SESSION-TIMEZONE-INDEPENDENT by construction
+        (Iceberg defines day() over UTC epoch for the same reason):
+        the recorded value sets persist in manifests, so a reader or
+        merger whose ``spark.sql.session.timeZone`` differs from the
+        writer's must recompute identical values or pruning silently
+        drops files that contain matches. Instant (``timestamp``)
+        columns map through epoch arithmetic to the UTC calendar day;
+        date / string / timestamp_ntz columns map through ``to_date``,
+        which is pure calendar parsing — neither touches the session
+        zone (``date_format`` does, which is why it is not used)."""
+        return SnapshotTable._transform_of(F.col(key), transform, param, dtype)
+
+    @staticmethod
+    def _transform_of(col, transform: str, param, dtype: str | None):
+        if transform in ("day", "month"):
+            if dtype == "timestamp":
+                # instant -> UTC calendar day, via epoch seconds
+                # (timestamp->double is the instant, timezone-free)
+                d = F.date_add(
+                    F.to_date(F.lit("1970-01-01")),
+                    F.floor(col.cast("double") / F.lit(86400.0)).cast("int"),
+                )
+            else:
+                # date / string / timestamp_ntz: calendar-pure parse
+                d = F.to_date(col)
+            s = d.cast("string")
+            return s if transform == "day" else F.substring(s, 1, 7)
         if transform == "truncate":
             if dtype == "string":
                 return F.substring(col, 1, int(param))
@@ -1371,7 +1394,14 @@ class SnapshotTable:
                     # this file must stay a conservative candidate
                     continue
                 entry = new_stats.setdefault(_rel(r["file"]), {})
-                entry["__transform"] = [key, transform, param, sorted(r["ts"])]
+                # trailing "utc" marks day/month value sets computed by
+                # the session-zone-independent expressions; readers
+                # refuse to prune on UNMARKED day/month sets (written
+                # by the pre-fix session-zone code, possibly under a
+                # different zone) — they stay conservative candidates
+                entry["__transform"] = [
+                    key, transform, param, sorted(r["ts"]), "utc",
+                ]
 
         def build(version: int, prev: dict) -> dict:
             live_stats = dict(prev.get("stats", {}))
@@ -1391,16 +1421,31 @@ class SnapshotTable:
         return self._commit(build)
 
     @staticmethod
+    def _prunable_tmeta(stats: dict, f: str, column: str):
+        """The file's ``__transform`` meta iff it is safe to prune on
+        for ``column``: truncate sets always are; day/month sets only
+        when carrying the "utc" marker (unmarked sets were computed by
+        the pre-fix session-timezone code — under a different writer
+        zone they would prune files that contain matches)."""
+        meta = stats.get(_rel(f), {}).get("__transform")
+        if not meta or meta[0] != column:
+            return None
+        if meta[1] != "truncate" and not (len(meta) > 4 and meta[4] == "utc"):
+            return None
+        return meta
+
+    @staticmethod
     def _transform_variants(
         manifest: dict, key: str, files: list[str]
     ) -> set[tuple[str, int | None]]:
-        """Distinct (transform, param) variants recorded for ``key``
-        across ``files`` (normally one; migrations can leave a mix)."""
+        """Distinct prunable (transform, param) variants recorded for
+        ``key`` across ``files`` (normally one; migrations can leave a
+        mix)."""
         stats = manifest.get("stats", {})
         variants: set[tuple[str, int | None]] = set()
         for f in files:
-            meta = stats.get(_rel(f), {}).get("__transform")
-            if meta and meta[0] == key:
+            meta = SnapshotTable._prunable_tmeta(stats, f, key)
+            if meta:
                 variants.add((meta[1], meta[2]))
         return variants
 
@@ -1436,14 +1481,13 @@ class SnapshotTable:
 
     @staticmethod
     def _transform_lit_expr(lit, transform: str, param, dtype: str | None):
-        """_transform_expr over a literal instead of a named column."""
-        if transform == "day":
-            return F.date_format(lit.cast("timestamp"), "yyyy-MM-dd")
-        if transform == "month":
-            return F.date_format(lit.cast("timestamp"), "yyyy-MM")
-        if dtype == "string":
-            return F.substring(lit, 1, int(param))
-        return (lit - F.pmod(lit, F.lit(int(param)))).cast("long")
+        """_transform_expr over a literal instead of a named column.
+        A probe literal against an instant column was already cast to
+        ``timestamp`` by the caller (session-zone interpretation — the
+        same semantics the raw min/max band pruning gives the same
+        literal), and the transform of that instant is then the
+        session-independent UTC day, matching the writer."""
+        return SnapshotTable._transform_of(lit, transform, param, dtype)
 
     def _transform_range_prune(
         self,
@@ -1462,8 +1506,8 @@ class SnapshotTable:
         stats = manifest.get("stats", {})
         kept, dropped = [], []
         for f in candidates:
-            meta = stats.get(_rel(f), {}).get("__transform")
-            if meta and meta[0] == column and (meta[1], meta[2]) in bounds:
+            meta = self._prunable_tmeta(stats, f, column)
+            if meta and (meta[1], meta[2]) in bounds:
                 tlo, thi = bounds[(meta[1], meta[2])]
                 if tlo is not None and thi is not None and not any(
                     v is not None and tlo <= v <= thi for v in meta[3]
@@ -1522,10 +1566,9 @@ class SnapshotTable:
         stats = manifest.get("stats", {})
         kept, dropped = [], []
         for f in candidates:
-            meta = stats.get(_rel(f), {}).get("__transform")
+            meta = self._prunable_tmeta(stats, f, key)
             if (
                 meta
-                and meta[0] == key
                 and (meta[1], meta[2]) in wanted
                 and not (set(meta[3]) & wanted[(meta[1], meta[2])])
             ):
@@ -1988,11 +2031,32 @@ class SnapshotTable:
             "evolved_manifest": {**manifest, "schema": evolved},
         }
 
+    @staticmethod
+    def _candidate_live_rows(manifest: dict, files: list[str]) -> int | None:
+        """Upper bound on the LIVE rows in ``files`` from manifest
+        metadata alone (per-file ``__rows`` minus known DV widths) —
+        matched rows of a merge can never exceed it. None when any
+        file lacks a recorded row count (no stats columns configured):
+        the caller must measure instead of assume. DV widths unknown
+        to the manifest count as 0 masked, keeping this an upper
+        bound."""
+        stats = manifest.get("stats", {})
+        dv_rows = manifest.get("dv_rows", {})
+        total = 0
+        for f in files:
+            rel = _rel(f)
+            n = stats.get(rel, {}).get("__rows")
+            if n is None:
+                return None
+            total += int(n) - int(dv_rows.get(rel, 0))
+        return total
+
     def merge(
         self,
         source: DataFrame,
         key: str | list[str],
         _markers: dict[str, int] | None = None,
+        _plan: dict | None = None,
     ) -> int:
         """Copy-on-write MERGE (upsert) keyed on one or more columns:
         target rows whose key tuple matches a source row are replaced
@@ -2021,7 +2085,7 @@ class SnapshotTable:
         inserted/updated rows. Survivors are read through the evolved
         schema, so mixed-width unions are exact.
         """
-        plan = self._plan_merge(source, key)
+        plan = self._plan_merge(source, key) if _plan is None else _plan
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
         if plan is None:
@@ -2160,14 +2224,35 @@ class SnapshotTable:
             return plan  # empty source: no-op at the current version
         if plan is None:
             return self.append(source, _markers=_markers)
-        if plan["nd"] > self.mor_fallback_max_rows:
-            # pre-join fallback: nd is exact (from the planning agg),
-            # so this decision costs nothing — the OOM-risk broadcast
-            # and the checkpointed semi-join never run for backfills
-            return self.merge(source, key, _markers=_markers)
         keys = plan["keys"]
         manifest = plan["manifest"]
         candidates = plan["candidates"]
+        if plan["nd"] > self.mor_fallback_max_rows and candidates:
+            # nd alone over-estimates matched for INSERT-HEAVY upserts
+            # (a CDC batch of 10M mostly-new keys may match only
+            # hundreds of target rows — forcing COW there rewrites
+            # every candidate file for nothing). Refine in two free/
+            # cheap steps before deciding:
+            #   1. matched can never exceed the candidates' LIVE rows;
+            #      that bound comes straight from the manifest
+            #      (__rows minus known DV widths) — zero jobs.
+            #   2. only when BOTH bounds exceed the budget, measure
+            #      matched with a count-only semi-join (no broadcast
+            #      hint — nd is past the broadcast guard too; no
+            #      checkpoint — nothing is retained). One candidate
+            #      scan is the price of not paying a full rewrite on
+            #      the common streaming-upsert shape.
+            # The measured COW fallback hands the already-computed
+            # plan over, so the validation aggregate never re-runs.
+            bound = self._candidate_live_rows(manifest, candidates)
+            if bound is None or bound > self.mor_fallback_max_rows:
+                mcount = (
+                    self._scan_live(plan["evolved_manifest"], candidates)
+                    .join(source.select(*keys).distinct(), keys, "left_semi")
+                    .count()
+                )
+                if mcount > self.mor_fallback_max_rows:
+                    return self.merge(source, key, _markers=_markers, _plan=plan)
         matched_counts: dict[str, int] = {}
         matched = None
         if candidates:

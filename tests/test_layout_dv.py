@@ -540,3 +540,30 @@ def test_merge_mor_prejoin_fallback_skips_semijoin(spark, tmp_path):
     m = _manifest(t)
     assert "dvs" not in m
     assert t.read().count() == 100
+
+
+def test_merge_mor_insert_heavy_source_stays_mor(spark, tmp_path):
+    """nd alone must not force COW: a mostly-new-keys upsert whose nd
+    exceeds mor_fallback_max_rows but whose MEASURED matched count is
+    tiny keeps the merge-on-read path — a small DV plus appended
+    files, no candidate rewrite (the r08 review's insert-heavy CDC
+    regression)."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), stats_columns=["v"],
+        mor_fallback_max_rows=5,
+    )
+    t.append(spark.range(0, 100).select(F.col("id").alias("v")).coalesce(1))
+    files_before = set(_manifest(t)["files"])
+    # 3 existing keys + 50 brand-new keys: nd = 53 > 5, matched = 3
+    src = (
+        spark.range(0, 3).union(spark.range(1000, 1050))
+        .select(F.col("id").alias("v"), F.lit(1).alias("x"))
+    )
+    t.merge_mor(src, "v")
+    m = _manifest(t)
+    assert len(m.get("dvs", {})) == 1  # MOR, not COW
+    assert m["dv_rows"] == {next(iter(m["dvs"])): 3}
+    assert files_before <= set(m["files"])  # candidate NOT rewritten
+    assert t.read().count() == 150
+    got = {r["v"]: r["x"] for r in t.read().filter(F.col("v") < 5).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: None, 4: None}
