@@ -634,11 +634,22 @@ def dimsum_cosine(
     rarer than ``g`` stay EXACT. ``threshold <= 0`` disables sampling
     (exact cosine, every pair).
 
-    Plan shape at 100 TB: one groupBy for norms (broadcast back — the
-    item-norm table is catalog-sized), a codegen'd Bernoulli filter
-    (``rand(seed)``), and one self-equi-join on the user key over the
-    SAMPLED entries; shuffle volume is O(n_items * log(n_items) /
-    threshold) rows, independent of the user count.
+    Plan shape at 100 TB: one groupBy for norms (joined back on the
+    item key — the norm table is catalog-sized, so the join strategy
+    is left to AQE: broadcast when it fits, shuffle when it doesn't),
+    a codegen'd DETERMINISTIC Bernoulli filter, and one self-equi-join
+    on the user key over the SAMPLED entries; shuffle volume is
+    O(n_items * log(n_items) / threshold) rows, independent of the
+    user count.
+
+    The sampling coin is ``xxhash64(user, item, seed)``, not
+    ``rand(seed)``: the sampled frame feeds BOTH sides of the
+    self-join, and ``rand`` draws per partition in row order — its
+    consistency across the two subtrees (and across stage retries)
+    would hang on exchange reuse and deterministic shuffle order,
+    neither guaranteed. A hash coin makes each entry's fate a pure
+    function of its value, so both sides always agree and reruns are
+    reproducible.
     """
     import math
 
@@ -647,9 +658,13 @@ def dimsum_cosine(
     ).distinct()
     n_items = ui.select("_di").distinct().count()  # scalar, one agg
     if n_items < 2:
-        return interactions.sparkSession.createDataFrame(
-            [], "item_a long, item_b long, cosine_est double"
-        )
+        # schema-stable with the populated path: item columns keep the
+        # INPUT item dtype (string SKUs stay strings)
+        return ui.select(
+            F.col("_di").alias("item_a"),
+            F.col("_di").alias("item_b"),
+            F.lit(0.0).alias("cosine_est"),
+        ).limit(0)
     norms = ui.groupBy("_di").agg(
         F.sqrt(F.count(F.lit(1))).alias("_norm")
     )
@@ -657,14 +672,18 @@ def dimsum_cosine(
         g = math.sqrt(10.0 * math.log(n_items) / threshold)
     else:
         g = float("inf")
-    entries = ui.join(F.broadcast(norms), "_di").select(
+    entries = ui.join(norms, "_di").select(
         "_du",
         "_di",
         (F.lit(1.0) / F.least(F.lit(g), F.col("_norm"))).alias("_scale"),
         (F.lit(g) / F.col("_norm")).alias("_keep_p"),
     )
     if threshold > 0:
-        entries = entries.filter(F.rand(seed) < F.col("_keep_p"))
+        coin = (
+            F.pmod(F.xxhash64("_du", "_di", F.lit(seed)), F.lit(1_000_000))
+            / F.lit(1_000_000.0)
+        )
+        entries = entries.filter(coin < F.col("_keep_p"))
     a = entries.select(
         F.col("_du").alias("_u"),
         F.col("_di").alias("item_a"),
