@@ -195,9 +195,19 @@ class IvfPqIndex:
         from collective_als_spark.sources.logstore import logstore_for
 
         path = path.rstrip("/")
+        # pending logical deletes travel with a save: the codes written
+        # to the NEW path are the masked view, so publish() (which
+        # saves into a fresh version dir) can never resurrect ids the
+        # served index already deleted
+        to_write = self.encoded
+        masks = self._delete_masks()
+        if masks is not None:
+            to_write = to_write.join(
+                masks.select("nid").distinct(), "nid", "left_anti"
+            )
         # partitionBy("cell") = the serve path's cell filter becomes
         # directory-level partition pruning on every future search
-        self.encoded.write.mode("overwrite").partitionBy("cell").parquet(
+        to_write.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/codes"
         )
         # the JSON sidecar goes through the same filesystem layer as
@@ -313,17 +323,23 @@ class IvfPqIndex:
 
         ``ids``: any frame carrying an ``id_col`` column (extra
         columns ignored). Ids absent from the index are no-ops.
-        Re-:meth:`add`-ing a deleted id does NOT resurrect it until
-        the masks are compacted away — delete masks are by id, the
-        same caller-owns-uniqueness contract as :meth:`add`.
+        Masks are BY ID: re-:meth:`add`-ing a deleted id is a caller
+        error (the same id-uniqueness contract :meth:`add` states —
+        and the mask would suppress or, at compaction, drop the new
+        row too). To re-insert a deleted id, :meth:`compact_codes`
+        first (folds the mask away), then add.
 
         In-memory (never-saved) indexes apply the anti-join to the
         encoded frame directly. Returns ``{"requested": distinct ids,
         "masked": rows actually present and now masked}``.
         """
         key = ids.select(F.col(self.id_col).alias("nid")).distinct()
-        masked = self.encoded.select("nid", "cell").join(key, "nid")
-        n_req = key.count()
+        n_req = key.count()  # ids-only job, no corpus scan
+        # materialize the ids-vs-corpus join ONCE (localCheckpoint);
+        # the stat count and the mask write both reuse it
+        masked = (
+            self.encoded.select("nid", "cell").join(key, "nid").localCheckpoint()
+        )
         n_masked = masked.count()
         if self.path is None:
             self.encoded = self.encoded.join(key, "nid", "left_anti")

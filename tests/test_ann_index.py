@@ -420,3 +420,25 @@ def test_delete_absent_ids_is_noop(spark, emb, tmp_path):
     assert _result_set(
         idx.search(queries, emb, k=3, n_probe=8, rerank_depth=1000)
     ) == before
+
+
+def test_publish_after_delete_does_not_resurrect(spark, emb, tmp_path):
+    """Pending delete masks travel with save()/publish(): the new
+    version's codes are the MASKED view, so load_current() can never
+    serve ids the old version already deleted."""
+    import os
+
+    idx = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
+    root = str(tmp_path / "pubdel")
+    v1 = idx.publish(root)
+    served = IvfPqIndex.load_current(spark, root)
+    victims = [int(r["vec_id"]) for r in emb.orderBy("vec_id").limit(6).collect()]
+    served.delete(spark.createDataFrame([(v,) for v in victims], "vec_id long"))
+    v2 = served.publish(root)
+    assert v2 == v1 + 1
+    fresh = IvfPqIndex.load_current(spark, root)
+    assert fresh.encoded.count() == emb.count() - 6
+    assert not os.path.exists(os.path.join(root, f"v{v2}", "_deletes"))
+    queries = emb.orderBy("vec_id").offset(100).limit(8)
+    out = fresh.search(queries, emb, k=5, n_probe=8, rerank_depth=1000)
+    assert {r["neighbor_id"] for r in out.collect()}.isdisjoint(victims)
