@@ -254,8 +254,16 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         # table root must set distinct cursorId options.
         self.cursor_id = str(options.get("cursorid", "default"))
         self._last_end: int | None = None
+        # exactly-once floor: the highest version this reader has
+        # planned through. Raised from the engine's committed start
+        # (authoritative) on every partitions() call; persisted into
+        # the cursor only by the backward-batch healing path (see
+        # partitions) so a crash inside a heal window cannot re-emit.
+        self._floor = 0
         try:
-            self._last_end = int(_read_json(self._cursor_path())["version"])
+            cur = _read_json(self._cursor_path())
+            self._last_end = int(cur["version"])
+            self._floor = int(cur.get("floor", 0))
         except (FileNotFoundError, OSError, KeyError, ValueError):
             pass
 
@@ -265,9 +273,11 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # a FRESH stream (empty checkpoint) starts at the configured
-        # floor — a stale cursor left by a deleted checkpoint must not
-        # skip history, so the seed is overridden here
+        # floor — a stale cursor (or heal floor) left by a deleted
+        # checkpoint must not skip history, so both seeds are
+        # overridden here
         self._last_end = self.start_offset
+        self._floor = self.start_offset
         return {"version": self.start_offset}
 
     def latestOffset(self) -> dict:
@@ -279,33 +289,50 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         # before initialOffset, so a fresh stream seeds from the
         # configured floor) and the first batch after a restart
         # (cursor-seeded in __init__)
-        seed = (
-            self._last_end if self._last_end is not None else self.start_offset
+        seed = max(
+            self._last_end if self._last_end is not None else self.start_offset,
+            self._floor,
         )
         return {"version": max(min(cur, seed + self.max_versions), self.start_offset)}
 
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])
-        if ev < sv:
-            # only reachable when the advisory cursor lags the real
-            # committed offset (a foreign stream sharing cursorId, or
-            # maxVersionsPerBatch shrunk across a crash): planning a
-            # backward batch would re-emit already-committed versions
-            # — refuse loudly instead of breaking exactly-once
-            raise RuntimeError(
-                f"snapshot_cdf: batch end v{ev} precedes committed "
-                f"start v{sv} — the admission-control seed (cursor "
-                f"{self._cursor_path()}, or the startingVersion floor "
-                "on a checkpoint that predates cursors) lags this "
-                "stream's checkpoint. Give each stream over this "
-                "table a distinct .option('cursorId', ...), or "
-                f"restart with .option('startingVersion', {sv + 1}) "
-                "to re-seed from the checkpointed position."
-            )
-        self._last_end = ev
+        # the committed start is authoritative: everything at or below
+        # it (or below a persisted heal floor) has already been emitted
+        self._floor = max(self._floor, sv)
+        if ev < self._floor:
+            # the advisory cursor lagged the real committed offset (a
+            # missing/deleted cursor file under a deep checkpoint, a
+            # foreign stream sharing cursorId, or maxVersionsPerBatch
+            # shrunk across a crash), so the engine planned a BACKWARD
+            # batch. Replaying it would re-emit committed versions;
+            # failing it would dead-end the stream on every trigger.
+            # Self-heal instead: emit NOTHING for this batch, raise
+            # the in-process seed so the next latestOffset() moves
+            # forward again, and persist the floor into the cursor —
+            # a crash before the next successful commit then restarts
+            # with the floor intact, never duplicating. (Distinct
+            # streams must still use distinct cursorId options; a
+            # foreign heal's floor can skip this stream's unread
+            # versions, the documented shared-cursor hazard.)
+            self._last_end = self._floor
+            try:
+                _write_json_atomic(
+                    self._cursor_path(),
+                    {"version": self._floor, "floor": self._floor},
+                )
+            except OSError:
+                pass  # advisory: next partitions() heals again
+            return [CdfPartition("noop", "", ev)]
+        self._last_end = max(ev, self._floor)
+        # skip versions at or below the floor: after a heal, the
+        # engine's start can sit BELOW versions already emitted before
+        # the backward batch (its committed offset regressed with it);
+        # _floor == sv on every normal batch, so this is then just sv
+        start_v = self._floor
         parts: list[CdfPartition] = []
-        prev = _resolve_manifest(self.root, sv) if sv else None
-        for v in range(sv + 1, ev + 1):
+        prev = _resolve_manifest(self.root, start_v) if start_v else None
+        for v in range(start_v + 1, ev + 1):
             cur = _resolve_manifest(self.root, v)
             if prev is None:
                 prev = _resolve_manifest(self.root, v - 1)
@@ -472,9 +499,15 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         # a restart. A failed write fails the batch and is retried, so
         # the cursor never silently lags by more than the crash-lost
         # batch — which the clamp absorbs (end_n <= end_{n-1} + max).
-        _write_json_atomic(
-            self._cursor_path(), {"version": int(end["version"])}
-        )
+        # Monotonic vs the heal floor: committing a healed (backward)
+        # batch must not drag the cursor back under versions already
+        # emitted; the floor field is carried until a real batch
+        # passes it, then dropped.
+        ev = int(end["version"])
+        cur = {"version": max(ev, self._floor)}
+        if ev < self._floor:
+            cur["floor"] = self._floor
+        _write_json_atomic(self._cursor_path(), cur)
 
 
 class SnapshotCdfDataSource(DataSource):

@@ -305,3 +305,117 @@ def test_cdf_preop_rewrite_guard(registered, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 10  # only the append; the rewrite skipped
     assert {r["_change_type"] for r in got.collect()} == {"insert"}
+
+
+def test_cdf_stale_cursor_self_heals(registered, tmp_path):
+    """A lagging admission-control cursor (deleted/regressed file, or
+    a foreign writer) makes the engine plan a BACKWARD batch (end <
+    committed start). The source must self-heal — emit nothing for
+    that batch, raise its seed, and resume forward — rather than
+    dead-ending the stream or re-emitting committed versions."""
+    import json as _json
+    import os as _os
+
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["v"])
+
+    def _drain(out, ckpt):
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", root)
+            .option("maxVersionsPerBatch", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+
+    for i in range(5):  # v1..v5
+        t.append(
+            spark.range(10 * i, 10 * i + 10)
+            .select(F.col("id").alias("v"))
+            .coalesce(1)
+        )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(out, ckpt)
+    assert spark.read.parquet(out).count() == 50
+    # sabotage: regress the cursor far below the checkpoint, so the
+    # restarted stream's first latestOffset (seed 1 + max 2 = 3) lands
+    # BELOW the committed start (5) — the backward-batch shape
+    cpath = _os.path.join(root, "_cursors", "default.json")
+    with open(cpath, "w") as f:
+        _json.dump({"version": 1}, f)
+    for i in range(5, 7):  # v6, v7 land while "down"
+        t.append(
+            spark.range(10 * i, 10 * i + 10)
+            .select(F.col("id").alias("v"))
+            .coalesce(1)
+        )
+    _drain(out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 70  # nothing lost...
+    assert got.select("v").distinct().count() == 70  # ...nothing duped
+    # the cursor never stays below the committed floor (the engine's
+    # recovery commit and/or the heal path repairs it; the very last
+    # batch's commit callback can be skipped on stop, so exact head
+    # position is not guaranteed — monotone non-regression is)
+    assert _json.load(open(cpath))["version"] >= 5
+
+
+def test_cdf_backward_batch_heals_without_reemit(registered, tmp_path):
+    """Direct reader-level exercise of the backward-batch heal: when
+    the engine hands partitions() an end BELOW the committed start
+    (lagging cursor seed), the source emits nothing, repairs its seed
+    and cursor, and the NEXT batch resumes strictly after the floor —
+    no version is ever planned twice."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    from collective_als_spark.streaming.cdf_source import (
+        SnapshotCdfStreamReader,
+    )
+
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["v"])
+    for i in range(7):  # v1..v7
+        t.append(
+            spark.range(10 * i, 10 * i + 10)
+            .select(F.col("id").alias("v"))
+            .coalesce(1)
+        )
+    r = SnapshotCdfStreamReader(
+        StructType(), {"path": root, "maxversionsperbatch": "2"}
+    )
+    # engine state: committed through v5; a stale seed produced end=3
+    parts = r.partitions({"version": 5}, {"version": 3})
+    assert [p.kind for p in parts] == ["noop"]
+    # the heal raised the seed: next offset moves FORWARD, clamped
+    assert r.latestOffset()["version"] == 7
+    # committing the healed batch keeps the persisted cursor monotonic
+    r.commit({"version": 3})
+    cur = _json.load(
+        open(_os.path.join(root, "_cursors", "default.json"))
+    )
+    assert cur["version"] == 5 and cur["floor"] == 5
+    # the follow-up batch plans ONLY versions past the floor, even
+    # though the engine's start offset regressed with the noop batch
+    parts2 = r.partitions({"version": 3}, {"version": 7})
+    assert {p.version for p in parts2} == {6, 7}
+    assert all(p.kind == "insert" for p in parts2)
+    # a crash here restarts a reader that still refuses to re-emit:
+    # the floor was persisted with the heal
+    r2 = SnapshotCdfStreamReader(
+        StructType(), {"path": root, "maxversionsperbatch": "2"}
+    )
+    parts3 = r2.partitions({"version": 3}, {"version": 7})
+    assert {p.version for p in parts3} == {6, 7}
