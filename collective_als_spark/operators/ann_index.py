@@ -609,15 +609,129 @@ class IvfPqIndex:
             )
         cand = enc.mapInPandas(adc_scan, _CAND_SCHEMA)
 
-        # query-side rerank vectors come from the QUERY BATCH itself,
-        # not the corpus table — out-of-corpus query ids (the
-        # build-once/serve-many case) must rerank against their own
-        # vector, and an id that happens to collide with an unrelated
-        # corpus row must not score against the wrong one
+        return self._exact_rerank(cand, queries, vectors, k)
+
+    def search_distributed(
+        self,
+        queries: DataFrame,
+        vectors: DataFrame,
+        k: int = 5,
+        n_probe: int = 6,
+        rerank_depth: int = 50,
+        query_chunk: int = 1024,
+    ) -> DataFrame:
+        """Top-k neighbors for an UNBOUNDED query frame — the
+        corpus-scale serve path. :meth:`search` ships per-query ADC
+        lookup tables in the scan closure, so its driver state grows
+        with the batch (capped at {_MAX_QUERY_BATCH}); here every
+        query row travels WITH its vector through a cell-cogrouped
+        scan and nothing query-sized ever touches the driver:
+
+        1. probe assignment — the ``n_probe`` nearest cells per query,
+           one narrow map-only Arrow pass (the same `_assign_cells`
+           the build uses);
+        2. cogroup by cell — the queries probing a cell meet that
+           cell's byte codes in one task
+           (``groupBy(cell).cogroup(codes.groupBy(cell))
+           .applyInPandas``). LUTs are built per (cell, query-chunk)
+           INSIDE the task; per-task memory is one cell's codes plus
+           ``query_chunk`` query vectors, independent of the total
+           batch size;
+        3. local top-``rerank_depth`` per (query, cell), then the
+           shared exact-cosine rerank to final top-k.
+
+        Scale shape: shuffle = queries x n_probe rows plus the probed
+        cells' codes; a hot cell is bounded by chunking its queries,
+        and cell width itself is the build-time ``n_cells`` knob (the
+        usual sqrt(corpus) sizing). Results match :meth:`search` for
+        the same parameters (asserted in tests/test_ann_index.py);
+        prefer :meth:`search` for small interactive batches — closure
+        shipping beats a cogroup shuffle until the batch is large.
+        Delete masks apply exactly as in :meth:`search`.
+        """
+        id_col, vec_col = self.id_col, self.vec_col
+        m, n_codes, sub = self.codebooks.shape
+        n_cells = int(self.centroids.shape[0])
+        n_probe = min(n_probe, n_cells)
+        cb = self.codebooks
+        cb_norm2 = (cb**2).sum(-1)
+        depth = rerank_depth
+        chunk = max(1, int(query_chunk))
+
+        q = queries.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+        ).dropDuplicates([id_col])
+        probes = _assign_cells(q, self.centroids, id_col, "_qv", n_probe)
+        qcell = probes.join(
+            q.select(F.col(id_col).alias("vid"), "_qv"), "vid"
+        ).select("vid", "cell", "_qv")
+
+        enc = self.encoded.select("nid", "codes", "cell")
+        masks = self._delete_masks()
+        if masks is not None:
+            enc = enc.join(masks.select("nid"), "nid", "left_anti")
+
+        def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left) or not len(right):
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int64"),
+                     "neighbor_id": pd.Series(dtype="int64")}
+                )
+            codes = np.stack(right["codes"].values)
+            nids = right["nid"].values
+            recon_norm = np.sqrt(cb_norm2[np.arange(m)[None, :], codes].sum(-1))
+            out_q, out_n = [], []
+            for s in range(0, len(left), chunk):
+                part = left.iloc[s : s + chunk]
+                q_ids = part["vid"].values
+                q_mat = np.stack(part["_qv"].values).astype(np.float64)
+                q_parts = q_mat.reshape(len(q_ids), m, sub)
+                lut = np.einsum("qjs,jcs->qjc", q_parts, cb)
+                q_norm = np.sqrt((q_mat**2).sum(-1))
+                dots = lut[:, np.arange(m)[None, :], codes].sum(-1)
+                scores = dots / (q_norm[:, None] * recon_norm[None, :] + 1e-12)
+                scores = np.where(
+                    nids[None, :] == q_ids[:, None], -np.inf, scores
+                )
+                top = min(depth, scores.shape[1])
+                idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+                keep = np.take_along_axis(scores, idx, axis=1) > -np.inf
+                qq = np.repeat(q_ids, top).reshape(len(q_ids), top)
+                out_q.append(qq[keep].ravel())
+                out_n.append(nids[idx][keep].ravel())
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                }
+            )
+
+        cand = (
+            qcell.groupBy("cell")
+            .cogroup(enc.groupBy("cell"))
+            .applyInPandas(score_cell, _CAND_SCHEMA)
+            # a query can meet the same neighbor in only one cell (each
+            # code row lives in its home cell), so no dedupe is needed
+        )
+        return self._exact_rerank(cand, queries, vectors, k)
+
+    def _exact_rerank(
+        self, cand: DataFrame, queries: DataFrame, vectors: DataFrame, k: int
+    ) -> DataFrame:
+        """Exact-cosine rerank of a bounded candidate frame
+        (query_id, neighbor_id) to final top-k — shared tail of
+        :meth:`search` and :meth:`search_distributed`.
+
+        Query-side rerank vectors come from the QUERY BATCH itself,
+        not the corpus table — out-of-corpus query ids (the
+        build-once/serve-many case) must rerank against their own
+        vector, and an id that happens to collide with an unrelated
+        corpus row must not score against the wrong one."""
+        id_col, vec_col = self.id_col, self.vec_col
         e_q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_qv"),
-        ).dropDuplicates(["query_id"])  # mirror the LUT-side id dedupe
+        ).dropDuplicates(["query_id"])  # mirror the candidate-side dedupe
         e_c = vectors.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("_cv"),

@@ -442,3 +442,46 @@ def test_publish_after_delete_does_not_resurrect(spark, emb, tmp_path):
     queries = emb.orderBy("vec_id").offset(100).limit(8)
     out = fresh.search(queries, emb, k=5, n_probe=8, rerank_depth=1000)
     assert {r["neighbor_id"] for r in out.collect()}.isdisjoint(victims)
+
+
+def test_search_distributed_matches_driver_search(spark, emb, saved_index):
+    """The cogroup-by-cell scan (no driver LUTs, unbounded batches)
+    must reproduce search()'s answers exactly for the same
+    parameters — same probes, same ADC math, same rerank."""
+    idx, path = saved_index
+    loaded = IvfPqIndex.load(spark, path)
+    queries = emb.orderBy("vec_id").limit(40)
+    a = _result_set(
+        loaded.search(queries, emb, k=5, n_probe=4, rerank_depth=1000)
+    )
+    b = _result_set(
+        loaded.search_distributed(
+            queries, emb, k=5, n_probe=4, rerank_depth=1000
+        )
+    )
+    assert a == b and len(a) > 0
+    # tiny query chunks exercise the intra-task chunking identically
+    c = _result_set(
+        loaded.search_distributed(
+            queries, emb, k=5, n_probe=4, rerank_depth=1000, query_chunk=7
+        )
+    )
+    assert c == a
+
+
+def test_search_distributed_honors_delete_masks(spark, emb, tmp_path):
+    """Logical deletes apply to the distributed path exactly as to
+    search(): masked ids never appear, answers match."""
+    idx = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
+    path = str(tmp_path / "sd")
+    idx.save(path)
+    queries = emb.orderBy("vec_id").limit(10)
+    before = idx.search(queries, emb, k=5, n_probe=8, rerank_depth=1000)
+    victims = sorted({r["neighbor_id"] for r in before.collect()})[:4]
+    idx.delete(spark.createDataFrame([(int(v),) for v in victims], "vec_id long"))
+    a = _result_set(idx.search(queries, emb, k=5, n_probe=8, rerank_depth=1000))
+    b = _result_set(
+        idx.search_distributed(queries, emb, k=5, n_probe=8, rerank_depth=1000)
+    )
+    assert a == b and len(a) > 0
+    assert {n for (_q, n, _c, _r) in b}.isdisjoint(victims)
