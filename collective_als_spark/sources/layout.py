@@ -1653,11 +1653,35 @@ class SnapshotTable:
 
         return self._commit(build)
 
+    def version_at(self, ts: float) -> int:
+        """Largest committed version whose commit timestamp is <= ``ts``
+        (epoch seconds) — Delta's ``timestampAsOf`` resolution rule.
+        Walks BACKWARD from the head reading raw manifest headers only
+        (metadata-sized; cost is O(versions newer than ts), the usual
+        as-of shape where ts is recent). Manifests predating timestamp
+        recording are never selected by timestamp — address them by
+        version. Raises when ts predates every retained, timestamped
+        commit: the snapshot either never existed or was expired, and
+        silently returning a newer state would violate reproducibility."""
+        for v in range(self.current_version(), 0, -1):
+            try:
+                ct = self._raw_manifest(v).get("committed_at")
+            except FileNotFoundError:
+                break  # older versions are expired: nothing at/below ts
+            if ct is not None and float(ct) <= ts:
+                return v
+        raise ValueError(
+            f"no committed snapshot at or before epoch {ts}: the version "
+            "either predates this table or was expired (widen retention "
+            "via expire keep_last/older_than, or time-travel by version)"
+        )
+
     def read(
         self,
         version: int | None = None,
         where: tuple[str, object, object] | None = None,
         where_null: tuple[str, bool] | None = None,
+        as_of: float | None = None,
     ) -> DataFrame:
         """Read a snapshot (default: current). Time travel = pass an
         older version; the manifest pins the exact file list, so the
@@ -1677,7 +1701,16 @@ class SnapshotTable:
         without NULLs are skipped for an IS NULL read, all-NULL files
         for an IS NOT NULL read, and the exact isNull/isNotNull
         residual is always applied. Composable with ``where``.
+
+        ``as_of=<epoch seconds>`` is timestamp time travel (Delta's
+        ``timestampAsOf``): the snapshot read is the newest commit at
+        or before that instant, via :meth:`version_at`. Mutually
+        exclusive with ``version``.
         """
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_at(as_of)
         v = self.current_version() if version is None else version
         if v == 0:
             raise ValueError("empty table: no committed snapshot")

@@ -1621,3 +1621,43 @@ def test_transform_pruning_is_session_timezone_independent(spark, tmp_path):
         assert sorted(x["v"] for x in got2.collect()) == [1, 2]
     finally:
         spark.conf.set(tz_key, orig_tz)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read(as_of=) resolves Delta's timestampAsOf rule: the newest
+    commit at or before the instant; between-commit instants resolve
+    to the earlier commit; pre-table instants raise; version/as_of
+    are mutually exclusive; legacy timestamp-less manifests are never
+    selected by timestamp."""
+    import json as _json
+    import time as _time
+
+    import pytest as _pytest
+
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["v"])
+    marks = []
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 10).select(F.col("id").alias("v")).coalesce(1)
+        )
+        marks.append(_time.time())
+        _time.sleep(0.05)
+    assert t.version_at(marks[0]) == 1
+    assert t.version_at(marks[1]) == 2
+    assert t.read(as_of=marks[1]).count() == 20
+    assert t.read(as_of=marks[2] + 3600).count() == 30  # future -> head
+    with _pytest.raises(ValueError, match="no committed snapshot"):
+        t.version_at(marks[0] - 3600)
+    with _pytest.raises(ValueError, match="not both"):
+        t.read(version=1, as_of=marks[0])
+    # legacy manifest (no committed_at): invisible to timestamp travel
+    p = tmp_path / "tbl" / "_snapshots" / "v1.json"
+    raw = _json.loads(p.read_text())
+    ct = raw.pop("committed_at")
+    p.write_text(_json.dumps(raw))
+    t2 = SnapshotTable(spark, root, stats_columns=["v"])
+    with _pytest.raises(ValueError, match="no committed snapshot"):
+        t2.version_at(ct)  # v1's own (now-stripped) instant
+    assert t2.version_at(marks[1]) == 2  # newer timestamped commits fine
+    assert t2.read(version=1).count() == 10  # by-version still works
