@@ -361,3 +361,115 @@ def lake_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, change string, n_rows bigint, cents bigint"
     )
+
+
+@register(
+    "lake_apply_changes",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN o_orderkey % 100 = 50 THEN 1 ELSE 0 END) AS BIGINT) AS n50,
+               CAST(sum(CASE WHEN o_orderkey % 100 = 25 THEN 1 ELSE 0 END) AS BIGINT) AS n25,
+               CAST(sum(CASE WHEN o_orderkey % 100 = 75 THEN 1 ELSE 0 END) AS BIGINT) AS n75,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_all,
+               CAST(sum(CASE WHEN o_orderkey % 100 IN (0, 25, 50)
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents_touched
+        FROM orders
+    )
+    SELECT 'n_total_after' AS step, n_total - n0 + n75 AS value FROM c
+    UNION ALL SELECT 'n_deleted_remaining', CAST(0 AS BIGINT) FROM c
+    UNION ALL SELECT 'n_revived', n50 FROM c
+    UNION ALL SELECT 'n_inserted', n75 FROM c
+    UNION ALL SELECT 'cents_total',
+        cents_all - cents_touched + 222 * n50 + 333 * n25 + 444 * n75 FROM c
+    UNION ALL SELECT 'tt_v1_total', n_total FROM c
+    """,
+)
+def lake_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES end-to-end under the oracle: one
+    ``apply_changes`` commit carrying sequence-ordered upserts AND
+    deletes (Delta's multi-clause MERGE / DLT APPLY CHANGES INTO),
+    applied merge-on-read in a single atomic version.
+
+    The batch exercises every CDC shape at once, derived from the
+    orders key space (mod-100 classes, so the oracle knows each
+    class's size algebraically):
+    - %100==0: upsert@seq1 then delete@seq2 — the LATER delete wins,
+      the key vanishes (out-of-order capture resolved by seq).
+    - %100==50: delete@seq1 then upsert@seq2(cents=222) — the later
+      upsert wins, the key survives updated.
+    - %100==25: plain update to cents=333.
+    - %100==75 shifted past max(k): fresh inserts (cents=444).
+    - absent keys (shifted past 2*max): deletes that must no-op.
+
+    Measured THROUGH the snapshot reads: final count, the deleted
+    class is empty, revived/inserted class sizes, the value-level
+    cents total (catches masking wrong positions or double-applying
+    a seq-superseded row), and time travel to v1 (the apply must not
+    leak into history). At 100 TB this is the streaming CDC-apply
+    hot path: the commit writes the batch + matched DV positions,
+    never rewriting candidate files."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), cents.alias("cents")
+    )
+    mx = rows.agg(F.max("k")).first()[0]
+    k, c = F.col("k"), F.col("cents")
+
+    def ch(df, cents_val, op, seq):
+        cc = (
+            F.lit(None).cast("bigint")
+            if cents_val is None
+            else F.lit(cents_val).cast("bigint")
+        )
+        return df.select(
+            "k",
+            cc.alias("cents"),
+            F.lit(op).alias("_op"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    cls = lambda m: rows.filter(k % 100 == m)  # noqa: E731
+    batch = (
+        ch(cls(0), 111, "U", 1)
+        .unionByName(ch(cls(0), None, "D", 2))
+        .unionByName(ch(cls(50), None, "D", 1))
+        .unionByName(ch(cls(50), 222, "U", 2))
+        .unionByName(ch(cls(25), 333, "U", 1))
+        .unionByName(ch(cls(75).select((k + mx).alias("k"), c), 444, "I", 1))
+        .unionByName(
+            ch(cls(10).select((k + 2 * mx).alias("k"), c), None, "D", 1)
+        )
+    )
+    root = tempfile.mkdtemp(prefix="lake_cdc_")
+    try:
+        t = SnapshotTable(
+            spark,
+            f"{root}/tbl",
+            stats_columns=["k"],
+            bloom_columns=["k"],
+        )
+        t.append(rows)
+        v = t.apply_changes(batch, "k", seq_col="seq")
+        assert v == 2  # upserts + deletes land as ONE commit
+        out = [
+            ("n_total_after", t.read().count()),
+            (
+                "n_deleted_remaining",
+                t.read().filter((k % 100 == 0) & (k <= mx)).count(),
+            ),
+            (
+                "n_revived",
+                t.read().filter((k % 100 == 50) & (c == 222)).count(),
+            ),
+            ("n_inserted", t.read().filter(k > mx).count()),
+            ("cents_total", t.read().agg(F.sum("cents")).first()[0]),
+            ("tt_v1_total", t.read(version=1).count()),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")

@@ -2090,6 +2090,7 @@ class SnapshotTable:
         key: str | list[str],
         _markers: dict[str, int] | None = None,
         _plan: dict | None = None,
+        _stage_df: DataFrame | None = None,
     ) -> int:
         """Copy-on-write MERGE (upsert) keyed on one or more columns:
         target rows whose key tuple matches a source row are replaced
@@ -2117,13 +2118,21 @@ class SnapshotTable:
         commit); a source MISSING table columns NULL-pads them on its
         inserted/updated rows. Survivors are read through the evolved
         schema, so mixed-width unions are exact.
+
+        ``_stage_df`` (private, used by :meth:`apply_changes`) splits
+        the source's two roles: ``source`` keeps planning and key
+        matching (every key tuple in it still drops its matched target
+        rows), while ``_stage_df`` is what actually gets written —
+        keys present in ``source`` but absent from ``_stage_df`` are
+        therefore DELETED rather than replaced.
         """
+        stage = source if _stage_df is None else _stage_df
         plan = self._plan_merge(source, key) if _plan is None else _plan
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
         if plan is None:
             # merge into an empty table: every source row is unmatched
-            return self.append(source, _markers=_markers)
+            return self.append(stage, _markers=_markers)
         keys = plan["keys"]
         bands = plan["bands"]
         manifest = plan["manifest"]
@@ -2150,13 +2159,13 @@ class SnapshotTable:
                 # broadcast hint iff nd is bounded (set above).
                 cand_scan = cand_scan.localCheckpoint(eager=True)
                 matched = cand_scan.join(key_tuples, keys, "left_semi")
-                cdc_dir = self._write_cdc(matched, source, plan["evolved"])
+                cdc_dir = self._write_cdc(matched, stage, plan["evolved"])
             survivors = cand_scan.join(key_tuples, keys, "left_anti")
-            rewritten = survivors.unionByName(source, allowMissingColumns=True)
+            rewritten = survivors.unionByName(stage, allowMissingColumns=True)
         else:
-            rewritten = self._conform_to_schema(source, plan["evolved"])
+            rewritten = self._conform_to_schema(stage, plan["evolved"])
             if self.change_data_feed:
-                cdc_dir = self._write_cdc(None, source, plan["evolved"])
+                cdc_dir = self._write_cdc(None, stage, plan["evolved"])
         new_files, new_stats, new_blooms = self._stage(rewritten)
 
         base_dvs = manifest.get("dvs", {})
@@ -2228,6 +2237,7 @@ class SnapshotTable:
         source: DataFrame,
         key: str | list[str],
         _markers: dict[str, int] | None = None,
+        _stage_df: DataFrame | None = None,
     ) -> int:
         """Merge-on-read MERGE (upsert): matched target rows are MASKED
         via deletion vectors and the source rows are APPENDED as new
@@ -2251,12 +2261,17 @@ class SnapshotTable:
         budget-sized DV when it lands, and probing first would pay
         the full candidate scan just to discover that. The post-join
         count check remains as the backstop for the duplicate-target-
-        key case where matched rows exceed ``nd``."""
+        key case where matched rows exceed ``nd``.
+
+        ``_stage_df`` (private, used by :meth:`apply_changes`): same
+        role split as :meth:`merge` — ``source`` plans and masks,
+        ``_stage_df`` is what gets appended."""
+        stage = source if _stage_df is None else _stage_df
         plan = self._plan_merge(source, key)
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
         if plan is None:
-            return self.append(source, _markers=_markers)
+            return self.append(stage, _markers=_markers)
         keys = plan["keys"]
         manifest = plan["manifest"]
         candidates = plan["candidates"]
@@ -2285,7 +2300,13 @@ class SnapshotTable:
                     .count()
                 )
                 if mcount > self.mor_fallback_max_rows:
-                    return self.merge(source, key, _markers=_markers, _plan=plan)
+                    return self.merge(
+                        source,
+                        key,
+                        _markers=_markers,
+                        _plan=plan,
+                        _stage_df=_stage_df,
+                    )
         matched_counts: dict[str, int] = {}
         matched = None
         if candidates:
@@ -2315,7 +2336,7 @@ class SnapshotTable:
                 .collect()
             }
         if sum(matched_counts.values()) > self.mor_fallback_max_rows:
-            return self.merge(source, key, _markers=_markers)
+            return self.merge(source, key, _markers=_markers, _stage_df=_stage_df)
         affected_rels = set(matched_counts)
         dv_dir = None
         if affected_rels:
@@ -2337,7 +2358,7 @@ class SnapshotTable:
             if r not in base_dvs or r in base_counts
         }
         new_files, new_stats, new_blooms = self._stage(
-            self._conform_to_schema(source, plan["evolved"])
+            self._conform_to_schema(stage, plan["evolved"])
         )
         src_schema = source.schema.jsonValue()
         prev_schema = plan["prev_schema"]
@@ -2388,6 +2409,103 @@ class SnapshotTable:
             )
 
         return self._commit(build)
+
+    def apply_changes(
+        self,
+        source: DataFrame,
+        key: str | list[str],
+        op_col: str = "_op",
+        seq_col: str | None = None,
+        delete_ops: tuple[str, ...] = ("delete", "D", "d"),
+        mor: bool = True,
+        _markers: dict[str, int] | None = None,
+    ) -> int:
+        """Apply a CDC change batch — upserts AND deletes, sequence-
+        ordered — in ONE atomic commit (Delta's multi-clause ``MERGE
+        … WHEN MATCHED AND op='D' THEN DELETE`` / DLT's ``APPLY
+        CHANGES INTO``). ``source`` carries the key + payload columns
+        plus ``op_col`` (values in ``delete_ops`` delete the key;
+        anything else upserts it) and, optionally, ``seq_col``.
+
+        Within the batch, ``seq_col`` resolves out-of-order capture:
+        only each key's GREATEST-sequence row is applied, so an upsert
+        followed by a later-sequenced delete deletes (and vice versa).
+        Ties on the winning sequence are rejected — applying either
+        row would be a coin flip. Without ``seq_col`` duplicate keys
+        are rejected outright (same rule as :meth:`merge`). Ordering
+        ACROSS batches is the caller's contract: feed batches in
+        commit order, as a CDC stream already does.
+
+        Execution reuses the merge machinery with the source's two
+        roles split: ALL surviving change keys (upserts + deletes)
+        plan pruning and mask/drop their matched target rows, while
+        only the upsert payload rows (op/seq columns removed) are
+        written. ``mor=True`` (default) masks via deletion vectors and
+        appends — O(batch + matched positions) per commit, the
+        streaming CDC-apply shape — with the same measured MOR→COW
+        fallback and broadcast guard as :meth:`merge_mor`; ``mor=
+        False`` forces the copy-on-write rewrite (and with
+        ``change_data_feed=True`` writes exact change files: deletes
+        appear as pre-image-only rows). Deleting an absent key is a
+        no-op, per SQL MERGE."""
+        keys = [key] if isinstance(key, str) else list(key)
+        if op_col not in source.columns:
+            raise ValueError(f"apply_changes: no {op_col!r} column in source")
+        drop_cols = [op_col] + ([seq_col] if seq_col else [])
+        missing = [k for k in keys if k in drop_cols]
+        if missing:
+            raise ValueError(f"key columns {missing} collide with op/seq")
+        is_del = F.col(op_col).isin(list(delete_ops))
+        if seq_col is not None:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+            latest = (
+                source.withColumn("__rk", F.rank().over(w))
+                .filter(F.col("__rk") == 1)
+                .drop("__rk")
+            )
+        else:
+            latest = source  # _plan_merge rejects duplicate keys
+        # one key-partitioned pass materialized: the validation agg,
+        # merge planning, key-tuple distinct, and the staged write all
+        # consume it — without this the rank window recomputes per use
+        latest = latest.localCheckpoint(eager=True)
+        null_key = F.lit(False)
+        for k in keys:
+            null_key = null_key | F.col(k).isNull()
+        checks = latest.agg(
+            F.sum(F.col(op_col).isNull().cast("long")).alias("n_null_op"),
+            F.sum(null_key.cast("long")).alias("n_null_key"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
+        ).first()
+        if checks["n_null_key"]:
+            raise ValueError(
+                f"apply_changes: {checks['n_null_key']} rows have NULL "
+                f"key values — NULL keys never match; filter them out "
+                f"or use a sentinel"
+            )
+        if checks["n_null_op"]:
+            # a NULL op is neither a delete nor an upsert; guessing
+            # either way silently corrupts the table
+            raise ValueError(
+                f"apply_changes: {checks['n_null_op']} rows have NULL "
+                f"{op_col!r} — every change row needs an operation"
+            )
+        if seq_col is not None and checks["nd"] < checks["n"]:
+            raise ValueError(
+                f"apply_changes: {checks['n'] - checks['nd']} rows tie "
+                f"on their key's winning {seq_col!r} value — the applied "
+                f"row would be undefined; deduplicate upstream"
+            )
+        plan_frame = latest.drop(*drop_cols)
+        upserts = latest.filter(~is_del).drop(*drop_cols)
+        if mor:
+            return self.merge_mor(
+                plan_frame, key, _markers=_markers, _stage_df=upserts
+            )
+        return self.merge(plan_frame, key, _markers=_markers, _stage_df=upserts)
 
     def compact(
         self, target_rows_per_file: int, cluster_by: list[str] | None = None

@@ -567,3 +567,165 @@ def test_merge_mor_insert_heavy_source_stays_mor(spark, tmp_path):
     assert t.read().count() == 150
     got = {r["v"]: r["x"] for r in t.read().filter(F.col("v") < 5).collect()}
     assert got == {0: 1, 1: 1, 2: 1, 3: None, 4: None}
+
+
+# ---------------------------------------------------------------------------
+# apply_changes: CDC upserts + deletes in one commit
+# ---------------------------------------------------------------------------
+
+
+def _cdc_table(spark, path):
+    t = SnapshotTable(spark, path, stats_columns=["v"])
+    t.append(
+        spark.createDataFrame(
+            [(i, f"base{i}") for i in range(10)], "v long, tag string"
+        ).coalesce(1)
+    )
+    return t
+
+
+def test_apply_changes_mixed_batch_is_one_commit(spark, tmp_path):
+    """Upserts and deletes from a single CDC batch land atomically:
+    one new version, MOR commit never rewrites candidate files, and
+    the COW path produces identical rows."""
+    a = _cdc_table(spark, str(tmp_path / "mor"))
+    b = _cdc_table(spark, str(tmp_path / "cow"))
+    batch = spark.createDataFrame(
+        [
+            (3, "updated3", "U"),
+            (42, "inserted42", "I"),
+            (7, None, "D"),
+            (999, None, "D"),  # absent key: delete is a no-op
+        ],
+        "v long, tag string, _op string",
+    )
+    files_before = set(_manifest(a)["files"])
+    pre = a.current_version()
+    assert a.apply_changes(batch, "v") == pre + 1  # ONE commit
+    assert files_before <= set(_manifest(a)["files"])  # MOR: no rewrite
+    b.apply_changes(batch, "v", mor=False)
+    want = sorted(
+        [(i, f"base{i}") for i in range(10) if i not in (3, 7)]
+        + [(3, "updated3"), (42, "inserted42")]
+    )
+    rows = lambda t: sorted(  # noqa: E731
+        (r["v"], r["tag"]) for r in t.read().collect()
+    )
+    assert rows(a) == want
+    assert rows(b) == want
+    # the op column never leaks into the table schema
+    assert set(a.read().columns) == {"v", "tag"}
+
+
+def test_apply_changes_sequence_orders_within_batch(spark, tmp_path):
+    """seq_col resolves out-of-order capture per key: only the
+    greatest-sequence change applies — a late delete wins over an
+    earlier upsert and vice versa."""
+    t = _cdc_table(spark, str(tmp_path / "tbl"))
+    batch = spark.createDataFrame(
+        [
+            # key 1: insert@1, update@2, delete@3 -> deleted
+            (1, "first", "U", 1),
+            (1, "second", "U", 2),
+            (1, None, "D", 3),
+            # key 2: delete@1 then update@2 -> updated (delete discarded)
+            (2, None, "D", 1),
+            (2, "revived2", "U", 2),
+            # key 50: lone insert
+            (50, "new50", "I", 1),
+        ],
+        "v long, tag string, _op string, seq long",
+    )
+    t.apply_changes(batch, "v", seq_col="seq")
+    got = dict((r["v"], r["tag"]) for r in t.read().collect())
+    assert 1 not in got
+    assert got[2] == "revived2"
+    assert got[50] == "new50"
+    assert len(got) == 10  # 10 base - 1 del + 1 ins
+
+
+def test_apply_changes_rejects_ambiguous_batches(spark, tmp_path):
+    t = _cdc_table(spark, str(tmp_path / "tbl"))
+    # tie on the winning sequence: applying either row is a coin flip
+    tie = spark.createDataFrame(
+        [(1, "a", "U", 5), (1, "b", "U", 5)],
+        "v long, tag string, _op string, seq long",
+    )
+    with pytest.raises(ValueError, match="tie"):
+        t.apply_changes(tie, "v", seq_col="seq")
+    # duplicate keys without a sequence column: order undefined
+    dup = spark.createDataFrame(
+        [(1, "a", "U"), (1, None, "D")], "v long, tag string, _op string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        t.apply_changes(dup, "v")
+    # NULL op: neither delete nor upsert
+    nullop = spark.createDataFrame(
+        [(1, "a", None)], "v long, tag string, _op string"
+    )
+    with pytest.raises(ValueError, match="NULL '_op'"):
+        t.apply_changes(nullop, "v")
+    # NULL key
+    nullkey = spark.createDataFrame(
+        [(None, "a", "U")], "v long, tag string, _op string"
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        t.apply_changes(nullkey, "v")
+    # nothing committed by any of the rejects
+    assert t.current_version() == 1
+
+
+def test_apply_changes_delete_only_batch_is_metadata_sized(spark, tmp_path):
+    """A delete-only batch through the MOR path is DV + manifest work:
+    candidate data files are untouched and no live data is rewritten."""
+    t = _cdc_table(spark, str(tmp_path / "tbl"))
+    files_before = set(_manifest(t)["files"])
+    batch = spark.createDataFrame(
+        [(0, None, "D"), (1, None, "D")], "v long, tag string, _op string"
+    )
+    t.apply_changes(batch, "v")
+    m = _manifest(t)
+    assert files_before <= set(m["files"])
+    assert sum(m.get("dv_rows", {}).values()) == 2
+    assert t.read().count() == 8
+    assert sorted(r["v"] for r in t.read().collect()) == list(range(2, 10))
+
+
+def test_apply_changes_cdf_records_exact_changes(spark, tmp_path):
+    """COW apply_changes on a change_data_feed table writes exact
+    change rows: a deleted key appears as a pre-image-only delete, an
+    updated key as a delete+insert pair, an insert as insert-only."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), stats_columns=["v"], change_data_feed=True
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"base{i}") for i in range(5)], "v long, tag string"
+        ).coalesce(1)
+    )
+    batch = spark.createDataFrame(
+        [(2, "updated2", "U"), (4, None, "D"), (77, "new77", "I")],
+        "v long, tag string, _op string",
+    )
+    v = t.apply_changes(batch, "v", mor=False)
+    ch = {
+        (r["v"], r["_change_type"]): r["tag"]
+        for r in t.changes(v - 1, v).collect()
+    }
+    assert ch[(2, "delete")] == "base2" and ch[(2, "insert")] == "updated2"
+    assert ch[(4, "delete")] == "base4" and (4, "insert") not in ch
+    assert ch[(77, "insert")] == "new77" and (77, "delete") not in ch
+    assert len(ch) == 4
+
+
+def test_apply_changes_into_empty_table(spark, tmp_path):
+    """Changes into an empty table: upserts insert, deletes are
+    no-op rows; the op/seq columns stay out of the table schema."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    batch = spark.createDataFrame(
+        [(1, "a", "I", 1), (2, None, "D", 1)],
+        "v long, tag string, _op string, seq long",
+    )
+    t.apply_changes(batch, "v", seq_col="seq")
+    assert [(r["v"], r["tag"]) for r in t.read().collect()] == [(1, "a")]
+    assert set(t.read().columns) == {"v", "tag"}
