@@ -2769,6 +2769,7 @@ class SnapshotTable:
         checkpoint_dir: str,
         checks: list[dict] | None = None,
         merge_key: str | None = None,
+        cdc_key: str | list[str] | None = None,
     ):
         """foreachBatch writer committing every micro-batch as an
         atomic snapshot append (optionally WAP-audited). Concurrent
@@ -2793,19 +2794,56 @@ class SnapshotTable:
         writing to one table keep separate markers and cannot swallow
         each other's batches; batch ids are monotonic per checkpoint,
         which is what makes the ``<=`` comparison a correct replay test.
+
+        ``cdc_key`` turns the sink into the downstream half of
+        table-to-table CDC REPLICATION (Delta's "apply CDF with
+        MERGE" recipe): each micro-batch is expected in the
+        ``snapshot_cdf`` stream shape — payload columns plus
+        ``_change_type`` (insert/delete; an update is its
+        delete+insert pair within one commit) and ``_commit_version``
+        — and is applied via :meth:`apply_changes` in one atomic
+        commit. Ordering inside the batch is the synthesized sequence
+        ``2*_commit_version + (insert?1:0)``: a later commit's change
+        supersedes an earlier one's, and within a commit the insert
+        (post-image) supersedes its paired delete (pre-image), so an
+        upstream update replays as an upsert and a genuine delete as
+        a delete. Requires the upstream table to be key-unique (the
+        merge contract) — two inserts of one key in one commit would
+        tie and be rejected rather than guessed at.
         """
         import hashlib
 
         writer_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
-        if checks and merge_key:
-            raise ValueError("checks and merge_key are mutually exclusive")
+        if sum(x is not None and x != [] for x in (checks, merge_key, cdc_key)) > 1:
+            raise ValueError(
+                "checks, merge_key, and cdc_key are mutually exclusive"
+            )
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             if self._current_markers().get(writer_id, -1) >= batch_id:
                 return  # replayed batch: already committed atomically
             markers = {writer_id: batch_id}
-            if merge_key is not None:
+            if cdc_key is not None:
+                is_ins = F.col("_change_type") == "insert"
+                changes = (
+                    batch_df.withColumn(
+                        "_seq",
+                        F.col("_commit_version") * 2 + is_ins.cast("long"),
+                    )
+                    .withColumn(
+                        "_op", F.when(is_ins, F.lit("U")).otherwise(F.lit("D"))
+                    )
+                    .drop("_change_type", "_commit_version")
+                )
+                self.apply_changes(
+                    changes,
+                    cdc_key,
+                    op_col="_op",
+                    seq_col="_seq",
+                    _markers=markers,
+                )
+            elif merge_key is not None:
                 # durable streaming UPSERT: each micro-batch merges by
                 # key MERGE-ON-READ (mask matched rows via deletion
                 # vectors + append the batch) in one atomic commit —

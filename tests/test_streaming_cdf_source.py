@@ -419,3 +419,71 @@ def test_cdf_backward_batch_heals_without_reemit(registered, tmp_path):
     )
     parts3 = r2.partitions({"version": 3}, {"version": 7})
     assert {p.version for p in parts3} == {6, 7}
+
+
+def test_cdc_replication_source_to_target(registered, tmp_path):
+    """Table-to-table CDC replication: the snapshot_cdf stream piped
+    into streaming_sink(cdc_key=...) makes the target CONVERGE to the
+    source after every drain — appends, MOR upserts (delete+insert
+    pairs), and MOR deletes all replay correctly, across multiple
+    stream runs sharing one checkpoint."""
+    spark = registered
+    src_root = str(tmp_path / "src")
+    tgt_root = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    src = SnapshotTable(spark, src_root, stats_columns=["k"])
+    tgt = SnapshotTable(spark, tgt_root, stats_columns=["k"])
+
+    def replicate():
+        stream = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", src_root)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                tgt.streaming_sink(ckpt, cdc_key="k")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    def rows(t):
+        return sorted((r["k"], r["tag"]) for r in t.read().collect())
+
+    # run 1: two appends + an upsert + a delete, drained in one batch
+    src.append(
+        spark.createDataFrame(
+            [(i, f"a{i}") for i in range(6)], "k long, tag string"
+        ).coalesce(1)
+    )
+    src.append(
+        spark.createDataFrame([(10, "b10"), (11, "b11")], "k long, tag string")
+    )
+    src.merge_mor(
+        spark.createDataFrame([(3, "upd3"), (12, "new12")], "k long, tag string"),
+        "k",
+    )
+    src.delete_where_mor("k", 10, 10)
+    replicate()
+    assert rows(tgt) == rows(src)
+
+    # run 2: more changes against the SAME checkpoint — only the new
+    # commits replay, and a second upsert of an already-replicated key
+    # supersedes the copy in the target
+    src.merge_mor(
+        spark.createDataFrame([(3, "upd3b"), (11, "upd11")], "k long, tag string"),
+        "k",
+    )
+    src.delete_where_mor("k", 0, 1)
+    replicate()
+    assert rows(tgt) == rows(src)
+    assert dict(rows(tgt))[3] == "upd3b"
+
+    # run 3: nothing new — the drain is a no-op, target unchanged
+    v = tgt.current_version()
+    replicate()
+    assert tgt.current_version() == v
