@@ -194,6 +194,43 @@ def _resolve_manifest(root: str, version: int) -> dict:
     }
 
 
+def _file_size(path: str) -> int:
+    fs_, p = _fs_split(path)
+    if fs_ is None:
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return 0
+    info = fs_.get_file_info(p)
+    return int(info.size or 0)
+
+
+def _changed_bytes(prev: dict, cur: dict) -> int:
+    """Bytes a CDF consumer reads for the ``prev -> cur`` commit: the
+    added/removed/DV-remapped files (or the writer change files when
+    recorded) — the same per-commit file diff ``partitions()`` plans,
+    priced by a metadata stat per changed file. Compaction commits are
+    dataChange=false and cost nothing downstream."""
+    if cur["op"] == "compact":
+        return 0
+    if cur.get("cdc"):
+        base = cur["cdc"].rstrip("/")
+        return sum(
+            _file_size(f"{base}/{n}")
+            for n in _list_dir(cur["cdc"])
+            if n.endswith(".parquet")
+        )
+    f_prev, f_cur = set(prev["files"]), set(cur["files"])
+    changed = (f_cur - f_prev) | (f_prev - f_cur)
+    dv_prev, dv_cur = prev["dvs"], cur["dvs"]
+    changed |= {
+        f
+        for f in f_prev & f_cur
+        if dv_prev.get(_rel(f)) != dv_cur.get(_rel(f))
+    }
+    return sum(_file_size(f) for f in changed)
+
+
 @dataclass
 class CdfPartition(InputPartition):
     """One changed data file in one commit. ``kind``:
@@ -239,6 +276,11 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         # consumes the table's full history).
         self.start_offset = max(0, int(options.get("startingversion", 1)) - 1)
         self.max_versions = int(options.get("maxversionsperbatch", 100))
+        # byte-based admission (Delta's maxBytesPerTrigger): version
+        # sizes vary wildly — a metadata-only MOR upsert vs a backfill
+        # append — so a version cap alone can still plan a huge batch
+        mb = options.get("maxbytesperbatch")
+        self.max_bytes = int(mb) if mb is not None else None
         self.skip_change_commits = str(
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
@@ -293,7 +335,28 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
             self._last_end if self._last_end is not None else self.start_offset,
             self._floor,
         )
-        return {"version": max(min(cur, seed + self.max_versions), self.start_offset)}
+        hi = min(cur, seed + self.max_versions)
+        if self.max_bytes is not None and hi > seed:
+            # walk forward pricing each commit's changed files until
+            # the budget is spent — always admitting at least one
+            # commit so an oversized single commit still progresses
+            # (Delta's AdmissionLimits rule). Cost: one metadata stat
+            # per changed file in the ADMITTED window, not the backlog.
+            spent = 0
+            admitted = seed
+            prev = _resolve_manifest(self.root, seed)
+            for v in range(seed + 1, hi + 1):
+                m = _resolve_manifest(self.root, v)
+                b = _changed_bytes(prev, m)
+                if admitted > seed and spent + b > self.max_bytes:
+                    break
+                spent += b
+                admitted = v
+                prev = m
+                if spent >= self.max_bytes:
+                    break
+            hi = admitted
+        return {"version": max(hi, self.start_offset)}
 
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])
@@ -517,7 +580,10 @@ class SnapshotCdfDataSource(DataSource):
     (INCLUSIVE; default 1 = the table's full history),
     ``maxVersionsPerBatch`` (admission control, default 100 commits
     per micro-batch — enforced across restarts via the per-stream
-    cursor file), ``cursorId`` (admission-control cursor name,
+    cursor file), ``maxBytesPerBatch`` (byte-based admission, Delta's
+    maxBytesPerTrigger: commits admitted until their changed-file
+    bytes exceed the budget, always at least one; default unlimited),
+    ``cursorId`` (admission-control cursor name,
     default "default"; give concurrent streams over one table
     distinct ids), ``skipChangeCommits`` (skip COW rewrite commits
     instead of erroring, default false)."""

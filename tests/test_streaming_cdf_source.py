@@ -487,3 +487,64 @@ def test_cdc_replication_source_to_target(registered, tmp_path):
     v = tgt.current_version()
     replicate()
     assert tgt.current_version() == v
+
+
+def test_cdf_max_bytes_per_batch(registered, tmp_path):
+    """Byte-based admission: commits are admitted until their
+    changed-file bytes exceed the budget, so mixed small/huge commits
+    drain in bounded micro-batches — and an oversized SINGLE commit
+    still progresses (at least one commit per batch)."""
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["v"])
+    # v1..v5: one BIG append (10k rows) then four tiny ones
+    t.append(
+        spark.range(0, 10000).select(F.col("id").alias("v")).coalesce(1)
+    )
+    for i in range(4):
+        t.append(
+            spark.range(20000 + i, 20001 + i)
+            .select(F.col("id").alias("v"))
+            .coalesce(1)
+        )
+    small = _file_sizes_smallest(root)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", root)
+        # budget ~ a couple of tiny files: the big commit must ride
+        # alone, and the tiny ones group a few per batch
+        .option("maxBytesPerBatch", str(int(small * 2.5)))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 10004  # nothing lost
+    versions = _offset_versions(ckpt)
+    # the oversized v1 was admitted ALONE (progress guarantee), and
+    # no batch jumped the whole backlog in one go
+    assert versions[0] == 1, versions
+    assert len(versions) >= 3, versions
+    assert versions[-1] == 5
+
+
+def _file_sizes_smallest(root: str) -> int:
+    """Smallest data-file size in the table — the tiny-commit unit the
+    byte-budget test prices its batches in."""
+    import os
+
+    sizes = []
+    for dirpath, _dirs, names in os.walk(root):
+        if "_snapshots" in dirpath or "_cursors" in dirpath:
+            continue
+        for n in names:
+            if n.endswith(".parquet"):
+                sizes.append(os.path.getsize(os.path.join(dirpath, n)))
+    return min(sizes)
