@@ -1944,6 +1944,119 @@ class SnapshotTable:
 
         return self._commit(build)
 
+    def update_where(
+        self, column: str, lo, hi, set: dict[str, object]
+    ) -> int:
+        """Copy-on-write UPDATE of rows with ``column`` in [lo, hi]:
+        ``set`` maps column name -> new value (a Column expression, or
+        a string parsed as a SQL expression over the row — Delta's
+        ``update(set=...)`` convention; pass ``F.lit(...)`` or a SQL
+        literal for constants).
+
+        Same data-skipping shape as :meth:`delete_where`: the manifest
+        stats bound the rewrite to candidate files — out-of-band files
+        carry over untouched, never opened — and NULL-valued rows
+        never match the band (SQL three-valued logic), so they are
+        carried unchanged, not updated and not dropped. An update may
+        not change a column's TYPE (the rewrite would make the file
+        set schema-inconsistent; same rule as commit-time schema
+        evolution) and may not introduce new columns — that's a merge.
+
+        With ``change_data_feed=True`` the commit records exact
+        pre/post images of the matched rows (an update is its
+        delete+insert pair downstream), off the same single
+        materialized candidate scan as the rewrite. Readers of the
+        CDF STREAM refuse op="update" commits without change files,
+        exactly as for COW merge/delete — carried rows in rewritten
+        files are indistinguishable from changes at the file level."""
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("empty table: no committed snapshot")
+        manifest = self._manifest(cur)
+        candidates, untouched = self._split_by_band(manifest, column, lo, hi)
+        if not candidates:
+            return cur
+        cand_scan = self._scan_live(manifest, candidates)
+        unknown = [c for c in set if c not in cand_scan.columns]
+        if unknown:
+            raise ValueError(
+                f"update_where: SET names columns not in the table: "
+                f"{unknown} — adding columns is a merge, not an update"
+            )
+        matched_pred = F.col(column).between(F.lit(lo), F.lit(hi))
+
+        def apply_set(df: DataFrame, pred) -> DataFrame:
+            out = df
+            for c, v in set.items():
+                expr = F.expr(v) if isinstance(v, str) else v
+                out = out.withColumn(c, F.when(pred, expr).otherwise(F.col(c)))
+            return out
+
+        rewritten = apply_set(cand_scan, matched_pred)
+        if rewritten.schema != cand_scan.schema:
+            raise ValueError(
+                "update_where: SET changes a column's type — updates "
+                "must preserve the schema; cast the expression to the "
+                "column's current type"
+            )
+        cdc_dir = None
+        if self.change_data_feed and manifest.get("schema"):
+            # one materialized candidate read feeds the pre-images,
+            # the post-images, and the rewrite
+            cand_scan = cand_scan.localCheckpoint(eager=True)
+            matched = cand_scan.filter(matched_pred)
+            cdc_dir = self._write_cdc(
+                matched, apply_set(matched, F.lit(True)), manifest["schema"]
+            )
+            rewritten = apply_set(cand_scan, matched_pred)
+        new_files, new_stats, new_blooms = self._stage(rewritten)
+
+        base_dvs = manifest.get("dvs", {})
+
+        def build(version: int, prev: dict) -> dict:
+            cands, untch = self._split_by_band(prev, column, lo, hi)
+            # sorted-list compare (the `set` parameter shadows the
+            # builtin in this scope)
+            if sorted(cands) != sorted(candidates):
+                raise CommitConflict(
+                    "concurrent commit changed the candidate file set; "
+                    "re-run update_where"
+                )
+            prev_dvs = prev.get("dvs", {})
+            if any(
+                prev_dvs.get(_rel(f)) != base_dvs.get(_rel(f))
+                for f in candidates
+            ):
+                raise CommitConflict(
+                    "concurrent deletion-vector commit on a candidate "
+                    "file; re-run update_where"
+                )
+            keep = {_rel(f) for f in untch}
+            stats = {
+                k: v for k, v in prev.get("stats", {}).items() if k in keep
+            }
+            stats.update(new_stats)
+            blooms = {
+                k: v for k, v in prev.get("blooms", {}).items() if k in keep
+            }
+            blooms.update(new_blooms)
+            return self._compose(
+                version,
+                untch + new_files,
+                stats,
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=blooms,
+                dvs={
+                    k: v for k, v in prev.get("dvs", {}).items() if k in keep
+                },
+                dv_rows=prev.get("dv_rows", {}),
+                op="update",
+                cdc=cdc_dir,
+            )
+
+        return self._commit(build)
+
     def _plan_merge(self, source: DataFrame, key: str | list[str]):
         """Shared head of the COW and MOR merge paths: validate the
         source (non-null, duplicate-free key tuples — one agg job),

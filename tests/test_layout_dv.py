@@ -729,3 +729,139 @@ def test_apply_changes_into_empty_table(spark, tmp_path):
     t.apply_changes(batch, "v", seq_col="seq")
     assert [(r["v"], r["tag"]) for r in t.read().collect()] == [(1, "a")]
     assert set(t.read().columns) == {"v", "tag"}
+
+
+# ---------------------------------------------------------------------------
+# update_where: copy-on-write UPDATE
+# ---------------------------------------------------------------------------
+
+
+def test_update_where_band_pruned_rewrite(spark, tmp_path):
+    """UPDATE rewrites only candidate files: out-of-band files carry
+    over by path, matched rows get the SET applied (SQL-expression
+    strings over the row work), NULL rows never match, and the count
+    is invariant."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 100)
+            .select(
+                F.col("id").alias("v"),
+                (F.col("id") * 2).alias("w"),
+            )
+            .coalesce(1)
+        )
+    t.append(
+        spark.createDataFrame([(None, -1)], "v long, w long").coalesce(1)
+    )
+    before = set(_manifest(t)["files"])
+    pre = t.current_version()
+    v = t.update_where("v", 1000, 1049, set={"w": "w + v"})
+    assert v == pre + 1
+    m = _manifest(t)
+    # only the in-band file (and the NULL-row file, whose stats are
+    # all-NULL and thus unpruneable-but-skipped... it has no interval)
+    carried = before & set(m["files"])
+    assert len(before - set(m["files"])) <= 2  # at most band+NULL files
+    assert len(carried) >= 2  # the two out-of-band files never rewritten
+    got = {r["v"]: r["w"] for r in t.read().collect() if r["v"] is not None}
+    for k in range(1000, 1050):
+        assert got[k] == 2 * k + k  # updated
+    for k in list(range(0, 100)) + list(range(1050, 1100)) + list(
+        range(2000, 2100)
+    ):
+        assert got[k] == 2 * k  # untouched
+    # NULL row carried unchanged, not updated, not dropped
+    nulls = [r["w"] for r in t.read().collect() if r["v"] is None]
+    assert nulls == [-1]
+    assert t.read().count() == 301
+    # time travel pre-update intact
+    assert t.read(pre).filter("v = 1000").first()["w"] == 2000
+
+
+def test_update_where_rejects_bad_set(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    t.append(
+        spark.range(0, 10)
+        .select(F.col("id").alias("v"), F.lit("x").alias("tag"))
+        .coalesce(1)
+    )
+    with pytest.raises(ValueError, match="not in the table"):
+        t.update_where("v", 0, 5, set={"nope": F.lit(1)})
+    with pytest.raises(ValueError, match="type"):
+        t.update_where("v", 0, 5, set={"tag": F.lit(7)})
+    # out-of-band update: no-op, no commit
+    assert t.update_where("v", 500, 600, set={"tag": F.lit("y")}) == 1
+    assert t.current_version() == 1
+
+
+def test_update_where_cdf_pre_post_images(spark, tmp_path):
+    """On a change_data_feed table the update commit records exact
+    pre/post images: matched rows only, as delete+insert pairs."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), stats_columns=["v"],
+        change_data_feed=True,
+    )
+    t.append(
+        spark.range(0, 10)
+        .select(F.col("id").alias("v"), (F.col("id") * 10).alias("w"))
+        .coalesce(1)
+    )
+    v = t.update_where("v", 3, 4, set={"w": F.col("w") + 1})
+    ch = sorted(
+        (r["v"], r["_change_type"], r["w"])
+        for r in t.changes(v - 1, v).collect()
+    )
+    assert ch == [
+        (3, "delete", 30),
+        (3, "insert", 31),
+        (4, "delete", 40),
+        (4, "insert", 41),
+    ]
+
+
+def test_update_where_streams_like_other_cow_rewrites(spark, tmp_path):
+    """The CDF stream refuses an op=update commit on a table without
+    change files (carried rows are indistinguishable from changes) and
+    skips it under skipChangeCommits — the COW merge/delete rule."""
+    from collective_als_spark.streaming.cdf_source import (
+        register_snapshot_cdf,
+    )
+
+    register_snapshot_cdf(spark)
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["v"])
+    t.append(
+        spark.range(0, 10)
+        .select(F.col("id").alias("v"), F.lit(0).alias("w"))
+        .coalesce(1)
+    )
+    t.update_where("v", 0, 4, set={"w": F.lit(1)})
+
+    def drain(opts):
+        reader = spark.readStream.format("snapshot_cdf").option("path", root)
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    with pytest.raises(Exception, match="copy-on-write update"):
+        try:
+            drain({})
+        except Exception as e:  # unwrap StreamingQueryException
+            raise RuntimeError(str(e)) from e
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+    shutil.rmtree(str(tmp_path / "out"), ignore_errors=True)
+    drain({"skipChangeCommits": "true"})
+    # only the append's rows streamed; the update commit was skipped
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 10
