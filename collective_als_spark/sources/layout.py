@@ -538,8 +538,12 @@ class SnapshotTable:
                 raw["batch_markers"] = desired["batch_markers"]
             if desired.get("op"):
                 raw["op"] = desired["op"]
+            if desired.get("checks"):
+                # constraints are governance, not data: a RESTORE rolls
+                # the data back but keeps the CURRENT constraint set
+                raw["checks"] = desired["checks"]
             return raw
-        for k in ("batch_markers", "schema", "dvs", "dv_rows", "op", "cdc"):
+        for k in ("batch_markers", "schema", "dvs", "dv_rows", "op", "cdc", "checks"):
             if desired.get(k):
                 raw[k] = desired[k]
         prev_chunks = list(prev_raw.get("chunks", []))
@@ -598,7 +602,13 @@ class SnapshotTable:
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version()
             prev_raw = self._raw_manifest(base) if base else {}
-            manifest = build(base + 1, self._base_manifest(base))
+            prev = self._base_manifest(base)
+            manifest = build(base + 1, prev)
+            # CHECK constraints ride every manifest: builds that don't
+            # manage them (all but add/drop) carry the previous set
+            # implicitly, so no commit path can silently shed them
+            if "checks" not in manifest and prev.get("checks"):
+                manifest["checks"] = prev["checks"]
             raw = self._serialize(manifest, prev_raw)
             try:
                 self.log.write_text_exclusive(
@@ -649,6 +659,39 @@ class SnapshotTable:
         empty batch) one file is kept so the commit stays
         schema-carrying."""
         files = self._write_data(df)
+        checks = self._table_checks()
+        if checks and files:
+            # CHECK enforcement at the single staging choke point
+            # (append, WAP, merge, merge_mor, apply_changes, update,
+            # compact all stage here): one scan of the STAGED files —
+            # the audit sees exactly the bytes readers would — with
+            # SQL CHECK semantics (NULL passes, only FALSE violates).
+            # A violating batch deletes its staged files and raises;
+            # the table stays at its previous version.
+            viol = (
+                self.spark.read.parquet(*files)
+                .agg(
+                    *[
+                        F.sum(
+                            (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
+                        ).alias(n)
+                        for n, e in checks.items()
+                    ]
+                )
+                .first()
+            )
+            bad = {n: int(viol[n]) for n in checks if viol[n]}
+            if bad:
+                for f in files:
+                    self.log.delete(f)
+                raise ValueError(
+                    "CHECK constraint violation; table unchanged at "
+                    f"version {self.current_version()}: "
+                    + ", ".join(
+                        f"{n} ({checks[n]!r}): {c} rows"
+                        for n, c in bad.items()
+                    )
+                )
         stats = self._file_stats(files)
         if self.stats_columns and stats:
             nonempty = [f for f in files if _rel(f) in stats]
@@ -2806,6 +2849,94 @@ class SnapshotTable:
                 dv_rows=prev.get("dv_rows", {}),
                 op="compact",
             )
+
+        return self._commit(build)
+
+    def _table_checks(self) -> dict[str, str]:
+        """The table's CHECK constraints (name -> SQL boolean expr)
+        from the current manifest; {} for an empty table."""
+        cur = self.current_version()
+        return self._manifest(cur).get("checks", {}) if cur else {}
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """Delta's ``ALTER TABLE ADD CONSTRAINT``: a named SQL boolean
+        expression every FUTURE commit's staged rows must satisfy
+        (NULL passes — SQL CHECK three-valued semantics; only FALSE
+        violates). Enforced at the staging choke point, so every write
+        path (append, WAP, merge COW/MOR, apply_changes, update,
+        compaction rewrites) is covered; a violating batch raises and
+        leaves the table version unchanged.
+
+        Existing rows are validated FIRST (one table scan, Delta's
+        rule): adding a constraint the current data violates is
+        rejected. The add itself is an O(metadata) commit — files are
+        carried by reference. Constraints survive restore (governance
+        follows the table, not the snapshot) and are enforced from
+        the manifest, so every writer process sees the same set.
+
+        Known race (same window Delta has without serializable
+        metadata isolation): a batch staged before the constraint
+        commit can land unvalidated; the pre-add full-table scan here
+        covers everything committed before it looks."""
+        if not name or not name.isidentifier():
+            raise ValueError(f"constraint name must be an identifier: {name!r}")
+        existing = self._table_checks()
+        if name in existing:
+            raise ValueError(f"constraint {name!r} already exists")
+        cur = self.current_version()
+        if cur:
+            pred = ~F.coalesce(F.expr(expr), F.lit(True))  # validates expr
+            n_bad = self.read().filter(pred).count()
+            if n_bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: {n_bad} existing "
+                    f"rows violate {expr!r}"
+                )
+
+        def build(version: int, prev: dict) -> dict:
+            prev_checks = prev.get("checks", {})
+            if name in prev_checks:
+                raise CommitConflict(
+                    f"concurrent commit added constraint {name!r}"
+                )
+            m = self._compose(
+                version,
+                prev.get("files", []),
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms"),
+                dvs=prev.get("dvs"),
+                dv_rows=prev.get("dv_rows", {}),
+                op="add_constraint",
+            )
+            m["checks"] = {**prev_checks, name: expr}
+            return m
+
+        return self._commit(build)
+
+    def drop_check_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint by name (Delta's ``DROP
+        CONSTRAINT``); an O(metadata) commit."""
+        if name not in self._table_checks():
+            raise ValueError(f"no such constraint: {name!r}")
+
+        def build(version: int, prev: dict) -> dict:
+            prev_checks = dict(prev.get("checks", {}))
+            prev_checks.pop(name, None)
+            m = self._compose(
+                version,
+                prev.get("files", []),
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms"),
+                dvs=prev.get("dvs"),
+                dv_rows=prev.get("dv_rows", {}),
+                op="drop_constraint",
+            )
+            m["checks"] = prev_checks
+            return m
 
         return self._commit(build)
 

@@ -1661,3 +1661,95 @@ def test_timestamp_time_travel(spark, tmp_path):
         t2.version_at(ct)  # v1's own (now-stripped) instant
     assert t2.version_at(marks[1]) == 2  # newer timestamped commits fine
     assert t2.read(version=1).count() == 10  # by-version still works
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (Delta ALTER TABLE ADD/DROP CONSTRAINT)
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraint_gates_every_write_path(spark, tmp_path):
+    """A table-level CHECK rejects violating batches at the staging
+    choke point — append, merge, merge_mor, apply_changes, and
+    update_where are all covered — leaving the version unchanged and
+    the staged files orphaned (collected by expire)."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(i, 10 * i) for i in range(1, 6)], "k long, w long"
+        ).coalesce(1)
+    )
+    t.add_check_constraint("w_nonneg", "w >= 0")
+    v = t.current_version()
+    bad = spark.createDataFrame([(99, -1)], "k long, w long")
+    with pytest.raises(ValueError, match="w_nonneg"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="w_nonneg"):
+        t.merge(bad, "k")
+    with pytest.raises(ValueError, match="w_nonneg"):
+        t.merge_mor(bad, "k")
+    with pytest.raises(ValueError, match="w_nonneg"):
+        t.apply_changes(
+            bad.withColumn("_op", F.lit("U")), "k"
+        )
+    with pytest.raises(ValueError, match="w_nonneg"):
+        t.update_where("k", 2, 3, set={"w": F.lit(-5)})
+    assert t.current_version() == v  # nothing committed
+    assert t.read().count() == 5
+    # good batches still flow, and the constraint survives them
+    t.append(spark.createDataFrame([(99, 0)], "k long, w long"))
+    assert t._table_checks() == {"w_nonneg": "w >= 0"}
+    # orphaned staged files from the rejects are collectible
+    t.expire(keep_last=100, orphan_grace_seconds=0)
+
+
+def test_check_constraint_null_passes_and_validation(spark, tmp_path):
+    """SQL CHECK three-valued semantics: NULL evaluations pass; adding
+    a constraint existing rows violate is rejected; duplicate names
+    and non-boolean junk are rejected."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 10), (2, None)], "k long, w long"
+        ).coalesce(1)
+    )
+    with pytest.raises(ValueError, match="existing"):
+        t.add_check_constraint("w_big", "w > 100")
+    t.add_check_constraint("w_pos", "w > 0")  # NULL row passes
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_check_constraint("w_pos", "w > 1")
+    # NULL-valued rows keep passing on write too
+    t.append(spark.createDataFrame([(3, None)], "k long, w long"))
+    assert t.read().count() == 3
+    # drop: violating writes land again
+    t.drop_check_constraint("w_pos")
+    t.append(spark.createDataFrame([(4, -1)], "k long, w long"))
+    assert t.read().count() == 4
+    with pytest.raises(ValueError, match="no such"):
+        t.drop_check_constraint("w_pos")
+
+
+def test_check_constraint_survives_maintenance_and_restore(spark, tmp_path):
+    """Constraints ride every manifest: unrelated commits, compaction,
+    and restore all carry them — a rollback of data must not silently
+    drop governance."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    t.append(
+        spark.createDataFrame([(1, 1)], "k long, w long").coalesce(1)
+    )
+    pre = t.current_version()
+    t.add_check_constraint("w_pos", "w > 0")
+    t.append(spark.createDataFrame([(2, 2)], "k long, w long"))
+    t.delete_where_mor("k", 1, 1)
+    t.compact(target_rows_per_file=100)
+    assert t._table_checks() == {"w_pos": "w > 0"}
+    t.restore(pre)  # data rollback to BEFORE the constraint existed
+    assert t._table_checks() == {"w_pos": "w > 0"}  # governance kept
+    with pytest.raises(ValueError, match="w_pos"):
+        t.append(spark.createDataFrame([(9, -9)], "k long, w long"))
