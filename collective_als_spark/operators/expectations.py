@@ -264,3 +264,92 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     if out is None:
         raise ValueError("empty check suite")
     return out
+
+
+_ROW_LEVEL_KINDS = ("not_null", "range", "in_set", "expr", "ref_integrity")
+
+
+def split_by_expectations(
+    df: DataFrame, checks: list[dict], violations_col: str = "_violations"
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level expect-or-drop (the DLT ``expect_or_drop`` +
+    quarantine pattern): evaluate every ROW-LEVEL check per row and
+    split ``df`` into (good, bad) — bad rows carry a
+    ``violations_col`` array<string> naming every check they failed,
+    so a quarantine consumer can triage without re-deriving why.
+
+    Only per-row kinds participate: ``not_null``, ``range``,
+    ``in_set``, ``expr`` ({"kind": "expr", "expr": "<sql boolean>",
+    "name": ...} — an arbitrary row predicate), and ``ref_integrity``
+    (one broadcast lookup join per check against the distinct
+    referenced keys; a NULL foreign key is NOT an orphan — pair with
+    not_null to reject those). Suite-level kinds (unique,
+    row_count_min, statistical bands) have no per-row meaning and are
+    rejected — gate them with ``run_checks``/WAP instead.
+
+    NULL semantics match ``run_checks``: a NULL evaluation PASSES
+    range/in_set/expr (SQL three-valued logic; use not_null to catch
+    NULLs explicitly), so a row is quarantined only for checks it
+    provably violates.
+
+    Both returned frames share one lineage ending in complementary
+    filters; a caller writing BOTH should materialize the tagged
+    input once (e.g. ``df.localCheckpoint()`` before the split, as
+    ``SnapshotTable.streaming_sink`` does) to avoid scanning twice.
+    """
+    for c in checks:
+        if c["kind"] == "expr" and "name" not in c:
+            raise ValueError(
+                "expr checks need an explicit 'name' (there is no "
+                "column to derive one from)"
+            )
+    names = _unique_names(checks)
+    for name in names:
+        if not _SAFE_NAME.match(name):
+            raise ValueError(f"unsafe check name {name!r}")
+    work = df
+    preds: list[tuple[str, object]] = []
+    drop_cols: list[str] = []
+    for i, (c, name) in enumerate(zip(checks, names)):
+        kind = c["kind"]
+        if kind == "not_null":
+            ok = F.col(c["column"]).isNotNull()
+        elif kind == "range":
+            ok = F.coalesce(
+                F.col(c["column"]).between(F.lit(c["lo"]), F.lit(c["hi"])),
+                F.lit(True),
+            )
+        elif kind == "in_set":
+            ok = F.coalesce(
+                F.col(c["column"]).isin(*c["values"]), F.lit(True)
+            )
+        elif kind == "expr":
+            ok = F.coalesce(F.expr(c["expr"]), F.lit(True))
+        elif kind == "ref_integrity":
+            rk = f"__refk_{i}"
+            ref_keys = (
+                c["ref"]
+                .select(F.col(c["ref_column"]).alias(rk))
+                .where(F.col(rk).isNotNull())
+                .distinct()
+            )
+            work = work.join(
+                F.broadcast(ref_keys),
+                work[c["column"]] == F.col(rk),
+                "left",
+            )
+            ok = F.col(rk).isNotNull() | F.col(c["column"]).isNull()
+            drop_cols.append(rk)
+        else:
+            raise ValueError(
+                f"check kind {kind!r} is suite-level (no per-row "
+                f"meaning) — use run_checks/wap_commit for it"
+            )
+        preds.append((name, ok))
+    viol = F.array_compact(
+        F.array(*[F.when(~ok, F.lit(name)) for name, ok in preds])
+    )
+    tagged = work.withColumn(violations_col, viol).drop(*drop_cols)
+    good = tagged.filter(F.size(violations_col) == 0).drop(violations_col)
+    bad = tagged.filter(F.size(violations_col) > 0)
+    return good, bad

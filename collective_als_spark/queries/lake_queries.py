@@ -473,3 +473,97 @@ def lake_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_update_quality",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_band,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_all,
+               CAST(sum(CASE WHEN o_orderkey % 50 = 0
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents_band
+        FROM orders
+    )
+    SELECT 'n_total' AS step, n_total AS value FROM c
+    UNION ALL SELECT 'n_updated', n_band FROM c
+    UNION ALL SELECT 'cents_total', cents_all - cents_band + 555 * n_band FROM c
+    UNION ALL SELECT 'n_rejected_commits', CAST(2 AS BIGINT) FROM c
+    UNION ALL SELECT 'n_quarantined', CAST(2 AS BIGINT) FROM c
+    UNION ALL SELECT 'tt_v1_cents', cents_all FROM c
+    """,
+)
+def lake_update_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 DML + governance surface end-to-end under the oracle:
+    copy-on-write UPDATE (`update_where`: band-pruned candidate
+    rewrite, SET as a SQL expression), a table CHECK constraint
+    (`add_check_constraint`: enforced at the staging choke point on
+    EVERY write path), and row-level expect-or-drop quarantine
+    (`split_by_expectations`).
+
+    The scratch table holds every order as (k, cents). A CHECK
+    constraint `cents >= 0` is added (existing rows validated), then:
+    an UPDATE sets cents=555 for every k divisible by 50 (the oracle
+    derives the value-level cents total the rewrite must produce); a
+    violating append AND a violating update are rejected (counted,
+    table version unchanged — the constraint gate); a 4-row batch
+    splits 2 good / 2 quarantined by the same rules as the
+    constraint; time travel re-reads the pre-update cents total
+    (the rewrite must not leak into v1). The good split rows are NOT
+    appended, keeping the oracle's algebra closed over orders."""
+    from collective_als_spark.operators.expectations import (
+        split_by_expectations,
+    )
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), cents.alias("cents")
+    )
+    root = tempfile.mkdtemp(prefix="lake_updq_")
+    try:
+        t = SnapshotTable(
+            spark, f"{root}/tbl", stats_columns=["k", "cents"]
+        )
+        t.append(rows)
+        t.add_check_constraint("cents_nonneg", "cents >= 0")
+        mx = rows.agg(F.max("k")).first()[0]
+        t.update_where("k", 0, mx, set={"cents": "CASE WHEN k % 50 = 0 THEN CAST(555 AS BIGINT) ELSE cents END"})
+        rejected = 0
+        try:
+            t.append(spark.createDataFrame([(-1, -7)], "k long, cents long"))
+        except ValueError:
+            rejected += 1
+        try:
+            t.update_where("k", 50, 50, set={"cents": F.lit(-1).cast("bigint")})
+        except ValueError:
+            rejected += 1
+        batch = spark.createDataFrame(
+            [(10**9, 1), (10**9 + 1, -5), (10**9 + 2, 2), (None, 3)],
+            "k long, cents long",
+        )
+        good, bad = split_by_expectations(
+            batch,
+            [
+                {"kind": "not_null", "column": "k"},
+                {"kind": "range", "column": "cents", "lo": 0, "hi": 10**12},
+            ],
+        )
+        out = [
+            ("n_total", t.read().count()),
+            (
+                "n_updated",
+                t.read()
+                .filter((F.col("k") % 50 == 0) & (F.col("cents") == 555))
+                .count(),
+            ),
+            ("cents_total", t.read().agg(F.sum("cents")).first()[0]),
+            ("n_rejected_commits", rejected),
+            ("n_quarantined", bad.count()),
+            ("tt_v1_cents", t.read(version=1).agg(F.sum("cents")).first()[0]),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")

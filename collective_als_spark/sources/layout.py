@@ -3014,6 +3014,8 @@ class SnapshotTable:
         checks: list[dict] | None = None,
         merge_key: str | None = None,
         cdc_key: str | list[str] | None = None,
+        expect_or_drop: list[dict] | None = None,
+        quarantine: "SnapshotTable | None" = None,
     ):
         """foreachBatch writer committing every micro-batch as an
         atomic snapshot append (optionally WAP-audited). Concurrent
@@ -3054,20 +3056,56 @@ class SnapshotTable:
         a delete. Requires the upstream table to be key-unique (the
         merge contract) — two inserts of one key in one commit would
         tie and be rejected rather than guessed at.
+
+        ``expect_or_drop`` routes ROW-LEVEL quality instead of gating
+        the batch (DLT's expect_or_drop): each micro-batch splits via
+        ``operators.expectations.split_by_expectations`` — passing
+        rows append here; failing rows (tagged with a ``_violations``
+        array naming the checks they broke) append to the
+        ``quarantine`` table, or are dropped when none is given. The
+        two tables commit SEPARATELY (no cross-table transaction),
+        each guarded by its own replay marker under the shared writer
+        id, so a crash between the commits replays the batch and each
+        side idempotently converges — the quarantine can lag the main
+        table by at most one in-flight batch, never diverge.
         """
         import hashlib
 
         writer_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
-        if sum(x is not None and x != [] for x in (checks, merge_key, cdc_key)) > 1:
+        modes = (checks, merge_key, cdc_key, expect_or_drop)
+        if sum(x is not None and x != [] for x in modes) > 1:
             raise ValueError(
-                "checks, merge_key, and cdc_key are mutually exclusive"
+                "checks, merge_key, cdc_key, and expect_or_drop are "
+                "mutually exclusive"
             )
+        if quarantine is not None and expect_or_drop is None:
+            raise ValueError("quarantine requires expect_or_drop checks")
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            markers = {writer_id: batch_id}
+            if expect_or_drop is not None:
+                from collective_als_spark.operators.expectations import (
+                    split_by_expectations,
+                )
+
+                # materialized once: the two complementary filters and
+                # both table commits read this, not the upstream plan
+                batch = batch_df.localCheckpoint(eager=True)
+                good, bad = split_by_expectations(batch, expect_or_drop)
+                # per-table replay guards: a crash BETWEEN the two
+                # commits must re-run only the side that didn't land
+                if self._current_markers().get(writer_id, -1) < batch_id:
+                    self.append(good, _markers=markers)
+                if (
+                    quarantine is not None
+                    and quarantine._current_markers().get(writer_id, -1)
+                    < batch_id
+                ):
+                    quarantine.append(bad, _markers=markers)
+                return
             if self._current_markers().get(writer_id, -1) >= batch_id:
                 return  # replayed batch: already committed atomically
-            markers = {writer_id: batch_id}
             if cdc_key is not None:
                 is_ins = F.col("_change_type") == "insert"
                 changes = (

@@ -216,3 +216,54 @@ def test_wap_commit_gated_on_mean_drift(spark, tmp_path):
     with pytest.raises(ValueError, match="mean_between_amount"):
         t.wap_commit(drifted, checks)
     assert t.current_version() == 1 and t.read().count() == 3
+
+
+# ---------------------------------------------------------------------------
+# row-level expect-or-drop (split_by_expectations)
+# ---------------------------------------------------------------------------
+
+
+def test_split_by_expectations_routes_rows(spark):
+    from collective_als_spark.operators.expectations import (
+        split_by_expectations,
+    )
+
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A", 1),      # clean
+            (None, 10, "A", 2),   # not_null(k)
+            (2, -5, "A", 1),      # range(w) AND expr(w+rk>0) both fail
+            (3, 10, "Z", 9),      # in_set(tag) and ref_integrity(rk)
+            (4, None, "A", None), # NULLs pass range/expr/ref -> clean
+        ],
+        "k long, w long, tag string, rk long",
+    )
+    checks = [
+        {"kind": "not_null", "column": "k"},
+        {"kind": "range", "column": "w", "lo": 0, "hi": 100},
+        {"kind": "in_set", "column": "tag", "values": ["A", "B"]},
+        {"kind": "expr", "expr": "w + rk > 0", "name": "w_plus_rk_pos"},
+        {"kind": "ref_integrity", "column": "rk", "ref": ref,
+         "ref_column": "rk"},
+    ]
+    good, bad = split_by_expectations(df, checks)
+    assert sorted(r["k"] for r in good.collect() if r["k"]) == [1, 4]
+    assert set(good.columns) == {"k", "w", "tag", "rk"}  # no tag col leaks
+    viol = {r["k"]: sorted(r["_violations"]) for r in bad.collect()}
+    assert viol[2] == ["range_w", "w_plus_rk_pos"]
+    assert viol[3] == ["in_set_tag", "ref_integrity_rk"]
+    assert viol[None] == ["not_null_k"]
+    assert good.count() + bad.count() == 5
+
+
+def test_split_by_expectations_rejects_suite_level_kinds(spark):
+    from collective_als_spark.operators.expectations import (
+        split_by_expectations,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="suite-level"):
+        split_by_expectations(df, [{"kind": "unique", "column": "k"}])
+    with pytest.raises(ValueError, match="explicit 'name'"):
+        split_by_expectations(df, [{"kind": "expr", "expr": "k > 0"}])

@@ -122,3 +122,49 @@ def test_streaming_upserts_feed_incremental_view_end_to_end(spark, tmp_path):
     sink(spark.createDataFrame([(9, "z", 9)], "k long, grp string, val long"), 2)
     view.refresh()
     assert (t.current_version(), view.table.current_version()) == (v_t, v_mv)
+
+
+def test_streaming_quarantine_sink(spark, tmp_path):
+    """expect_or_drop sink: passing rows land in the main table,
+    failing rows (tagged with their violations) in the quarantine
+    table; replays are no-ops on BOTH sides, and a crash between the
+    two commits converges on replay without duplicating either."""
+    import hashlib
+
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    ckpt = str(tmp_path / "ckpt")
+    main = SnapshotTable(spark, str(tmp_path / "main"), stats_columns=["k"])
+    quar = SnapshotTable(spark, str(tmp_path / "quar"))
+    checks = [
+        {"kind": "not_null", "column": "k"},
+        {"kind": "range", "column": "w", "lo": 0, "hi": 100},
+    ]
+    sink = main.streaming_sink(
+        ckpt, expect_or_drop=checks, quarantine=quar
+    )
+    b0 = spark.createDataFrame(
+        [(1, 10), (None, 5), (2, -1)], "k long, w long"
+    )
+    sink(b0, 0)
+    assert sorted(r["k"] for r in main.read().collect()) == [1]
+    bad = {
+        (r["k"]): sorted(r["_violations"]) for r in quar.read().collect()
+    }
+    assert bad == {None: ["not_null_k"], 2: ["range_w"]}
+    # full replay: neither table moves
+    vm, vq = main.current_version(), quar.current_version()
+    sink(b0, 0)
+    assert (main.current_version(), quar.current_version()) == (vm, vq)
+    # crash between the two commits: main landed batch 1, quarantine
+    # didn't — the replay must catch the quarantine up WITHOUT
+    # double-appending the main rows
+    writer_id = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    main.append(
+        spark.createDataFrame([(3, 30)], "k long, w long"),
+        _markers={writer_id: 1},
+    )
+    b1 = spark.createDataFrame([(3, 30), (4, 999)], "k long, w long")
+    sink(b1, 1)
+    assert sorted(r["k"] for r in main.read().collect()) == [1, 3]
+    assert sorted(r["k"] for r in quar.read().collect() if r["k"]) == [2, 4]
