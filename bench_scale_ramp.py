@@ -219,6 +219,7 @@ def measure_lake_protocol(spark) -> dict:
         "compact_partial_sec",
         "merge_cow_sec",
         "merge_mor_sec",
+        "apply_changes_sec",
         "compact_full_sec",
     )
     out: dict = {}
@@ -300,6 +301,26 @@ def measure_lake_protocol(spark) -> dict:
                     round(time.perf_counter() - t0, 3)
                 )
                 bytes_written["merge_mor_sec"] = _commit_bytes(t, v)
+                # r08 CDC APPLY CHANGES: the same scattered 1000 keys
+                # as a mixed sequence-ordered batch — half upserts,
+                # half deletes — applied merge-on-read in one commit.
+                # The claim: commit cost tracks the BATCH (like
+                # merge_mor), not the table, with the extra rank-
+                # window dedup amortized inside the same shuffle.
+                cdc = spark.createDataFrame(
+                    [
+                        (k, -2.0, "U" if i % 2 == 0 else "D", 1)
+                        for i, k in enumerate(keys)
+                    ],
+                    "o_orderkey long, o_totalprice double, "
+                    "_op string, seq long",
+                )
+                t0 = time.perf_counter()
+                v = t.apply_changes(cdc, "o_orderkey", seq_col="seq")
+                runs["apply_changes_sec"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                bytes_written["apply_changes_sec"] = _commit_bytes(t, v)
                 t0 = time.perf_counter()
                 v = t.compact(target_rows_per_file=target)  # full rewrite
                 runs["compact_full_sec"].append(
