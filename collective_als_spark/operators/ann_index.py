@@ -510,6 +510,7 @@ class IvfPqIndex:
         k: int = 5,
         n_probe: int = 6,
         rerank_depth: int = 50,
+        where: "str | object | None" = None,
     ) -> DataFrame:
         """Top-k neighbors for a bounded query batch.
 
@@ -519,6 +520,16 @@ class IvfPqIndex:
         ``vectors``: the original embedding table (id_col, vec_col),
         used ONLY for the exact rerank join over the bounded candidate
         set — the ADC scan itself never touches a float vector.
+
+        ``where`` — attribute-filtered search (SINGLE-STAGE filtering,
+        not post-filtering): a SQL boolean expression or Column
+        evaluated against ``vectors``; only corpus rows passing it are
+        scanned and scored, so the result is a FULL top-k among the
+        allowed rows — a post-filter of an unfiltered top-k would
+        instead return fewer than k (or zero) hits under a selective
+        predicate. Plan shape: one semi-join of the (pruned) byte
+        codes against the allowed ids — the exact mechanism the delete
+        masks use, with AQE free to broadcast a small allowed set.
 
         Self-pairs (query id == neighbor id) are excluded, matching
         `ivfadc_topk`.
@@ -607,9 +618,22 @@ class IvfPqIndex:
                 "nid",
                 "left_anti",
             )
+        enc = self._apply_where(enc, vectors, where)
         cand = enc.mapInPandas(adc_scan, _CAND_SCHEMA)
 
         return self._exact_rerank(cand, queries, vectors, k)
+
+    def _apply_where(self, enc: DataFrame, vectors: DataFrame, where):
+        """Single-stage attribute filter: semi-join the byte codes
+        against the ids of ``vectors`` rows passing ``where`` — shared
+        by both serve paths."""
+        if where is None:
+            return enc
+        pred = F.expr(where) if isinstance(where, str) else where
+        allowed = vectors.filter(pred).select(
+            F.col(self.id_col).alias("nid")
+        )
+        return enc.join(allowed, "nid", "left_semi")
 
     def search_distributed(
         self,
@@ -619,6 +643,7 @@ class IvfPqIndex:
         n_probe: int = 6,
         rerank_depth: int = 50,
         query_chunk: int = 1024,
+        where: "str | object | None" = None,
     ) -> DataFrame:
         """Top-k neighbors for an UNBOUNDED query frame — the
         corpus-scale serve path. :meth:`search` ships per-query ADC
@@ -647,7 +672,8 @@ class IvfPqIndex:
         the same parameters (asserted in tests/test_ann_index.py);
         prefer :meth:`search` for small interactive batches — closure
         shipping beats a cogroup shuffle until the batch is large.
-        Delete masks apply exactly as in :meth:`search`.
+        Delete masks and the ``where`` attribute filter apply exactly
+        as in :meth:`search`.
         """
         id_col, vec_col = self.id_col, self.vec_col
         m, n_codes, sub = self.codebooks.shape
@@ -670,6 +696,7 @@ class IvfPqIndex:
         masks = self._delete_masks()
         if masks is not None:
             enc = enc.join(masks.select("nid"), "nid", "left_anti")
+        enc = self._apply_where(enc, vectors, where)
 
         def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if not len(left) or not len(right):

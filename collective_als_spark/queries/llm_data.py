@@ -1567,3 +1567,53 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("g").alias("n_hit_grams"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ann_filtered_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    allowed AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
+        FROM q JOIN allowed c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered ANN through the persistent IVFADC index
+    (single-stage filtering): only corpus rows passing the predicate
+    are scanned and scored, so each query gets a FULL top-k among the
+    allowed rows — a post-filter would under-fill under a selective
+    predicate. Exhaustive probing + full rerank depth make the serve
+    path exact here, so the DuckDB oracle (brute-force cosine over
+    the filtered corpus) pins the whole pipeline: quantizer build,
+    byte-code scan, allowed-id semi-join, exact rerank, tie-break.
+
+    At 100 TB the filter is one semi-join against the (pruned) byte
+    codes — the delete-mask mechanism reused; with the usual
+    sqrt(corpus) cells and bounded n_probe the scan stays
+    partition-pruned and batch-proportional."""
+    from collective_als_spark.operators.ann_index import IvfPqIndex
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    idx = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return idx.search(
+        queries,
+        emb,
+        k=5,
+        n_probe=8,
+        rerank_depth=1_000_000,
+        where="vec_id % 3 = 0",
+    )

@@ -485,3 +485,57 @@ def test_search_distributed_honors_delete_masks(spark, emb, tmp_path):
     )
     assert a == b and len(a) > 0
     assert {n for (_q, n, _c, _r) in b}.isdisjoint(victims)
+
+
+def test_filtered_search_is_single_stage(spark, emb, saved_index):
+    """Attribute-filtered search returns a FULL top-k among the rows
+    passing the predicate (single-stage filtering) — equal to the
+    exact brute-force top-k over the filtered corpus, and disjoint
+    from excluded ids even where an unfiltered search would have
+    returned them. Both serve paths agree."""
+    idx, _path = saved_index
+    queries = emb.orderBy("vec_id").limit(10)
+    where = "vec_id % 3 = 0"
+    got = idx.search(
+        queries, emb, k=5, n_probe=8, rerank_depth=100000, where=where
+    )
+    rows = got.collect()
+    assert rows and all(r["neighbor_id"] % 3 == 0 for r in rows)
+    # every query still gets a FULL k (the filtered corpus is plenty)
+    per_q = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert set(per_q.values()) == {5}
+    # exhaustive probing + full rerank depth == exact filtered top-k
+    want = _result_set(
+        brute_force_topk(
+            emb.filter(F.expr(where)), queries, k=5
+        )
+    )
+    assert _result_set(got) == want
+    # the distributed path answers identically
+    dist = idx.search_distributed(
+        queries, emb, k=5, n_probe=8, rerank_depth=100000, where=where
+    )
+    assert _result_set(dist) == want
+
+
+def test_filtered_search_composes_with_deletes(spark, emb):
+    """where + delete masks compose: a deleted id never returns even
+    when it passes the attribute filter."""
+    base = emb.limit(200)
+    idx = IvfPqIndex.build(base, n_cells=4, m=8, n_codes=8, seed=7)
+    queries = base.orderBy("vec_id").limit(5)
+    unfiltered = idx.search(
+        queries, base, k=5, n_probe=4, rerank_depth=100000,
+        where="vec_id % 2 = 0",
+    )
+    victim = int(unfiltered.first()["neighbor_id"])
+    idx.delete(spark.createDataFrame([(victim,)], "vec_id long"))
+    after = idx.search(
+        queries, base, k=5, n_probe=4, rerank_depth=100000,
+        where="vec_id % 2 = 0",
+    )
+    ids = {r["neighbor_id"] for r in after.collect()}
+    assert victim not in ids
+    assert all(i % 2 == 0 for i in ids)
