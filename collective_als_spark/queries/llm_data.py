@@ -1617,3 +1617,78 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_depth=1_000_000,
         where="vec_id % 3 = 0",
     )
+
+
+@register(
+    "gopher_quality_signals",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(len(l) AS INTEGER) AS n_words,
+               round(list_aggregate(list_transform(l, x -> length(x)), 'sum')
+                     * 1.0 / len(l), 6) AS mean_word_len,
+               round(1.0 - len(list_distinct(l)) * 1.0 / len(l), 6)
+                   AS dup_word_frac,
+               round(1.0 - len(list_distinct(
+                         list_transform(range(1, len(l)),
+                                        i -> l[i] || ' ' || l[i + 1])))
+                     * 1.0 / (len(l) - 1), 6) AS dup_2gram_frac
+        FROM w WHERE len(l) > 1
+    )
+    SELECT doc_id, n_words, mean_word_len, dup_word_frac, dup_2gram_frac,
+           (mean_word_len BETWEEN 3 AND 10
+            AND dup_word_frac < 0.7
+            AND dup_2gram_frac < 0.5) AS pass_gate
+    FROM sig
+    """,
+)
+def gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document: mean word
+    length, duplicate-word fraction, duplicate-2-gram fraction, and
+    the combined gate (the MassiveText filtering rules' word-level
+    members — line-level members degenerate on single-line docs).
+
+    Everything is JVM-evaluated array algebra over ONE split of the
+    text — transform/slice/array_distinct/aggregate higher-order
+    expressions (outside whole-stage codegen, as all HOFs are, but
+    never Python), no UDF, no shuffle (per-row projection): the shape
+    that filters a 100 TB crawl at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    grams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "(x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))"
+    )
+    mean_len = F.round(
+        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        * F.lit(1.0)
+        / n,
+        6,
+    )
+    dup_w = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(w)) * F.lit(1.0) / n, 6
+    )
+    dup_g = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) * F.lit(1.0) / (n - 1),
+        6,
+    )
+    return (
+        docs.filter(n > 1)
+        .select(
+            "doc_id",
+            n.cast("int").alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            dup_w.alias("dup_word_frac"),
+            dup_g.alias("dup_2gram_frac"),
+        )
+        .withColumn(
+            "pass_gate",
+            F.col("mean_word_len").between(3, 10)
+            & (F.col("dup_word_frac") < 0.7)
+            & (F.col("dup_2gram_frac") < 0.5),
+        )
+    )
