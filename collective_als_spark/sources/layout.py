@@ -1987,6 +1987,124 @@ class SnapshotTable:
 
         return self._commit(build)
 
+    def replace_where(self, column: str, lo, hi, df: DataFrame) -> int:
+        """Delta's ``replaceWhere``: atomically DELETE every row with
+        ``column`` in [lo, hi] and INSERT ``df`` — the canonical
+        backfill commit (recompute one day/partition of a 100 TB table
+        and swap it in, readers never seeing the half-state). ``df``
+        must itself fall entirely inside the band (one validation
+        aggregate, Delta's constraint — silently writing out-of-band
+        rows under a replaceWhere is how backfills corrupt neighbors);
+        NULL ``column`` values in ``df`` are rejected for the same
+        reason, and NULL rows already in the table survive (they never
+        match a band predicate).
+
+        Same data-skipping shape as :meth:`delete_where`: out-of-band
+        files carry over untouched by path; candidate files are read
+        once (through their DVs), their surviving rows rewritten
+        alongside the staged new data. Additive schema evolution
+        applies to ``df`` as in merge. With ``change_data_feed=True``
+        the commit records matched pre-images + ``df`` post-images,
+        and streams as an op=replace COW rewrite (refused without
+        change files, like merge/delete/update)."""
+        cur = self.current_version()
+        bounds = df.agg(
+            F.min(column).alias("lo"),
+            F.max(column).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(column).isNull().cast("long")).alias("n_null"),
+        ).first()
+        if bounds["n_null"]:
+            raise ValueError(
+                f"replace_where: {bounds['n_null']} rows have NULL "
+                f"{column!r} — NULL never matches the band, so they "
+                f"would land OUTSIDE the replaced region"
+            )
+        if bounds["n"] and not (lo <= bounds["lo"] and bounds["hi"] <= hi):
+            raise ValueError(
+                f"replace_where: data spans [{bounds['lo']}, "
+                f"{bounds['hi']}] but the predicate band is [{lo}, {hi}] "
+                f"— rows outside the replaced region would corrupt "
+                f"neighboring data"
+            )
+        if cur == 0:
+            return self.append(df)
+        manifest = self._manifest(cur)
+        candidates, untouched = self._split_by_band(manifest, column, lo, hi)
+        prev_schema = manifest.get("schema")
+        evolved = (
+            self._evolved_schema(prev_schema, df.schema.jsonValue())
+            if prev_schema
+            else df.schema.jsonValue()
+        )
+        matched_pred = F.col(column).between(F.lit(lo), F.lit(hi))
+        survivor_pred = ~matched_pred | F.col(column).isNull()
+        cdc_dir = None
+        if candidates:
+            cand_scan = self._scan_live(
+                {**manifest, "schema": evolved}, candidates
+            )
+            if self.change_data_feed and prev_schema:
+                cand_scan = cand_scan.localCheckpoint(eager=True)
+                cdc_dir = self._write_cdc(
+                    cand_scan.filter(matched_pred), df, evolved
+                )
+            rewritten = cand_scan.filter(survivor_pred).unionByName(
+                self._conform_to_schema(df, evolved),
+                allowMissingColumns=True,
+            )
+        else:
+            rewritten = self._conform_to_schema(df, evolved)
+            if self.change_data_feed and prev_schema:
+                cdc_dir = self._write_cdc(None, df, evolved)
+        new_files, new_stats, new_blooms = self._stage(rewritten)
+        base_dvs = manifest.get("dvs", {})
+        src_schema = df.schema.jsonValue()
+
+        def build(version: int, prev: dict) -> dict:
+            cands, untch = self._split_by_band(prev, column, lo, hi)
+            if sorted(cands) != sorted(candidates):
+                raise CommitConflict(
+                    "concurrent commit changed the candidate file set; "
+                    "re-run replace_where"
+                )
+            prev_dvs = prev.get("dvs", {})
+            if any(
+                prev_dvs.get(_rel(f)) != base_dvs.get(_rel(f))
+                for f in candidates
+            ):
+                raise CommitConflict(
+                    "concurrent deletion-vector commit on a candidate "
+                    "file; re-run replace_where"
+                )
+            keep = {_rel(f) for f in untch}
+            stats = {
+                k: v for k, v in prev.get("stats", {}).items() if k in keep
+            }
+            stats.update(new_stats)
+            blooms = {
+                k: v for k, v in prev.get("blooms", {}).items() if k in keep
+            }
+            blooms.update(new_blooms)
+            return self._compose(
+                version,
+                untch + new_files,
+                stats,
+                prev.get("batch_markers", {}),
+                schema=self._evolved_schema(
+                    prev.get("schema") or src_schema, src_schema
+                ),
+                blooms=blooms,
+                dvs={
+                    k: v for k, v in prev.get("dvs", {}).items() if k in keep
+                },
+                dv_rows=prev.get("dv_rows", {}),
+                op="replace",
+                cdc=cdc_dir,
+            )
+
+        return self._commit(build)
+
     def update_where(
         self, column: str, lo, hi, set: dict[str, object]
     ) -> int:

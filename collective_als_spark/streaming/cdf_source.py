@@ -418,7 +418,7 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
             is_rewrite = bool(set(prev["files"]) - set(cur["files"])) and bool(
                 set(cur["files"]) - set(prev["files"])
             )
-            if cur["op"] in ("delete", "merge", "update") or (
+            if cur["op"] in ("delete", "merge", "update", "replace") or (
                 cur["op"] is None and is_rewrite
             ):
                 # a COW rewrite without change files: carried rows in

@@ -1753,3 +1753,120 @@ def test_check_constraint_survives_maintenance_and_restore(spark, tmp_path):
     assert t._table_checks() == {"w_pos": "w > 0"}  # governance kept
     with pytest.raises(ValueError, match="w_pos"):
         t.append(spark.createDataFrame([(9, -9)], "k long, w long"))
+
+
+# ---------------------------------------------------------------------------
+# replace_where (Delta replaceWhere: atomic band backfill)
+# ---------------------------------------------------------------------------
+
+
+def test_replace_where_backfills_one_band_atomically(spark, tmp_path):
+    """One commit deletes the band and inserts the recomputed frame;
+    out-of-band files carry over by path, NULL rows survive, and time
+    travel still reads the pre-backfill band."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 100)
+            .select(F.col("id").alias("v"), F.lit("old").alias("tag"))
+            .coalesce(1)
+        )
+    t.append(
+        spark.createDataFrame([(None, "nullrow")], "v long, tag string")
+        .coalesce(1)
+    )
+    before = set(t._manifest(t.current_version())["files"])
+    pre = t.current_version()
+    fresh = spark.range(1000, 1050).select(
+        F.col("id").alias("v"), F.lit("new").alias("tag")
+    )
+    v = t.replace_where("v", 1000, 1099, fresh)
+    assert v == pre + 1  # ONE commit
+    m = t._manifest(v)
+    carried = before & set(m["files"])
+    assert len(carried) >= 2  # the 0- and 2000-band files untouched
+    got = {r["v"]: r["tag"] for r in t.read().collect() if r["v"] is not None}
+    assert all(got[k] == "new" for k in range(1000, 1050))
+    assert not any(k in got for k in range(1050, 1100))  # band fully replaced
+    assert all(got[k] == "old" for k in range(0, 100))
+    assert [r["tag"] for r in t.read().collect() if r["v"] is None] == [
+        "nullrow"
+    ]
+    assert t.read(pre).filter("v between 1000 and 1099").count() == 100
+
+
+def test_replace_where_rejects_out_of_band_data(spark, tmp_path):
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    t.append(
+        spark.range(0, 10).select(F.col("id").alias("v")).coalesce(1)
+    )
+    with pytest.raises(ValueError, match="outside the replaced region"):
+        t.replace_where(
+            "v", 0, 4, spark.createDataFrame([(7,)], "v long")
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        t.replace_where(
+            "v", 0, 4, spark.createDataFrame([(None,)], "v long")
+        )
+    assert t.current_version() == 1
+    # empty replacement = pure band delete, still one commit
+    t.replace_where("v", 0, 4, spark.createDataFrame([], "v long"))
+    assert sorted(r["v"] for r in t.read().collect()) == list(range(5, 10))
+
+
+def test_replace_where_cdf_and_stream_refusal(spark, tmp_path):
+    """CDF images: matched pre-images + new-frame post-images; the
+    streaming source refuses op=replace without change files."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.streaming.cdf_source import (
+        register_snapshot_cdf,
+    )
+
+    register_snapshot_cdf(spark)
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"), stats_columns=["v"],
+        change_data_feed=True,
+    )
+    t.append(
+        spark.range(0, 10)
+        .select(F.col("id").alias("v"), F.lit("old").alias("tag"))
+        .coalesce(1)
+    )
+    v = t.replace_where(
+        "v", 3, 5,
+        spark.createDataFrame([(3, "new3")], "v long, tag string"),
+    )
+    ch = sorted(
+        (r["v"], r["_change_type"], r["tag"])
+        for r in t.changes(v - 1, v).collect()
+    )
+    assert ch == [
+        (3, "delete", "old"),
+        (3, "insert", "new3"),
+        (4, "delete", "old"),
+        (5, "delete", "old"),
+    ]
+    # and a NON-cdf table's replace commit is refused by the stream
+    u = SnapshotTable(spark, str(tmp_path / "plain"), stats_columns=["v"])
+    u.append(spark.range(0, 5).select(F.col("id").alias("v")).coalesce(1))
+    u.replace_where("v", 0, 1, spark.createDataFrame([(0,)], "v long"))
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", str(tmp_path / "plain"))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        raised = False
+    except Exception as e:
+        raised = "copy-on-write replace" in str(e)
+    assert raised
