@@ -78,6 +78,9 @@ HEADLINE = [
     # broadcast 8-gram benchmark-decontamination gate
     "lake_mor_upsert_nullstats",
     "benchmark_decontamination",
+    # round-8 family: one-commit CDC APPLY CHANGES (sequence-ordered
+    # upserts + deletes, merge-on-read) end-to-end on a scratch table
+    "lake_apply_changes",
 ]
 
 

@@ -648,7 +648,9 @@ class SnapshotTable:
             if name.endswith(".parquet")
         ]
 
-    def _stage(self, df: DataFrame) -> tuple[list[str], dict, dict]:
+    def _stage(
+        self, df: DataFrame, _skip_checks: bool = False
+    ) -> tuple[list[str], dict, dict]:
         """Stage a commit's data files and compute their metadata.
         ZERO-ROW part files (a sparse upstream partitioning can emit
         them) are deleted and dropped from the manifest when the stats
@@ -659,7 +661,11 @@ class SnapshotTable:
         empty batch) one file is kept so the commit stays
         schema-carrying."""
         files = self._write_data(df)
-        checks = self._table_checks()
+        # data-preserving maintenance rewrites (compact/compact_partial,
+        # dataChange=false) stage rows that already passed the gate —
+        # re-validating them would add a TABLE-sized scan to every
+        # compaction (Delta likewise exempts OPTIMIZE)
+        checks = {} if _skip_checks else self._table_checks()
         if checks and files:
             # CHECK enforcement at the single staging choke point
             # (append, WAP, merge, merge_mor, apply_changes, update,
@@ -2826,7 +2832,7 @@ class SnapshotTable:
             ).sortWithinPartitions(*cols)
         else:
             rewritten = cur.repartition(n_files)
-        new_files, new_stats, new_blooms = self._stage(rewritten)
+        new_files, new_stats, new_blooms = self._stage(rewritten, _skip_checks=True)
 
         def build(version: int, prev: dict) -> dict:
             if set(prev["files"]) != set(base["files"]) or prev.get(
@@ -2926,7 +2932,7 @@ class SnapshotTable:
             ).sortWithinPartitions(*cols)
         else:
             rewritten = cur.repartition(n_files)
-        new_files, new_stats, new_blooms = self._stage(rewritten)
+        new_files, new_stats, new_blooms = self._stage(rewritten, _skip_checks=True)
 
         def build(version: int, prev: dict) -> dict:
             prev_files = set(prev["files"])
