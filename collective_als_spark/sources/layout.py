@@ -1765,6 +1765,21 @@ class SnapshotTable:
             raise ValueError("empty table: no committed snapshot")
         manifest = self._manifest(v)
         files = manifest["files"]
+        if not files:
+            # a zero-file snapshot (e.g. a constraint added before any
+            # data): an empty frame of the manifest schema if one is
+            # recorded, else a clear error instead of Spark's
+            # UNABLE_TO_INFER_SCHEMA
+            from pyspark.sql.types import StructType
+
+            if manifest.get("schema"):
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(manifest["schema"])
+                )
+            raise ValueError(
+                f"snapshot v{v} has no data files and no recorded "
+                "schema — append data before reading"
+            )
         # the TABLE schema comes from the manifest (Iceberg-style), not
         # the file footers: files written before an additive evolution
         # read the added columns as NULL, with no mergeSchema footer

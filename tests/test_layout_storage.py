@@ -1870,3 +1870,23 @@ def test_replace_where_cdf_and_stream_refusal(spark, tmp_path):
     except Exception as e:
         raised = "copy-on-write replace" in str(e)
     assert raised
+
+
+def test_zero_file_snapshot_reads_cleanly(spark, tmp_path):
+    """A constraint (or any metadata-only commit) can precede data:
+    reading the zero-file snapshot gives a clear error without a
+    schema and an empty typed frame with one."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    t.add_check_constraint("k_pos", "k > 0")
+    with pytest.raises(ValueError, match="no data files"):
+        t.read()
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    assert t.read().count() == 1
+    with pytest.raises(ValueError, match="k_pos"):
+        t.append(spark.createDataFrame([(-1,)], "k long"))
+    # delete-all leaves a schema-carrying manifest: empty typed frame
+    t.delete_where("k", 0, 100)
+    df = t.read()
+    assert df.count() == 0 and df.columns == ["k"]
