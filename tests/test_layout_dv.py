@@ -865,3 +865,46 @@ def test_update_where_streams_like_other_cow_rewrites(spark, tmp_path):
     drain({"skipChangeCommits": "true"})
     # only the append's rows streamed; the update commit was skipped
     assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+
+
+def test_apply_changes_randomized_against_model(spark, tmp_path):
+    """Seeded randomized CDC batches vs a dict reference model: after
+    every batch the MOR and COW tables both equal the model exactly —
+    upsert/delete interleavings, re-inserts after deletes, absent-key
+    deletes, and sequence shuffling within each batch."""
+    import random
+
+    rng = random.Random(8)
+    mor = SnapshotTable(spark, str(tmp_path / "mor"), stats_columns=["k"])
+    cow = SnapshotTable(spark, str(tmp_path / "cow"), stats_columns=["k"])
+    model: dict[int, int] = {}
+    base = [(k, k * 10) for k in range(30)]
+    for t in (mor, cow):
+        t.append(spark.createDataFrame(base, "k long, w long").coalesce(2))
+    model.update(dict(base))
+
+    for batch_no in range(4):
+        keys = rng.sample(range(50), rng.randint(5, 15))
+        rows = []
+        for k in keys:
+            n_changes = rng.randint(1, 3)
+            for seq in range(1, n_changes + 1):
+                if rng.random() < 0.35:
+                    rows.append((k, None, "D", seq))
+                else:
+                    rows.append((k, k * 100 + batch_no * 10 + seq, "U", seq))
+            # the model applies only the greatest-sequence change
+            last = rows[-1]
+            if last[2] == "D":
+                model.pop(k, None)
+            else:
+                model[k] = last[1]
+        rng.shuffle(rows)  # out-of-order capture
+        batch = spark.createDataFrame(
+            rows, "k long, w long, _op string, seq long"
+        )
+        mor.apply_changes(batch, "k", seq_col="seq")
+        cow.apply_changes(batch, "k", seq_col="seq", mor=False)
+        for t in (mor, cow):
+            got = {r["k"]: r["w"] for r in t.read().collect()}
+            assert got == model, f"batch {batch_no}: {t.root}"
