@@ -2993,9 +2993,12 @@ class SnapshotTable:
 
     def _table_checks(self) -> dict[str, str]:
         """The table's CHECK constraints (name -> SQL boolean expr)
-        from the current manifest; {} for an empty table."""
+        from the current manifest; {} for an empty table. Reads the
+        RAW manifest only — checks live at its top level, so this
+        stays O(1) metadata per staged write instead of resolving the
+        chunked file list."""
         cur = self.current_version()
-        return self._manifest(cur).get("checks", {}) if cur else {}
+        return self._raw_manifest(cur).get("checks", {}) if cur else {}
 
     def add_check_constraint(self, name: str, expr: str) -> int:
         """Delta's ``ALTER TABLE ADD CONSTRAINT``: a named SQL boolean
