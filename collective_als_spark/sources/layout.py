@@ -2991,6 +2991,77 @@ class SnapshotTable:
 
         return self._commit(build)
 
+    def clone_to(
+        self,
+        dest_root: str,
+        version: int | None = None,
+        deep: bool = False,
+    ) -> "SnapshotTable":
+        """CLONE this table (Delta's CREATE TABLE ... CLONE). Shallow
+        (default): ONE metadata commit at ``dest_root`` referencing the
+        source snapshot's data files and deletion vectors by path —
+        zero data copied, so cloning a 100 TB table costs a manifest
+        write. The clone then evolves independently: its writes stage
+        under its own root, its rewrites drop the source references,
+        and its ``expire`` only ever deletes under its own root (the
+        GC listings are root-scoped), so clone maintenance can never
+        collect source data. CHECK constraints and stats carry over;
+        bloom sidecars do not (they live in the source's metadata
+        chunks — pruning degrades to stats-only until the clone
+        rewrites those files).
+
+        The Delta-documented hazard applies identically: the SOURCE's
+        ``expire`` does not know about clones, so expiring the cloned
+        version's files from the source breaks a shallow clone. Keep
+        source retention past the clone's lifetime, or pass
+        ``deep=True`` to materialize an independent copy (reads the
+        snapshot through its DVs and stages it under ``dest_root`` —
+        data-sized, for when the clone must outlive the source).
+
+        ``version`` pins an older snapshot (time-travel clone)."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise ValueError("empty table: no committed snapshot to clone")
+        m = self._manifest(v)
+        raw = self._raw_manifest(v)
+        dest = SnapshotTable(
+            self.spark,
+            dest_root,
+            stats_columns=self.stats_columns,
+            bloom_columns=self.bloom_columns,
+            change_data_feed=self.change_data_feed,
+        )
+        if dest.current_version() != 0:
+            raise ValueError(f"clone target {dest_root} is not empty")
+        if deep:
+            scan = self._scan_live(m, m["files"])
+            if m.get("schema"):
+                scan = self._conform_to_schema(scan, m["schema"])
+            dest.append(scan)
+            return dest
+
+        def build(version_d: int, prev: dict) -> dict:
+            if version_d != 1 or prev.get("files"):
+                raise ValueError(
+                    f"clone target {dest_root} gained commits concurrently"
+                )
+            mm = self._compose(
+                1,
+                m["files"],
+                m.get("stats", {}),
+                {},
+                schema=m.get("schema"),
+                dvs=m.get("dvs"),
+                dv_rows=m.get("dv_rows", {}),
+                op="clone",
+            )
+            if raw.get("checks"):
+                mm["checks"] = raw["checks"]
+            return mm
+
+        dest._commit(build)
+        return dest
+
     def _table_checks(self) -> dict[str, str]:
         """The table's CHECK constraints (name -> SQL boolean expr)
         from the current manifest; {} for an empty table. Reads the

@@ -1890,3 +1890,71 @@ def test_zero_file_snapshot_reads_cleanly(spark, tmp_path):
     t.delete_where("k", 0, 100)
     df = t.read()
     assert df.count() == 0 and df.columns == ["k"]
+
+
+# ---------------------------------------------------------------------------
+# clone (shallow + deep)
+# ---------------------------------------------------------------------------
+
+
+def test_shallow_clone_is_metadata_only_and_independent(spark, tmp_path):
+    """A shallow clone references the source files without copying,
+    reads identically (including through DVs and constraints), then
+    evolves independently — and the clone's expire never touches
+    source data."""
+    import os
+
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"), stats_columns=["k"])
+    src.append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "k long, w long"
+        ).coalesce(1)
+    )
+    src.add_check_constraint("w_nonneg", "w >= 0")
+    src.delete_where_mor("k", 3, 4)  # DV rides into the clone
+    v_src = src.current_version()
+    clone = src.clone_to(str(tmp_path / "dst"))
+    # nothing data-sized under the clone root
+    data_dir = tmp_path / "dst" / "data"
+    assert not data_dir.exists() or not any(os.scandir(data_dir))
+    rows = lambda t: sorted(  # noqa: E731
+        (r["k"], r["w"]) for r in t.read().collect()
+    )
+    assert rows(clone) == rows(src)
+    # constraints carried
+    with pytest.raises(ValueError, match="w_nonneg"):
+        clone.append(spark.createDataFrame([(99, -1)], "k long, w long"))
+    # independent evolution both directions
+    clone.append(spark.createDataFrame([(100, 1)], "k long, w long"))
+    src.append(spark.createDataFrame([(200, 2)], "k long, w long"))
+    assert (100, 1) in rows(clone) and (100, 1) not in rows(src)
+    assert (200, 2) in rows(src) and (200, 2) not in rows(clone)
+    # clone maintenance never collects source data: rewrite everything
+    # on the clone (dropping the source references), then expire hard
+    clone.compact(target_rows_per_file=1000)
+    clone.expire(keep_last=1, orphan_grace_seconds=0)
+    assert src.current_version() == v_src + 1
+    assert src.read(v_src).count() == 18  # source snapshot intact
+
+
+def test_clone_version_pin_and_deep(spark, tmp_path):
+    import shutil
+
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"), stats_columns=["k"])
+    src.append(spark.createDataFrame([(1,)], "k long").coalesce(1))
+    src.append(spark.createDataFrame([(2,)], "k long").coalesce(1))
+    old = src.clone_to(str(tmp_path / "old"), version=1)
+    assert [r["k"] for r in old.read().collect()] == [1]
+    # deep clone outlives the source entirely
+    deep = src.clone_to(str(tmp_path / "deep"), deep=True)
+    shutil.rmtree(str(tmp_path / "src"))
+    assert sorted(r["k"] for r in deep.read().collect()) == [1, 2]
+    # non-empty target rejected
+    with pytest.raises(ValueError, match="not empty"):
+        deep2 = SnapshotTable(spark, str(tmp_path / "deep"))
+        _ = deep2  # the clone call below is the assertion
+        old.clone_to(str(tmp_path / "deep"))
