@@ -649,7 +649,10 @@ class SnapshotTable:
         ]
 
     def _stage(
-        self, df: DataFrame, _skip_checks: bool = False
+        self,
+        df: DataFrame,
+        _skip_checks: bool = False,
+        _keep_empty: bool = True,
     ) -> tuple[list[str], dict, dict]:
         """Stage a commit's data files and compute their metadata.
         ZERO-ROW part files (a sparse upstream partitioning can emit
@@ -659,7 +662,12 @@ class SnapshotTable:
         planned merge/delete would spuriously CommitConflict when a
         concurrent writer introduces one. If every file is empty (an
         empty batch) one file is kept so the commit stays
-        schema-carrying."""
+        schema-carrying — EXCEPT under ``_keep_empty=False`` (the
+        merge paths, whose manifests always record the schema
+        explicitly): there an all-empty batch stages NOTHING, because
+        the kept empty file would be that same forever-candidate —
+        e.g. a delete-only apply_changes would otherwise poison every
+        later band plan and spuriously conflict concurrent writers."""
         files = self._write_data(df)
         # data-preserving maintenance rewrites (compact/compact_partial,
         # dataChange=false) stage rows that already passed the gate —
@@ -699,9 +707,9 @@ class SnapshotTable:
                     )
                 )
         stats = self._file_stats(files)
-        if self.stats_columns and stats:
+        if self.stats_columns:
             nonempty = [f for f in files if _rel(f) in stats]
-            if nonempty:
+            if nonempty or not _keep_empty:
                 for f in files:
                     if _rel(f) not in stats:
                         self.log.delete(f)
@@ -2461,7 +2469,7 @@ class SnapshotTable:
             rewritten = self._conform_to_schema(stage, plan["evolved"])
             if self.change_data_feed:
                 cdc_dir = self._write_cdc(None, stage, plan["evolved"])
-        new_files, new_stats, new_blooms = self._stage(rewritten)
+        new_files, new_stats, new_blooms = self._stage(rewritten, _keep_empty=False)
 
         base_dvs = manifest.get("dvs", {})
 
@@ -2653,7 +2661,8 @@ class SnapshotTable:
             if r not in base_dvs or r in base_counts
         }
         new_files, new_stats, new_blooms = self._stage(
-            self._conform_to_schema(stage, plan["evolved"])
+            self._conform_to_schema(stage, plan["evolved"]),
+            _keep_empty=False,
         )
         src_schema = source.schema.jsonValue()
         prev_schema = plan["prev_schema"]

@@ -459,9 +459,9 @@ def _merge_optimized_plans(spark, monkeypatch, table, source, key):
     plans = []
     orig_stage = table._stage
 
-    def stage_spy(df):
+    def stage_spy(df, **kwargs):
         plans.append(df._jdf.queryExecution().optimizedPlan().toString())
-        return orig_stage(df)
+        return orig_stage(df, **kwargs)
 
     monkeypatch.setattr(table, "_stage", stage_spy)
     orig_ckpt = _DF.localCheckpoint
@@ -908,3 +908,41 @@ def test_apply_changes_randomized_against_model(spark, tmp_path):
         for t in (mor, cow):
             got = {r["k"]: r["w"] for r in t.read().collect()}
             assert got == model, f"batch {batch_no}: {t.root}"
+
+
+def test_concurrent_disjoint_apply_changes_both_commit(spark, tmp_path):
+    """Two racing apply_changes batches over DISJOINT key bands (one
+    upsert+insert, one delete): the CAS loser re-plans and commits —
+    both CDC batches land exactly once."""
+    import threading
+
+    t = _three_band_table(spark, str(tmp_path / "tbl"))
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def applier(rows):
+        try:
+            barrier.wait()
+            t.apply_changes(
+                spark.createDataFrame(rows, "v long, tag string, _op string"),
+                "v",
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    # keys chosen so even the staged files' [min,max] bands stay
+    # disjoint across the two batches — an insert that widened batch
+    # A's band over batch B's keys would (correctly) CommitConflict
+    a = [(50, "upd50", "U"), (150, "new", "I")]
+    b = [(2050, None, "D")]
+    threads = [threading.Thread(target=applier, args=(r,)) for r in (a, b)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.current_version() == 5
+    got = {r["v"]: r["tag"] for r in t.read().collect()}
+    assert got[50] == "upd50" and got[150] == "new"
+    assert 2050 not in got
+    assert len(got) == 300  # 300 base + 1 insert - 1 delete
