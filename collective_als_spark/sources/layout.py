@@ -3482,6 +3482,50 @@ class SnapshotTable:
             "batch_markers string, audited boolean, committed_at double",
         )
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Iceberg's ``files`` metadata table: one row per data file
+        of a snapshot — path, recorded row count, on-disk bytes,
+        DV-masked rows, DV pointer, and the per-column stats entry as
+        JSON (min/max/null-count plus any bucket/transform value
+        sets). This is what maintenance tooling joins against to pick
+        compaction victims, verify clustering, or audit skipping
+        metadata — all driver-side and manifest-sized, the data files
+        are never opened."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise ValueError("empty table: no committed snapshot")
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        dvs = m.get("dvs", {})
+        dv_rows = m.get("dv_rows", {})
+        size_of = getattr(self.log, "size", lambda _p: None)
+        rows = []
+        for f in m["files"]:
+            rel = _rel(f)
+            s = stats.get(rel)
+            rows.append(
+                (
+                    f,
+                    int(s["__rows"]) if s and "__rows" in s else None,
+                    size_of(f),
+                    int(dv_rows[rel]) if rel in dv_rows else (
+                        None if rel in dvs else 0
+                    ),
+                    dvs.get(rel),
+                    json.dumps(
+                        {k: v_ for k, v_ in s.items() if k != "__rows"},
+                        default=str,
+                    )
+                    if s
+                    else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file string, n_rows bigint, bytes bigint, dv_masked_rows "
+            "bigint, dv_dir string, stats string",
+        )
+
     def detail(self) -> DataFrame:
         """Current-snapshot observability (Delta's DESCRIBE DETAIL):
         one row of table-health numbers a maintenance scheduler keys

@@ -1958,3 +1958,31 @@ def test_clone_version_pin_and_deep(spark, tmp_path):
         deep2 = SnapshotTable(spark, str(tmp_path / "deep"))
         _ = deep2  # the clone call below is the assertion
         old.clone_to(str(tmp_path / "deep"))
+
+
+def test_files_metadata_table(spark, tmp_path):
+    """The files() metadata table reports per-file rows/bytes/DV debt/
+    stats without opening any data file — the maintenance join
+    surface (compaction victims, clustering audits)."""
+    import json as _json
+
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    for lo in (0, 1000):
+        t.append(
+            spark.range(lo, lo + 100).select(F.col("id").alias("v")).coalesce(1)
+        )
+    t.delete_where_mor("v", 0, 9)
+    rows = {r["file"]: r for r in t.files().collect()}
+    assert len(rows) == 2
+    for f, r in rows.items():
+        assert r["n_rows"] == 100 and r["bytes"] > 0
+        st = _json.loads(r["stats"])
+        assert "v" in st
+    masked = sorted(r["dv_masked_rows"] for r in rows.values())
+    assert masked == [0, 10]
+    assert sum(1 for r in rows.values() if r["dv_dir"]) == 1
+    # time travel: pre-delete snapshot shows no DV debt
+    old = t.files(version=2).collect()
+    assert all(r["dv_masked_rows"] == 0 and r["dv_dir"] is None for r in old)
