@@ -548,3 +548,53 @@ def _file_sizes_smallest(root: str) -> int:
             if n.endswith(".parquet"):
                 sizes.append(os.path.getsize(os.path.join(dirpath, n)))
     return min(sizes)
+
+
+def test_cdc_replication_covers_cow_dml(registered, tmp_path):
+    """Replication converges across the COW DML verbs too: on a
+    change_data_feed source, update_where / replace_where / merge
+    stream as exact writer change files and replay into the target as
+    upserts/deletes through the same sink."""
+    spark = registered
+    src_root = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    src = SnapshotTable(
+        spark, src_root, stats_columns=["k"], change_data_feed=True
+    )
+    tgt = SnapshotTable(spark, str(tmp_path / "tgt"), stats_columns=["k"])
+
+    def replicate():
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", src_root)
+            .load()
+            .writeStream.foreachBatch(tgt.streaming_sink(ckpt, cdc_key="k"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def rows(t):
+        return sorted((r["k"], r["w"]) for r in t.read().collect())
+
+    src.append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "k long, w long"
+        ).coalesce(1)
+    )
+    src.update_where("k", 2, 4, set={"w": F.col("w") + 1})
+    src.replace_where(
+        "k", 6, 8, spark.createDataFrame([(7, 777)], "k long, w long")
+    )
+    src.merge(
+        spark.createDataFrame([(0, -1), (50, 500)], "k long, w long"), "k"
+    )
+    replicate()
+    assert rows(tgt) == rows(src)
+    # second wave against the same checkpoint
+    src.update_where("k", 7, 7, set={"w": F.lit(778).cast("long")})
+    src.delete_where("k", 0, 1)
+    replicate()
+    assert rows(tgt) == rows(src)
+    assert dict(rows(tgt))[7] == 778
