@@ -3592,10 +3592,17 @@ class SnapshotTable:
         keep_last: int = 1,
         older_than: float | None = None,
         orphan_grace_seconds: float = 900,
+        dry_run: bool = False,
     ) -> int:
         """Drop manifests older than the last ``keep_last`` versions
         and delete data files no retained manifest references (orphans
         from crashed commits included). Returns files deleted.
+
+        ``dry_run=True`` deletes NOTHING and returns the count of data
+        files this retention policy WOULD delete (Delta's VACUUM DRY
+        RUN) — the operator sanity check before an irreversible GC;
+        manifests, metadata chunks, DV and CDC dirs are walked exactly
+        as the real pass would.
 
         ``older_than`` (seconds) adds Delta-style TIME-BASED retention:
         versions whose commit timestamp is within the window are kept
@@ -3695,7 +3702,7 @@ class SnapshotTable:
                 if sc:
                     referenced_meta.add(sc)
         for v in range(1, cur + 1):
-            if v not in keep_versions:
+            if v not in keep_versions and not dry_run:
                 self.log.delete(self._manifest_path(v))
                 self.log.delete(f"{self.root}/_snapshots/v{v}.audit.json")
         # metadata chunks / bloom sidecars no retained manifest
@@ -3709,6 +3716,8 @@ class SnapshotTable:
                     or not _in_grace(f"{self.root}/_snapshots/{name}")
                 )
             ):
+                if dry_run:
+                    continue
                 self.log.delete(f"{self.root}/_snapshots/{name}")
                 self._chunk_cache.pop(name, None)
                 self._bloom_cache.pop(name, None)
@@ -3727,7 +3736,8 @@ class SnapshotTable:
                 and ((live & released) or not _in_grace(cdir))
             ):
                 deleted += len(live)
-                self.log.delete(cdir, recursive=True)
+                if not dry_run:
+                    self.log.delete(cdir, recursive=True)
         # deletion-vector dirs are referenced-or-orphaned the same way
         dv_root = f"{self.root}/dv"
         for commit in self.log.list_dir(dv_root):
@@ -3738,7 +3748,8 @@ class SnapshotTable:
                 deleted += len(
                     [n for n in self.log.list_dir(ddir) if n.endswith(".parquet")]
                 )
-                self.log.delete(ddir, recursive=True)
+                if not dry_run:
+                    self.log.delete(ddir, recursive=True)
         # change-data-feed dirs: same referenced-or-orphaned protocol
         cdc_root = f"{self.root}/_cdc"
         for commit in self.log.list_dir(cdc_root):
@@ -3749,5 +3760,6 @@ class SnapshotTable:
                 deleted += len(
                     [n for n in self.log.list_dir(cdir) if n.endswith(".parquet")]
                 )
-                self.log.delete(cdir, recursive=True)
+                if not dry_run:
+                    self.log.delete(cdir, recursive=True)
         return deleted

@@ -1986,3 +1986,23 @@ def test_files_metadata_table(spark, tmp_path):
     # time travel: pre-delete snapshot shows no DV debt
     old = t.files(version=2).collect()
     assert all(r["dv_masked_rows"] == 0 and r["dv_dir"] is None for r in old)
+
+
+def test_expire_dry_run_deletes_nothing(spark, tmp_path):
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 10).select(F.col("id").alias("v")).coalesce(1)
+        )
+    t.compact(target_rows_per_file=1000)
+    would = t.expire(keep_last=1, orphan_grace_seconds=0, dry_run=True)
+    assert would > 0
+    # nothing actually gone: all versions still time-travelable
+    for v in range(1, t.current_version() + 1):
+        assert t.read(v).count() in (10, 20, 30)
+    did = t.expire(keep_last=1, orphan_grace_seconds=0)
+    assert did == would  # the dry run predicted the real pass exactly
+    with pytest.raises(Exception):
+        t.read(1)
