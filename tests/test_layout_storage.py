@@ -1205,8 +1205,8 @@ def test_compact_partial_commutes_with_concurrent_append(spark, tmp_path):
     interleaved = []
     orig_stage = t._stage
 
-    def stage_then_append(df):
-        out = orig_stage(df)
+    def stage_then_append(df, **kwargs):
+        out = orig_stage(df, **kwargs)
         if not interleaved:
             interleaved.append(True)
             t2 = SnapshotTable(spark, root, stats_columns=["v"])
@@ -1241,8 +1241,8 @@ def test_compact_partial_conflicts_when_selected_file_changes(
     interleaved = []
     orig_stage = t._stage
 
-    def stage_then_delete(df):
-        out = orig_stage(df)
+    def stage_then_delete(df, **kwargs):
+        out = orig_stage(df, **kwargs)
         if not interleaved:
             interleaved.append(True)
             t2 = SnapshotTable(spark, root, stats_columns=["v"])
