@@ -3238,6 +3238,9 @@ class SnapshotTable:
         cdc_key: str | list[str] | None = None,
         expect_or_drop: list[dict] | None = None,
         quarantine: "SnapshotTable | None" = None,
+        apply_key: str | list[str] | None = None,
+        op_col: str = "_op",
+        seq_col: str | None = None,
     ):
         """foreachBatch writer committing every micro-batch as an
         atomic snapshot append (optionally WAP-audited). Concurrent
@@ -3279,6 +3282,15 @@ class SnapshotTable:
         merge contract) — two inserts of one key in one commit would
         tie and be rejected rather than guessed at.
 
+        ``apply_key`` is the generic CDC-apply sink: micro-batches
+        already shaped as (payload, ``op_col``[, ``seq_col``]) — a
+        Debezium/Kafka-style feed — apply via :meth:`apply_changes`
+        in one atomic merge-on-read commit per batch (upserts AND
+        deletes, sequence-ordered within the batch; ordering across
+        batches is the stream's arrival order, as with any CDC
+        consumer). Use ``cdc_key`` instead when the upstream is a
+        ``snapshot_cdf`` stream.
+
         ``expect_or_drop`` routes ROW-LEVEL quality instead of gating
         the batch (DLT's expect_or_drop): each micro-batch splits via
         ``operators.expectations.split_by_expectations`` — passing
@@ -3295,11 +3307,11 @@ class SnapshotTable:
 
         writer_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
-        modes = (checks, merge_key, cdc_key, expect_or_drop)
+        modes = (checks, merge_key, cdc_key, expect_or_drop, apply_key)
         if sum(x is not None and x != [] for x in modes) > 1:
             raise ValueError(
-                "checks, merge_key, cdc_key, and expect_or_drop are "
-                "mutually exclusive"
+                "checks, merge_key, cdc_key, expect_or_drop, and "
+                "apply_key are mutually exclusive"
             )
         if quarantine is not None and expect_or_drop is None:
             raise ValueError("quarantine requires expect_or_drop checks")
@@ -3328,6 +3340,19 @@ class SnapshotTable:
                 return
             if self._current_markers().get(writer_id, -1) >= batch_id:
                 return  # replayed batch: already committed atomically
+            if apply_key is not None:
+                # generic CDC-apply sink: micro-batches already shaped
+                # as (payload, op_col[, seq_col]) — e.g. a Debezium/
+                # Kafka feed — apply in one atomic merge-on-read
+                # commit per batch, sequence-ordered within it
+                self.apply_changes(
+                    batch_df,
+                    apply_key,
+                    op_col=op_col,
+                    seq_col=seq_col,
+                    _markers=markers,
+                )
+                return
             if cdc_key is not None:
                 is_ins = F.col("_change_type") == "insert"
                 changes = (

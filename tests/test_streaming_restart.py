@@ -168,3 +168,43 @@ def test_streaming_quarantine_sink(spark, tmp_path):
     sink(b1, 1)
     assert sorted(r["k"] for r in main.read().collect()) == [1, 3]
     assert sorted(r["k"] for r in quar.read().collect() if r["k"]) == [2, 4]
+
+
+def test_streaming_apply_changes_sink(spark, tmp_path):
+    """apply_key sink: op/seq-shaped micro-batches (the Debezium feed
+    shape) apply atomically per batch — upserts, deletes, within-batch
+    sequence ordering — and replays are no-ops."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    sink = t.streaming_sink(
+        str(tmp_path / "ckpt"), apply_key="k", seq_col="seq"
+    )
+    sink(
+        spark.createDataFrame(
+            [(1, "a", "I", 1), (2, "b", "I", 1)],
+            "k long, tag string, _op string, seq long",
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            # k=1: update then delete (delete wins); k=3 insert
+            [(1, "a2", "U", 1), (1, None, "D", 2), (3, "c", "I", 1)],
+            "k long, tag string, _op string, seq long",
+        ),
+        1,
+    )
+    rows = lambda: sorted(  # noqa: E731
+        (r["k"], r["tag"]) for r in t.read().collect()
+    )
+    assert rows() == [(2, "b"), (3, "c")]
+    v = t.current_version()
+    # replay of batch 1: nothing moves
+    sink(
+        spark.createDataFrame(
+            [(9, "x", "I", 1)], "k long, tag string, _op string, seq long"
+        ),
+        1,
+    )
+    assert t.current_version() == v and rows() == [(2, "b"), (3, "c")]
