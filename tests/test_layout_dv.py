@@ -946,3 +946,25 @@ def test_concurrent_disjoint_apply_changes_both_commit(spark, tmp_path):
     assert got[50] == "upd50" and got[150] == "new"
     assert 2050 not in got
     assert len(got) == 300  # 300 base + 1 insert - 1 delete
+
+
+def test_apply_changes_schema_evolution(spark, tmp_path):
+    """A CDC batch that ADDS a column widens the table (additive
+    evolution, the merge rule): pre-existing rows read the new column
+    as NULL, upserts carry it, deletes in the same batch still apply."""
+    t = _cdc_table(spark, str(tmp_path / "tbl"))
+    batch = spark.createDataFrame(
+        [
+            (3, "updated3", "extra3", "U", 1),
+            (42, "new42", "extra42", "I", 1),
+            (7, None, None, "D", 1),
+        ],
+        "v long, tag string, extra string, _op string, seq long",
+    )
+    t.apply_changes(batch, "v", seq_col="seq")
+    got = {r["v"]: (r["tag"], r["extra"]) for r in t.read().collect()}
+    assert got[3] == ("updated3", "extra3")
+    assert got[42] == ("new42", "extra42")
+    assert 7 not in got
+    assert got[0] == ("base0", None)  # old rows NULL-pad the new column
+    assert len(got) == 10

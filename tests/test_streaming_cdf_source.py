@@ -598,3 +598,45 @@ def test_cdc_replication_covers_cow_dml(registered, tmp_path):
     replicate()
     assert rows(tgt) == rows(src)
     assert dict(rows(tgt))[7] == 778
+
+
+def test_throttled_cdc_replication_converges(registered, tmp_path):
+    """Composition: byte-throttled CDF admission + the cdc_key apply
+    sink — a backlog drains in multiple bounded micro-batches and the
+    target still converges exactly once."""
+    spark = registered
+    src_root = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    src = SnapshotTable(spark, src_root, stats_columns=["k"])
+    tgt = SnapshotTable(spark, str(tmp_path / "tgt"), stats_columns=["k"])
+    for i in range(5):
+        src.append(
+            spark.range(10 * i, 10 * i + 10)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+            .coalesce(1)
+        )
+    src.merge_mor(
+        spark.createDataFrame([(3, -1), (44, -2)], "k long, w long"), "k"
+    )
+    small = _file_sizes_smallest(src_root)
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", src_root)
+        .option("maxBytesPerBatch", str(int(small * 1.5)))
+        .load()
+        .writeStream.foreachBatch(tgt.streaming_sink(ckpt, cdc_key="k"))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    rows = lambda t: sorted(  # noqa: E731
+        (r["k"], r["w"]) for r in t.read().collect()
+    )
+    assert rows(tgt) == rows(src)
+    assert dict(rows(tgt))[3] == -1
+    versions = _offset_versions(ckpt)
+    assert len(versions) >= 3  # the backlog took multiple micro-batches
