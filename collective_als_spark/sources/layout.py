@@ -2878,6 +2878,68 @@ class SnapshotTable:
 
         return self._commit(build)
 
+    def auto_maintain(
+        self,
+        target_rows_per_file: int,
+        small_file_ratio: float = 0.5,
+        min_files_to_fold: int = 8,
+        max_dv_masked_rows: int = 0,
+        keep_last: int | None = None,
+        older_than: float | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> dict:
+        """Policy-driven maintenance pass — the scheduler
+        :meth:`detail` was built to feed, packaged: reads the table's
+        health numbers and runs ONLY the passes they justify, so a
+        cron/stream-side hook can call this idempotently after every
+        N commits without hand-written thresholds. Returns what ran:
+        ``{"compacted": version|None, "expired_files": int}``.
+
+        Policy (each part skipped when not justified):
+        - ``compact_partial`` when at least ``min_files_to_fold``
+          files fall below ``small_file_ratio * target_rows_per_file``
+          rows, OR any deletion vector masks more than
+          ``max_dv_masked_rows`` rows (MOR debt) — maintenance stays
+          O(selected files) and commutes with ingest, never the full
+          rewrite.
+        - ``expire`` when ``keep_last``/``older_than`` is given —
+          AFTER the compaction, so the pass it just superseded ages
+          out under the same policy.
+
+        At 100 TB this is deliberately NOT auto-``compact()``: a full
+        rewrite is an explicit operator decision; the autopilot only
+        does the commute-safe passes."""
+        out: dict = {"compacted": None, "expired_files": 0}
+        cur = self.current_version()
+        if cur == 0:
+            return out
+        m = self._manifest(cur)
+        stats = m.get("stats", {})
+        dv_rows = m.get("dv_rows", {})
+        small_cut = max(1, int(target_rows_per_file * small_file_ratio))
+        n_small = sum(
+            1
+            for rel, s in stats.items()
+            if s.get("__rows") is not None and int(s["__rows"]) < small_cut
+        )
+        dv_debt = any(v > max_dv_masked_rows for v in dv_rows.values()) or (
+            m.get("dvs") and not dv_rows
+        )
+        if n_small >= min_files_to_fold or dv_debt:
+            v = self.compact_partial(
+                target_rows_per_file=target_rows_per_file,
+                small_file_max_rows=small_cut,
+                cluster_by=cluster_by,
+            )
+            if v != cur:
+                out["compacted"] = v
+        if keep_last is not None or older_than is not None:
+            out["expired_files"] = self.expire(
+                keep_last=keep_last if keep_last is not None else 1,
+                older_than=older_than,
+            )
+        return out
+
     def compact_partial(
         self,
         target_rows_per_file: int,

@@ -2006,3 +2006,56 @@ def test_expire_dry_run_deletes_nothing(spark, tmp_path):
     assert did == would  # the dry run predicted the real pass exactly
     with pytest.raises(Exception):
         t.read(1)
+
+
+def test_clone_on_file_uri_root(spark, tmp_path):
+    """Cloning routes through the LogStore layer: URI-rooted source
+    and destination behave like local paths."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    src = SnapshotTable(
+        spark, "file://" + str(tmp_path / "src"), stats_columns=["k"]
+    )
+    src.append(spark.range(0, 20).select(F.col("id").alias("k")).coalesce(1))
+    c = src.clone_to("file://" + str(tmp_path / "dst"))
+    assert c.read().count() == 20
+    c.merge_mor(spark.createDataFrame([(5,), (99,)], "k long"), "k")
+    assert c.read().count() == 21
+    assert src.read().count() == 20
+
+
+def test_auto_maintain_policy(spark, tmp_path):
+    """The autopilot runs ONLY the passes the table's health numbers
+    justify: no-op on a healthy table, partial compaction once small
+    files accumulate or a DV lands, retention when configured."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["v"])
+    t.append(
+        spark.range(0, 1000).select(F.col("id").alias("v")).coalesce(1)
+    )
+    # healthy: one right-sized file -> nothing to do
+    out = t.auto_maintain(target_rows_per_file=1000)
+    assert out == {"compacted": None, "expired_files": 0}
+    assert t.current_version() == 1
+    # streaming residue: ten 1-row commits -> folds
+    for i in range(10):
+        t.append(
+            spark.createDataFrame([(100000 + i,)], "v long")
+        )
+    out = t.auto_maintain(target_rows_per_file=1000)
+    assert out["compacted"] == t.current_version()
+    assert t.read().count() == 1010
+    # MOR debt alone also triggers (below the small-file count gate)
+    t.delete_where_mor("v", 0, 4)
+    out = t.auto_maintain(target_rows_per_file=1000)
+    assert out["compacted"] is not None
+    assert t._manifest(t.current_version()).get("dvs", {}) == {}
+    assert t.read().count() == 1005
+    # retention composes
+    out = t.auto_maintain(
+        target_rows_per_file=1000, keep_last=1, older_than=None
+    )
+    assert out["compacted"] is None and out["expired_files"] > 0
+    with pytest.raises(Exception):
+        t.read(1)
