@@ -3303,6 +3303,8 @@ class SnapshotTable:
         apply_key: str | list[str] | None = None,
         op_col: str = "_op",
         seq_col: str | None = None,
+        maintain: dict | None = None,
+        maintain_every: int = 20,
     ):
         """foreachBatch writer committing every micro-batch as an
         atomic snapshot append (optionally WAP-audited). Concurrent
@@ -3352,6 +3354,15 @@ class SnapshotTable:
         batches is the stream's arrival order, as with any CDC
         consumer). Use ``cdc_key`` instead when the upstream is a
         ``snapshot_cdf`` stream.
+
+        ``maintain`` makes the sink SELF-MAINTAINING: every
+        ``maintain_every``-th batch, :meth:`auto_maintain` runs with
+        these kwargs (at least ``target_rows_per_file``) after the
+        batch commits — the policy pass folds the micro-batch
+        residue and materializes DV debt without an external cron,
+        and because ``compact_partial`` commutes with appends it
+        never blocks the next batch. Maintenance commits are
+        dataChange=false, so downstream CDF consumers skip them.
 
         ``expect_or_drop`` routes ROW-LEVEL quality instead of gating
         the batch (DLT's expect_or_drop): each micro-batch splits via
@@ -3452,7 +3463,15 @@ class SnapshotTable:
             else:
                 self.append(batch_df, _markers=markers)
 
-        return write_batch
+        if maintain is None:
+            return write_batch
+
+        def write_and_maintain(batch_df: DataFrame, batch_id: int) -> None:
+            write_batch(batch_df, batch_id)
+            if batch_id % max(1, maintain_every) == maintain_every - 1:
+                self.auto_maintain(**maintain)
+
+        return write_and_maintain
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change-data-feed between two snapshots, computed from the

@@ -208,3 +208,31 @@ def test_streaming_apply_changes_sink(spark, tmp_path):
         1,
     )
     assert t.current_version() == v and rows() == [(2, "b"), (3, "c")]
+
+
+def test_self_maintaining_sink(spark, tmp_path):
+    """streaming_sink(maintain=...) folds micro-batch residue on the
+    configured cadence without an external scheduler — and the
+    maintenance commit is dataChange=false, so CDF consumers skip it."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    sink = t.streaming_sink(
+        str(tmp_path / "ckpt"),
+        merge_key="k",
+        maintain={"target_rows_per_file": 1000, "min_files_to_fold": 4},
+        maintain_every=5,
+    )
+    for i in range(5):
+        sink(
+            spark.createDataFrame([(i, i * 10)], "k long, w long"), i
+        )
+    m = t._manifest(t.current_version())
+    # batches folded to one file by the 5th batch's maintenance pass
+    assert len(m["files"]) == 1
+    assert m.get("op") == "compact"
+    assert t.read().count() == 5
+    # replays still no-op (maintenance doesn't disturb the markers)
+    v = t.current_version()
+    sink(spark.createDataFrame([(9, 9)], "k long, w long"), 4)
+    assert t.current_version() == v
