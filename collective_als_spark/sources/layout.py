@@ -1073,6 +1073,33 @@ class SnapshotTable:
             raise ValueError("empty table: no committed snapshot")
         manifest = self._manifest(cur)
         candidates, _untouched = self._split_by_band(manifest, column, lo, hi)
+        # hidden-partition pruning, same proofs as read()'s point
+        # lookups: a single-key MOR delete (the GDPR shape) on a
+        # bucketed layout opens matching buckets' files only, and
+        # monotonic day/month/truncate value sets prove scattered-
+        # period files out of the band. The wanted sets ride to the
+        # build closure so CAS retries re-apply IDENTICAL pruning
+        # with zero extra jobs (the merge pattern).
+        bucket_wanted = None
+        if lo == hi and candidates:
+            variants = self._bucket_variants(manifest, column, candidates)
+            if variants:
+                bucket_wanted = self._literal_bucket_ids(
+                    manifest, column, lo, variants
+                )
+                candidates, _bdrop = self._bucket_prune(
+                    manifest, column, candidates, bucket_wanted
+                )
+        transform_bounds = None
+        if candidates:
+            tvariants = self._transform_variants(manifest, column, candidates)
+            if tvariants:
+                transform_bounds = self._literal_transform_bounds(
+                    manifest, column, lo, hi, tvariants
+                )
+                candidates, _tdrop = self._transform_range_prune(
+                    manifest, column, candidates, transform_bounds
+                )
         if not candidates:
             return cur
         # materialize the positions ONCE: the counts collect below and
@@ -1121,6 +1148,14 @@ class SnapshotTable:
 
         def build(version: int, prev: dict) -> dict:
             cands, _ = self._split_by_band(prev, column, lo, hi)
+            if bucket_wanted is not None:
+                cands, _bd = self._bucket_prune(
+                    prev, column, cands, bucket_wanted
+                )
+            if transform_bounds is not None:
+                cands, _td = self._transform_range_prune(
+                    prev, column, cands, transform_bounds
+                )
             if set(cands) != set(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "

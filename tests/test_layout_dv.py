@@ -968,3 +968,26 @@ def test_apply_changes_schema_evolution(spark, tmp_path):
     assert 7 not in got
     assert got[0] == ("base0", None)  # old rows NULL-pad the new column
     assert len(got) == 10
+
+
+def test_mor_point_delete_prunes_buckets(spark, tmp_path):
+    """A single-key MOR delete (the GDPR shape) on a bucketed layout:
+    bucket membership — not the useless full-range interval — bounds
+    the candidate scan, and the DV lands only on matching buckets'
+    files. Result equals the unpruned delete exactly."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_columns=["k"])
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.append_bucketed(df, "k", 16)
+    n_files = len(_manifest(t)["files"])
+    assert n_files >= 8
+    v = t.delete_where_mor("k", 777, 777)
+    m = _manifest(t)
+    # the DV touches only the literal's bucket file(s)
+    assert 1 <= len(m["dvs"]) < n_files / 4
+    assert t.read().count() == 1999
+    assert t.read(where=("k", 777, 777)).count() == 0
+    # time travel intact, second delete of the same key no-ops
+    assert t.read(v - 1).count() == 2000
+    assert t.delete_where_mor("k", 777, 777) == v
