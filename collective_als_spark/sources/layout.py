@@ -1046,6 +1046,48 @@ class SnapshotTable:
             )
         return tagged if keep_pos else tagged.drop("__dv_rel", "__dv_pos")
 
+    def _point_band_prune(
+        self,
+        manifest: dict,
+        column: str,
+        lo,
+        hi,
+        candidates: list[str],
+        untouched: list[str],
+        bucket_wanted: dict | None = None,
+        transform_bounds: dict | None = None,
+    ):
+        """Shared hidden-partition refinement for the band DML verbs
+        (delete/update/MOR delete): bucket-membership proofs for
+        point predicates (lo == hi) and monotonic day/month/truncate
+        value-set proofs for any band. Returns (candidates, untouched,
+        bucket_wanted, transform_bounds); pass the returned wanted
+        sets back in from a CAS-retry closure to re-apply IDENTICAL
+        pruning with zero extra jobs."""
+        if lo == hi and candidates and bucket_wanted is None:
+            variants = self._bucket_variants(manifest, column, candidates)
+            if variants:
+                bucket_wanted = self._literal_bucket_ids(
+                    manifest, column, lo, variants
+                )
+        if bucket_wanted is not None and candidates:
+            candidates, dropped = self._bucket_prune(
+                manifest, column, candidates, bucket_wanted
+            )
+            untouched = untouched + dropped
+        if candidates and transform_bounds is None:
+            tvariants = self._transform_variants(manifest, column, candidates)
+            if tvariants:
+                transform_bounds = self._literal_transform_bounds(
+                    manifest, column, lo, hi, tvariants
+                )
+        if transform_bounds is not None and candidates:
+            candidates, dropped = self._transform_range_prune(
+                manifest, column, candidates, transform_bounds
+            )
+            untouched = untouched + dropped
+        return candidates, untouched, bucket_wanted, transform_bounds
+
     def delete_where_mor(self, column: str, lo, hi) -> int:
         """Merge-on-read DELETE of rows with ``column`` in [lo, hi]:
         instead of rewriting candidate files (``delete_where``'s
@@ -1080,26 +1122,11 @@ class SnapshotTable:
         # period files out of the band. The wanted sets ride to the
         # build closure so CAS retries re-apply IDENTICAL pruning
         # with zero extra jobs (the merge pattern).
-        bucket_wanted = None
-        if lo == hi and candidates:
-            variants = self._bucket_variants(manifest, column, candidates)
-            if variants:
-                bucket_wanted = self._literal_bucket_ids(
-                    manifest, column, lo, variants
-                )
-                candidates, _bdrop = self._bucket_prune(
-                    manifest, column, candidates, bucket_wanted
-                )
-        transform_bounds = None
-        if candidates:
-            tvariants = self._transform_variants(manifest, column, candidates)
-            if tvariants:
-                transform_bounds = self._literal_transform_bounds(
-                    manifest, column, lo, hi, tvariants
-                )
-                candidates, _tdrop = self._transform_range_prune(
-                    manifest, column, candidates, transform_bounds
-                )
+        candidates, _untouched, bucket_wanted, transform_bounds = (
+            self._point_band_prune(
+                manifest, column, lo, hi, candidates, _untouched
+            )
+        )
         if not candidates:
             return cur
         # materialize the positions ONCE: the counts collect below and
@@ -1147,15 +1174,11 @@ class SnapshotTable:
         }
 
         def build(version: int, prev: dict) -> dict:
-            cands, _ = self._split_by_band(prev, column, lo, hi)
-            if bucket_wanted is not None:
-                cands, _bd = self._bucket_prune(
-                    prev, column, cands, bucket_wanted
-                )
-            if transform_bounds is not None:
-                cands, _td = self._transform_range_prune(
-                    prev, column, cands, transform_bounds
-                )
+            cands, _u = self._split_by_band(prev, column, lo, hi)
+            cands, _u, _bw, _tb = self._point_band_prune(
+                prev, column, lo, hi, cands, _u,
+                bucket_wanted, transform_bounds,
+            )
             if set(cands) != set(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
@@ -1969,6 +1992,9 @@ class SnapshotTable:
             raise ValueError("empty table: no committed snapshot")
         manifest = self._manifest(cur)
         candidates, untouched = self._split_by_band(manifest, column, lo, hi)
+        candidates, untouched, bucket_wanted, transform_bounds = (
+            self._point_band_prune(manifest, column, lo, hi, candidates, untouched)
+        )
         if not candidates:
             return cur
         # DV-aware candidate scan: rows already masked by a deletion
@@ -2004,6 +2030,10 @@ class SnapshotTable:
             # recompute the split against the FRESH current manifest on
             # a CAS retry — a concurrent append may have added files
             cands, untch = self._split_by_band(prev, column, lo, hi)
+            cands, untch, _bw, _tb = self._point_band_prune(
+                prev, column, lo, hi, cands, untch,
+                bucket_wanted, transform_bounds,
+            )
             if set(cands) != set(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
@@ -2199,6 +2229,9 @@ class SnapshotTable:
             raise ValueError("empty table: no committed snapshot")
         manifest = self._manifest(cur)
         candidates, untouched = self._split_by_band(manifest, column, lo, hi)
+        candidates, untouched, bucket_wanted, transform_bounds = (
+            self._point_band_prune(manifest, column, lo, hi, candidates, untouched)
+        )
         if not candidates:
             return cur
         cand_scan = self._scan_live(manifest, candidates)
@@ -2240,6 +2273,10 @@ class SnapshotTable:
 
         def build(version: int, prev: dict) -> dict:
             cands, untch = self._split_by_band(prev, column, lo, hi)
+            cands, untch, _bw, _tb = self._point_band_prune(
+                prev, column, lo, hi, cands, untch,
+                bucket_wanted, transform_bounds,
+            )
             # sorted-list compare (the `set` parameter shadows the
             # builtin in this scope)
             if sorted(cands) != sorted(candidates):

@@ -991,3 +991,29 @@ def test_mor_point_delete_prunes_buckets(spark, tmp_path):
     # time travel intact, second delete of the same key no-ops
     assert t.read(v - 1).count() == 2000
     assert t.delete_where_mor("k", 777, 777) == v
+
+
+def test_cow_point_dml_prunes_buckets(spark, tmp_path):
+    """COW delete_where and update_where share the point-lookup
+    bucket proofs: a single-key rewrite on a bucketed layout carries
+    all non-matching buckets' files BY PATH (no rewrite churn) and
+    equals the unpruned result."""
+    a = SnapshotTable(spark, str(tmp_path / "a"), stats_columns=["k"])
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    a.append_bucketed(df, "k", 16)
+    before = set(_manifest(a)["files"])
+    n_files = len(before)
+    a.delete_where("k", 777, 777)
+    carried = before & set(_manifest(a)["files"])
+    assert len(before - carried) < n_files / 4  # only the bucket rewrote
+    assert a.read().count() == 1999
+    b = SnapshotTable(spark, str(tmp_path / "b"), stats_columns=["k"])
+    b.append_bucketed(df, "k", 16)
+    before_b = set(_manifest(b)["files"])
+    b.update_where("k", 777, 777, set={"v": F.lit(-1).cast("long")})
+    carried_b = before_b & set(_manifest(b)["files"])
+    assert len(before_b - carried_b) < len(before_b) / 4
+    got = {r["k"]: r["v"] for r in b.read().collect()}
+    assert got[777] == -1 and got[778] == 2334 and len(got) == 2000
