@@ -381,6 +381,19 @@ class SnapshotTable:
             while self.log.exists(self._manifest_path(v + 1)):
                 v += 1
             return v
+        return self._listed_version()
+
+    def _listed_version(self) -> int:
+        """Head via the FULL ``_snapshots`` listing — O(retained
+        versions) but immune to hint lag. The COMMIT path must use
+        this, not the hint: a hint lagging k commits while a
+        concurrent ``expire`` deletes old manifests can leave the
+        forward probe stopping at a mid-expire gap (hint exists,
+        hint+1 just deleted), and a commit composed against that
+        stale head would recreate an expired ``v{N}.json`` — forking
+        the log and orphaning the real head. A listing has no gap to
+        stop at: the max version present IS the head (expired
+        versions are always strictly older than the retained set)."""
         best = 0
         for name in self.log.list_dir(f"{self.root}/_snapshots"):
             m = _MANIFEST_RE.fullmatch(name)
@@ -600,7 +613,10 @@ class SnapshotTable:
         loss. ``build(version, base_manifest) -> resolved manifest``;
         serialization to the chunked on-disk form happens here."""
         for _ in range(_MAX_COMMIT_RETRIES):
-            base = self.current_version()
+            # commits resolve the head from the FULL listing, never the
+            # hint (readers keep the hint fast path): see
+            # _listed_version for the hint-lag × concurrent-expire fork
+            base = self._listed_version()
             prev_raw = self._raw_manifest(base) if base else {}
             prev = self._base_manifest(base)
             manifest = build(base + 1, prev)
@@ -680,20 +696,41 @@ class SnapshotTable:
             # compact all stage here): one scan of the STAGED files —
             # the audit sees exactly the bytes readers would — with
             # SQL CHECK semantics (NULL passes, only FALSE violates).
-            # A violating batch deletes its staged files and raises;
-            # the table stays at its previous version.
-            viol = (
-                self.spark.read.parquet(*files)
-                .agg(
+            # The staged scan is conformed to the CURRENT table schema
+            # first (NULL-pad columns this narrower commit omitted —
+            # readers NULL-pad them too, and SQL CHECK passes NULL),
+            # so a legal narrower write can't fail analysis on a
+            # constrained column it never carried. A violating batch —
+            # or an analysis error (e.g. a check referencing a column
+            # nowhere in table or batch) — deletes its staged files
+            # and raises; the table stays at its previous version.
+            try:
+                staged = self.spark.read.parquet(*files)
+                cur_v = self.current_version()
+                tschema = (
+                    self._base_manifest(cur_v).get("schema") if cur_v else None
+                )
+                if tschema is not None:
+                    from pyspark.sql.types import StructType
+
+                    have = set(staged.columns)
+                    for fld in StructType.fromJson(tschema).fields:
+                        if fld.name not in have:
+                            staged = staged.withColumn(
+                                fld.name, F.lit(None).cast(fld.dataType)
+                            )
+                viol = staged.agg(
                     *[
                         F.sum(
                             (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
                         ).alias(n)
                         for n, e in checks.items()
                     ]
-                )
-                .first()
-            )
+                ).first()
+            except Exception:
+                for f in files:
+                    self.log.delete(f)
+                raise
             bad = {n: int(viol[n]) for n in checks if viol[n]}
             if bad:
                 for f in files:
@@ -1046,49 +1083,9 @@ class SnapshotTable:
             )
         return tagged if keep_pos else tagged.drop("__dv_rel", "__dv_pos")
 
-    def _point_band_prune(
-        self,
-        manifest: dict,
-        column: str,
-        lo,
-        hi,
-        candidates: list[str],
-        untouched: list[str],
-        bucket_wanted: dict | None = None,
-        transform_bounds: dict | None = None,
-    ):
-        """Shared hidden-partition refinement for the band DML verbs
-        (delete/update/MOR delete): bucket-membership proofs for
-        point predicates (lo == hi) and monotonic day/month/truncate
-        value-set proofs for any band. Returns (candidates, untouched,
-        bucket_wanted, transform_bounds); pass the returned wanted
-        sets back in from a CAS-retry closure to re-apply IDENTICAL
-        pruning with zero extra jobs."""
-        if lo == hi and candidates and bucket_wanted is None:
-            variants = self._bucket_variants(manifest, column, candidates)
-            if variants:
-                bucket_wanted = self._literal_bucket_ids(
-                    manifest, column, lo, variants
-                )
-        if bucket_wanted is not None and candidates:
-            candidates, dropped = self._bucket_prune(
-                manifest, column, candidates, bucket_wanted
-            )
-            untouched = untouched + dropped
-        if candidates and transform_bounds is None:
-            tvariants = self._transform_variants(manifest, column, candidates)
-            if tvariants:
-                transform_bounds = self._literal_transform_bounds(
-                    manifest, column, lo, hi, tvariants
-                )
-        if transform_bounds is not None and candidates:
-            candidates, dropped = self._transform_range_prune(
-                manifest, column, candidates, transform_bounds
-            )
-            untouched = untouched + dropped
-        return candidates, untouched, bucket_wanted, transform_bounds
-
-    def delete_where_mor(self, column: str, lo, hi) -> int:
+    def delete_where_mor(
+        self, column: str | None = None, lo=None, hi=None, predicate=None
+    ) -> int:
         """Merge-on-read DELETE of rows with ``column`` in [lo, hi]:
         instead of rewriting candidate files (``delete_where``'s
         copy-on-write), record the MATCHED ROW POSITIONS in a deletion
@@ -1109,24 +1106,25 @@ class SnapshotTable:
         read applies exactly one DV per file. Stats/blooms for DV'd
         files are left as written — conservatively wide, so pruning
         stays exact. No matched rows -> no-op (current version
-        returned, no empty commit)."""
+        returned, no empty commit).
+
+        ``predicate`` (or a single positional SQL string / Column)
+        generalizes the band to ANY predicate, exactly as in
+        :meth:`delete_where` — conjunct-extracted pruning proofs,
+        exact residual, ``pred IS TRUE`` matched semantics."""
         cur = self.current_version()
         if cur == 0:
             raise ValueError("empty table: no committed snapshot")
         manifest = self._manifest(cur)
-        candidates, _untouched = self._split_by_band(manifest, column, lo, hi)
         # hidden-partition pruning, same proofs as read()'s point
         # lookups: a single-key MOR delete (the GDPR shape) on a
         # bucketed layout opens matching buckets' files only, and
         # monotonic day/month/truncate value sets prove scattered-
-        # period files out of the band. The wanted sets ride to the
-        # build closure so CAS retries re-apply IDENTICAL pruning
+        # period files out of the band. The recorded proofs ride to
+        # the build closure so CAS retries re-apply IDENTICAL pruning
         # with zero extra jobs (the merge pattern).
-        candidates, _untouched, bucket_wanted, transform_bounds = (
-            self._point_band_prune(
-                manifest, column, lo, hi, candidates, _untouched
-            )
-        )
+        plan = self._plan_dml_predicate(manifest, column, lo, hi, predicate)
+        candidates = plan["candidates"]
         if not candidates:
             return cur
         # materialize the positions ONCE: the counts collect below and
@@ -1134,7 +1132,7 @@ class SnapshotTable:
         # (the dominant read cost of the commit). O(matched positions).
         matched = (
             self._scan_live(manifest, candidates, keep_pos=True)
-            .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
+            .filter(plan["matched"])
             .select(F.col("__dv_rel").alias("file"), F.col("__dv_pos").alias("pos"))
             .localCheckpoint(eager=True)
         )
@@ -1150,7 +1148,7 @@ class SnapshotTable:
         if sum(matched_counts.values()) > self.mor_fallback_max_rows:
             # too wide for merge-on-read: a DV this size would burden
             # every subsequent read; rewrite the candidates instead
-            return self.delete_where(column, lo, hi)
+            return self.delete_where(column, lo, hi, predicate=predicate)
         affected_rels = set(matched_counts)
         affected_full = [f for f in candidates if _rel(f) in affected_rels]
         existing = self._dv_rows(manifest, affected_full)
@@ -1174,11 +1172,7 @@ class SnapshotTable:
         }
 
         def build(version: int, prev: dict) -> dict:
-            cands, _u = self._split_by_band(prev, column, lo, hi)
-            cands, _u, _bw, _tb = self._point_band_prune(
-                prev, column, lo, hi, cands, _u,
-                bucket_wanted, transform_bounds,
-            )
+            cands, _u = self._replan_predicate(prev, plan)
             if set(cands) != set(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
@@ -1313,32 +1307,6 @@ class SnapshotTable:
         return {
             n: {r[f"b_{n}"] for r in rows} for n in sorted(variants)
         }
-
-    def _literal_bucket_ids(
-        self, manifest: dict, column: str, value, variants: set[int]
-    ) -> dict[int, set[int]]:
-        """Bucket ids a single literal maps to, hashed AT THE COLUMN'S
-        TABLE TYPE (Spark's hash is type-sensitive: hash(1 int) !=
-        hash(1L)); one 1-row job, no data scanned."""
-        dtype = next(
-            (
-                f["type"]
-                for f in manifest.get("schema", {}).get("fields", [])
-                if f["name"] == column
-            ),
-            None,
-        )
-        lit = (
-            F.lit(value).cast(dtype)
-            if isinstance(dtype, str)
-            else F.lit(value)
-        )
-        cols = [
-            F.pmod(F.hash(lit), F.lit(n)).alias(f"b_{n}")
-            for n in sorted(variants)
-        ]
-        r = self.spark.range(1).select(*cols).first()
-        return {n: {r[f"b_{n}"]} for n in sorted(variants)}
 
     @staticmethod
     def _bucket_variants(
@@ -1776,9 +1744,23 @@ class SnapshotTable:
         as-of shape where ts is recent). Manifests predating timestamp
         recording are never selected by timestamp — address them by
         version. Raises when ts predates every retained, timestamped
-        commit: the snapshot either never existed or was expired, and
-        silently returning a newer state would violate reproducibility."""
-        for v in range(self.current_version(), 0, -1):
+        commit (the snapshot either never existed or was expired) AND
+        when ts is AFTER the newest commit (Delta raises there too: a
+        typo'd future timestamp would otherwise resolve to whatever
+        'latest' happens to be — a non-reproducible read dressed up as
+        time travel; read() with no as_of is the explicit way to ask
+        for the head)."""
+        head = self.current_version()
+        if head:
+            head_ts = self._raw_manifest(head).get("committed_at")
+            if head_ts is not None and float(ts) > float(head_ts):
+                raise ValueError(
+                    f"as-of timestamp {ts} is after the newest commit "
+                    f"(v{head} at {head_ts}): a future timestamp does "
+                    f"not pin a snapshot — read the head explicitly "
+                    f"(no as_of) or pass a timestamp <= {head_ts}"
+                )
+        for v in range(head, 0, -1):
             try:
                 ct = self._raw_manifest(v).get("committed_at")
             except FileNotFoundError:
@@ -1855,35 +1837,48 @@ class SnapshotTable:
         kept = files
         residual = F.lit(True)
         if where is not None:
-            column, lo, hi = where
-            kept, _out = self._split_by_band(manifest, column, lo, hi)
-            residual = residual & F.col(column).between(F.lit(lo), F.lit(hi))
-            if lo == hi:
-                # hidden-partition point lookup: a bucketed layout
-                # proves non-matching buckets' files out exactly (one
-                # 1-row job to hash the literal at the column's type)
-                variants = self._bucket_variants(manifest, column, kept)
-                if variants:
-                    kept, _bout = self._bucket_prune(
-                        manifest,
-                        column,
-                        kept,
-                        self._literal_bucket_ids(manifest, column, lo, variants),
-                    )
-            # hidden-partition time/prefix range pruning: monotonic
-            # transforms map [lo, hi] to [T(lo), T(hi)]; files whose
-            # recorded VALUE SET misses that interval are proven out —
-            # including scattered-period files the min/max band keeps
-            tvariants = self._transform_variants(manifest, column, kept)
-            if tvariants:
-                kept, _tout = self._transform_range_prune(
-                    manifest,
-                    column,
-                    kept,
-                    self._literal_transform_bounds(
-                        manifest, column, lo, hi, tvariants
-                    ),
+            # three accepted shapes, all pruned through the same
+            # conjunct machinery (interval + bucket + day/month/
+            # truncate + null-count proofs; hidden-partition point
+            # lookups come from the =/IN literal sets):
+            #   (column, lo, hi)              — one band
+            #   [(c1, lo, hi), (c2, lo, hi)]  — band conjunction
+            #   "SQL predicate" or Column     — arbitrary predicate
+            #     (recognized conjuncts prune; the rest only scan)
+            if isinstance(where, tuple):
+                conjuncts, matched = self._normalize_dml_predicate(
+                    where[0], where[1], where[2], None
                 )
+            elif isinstance(where, list):
+                from .predicate import Conjunct
+
+                conjuncts = [
+                    Conjunct(
+                        "band",
+                        column=c,
+                        lo=lo_,
+                        hi=hi_,
+                        values=frozenset([lo_]) if lo_ == hi_ else None,
+                    )
+                    for c, lo_, hi_ in where
+                ]
+                matched = F.lit(True)
+                for c, lo_, hi_ in where:
+                    matched = matched & F.col(c).between(
+                        F.lit(lo_), F.lit(hi_)
+                    )
+            else:
+                conjuncts, matched = self._normalize_dml_predicate(
+                    None, None, None, where
+                )
+            kept, _out = self._split_by_conjuncts(manifest, conjuncts)
+            kept, _out, _proofs = self._conjunct_hidden_prune(
+                manifest, conjuncts, kept, _out
+            )
+            # the exact predicate is always the residual: filter()
+            # keeps only rows where it is TRUE, so pruning can only
+            # save file opens, never change results
+            residual = residual & matched
         if where_null is not None:
             ncol, want_null = where_null
             stats = manifest.get("stats", {})
@@ -1974,7 +1969,283 @@ class SnapshotTable:
             (untouched if provably_out else candidates).append(f)
         return candidates, untouched
 
-    def delete_where(self, column: str, lo, hi) -> int:
+    # -- arbitrary-predicate DML (Delta/Iceberg accept ANY predicate) --
+
+    def _normalize_dml_predicate(self, column, lo, hi, predicate):
+        """The two DML calling conventions -> one internal shape:
+        ``(conjuncts, matched)`` where ``conjuncts`` drive pruning
+        (``sources/predicate.py``) and ``matched`` is the exact
+        boolean Column. Band mode ``(column, lo, hi)`` is the legacy
+        convention; predicate mode accepts a SQL string or a pyspark
+        Column (Column pruning extracts its SQL via the classic-mode
+        expression tree when available, else degrades to a
+        full-candidate scan — correctness never depends on
+        extraction, only file-open counts do)."""
+        from pyspark.sql import Column as _Column
+
+        from .predicate import OPAQUE, analyze_predicate, column_sql
+
+        if predicate is None and lo is None and hi is None and column is not None:
+            # single-argument call: delete_where("x > 5") / (F.col..)
+            predicate, column = column, None
+        if predicate is not None:
+            if column is not None or lo is not None or hi is not None:
+                raise ValueError(
+                    "pass either (column, lo, hi) or predicate, not both"
+                )
+            if isinstance(predicate, _Column):
+                sql = column_sql(predicate)
+                conj = analyze_predicate(sql) if sql else [OPAQUE]
+                return conj, predicate
+            if not isinstance(predicate, str):
+                raise TypeError(
+                    f"predicate must be a SQL string or Column, got "
+                    f"{type(predicate).__name__}"
+                )
+            return analyze_predicate(predicate), F.expr(predicate)
+        if column is None or lo is None or hi is None:
+            raise ValueError("pass (column, lo, hi) or a predicate")
+        from .predicate import Conjunct
+
+        conj = [
+            Conjunct(
+                "band",
+                column=column,
+                lo=lo,
+                hi=hi,
+                values=frozenset([lo]) if lo == hi else None,
+            )
+        ]
+        return conj, F.col(column).between(F.lit(lo), F.lit(hi))
+
+    def _split_by_conjuncts(
+        self, manifest: dict, conjuncts
+    ) -> tuple[list[str], list[str]]:
+        """(candidates, untouched): a file is untouched if ANY conjunct
+        provably matches none of its rows. Band conjuncts (comparisons
+        never match NULL) prove out interval-disjoint files and
+        provably-all-NULL files; ``IS [NOT] NULL`` conjuncts prove via
+        the per-file null counts; opaque conjuncts prove nothing.
+        Open/strict endpoints (``>``/``<``/one-sided ranges, predicate
+        mode only) prune exactly: a file whose max equals a strict
+        lower bound is out. Incomparable literal-vs-stats types are
+        conservatively unprovable."""
+        stats = manifest.get("stats", {})
+        candidates, untouched = [], []
+        for f in manifest["files"]:
+            fstats = stats.get(_rel(f), {})
+            rows = fstats.get("__rows")
+            provably_out = False
+            for c in conjuncts:
+                if c.kind == "null":
+                    band = fstats.get(c.column)
+                    nulls = (
+                        band[2] if band is not None and len(band) > 2 else None
+                    )
+                    if nulls is None or rows is None:
+                        continue
+                    if c.want_null and nulls == 0:
+                        provably_out = True
+                        break
+                    if not c.want_null and nulls == rows:
+                        provably_out = True
+                        break
+                    continue
+                if c.kind != "band":
+                    continue
+                band = fstats.get(c.column)
+                if band is None:
+                    continue
+                if band[0] is None or band[1] is None:
+                    # all values NULL (when the null count proves it):
+                    # no comparison conjunct can match this file
+                    if (
+                        len(band) > 2
+                        and band[2] is not None
+                        and band[2] == rows
+                    ):
+                        provably_out = True
+                        break
+                    continue
+                lo, hi = _jsonable(c.lo), _jsonable(c.hi)
+                try:
+                    if lo is not None and (
+                        band[1] < lo or (c.lo_strict and band[1] == lo)
+                    ):
+                        provably_out = True
+                        break
+                    if hi is not None and (
+                        band[0] > hi or (c.hi_strict and band[0] == hi)
+                    ):
+                        provably_out = True
+                        break
+                except TypeError:
+                    continue  # literal/stats type mismatch: no proof
+            (untouched if provably_out else candidates).append(f)
+        return candidates, untouched
+
+    def _literal_set_bucket_ids(
+        self, manifest: dict, column: str, values, variants: set[int]
+    ) -> dict[int, set[int]]:
+        """Bucket ids a literal SET maps to (``=`` / ``IN`` conjuncts),
+        hashed at the column's table type — one 1-row job for the
+        whole set (a point literal is a one-element set)."""
+        dtype = self._column_dtype(manifest, column)
+        vals = sorted(values, key=lambda v: (str(type(v)), str(v)))
+        cols = []
+        for j, v in enumerate(vals):
+            lit = F.lit(v).cast(dtype) if dtype else F.lit(v)
+            for n in sorted(variants):
+                cols.append(
+                    F.pmod(F.hash(lit), F.lit(n)).alias(f"b_{j}_{n}")
+                )
+        r = self.spark.range(1).select(*cols).first()
+        return {
+            n: {r[f"b_{j}_{n}"] for j in range(len(vals))}
+            for n in sorted(variants)
+        }
+
+    def _literal_set_transform_values(
+        self, manifest: dict, column: str, values, variants
+    ) -> dict:
+        """T(v) per variant for a literal set (``=`` / ``IN``
+        conjuncts) at the column's table type — one 1-row job; a NULL
+        transform (failed cast) disables that variant's pruning, same
+        rule as `_source_transform_values`."""
+        dtype = self._column_dtype(manifest, column)
+        vals = sorted(values, key=lambda v: (str(type(v)), str(v)))
+        ordered = sorted(variants)
+        cols = []
+        for j, v in enumerate(vals):
+            lit = F.lit(v).cast(dtype) if dtype else F.lit(v)
+            for i, (tname, tparam) in enumerate(ordered):
+                cols.append(
+                    self._transform_lit_expr(lit, tname, tparam, dtype).alias(
+                        f"t_{j}_{i}"
+                    )
+                )
+        r = self.spark.range(1).select(*cols).first()
+        out = {}
+        for i, variant in enumerate(ordered):
+            tv = {r[f"t_{j}_{i}"] for j in range(len(vals))}
+            if None in tv:
+                continue
+            out[variant] = tv
+        return out
+
+    def _conjunct_hidden_prune(
+        self,
+        manifest: dict,
+        conjuncts,
+        candidates: list[str],
+        untouched: list[str],
+        proofs: dict | None = None,
+    ):
+        """Hidden-partition refinement per conjunct: bucket + transform
+        SET membership proofs for exact literal sets (``=`` / ``IN``),
+        monotonic transform RANGE proofs for closed bands. Proofs are
+        keyed by conjunct index and returned so a CAS-retry build
+        re-applies IDENTICAL pruning with zero extra jobs (the merge
+        pattern). Returns (candidates, untouched, proofs)."""
+        compute = proofs is None
+        if compute:
+            proofs = {}
+        for i, c in enumerate(conjuncts):
+            if c.kind != "band" or not candidates:
+                continue
+            if c.values is not None:
+                key = (i, "bucket")
+                if compute:
+                    variants = self._bucket_variants(
+                        manifest, c.column, candidates
+                    )
+                    proofs[key] = (
+                        self._literal_set_bucket_ids(
+                            manifest, c.column, c.values, variants
+                        )
+                        if variants
+                        else None
+                    )
+                if proofs.get(key):
+                    candidates, dropped = self._bucket_prune(
+                        manifest, c.column, candidates, proofs[key]
+                    )
+                    untouched = untouched + dropped
+                key = (i, "tset")
+                if compute:
+                    tvariants = self._transform_variants(
+                        manifest, c.column, candidates
+                    )
+                    proofs[key] = (
+                        self._literal_set_transform_values(
+                            manifest, c.column, c.values, tvariants
+                        )
+                        if tvariants
+                        else None
+                    )
+                if proofs.get(key):
+                    candidates, dropped = self._transform_set_prune(
+                        manifest, c.column, candidates, proofs[key]
+                    )
+                    untouched = untouched + dropped
+            elif c.lo is not None and c.hi is not None:
+                # strict endpoints only narrow the row set inside
+                # [lo, hi]; the closed-interval transform image stays a
+                # superset, so range pruning remains conservative-exact
+                key = (i, "trange")
+                if compute:
+                    tvariants = self._transform_variants(
+                        manifest, c.column, candidates
+                    )
+                    proofs[key] = (
+                        self._literal_transform_bounds(
+                            manifest, c.column, c.lo, c.hi, tvariants
+                        )
+                        if tvariants
+                        else None
+                    )
+                if proofs.get(key):
+                    candidates, dropped = self._transform_range_prune(
+                        manifest, c.column, candidates, proofs[key]
+                    )
+                    untouched = untouched + dropped
+        return candidates, untouched, proofs
+
+    def _plan_dml_predicate(self, manifest, column, lo, hi, predicate):
+        """Shared head of the predicate DML verbs: normalize, split,
+        hidden-prune. Returns a plan dict; ``replan`` inside build
+        closures re-derives the candidate set against the fresh
+        manifest with the recorded proofs."""
+        conjuncts, matched = self._normalize_dml_predicate(
+            column, lo, hi, predicate
+        )
+        candidates, untouched = self._split_by_conjuncts(manifest, conjuncts)
+        candidates, untouched, proofs = self._conjunct_hidden_prune(
+            manifest, conjuncts, candidates, untouched
+        )
+        return {
+            "conjuncts": conjuncts,
+            # SQL three-valued logic, exact over every row including
+            # NULLs: matched = pred IS TRUE; survivor = its complement
+            "matched": F.coalesce(matched, F.lit(False)),
+            "survivor": ~F.coalesce(matched, F.lit(False)),
+            "candidates": candidates,
+            "untouched": untouched,
+            "proofs": proofs,
+        }
+
+    def _replan_predicate(self, prev: dict, plan: dict):
+        """Re-derive (candidates, untouched) against a fresh manifest
+        using the plan's recorded proofs — zero extra jobs."""
+        cands, untch = self._split_by_conjuncts(prev, plan["conjuncts"])
+        cands, untch, _p = self._conjunct_hidden_prune(
+            prev, plan["conjuncts"], cands, untch, plan["proofs"]
+        )
+        return cands, untch
+
+    def delete_where(
+        self, column: str | None = None, lo=None, hi=None, predicate=None
+    ) -> int:
         """Copy-on-write DELETE of rows with ``column`` in [lo, hi].
 
         The manifest stats bound the rewrite set: files whose interval
@@ -1986,32 +2257,38 @@ class SnapshotTable:
         the table; it is exactly Delta's data-skipping DELETE. Old
         versions still reference the pre-delete files (time travel
         intact until expire). No candidate files -> no-op (current
-        version returned, no empty commit)."""
+        version returned, no empty commit).
+
+        ``predicate`` (or a single positional SQL string / Column)
+        generalizes the band to ANY predicate — Delta's ``DELETE
+        WHERE <expr>``: ``delete_where("status = 'cancelled' AND
+        region IN ('EU','US')")``. Pruning proofs (interval, bucket,
+        day/month/truncate, null-count) are extracted from the
+        AND-conjuncts the analyzer recognizes; unrecognized conjuncts
+        degrade to a full-candidate scan, never to wrong results —
+        the exact predicate is always the rewrite filter. The matched
+        set is ``pred IS TRUE`` and the survivors are its exact
+        complement (SQL three-valued logic: a NULL predicate row is
+        NOT deleted), the same NULL discipline as the band path."""
         cur = self.current_version()
         if cur == 0:
             raise ValueError("empty table: no committed snapshot")
         manifest = self._manifest(cur)
-        candidates, untouched = self._split_by_band(manifest, column, lo, hi)
-        candidates, untouched, bucket_wanted, transform_bounds = (
-            self._point_band_prune(manifest, column, lo, hi, candidates, untouched)
-        )
+        plan = self._plan_dml_predicate(manifest, column, lo, hi, predicate)
+        candidates, untouched = plan["candidates"], plan["untouched"]
         if not candidates:
             return cur
         # DV-aware candidate scan: rows already masked by a deletion
         # vector must not resurrect in the rewrite
         cand_scan = self._scan_live(manifest, candidates)
-        # NULL-valued rows never match a band predicate (SQL three-
-        # valued logic: NULL BETWEEN lo AND hi is NULL, i.e. not
-        # deleted) — but a bare ~between() is ALSO NULL for them, so
-        # a naive survivor filter would silently drop NULL rows from
-        # the rewrite. The survivor predicate must be the exact
-        # complement of the matched predicate over every row,
-        # including NULLs, so the CDF pre-images + survivors
-        # partition the candidate scan (feed == table delta) and the
-        # COW path agrees with delete_where_mor / the all-NULL-file
-        # band pruning, which both keep NULL rows.
-        matched_pred = F.col(column).between(F.lit(lo), F.lit(hi))
-        survivor_pred = ~matched_pred | F.col(column).isNull()
+        # NULL predicate rows never match (SQL three-valued logic) —
+        # and the survivor predicate is the EXACT complement of the
+        # matched predicate over every row including NULLs, so the
+        # CDF pre-images + survivors partition the candidate scan
+        # (feed == table delta) and the COW path agrees with
+        # delete_where_mor / the all-NULL-file band pruning.
+        matched_pred = plan["matched"]
+        survivor_pred = plan["survivor"]
         cdc_dir = None
         if self.change_data_feed and manifest.get("schema"):
             # single candidate read: the CDC pre-images and the
@@ -2029,11 +2306,7 @@ class SnapshotTable:
         def build(version: int, prev: dict) -> dict:
             # recompute the split against the FRESH current manifest on
             # a CAS retry — a concurrent append may have added files
-            cands, untch = self._split_by_band(prev, column, lo, hi)
-            cands, untch, _bw, _tb = self._point_band_prune(
-                prev, column, lo, hi, cands, untch,
-                bucket_wanted, transform_bounds,
-            )
+            cands, untch = self._replan_predicate(prev, plan)
             if set(cands) != set(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
@@ -2081,7 +2354,14 @@ class SnapshotTable:
 
         return self._commit(build)
 
-    def replace_where(self, column: str, lo, hi, df: DataFrame) -> int:
+    def replace_where(
+        self,
+        column: str | None = None,
+        lo=None,
+        hi=None,
+        df: DataFrame | None = None,
+        predicate=None,
+    ) -> int:
         """Delta's ``replaceWhere``: atomically DELETE every row with
         ``column`` in [lo, hi] and INSERT ``df`` — the canonical
         backfill commit (recompute one day/partition of a 100 TB table
@@ -2100,39 +2380,64 @@ class SnapshotTable:
         applies to ``df`` as in merge. With ``change_data_feed=True``
         the commit records matched pre-images + ``df`` post-images,
         and streams as an op=replace COW rewrite (refused without
-        change files, like merge/delete/update)."""
+        change files, like merge/delete/update).
+
+        ``predicate`` generalizes the band (Delta's full
+        ``replaceWhere``): ``df`` must satisfy the predicate on EVERY
+        row (``pred IS TRUE`` — one validation aggregate; a NULL
+        predicate row fails, same reason NULL band keys are rejected),
+        matched rows are deleted and ``df`` inserted atomically."""
+        if df is None:
+            raise ValueError("replace_where requires the replacement df")
         cur = self.current_version()
-        bounds = df.agg(
-            F.min(column).alias("lo"),
-            F.max(column).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(column).isNull().cast("long")).alias("n_null"),
-        ).first()
-        if bounds["n_null"]:
-            raise ValueError(
-                f"replace_where: {bounds['n_null']} rows have NULL "
-                f"{column!r} — NULL never matches the band, so they "
-                f"would land OUTSIDE the replaced region"
-            )
-        if bounds["n"] and not (lo <= bounds["lo"] and bounds["hi"] <= hi):
-            raise ValueError(
-                f"replace_where: data spans [{bounds['lo']}, "
-                f"{bounds['hi']}] but the predicate band is [{lo}, {hi}] "
-                f"— rows outside the replaced region would corrupt "
-                f"neighboring data"
-            )
+        if predicate is None and lo is not None:
+            bounds = df.agg(
+                F.min(column).alias("lo"),
+                F.max(column).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(column).isNull().cast("long")).alias("n_null"),
+            ).first()
+            if bounds["n_null"]:
+                raise ValueError(
+                    f"replace_where: {bounds['n_null']} rows have NULL "
+                    f"{column!r} — NULL never matches the band, so they "
+                    f"would land OUTSIDE the replaced region"
+                )
+            if bounds["n"] and not (lo <= bounds["lo"] and bounds["hi"] <= hi):
+                raise ValueError(
+                    f"replace_where: data spans [{bounds['lo']}, "
+                    f"{bounds['hi']}] but the predicate band is [{lo}, {hi}] "
+                    f"— rows outside the replaced region would corrupt "
+                    f"neighboring data"
+                )
+        else:
+            # predicate mode: the replacement must satisfy the exact
+            # predicate row-for-row (Delta validates replaceWhere data
+            # the same way) — NULL predicate rows fail (they would
+            # land outside the replaced region)
+            _c, _m = self._normalize_dml_predicate(column, lo, hi, predicate)
+            n_bad = df.agg(
+                F.sum((~F.coalesce(_m, F.lit(False))).cast("long")).alias("v")
+            ).first()["v"]
+            if n_bad:
+                raise ValueError(
+                    f"replace_where: {n_bad} replacement rows do NOT "
+                    f"satisfy the predicate — they would land OUTSIDE "
+                    f"the replaced region and corrupt neighboring data"
+                )
         if cur == 0:
             return self.append(df)
         manifest = self._manifest(cur)
-        candidates, untouched = self._split_by_band(manifest, column, lo, hi)
+        plan = self._plan_dml_predicate(manifest, column, lo, hi, predicate)
+        candidates, untouched = plan["candidates"], plan["untouched"]
         prev_schema = manifest.get("schema")
         evolved = (
             self._evolved_schema(prev_schema, df.schema.jsonValue())
             if prev_schema
             else df.schema.jsonValue()
         )
-        matched_pred = F.col(column).between(F.lit(lo), F.lit(hi))
-        survivor_pred = ~matched_pred | F.col(column).isNull()
+        matched_pred = plan["matched"]
+        survivor_pred = plan["survivor"]
         cdc_dir = None
         if candidates:
             cand_scan = self._scan_live(
@@ -2156,7 +2461,7 @@ class SnapshotTable:
         src_schema = df.schema.jsonValue()
 
         def build(version: int, prev: dict) -> dict:
-            cands, untch = self._split_by_band(prev, column, lo, hi)
+            cands, untch = self._replan_predicate(prev, plan)
             if sorted(cands) != sorted(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
@@ -2200,7 +2505,12 @@ class SnapshotTable:
         return self._commit(build)
 
     def update_where(
-        self, column: str, lo, hi, set: dict[str, object]
+        self,
+        column: str | None = None,
+        lo=None,
+        hi=None,
+        set: dict[str, object] | None = None,
+        predicate=None,
     ) -> int:
         """Copy-on-write UPDATE of rows with ``column`` in [lo, hi]:
         ``set`` maps column name -> new value (a Column expression, or
@@ -2223,15 +2533,21 @@ class SnapshotTable:
         materialized candidate scan as the rewrite. Readers of the
         CDF STREAM refuse op="update" commits without change files,
         exactly as for COW merge/delete — carried rows in rewritten
-        files are indistinguishable from changes at the file level."""
+        files are indistinguishable from changes at the file level.
+
+        ``predicate`` (or a single positional SQL string / Column)
+        generalizes the band to ANY predicate, as in
+        :meth:`delete_where`: ``update_where("status = 'late' AND
+        region = 'EU'", set={"priority": "'HIGH'"})``. Matched rows
+        are ``pred IS TRUE``; NULL-predicate rows carry unchanged."""
+        if set is None:
+            raise ValueError("update_where requires set={column: expr}")
         cur = self.current_version()
         if cur == 0:
             raise ValueError("empty table: no committed snapshot")
         manifest = self._manifest(cur)
-        candidates, untouched = self._split_by_band(manifest, column, lo, hi)
-        candidates, untouched, bucket_wanted, transform_bounds = (
-            self._point_band_prune(manifest, column, lo, hi, candidates, untouched)
-        )
+        plan = self._plan_dml_predicate(manifest, column, lo, hi, predicate)
+        candidates, untouched = plan["candidates"], plan["untouched"]
         if not candidates:
             return cur
         cand_scan = self._scan_live(manifest, candidates)
@@ -2241,7 +2557,7 @@ class SnapshotTable:
                 f"update_where: SET names columns not in the table: "
                 f"{unknown} — adding columns is a merge, not an update"
             )
-        matched_pred = F.col(column).between(F.lit(lo), F.lit(hi))
+        matched_pred = plan["matched"]
 
         def apply_set(df: DataFrame, pred) -> DataFrame:
             out = df
@@ -2272,11 +2588,7 @@ class SnapshotTable:
         base_dvs = manifest.get("dvs", {})
 
         def build(version: int, prev: dict) -> dict:
-            cands, untch = self._split_by_band(prev, column, lo, hi)
-            cands, untch, _bw, _tb = self._point_band_prune(
-                prev, column, lo, hi, cands, untch,
-                bucket_wanted, transform_bounds,
-            )
+            cands, untch = self._replan_predicate(prev, plan)
             # sorted-list compare (the `set` parameter shadows the
             # builtin in this scope)
             if sorted(cands) != sorted(candidates):
@@ -3473,13 +3785,25 @@ class SnapshotTable:
                 batch = batch_df.localCheckpoint(eager=True)
                 good, bad = split_by_expectations(batch, expect_or_drop)
                 # per-table replay guards: a crash BETWEEN the two
-                # commits must re-run only the side that didn't land
-                if self._current_markers().get(writer_id, -1) < batch_id:
+                # commits must re-run only the side that didn't land.
+                # An EMPTY side is skipped entirely (cheap counts over
+                # the local checkpoint): an all-good batch would
+                # otherwise commit a stats-less empty file to the
+                # quarantine every trigger — a forever-candidate for
+                # every later band plan plus a version of metadata
+                # churn — and replaying a skipped empty side is
+                # naturally idempotent (there is nothing to re-append;
+                # the marker advances with the next non-empty batch).
+                if (
+                    self._current_markers().get(writer_id, -1) < batch_id
+                    and good.count() > 0
+                ):
                     self.append(good, _markers=markers)
                 if (
                     quarantine is not None
                     and quarantine._current_markers().get(writer_id, -1)
                     < batch_id
+                    and bad.count() > 0
                 ):
                     quarantine.append(bad, _markers=markers)
                 return
@@ -3879,7 +4203,20 @@ class SnapshotTable:
                 sc = self._load_chunk(cname).get("bloom_sidecar")
                 if sc:
                     referenced_meta.add(sc)
-        for v in range(1, cur + 1):
+        if not dry_run:
+            # belt to _commit's full-listing braces: refresh the head
+            # hint to the verified current head BEFORE any manifest
+            # deletion, and delete expired manifests NEWEST-first —
+            # so a hint-seeded forward probe racing this expire can
+            # never stop at a mid-expire gap and resolve a stale head
+            try:
+                if cur and self.log.exists(self._manifest_path(cur)):
+                    self.log.write_text(
+                        self._head_hint_path(), json.dumps({"version": cur})
+                    )
+            except Exception:
+                pass  # advisory hint; commits use the full listing
+        for v in range(cur, 0, -1):
             if v not in keep_versions and not dry_run:
                 self.log.delete(self._manifest_path(v))
                 self.log.delete(f"{self.root}/_snapshots/v{v}.audit.json")

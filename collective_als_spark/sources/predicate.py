@@ -1,0 +1,338 @@
+"""SQL-predicate analysis for arbitrary-predicate DML over the
+snapshot table (``sources/layout.py``).
+
+Delta and Iceberg accept ANY predicate in DELETE / UPDATE / read
+filters; the engine extracts data-skipping proofs from the predicate's
+AND-conjuncts (``x BETWEEN``, ``x = lit``, ``x IN (...)``, ``x IS
+NULL`` ...) and applies the FULL predicate as the exact residual. This
+module is the extraction half for the PySpark rebuild: a tiny
+tokenizer + conjunct matcher over the supported ANSI predicate subset.
+
+The contract that keeps correctness independent of coverage: every
+conjunct this module cannot prove anything about becomes an ``opaque``
+conjunct — zero pruning power, never wrong. The caller ALWAYS applies
+the original predicate (as ``F.expr`` / the passed Column) to the rows
+it scans, so an unrecognized shape only costs file opens, never
+results. Recognized shapes per conjunct:
+
+- ``col <op> literal`` / ``literal <op> col`` for ``= < <= > >=``
+- ``col BETWEEN lit AND lit``
+- ``col IN (lit, ...)``
+- ``col IS [NOT] NULL``
+- parenthesized groups of the above joined by AND (recursed)
+
+Anything else — OR at the top level, NOT, function calls, column-to-
+column comparisons, ``<>``/``!=`` (an exclusion proves nothing for
+min/max pruning) — is opaque. Literals: numbers, ``'strings'`` (with
+``''`` escape), ``DATE '...'`` / ``TIMESTAMP '...'`` (compared as ISO
+strings, which is exactly how the manifest stats store temporal
+min/max — ISO order == chronological order), TRUE/FALSE.
+
+SQL three-valued logic note for callers: a DML "matched" predicate is
+``coalesce(pred, false)`` (NULL = not matched) and the survivor set is
+its exact complement ``NOT coalesce(pred, false)`` — the r07-verdict
+NULL-deletion discipline generalized from bands to arbitrary
+predicates. NULL-related pruning lives in the null-count stats path,
+never in min/max interval pruning (comparison conjuncts can't match
+NULL; IS NULL conjuncts can't match non-null-only files).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Conjunct:
+    """One AND-conjunct's pruning-relevant content.
+
+    kind:
+    - ``band``: ``column`` constrained to [lo, hi]; ``None`` bound =
+      unbounded on that side; ``lo_strict``/``hi_strict`` mark ``>``
+      / ``<`` (open endpoints). ``values`` is the EXACT literal set
+      when the conjunct was ``=`` or ``IN`` (enables bucket /
+      transform SET proofs), else None (interval-only).
+    - ``null``: ``column IS [NOT] NULL`` (``want_null``).
+    - ``opaque``: recognized nothing — no pruning power.
+    """
+
+    kind: str
+    column: str | None = None
+    lo: object = None
+    hi: object = None
+    lo_strict: bool = False
+    hi_strict: bool = False
+    values: frozenset | None = None
+    want_null: bool = False
+    src: str = field(default="", compare=False)
+
+
+OPAQUE = Conjunct(kind="opaque")
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s+
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<bq>`[^`]*`)
+  | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|-|\+)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "AND", "OR", "NOT", "BETWEEN", "IN", "IS", "NULL",
+    "TRUE", "FALSE", "DATE", "TIMESTAMP", "LIKE",
+}
+
+
+def _tokenize(sql: str) -> list[tuple[str, str]] | None:
+    """[(type, text)] or None when any character fails to lex (the
+    caller degrades to one opaque conjunct)."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            return None
+        pos = m.end()
+        if m.lastgroup is None:
+            continue  # whitespace
+        text = m.group(m.lastgroup)
+        kind = m.lastgroup
+        if kind == "word" and text.upper() in _KEYWORDS:
+            kind, text = "kw", text.upper()
+        out.append((kind, text))
+    return out
+
+
+def _split_conjuncts(tokens: list) -> list[list]:
+    """Split on top-level AND, pairing each BETWEEN with its own AND
+    (``x BETWEEN 1 AND 5`` is one conjunct, not two)."""
+    parts: list[list] = []
+    cur: list = []
+    depth = 0
+    pending_between = 0
+    for tok in tokens:
+        kind, text = tok
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        if depth == 0 and kind == "kw":
+            if text == "BETWEEN":
+                pending_between += 1
+            elif text == "AND":
+                if pending_between:
+                    pending_between -= 1
+                else:
+                    parts.append(cur)
+                    cur = []
+                    continue
+        cur.append(tok)
+    parts.append(cur)
+    return parts
+
+
+def _literal(tokens: list, i: int):
+    """(value, next_index) or (None, -1) when tokens[i:] doesn't start
+    with a literal. DATE/TIMESTAMP literals come back as their ISO
+    payload string — the manifest stats store temporal min/max the
+    same way, so interval comparisons line up."""
+    if i >= len(tokens):
+        return None, -1
+    kind, text = tokens[i]
+    if kind == "kw" and text in ("DATE", "TIMESTAMP") and i + 1 < len(tokens):
+        k2, t2 = tokens[i + 1]
+        if k2 == "str":
+            return t2[1:-1].replace("''", "'"), i + 2
+        return None, -1
+    if kind == "str":
+        return text[1:-1].replace("''", "'"), i + 1
+    if kind == "kw" and text in ("TRUE", "FALSE"):
+        return text == "TRUE", i + 1
+    neg = False
+    if kind == "op" and text in ("-", "+"):
+        neg = text == "-"
+        i += 1
+        if i >= len(tokens):
+            return None, -1
+        kind, text = tokens[i]
+    if kind == "num":
+        v = float(text) if ("." in text or "e" in text or "E" in text) else int(text)
+        return -v if neg else v, i + 1
+    return None, -1
+
+
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+
+
+def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
+    """One AND-free token run -> its conjuncts (a parenthesized group
+    recurses and may yield several)."""
+    # strip redundant outer parens: '(' ... matching ')' spanning all
+    while (
+        len(tokens) >= 2
+        and tokens[0] == ("op", "(")
+        and tokens[-1] == ("op", ")")
+    ):
+        depth = 0
+        spans = True
+        for j, (k, t) in enumerate(tokens):
+            if (k, t) == ("op", "("):
+                depth += 1
+            elif (k, t) == ("op", ")"):
+                depth -= 1
+                if depth == 0 and j != len(tokens) - 1:
+                    spans = False
+                    break
+        if not spans:
+            break
+        tokens = tokens[1:-1]
+        # the inner may itself be an AND chain: re-split and recurse
+        inner = _split_conjuncts(tokens)
+        if len(inner) > 1:
+            out: list[Conjunct] = []
+            for part in inner:
+                out.extend(_match_conjunct(part, src))
+            return out
+    if not tokens:
+        return [OPAQUE]
+    # any top-level OR / NOT / LIKE disqualifies the whole conjunct
+    depth = 0
+    for k, t in tokens:
+        if (k, t) == ("op", "("):
+            depth += 1
+        elif (k, t) == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and k == "kw" and t in ("OR", "NOT", "LIKE"):
+            # one exception handled below: IS NOT NULL
+            if t == "NOT" and _is_is_not_null(tokens):
+                continue
+            return [OPAQUE]
+    col = None
+    if tokens[0][0] == "word":
+        col = tokens[0][1]
+    elif tokens[0][0] == "bq":
+        col = tokens[0][1][1:-1]
+    # IS [NOT] NULL
+    if col is not None and len(tokens) >= 3 and tokens[1] == ("kw", "IS"):
+        rest = tokens[2:]
+        if rest == [("kw", "NULL")]:
+            return [Conjunct("null", column=col, want_null=True, src=src)]
+        if rest == [("kw", "NOT"), ("kw", "NULL")]:
+            return [Conjunct("null", column=col, want_null=False, src=src)]
+        return [OPAQUE]
+    # col BETWEEN lit AND lit
+    if col is not None and len(tokens) >= 2 and tokens[1] == ("kw", "BETWEEN"):
+        lo, i = _literal(tokens, 2)
+        if i > 0 and i < len(tokens) and tokens[i] == ("kw", "AND"):
+            hi, j = _literal(tokens, i + 1)
+            if j == len(tokens):
+                return [Conjunct("band", column=col, lo=lo, hi=hi, src=src)]
+        return [OPAQUE]
+    # col IN (lit, lit, ...)
+    if col is not None and len(tokens) >= 4 and tokens[1] == ("kw", "IN"):
+        if tokens[2] != ("op", "("):
+            return [OPAQUE]
+        vals = []
+        i = 3
+        while True:
+            v, j = _literal(tokens, i)
+            if j < 0:
+                return [OPAQUE]
+            vals.append(v)
+            if j >= len(tokens):
+                return [OPAQUE]
+            if tokens[j] == ("op", ")"):
+                if j == len(tokens) - 1 and vals:
+                    return [_in_conjunct(col, vals, src)]
+                return [OPAQUE]
+            if tokens[j] != ("op", ","):
+                return [OPAQUE]
+            i = j + 1
+    # col <op> lit   /   lit <op> col
+    if col is not None and len(tokens) >= 3 and tokens[1][0] == "op":
+        op = tokens[1][1]
+        v, j = _literal(tokens, 2)
+        if j == len(tokens) and op in _FLIP:
+            return [_cmp_conjunct(col, op, v, src)]
+        return [OPAQUE]
+    v, j = _literal(tokens, 0)
+    if (
+        v is not None
+        and j < len(tokens) - 1
+        and tokens[j][0] == "op"
+        and tokens[j][1] in _FLIP
+        and j + 1 == len(tokens) - 1
+        and tokens[j + 1][0] in ("word", "bq")
+    ):
+        c = tokens[j + 1][1]
+        if tokens[j + 1][0] == "bq":
+            c = c[1:-1]
+        return [_cmp_conjunct(c, _FLIP[tokens[j][1]], v, src)]
+    return [OPAQUE]
+
+
+def _is_is_not_null(tokens: list) -> bool:
+    return (
+        len(tokens) == 4
+        and tokens[0][0] in ("word", "bq")
+        and tokens[1] == ("kw", "IS")
+        and tokens[2] == ("kw", "NOT")
+        and tokens[3] == ("kw", "NULL")
+    )
+
+
+def _cmp_conjunct(col: str, op: str, v, src: str) -> Conjunct:
+    if op == "=":
+        return Conjunct(
+            "band", column=col, lo=v, hi=v, values=frozenset([v]), src=src
+        )
+    if op == ">=":
+        return Conjunct("band", column=col, lo=v, src=src)
+    if op == ">":
+        return Conjunct("band", column=col, lo=v, lo_strict=True, src=src)
+    if op == "<=":
+        return Conjunct("band", column=col, hi=v, src=src)
+    if op == "<":
+        return Conjunct("band", column=col, hi=v, hi_strict=True, src=src)
+    return OPAQUE
+
+
+def _in_conjunct(col: str, vals: list, src: str) -> Conjunct:
+    try:
+        lo, hi = min(vals), max(vals)
+    except TypeError:
+        # mixed-type IN list: no interval, but the exact set still
+        # powers bucket/transform membership proofs
+        lo = hi = None
+    return Conjunct(
+        "band", column=col, lo=lo, hi=hi, values=frozenset(vals), src=src
+    )
+
+
+def analyze_predicate(sql: str) -> list[Conjunct]:
+    """SQL predicate string -> pruning conjuncts. Never raises: an
+    unlexable / unrecognized input degrades to [OPAQUE] (zero pruning,
+    full-candidate scan) — the caller's residual filter carries
+    correctness regardless."""
+    tokens = _tokenize(sql)
+    if tokens is None:
+        return [OPAQUE]
+    out: list[Conjunct] = []
+    for part in _split_conjuncts(tokens):
+        out.extend(_match_conjunct(part, sql))
+    return out
+
+
+def column_sql(col) -> str | None:
+    """Best-effort SQL text of a pyspark Column (classic mode's py4j
+    expression tree). None under Spark Connect or on any failure —
+    the caller then treats the Column as one opaque conjunct."""
+    try:
+        return col._jc.expr().sql()
+    except Exception:
+        return None

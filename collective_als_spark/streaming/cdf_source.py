@@ -177,6 +177,21 @@ def _resolve_manifest(root: str, version: int) -> dict:
             "table's retention (expire keep_last/older_than) past the "
             "stream's max restart lag"
         )
+    except OSError:
+        # pyarrow.fs backends surface missing object-store paths as
+        # generic OSError ("Path does not exist"), not FileNotFoundError
+        # — distinguish expiry from a transient IO fault with an
+        # existence check so the retention guidance still reaches the
+        # operator (a real transient fault re-raises for the engine's
+        # retry)
+        if not _exists(path):
+            raise RuntimeError(
+                f"snapshot_cdf: manifest v{version} at {root} was expired "
+                "while a streaming checkpoint still needed it — widen the "
+                "table's retention (expire keep_last/older_than) past the "
+                "stream's max restart lag"
+            )
+        raise
     if "chunks" in raw:
         dead = set(raw.get("dead", []))
         files: list[str] = []

@@ -1646,7 +1646,10 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert t.version_at(marks[0]) == 1
     assert t.version_at(marks[1]) == 2
     assert t.read(as_of=marks[1]).count() == 20
-    assert t.read(as_of=marks[2] + 3600).count() == 30  # future -> head
+    # a timestamp AFTER the newest commit raises (Delta's rule): a
+    # typo'd future instant must not silently read a moving 'latest'
+    with _pytest.raises(ValueError, match="after the newest commit"):
+        t.read(as_of=marks[2] + 3600)
     with _pytest.raises(ValueError, match="no committed snapshot"):
         t.version_at(marks[0] - 3600)
     with _pytest.raises(ValueError, match="not both"):

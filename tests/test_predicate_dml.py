@@ -1,0 +1,300 @@
+"""Arbitrary-predicate DML (r09 verdict #1): delete_where /
+delete_where_mor / update_where / replace_where / read accept any SQL
+predicate (or Column), pruning proofs come from recognized
+AND-conjuncts, and the exact predicate always carries correctness.
+
+Invariants driven here:
+- predicate DML == the equivalent full-scan filter, NULLs included
+  (matched = pred IS TRUE, survivors = exact complement);
+- band-shaped conjuncts still bound file opens (untouched files carry
+  over by path, pruned reads open fewer files);
+- unrecognized conjuncts degrade to full-candidate scans, never to
+  wrong results;
+- the CDF stream of a predicate delete equals the table delta.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from collective_als_spark.sources.layout import SnapshotTable
+from collective_als_spark.sources.predicate import (
+    OPAQUE,
+    analyze_predicate,
+)
+
+
+# ---------------------------------------------------------------------------
+# analyzer unit tests (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_analyze_conjunct_shapes():
+    c1, c2 = analyze_predicate("status = 'cancelled' AND region IN ('EU','US')")
+    assert (c1.kind, c1.column, c1.lo, c1.hi) == ("band", "status", "cancelled", "cancelled")
+    assert c1.values == frozenset(["cancelled"])
+    assert c2.values == frozenset(["EU", "US"])
+    assert (c2.lo, c2.hi) == ("EU", "US")
+
+    (b,) = analyze_predicate("o_orderkey BETWEEN 5 AND 10")
+    assert (b.column, b.lo, b.hi, b.lo_strict, b.hi_strict) == (
+        "o_orderkey", 5, 10, False, False,
+    )
+
+    lo, hi = analyze_predicate("d >= DATE '2020-01-01' AND d < DATE '2021-01-01'")
+    assert (lo.lo, lo.lo_strict) == ("2020-01-01", False)
+    assert (hi.hi, hi.hi_strict) == ("2021-01-01", True)
+
+    (n1, n2) = analyze_predicate("a IS NULL AND b IS NOT NULL")
+    assert (n1.kind, n1.want_null) == ("null", True)
+    assert (n2.kind, n2.want_null) == ("null", False)
+
+    # flipped literal-first comparison
+    (f_,) = analyze_predicate("5 <= x")
+    assert (f_.column, f_.lo) == ("x", 5)
+
+    # negative / float literals
+    g, h = analyze_predicate("x > -5 AND y <= 3.5")
+    assert (g.lo, g.lo_strict) == (-5, True)
+    assert h.hi == 3.5
+
+
+def test_analyze_degrades_to_opaque_never_raises():
+    # OR / NOT / functions / <> / LIKE / column-to-column: opaque
+    for sql in (
+        "x = 1 OR y = 2",
+        "NOT (x = 1)",
+        "upper(s) = 'A'",
+        "x <> 3",
+        "x LIKE 'a%'",
+        "a = b",
+        "???",
+        "",
+    ):
+        conj = analyze_predicate(sql)
+        assert all(c.kind in ("opaque", "band", "null") for c in conj)
+        assert any(c == OPAQUE for c in conj) or not sql
+    # mixed: the opaque conjunct doesn't poison the recognized one
+    conj = analyze_predicate("upper(s) = 'A' AND k = 7")
+    kinds = sorted(c.kind for c in conj)
+    assert kinds == ["band", "opaque"]
+    # parenthesized AND group recurses
+    conj = analyze_predicate("(x = 1 AND y = 2) AND z > 0")
+    assert [c.kind for c in conj] == ["band", "band", "band"]
+
+
+# ---------------------------------------------------------------------------
+# DML over a table with NULLs (the r07 discipline, generalized)
+# ---------------------------------------------------------------------------
+
+
+def _orders(spark):
+    rows = [
+        (1, "cancelled", "EU", 10.0),
+        (2, "cancelled", "US", 20.0),
+        (3, "cancelled", "JP", 30.0),  # region not in set: survives
+        (4, "open", "EU", 40.0),       # status mismatch: survives
+        (5, None, "EU", 50.0),         # NULL status: pred NULL -> survives
+        (6, "cancelled", None, 60.0),  # NULL region: pred NULL -> survives
+        (7, "open", None, 70.0),
+    ]
+    return spark.createDataFrame(rows, "id long, status string, region string, amount double")
+
+
+PRED = "status = 'cancelled' AND region IN ('EU', 'US')"
+
+
+def test_delete_where_predicate_exact_complement_with_nulls(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id", "status", "region"])
+    t.append(_orders(spark))
+    v = t.delete_where(PRED)
+    assert v == 2
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [3, 4, 5, 6, 7]  # NULL-predicate rows survive
+
+
+def test_delete_where_predicate_column_form(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    t.delete_where((F.col("status") == "cancelled") & F.col("region").isin("EU", "US"))
+    assert sorted(r["id"] for r in t.read().collect()) == [3, 4, 5, 6, 7]
+
+
+def test_delete_where_mor_predicate_matches_cow(spark, tmp_path):
+    cow = SnapshotTable(spark, str(tmp_path / "cow"), stats_columns=["id"])
+    mor = SnapshotTable(spark, str(tmp_path / "mor"), stats_columns=["id"])
+    cow.append(_orders(spark))
+    mor.append(_orders(spark))
+    cow.delete_where(PRED)
+    mor.delete_where_mor(PRED)
+    a = sorted(tuple(r) for r in cow.read().collect())
+    b = sorted(tuple(r) for r in mor.read().collect())
+    assert a == b
+
+
+def test_delete_where_predicate_is_null(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id", "status"])
+    t.append(_orders(spark))
+    t.delete_where("status IS NULL")
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4, 6, 7]
+
+
+def test_update_where_predicate_nulls_carried(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    t.update_where("status = 'cancelled' AND amount < 25", set={"amount": "amount * 10"})
+    rows = {r["id"]: r["amount"] for r in t.read().collect()}
+    assert rows[1] == 100.0 and rows[2] == 200.0
+    assert rows[3] == 30.0 and rows[5] == 50.0 and rows[6] == 60.0
+
+
+def test_replace_where_predicate_validates_and_swaps(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    good = spark.createDataFrame(
+        [(10, "cancelled", "EU", 1.0)],
+        "id long, status string, region string, amount double",
+    )
+    t.replace_where(predicate=PRED, df=good)
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [3, 4, 5, 6, 7, 10]
+    # out-of-region replacement rows rejected (incl. NULL-predicate rows)
+    bad = spark.createDataFrame(
+        [(11, "open", "EU", 1.0)],
+        "id long, status string, region string, amount double",
+    )
+    with pytest.raises(ValueError, match="do NOT satisfy the predicate"):
+        t.replace_where(predicate=PRED, df=bad)
+    nullish = spark.createDataFrame(
+        [(12, "cancelled", None, 1.0)],
+        "id long, status string, region string, amount double",
+    )
+    with pytest.raises(ValueError, match="do NOT satisfy the predicate"):
+        t.replace_where(predicate=PRED, df=nullish)
+
+
+def test_delete_where_band_args_still_work(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    t.delete_where("id", 2, 4)
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 5, 6, 7]
+    with pytest.raises(ValueError, match="not both"):
+        t.delete_where("id", 2, 4, predicate="id = 1")
+
+
+# ---------------------------------------------------------------------------
+# pruning: band-shaped conjuncts still bound file opens
+# ---------------------------------------------------------------------------
+
+
+def _banded(spark, t):
+    """Three single-file commits covering v-bands 0-99 / 1000-1099 /
+    2000-2099 with a side 'flag' column."""
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 100)
+            .select(
+                F.col("id").alias("v"),
+                F.when(F.col("id") % 2 == 0, F.lit("x")).otherwise(F.lit("y")).alias("flag"),
+            )
+            .coalesce(1)
+        )
+
+
+def test_predicate_delete_prunes_candidate_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    _banded(spark, t)
+    before = set(t._manifest(t.current_version())["files"])
+    # band conjunct bounds the rewrite; the opaque-ish flag conjunct
+    # (recognized = on a stats-less column) doesn't widen it
+    t.delete_where("v BETWEEN 1000 AND 1099 AND flag = 'x'")
+    after = set(t._manifest(t.current_version())["files"])
+    # 0- and 2000-band files untouched (identical paths); only the
+    # 1000-band file was rewritten
+    assert len(before & after) == 2
+    got = t.read().filter(F.col("v").between(1000, 1099)).collect()
+    assert sorted(r["v"] for r in got) == [v for v in range(1000, 1100) if v % 2 == 1]
+
+
+def test_predicate_mor_delete_dv_only_on_candidates(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    _banded(spark, t)
+    t.delete_where_mor("v >= 2000 AND flag = 'y'")
+    m = t._manifest(t.current_version())
+    # only the 2000-band file got a DV entry
+    assert len(m.get("dvs", {})) == 1
+    assert t.read().count() == 250
+
+
+def test_read_where_predicate_prunes_and_matches_filter(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    _banded(spark, t)
+    pruned = t.read(where="v BETWEEN 1000 AND 1099 AND flag = 'x'")
+    full = t.read().filter(F.col("v").between(1000, 1099) & (F.col("flag") == "x"))
+    assert len(pruned.inputFiles()) == 1 < len(t.read().inputFiles())
+    assert sorted(r["v"] for r in pruned.collect()) == sorted(
+        r["v"] for r in full.collect()
+    )
+    # band-tuple list form: conjunction of bands
+    both = t.read(where=[("v", 0, 99), ("v", 50, 2050)])
+    assert len(both.inputFiles()) == 1
+    assert sorted(r["v"] for r in both.collect()) == list(range(50, 100))
+    # strict open range prunes the boundary file exactly
+    strict = t.read(where="v > 1099 AND v < 2000")
+    assert len(strict.inputFiles()) == 0 or strict.count() == 0
+    assert strict.count() == 0
+
+
+def test_read_where_opaque_predicate_full_scan_correct(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    _banded(spark, t)
+    # OR at top level: zero pruning power, still exact
+    got = t.read(where="v = 5 OR v = 2005")
+    assert sorted(r["v"] for r in got.collect()) == [5, 2005]
+    assert len(got.inputFiles()) == 3  # conservative full candidates
+
+
+def test_read_where_is_null_pruning(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["s"])
+    t.append(
+        spark.createDataFrame([("a",), ("b",)], "s string").coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(None,), ("c",)], "s string").coalesce(1)
+    )
+    got = t.read(where="s IS NULL")
+    assert got.count() == 1
+    assert len(got.inputFiles()) == 1  # no-NULL file pruned by null counts
+
+
+def test_predicate_delete_cdf_feed_equals_table_delta(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stats_columns=["id"], change_data_feed=True
+    )
+    t.append(_orders(spark))
+    v1 = t.current_version()
+    v2 = t.delete_where(PRED)
+    feed = t.changes(v1, v2)
+    dels = sorted(
+        r["id"] for r in feed.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [1, 2]
+    assert feed.filter(F.col("_change_type") == "insert").count() == 0
+
+
+def test_predicate_delete_in_set_bucket_pruning(spark, tmp_path):
+    """IN-set conjuncts reach the hidden-partition bucket proofs: a
+    bucketed layout opens only the buckets the literal set maps to."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.append_bucketed(
+        spark.range(0, 4000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("p")),
+        "k",
+        8,
+    )
+    before = set(t._manifest(t.current_version())["files"])
+    t.delete_where("k IN (5, 9)")
+    after = set(t._manifest(t.current_version())["files"])
+    rewritten = before - after
+    # the two keys land in at most 2 buckets: at most 2 files rewritten
+    assert 1 <= len(rewritten) <= 2
+    assert t.read().count() == 3998
+    assert t.read().filter(F.col("k").isin(5, 9)).count() == 0
