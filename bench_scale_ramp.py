@@ -220,6 +220,8 @@ def measure_lake_protocol(spark) -> dict:
         "merge_cow_sec",
         "merge_mor_sec",
         "apply_changes_sec",
+        "apply_changes_tracked_sec",
+        "apply_changes_stale_sec",
         "compact_full_sec",
     )
     out: dict = {}
@@ -321,6 +323,48 @@ def measure_lake_protocol(spark) -> dict:
                     round(time.perf_counter() - t0, 3)
                 )
                 bytes_written["apply_changes_sec"] = _commit_bytes(t, v)
+                # r09 TRACKED apply (cross-batch sequence enforcement):
+                # same scattered batch at a higher sequence. The claim:
+                # the stale-gate adds ONE band/bloom-pruned semi-scan
+                # per batch (applied-seq lookup), so the tracked commit
+                # stays batch-proportional like merge_mor — the 10x/1x
+                # ratio must not regress toward the COW curve.
+                cdc2 = spark.createDataFrame(
+                    [
+                        (k, -3.0, "U" if i % 2 == 0 else "D", 10)
+                        for i, k in enumerate(keys)
+                    ],
+                    "o_orderkey long, o_totalprice double, "
+                    "_op string, seq long",
+                )
+                t0 = time.perf_counter()
+                v = t.apply_changes(
+                    cdc2, "o_orderkey", seq_col="seq", track_seq=True
+                )
+                runs["apply_changes_tracked_sec"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                bytes_written["apply_changes_tracked_sec"] = _commit_bytes(t, v)
+                # OUT-OF-ORDER delivery: the whole batch re-arrives at a
+                # LOWER sequence — every row must gate out with no
+                # commit; the cost is the pure stale-filter path.
+                cdc3 = spark.createDataFrame(
+                    [
+                        (k, -4.0, "U" if i % 2 == 0 else "D", 5)
+                        for i, k in enumerate(keys)
+                    ],
+                    "o_orderkey long, o_totalprice double, "
+                    "_op string, seq long",
+                )
+                t0 = time.perf_counter()
+                v_stale = t.apply_changes(
+                    cdc3, "o_orderkey", seq_col="seq", track_seq=True
+                )
+                runs["apply_changes_stale_sec"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                assert v_stale == v, "stale batch must not commit"
+                bytes_written["apply_changes_stale_sec"] = 0
                 t0 = time.perf_counter()
                 v = t.compact(target_rows_per_file=target)  # full rewrite
                 runs["compact_full_sec"].append(
@@ -344,6 +388,85 @@ def measure_lake_protocol(spark) -> dict:
         )
         for k in steps
         if out["1x"]["bytes_written"].get(k)
+    }
+    return out
+
+
+def measure_ann_protocol(spark) -> dict:
+    """r09: growth curve of the ANN serve/maintenance tier — FIXED
+    work (100-id delete, 100-id replace, 20-query plain and
+    attribute-filtered search) against a 1x and a 10x corpus index,
+    with cells scaled ~sqrt(corpus) as a real deployment sizes them.
+
+    The claims under test:
+    - search / filtered search track the PROBED cells (n_probe x
+      corpus/n_cells): with sqrt-scaled cells the probed bytes grow
+      ~sqrt(10) ≈ 3.2x, not 10x — directory pruning is what holds;
+    - delete/replace write cost tracks the ids batch (a tiny
+      cell-partitioned mask + append), though their id-resolution join
+      scans the codes once (~linear, recorded not hidden)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from collective_als_spark.operators.ann_index import IvfPqIndex
+
+    out: dict = {}
+    steps = (
+        "delete_sec",
+        "replace_sec",
+        "search_sec",
+        "filtered_search_sec",
+    )
+    for label, sdir, n_cells in (("1x", SRC_DIR, 16), ("10x", RAMP_DIR, 50)):
+        emb = spark.read.parquet(f"{sdir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n_corpus = emb.count()
+        queries = emb.orderBy("vec_id").limit(20)
+        victims = emb.orderBy(F.col("vec_id").desc()).limit(100)
+        runs: dict[str, list[float]] = {s: [] for s in steps}
+        for _pass in range(2):
+            root = tempfile.mkdtemp(prefix=f"ann_ramp_{label}_")
+            try:
+                idx = IvfPqIndex.build(
+                    emb, n_cells=n_cells, m=8, n_codes=16, seed=42
+                )
+                idx.save(f"{root}/idx")
+                t0 = time.perf_counter()
+                idx.search(
+                    queries, emb, k=5, n_probe=6, rerank_depth=50
+                ).write.format("noop").mode("overwrite").save()
+                runs["search_sec"].append(round(time.perf_counter() - t0, 3))
+                t0 = time.perf_counter()
+                idx.search(
+                    queries,
+                    emb,
+                    k=5,
+                    n_probe=6,
+                    rerank_depth=50,
+                    where="vec_id % 2 = 0",
+                ).write.format("noop").mode("overwrite").save()
+                runs["filtered_search_sec"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                t0 = time.perf_counter()
+                idx.delete(victims.select("vec_id"))
+                runs["delete_sec"].append(round(time.perf_counter() - t0, 3))
+                t0 = time.perf_counter()
+                idx.add(victims, replace=True)
+                runs["replace_sec"].append(round(time.perf_counter() - t0, 3))
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        out[label] = {s: min(runs[s]) for s in steps}
+        out[label]["corpus_rows"] = n_corpus
+        out[label]["n_cells"] = n_cells
+        out[label]["runs"] = runs
+    out["ratios_10x_over_1x"] = {
+        k: round(out["10x"][k] / out["1x"][k], 2)
+        for k in steps
+        if out["1x"][k] > 0
     }
     return out
 
@@ -394,8 +517,13 @@ def main() -> None:
                 prev = json.load(f)
             if prev.get("replicas") == REPLICAS and prev.get("src") == SRC_DIR:
                 out["queries"] = prev.get("queries", {})
-                if prev.get("lake_protocol"):
-                    out["lake_protocol"] = prev["lake_protocol"]
+                lp = prev.get("lake_protocol")
+                # carry only a CURRENT-shape artifact (r09 added the
+                # tracked/stale apply steps — an old one must re-run)
+                if lp and "apply_changes_tracked_sec" in lp.get("1x", {}):
+                    out["lake_protocol"] = lp
+                if prev.get("ann_serve"):
+                    out["ann_serve"] = prev["ann_serve"]
         except (OSError, ValueError):
             pass
 
@@ -443,6 +571,11 @@ def main() -> None:
         with open(out_path, "w") as f:
             json.dump(out, f, indent=1)
         print("lake_protocol", json.dumps(out["lake_protocol"]))
+    if "ann_serve" not in out:
+        out["ann_serve"] = measure_ann_protocol(spark)
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+        print("ann_serve", json.dumps(out["ann_serve"]))
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
 
 

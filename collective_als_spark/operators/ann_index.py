@@ -73,17 +73,27 @@ def _encode_with(
     codebooks: np.ndarray,
     id_col: str,
     vec_col: str,
+    gen: int = 0,
 ) -> DataFrame:
-    """(nid, codes, cell) for a vector frame using FROZEN quantizers —
-    the shared encode path of build() and add(): cell assignment and
-    PQ codes are both one narrow Arrow pass; nothing is refit."""
+    """(nid, codes, cell, gen) for a vector frame using FROZEN
+    quantizers — the shared encode path of build() and add(): cell
+    assignment and PQ codes are both one narrow Arrow pass; nothing is
+    refit. ``gen`` is the ingest GENERATION stamp: build writes 0,
+    each add() batch the next integer — what lets a delete mask
+    suppress exactly the rows that existed when it was written and an
+    id-upsert (add(replace=True)) supersede older rows without
+    touching them."""
     dvec = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     cell_of = _assign_cells(vectors, centroids, id_col, vec_col, 1).select(
         F.col("vid").alias("nid"), "cell"
     )
-    return _pq_encode(dvec, codebooks, id_col).join(cell_of, "nid")
+    return (
+        _pq_encode(dvec, codebooks, id_col)
+        .join(cell_of, "nid")
+        .withColumn("gen", F.lit(int(gen)).cast("long"))
+    )
 
 
 def _mean_relative_residual(
@@ -199,12 +209,11 @@ class IvfPqIndex:
         # to the NEW path are the masked view, so publish() (which
         # saves into a fresh version dir) can never resurrect ids the
         # served index already deleted
-        to_write = self.encoded
-        masks = self._delete_masks()
-        if masks is not None:
-            to_write = to_write.join(
-                masks.select("nid").distinct(), "nid", "left_anti"
-            )
+        to_write = self._mask_codes(self.encoded)
+        if "gen" not in to_write.columns:
+            # a full rewrite is the free migration point: stamp the
+            # generation column pre-gen indexes lack
+            to_write = to_write.withColumn("gen", F.lit(0).cast("long"))
         # partitionBy("cell") = the serve path's cell filter becomes
         # directory-level partition pruning on every future search
         to_write.write.mode("overwrite").partitionBy("cell").parquet(
@@ -258,7 +267,7 @@ class IvfPqIndex:
 
     # ------------------------------------------------------------- ingest
 
-    def add(self, new_vectors: DataFrame) -> dict:
+    def add(self, new_vectors: DataFrame, replace: bool = False) -> dict:
         """Incremental ingest: assign the new vectors to EXISTING
         cells, encode with EXISTING codebooks, and append the codes —
         into the cell-partitioned parquet when the index is persisted
@@ -266,12 +275,27 @@ class IvfPqIndex:
         matching ``cell=<c>/`` directories, so serve-time directory
         pruning keeps working), or as a union for an in-memory index.
         Nothing is refit; a streaming corpus ingests without pausing
-        serving. Callers own id uniqueness (re-adding an id would
-        duplicate its codes, same as any append sink).
+        serving. Each batch carries the next GENERATION stamp.
+
+        ``replace=False`` (default): callers own id uniqueness —
+        re-adding an id duplicates its codes, same as any append sink.
+        ``replace=True`` is the id-UPSERT (r08 verdict: re-adding an
+        id duplicated its codes with no fix short of a retrain): ids
+        already present are first masked through the delete-mask path
+        at their CURRENT generation, then the batch appends at the
+        next one — the serve anti-join (``gen <= mask gen``)
+        suppresses exactly the superseded rows while the fresh ones
+        serve. O(batch) mask rows + the append, no code rewrite;
+        :meth:`compact_codes` folds the superseded rows away
+        physically. On a persisted index the mask lands before the
+        append (a crash between them leaves the id deleted — re-run
+        the batch; the reverse order would serve duplicates).
+        Pre-generation indexes (saved before this column existed)
+        must :meth:`compact_codes` once to migrate before replace.
 
         Returns the retrain signal::
 
-            {"added": n, "batch_residual": r_b,
+            {"added": n, "replaced": masked, "batch_residual": r_b,
              "build_residual": r_0, "drift": r_b / r_0}
 
         ``drift`` near 1 → the frozen quantizers still fit the
@@ -283,9 +307,34 @@ class IvfPqIndex:
         n = new_vectors.count()
         if n == 0:
             raise ValueError("empty ingest batch")
+        has_gen = "gen" in self.encoded.columns
+        if replace and not has_gen:
+            raise ValueError(
+                "add(replace=True) needs generation-stamped codes; this "
+                "index predates the gen column — run compact_codes() "
+                "once to migrate it"
+            )
+        next_gen = 1
+        if has_gen:
+            cur_max = self.encoded.agg(F.max("gen").alias("g")).first()["g"]
+            next_gen = int(cur_max or 0) + 1
+        replaced = 0
+        if replace:
+            stats = self.delete(new_vectors)
+            replaced = stats["masked"]
         fresh = _encode_with(
-            new_vectors, self.centroids, self.codebooks, self.id_col, self.vec_col
+            new_vectors,
+            self.centroids,
+            self.codebooks,
+            self.id_col,
+            self.vec_col,
+            gen=next_gen,
         )
+        if not has_gen:
+            # legacy persisted layout without the column: appending a
+            # wider schema would leave the codes dir mixed — stay at
+            # the old shape until a compaction migrates it
+            fresh = fresh.drop("gen")
         if self.path is not None:
             fresh.write.mode("append").partitionBy("cell").parquet(
                 f"{self.path}/codes"
@@ -303,6 +352,7 @@ class IvfPqIndex:
         )
         return {
             "added": n,
+            "replaced": replaced,
             "batch_residual": batch_residual,
             "build_residual": self.build_residual,
             "drift": drift,
@@ -336,9 +386,16 @@ class IvfPqIndex:
         key = ids.select(F.col(self.id_col).alias("nid")).distinct()
         n_req = key.count()  # ids-only job, no corpus scan
         # materialize the ids-vs-corpus join ONCE (localCheckpoint);
-        # the stat count and the mask write both reuse it
+        # the stat count and the mask write both reuse it. Mask rows
+        # carry the masked row's OWN generation: the serve anti-join
+        # (gen <= mask gen) then suppresses exactly the rows that
+        # existed when the mask was written — a later add(replace=True)
+        # of the same id serves its fresh higher-generation row
+        mask_cols = ["nid", "cell"] + (
+            ["gen"] if "gen" in self.encoded.columns else []
+        )
         masked = (
-            self.encoded.select("nid", "cell").join(key, "nid").localCheckpoint()
+            self.encoded.select(*mask_cols).join(key, "nid").localCheckpoint()
         )
         n_masked = masked.count()
         if self.path is None:
@@ -361,6 +418,29 @@ class IvfPqIndex:
         if not logstore_for(self.spark, self.path).exists(d):
             return None
         return self.spark.read.parquet(d)
+
+    def _mask_codes(self, enc: DataFrame, cells=None) -> DataFrame:
+        """Anti-join the delete masks out of a codes frame — shared by
+        both serve paths, save(), and compact_codes(). Generation-aware
+        when both sides carry ``gen`` (mask suppresses only rows at or
+        below its generation — the id-upsert contract); legacy
+        by-id otherwise. ``cells`` bounds the mask scan to the probed
+        cells (directory-level pruning, same as the codes)."""
+        masks = self._delete_masks()
+        if masks is None:
+            return enc
+        if cells is not None:
+            masks = masks.filter(F.col("cell").isin(cells))
+        if "gen" in masks.columns and "gen" in enc.columns:
+            m = masks.select(
+                F.col("nid").alias("__mnid"), F.col("gen").alias("__mgen")
+            )
+            return enc.join(
+                m,
+                (enc["nid"] == m["__mnid"]) & (enc["gen"] <= m["__mgen"]),
+                "left_anti",
+            )
+        return enc.join(masks.select("nid").distinct(), "nid", "left_anti")
 
     # -------------------------------------------------------- maintenance
 
@@ -389,13 +469,19 @@ class IvfPqIndex:
         codes_dir = f"{self.path}/codes"
         codes = self.spark.read.parquet(codes_dir)
         files_before = len(codes.inputFiles())
-        # fold the logical delete masks away physically: masked rows
-        # are dropped from the rewrite and the mask dir is removed, so
+        # fold the logical delete masks away physically (generation-
+        # aware: only rows at or below each mask's gen drop — a
+        # replaced id keeps its fresh row): masked rows are dropped
+        # from the rewrite and the mask dir is removed, so
         # post-compaction serving needs no anti-join at all (the
         # snapshot table's DV-materializing compact, same shape)
         masks = self._delete_masks()
         if masks is not None:
-            codes = codes.join(masks.select("nid").distinct(), "nid", "left_anti")
+            codes = self._mask_codes(codes)
+        if "gen" not in codes.columns:
+            # migration point for pre-generation indexes: the rewrite
+            # stamps gen=0 so add(replace=True) works afterwards
+            codes = codes.withColumn("gen", F.lit(0).cast("long"))
         n_cells = int(self.centroids.shape[0])
         staged = f"{self.path}/codes.compact.{uuid.uuid4().hex}"
         codes.repartition(n_cells, "cell").write.mode("error").partitionBy(
@@ -603,21 +689,16 @@ class IvfPqIndex:
 
         # on a saved index this filter is directory-level partition
         # pruning (codes/cell=<c>/); in-memory it's a plain filter
-        enc = self.encoded.filter(F.col("cell").isin(probed_any)).select(
-            "nid", "codes", "cell"
+        sel = ["nid", "codes", "cell"] + (
+            ["gen"] if "gen" in self.encoded.columns else []
         )
-        # logically-deleted rows never reach the ADC scan: anti-join
-        # the delete masks of the PROBED cells (the same partition
-        # pruning as the codes — a mask scan is O(probed masks), not
-        # O(all deletes)). Masks are tiny next to the corpus; AQE
-        # picks broadcast when they fit, no forced hint.
-        masks = self._delete_masks()
-        if masks is not None:
-            enc = enc.join(
-                masks.filter(F.col("cell").isin(probed_any)).select("nid"),
-                "nid",
-                "left_anti",
-            )
+        enc = self.encoded.filter(F.col("cell").isin(probed_any)).select(*sel)
+        # logically-deleted / superseded rows never reach the ADC scan:
+        # generation-aware anti-join against the delete masks of the
+        # PROBED cells (the same partition pruning as the codes — a
+        # mask scan is O(probed masks), not O(all deletes)). Masks are
+        # tiny next to the corpus; AQE picks broadcast when they fit.
+        enc = self._mask_codes(enc, cells=probed_any)
         enc = self._apply_where(enc, vectors, where)
         cand = enc.mapInPandas(adc_scan, _CAND_SCHEMA)
 
@@ -692,10 +773,10 @@ class IvfPqIndex:
             q.select(F.col(id_col).alias("vid"), "_qv"), "vid"
         ).select("vid", "cell", "_qv")
 
-        enc = self.encoded.select("nid", "codes", "cell")
-        masks = self._delete_masks()
-        if masks is not None:
-            enc = enc.join(masks.select("nid"), "nid", "left_anti")
+        sel = ["nid", "codes", "cell"] + (
+            ["gen"] if "gen" in self.encoded.columns else []
+        )
+        enc = self._mask_codes(self.encoded.select(*sel))
         enc = self._apply_where(enc, vectors, where)
 
         def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

@@ -95,8 +95,23 @@ _PRIORITY: list[str] = [
     "lake_snapshot_lifecycle", "ann_topk_cosine",
     "text_quality_metrics", "lang_id_heuristic", "doc_fingerprint",
     # -- extended SQL coverage, one representative per family
-    "semi_anti_join", "star_join_revenue", "topk_per_group",
-    "exists_subquery",
+    # r09 promotions (r08 verdict #4): the four round-8 oracles enter
+    # the cap; four redundant family members demote (all stay
+    # pytest-oracle-checked below): semi_anti_join + exists_subquery
+    # (the subquery/semi-join family keeps star_join + topk_per_group
+    # in-cap and in/scalar-subquery witnesses below), table_profile (a
+    # profiling agg), range_join_attribution (asof_join stays the
+    # in-cap range-join witness)
+    "star_join_revenue", "topk_per_group",
+    # CDC apply tier: sequence-ordered upserts+deletes in one atomic
+    # MOR commit (DLT's APPLY CHANGES INTO)
+    "lake_apply_changes",
+    # copy-on-write UPDATE with band pruning + CDF pre/post images
+    "lake_update_quality",
+    # Gopher/MassiveText repetition signals, pure JVM array exprs
+    "gopher_quality_signals",
+    # attribute-filtered ANN serve (single-stage filtering + deletes)
+    "ann_filtered_topk",
     # -- windowed/streaming batch twin
     "sessionization",
     # -- r03 promotions: extension oracles never driver-checked before
@@ -106,7 +121,7 @@ _PRIORITY: list[str] = [
     # GPT-3-style 8-gram eval-overlap gate)
     "benchmark_decontamination",
     "item_item_cosine", "prefix_jaccard_pairs",
-    "table_profile", "grouping_sets_agg", "range_join_attribution",
+    "grouping_sets_agg",
     # r04 swap: substring_containment_pairs (lossless winnowing-candidate
     # exact dedup, the novel r04 tier) replaces intersect_except (a
     # trivially-correct set op that stays pytest-oracle-checked below);
@@ -129,6 +144,8 @@ _PRIORITY: list[str] = [
     # pytest-oracle-checked below the cap)
     "lake_incremental_view",
     # ---------------- below the driver cap line (50) ----------------
+    "semi_anti_join", "exists_subquery", "table_profile",
+    "range_join_attribution",
     "trend_regression",
     "ngram_jaccard_pairs",
     "cmf_recommend_topk",

@@ -302,6 +302,7 @@ class SnapshotTable:
         dv_broadcast_max_rows: int = 4_000_000,
         mor_fallback_max_rows: int = 10_000_000,
         merge_broadcast_max_keys: int = 4_000_000,
+        merge_broadcast_max_bytes: int = 256 << 20,
         change_data_feed: bool = False,
     ):
         self.spark = spark
@@ -337,11 +338,15 @@ class SnapshotTable:
         # executor. `_plan_merge` already computes the exact distinct
         # count (`nd`) in its one validation agg, so the hint is a
         # metadata decision: hint broadcast only when nd is bounded,
-        # otherwise leave the strategy to AQE. NOTE the guard is
-        # row-count based while broadcast cost is bytes: 4M wide
-        # composite/string key tuples can run hundreds of MB — tune
-        # merge_broadcast_max_keys down for wide keys.
+        # otherwise leave the strategy to AQE. The guard is TWO-part:
+        # row count AND estimated bytes (nd x measured average key
+        # width, priced in the same validation aggregate) — 4M wide
+        # composite/string key tuples can run hundreds of MB, which a
+        # row-count gate alone would force-broadcast onto every
+        # executor. merge_broadcast_max_bytes budgets the resident
+        # hash relation the forced hint would build.
         self.merge_broadcast_max_keys = merge_broadcast_max_keys
+        self.merge_broadcast_max_bytes = merge_broadcast_max_bytes
         # metadata chunks and bloom sidecars are IMMUTABLE once
         # written, so they cache safely for the table's lifetime
         self._chunk_cache: dict[str, dict] = {}
@@ -544,7 +549,7 @@ class SnapshotTable:
             for k in ("chunks", "dead", "files", "stats", "blooms"):
                 if restore.get(k):
                     raw[k] = restore[k]
-            for k in ("schema", "dvs", "dv_rows"):
+            for k in ("schema", "dvs", "dv_rows", "seq_state"):
                 if restore.get(k):
                     raw[k] = restore[k]
             if desired.get("batch_markers"):
@@ -556,7 +561,10 @@ class SnapshotTable:
                 # the data back but keeps the CURRENT constraint set
                 raw["checks"] = desired["checks"]
             return raw
-        for k in ("batch_markers", "schema", "dvs", "dv_rows", "op", "cdc", "checks"):
+        for k in (
+            "batch_markers", "schema", "dvs", "dv_rows", "op", "cdc",
+            "checks", "seq_state",
+        ):
             if desired.get(k):
                 raw[k] = desired[k]
         prev_chunks = list(prev_raw.get("chunks", []))
@@ -625,6 +633,13 @@ class SnapshotTable:
             # implicitly, so no commit path can silently shed them
             if "checks" not in manifest and prev.get("checks"):
                 manifest["checks"] = prev["checks"]
+            # CDC-apply tombstone state carries like checks: only the
+            # tracked apply_changes path manages it (a present-but-None
+            # value from that path clears it); every other commit must
+            # carry it or a plain append would silently forget which
+            # deletes were applied
+            if "seq_state" not in manifest and prev.get("seq_state"):
+                manifest["seq_state"] = prev["seq_state"]
             raw = self._serialize(manifest, prev_raw)
             try:
                 self.log.write_text_exclusive(
@@ -962,6 +977,23 @@ class SnapshotTable:
             }
             if live_counts:
                 manifest["dv_rows"] = live_counts
+        return manifest
+
+    @staticmethod
+    def _with_seq_state(manifest: dict, prev: dict, _seq_state: dict | None):
+        """Swap the CDC-apply tombstone state into a build's manifest
+        (``_seq_state = {"base": old_dir, "new": new_dir_or_None}``),
+        conflicting if a concurrent tracked apply moved the state this
+        consolidation was computed from. A present-but-None value
+        clears the state (``_commit`` only carries it forward when the
+        key is absent)."""
+        if _seq_state is None:
+            return manifest
+        if prev.get("seq_state") != _seq_state["base"]:
+            raise CommitConflict(
+                "concurrent sequence-state commit; re-run apply_changes"
+            )
+        manifest["seq_state"] = _seq_state["new"]
         return manifest
 
     # -- deletion vectors (merge-on-read deletes)
@@ -1660,7 +1692,12 @@ class SnapshotTable:
                 kept.append(f)
         return kept, dropped
 
-    def append(self, df: DataFrame, _markers: dict[str, int] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        _markers: dict[str, int] | None = None,
+        _seq_state: dict | None = None,
+    ) -> int:
         """New snapshot = previous files + this commit's files.
         Streaming batch markers carry forward (a non-streaming commit
         must not erase a streaming writer's dedup state). Data files
@@ -1681,7 +1718,7 @@ class SnapshotTable:
                 for k, v in prev.get("stats", {}).items()
             }
             live_stats.update(new_stats)
-            return self._compose(
+            m = self._compose(
                 version,
                 prev["files"] + new_files,
                 live_stats,
@@ -1692,6 +1729,7 @@ class SnapshotTable:
                 dv_rows=prev.get("dv_rows", {}),
                 op="append",
             )
+            return self._with_seq_state(m, prev, _seq_state)
 
         return self._commit(build)
 
@@ -2029,60 +2067,14 @@ class SnapshotTable:
         Open/strict endpoints (``>``/``<``/one-sided ranges, predicate
         mode only) prune exactly: a file whose max equals a strict
         lower bound is out. Incomparable literal-vs-stats types are
-        conservatively unprovable."""
-        stats = manifest.get("stats", {})
-        candidates, untouched = [], []
-        for f in manifest["files"]:
-            fstats = stats.get(_rel(f), {})
-            rows = fstats.get("__rows")
-            provably_out = False
-            for c in conjuncts:
-                if c.kind == "null":
-                    band = fstats.get(c.column)
-                    nulls = (
-                        band[2] if band is not None and len(band) > 2 else None
-                    )
-                    if nulls is None or rows is None:
-                        continue
-                    if c.want_null and nulls == 0:
-                        provably_out = True
-                        break
-                    if not c.want_null and nulls == rows:
-                        provably_out = True
-                        break
-                    continue
-                if c.kind != "band":
-                    continue
-                band = fstats.get(c.column)
-                if band is None:
-                    continue
-                if band[0] is None or band[1] is None:
-                    # all values NULL (when the null count proves it):
-                    # no comparison conjunct can match this file
-                    if (
-                        len(band) > 2
-                        and band[2] is not None
-                        and band[2] == rows
-                    ):
-                        provably_out = True
-                        break
-                    continue
-                lo, hi = _jsonable(c.lo), _jsonable(c.hi)
-                try:
-                    if lo is not None and (
-                        band[1] < lo or (c.lo_strict and band[1] == lo)
-                    ):
-                        provably_out = True
-                        break
-                    if hi is not None and (
-                        band[0] > hi or (c.hi_strict and band[0] == hi)
-                    ):
-                        provably_out = True
-                        break
-                except TypeError:
-                    continue  # literal/stats type mismatch: no proof
-            (untouched if provably_out else candidates).append(f)
-        return candidates, untouched
+        conservatively unprovable. Delegates to the engine-independent
+        core in ``sources/predicate.py`` (shared with the pure-python
+        ``snapshot`` batch DataSource planner)."""
+        from .predicate import prune_files as _prune
+
+        return _prune(
+            manifest["files"], manifest.get("stats", {}), _rel, conjuncts
+        )
 
     def _literal_set_bucket_ids(
         self, manifest: dict, column: str, values, variants: set[int]
@@ -2643,6 +2635,19 @@ class SnapshotTable:
         if not keys:
             raise ValueError("merge needs at least one key column")
         cur = self.current_version()
+        # per-key serialized width, for the BYTE-aware broadcast gate:
+        # fixed-width types priced by dtype, variable-width (string/
+        # binary) by their measured average length in the SAME
+        # validation aggregate — zero extra jobs
+        dtypes = dict(source.dtypes)
+        _FIXED = {
+            "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
+            "float": 4, "double": 8, "date": 4, "timestamp": 8,
+            "timestamp_ntz": 8, "boolean": 1,
+        }
+        var_cols = [
+            k for k in keys if dtypes.get(k) in ("string", "binary")
+        ]
         aggs = []
         for i, k in enumerate(keys):
             aggs.append(F.min(k).alias(f"lo_{i}"))
@@ -2653,9 +2658,24 @@ class SnapshotTable:
         for k in keys:
             null_any = null_any | F.col(k).isNull()
         aggs.append(F.sum(null_any.cast("long")).alias("n_null"))
+        for j, k in enumerate(var_cols):
+            aggs.append(F.avg(F.length(F.col(k))).alias(f"w_{j}"))
         bounds = source.agg(*aggs).first()
         if bounds["n"] == 0:
             return cur
+        # estimated bytes per distinct key tuple: fixed widths by type
+        # (unknown types priced at 16), measured averages for string/
+        # binary plus per-object overhead, plus hash-relation row
+        # overhead — what the forced broadcast would actually resident
+        row_bytes = 32.0
+        for j, k in enumerate(keys):
+            t = dtypes.get(k, "")
+            if k in var_cols:
+                w = bounds[f"w_{var_cols.index(k)}"]
+                row_bytes += (float(w) if w is not None else 0.0) + 20.0
+            else:
+                row_bytes += _FIXED.get(t, 16)
+        key_bytes = int(bounds["nd"] * row_bytes)
         # NULL merge keys are rejected outright (Delta does the same):
         # they never match an equality anti-join, so they'd be silently
         # inserted every run, and count_distinct skips them — making
@@ -2738,6 +2758,15 @@ class SnapshotTable:
         return {
             "keys": keys,
             "nd": bounds["nd"],
+            # the broadcast gate, decided ONCE here for both merge
+            # paths: bounded key count AND bounded estimated bytes —
+            # 4M wide composite/string tuples can run hundreds of MB,
+            # which a row-count gate alone would force-broadcast
+            "broadcast_ok": (
+                bounds["nd"] <= self.merge_broadcast_max_keys
+                and key_bytes <= self.merge_broadcast_max_bytes
+            ),
+            "key_bytes": key_bytes,
             "cur": cur,
             "bands": bands,
             "manifest": manifest,
@@ -2778,6 +2807,7 @@ class SnapshotTable:
         _markers: dict[str, int] | None = None,
         _plan: dict | None = None,
         _stage_df: DataFrame | None = None,
+        _seq_state: dict | None = None,
     ) -> int:
         """Copy-on-write MERGE (upsert) keyed on one or more columns:
         target rows whose key tuple matches a source row are replaced
@@ -2819,7 +2849,7 @@ class SnapshotTable:
             return plan  # empty source: no-op at the current version
         if plan is None:
             # merge into an empty table: every source row is unmatched
-            return self.append(stage, _markers=_markers)
+            return self.append(stage, _markers=_markers, _seq_state=_seq_state)
         keys = plan["keys"]
         bands = plan["bands"]
         manifest = plan["manifest"]
@@ -2833,7 +2863,7 @@ class SnapshotTable:
             # guarded hint: nd (exact, from _plan_merge's validation
             # agg) bounds the broadcast side; past the guard a backfill
             # key set would OOM — let AQE pick the strategy instead
-            if plan["nd"] <= self.merge_broadcast_max_keys:
+            if plan["broadcast_ok"]:
                 key_tuples = F.broadcast(key_tuples)
             cand_scan = self._scan_live(evolved_manifest, candidates)
             if self.change_data_feed:
@@ -2899,7 +2929,7 @@ class SnapshotTable:
                 k: v for k, v in prev.get("blooms", {}).items() if k in keep
             }
             blooms.update(new_blooms)
-            return self._compose(
+            m = self._compose(
                 version,
                 untch + new_files,
                 stats,
@@ -2916,6 +2946,7 @@ class SnapshotTable:
                 op="merge",
                 cdc=cdc_dir,
             )
+            return self._with_seq_state(m, prev, _seq_state)
 
         return self._commit(build)
 
@@ -2925,6 +2956,7 @@ class SnapshotTable:
         key: str | list[str],
         _markers: dict[str, int] | None = None,
         _stage_df: DataFrame | None = None,
+        _seq_state: dict | None = None,
     ) -> int:
         """Merge-on-read MERGE (upsert): matched target rows are MASKED
         via deletion vectors and the source rows are APPENDED as new
@@ -2958,7 +2990,7 @@ class SnapshotTable:
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
         if plan is None:
-            return self.append(stage, _markers=_markers)
+            return self.append(stage, _markers=_markers, _seq_state=_seq_state)
         keys = plan["keys"]
         manifest = plan["manifest"]
         candidates = plan["candidates"]
@@ -2993,6 +3025,7 @@ class SnapshotTable:
                         _markers=_markers,
                         _plan=plan,
                         _stage_df=_stage_df,
+                        _seq_state=_seq_state,
                     )
         matched_counts: dict[str, int] = {}
         matched = None
@@ -3001,7 +3034,7 @@ class SnapshotTable:
             # guarded hint (same gate as the COW path): nd bounds the
             # broadcast side; past merge_broadcast_max_keys a forced
             # broadcast would OOM the executors — let AQE pick
-            if plan["nd"] <= self.merge_broadcast_max_keys:
+            if plan["broadcast_ok"]:
                 key_tuples = F.broadcast(key_tuples)
             # materialized once: the counts collect and the DV write
             # both consume it — without this the pruned candidate scan
@@ -3023,7 +3056,13 @@ class SnapshotTable:
                 .collect()
             }
         if sum(matched_counts.values()) > self.mor_fallback_max_rows:
-            return self.merge(source, key, _markers=_markers, _stage_df=_stage_df)
+            return self.merge(
+                source,
+                key,
+                _markers=_markers,
+                _stage_df=_stage_df,
+                _seq_state=_seq_state,
+            )
         affected_rels = set(matched_counts)
         dv_dir = None
         if affected_rels:
@@ -3082,7 +3121,7 @@ class SnapshotTable:
                 if dv_dir is None
                 else {**prev_dvs, **{r: dv_dir for r in affected_rels}}
             )
-            return self._compose(
+            m = self._compose(
                 version,
                 prev["files"] + new_files,
                 {**prev.get("stats", {}), **new_stats},
@@ -3095,6 +3134,7 @@ class SnapshotTable:
                 dv_rows={**prev.get("dv_rows", {}), **new_counts},
                 op="merge_mor",
             )
+            return self._with_seq_state(m, prev, _seq_state)
 
         return self._commit(build)
 
@@ -3106,6 +3146,8 @@ class SnapshotTable:
         seq_col: str | None = None,
         delete_ops: tuple[str, ...] = ("delete", "D", "d"),
         mor: bool = True,
+        track_seq: bool = False,
+        tombstone_retention_sec: float = 7 * 86400,
         _markers: dict[str, int] | None = None,
     ) -> int:
         """Apply a CDC change batch — upserts AND deletes, sequence-
@@ -3120,9 +3162,31 @@ class SnapshotTable:
         followed by a later-sequenced delete deletes (and vice versa).
         Ties on the winning sequence are rejected — applying either
         row would be a coin flip. Without ``seq_col`` duplicate keys
-        are rejected outright (same rule as :meth:`merge`). Ordering
-        ACROSS batches is the caller's contract: feed batches in
-        commit order, as a CDC stream already does.
+        are rejected outright (same rule as :meth:`merge`).
+
+        Ordering ACROSS batches: by default the caller's contract —
+        feed batches in commit order, as a CDC stream already does.
+        ``track_seq=True`` (requires ``seq_col``) makes the table
+        itself enforce it, DLT's APPLY CHANGES semantics: each key's
+        APPLIED sequence persists — live rows carry it in a reserved
+        ``__seq`` payload column; deleted keys leave a tombstone
+        ``(key, __seq)`` in a manifest-referenced ``_cdc_state/``
+        parquet side file — and an arriving change with a sequence at
+        or below its key's applied value is IGNORED, so a
+        late-arriving batch with stale lower-seq rows cannot regress
+        the table, and replaying an already-applied batch is a
+        natural no-op (every row filters as stale) independent of the
+        streaming markers. Tombstones age out after
+        ``tombstone_retention_sec`` (DLT retains them the same way:
+        eternal tombstones would grow with every deleted key forever;
+        a change arriving LATER than the retention window for a
+        deleted key re-applies — size the window past the feed's max
+        disorder). Per-commit state cost is O(tombstones in
+        retention), consolidated into a fresh immutable side file and
+        swapped in the SAME atomic manifest write as the data;
+        ``expire`` collects unreferenced state dirs. Rows written by
+        non-tracked paths have NULL ``__seq`` and accept any
+        sequenced change.
 
         Execution reuses the merge machinery with the source's two
         roles split: ALL surviving change keys (upserts + deletes)
@@ -3187,13 +3251,160 @@ class SnapshotTable:
                 f"on their key's winning {seq_col!r} value — the applied "
                 f"row would be undefined; deduplicate upstream"
             )
+        seq_state = None
+        if track_seq:
+            if seq_col is None:
+                raise ValueError("apply_changes: track_seq requires seq_col")
+            if "__seq" in source.columns:
+                raise ValueError(
+                    "apply_changes: '__seq' is reserved for track_seq "
+                    "bookkeeping — rename the source column"
+                )
+            n_null_seq = latest.agg(
+                F.sum(F.col(seq_col).isNull().cast("long")).alias("v")
+            ).first()["v"]
+            if n_null_seq:
+                raise ValueError(
+                    f"apply_changes: {n_null_seq} rows have NULL "
+                    f"{seq_col!r} — tracked ordering needs every change "
+                    f"sequenced"
+                )
+            import time as _time
+
+            cur = self.current_version()
+            manifest = self._base_manifest(cur)
+            applied = self._applied_seq(
+                manifest, latest, keys, checks["nd"], tombstone_retention_sec
+            )
+            if applied is not None:
+                # stale-change gate: a change at or below its key's
+                # APPLIED sequence is ignored — late/replayed batches
+                # cannot regress a row or resurrect a deleted key
+                latest = (
+                    latest.join(applied, keys, "left")
+                    .filter(
+                        F.col("__applied_seq").isNull()
+                        | (F.col(seq_col) > F.col("__applied_seq"))
+                    )
+                    .drop("__applied_seq")
+                    .localCheckpoint(eager=True)
+                )
+                if latest.limit(1).count() == 0:
+                    return cur  # everything stale: clean no-op
+            # consolidated tombstone state for this commit: prior
+            # tombstones inside retention, minus keys this batch
+            # re-applies, plus this batch's deletes — O(tombstones in
+            # retention), written as a fresh immutable side file and
+            # swapped in the same atomic manifest publish as the data
+            now = _time.time()
+            applied_keys = latest.select(*keys).distinct()
+            if checks["nd"] <= self.merge_broadcast_max_keys:
+                applied_keys = F.broadcast(applied_keys)
+            state = latest.filter(is_del).select(
+                *keys,
+                F.col(seq_col).alias("__seq"),
+                F.lit(now).alias("__deleted_at"),
+            )
+            if manifest.get("seq_state"):
+                old = (
+                    self.spark.read.parquet(manifest["seq_state"])
+                    .filter(
+                        F.col("__deleted_at")
+                        >= F.lit(now - tombstone_retention_sec)
+                    )
+                    .join(applied_keys, keys, "left_anti")
+                )
+                state = state.unionByName(old)
+            state_dir = None
+            if state.limit(1).count() > 0:
+                state_dir = f"{self.root}/_cdc_state/{uuid.uuid4().hex}"
+                state.write.mode("error").parquet(state_dir)
+            seq_state = {"base": manifest.get("seq_state"), "new": state_dir}
+            # live rows carry their applied sequence in the reserved
+            # __seq payload column (additive schema evolution adds it
+            # on the first tracked apply)
+            latest = latest.withColumn("__seq", F.col(seq_col))
         plan_frame = latest.drop(*drop_cols)
         upserts = latest.filter(~is_del).drop(*drop_cols)
         if mor:
             return self.merge_mor(
-                plan_frame, key, _markers=_markers, _stage_df=upserts
+                plan_frame,
+                key,
+                _markers=_markers,
+                _stage_df=upserts,
+                _seq_state=seq_state,
             )
-        return self.merge(plan_frame, key, _markers=_markers, _stage_df=upserts)
+        return self.merge(
+            plan_frame,
+            key,
+            _markers=_markers,
+            _stage_df=upserts,
+            _seq_state=seq_state,
+        )
+
+    def _applied_seq(
+        self,
+        manifest: dict,
+        latest: DataFrame,
+        keys: list[str],
+        nd: int,
+        retention_sec: float,
+    ) -> DataFrame | None:
+        """Per-key APPLIED sequence relevant to this batch: max of the
+        live rows' ``__seq`` (band/bloom-pruned candidate scan
+        semi-joined to the batch keys) and the tombstone state's
+        ``__seq`` for deleted keys. None when the table has never been
+        sequence-tracked (no ``__seq`` column, no state) — the gate is
+        then a no-op."""
+        frames = []
+        schema_fields = manifest.get("schema", {}).get("fields", [])
+        if any(f["name"] == "__seq" for f in schema_fields) and manifest.get(
+            "files"
+        ):
+            aggs = []
+            for i, k in enumerate(keys):
+                aggs.append(F.min(k).alias(f"lo_{i}"))
+                aggs.append(F.max(k).alias(f"hi_{i}"))
+            bounds = latest.agg(*aggs).first()
+            bands = [
+                (k, bounds[f"lo_{i}"], bounds[f"hi_{i}"])
+                for i, k in enumerate(keys)
+            ]
+            candidates, _untouched = self._split_by_bands(manifest, bands)
+            if manifest.get("has_blooms") and len(keys) == 1:
+                hashes = self._source_key_hashes(latest, keys[0])
+                candidates, _d = self._bloom_prune(
+                    manifest, keys[0], candidates, hashes
+                )
+            if candidates:
+                kt = latest.select(*keys).distinct()
+                if nd <= self.merge_broadcast_max_keys:
+                    kt = F.broadcast(kt)
+                frames.append(
+                    self._scan_live(manifest, candidates)
+                    .join(kt, keys, "left_semi")
+                    .select(*keys, "__seq")
+                )
+        if manifest.get("seq_state"):
+            import time as _time
+
+            # the retention window applies at the GATE too: an aged-out
+            # tombstone stops blocking even before a consolidation pass
+            # physically prunes it
+            frames.append(
+                self.spark.read.parquet(manifest["seq_state"])
+                .filter(
+                    F.col("__deleted_at")
+                    >= F.lit(_time.time() - retention_sec)
+                )
+                .select(*keys, "__seq")
+            )
+        if not frames:
+            return None
+        allf = frames[0]
+        for fr in frames[1:]:
+            allf = allf.unionByName(fr)
+        return allf.groupBy(*keys).agg(F.max("__seq").alias("__applied_seq"))
 
     def compact(
         self, target_rows_per_file: int, cluster_by: list[str] | None = None
@@ -3687,6 +3898,7 @@ class SnapshotTable:
         apply_key: str | list[str] | None = None,
         op_col: str = "_op",
         seq_col: str | None = None,
+        track_seq: bool = False,
         maintain: dict | None = None,
         maintain_every: int = 20,
     ):
@@ -3819,6 +4031,7 @@ class SnapshotTable:
                     apply_key,
                     op_col=op_col,
                     seq_col=seq_col,
+                    track_seq=track_seq,
                     _markers=markers,
                 )
                 return
@@ -3839,6 +4052,7 @@ class SnapshotTable:
                     cdc_key,
                     op_col="_op",
                     seq_col="_seq",
+                    track_seq=track_seq,
                     _markers=markers,
                 )
             elif merge_key is not None:
@@ -4167,6 +4381,8 @@ class SnapshotTable:
         released_dv: set[str] = set()
         released_meta: set[str] = set()
         released_cdc: set[str] = set()
+        referenced_seq: set[str] = set()
+        released_seq: set[str] = set()
         for v in range(1, cur + 1):
             if v in keep_versions:
                 continue
@@ -4179,6 +4395,8 @@ class SnapshotTable:
             released_dv.update(m.get("dvs", {}).values())
             if m.get("cdc"):
                 released_cdc.add(m["cdc"])
+            if m.get("seq_state"):
+                released_seq.add(m["seq_state"])
             for cname in raw.get("chunks", []):
                 released_meta.add(cname)
                 sc = self._load_chunk(cname).get("bloom_sidecar")
@@ -4198,6 +4416,8 @@ class SnapshotTable:
             referenced_dv.update(m.get("dvs", {}).values())
             if m.get("cdc"):
                 referenced_cdc.add(m["cdc"])
+            if m.get("seq_state"):
+                referenced_seq.add(m["seq_state"])
             for cname in raw.get("chunks", []):
                 referenced_meta.add(cname)
                 sc = self._load_chunk(cname).get("bloom_sidecar")
@@ -4277,4 +4497,16 @@ class SnapshotTable:
                 )
                 if not dry_run:
                     self.log.delete(cdir, recursive=True)
+        # CDC-apply tombstone state dirs: same protocol
+        seq_root = f"{self.root}/_cdc_state"
+        for commit in self.log.list_dir(seq_root):
+            sdir = f"{seq_root}/{commit}"
+            if sdir not in referenced_seq and (
+                sdir in released_seq or not _in_grace(sdir)
+            ):
+                deleted += len(
+                    [n for n in self.log.list_dir(sdir) if n.endswith(".parquet")]
+                )
+                if not dry_run:
+                    self.log.delete(sdir, recursive=True)
         return deleted

@@ -328,6 +328,140 @@ def analyze_predicate(sql: str) -> list[Conjunct]:
     return out
 
 
+def jsonable(v):
+    """Probe literals must compare in the manifest stats' JSON value
+    space (dates/timestamps stored as ISO strings — ISO order ==
+    chronological order; Decimal as float)."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return str(v)
+
+
+def prune_files(
+    files: list[str], stats: dict, rel_of, conjuncts
+) -> tuple[list[str], list[str]]:
+    """(candidates, untouched): a file is untouched if ANY conjunct
+    provably matches none of its rows — the engine-independent core of
+    conjunct data skipping, shared by the SparkSession-side
+    ``SnapshotTable`` verbs and the pure-python ``snapshot`` batch
+    DataSource planner. ``stats`` maps ``rel_of(file)`` to
+    ``{col: [min, max, null_count], "__rows": n}``.
+
+    Band conjuncts (comparisons never match NULL) prove out
+    interval-disjoint files and provably-all-NULL files; ``IS [NOT]
+    NULL`` conjuncts prove via the per-file null counts; opaque
+    conjuncts prove nothing; strict endpoints prune their boundary
+    exactly; incomparable literal-vs-stats types are conservatively
+    unprovable."""
+    candidates, untouched = [], []
+    for f in files:
+        fstats = stats.get(rel_of(f), {})
+        rows = fstats.get("__rows")
+        provably_out = False
+        for c in conjuncts:
+            if c.kind == "null":
+                band = fstats.get(c.column)
+                nulls = band[2] if band is not None and len(band) > 2 else None
+                if nulls is None or rows is None:
+                    continue
+                if c.want_null and nulls == 0:
+                    provably_out = True
+                    break
+                if not c.want_null and nulls == rows:
+                    provably_out = True
+                    break
+                continue
+            if c.kind != "band":
+                continue
+            band = fstats.get(c.column)
+            if band is None:
+                continue
+            if band[0] is None or band[1] is None:
+                # all values NULL (when the null count proves it): no
+                # comparison conjunct can match this file
+                if len(band) > 2 and band[2] is not None and band[2] == rows:
+                    provably_out = True
+                    break
+                continue
+            lo, hi = jsonable(c.lo), jsonable(c.hi)
+            try:
+                if lo is not None and (
+                    band[1] < lo or (c.lo_strict and band[1] == lo)
+                ):
+                    provably_out = True
+                    break
+                if hi is not None and (
+                    band[0] > hi or (c.hi_strict and band[0] == hi)
+                ):
+                    provably_out = True
+                    break
+            except TypeError:
+                continue  # literal/stats type mismatch: no proof
+        (untouched if provably_out else candidates).append(f)
+    return candidates, untouched
+
+
+def conjuncts_from_push_filters(filters) -> list[Conjunct]:
+    """Spark DSv2 pushed filters (``pyspark.sql.datasource.Filter``)
+    -> pruning conjuncts. Only top-level single-part columns convert;
+    anything else is skipped (NOT opaque — the caller returns every
+    filter back to Spark as unhandled, so Spark re-applies the exact
+    predicate and skipped filters only cost file opens)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    out: list[Conjunct] = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            try:
+                vals = frozenset([f.value])
+            except TypeError:
+                continue  # unhashable literal (array/map): no proof
+            out.append(
+                Conjunct("band", column=col, lo=f.value, hi=f.value, values=vals)
+            )
+        elif isinstance(f, In):
+            try:
+                vals = list(f.value)
+                frozenset(vals)
+            except TypeError:
+                continue
+            if vals:
+                out.append(_in_conjunct(col, vals, ""))
+        elif isinstance(f, GreaterThan):
+            out.append(Conjunct("band", column=col, lo=f.value, lo_strict=True))
+        elif isinstance(f, GreaterThanOrEqual):
+            out.append(Conjunct("band", column=col, lo=f.value))
+        elif isinstance(f, LessThan):
+            out.append(Conjunct("band", column=col, hi=f.value, hi_strict=True))
+        elif isinstance(f, LessThanOrEqual):
+            out.append(Conjunct("band", column=col, hi=f.value))
+        elif isinstance(f, IsNull):
+            out.append(Conjunct("null", column=col, want_null=True))
+        elif isinstance(f, IsNotNull):
+            out.append(Conjunct("null", column=col, want_null=False))
+    return out
+
+
 def column_sql(col) -> str | None:
     """Best-effort SQL text of a pyspark Column (classic mode's py4j
     expression tree). None under Spark Connect or on any failure —

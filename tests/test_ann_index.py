@@ -203,7 +203,7 @@ def test_add_drift_metric_is_retrain_signal(spark, emb):
     rest = emb.orderBy("vec_id").offset(400)
     idx = IvfPqIndex.build(base, n_cells=8, m=8, n_codes=16, seed=42)
     m1 = idx.add(rest)  # in-memory union path
-    assert set(m1) == {"added", "batch_residual", "build_residual", "drift"}
+    assert set(m1) == {"added", "replaced", "batch_residual", "build_residual", "drift"}
     assert 0.8 < m1["drift"] < 1.25, m1
     shifted = emb.limit(50).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -539,3 +539,138 @@ def test_filtered_search_composes_with_deletes(spark, emb):
     ids = {r["neighbor_id"] for r in after.collect()}
     assert victim not in ids
     assert all(i % 2 == 0 for i in ids)
+
+
+def test_add_replace_upserts_id(spark, emb, tmp_path):
+    """add(replace=True) — the id-UPSERT (r09 verdict #6): the old
+    rows of re-added ids are masked at their generation and the fresh
+    rows serve; no duplicate candidates, compact folds the superseded
+    rows physically, publish carries the masked view."""
+    import os
+
+    idx = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
+    path = str(tmp_path / "ups")
+    idx.save(path)
+    n_total = emb.count()
+    rows = emb.orderBy("vec_id").limit(2).collect()
+    victim = int(rows[0]["vec_id"])
+    donor_vec = list(rows[1]["embedding"])
+    # re-add the victim id with the DONOR's vector
+    repl = spark.createDataFrame(
+        [(victim, donor_vec)], "vec_id long, embedding array<float>"
+    )
+    stats = idx.add(repl, replace=True)
+    assert stats["added"] == 1 and stats["replaced"] == 1
+    # physical: old row still on disk (masked), new row appended
+    assert idx.encoded.count() == n_total + 1
+    # the corpus table a caller would serve against carries the new
+    # vector for the replaced id
+    vectors = (
+        emb.filter(F.col("vec_id") != victim)
+        .select("vec_id", "embedding")
+        .unionByName(repl)
+    )
+    probe = spark.createDataFrame(
+        [(999_999, donor_vec)], "vec_id long, embedding array<float>"
+    )
+    got = idx.search(probe, vectors, k=4, n_probe=8, rerank_depth=1000)
+    res = got.collect()
+    served = [r for r in res if r["neighbor_id"] == victim]
+    # exactly ONE candidate row for the replaced id, scoring ~1 against
+    # its NEW vector (the old row would have scored its old embedding)
+    assert len(served) == 1 and served[0]["cos"] > 0.999
+    # a fresh load honors the upsert (persisted masks, not session state)
+    loaded = IvfPqIndex.load(spark, path)
+    assert _result_set(
+        loaded.search(probe, vectors, k=4, n_probe=8, rerank_depth=1000)
+    ) == _result_set(got)
+    # search_distributed agrees
+    assert _result_set(
+        idx.search_distributed(probe, vectors, k=4, n_probe=8, rerank_depth=1000)
+    ) == _result_set(got)
+    # compaction folds the superseded row away and answers stay put
+    before = _result_set(got)
+    idx.compact_codes()
+    assert idx.encoded.count() == n_total
+    assert not os.path.exists(os.path.join(path, "_deletes"))
+    assert _result_set(
+        idx.search(probe, vectors, k=4, n_probe=8, rerank_depth=1000)
+    ) == before
+    # deleting the replaced id removes its FRESH row too
+    idx.delete(spark.createDataFrame([(victim,)], "vec_id long"))
+    assert not [
+        r
+        for r in idx.search(
+            probe, vectors, k=4, n_probe=8, rerank_depth=1000
+        ).collect()
+        if r["neighbor_id"] == victim
+    ]
+
+
+def test_add_replace_in_memory_index(spark, emb):
+    """In-memory indexes apply the upsert eagerly (anti-join + union):
+    same served answers, no mask files involved."""
+    idx = IvfPqIndex.build(emb, n_cells=8, m=8, n_codes=16, seed=42)
+    rows = emb.orderBy("vec_id").limit(2).collect()
+    victim = int(rows[0]["vec_id"])
+    donor_vec = list(rows[1]["embedding"])
+    repl = spark.createDataFrame(
+        [(victim, donor_vec)], "vec_id long, embedding array<float>"
+    )
+    stats = idx.add(repl, replace=True)
+    assert stats["replaced"] == 1
+    assert idx.encoded.filter(F.col("nid") == victim).count() == 1
+    vectors = (
+        emb.filter(F.col("vec_id") != victim)
+        .select("vec_id", "embedding")
+        .unionByName(repl)
+    )
+    probe = spark.createDataFrame(
+        [(999_999, donor_vec)], "vec_id long, embedding array<float>"
+    )
+    served = [
+        r
+        for r in idx.search(
+            probe, vectors, k=4, n_probe=8, rerank_depth=1000
+        ).collect()
+        if r["neighbor_id"] == victim
+    ]
+    assert len(served) == 1 and served[0]["cos"] > 0.999
+
+
+def test_add_replace_pre_generation_index_migrates(spark, emb, tmp_path):
+    """A saved index predating the generation column refuses
+    replace=True with migration guidance; one compact_codes() stamps
+    gen=0 and replace works afterwards."""
+    import pytest as _pytest
+
+    idx = IvfPqIndex.build(emb.limit(100), n_cells=4, m=8, n_codes=8, seed=7)
+    path = str(tmp_path / "legacy")
+    idx.save(path)
+    # simulate the pre-gen layout: rewrite codes/ without the column
+    legacy = spark.read.parquet(f"{path}/codes").drop("gen")
+    staged = str(tmp_path / "staged")
+    legacy.write.partitionBy("cell").parquet(staged)
+    import shutil
+
+    shutil.rmtree(f"{path}/codes")
+    shutil.move(staged, f"{path}/codes")
+    old = IvfPqIndex.load(spark, path)
+    assert "gen" not in old.encoded.columns
+    repl = spark.createDataFrame(
+        [(0, [0.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="compact_codes"):
+        old.add(repl, replace=True)
+    # plain append still works at the legacy shape (no mixed schema)
+    first = emb.orderBy(F.col("vec_id").desc()).limit(1)
+    old.add(first.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"))
+    assert "gen" not in old.encoded.columns
+    old.compact_codes()  # migration: stamps gen=0
+    assert "gen" in old.encoded.columns
+    rows = emb.orderBy("vec_id").limit(2).collect()
+    repl2 = spark.createDataFrame(
+        [(int(rows[0]["vec_id"]), list(rows[1]["embedding"]))],
+        "vec_id long, embedding array<float>",
+    )
+    assert old.add(repl2, replace=True)["replaced"] == 1

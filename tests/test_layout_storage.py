@@ -2062,3 +2062,43 @@ def test_auto_maintain_policy(spark, tmp_path):
     assert out["compacted"] is None and out["expired_files"] > 0
     with pytest.raises(Exception):
         t.read(1)
+
+
+def test_merge_broadcast_gate_is_byte_aware(spark, tmp_path):
+    """r09 verdict #7: the forced-broadcast gate budgets BYTES, not
+    just rows — wide string key tuples withhold the hint where the
+    row-count gate alone would have broadcast, and the merge still
+    commits correctly (AQE picks the strategy)."""
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(
+        spark,
+        root,
+        stats_columns=["k"],
+        merge_broadcast_max_keys=1_000_000,  # row gate alone: would hint
+        merge_broadcast_max_bytes=10_000,    # byte gate: ~100 wide keys
+    )
+    wide = F.concat(F.lit("k" * 500), F.col("id").cast("string"))
+    t.append(
+        spark.range(500).select(wide.alias("k"), F.col("id").alias("v"))
+    )
+    src = spark.range(200, 700).select(
+        wide.alias("k"), (F.col("id") * 10).alias("v")
+    )
+    plan = t._plan_merge(src, "k")
+    # 500 keys x ~550 bytes ≈ 275 KB estimated: over the byte budget,
+    # under the row budget — the hint must be withheld
+    assert plan["nd"] == 500 < 1_000_000
+    assert plan["key_bytes"] > 10_000
+    assert plan["broadcast_ok"] is False
+    # correctness unchanged without the hint
+    t.merge(src, "k")
+    rows = {r["k"][-3:]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 700
+    assert rows["250"] == 2500 and rows["100"] == 100
+    # a narrow-key source under both budgets still gets the hint
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), stats_columns=["k"])
+    t2.append(spark.range(10).select(F.col("id").alias("k")))
+    plan2 = t2._plan_merge(
+        spark.range(5).select(F.col("id").alias("k")), "k"
+    )
+    assert plan2["broadcast_ok"] is True

@@ -100,13 +100,20 @@ def test_registry_priority_ordering():
     # cap, their families keep in-cap witnesses) for the round's novel
     # tiers: benchmark_decontamination, lake_cdf_stream and
     # lake_mor_upsert_nullstats.
+    # r09 swapped semi_anti_join, exists_subquery, table_profile and
+    # range_join_attribution (all still pytest-oracle-checked below
+    # the cap; the subquery/semi-join and range-join families keep
+    # in-cap witnesses via star_join/topk_per_group/asof_join) for the
+    # four round-8 oracles.
     for promoted in ["item_item_cosine",
-                     "prefix_jaccard_pairs", "table_profile",
-                     "grouping_sets_agg", "range_join_attribution",
+                     "prefix_jaccard_pairs",
+                     "grouping_sets_agg",
                      "dq_expectations_suite",
                      "multimodal_ppm_decode", "lake_incremental_view",
                      "benchmark_decontamination", "lake_cdf_stream",
-                     "lake_mor_upsert_nullstats"]:
+                     "lake_mor_upsert_nullstats",
+                     "lake_apply_changes", "lake_update_quality",
+                     "gopher_quality_signals", "ann_filtered_topk"]:
         assert promoted in head, f"{promoted} not promoted into the cap"
 
 

@@ -1,0 +1,129 @@
+"""Batch `snapshot` DataSource (r09 verdict #3): spark.read.format(
+"snapshot") over a SnapshotTable root — read-equals-SnapshotTable.read()
+including time travel and DV masking, plain spark.sql works over a
+temp view, and pushed filters prune the planned file list against the
+manifest stats (then re-apply exactly engine-side)."""
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from collective_als_spark.sources.layout import SnapshotTable
+from collective_als_spark.sources.snapshot_source import (
+    SnapshotBatchReader,
+    register_snapshot_source,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register_snapshot_source(spark)
+    return spark
+
+
+def _load(spark, root, **opts):
+    r = spark.read.format("snapshot").option("path", root)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _banded_table(spark, path):
+    t = SnapshotTable(spark, str(path), stats_columns=["v"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 100)
+            .select(F.col("id").alias("v"), (F.col("id") * 2).alias("w"))
+            .coalesce(1)
+        )
+    return t
+
+
+def test_batch_read_equals_table_read(registered, spark, tmp_path):
+    t = _banded_table(spark, tmp_path / "t")
+    got = _load(spark, t.root)
+    assert got.schema == t.read().schema
+    assert sorted(r["v"] for r in got.collect()) == sorted(
+        r["v"] for r in t.read().collect()
+    )
+
+
+def test_batch_read_time_travel(registered, spark, tmp_path):
+    t = _banded_table(spark, tmp_path / "t")
+    assert _load(spark, t.root, versionAsOf=2).count() == 200
+    mark = time.time()
+    time.sleep(0.05)
+    t.append(
+        spark.range(5).select(
+            F.col("id").alias("v"), F.lit(0).cast("long").alias("w")
+        )
+    )
+    assert _load(spark, t.root, timestampAsOf=mark).count() == 300
+    assert _load(spark, t.root).count() == 305
+    with pytest.raises(Exception, match="future timestamp"):
+        _load(spark, t.root, timestampAsOf=time.time() + 3600).count()
+
+
+def test_batch_read_applies_deletion_vectors(registered, spark, tmp_path):
+    t = _banded_table(spark, tmp_path / "t")
+    t.delete_where_mor("v", 1000, 1049)
+    got = _load(spark, t.root)
+    assert got.count() == 250
+    assert got.filter(F.col("v").between(1000, 1049)).count() == 0
+    # pre-delete version still reads the masked rows (DV travels with
+    # the manifest, not the file)
+    assert _load(spark, t.root, versionAsOf=3).count() == 300
+
+
+def test_batch_read_schema_evolution_null_pads(registered, spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.append(spark.createDataFrame([(1, "a")], "k long, s string"))
+    t.append(spark.createDataFrame([(2, "b", 9.5)], "k long, s string, x double"))
+    got = {r["k"]: (r["s"], r["x"]) for r in _load(spark, t.root).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_sql_over_temp_view(registered, spark, tmp_path):
+    t = _banded_table(spark, tmp_path / "t")
+    _load(spark, t.root).createOrReplaceTempView("snap_t")
+    rows = spark.sql(
+        "SELECT v, w FROM snap_t WHERE v BETWEEN 1000 AND 1004 ORDER BY v"
+    ).collect()
+    assert [(r["v"], r["w"]) for r in rows] == [(v, v * 2) for v in range(1000, 1005)]
+
+
+def test_push_filters_prune_planned_files(spark, tmp_path):
+    """Unit-level planner check: pushed filters shrink partitions()
+    to the files whose stats can match — the pruning inputFiles()
+    can't show for a Python DataSource."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNull
+
+    t = _banded_table(spark, tmp_path / "t")
+    opts = {"path": t.root}
+    r = SnapshotBatchReader(t.read().schema, opts)
+    assert len(r.partitions()) == 3
+    r = SnapshotBatchReader(t.read().schema, opts)
+    r.pushFilters([EqualTo(("v",), 1005)])
+    assert len(r.partitions()) == 1
+    r = SnapshotBatchReader(t.read().schema, opts)
+    r.pushFilters([GreaterThan(("v",), 2099)])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].file == ""  # all pruned: noop part
+    r = SnapshotBatchReader(t.read().schema, opts)
+    r.pushFilters([In(("v",), (5, 1005))])
+    assert len(r.partitions()) == 2
+    r = SnapshotBatchReader(t.read().schema, opts)
+    r.pushFilters([IsNull(("v",))])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].file == ""  # no NULLs anywhere
+
+
+def test_pushed_filter_results_remain_exact(registered, spark, tmp_path):
+    """End-to-end: a pushed band filter returns exactly the full
+    scan's filter (Spark re-applies the predicate on top of pruning)."""
+    t = _banded_table(spark, tmp_path / "t")
+    got = _load(spark, t.root).filter("v >= 1050 AND v < 2010")
+    assert sorted(r["v"] for r in got.collect()) == list(range(1050, 1100)) + list(
+        range(2000, 2010)
+    )
