@@ -567,3 +567,292 @@ def lake_update_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_predicate_dml",
+    oracle="""
+    WITH c AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_total,
+            CAST(sum(CASE WHEN o_orderstatus = 'F'
+                           AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+            CAST(sum(CASE WHEN o_orderstatus = 'O'
+                           AND o_totalprice > 100000
+                           AND NOT (o_orderstatus = 'F'
+                                    AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+            CAST(sum(CASE WHEN NOT (o_orderstatus = 'F'
+                                    AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS cents_surv
+        FROM orders
+    )
+    SELECT 'n_after_delete' AS step, n_total - n_deleted AS value FROM c
+    UNION ALL SELECT 'n_flagged', n_updated FROM c
+    UNION ALL SELECT 'cents_survivors', cents_surv FROM c
+    UNION ALL SELECT 'n_matched_left', CAST(0 AS BIGINT) FROM c
+    UNION ALL SELECT 'tt_v1_total', n_total FROM c
+    """,
+)
+def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-predicate DML end-to-end under the oracle (r09): a
+    compound ``DELETE WHERE status='F' AND priority IN (...)`` — the
+    exact first-wall predicate the r08 verdict named — followed by a
+    compound predicate UPDATE, against a scratch snapshot table built
+    from ``orders``. The oracle recomputes the surviving row count,
+    the updated-row count, and the value-level cents total of the
+    SURVIVORS (catching a survivor predicate that isn't the exact
+    complement of the matched predicate — the NULL-discipline bug
+    class), plus time travel to the pre-DML version.
+
+    Scale shape: conjunct extraction turns the equality/IN conjuncts
+    into interval + bucket pruning proofs, so the rewrite opens only
+    candidate files; the residual predicate is exact regardless.
+
+    Reference parity: Delta's ``DELETE FROM t WHERE <expr>`` /
+    ``UPDATE t SET ... WHERE <expr>``."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_totalprice").alias("price"),
+    )
+    pred = (
+        "o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    )
+    root = tempfile.mkdtemp(prefix="lake_preddml_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["o_orderkey"])
+        t.append(rows)
+        t.delete_where(pred)
+        t.update_where(
+            "o_orderstatus = 'O' AND price > 100000",
+            set={"o_orderpriority": "'FLAGGED'"},
+        )
+        out = [
+            ("n_after_delete", t.read().count()),
+            (
+                "n_flagged",
+                t.read().filter(F.col("o_orderpriority") == "FLAGGED").count(),
+            ),
+            ("cents_survivors", t.read().agg(F.sum("cents")).first()[0]),
+            ("n_matched_left", t.read(where=pred).count()),
+            ("tt_v1_total", t.read(version=1).count()),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_tracked_apply",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN o_orderkey % 10 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+        FROM orders
+    )
+    SELECT 'n_after' AS step, n_total - n5 AS value FROM c
+    UNION ALL SELECT 'n_winner_value', n0 FROM c
+    UNION ALL SELECT 'n_stale_applied', CAST(0 AS BIGINT) FROM c
+    UNION ALL SELECT 'n_resurrected', CAST(0 AS BIGINT) FROM c
+    """,
+)
+def lake_tracked_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch sequence tracking end-to-end under the oracle
+    (r09): three CDC batches delivered OUT OF ORDER through
+    ``apply_changes(track_seq=True)`` — the high-seq update and delete
+    land first, then the whole low-seq batch arrives late and must be
+    ignored row-for-row (no value regression, no resurrected key).
+    The oracle computes the converged state algebraically from the
+    orders key classes.
+
+    Scale shape: the stale gate is one band/bloom-pruned semi-scan
+    per batch against the batch keys; tombstone state is a
+    retention-bounded side file swapped atomically with the commit.
+
+    Reference parity: DLT APPLY CHANGES INTO sequence semantics."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    k = F.col("k")
+
+    def ch(df, cents_val, op, seq):
+        cc = (
+            F.lit(None).cast("bigint")
+            if cents_val is None
+            else F.lit(cents_val).cast("bigint")
+        )
+        return df.select(
+            "k", cc.alias("cents"),
+            F.lit(op).alias("_op"), F.lit(seq).cast("long").alias("seq"),
+        )
+
+    root = tempfile.mkdtemp(prefix="lake_seq_")
+    try:
+        t = SnapshotTable(
+            spark, f"{root}/tbl", stats_columns=["k"], bloom_columns=["k"]
+        )
+        t.append(rows)
+        # batch at seq 10: update class %10==0 to 999, delete class %10==5
+        hi = ch(rows.filter(k % 10 == 0), 999, "U", 10).unionByName(
+            ch(rows.filter(k % 10 == 5), None, "D", 10)
+        )
+        t.apply_changes(hi, "k", seq_col="seq", track_seq=True)
+        # the LATE batch at seq 5: stale update of class 0 (to 111) and
+        # stale resurrection of class 5 (to 222) — all must gate out
+        late = ch(rows.filter(k % 10 == 0), 111, "U", 5).unionByName(
+            ch(rows.filter(k % 10 == 5), 222, "U", 5)
+        )
+        t.apply_changes(late, "k", seq_col="seq", track_seq=True)
+        got = t.read()
+        out = [
+            ("n_after", got.count()),
+            ("n_winner_value", got.filter(F.col("cents") == 999).count()),
+            ("n_stale_applied", got.filter(F.col("cents") == 111).count()),
+            (
+                "n_resurrected",
+                got.filter((k % 10 == 5) | (F.col("cents") == 222)).count(),
+            ),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_column_mapping",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN o_orderkey BETWEEN 1 AND 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_band,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_all
+        FROM orders
+    )
+    SELECT 'n_total' AS step, n_total AS value FROM c
+    UNION ALL SELECT 'n_band_newname', n_band FROM c
+    UNION ALL SELECT 'cents_after_drop_readd',
+        CAST(0 AS BIGINT) + 777 FROM c
+    UNION ALL SELECT 'tt_v1_is_oldnames', CAST(1 AS BIGINT) FROM c
+    UNION ALL SELECT 'cents_total_newname', cents_all FROM c
+    """,
+)
+def lake_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column RENAME/DROP end-to-end under the oracle
+    (r09, Delta column mapping): rename ``cents`` -> ``pennies`` (one
+    manifest commit, zero files rewritten), read + band-prune through
+    the new name, drop an auxiliary column and re-add the SAME logical
+    name under a fresh physical slot after the old files were proven
+    blocked, and time-travel to the pre-rename version under the OLD
+    names. The oracle recomputes counts/sums from ``orders``.
+
+    Reference parity: Delta ALTER TABLE RENAME/DROP COLUMN with
+    columnMapping.mode=name."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.lit(1).cast("bigint").alias("aux"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_colmap_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["k"])
+        t.append(rows)
+        v1 = t.current_version()
+        t.rename_column("cents", "pennies")
+        # the dropped name's physical slot is blocked; the LOGICAL
+        # name becomes reusable once it maps to a fresh physical
+        t.drop_column("aux")
+        try:
+            t.append(
+                spark.createDataFrame([(0, 0, 1)], "k long, pennies long, aux long")
+            )
+            readd_blocked = 0
+        except ValueError:
+            readd_blocked = 1
+        assert readd_blocked == 1
+        t.append(
+            spark.createDataFrame(
+                [(10_000_000, 777, 777)], "k long, pennies long, aux2 long"
+            )
+        )
+        got = t.read()
+        out = [
+            ("n_total", got.count() - 1),  # minus the probe row
+            ("n_band_newname", t.read(where=("k", 1, 64)).count()),
+            (
+                "cents_after_drop_readd",
+                got.agg(F.sum("aux2")).first()[0],
+            ),
+            (
+                "tt_v1_is_oldnames",
+                1 if t.read(version=v1).columns == ["k", "cents", "aux"] else 0,
+            ),
+            (
+                "cents_total_newname",
+                got.filter(F.col("k") < 10_000_000)
+                .agg(F.sum("pennies"))
+                .first()[0],
+            ),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "snapshot_batch_read",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey BETWEEN 100 AND 199
+    ORDER BY k
+    """,
+)
+def snapshot_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch `snapshot` DataSource end-to-end under the oracle
+    (r09): write orders into a clustered snapshot table, read it back
+    through ``spark.read.format("snapshot")`` with a band filter —
+    Catalyst pushes the filter, ``pushFilters`` prunes the planned
+    file list against the manifest stats, and Spark re-applies the
+    exact predicate. Result must equal the straight SQL over orders.
+
+    NOTE the scratch table is deleted before return, so the RETURNED
+    frame is materialized first — the driver's collect must not
+    re-plan against removed files."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="snap_batch_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["k"])
+        t.append_clustered(rows, ["k"], n_files=8)
+        got = (
+            spark.read.format("snapshot")
+            .option("path", t.root)
+            .load()
+            .filter("k BETWEEN 100 AND 199")
+            .orderBy("k")
+        )
+        local = got.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(local, got.schema)

@@ -144,6 +144,11 @@ _PRIORITY: list[str] = [
     # pytest-oracle-checked below the cap)
     "lake_incremental_view",
     # ---------------- below the driver cap line (50) ----------------
+    # r09 additions (pytest-oracle-checked; promotion candidates for
+    # r10): arbitrary-predicate DML, tracked CDC apply, column
+    # mapping, and the batch snapshot DataSource
+    "lake_predicate_dml", "lake_tracked_apply", "lake_column_mapping",
+    "snapshot_batch_read",
     "semi_anti_join", "exists_subquery", "table_profile",
     "range_join_attribution",
     "trend_regression",

@@ -549,7 +549,10 @@ class SnapshotTable:
             for k in ("chunks", "dead", "files", "stats", "blooms"):
                 if restore.get(k):
                     raw[k] = restore[k]
-            for k in ("schema", "dvs", "dv_rows", "seq_state"):
+            for k in (
+                "schema", "dvs", "dv_rows", "seq_state",
+                "column_mapping", "retired",
+            ):
                 if restore.get(k):
                     raw[k] = restore[k]
             if desired.get("batch_markers"):
@@ -563,7 +566,7 @@ class SnapshotTable:
             return raw
         for k in (
             "batch_markers", "schema", "dvs", "dv_rows", "op", "cdc",
-            "checks", "seq_state",
+            "checks", "seq_state", "column_mapping", "retired",
         ):
             if desired.get(k):
                 raw[k] = desired[k]
@@ -640,6 +643,12 @@ class SnapshotTable:
             # deletes were applied
             if "seq_state" not in manifest and prev.get("seq_state"):
                 manifest["seq_state"] = prev["seq_state"]
+            # column mapping + retired slots carry the same way: only
+            # rename/drop/overwrite manage them; every other commit
+            # must not silently shed a rename
+            for k in ("column_mapping", "retired"):
+                if k not in manifest and prev.get(k):
+                    manifest[k] = prev[k]
             raw = self._serialize(manifest, prev_raw)
             try:
                 self.log.write_text_exclusive(
@@ -722,17 +731,23 @@ class SnapshotTable:
             try:
                 staged = self.spark.read.parquet(*files)
                 cur_v = self.current_version()
-                tschema = (
-                    self._base_manifest(cur_v).get("schema") if cur_v else None
-                )
+                base = self._base_manifest(cur_v) if cur_v else {}
+                tschema = base.get("schema")
+                # constraints are written against LOGICAL names: audit
+                # the logical view of the staged (physical) bytes
+                staged = self._to_logical(staged, base)
                 if tschema is not None:
                     from pyspark.sql.types import StructType
 
+                    inv = {
+                        p: l for l, p in self._col_mapping(base).items()
+                    }
                     have = set(staged.columns)
                     for fld in StructType.fromJson(tschema).fields:
-                        if fld.name not in have:
+                        lname = inv.get(fld.name, fld.name)
+                        if lname not in have:
                             staged = staged.withColumn(
-                                fld.name, F.lit(None).cast(fld.dataType)
+                                lname, F.lit(None).cast(fld.dataType)
                             )
                 viol = staged.agg(
                     *[
@@ -797,6 +812,213 @@ class SnapshotTable:
             + [f for f in new_schema["fields"] if f["name"] not in known],
         }
 
+    # -- column mapping (metadata-only rename/drop, Delta's column
+    # mapping design): data files and the manifest "schema" always
+    # carry PHYSICAL column names, fixed at each column's first
+    # appearance; the manifest's "column_mapping" {logical: physical}
+    # presents renamed columns, and "retired" lists physical slots a
+    # dropped column abandoned (still present in old files, so the
+    # name cannot be re-added without a rewrite). A rename or drop is
+    # therefore ONE manifest commit — zero data files move — and time
+    # travel shows each version under its own names.
+
+    @staticmethod
+    def _col_mapping(manifest: dict) -> dict[str, str]:
+        return manifest.get("column_mapping") or {}
+
+    def _phys(self, manifest: dict, col: str) -> str:
+        return self._col_mapping(manifest).get(col, col)
+
+    def _to_physical(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Rename a user-facing (logical) frame to physical column
+        names for staging — a zero-cost projection."""
+        mp = self._col_mapping(manifest)
+        renames = {
+            l: p for l, p in mp.items() if l != p and l in df.columns
+        }
+        return df.withColumnsRenamed(renames) if renames else df
+
+    def _to_logical(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Rename a physical scan to the logical names readers see."""
+        mp = self._col_mapping(manifest)
+        renames = {
+            p: l for l, p in mp.items() if l != p and p in df.columns
+        }
+        return df.withColumnsRenamed(renames) if renames else df
+
+    def _conjuncts_to_physical(self, manifest: dict, conjuncts):
+        """Pruning conjuncts carry user-facing column names; the
+        manifest stats are keyed physically — translate before any
+        stats/bucket/transform lookup."""
+        from dataclasses import replace as _dc_replace
+
+        mp = self._col_mapping(manifest)
+        if not mp:
+            return conjuncts
+        return [
+            _dc_replace(c, column=mp[c.column])
+            if c.column in mp
+            else c
+            for c in conjuncts
+        ]
+
+    def _logical_fields(self, manifest: dict) -> list[tuple[str, str]]:
+        """[(logical name, physical name)] in schema order."""
+        inv = {p: l for l, p in self._col_mapping(manifest).items()}
+        return [
+            (inv.get(f["name"], f["name"]), f["name"])
+            for f in manifest.get("schema", {}).get("fields", [])
+        ]
+
+    def _phys_keys(self, manifest: dict, key):
+        """Merge-key names logical -> physical (str or list shape
+        preserved)."""
+        if isinstance(key, str):
+            return self._phys(manifest, key)
+        return [self._phys(manifest, k) for k in key]
+
+    def _reject_retired(self, manifest: dict, df: DataFrame, verb: str):
+        """A dropped column's physical slot still holds data in old
+        files; re-adding the name would make those files' stale values
+        resurface under the new column. Refuse with guidance."""
+        retired = set(manifest.get("retired", []))
+        bad = [c for c in df.columns if c in retired]
+        if bad:
+            raise ValueError(
+                f"{verb}: column(s) {bad} were dropped from this table; "
+                f"their physical slots still hold data in existing files "
+                f"— use a different name, or overwrite() the table to "
+                f"reset its physical layout"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column RENAME (Delta's column mapping): one
+        manifest commit updates the logical->physical map; no data
+        file is opened or rewritten — at 100 TB the difference between
+        an O(1) commit and rewriting the table. Readers of this and
+        later versions see ``new``; time travel to earlier versions
+        still shows ``old`` (names travel with the manifest). Renames
+        under an active CHECK constraint naming the column are refused
+        (constraint expressions are SQL text; drop and re-add the
+        constraint against the new name)."""
+        if old == new:
+            raise ValueError("rename_column: old and new name are equal")
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("empty table: no committed snapshot")
+
+        def build(version: int, prev: dict) -> dict:
+            if not prev.get("schema"):
+                raise ValueError(
+                    "rename_column needs a schema-carrying manifest"
+                )
+            fields = self._logical_fields(prev)
+            logical = {l for l, _p in fields}
+            if old not in logical:
+                raise ValueError(
+                    f"rename_column: no column {old!r} "
+                    f"(columns: {sorted(logical)})"
+                )
+            if new in logical:
+                raise ValueError(
+                    f"rename_column: {new!r} already exists"
+                )
+            self._guard_checks_reference(prev, old, "rename_column")
+            phys = dict(fields)[old]
+            mapping = dict(self._col_mapping(prev))
+            mapping.pop(old, None)
+            if new != phys:
+                mapping[new] = phys
+            m = self._compose(
+                version,
+                prev["files"],
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms", {}),
+                dvs=prev.get("dvs", {}),
+                dv_rows=prev.get("dv_rows", {}),
+                op="rename_column",
+            )
+            m["column_mapping"] = mapping
+            if prev.get("retired"):
+                m["retired"] = prev["retired"]
+            return m
+
+        return self._commit(build)
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column DROP: one manifest commit removes the
+        field from the (physical) schema and retires its physical
+        slot; no data file is rewritten — readers simply stop
+        projecting it (parquet scans read only requested columns), and
+        time travel to earlier versions still shows it. The retired
+        slot blocks re-adding the same name (old files would leak
+        stale values into it); ``overwrite()`` resets the layout."""
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("empty table: no committed snapshot")
+
+        def build(version: int, prev: dict) -> dict:
+            if not prev.get("schema"):
+                raise ValueError("drop_column needs a schema-carrying manifest")
+            fields = self._logical_fields(prev)
+            by_logical = dict(fields)
+            if name not in by_logical:
+                raise ValueError(
+                    f"drop_column: no column {name!r} "
+                    f"(columns: {sorted(by_logical)})"
+                )
+            if len(fields) == 1:
+                raise ValueError("drop_column: cannot drop the last column")
+            self._guard_checks_reference(prev, name, "drop_column")
+            phys = by_logical[name]
+            schema = dict(prev["schema"])
+            schema["fields"] = [
+                f for f in schema["fields"] if f["name"] != phys
+            ]
+            mapping = {
+                l: p
+                for l, p in self._col_mapping(prev).items()
+                if l != name
+            }
+            m = self._compose(
+                version,
+                prev["files"],
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=schema,
+                blooms=prev.get("blooms", {}),
+                dvs=prev.get("dvs", {}),
+                dv_rows=prev.get("dv_rows", {}),
+                op="drop_column",
+            )
+            m["column_mapping"] = mapping
+            m["retired"] = sorted(set(prev.get("retired", [])) | {phys})
+            return m
+
+        return self._commit(build)
+
+    @staticmethod
+    def _guard_checks_reference(manifest: dict, col: str, verb: str):
+        """Conservative word-boundary guard: a CHECK constraint whose
+        SQL text mentions the column blocks rename/drop (the
+        expression text cannot be rewritten safely)."""
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(col)}\b")
+        hits = [
+            n
+            for n, e in (manifest.get("checks") or {}).items()
+            if pat.search(e)
+        ]
+        if hits:
+            raise ValueError(
+                f"{verb}: CHECK constraint(s) {hits} reference "
+                f"{col!r} — drop them first, then re-add against the "
+                f"new schema"
+            )
+
     def _conform_to_schema(self, df: DataFrame, schema_json: dict) -> DataFrame:
         """NULL-pad and reorder ``df`` to the table's (evolved) schema
         — staged merge files must carry every table column, or the
@@ -824,8 +1046,9 @@ class SnapshotTable:
         an all-null file is invisible to interval pruning)."""
         if not self.stats_columns or not files:
             return {}
+        stats_cols = self._physical_config_cols(self.stats_columns)
         aggs = [F.count(F.lit(1)).alias("__rows")]
-        for c in self.stats_columns:
+        for c in stats_cols:
             aggs.append(F.min(c).alias(f"{c}__min"))
             aggs.append(F.max(c).alias(f"{c}__max"))
             aggs.append(
@@ -833,7 +1056,7 @@ class SnapshotTable:
             )
         rows = (
             self.spark.read.parquet(*files)
-            .select(F.input_file_name().alias("file"), *self.stats_columns)
+            .select(F.input_file_name().alias("file"), *stats_cols)
             .groupBy("file")
             .agg(*aggs)
             .collect()
@@ -847,11 +1070,25 @@ class SnapshotTable:
                         _jsonable(r[f"{c}__max"]),
                         r[f"{c}__nulls"],
                     ]
-                    for c in self.stats_columns
+                    for c in stats_cols
                 },
             }
             for r in rows
         }
+
+    def _physical_config_cols(self, cols: list[str]) -> list[str]:
+        """Table-object config (stats_columns / bloom_columns) names
+        columns as the USER knows them; staged files carry physical
+        names — translate through the current mapping (identity when
+        none), de-duplicated in order."""
+        cur = self.current_version()
+        base = self._base_manifest(cur) if cur else {}
+        out: list[str] = []
+        for c in cols:
+            p = self._phys(base, c)
+            if p not in out:
+                out.append(p)
+        return out
 
     def _file_blooms(self, files: list[str]) -> dict[str, dict]:
         """Per-file Bloom bitsets for the configured bloom columns,
@@ -865,7 +1102,7 @@ class SnapshotTable:
         if not self.bloom_columns or not files:
             return {}
         out: dict[str, dict] = {}
-        for col in self.bloom_columns:
+        for col in self._physical_config_cols(self.bloom_columns):
             h1, h2 = _bloom_hash_cols(col)
             positions = F.array(
                 *[
@@ -1163,7 +1400,9 @@ class SnapshotTable:
         # the DV write would otherwise each re-run the candidate scan
         # (the dominant read cost of the commit). O(matched positions).
         matched = (
-            self._scan_live(manifest, candidates, keep_pos=True)
+            self._to_logical(
+                self._scan_live(manifest, candidates, keep_pos=True), manifest
+            )
             .filter(plan["matched"])
             .select(F.col("__dv_rel").alias("file"), F.col("__dv_pos").alias("pos"))
             .localCheckpoint(eager=True)
@@ -1279,13 +1518,17 @@ class SnapshotTable:
         correctness."""
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+        cur = self.current_version()
+        base = self._base_manifest(cur)
+        df = self._to_physical(df, base)
+        self._reject_retired(base, df, "append_bucketed")
+        # hidden-partition metadata is keyed PHYSICALLY (it outlives
+        # renames, like the files it describes)
+        key = self._phys(base, key)
         bucket = F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
         placed = df.repartition(n_buckets, bucket)
         df_schema = df.schema.jsonValue()
-        cur = self.current_version()
-        self._evolved_schema(
-            self._base_manifest(cur).get("schema") if cur else None, df_schema
-        )
+        self._evolved_schema(base.get("schema") if cur else None, df_schema)
         new_files, new_stats, new_blooms = self._stage(placed)
         if new_files:
             # one column-pruned pass over the staged files records each
@@ -1471,6 +1714,12 @@ class SnapshotTable:
             raise ValueError(
                 f"unknown transform {transform!r}: expected day|month|truncate"
             )
+        cur = self.current_version()
+        base = self._base_manifest(cur)
+        df = self._to_physical(df, base)
+        self._reject_retired(base, df, "append_transformed")
+        # transform metadata is keyed PHYSICALLY, like bucket metadata
+        key = self._phys(base, key)
         dtype = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields])).get(key)
         if dtype is None:
             raise ValueError(f"column {key!r} not in dataframe")
@@ -1481,10 +1730,7 @@ class SnapshotTable:
             else df.repartitionByRange(texpr)
         )
         df_schema = df.schema.jsonValue()
-        cur = self.current_version()
-        self._evolved_schema(
-            self._base_manifest(cur).get("schema") if cur else None, df_schema
-        )
+        self._evolved_schema(base.get("schema") if cur else None, df_schema)
         new_files, new_stats, new_blooms = self._stage(placed)
         if new_files:
             # one column-pruned pass records each staged file's
@@ -1703,13 +1949,15 @@ class SnapshotTable:
         must not erase a streaming writer's dedup state). Data files
         are staged once; only the manifest composition re-runs on a
         CAS retry."""
+        cur = self.current_version()
+        base = self._base_manifest(cur)
+        # user frames carry LOGICAL names; files store PHYSICAL ones
+        df = self._to_physical(df, base)
+        self._reject_retired(base, df, "append")
         df_schema = df.schema.jsonValue()
         # fail BEFORE staging data on an obvious type conflict; the
         # build re-validates against the fresh manifest on CAS retries
-        cur = self.current_version()
-        self._evolved_schema(
-            self._base_manifest(cur).get("schema") if cur else None, df_schema
-        )
+        self._evolved_schema(base.get("schema") if cur else None, df_schema)
         new_files, new_stats, new_blooms = self._stage(df)
 
         def build(version: int, prev: dict) -> dict:
@@ -1761,8 +2009,10 @@ class SnapshotTable:
                             f"marker {k!r} moved ({prev_markers.get(k, 0)} != "
                             f"{v}): state read for this overwrite is stale"
                         )
-            # overwrite REPLACES the data, so the schema resets too
-            return self._compose(
+            # overwrite REPLACES the data, so the schema resets too —
+            # and with it the column mapping and retired slots (the
+            # old physical layout is gone; logical == physical again)
+            m = self._compose(
                 version,
                 new_files,
                 new_stats,
@@ -1771,6 +2021,9 @@ class SnapshotTable:
                 blooms=new_blooms,
                 op="overwrite",
             )
+            m["column_mapping"] = {}
+            m["retired"] = []
+            return m
 
         return self._commit(build)
 
@@ -1859,8 +2112,11 @@ class SnapshotTable:
             from pyspark.sql.types import StructType
 
             if manifest.get("schema"):
-                return self.spark.createDataFrame(
-                    [], StructType.fromJson(manifest["schema"])
+                return self._to_logical(
+                    self.spark.createDataFrame(
+                        [], StructType.fromJson(manifest["schema"])
+                    ),
+                    manifest,
                 )
             raise ValueError(
                 f"snapshot v{v} has no data files and no recorded "
@@ -1871,7 +2127,7 @@ class SnapshotTable:
         # read the added columns as NULL, with no mergeSchema footer
         # sweep; deletion-vector-masked rows are anti-joined out
         if where is None and where_null is None:
-            return self._scan_live(manifest, files)
+            return self._to_logical(self._scan_live(manifest, files), manifest)
         kept = files
         residual = F.lit(True)
         if where is not None:
@@ -1909,9 +2165,14 @@ class SnapshotTable:
                 conjuncts, matched = self._normalize_dml_predicate(
                     None, None, None, where
                 )
-            kept, _out = self._split_by_conjuncts(manifest, conjuncts)
+            # predicates are written in LOGICAL names; the stats and
+            # hidden-partition metadata are physical — translate for
+            # pruning, keep the residual logical (it filters the
+            # logical view below)
+            pconj = self._conjuncts_to_physical(manifest, conjuncts)
+            kept, _out = self._split_by_conjuncts(manifest, pconj)
             kept, _out, _proofs = self._conjunct_hidden_prune(
-                manifest, conjuncts, kept, _out
+                manifest, pconj, kept, _out
             )
             # the exact predicate is always the residual: filter()
             # keeps only rows where it is TRUE, so pruning can only
@@ -1919,11 +2180,12 @@ class SnapshotTable:
             residual = residual & matched
         if where_null is not None:
             ncol, want_null = where_null
+            pcol = self._phys(manifest, ncol)
             stats = manifest.get("stats", {})
             survivors = []
             for f in kept:
                 fstats = stats.get(_rel(f), {})
-                band = fstats.get(ncol)
+                band = fstats.get(pcol)
                 rows = fstats.get("__rows")
                 nulls = (
                     band[2]
@@ -1944,8 +2206,12 @@ class SnapshotTable:
             )
         if not kept:
             # schema-preserving empty result; no data file opened at scan
-            return self._reader_for(manifest).parquet(files[0]).filter(F.lit(False))
-        return self._scan_live(manifest, kept).filter(residual)
+            return self._to_logical(
+                self._reader_for(manifest).parquet(files[0]), manifest
+            ).filter(F.lit(False))
+        return self._to_logical(self._scan_live(manifest, kept), manifest).filter(
+            residual
+        )
 
     def _reader_for(self, manifest: dict):
         """Reader pinned to the manifest's table schema (when present):
@@ -2211,6 +2477,10 @@ class SnapshotTable:
         conjuncts, matched = self._normalize_dml_predicate(
             column, lo, hi, predicate
         )
+        # predicates arrive in LOGICAL names; pruning metadata is
+        # physical. The stored (translated) conjuncts also serve the
+        # CAS-retry replan, which sees the same physical space.
+        conjuncts = self._conjuncts_to_physical(manifest, conjuncts)
         candidates, untouched = self._split_by_conjuncts(manifest, conjuncts)
         candidates, untouched, proofs = self._conjunct_hidden_prune(
             manifest, conjuncts, candidates, untouched
@@ -2271,8 +2541,12 @@ class SnapshotTable:
         if not candidates:
             return cur
         # DV-aware candidate scan: rows already masked by a deletion
-        # vector must not resurrect in the rewrite
-        cand_scan = self._scan_live(manifest, candidates)
+        # vector must not resurrect in the rewrite. The predicate is
+        # written in LOGICAL names, so it filters the logical view;
+        # the survivors stage back under physical names.
+        cand_scan = self._to_logical(
+            self._scan_live(manifest, candidates), manifest
+        )
         # NULL predicate rows never match (SQL three-valued logic) —
         # and the survivor predicate is the EXACT complement of the
         # matched predicate over every row including NULLs, so the
@@ -2288,9 +2562,13 @@ class SnapshotTable:
             # (the delete_where_mor pattern) instead of scanning the
             # candidates twice
             cand_scan = cand_scan.localCheckpoint(eager=True)
-            matched = cand_scan.filter(matched_pred)
+            matched = self._to_physical(
+                cand_scan.filter(matched_pred), manifest
+            )
             cdc_dir = self._write_cdc(matched, None, manifest["schema"])
-        survivors = cand_scan.filter(survivor_pred)
+        survivors = self._to_physical(
+            cand_scan.filter(survivor_pred), manifest
+        )
         new_files, new_stats, new_blooms = self._stage(survivors)
 
         base_dvs = manifest.get("dvs", {})
@@ -2420,37 +2698,48 @@ class SnapshotTable:
         if cur == 0:
             return self.append(df)
         manifest = self._manifest(cur)
+        # the replacement frame arrives in LOGICAL names; files and
+        # schema evolution live in physical space
+        df_p = self._to_physical(df, manifest)
+        self._reject_retired(manifest, df_p, "replace_where")
         plan = self._plan_dml_predicate(manifest, column, lo, hi, predicate)
         candidates, untouched = plan["candidates"], plan["untouched"]
         prev_schema = manifest.get("schema")
         evolved = (
-            self._evolved_schema(prev_schema, df.schema.jsonValue())
+            self._evolved_schema(prev_schema, df_p.schema.jsonValue())
             if prev_schema
-            else df.schema.jsonValue()
+            else df_p.schema.jsonValue()
         )
         matched_pred = plan["matched"]
         survivor_pred = plan["survivor"]
         cdc_dir = None
         if candidates:
-            cand_scan = self._scan_live(
-                {**manifest, "schema": evolved}, candidates
+            cand_scan = self._to_logical(
+                self._scan_live({**manifest, "schema": evolved}, candidates),
+                manifest,
             )
             if self.change_data_feed and prev_schema:
                 cand_scan = cand_scan.localCheckpoint(eager=True)
                 cdc_dir = self._write_cdc(
-                    cand_scan.filter(matched_pred), df, evolved
+                    self._to_physical(
+                        cand_scan.filter(matched_pred), manifest
+                    ),
+                    df_p,
+                    evolved,
                 )
-            rewritten = cand_scan.filter(survivor_pred).unionByName(
-                self._conform_to_schema(df, evolved),
+            rewritten = self._to_physical(
+                cand_scan.filter(survivor_pred), manifest
+            ).unionByName(
+                self._conform_to_schema(df_p, evolved),
                 allowMissingColumns=True,
             )
         else:
-            rewritten = self._conform_to_schema(df, evolved)
+            rewritten = self._conform_to_schema(df_p, evolved)
             if self.change_data_feed and prev_schema:
-                cdc_dir = self._write_cdc(None, df, evolved)
+                cdc_dir = self._write_cdc(None, df_p, evolved)
         new_files, new_stats, new_blooms = self._stage(rewritten)
         base_dvs = manifest.get("dvs", {})
-        src_schema = df.schema.jsonValue()
+        src_schema = df_p.schema.jsonValue()
 
         def build(version: int, prev: dict) -> dict:
             cands, untch = self._replan_predicate(prev, plan)
@@ -2542,7 +2831,11 @@ class SnapshotTable:
         candidates, untouched = plan["candidates"], plan["untouched"]
         if not candidates:
             return cur
-        cand_scan = self._scan_live(manifest, candidates)
+        # SET expressions and the predicate are written in LOGICAL
+        # names: apply them over the logical view, stage back physical
+        cand_scan = self._to_logical(
+            self._scan_live(manifest, candidates), manifest
+        )
         unknown = [c for c in set if c not in cand_scan.columns]
         if unknown:
             raise ValueError(
@@ -2572,10 +2865,14 @@ class SnapshotTable:
             cand_scan = cand_scan.localCheckpoint(eager=True)
             matched = cand_scan.filter(matched_pred)
             cdc_dir = self._write_cdc(
-                matched, apply_set(matched, F.lit(True)), manifest["schema"]
+                self._to_physical(matched, manifest),
+                self._to_physical(apply_set(matched, F.lit(True)), manifest),
+                manifest["schema"],
             )
             rewritten = apply_set(cand_scan, matched_pred)
-        new_files, new_stats, new_blooms = self._stage(rewritten)
+        new_files, new_stats, new_blooms = self._stage(
+            self._to_physical(rewritten, manifest)
+        )
 
         base_dvs = manifest.get("dvs", {})
 
@@ -2843,7 +3140,15 @@ class SnapshotTable:
         keys present in ``source`` but absent from ``_stage_df`` are
         therefore DELETED rather than replaced.
         """
-        stage = source if _stage_df is None else _stage_df
+        base0 = self._base_manifest(self.current_version())
+        source = self._to_physical(source, base0)
+        self._reject_retired(base0, source, "merge")
+        key = self._phys_keys(base0, key)
+        stage = (
+            source
+            if _stage_df is None
+            else self._to_physical(_stage_df, base0)
+        )
         plan = self._plan_merge(source, key) if _plan is None else _plan
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
@@ -2985,7 +3290,15 @@ class SnapshotTable:
         ``_stage_df`` (private, used by :meth:`apply_changes`): same
         role split as :meth:`merge` — ``source`` plans and masks,
         ``_stage_df`` is what gets appended."""
-        stage = source if _stage_df is None else _stage_df
+        base0 = self._base_manifest(self.current_version())
+        source = self._to_physical(source, base0)
+        self._reject_retired(base0, source, "merge_mor")
+        key = self._phys_keys(base0, key)
+        stage = (
+            source
+            if _stage_df is None
+            else self._to_physical(_stage_df, base0)
+        )
         plan = self._plan_merge(source, key)
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
@@ -3297,13 +3610,21 @@ class SnapshotTable:
             # retention), written as a fresh immutable side file and
             # swapped in the same atomic manifest publish as the data
             now = _time.time()
-            applied_keys = latest.select(*keys).distinct()
+            # state files store PHYSICAL key names (they outlive
+            # renames, like data files)
+            pkeys = [self._phys(manifest, k) for k in keys]
+            applied_keys = self._to_physical(
+                latest.select(*keys).distinct(), manifest
+            )
             if checks["nd"] <= self.merge_broadcast_max_keys:
                 applied_keys = F.broadcast(applied_keys)
-            state = latest.filter(is_del).select(
-                *keys,
-                F.col(seq_col).alias("__seq"),
-                F.lit(now).alias("__deleted_at"),
+            state = self._to_physical(
+                latest.filter(is_del).select(
+                    *keys,
+                    F.col(seq_col).alias("__seq"),
+                    F.lit(now).alias("__deleted_at"),
+                ),
+                manifest,
             )
             if manifest.get("seq_state"):
                 old = (
@@ -3312,7 +3633,7 @@ class SnapshotTable:
                         F.col("__deleted_at")
                         >= F.lit(now - tombstone_retention_sec)
                     )
-                    .join(applied_keys, keys, "left_anti")
+                    .join(applied_keys, pkeys, "left_anti")
                 )
                 state = state.unionByName(old)
             state_dir = None
@@ -3366,22 +3687,26 @@ class SnapshotTable:
                 aggs.append(F.min(k).alias(f"lo_{i}"))
                 aggs.append(F.max(k).alias(f"hi_{i}"))
             bounds = latest.agg(*aggs).first()
+            # stats / blooms are keyed by PHYSICAL names; the batch
+            # and the returned frame stay logical
             bands = [
-                (k, bounds[f"lo_{i}"], bounds[f"hi_{i}"])
+                (self._phys(manifest, k), bounds[f"lo_{i}"], bounds[f"hi_{i}"])
                 for i, k in enumerate(keys)
             ]
             candidates, _untouched = self._split_by_bands(manifest, bands)
             if manifest.get("has_blooms") and len(keys) == 1:
                 hashes = self._source_key_hashes(latest, keys[0])
                 candidates, _d = self._bloom_prune(
-                    manifest, keys[0], candidates, hashes
+                    manifest, self._phys(manifest, keys[0]), candidates, hashes
                 )
             if candidates:
                 kt = latest.select(*keys).distinct()
                 if nd <= self.merge_broadcast_max_keys:
                     kt = F.broadcast(kt)
                 frames.append(
-                    self._scan_live(manifest, candidates)
+                    self._to_logical(
+                        self._scan_live(manifest, candidates), manifest
+                    )
                     .join(kt, keys, "left_semi")
                     .select(*keys, "__seq")
                 )
@@ -3390,9 +3715,12 @@ class SnapshotTable:
 
             # the retention window applies at the GATE too: an aged-out
             # tombstone stops blocking even before a consolidation pass
-            # physically prunes it
+            # physically prunes it. State files carry physical key
+            # names; present them logically like any other read.
             frames.append(
-                self.spark.read.parquet(manifest["seq_state"])
+                self._to_logical(
+                    self.spark.read.parquet(manifest["seq_state"]), manifest
+                )
                 .filter(
                     F.col("__deleted_at")
                     >= F.lit(_time.time() - retention_sec)
@@ -3441,11 +3769,15 @@ class SnapshotTable:
         if base_v == 0:
             raise ValueError("empty table: no committed snapshot")
         base = self._manifest(base_v)
-        cur = self.read(version=base_v)
+        # rewrite in PHYSICAL space (files keep physical names across
+        # renames); cluster keys arrive logical like any user input
+        cur = self._scan_live(base, base["files"]) if base["files"] else None
+        if cur is None:
+            return base_v
         n = cur.count()
         n_files = max(1, math.ceil(n / target_rows_per_file))
         if cluster_by:
-            cols = [F.col(c) for c in cluster_by]
+            cols = [F.col(self._phys(base, c)) for c in cluster_by]
             rewritten = cur.repartitionByRange(
                 n_files, *cols
             ).sortWithinPartitions(*cols)
@@ -3607,7 +3939,8 @@ class SnapshotTable:
         n = cur.count()
         n_files = max(1, math.ceil(n / target_rows_per_file))
         if cluster_by:
-            cols = [F.col(c) for c in cluster_by]
+            # rewrite stays physical; user keys arrive logical
+            cols = [F.col(self._phys(base, c)) for c in cluster_by]
             rewritten = cur.repartitionByRange(
                 n_files, *cols
             ).sortWithinPartitions(*cols)
@@ -3703,7 +4036,9 @@ class SnapshotTable:
             scan = self._scan_live(m, m["files"])
             if m.get("schema"):
                 scan = self._conform_to_schema(scan, m["schema"])
-            dest.append(scan)
+            # a deep clone is a fresh physical layout: write under the
+            # CURRENT logical names (logical == physical again)
+            dest.append(self._to_logical(scan, m))
             return dest
 
         def build(version_d: int, prev: dict) -> dict:
@@ -3723,6 +4058,11 @@ class SnapshotTable:
             )
             if raw.get("checks"):
                 mm["checks"] = raw["checks"]
+            # a shallow clone shares the source's physical files, so
+            # it must share their name mapping too
+            for k in ("column_mapping", "retired"):
+                if raw.get(k):
+                    mm[k] = raw[k]
             return mm
 
         dest._commit(build)
@@ -3844,9 +4184,18 @@ class SnapshotTable:
 
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown mode {mode!r}")
+        base0 = self._base_manifest(self.current_version())
+        df = self._to_physical(df, base0)
+        if mode == "append":
+            self._reject_retired(base0, df, "wap_commit")
         files, new_stats, new_blooms = self._stage(df)
+        # audit expressions are written in LOGICAL names
         audit_rows = [
-            r.asDict() for r in run_checks(self.spark.read.parquet(*files), checks).collect()
+            r.asDict()
+            for r in run_checks(
+                self._to_logical(self.spark.read.parquet(*files), base0),
+                checks,
+            ).collect()
         ]
         failed = [r for r in audit_rows if not r["passed"]]
         if failed:
@@ -3868,7 +4217,7 @@ class SnapshotTable:
                 all_files, stats, schema = files, new_stats, df_schema
                 blooms = new_blooms
                 dvs = None
-            return self._compose(
+            m = self._compose(
                 version,
                 all_files,
                 stats,
@@ -3879,6 +4228,11 @@ class SnapshotTable:
                 dv_rows=prev.get("dv_rows", {}),
                 op="wap",
             )
+            if mode == "overwrite":
+                # like overwrite(): the physical layout resets
+                m["column_mapping"] = {}
+                m["retired"] = []
+            return m
 
         version = self._commit(build)
         self.log.write_text(
@@ -4135,9 +4489,11 @@ class SnapshotTable:
         rows_from = rows(m_from, removed + dv_changed)
         inserts = rows_to.exceptAll(rows_from)
         deletes = rows_from.exceptAll(rows_to)
-        return inserts.withColumn(
+        out = inserts.withColumn(
             "_change_type", F.lit("insert")
         ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
+        # the feed presents the TO version's LOGICAL names
+        return self._to_logical(out, m_to)
 
     def changes_by_version(
         self, from_version: int, to_version: int | None = None

@@ -85,6 +85,9 @@ def _resolve_full(root: str, version: int) -> dict:
         "dvs": raw.get("dvs", {}),
         "schema": raw.get("schema"),
         "committed_at": raw.get("committed_at"),
+        # metadata-only rename support: stats/files are PHYSICAL,
+        # readers present LOGICAL names through this map
+        "column_mapping": raw.get("column_mapping") or {},
     }
 
 
@@ -155,8 +158,16 @@ class SnapshotBatchReader(DataSourceReader):
         # every convertible filter prunes the FILE LIST; every filter
         # (convertible or not) is returned to Spark as unhandled, so
         # the engine re-applies the exact predicate — pruning is a
-        # pure optimization by construction
-        self._conjuncts = conjuncts_from_push_filters(filters)
+        # pure optimization by construction. Filters arrive in LOGICAL
+        # names; the stats are physical.
+        from dataclasses import replace as _dc_replace
+
+        mp = self._manifest["column_mapping"]
+        conj = conjuncts_from_push_filters(filters)
+        self._conjuncts = [
+            _dc_replace(c, column=mp[c.column]) if c.column in mp else c
+            for c in conj
+        ]
         return filters
 
     def partitions(self):
@@ -183,11 +194,14 @@ class SnapshotBatchReader(DataSourceReader):
         raw_tbl = pq.read_table(fpath, filesystem=fs_)
         # conform to the TABLE schema (Iceberg rule): NULL-pad columns
         # the file predates, take names/types from the manifest — the
-        # exact view SnapshotTable.read() gives
+        # exact view SnapshotTable.read() gives. Schema fields carry
+        # LOGICAL names; files store physical ones.
+        mp = self._manifest["column_mapping"]
         cols = []
         for f in target:
-            if f.name in raw_tbl.column_names:
-                cols.append(raw_tbl.column(f.name).cast(f.type))
+            pname = mp.get(f.name, f.name)
+            if pname in raw_tbl.column_names:
+                cols.append(raw_tbl.column(pname).cast(f.type))
             else:
                 cols.append(pa.nulls(raw_tbl.num_rows, f.type))
         tbl = pa.table(cols, schema=target)
@@ -233,11 +247,16 @@ class SnapshotDataSource(DataSource):
         st = StructType.fromJson(m["schema"])
         # parquet scans surface every column nullable (and additive
         # evolution NULL-pads older files), exactly like
-        # SnapshotTable.read()'s schema — mirror it
+        # SnapshotTable.read()'s schema — mirror it; fields present
+        # their LOGICAL names (the on-disk schema is physical)
         from pyspark.sql.types import StructField
 
+        inv = {p: l for l, p in m["column_mapping"].items()}
         return StructType(
-            [StructField(f.name, f.dataType, True, f.metadata) for f in st]
+            [
+                StructField(inv.get(f.name, f.name), f.dataType, True, f.metadata)
+                for f in st
+            ]
         )
 
     def reader(self, schema: StructType) -> SnapshotBatchReader:

@@ -206,6 +206,9 @@ def _resolve_manifest(root: str, version: int) -> dict:
         "op": raw.get("op"),
         "schema": raw.get("schema"),
         "cdc": raw.get("cdc"),
+        # metadata-only rename support: files store PHYSICAL names,
+        # the stream presents LOGICAL ones through this map
+        "column_mapping": raw.get("column_mapping") or {},
     }
 
 
@@ -300,6 +303,15 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
         self._schema = schema
+        # logical -> physical name map, pinned at stream start like
+        # the schema itself (consumers restart to pick up renames,
+        # exactly as they do for widened schemas)
+        cur0 = _current_version(self.root)
+        self._phys = (
+            _resolve_manifest(self.root, cur0)["column_mapping"]
+            if cur0
+            else {}
+        )
         # Admission-control seed. The Python DataSource API never
         # shows latestOffset() the committed start (no
         # SupportsAdmissionControl equivalent), so a checkpoint
@@ -509,8 +521,9 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         # (consumers restart to pick up widened schemas, as with Delta)
         cols = []
         for f in target:
-            if f.name in raw_tbl.column_names:
-                cols.append(raw_tbl.column(f.name).cast(f.type))
+            pname = self._phys.get(f.name, f.name)
+            if pname in raw_tbl.column_names:
+                cols.append(raw_tbl.column(pname).cast(f.type))
             else:
                 cols.append(pa.nulls(raw_tbl.num_rows, f.type))
         tbl = pa.table(cols, schema=target)
@@ -620,6 +633,19 @@ class SnapshotCdfDataSource(DataSource):
                 f"snapshot_cdf: manifest v{cur} at {root} carries no schema"
             )
         st = StructType.fromJson(m["schema"])
+        # present LOGICAL names (the schema on disk is physical)
+        inv = {p: l for l, p in m["column_mapping"].items()}
+        if inv:
+            from pyspark.sql.types import StructField
+
+            st = StructType(
+                [
+                    StructField(
+                        inv.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in st.fields
+                ]
+            )
         return st.add("_change_type", StringType()).add(
             "_commit_version", LongType()
         )
