@@ -855,12 +855,21 @@ class SnapshotTable:
         mp = self._col_mapping(manifest)
         if not mp:
             return conjuncts
-        return [
-            _dc_replace(c, column=mp[c.column])
-            if c.column in mp
-            else c
-            for c in conjuncts
-        ]
+
+        def xlate(c):
+            if c.kind == "or":
+                return _dc_replace(
+                    c,
+                    branches=tuple(
+                        tuple(xlate(b) for b in branch)
+                        for branch in c.branches
+                    ),
+                )
+            if c.column in mp:
+                return _dc_replace(c, column=mp[c.column])
+            return c
+
+        return [xlate(c) for c in conjuncts]
 
     def _logical_fields(self, manifest: dict) -> list[tuple[str, str]]:
         """[(logical name, physical name)] in schema order."""
@@ -4303,7 +4312,12 @@ class SnapshotTable:
         deletes, sequence-ordered within the batch; ordering across
         batches is the stream's arrival order, as with any CDC
         consumer). Use ``cdc_key`` instead when the upstream is a
-        ``snapshot_cdf`` stream.
+        ``snapshot_cdf`` stream. ``track_seq=True`` (both CDC modes)
+        makes the TABLE enforce cross-batch ordering — each key's
+        applied sequence persists and stale lower-seq changes are
+        ignored (see :meth:`apply_changes`), so a re-delivered or
+        late micro-batch cannot regress rows even across checkpoint
+        resets.
 
         ``maintain`` makes the sink SELF-MAINTAINING: every
         ``maintain_every``-th batch, :meth:`auto_maintain` runs with

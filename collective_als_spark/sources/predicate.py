@@ -54,6 +54,10 @@ class Conjunct:
       when the conjunct was ``=`` or ``IN`` (enables bucket /
       transform SET proofs), else None (interval-only).
     - ``null``: ``column IS [NOT] NULL`` (``want_null``).
+    - ``or``: a top-level disjunction whose every branch produced at
+      least one provable conjunct — ``branches`` is a tuple of
+      conjunct tuples; a file is provably out only when EVERY branch
+      proves it out (the union-of-rowsets rule).
     - ``opaque``: recognized nothing — no pruning power.
     """
 
@@ -65,6 +69,7 @@ class Conjunct:
     hi_strict: bool = False
     values: frozenset | None = None
     want_null: bool = False
+    branches: tuple = ()
     src: str = field(default="", compare=False)
 
 
@@ -136,6 +141,26 @@ def _split_conjuncts(tokens: list) -> list[list]:
     return parts
 
 
+def _split_disjuncts(tokens: list) -> list[list]:
+    """Split on top-level OR (paren-depth aware)."""
+    parts: list[list] = []
+    cur: list = []
+    depth = 0
+    for tok in tokens:
+        kind, text = tok
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        if depth == 0 and kind == "kw" and text == "OR":
+            parts.append(cur)
+            cur = []
+            continue
+        cur.append(tok)
+    parts.append(cur)
+    return parts
+
+
 def _literal(tokens: list, i: int):
     """(value, next_index) or (None, -1) when tokens[i:] doesn't start
     with a literal. DATE/TIMESTAMP literals come back as their ISO
@@ -200,18 +225,34 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
             return out
     if not tokens:
         return [OPAQUE]
-    # any top-level OR / NOT / LIKE disqualifies the whole conjunct
+    # a top-level OR becomes a DISJUNCTION conjunct when every branch
+    # is itself provable (union-of-rowsets pruning: a file is out only
+    # if every branch proves it out); NOT / LIKE stay opaque
     depth = 0
+    has_or = False
     for k, t in tokens:
         if (k, t) == ("op", "("):
             depth += 1
         elif (k, t) == ("op", ")"):
             depth -= 1
         elif depth == 0 and k == "kw" and t in ("OR", "NOT", "LIKE"):
-            # one exception handled below: IS NOT NULL
             if t == "NOT" and _is_is_not_null(tokens):
                 continue
+            if t == "OR":
+                has_or = True
+                continue
             return [OPAQUE]
+    if has_or:
+        branches = []
+        for part in _split_disjuncts(tokens):
+            sub: list[Conjunct] = []
+            for run in _split_conjuncts(part):
+                sub.extend(_match_conjunct(run, src))
+            provable = tuple(c for c in sub if c.kind != "opaque")
+            if not provable:
+                return [OPAQUE]  # one unprovable branch poisons the OR
+            branches.append(provable)
+        return [Conjunct("or", branches=tuple(branches), src=src)]
     col = None
     if tokens[0][0] == "word":
         col = tokens[0][1]
@@ -364,48 +405,54 @@ def prune_files(
     for f in files:
         fstats = stats.get(rel_of(f), {})
         rows = fstats.get("__rows")
-        provably_out = False
-        for c in conjuncts:
-            if c.kind == "null":
-                band = fstats.get(c.column)
-                nulls = band[2] if band is not None and len(band) > 2 else None
-                if nulls is None or rows is None:
-                    continue
-                if c.want_null and nulls == 0:
-                    provably_out = True
-                    break
-                if not c.want_null and nulls == rows:
-                    provably_out = True
-                    break
-                continue
-            if c.kind != "band":
-                continue
-            band = fstats.get(c.column)
-            if band is None:
-                continue
-            if band[0] is None or band[1] is None:
-                # all values NULL (when the null count proves it): no
-                # comparison conjunct can match this file
-                if len(band) > 2 and band[2] is not None and band[2] == rows:
-                    provably_out = True
-                    break
-                continue
-            lo, hi = jsonable(c.lo), jsonable(c.hi)
-            try:
-                if lo is not None and (
-                    band[1] < lo or (c.lo_strict and band[1] == lo)
-                ):
-                    provably_out = True
-                    break
-                if hi is not None and (
-                    band[0] > hi or (c.hi_strict and band[0] == hi)
-                ):
-                    provably_out = True
-                    break
-            except TypeError:
-                continue  # literal/stats type mismatch: no proof
-        (untouched if provably_out else candidates).append(f)
+        if any(_conjunct_proves_out(fstats, rows, c) for c in conjuncts):
+            untouched.append(f)
+        else:
+            candidates.append(f)
     return candidates, untouched
+
+
+def _conjunct_proves_out(fstats: dict, rows, c: Conjunct) -> bool:
+    """True iff this conjunct PROVES no row of the file can satisfy
+    it. An ``or`` conjunct proves out only when every branch does
+    (each branch itself via any of its conjuncts)."""
+    if c.kind == "or":
+        return all(
+            any(_conjunct_proves_out(fstats, rows, b) for b in branch)
+            for branch in c.branches
+        )
+    if c.kind == "null":
+        band = fstats.get(c.column)
+        nulls = band[2] if band is not None and len(band) > 2 else None
+        if nulls is None or rows is None:
+            return False
+        if c.want_null:
+            return nulls == 0
+        return nulls == rows
+    if c.kind != "band":
+        return False
+    band = fstats.get(c.column)
+    if band is None:
+        return False
+    if band[0] is None or band[1] is None:
+        # all values NULL (when the null count proves it): no
+        # comparison conjunct can match this file
+        return (
+            len(band) > 2 and band[2] is not None and band[2] == rows
+        )
+    lo, hi = jsonable(c.lo), jsonable(c.hi)
+    try:
+        if lo is not None and (
+            band[1] < lo or (c.lo_strict and band[1] == lo)
+        ):
+            return True
+        if hi is not None and (
+            band[0] > hi or (c.hi_strict and band[0] == hi)
+        ):
+            return True
+    except TypeError:
+        return False  # literal/stats type mismatch: no proof
+    return False
 
 
 def conjuncts_from_push_filters(filters) -> list[Conjunct]:

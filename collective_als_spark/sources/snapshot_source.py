@@ -34,8 +34,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -47,8 +49,9 @@ from ..streaming.cdf_source import (
     _read_json,
     _rel,
     _snap_dir,
+    _write_json_atomic,
 )
-from .predicate import conjuncts_from_push_filters, prune_files
+from .predicate import conjuncts_from_push_filters, jsonable, prune_files
 
 
 def _resolve_full(root: str, version: int) -> dict:
@@ -261,6 +264,304 @@ class SnapshotDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SnapshotBatchReader:
         return SnapshotBatchReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotBatchWriter:
+        return SnapshotBatchWriter(schema, self.options, overwrite)
+
+
+def _write_json(path: str, obj) -> None:
+    import json
+
+    data = json.dumps(obj)
+    fs_, p = _fs_split(path)
+    if fs_ is None:
+        import os
+
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(data)
+        return
+    with fs_.open_output_stream(p) as f:
+        f.write(data.encode("utf-8"))
+
+
+def _write_json_exclusive(path: str, obj) -> None:
+    """Atomic create-if-absent — the commit primitive. Pure python can
+    guarantee it only where the OS does (local / ``file:`` paths);
+    object-store schemes must commit through ``SnapshotTable`` (its
+    LogStore carries the per-scheme protocol)."""
+    import json
+    import os
+
+    fs_, p = _fs_split(path)
+    if fs_ is not None and "://" in path and not path.startswith("file:"):
+        raise NotImplementedError(
+            f"snapshot writer: exclusive manifest creation on "
+            f"{path.split('://', 1)[0]}:// is not available from the "
+            f"pure-python writer — write via SnapshotTable.append()"
+        )
+    fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps(obj))
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    file: str
+    rows: int
+    stats: dict
+
+
+class SnapshotBatchWriter(DataSourceArrowWriter):
+    """Executor half of ``df.write.format("snapshot")``: each task
+    streams its Arrow batches into ONE parquet file under a fresh
+    ``data/<job-uuid>/`` dir (invisible to readers until the manifest
+    commits), renamed logical->physical, with the per-file min/max/
+    null-count stats computed from the SAME batches — so the commit
+    adds data-skipping metadata without any re-scan. The driver-side
+    :meth:`commit` then composes the next manifest (one new metadata
+    chunk + everything else carried by reference) and publishes it
+    with the same atomic exclusive-create CAS ``SnapshotTable`` uses;
+    racing writers (including SnapshotTable ones) serialize cleanly.
+
+    Refused shapes, validated at PLAN time: tables carrying CHECK
+    constraints (their SQL needs an engine to evaluate — append via
+    ``SnapshotTable``), type-changing schemas, retired column names,
+    and object-store roots (no exclusive-create primitive here)."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        import uuid as _uuid
+
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("snapshot requires .option('path', <table root>)")
+        self.root = self.root.rstrip("/")
+        self.overwrite = overwrite
+        cur = _current_version(self.root)
+        m = (
+            _resolve_full(self.root, cur)
+            if cur
+            else {"files": [], "stats": {}, "schema": None, "column_mapping": {}}
+        )
+        raw = _read_json(f"{_snap_dir(self.root)}/v{cur}.json") if cur else {}
+        if raw.get("checks"):
+            raise ValueError(
+                "snapshot writer: this table has CHECK constraints "
+                f"({sorted(raw['checks'])}) — their SQL must be evaluated "
+                "by an engine at staging; append via SnapshotTable"
+            )
+        # fail the job at planning, not in commit(): the exclusive-
+        # create primitive only exists for local/file roots
+        if "://" in self.root and not self.root.startswith("file:"):
+            raise NotImplementedError(
+                "snapshot writer commits need exclusive manifest "
+                "creation; object-store roots must write via "
+                "SnapshotTable.append()"
+            )
+        mapping = m["column_mapping"]
+        self._rename = {
+            l: p for l, p in mapping.items() if l != p and l in schema.names
+        }
+        retired = set(raw.get("retired", []))
+        physical_names = [self._rename.get(n, n) for n in schema.names]
+        bad = [n for n in physical_names if n in retired]
+        if bad and not overwrite:
+            raise ValueError(
+                f"snapshot writer: column(s) {bad} were dropped from this "
+                f"table; their physical slots still hold data — use a "
+                f"different name or overwrite"
+            )
+        # additive-only evolution, validated at plan time (re-checked
+        # against the fresh manifest in commit)
+        from pyspark.sql.types import StructField
+
+        self._physical_schema = StructType(
+            [
+                StructField(self._rename.get(f.name, f.name), f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+        if m["schema"] and not overwrite:
+            _evolve_fields(m["schema"], self._physical_schema.jsonValue())
+        # stats coverage: the columns the existing manifest already
+        # tracks (their union), or every top-level primitive column
+        # for a fresh/overwritten table
+        observed: set[str] = set()
+        for fstats in m["stats"].values():
+            observed.update(
+                k
+                for k in fstats
+                if not k.startswith("__")
+            )
+        if observed and not overwrite:
+            self._stats_cols = sorted(observed)
+        else:
+            prim = {
+                "byte", "short", "integer", "long", "float", "double",
+                "string", "date", "timestamp", "timestamp_ntz", "boolean",
+                "decimal",
+            }
+            self._stats_cols = [
+                f.name
+                for f in self._physical_schema.fields
+                if f.dataType.typeName() in prim
+                or f.dataType.typeName().startswith("decimal")
+            ]
+        self.job_dir = f"{self.root}/data/{_uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._physical_schema)
+        batches = []
+        for batch in iterator:
+            if batch.num_rows:
+                batches.append(batch)
+        if not batches:
+            # zero-row task: stage nothing (the manifest records the
+            # schema; empty part files would be forever-candidates)
+            return _StagedFile("", 0, {})
+        tbl = pa.Table.from_batches(batches)
+        tbl = tbl.rename_columns([f.name for f in target]).cast(target)
+        path = f"{self.job_dir}/part-{_uuid.uuid4().hex}.parquet"
+        fs_, p = _fs_split(path)
+        if fs_ is None:
+            import os
+
+            os.makedirs(self.job_dir, exist_ok=True)
+            pq.write_table(tbl, p)
+        else:
+            fs_.create_dir(p.rsplit("/", 1)[0], recursive=True)
+            pq.write_table(tbl, p, filesystem=fs_)
+        stats: dict = {"__rows": tbl.num_rows}
+        for c in self._stats_cols:
+            if c not in tbl.column_names:
+                continue
+            col = tbl.column(c)
+            try:
+                mm = pc.min_max(col)
+                stats[c] = [
+                    jsonable(mm["min"].as_py()),
+                    jsonable(mm["max"].as_py()),
+                    col.null_count,
+                ]
+            except pa.ArrowNotImplementedError:
+                continue  # non-orderable type: no interval stats
+        return _StagedFile(path, tbl.num_rows, stats)
+
+    def commit(self, messages):
+        import time as _time
+        import uuid as _uuid
+
+        files = [m.file for m in messages if m and m.file]
+        new_stats = {
+            _rel(m.file): m.stats for m in messages if m and m.file
+        }
+        snap = _snap_dir(self.root)
+        for _attempt in range(20):
+            cur = _current_version(self.root)
+            prev_raw = _read_json(f"{snap}/v{cur}.json") if cur else {}
+            raw: dict = {
+                "version": cur + 1,
+                "committed_at": round(_time.time(), 3),
+                "op": "overwrite" if self.overwrite else "append",
+            }
+            if self.overwrite:
+                schema = self._physical_schema.jsonValue()
+                if prev_raw.get("batch_markers"):
+                    raw["batch_markers"] = prev_raw["batch_markers"]
+                chunk = {"files": sorted(files), "stats": new_stats}
+            else:
+                if prev_raw.get("checks"):
+                    raise ValueError(
+                        "snapshot writer: CHECK constraints were added "
+                        "concurrently — append via SnapshotTable"
+                    )
+                prev_schema = prev_raw.get("schema")
+                schema = (
+                    _evolve_fields(
+                        prev_schema, self._physical_schema.jsonValue()
+                    )
+                    if prev_schema
+                    else self._physical_schema.jsonValue()
+                )
+                for k in (
+                    "batch_markers", "dvs", "dv_rows", "seq_state",
+                    "column_mapping", "retired", "dead",
+                ):
+                    if prev_raw.get(k):
+                        raw[k] = prev_raw[k]
+                if prev_raw.get("files"):
+                    # legacy inline manifest: stay inline
+                    raw["files"] = sorted(prev_raw["files"] + files)
+                    raw["stats"] = {
+                        **prev_raw.get("stats", {}),
+                        **new_stats,
+                    }
+                    if prev_raw.get("blooms"):
+                        raw["blooms"] = prev_raw["blooms"]
+                    raw["schema"] = schema
+                    try:
+                        _write_json_exclusive(f"{snap}/v{cur + 1}.json", raw)
+                    except FileExistsError:
+                        continue
+                    _write_json_atomic(
+                        f"{snap}/_head.json", {"version": cur + 1}
+                    )
+                    return
+                chunk = {"files": sorted(files), "stats": new_stats}
+            raw["schema"] = schema
+            chunk_name = f"chunk-{_uuid.uuid4().hex}.json"
+            _write_json(f"{snap}/{chunk_name}", chunk)
+            raw["chunks"] = (
+                [] if self.overwrite else list(prev_raw.get("chunks", []))
+            ) + [chunk_name]
+            if self.overwrite:
+                raw.pop("dead", None)
+            try:
+                _write_json_exclusive(f"{snap}/v{cur + 1}.json", raw)
+            except FileExistsError:
+                continue  # lost the CAS race: recompose against fresh state
+            _write_json_atomic(f"{snap}/_head.json", {"version": cur + 1})
+            return
+        raise RuntimeError(f"snapshot writer lost 20 CAS races at {self.root}")
+
+    def abort(self, messages):
+        import shutil
+
+        fs_, p = _fs_split(self.job_dir)
+        if fs_ is None:
+            shutil.rmtree(p, ignore_errors=True)
+        else:  # pragma: no cover - object-store roots are refused upfront
+            try:
+                fs_.delete_dir(p)
+            except OSError:
+                pass
+
+
+def _evolve_fields(prev_schema: dict, new_schema: dict) -> dict:
+    """Pure-python mirror of SnapshotTable._evolved_schema: additive
+    columns widen, type changes are rejected at commit."""
+    prev_types = {f["name"]: f["type"] for f in prev_schema["fields"]}
+    for f in new_schema["fields"]:
+        old = prev_types.get(f["name"])
+        if old is not None and old != f["type"]:
+            raise ValueError(
+                f"schema evolution rejected: column {f['name']!r} is "
+                f"{old} in the table but {f['type']} in this write; "
+                f"additive columns are allowed, type changes are not"
+            )
+    known = set(prev_types)
+    return {
+        **prev_schema,
+        "fields": prev_schema["fields"]
+        + [f for f in new_schema["fields"] if f["name"] not in known],
+    }
 
 
 def register_snapshot_source(spark) -> None:

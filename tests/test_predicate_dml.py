@@ -58,10 +58,22 @@ def test_analyze_conjunct_shapes():
     assert h.hi == 3.5
 
 
+def test_analyze_or_becomes_disjunction_conjunct():
+    # every branch provable -> an 'or' conjunct (union-of-rowsets
+    # pruning: out only if every branch proves out)
+    (d,) = analyze_predicate("x = 1 OR y = 2")
+    assert d.kind == "or" and len(d.branches) == 2
+    assert d.branches[0][0].column == "x" and d.branches[1][0].column == "y"
+    (d2,) = analyze_predicate("(a = 1 AND b = 2) OR (a = 9 AND b = 8)")
+    assert d2.kind == "or" and [len(b) for b in d2.branches] == [2, 2]
+    # one unprovable branch poisons the whole disjunction
+    (d3,) = analyze_predicate("x = 1 OR upper(y) = 'A'")
+    assert d3 == OPAQUE
+
+
 def test_analyze_degrades_to_opaque_never_raises():
-    # OR / NOT / functions / <> / LIKE / column-to-column: opaque
+    # NOT / functions / <> / LIKE / column-to-column: opaque
     for sql in (
-        "x = 1 OR y = 2",
         "NOT (x = 1)",
         "upper(s) = 'A'",
         "x <> 3",
@@ -247,10 +259,15 @@ def test_read_where_predicate_prunes_and_matches_filter(spark, tmp_path):
 def test_read_where_opaque_predicate_full_scan_correct(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
     _banded(spark, t)
-    # OR at top level: zero pruning power, still exact
+    # provable OR: union-of-rowsets pruning (only the two banded
+    # files open), still exact
     got = t.read(where="v = 5 OR v = 2005")
     assert sorted(r["v"] for r in got.collect()) == [5, 2005]
-    assert len(got.inputFiles()) == 3  # conservative full candidates
+    assert len(got.inputFiles()) == 2
+    # unprovable branch: conservative full candidates, still exact
+    got2 = t.read(where="v = 5 OR upper(flag) = 'X'")
+    assert len(got2.inputFiles()) == 3
+    assert got2.count() == 151  # v=5 (odd flag y) plus 150 even-flag rows
 
 
 def test_read_where_is_null_pruning(spark, tmp_path):

@@ -127,3 +127,118 @@ def test_pushed_filter_results_remain_exact(registered, spark, tmp_path):
     assert sorted(r["v"] for r in got.collect()) == list(range(1050, 1100)) + list(
         range(2000, 2010)
     )
+
+
+# ---------------------------------------------------------------------------
+# batch WRITER: df.write.format("snapshot") — the SQL-side append path
+# ---------------------------------------------------------------------------
+
+
+def test_writer_append_interops_with_snapshot_table(registered, spark, tmp_path):
+    """A format('snapshot') append commits through the same manifest
+    CAS as SnapshotTable: the table sees the rows, time travel sees
+    the pre-write version, and the written files carry min/max stats
+    so banded reads keep pruning."""
+    t = _banded_table(spark, tmp_path / "t")
+    v_before = t.current_version()
+    (
+        spark.range(3000, 3100)
+        .select(F.col("id").alias("v"), (F.col("id") * 2).alias("w"))
+        .coalesce(1)
+        .write.format("snapshot")
+        .option("path", t.root)
+        .mode("append")
+        .save()
+    )
+    assert t.current_version() == v_before + 1
+    assert t.read().count() == 400
+    assert t.read(version=v_before).count() == 300
+    pruned = t.read(where=("v", 3000, 3099))
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 100
+    # and SnapshotTable DML keeps working on writer-staged files
+    t.delete_where("v", 3000, 3049)
+    assert t.read().count() == 350
+
+
+def test_writer_creates_table_and_overwrite(registered, spark, tmp_path):
+    root = str(tmp_path / "fresh")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    df.write.format("snapshot").option("path", root).mode("append").save()
+    t = SnapshotTable(spark, root, stats_columns=["k"])
+    assert t.read().count() == 10
+    # overwrite resets data + schema
+    spark.range(3).select(F.col("id").alias("z")).write.format(
+        "snapshot"
+    ).option("path", root).mode("overwrite").save()
+    t2 = SnapshotTable(spark, root, stats_columns=["z"])
+    got = t2.read()
+    assert got.columns == ["z"] and got.count() == 3
+    assert t2.read(version=1).columns == ["k"]  # time travel intact
+
+
+def test_writer_schema_evolution_and_conflicts(registered, spark, tmp_path):
+    t = _banded_table(spark, tmp_path / "t")
+    # additive column widens; old rows read it as NULL
+    (
+        spark.range(1)
+        .select(
+            (F.col("id") + 5000).alias("v"),
+            (F.col("id")).alias("w"),
+            F.lit("x").alias("tag"),
+        )
+        .write.format("snapshot")
+        .option("path", t.root)
+        .mode("append")
+        .save()
+    )
+    got = t.read()
+    assert set(got.columns) == {"v", "w", "tag"}
+    assert got.filter(F.col("tag").isNull()).count() == 300
+    # type change rejected
+    with pytest.raises(Exception, match="schema evolution rejected"):
+        (
+            spark.range(1)
+            .select(F.col("id").cast("int").alias("v"), F.col("id").alias("w"))
+            .write.format("snapshot")
+            .option("path", t.root)
+            .mode("append")
+            .save()
+        )
+
+
+def test_writer_respects_column_mapping_and_guards(registered, spark, tmp_path):
+    t = _banded_table(spark, tmp_path / "t")
+    t.rename_column("v", "val")
+    (
+        spark.createDataFrame([(9001, 2)], "val long, w long")
+        .write.format("snapshot")
+        .option("path", t.root)
+        .mode("append")
+        .save()
+    )
+    got = t.read()
+    assert got.columns == ["val", "w"]
+    assert got.filter(F.col("val") == 9001).count() == 1
+    # dropped name refused
+    t.drop_column("w")
+    with pytest.raises(Exception, match="dropped"):
+        (
+            spark.createDataFrame([(1, 1)], "val long, w long")
+            .write.format("snapshot")
+            .option("path", t.root)
+            .mode("append")
+            .save()
+        )
+    # CHECK-constrained tables are refused (SQL needs an engine)
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), stats_columns=["k"])
+    t2.append(spark.range(5).select(F.col("id").alias("k")))
+    t2.add_check_constraint("k_pos", "k >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        (
+            spark.range(5)
+            .select(F.col("id").alias("k"))
+            .write.format("snapshot")
+            .option("path", t2.root)
+            .mode("append")
+            .save()
+        )
