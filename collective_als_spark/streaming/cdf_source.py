@@ -212,6 +212,38 @@ def _resolve_manifest(root: str, version: int) -> dict:
     }
 
 
+def _first_version_at_or_after(root: str, ts: float) -> int:
+    """Smallest retained version whose commit timestamp is >= ``ts``
+    (Delta's startingTimestamp rule: the first commit the instant
+    could have observed). Walks BACKWARD from the head so the cost is
+    O(versions newer than ts) — the usual shape where ts is recent.
+    An instant after the newest commit errors (nothing to stream from
+    it would silently mean 'everything forever'); an instant before
+    every retained commit streams the full retained history."""
+    head = _current_version(root)
+    if head == 0:
+        raise ValueError(f"snapshot_cdf: no committed snapshot at {root}")
+    best = None
+    for v in range(head, 0, -1):
+        path = f"{_snap_dir(root)}/v{v}.json"
+        if not _exists(path):
+            break  # older versions expired
+        ct = _read_json(path).get("committed_at")
+        if ct is None or float(ct) >= ts:
+            # timestamp-less (legacy) manifests count as "at or after"
+            # conservatively: better to re-emit than silently skip
+            best = v
+        else:
+            break  # commits are time-ordered: nothing older qualifies
+    if best is None:
+        raise ValueError(
+            f"snapshot_cdf: startingTimestamp {ts} is after the newest "
+            f"commit (v{head}) — nothing to stream from that instant; "
+            f"use startingVersion, or a timestamp at or before the head"
+        )
+    return best
+
+
 def _file_size(path: str) -> int:
     fs_, p = _fs_split(path)
     if fs_ is None:
@@ -291,8 +323,24 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         # readChangeFeed: the named version's changes are emitted.
         # Offsets record the last CONSUMED version, so the initial
         # offset is startingVersion - 1 (the default startingVersion=1
-        # consumes the table's full history).
-        self.start_offset = max(0, int(options.get("startingversion", 1)) - 1)
+        # consumes the table's full history). startingTimestamp
+        # (Delta's readChangeFeed sibling) resolves to the FIRST
+        # commit at or after the instant — the natural "changes since
+        # <time>" anchor; mutually exclusive with startingVersion.
+        ts_opt = options.get("startingtimestamp")
+        if ts_opt is not None and options.get("startingversion") is not None:
+            raise ValueError(
+                "snapshot_cdf: pass either startingVersion or "
+                "startingTimestamp, not both"
+            )
+        if ts_opt is not None:
+            self.start_offset = max(
+                0, _first_version_at_or_after(self.root, float(ts_opt)) - 1
+            )
+        else:
+            self.start_offset = max(
+                0, int(options.get("startingversion", 1)) - 1
+            )
         self.max_versions = int(options.get("maxversionsperbatch", 100))
         # byte-based admission (Delta's maxBytesPerTrigger): version
         # sizes vary wildly — a metadata-only MOR upsert vs a backfill
@@ -606,6 +654,9 @@ class SnapshotCdfDataSource(DataSource):
 
     Options: ``path`` (table root, required), ``startingVersion``
     (INCLUSIVE; default 1 = the table's full history),
+    ``startingTimestamp`` (epoch seconds; streams from the first
+    commit at or after the instant — mutually exclusive with
+    startingVersion),
     ``maxVersionsPerBatch`` (admission control, default 100 commits
     per micro-batch — enforced across restarts via the per-stream
     cursor file), ``maxBytesPerBatch`` (byte-based admission, Delta's

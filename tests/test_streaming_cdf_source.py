@@ -640,3 +640,65 @@ def test_throttled_cdc_replication_converges(registered, tmp_path):
     assert dict(rows(tgt))[3] == -1
     versions = _offset_versions(ckpt)
     assert len(versions) >= 3  # the backlog took multiple micro-batches
+
+
+def test_cdf_starting_timestamp(registered, tmp_path):
+    """startingTimestamp (r09, Delta parity): the stream begins at the
+    first commit at or after the instant; a between-commit instant
+    anchors to the next commit; future instants error instead of
+    silently streaming nothing."""
+    import time
+
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root, stats_columns=["k"])
+    t.append(_docs(spark, 0, 10, "a").coalesce(1))
+    time.sleep(0.05)
+    mark = time.time()
+    time.sleep(0.05)
+    t.append(_docs(spark, 10, 30, "b").coalesce(1))
+    t.append(_docs(spark, 30, 35, "c").coalesce(1))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", root)
+        .option("startingTimestamp", str(mark))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # only v2 + v3 rows (25), none of v1's
+    assert got.count() == 25
+    assert sorted({r["_commit_version"] for r in got.collect()}) == [2, 3]
+    # both anchors given: error
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", root)
+            .option("startingTimestamp", str(mark))
+            .option("startingVersion", "2")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+    # a future instant errors (nothing to stream from it)
+    with pytest.raises(Exception, match="after the newest commit"):
+        (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", root)
+            .option("startingTimestamp", str(time.time() + 3600))
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
