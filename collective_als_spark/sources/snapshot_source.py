@@ -26,6 +26,16 @@ Options: ``path`` (required), ``versionAsOf`` (int), ``timestampAsOf``
 (epoch seconds; Delta's resolution rule — newest commit at or before
 the instant, errors for pre-table or future instants). Mutually
 exclusive, like ``SnapshotTable.read``.
+
+Multi-thread sharp edge (Spark, not this source): the
+python-datasource WRITE lookup resolves through the JVM
+thread-local active session; a fresh Python thread maps to a fresh
+JVM thread with none, so ``.save()`` from a worker thread fails with
+``ClassNotFoundException: snapshot.DefaultSource``. Pin the session
+on such threads first::
+
+    spark._jvm.org.apache.spark.sql.classic.SparkSession \
+         .setActiveSession(spark._jsparkSession)
 """
 
 from __future__ import annotations

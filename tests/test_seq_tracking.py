@@ -235,3 +235,53 @@ def test_streaming_apply_sink_track_seq(spark, tmp_path):
     sink(_batch(spark, [(1, 999, "U", 5), (2, None, "D", 11)]), 1)
     got = {r["k"]: r["w"] for r in t.read().collect()}
     assert got == {1: 100}
+
+
+def test_concurrent_tracked_applies_serialize(spark, tmp_path):
+    """Two racing tracked applies over DISJOINT keys: the tombstone
+    side file is swapped in the same CAS commit, so the loser's
+    consolidation (computed against the old state) must NOT silently
+    overwrite the winner's — it conflicts and re-runs cleanly, and
+    both batches' tombstones survive in the final state."""
+    import threading
+
+    from collective_als_spark.sources.logstore import CommitConflict
+
+    t = _table(spark, tmp_path / "t")
+    t.apply_changes(
+        _batch(spark, [(1, 100, "U", 1), (2, 200, "U", 1)]),
+        "k", seq_col="seq", track_seq=True,
+    )
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def applier(rows):
+        try:
+            barrier.wait()
+            try:
+                t.apply_changes(
+                    _batch(spark, rows), "k", seq_col="seq", track_seq=True
+                )
+            except CommitConflict:
+                # documented contract: a seq-state race re-runs the apply
+                t.apply_changes(
+                    _batch(spark, rows), "k", seq_col="seq", track_seq=True
+                )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    a = [(1, None, "D", 5)]
+    b = [(2, None, "D", 5)]
+    threads = [threading.Thread(target=applier, args=(r,)) for r in (a, b)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.read().count() == 0  # both deletes landed
+    # BOTH tombstones gate their stale upserts (neither was lost)
+    t.apply_changes(
+        _batch(spark, [(1, 999, "U", 3), (2, 999, "U", 3)]),
+        "k", seq_col="seq", track_seq=True,
+    )
+    assert t.read().count() == 0

@@ -242,3 +242,56 @@ def test_writer_respects_column_mapping_and_guards(registered, spark, tmp_path):
             .mode("append")
             .save()
         )
+
+
+def test_writer_races_snapshot_table_commits(registered, spark, tmp_path):
+    """The format('snapshot') writer and SnapshotTable.append share
+    the exclusive-create CAS: racing commits from both paths serialize
+    into strictly sequential versions with no lost update."""
+    import threading
+
+    t = _banded_table(spark, tmp_path / "t")
+    v0 = t.current_version()
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def via_writer():
+        try:
+            # a fresh py4j thread has NO JVM active session, and the
+            # python-datasource writer lookup resolves through it —
+            # pin the session on this thread (the documented sharp
+            # edge in sources/snapshot_source.py)
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            barrier.wait()
+            (
+                spark.range(5000, 5010)
+                .select(F.col("id").alias("v"), (F.col("id") * 2).alias("w"))
+                .write.format("snapshot")
+                .option("path", t.root)
+                .mode("append")
+                .save()
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def via_table():
+        try:
+            barrier.wait()
+            t.append(
+                spark.range(6000, 6010).select(
+                    F.col("id").alias("v"), (F.col("id") * 2).alias("w")
+                )
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=f) for f in (via_writer, via_table)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.current_version() == v0 + 2
+    assert t.read().count() == 320  # both appends landed exactly once
