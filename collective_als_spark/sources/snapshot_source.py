@@ -337,7 +337,13 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
     Refused shapes, validated at PLAN time: tables carrying CHECK
     constraints (their SQL needs an engine to evaluate — append via
     ``SnapshotTable``), type-changing schemas, retired column names,
-    and object-store roots (no exclusive-create primitive here)."""
+    and object-store roots (no exclusive-create primitive here).
+
+    Layout note: one file per input partition — for stats that BITE,
+    cluster before saving (``df.repartitionByRange(n, "k")
+    .sortWithinPartitions("k")``), exactly as ``append_clustered``
+    does; an unclustered write gives every file the full value range
+    and banded reads stop pruning (never stop being correct)."""
 
     def __init__(self, schema: StructType, options, overwrite: bool):
         import uuid as _uuid

@@ -285,3 +285,33 @@ def test_concurrent_tracked_applies_serialize(spark, tmp_path):
         "k", seq_col="seq", track_seq=True,
     )
     assert t.read().count() == 0
+
+
+def test_restore_reverts_seq_state_with_data(spark, tmp_path):
+    """RESTORE rolls the tombstone state back WITH the data (both are
+    snapshot state): after restoring to the pre-delete version the key
+    is live again and gated by its own restored __seq, not by the
+    rolled-back delete's tombstone."""
+    t = _table(spark, tmp_path / "t")
+    t.apply_changes(
+        _batch(spark, [(1, 100, "U", 3)]), "k", seq_col="seq", track_seq=True
+    )
+    v_live = t.current_version()
+    t.apply_changes(
+        _batch(spark, [(1, None, "D", 10)]), "k", seq_col="seq", track_seq=True
+    )
+    assert t._manifest(t.current_version()).get("seq_state")
+    t.restore(v_live)
+    assert t._manifest(t.current_version()).get("seq_state") is None
+    got = {r["k"]: r["w"] for r in t.read().collect()}
+    assert got == {1: 100}
+    # the restored row's own applied seq still gates (seq 3), the
+    # rolled-back delete's seq 10 does not
+    t.apply_changes(
+        _batch(spark, [(1, 111, "U", 2)]), "k", seq_col="seq", track_seq=True
+    )
+    assert {r["k"]: r["w"] for r in t.read().collect()} == {1: 100}
+    t.apply_changes(
+        _batch(spark, [(1, 222, "U", 4)]), "k", seq_col="seq", track_seq=True
+    )
+    assert {r["k"]: r["w"] for r in t.read().collect()} == {1: 222}
