@@ -20,10 +20,12 @@ results. Recognized shapes per conjunct:
 - ``col IN (lit, ...)``
 - ``col IS [NOT] NULL``
 - parenthesized groups of the above joined by AND (recursed)
+- OR disjunctions whose EVERY branch is provable (union-of-rowsets
+  pruning: a file is out only when every branch proves it out)
 
-Anything else — OR at the top level, NOT, function calls, column-to-
-column comparisons, ``<>``/``!=`` (an exclusion proves nothing for
-min/max pruning) — is opaque. Literals: numbers, ``'strings'`` (with
+Anything else — NOT, function calls, column-to-column comparisons,
+``<>``/``!=`` (an exclusion proves nothing for min/max pruning), an
+OR with any unprovable branch — is opaque. Literals: numbers, ``'strings'`` (with
 ``''`` escape), ``DATE '...'`` / ``TIMESTAMP '...'`` (compared as ISO
 strings, which is exactly how the manifest stats store temporal
 min/max — ISO order == chronological order), TRUE/FALSE.

@@ -409,19 +409,34 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 for k in fstats
                 if not k.startswith("__")
             )
+        # timestamp columns are EXCLUDED from writer-side stats even
+        # when the manifest tracks them: arrow and the Spark session
+        # can disagree on the zone their ISO serialization carries,
+        # and a zone-skewed min/max string would prune WRONGLY (the
+        # one failure pruning must never have). Files without a stats
+        # entry for a column are conservative candidates — correct,
+        # just unpruned, until the next SnapshotTable rewrite re-stats
+        # them engine-side.
+        ts_cols = {
+            f.name
+            for f in self._physical_schema.fields
+            if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
+        }
         if observed and not overwrite:
-            self._stats_cols = sorted(observed)
+            self._stats_cols = sorted(observed - ts_cols)
         else:
             prim = {
                 "byte", "short", "integer", "long", "float", "double",
-                "string", "date", "timestamp", "timestamp_ntz", "boolean",
-                "decimal",
+                "string", "date", "boolean",
             }
             self._stats_cols = [
                 f.name
                 for f in self._physical_schema.fields
-                if f.dataType.typeName() in prim
-                or f.dataType.typeName().startswith("decimal")
+                if (
+                    f.dataType.typeName() in prim
+                    or f.dataType.typeName().startswith("decimal")
+                )
+                and f.name not in ts_cols
             ]
         self.job_dir = f"{self.root}/data/{_uuid.uuid4().hex}"
 
