@@ -81,6 +81,11 @@ HEADLINE = [
     # round-8 family: one-commit CDC APPLY CHANGES (sequence-ordered
     # upserts + deletes, merge-on-read) end-to-end on a scratch table
     "lake_apply_changes",
+    # round-9 families: arbitrary-predicate DELETE/UPDATE (conjunct-
+    # extracted pruning + exact-complement survivors) and sequence-
+    # tracked out-of-order CDC apply, both end-to-end on scratch tables
+    "lake_predicate_dml",
+    "lake_tracked_apply",
 ]
 
 

@@ -4641,12 +4641,19 @@ class SnapshotTable:
             ),
             len(m.get("schema", {}).get("fields", [])) or None,
             float(m["committed_at"]) if m.get("committed_at") else None,
+            # r09 observability: renamed-column count, retired physical
+            # slots, and whether CDC sequence-tracking state rides the
+            # table (tombstone side file present)
+            len(m.get("column_mapping", {}) or {}),
+            len(m.get("retired", []) or []),
+            bool(m.get("seq_state")),
         )
         return self.spark.createDataFrame(
             [row],
             "version int, n_files int, total_bytes bigint, n_meta_chunks int, "
             "n_tombstones int, n_dv_files int, dv_masked_rows bigint, "
-            "n_columns int, committed_at double",
+            "n_columns int, committed_at double, n_renamed_columns int, "
+            "n_retired_slots int, has_seq_state boolean",
         )
 
     def restore(self, version: int) -> int:

@@ -1129,6 +1129,12 @@ def test_detail_reports_table_health(spark, tmp_path):
     d = t.detail().first()
     assert d["n_dv_files"] == 0 and d["n_files"] == 1
     assert d["n_tombstones"] >= 0  # carried chunks tombstoned or consolidated
+    # r09 columns: mapping / retired / CDC seq-state observability
+    assert d["n_renamed_columns"] == 0 and d["n_retired_slots"] == 0
+    assert d["has_seq_state"] is False
+    t.rename_column("v", "val")
+    d = t.detail().first()
+    assert d["n_renamed_columns"] == 1
 
 
 def _vals(t):
