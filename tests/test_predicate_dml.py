@@ -315,3 +315,121 @@ def test_predicate_delete_in_set_bucket_pruning(spark, tmp_path):
     assert 1 <= len(rewritten) <= 2
     assert t.read().count() == 3998
     assert t.read().filter(F.col("k").isin(5, 9)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# property: pruning is SOUND — a pruned file provably holds no match
+# ---------------------------------------------------------------------------
+
+
+def test_prune_soundness_randomized():
+    """Seeded randomized predicates over synthetic file stats: a file
+    that actually CONTAINS a matching row is never pruned (soundness —
+    the one property that must hold for every analyzer/prune change);
+    completeness is best-effort by design. Pure python, no Spark."""
+    import random
+
+    from collective_als_spark.sources.predicate import prune_files
+
+    rng = random.Random(77)
+
+    def eval_pred(parts, row):
+        # parts: list of (col, op, payload) conjuncts; SQL 3VL
+        out = True
+        for col, op, payload in parts:
+            v = row[col]
+            if op == "isnull":
+                ok = v is None
+            elif op == "notnull":
+                ok = v is not None
+            elif v is None:
+                ok = None
+            elif op == "=":
+                ok = v == payload
+            elif op == "in":
+                ok = v in payload
+            elif op == "between":
+                ok = payload[0] <= v <= payload[1]
+            elif op == ">":
+                ok = v > payload
+            elif op == "<":
+                ok = v < payload
+            elif op == ">=":
+                ok = v >= payload
+            else:
+                ok = v <= payload
+            if ok is None:
+                out = None if out is not False else False
+            elif not ok:
+                out = False
+        return out is True
+
+    def to_sql(parts):
+        frags = []
+        for col, op, payload in parts:
+            if op == "isnull":
+                frags.append(f"{col} IS NULL")
+            elif op == "notnull":
+                frags.append(f"{col} IS NOT NULL")
+            elif op == "in":
+                frags.append(f"{col} IN ({', '.join(str(x) for x in payload)})")
+            elif op == "between":
+                frags.append(f"{col} BETWEEN {payload[0]} AND {payload[1]}")
+            else:
+                frags.append(f"{col} {op} {payload}")
+        return " AND ".join(frags)
+
+    cols = ["a", "b"]
+    for _trial in range(300):
+        # synthetic "files" of random rows (None = NULL)
+        files = []
+        for fi in range(4):
+            rows = [
+                {
+                    c: (None if rng.random() < 0.15 else rng.randint(-20, 20))
+                    for c in cols
+                }
+                for _ in range(rng.randint(1, 8))
+            ]
+            files.append((f"f{fi}", rows))
+        # per-file stats exactly as _file_stats records them
+        stats = {}
+        for name, rows in files:
+            ent = {"__rows": len(rows)}
+            for c in cols:
+                vals = [r[c] for r in rows if r[c] is not None]
+                nulls = sum(1 for r in rows if r[c] is None)
+                ent[c] = [min(vals) if vals else None,
+                          max(vals) if vals else None, nulls]
+            stats[name] = ent
+        # random conjunction (1-3 conjuncts)
+        parts = []
+        for _ in range(rng.randint(1, 3)):
+            col = rng.choice(cols)
+            op = rng.choice(
+                ["=", "in", "between", ">", "<", ">=", "<=", "isnull", "notnull"]
+            )
+            if op == "in":
+                payload = tuple(
+                    rng.randint(-20, 20) for _ in range(rng.randint(1, 3))
+                )
+            elif op == "between":
+                lo = rng.randint(-20, 20)
+                payload = (lo, lo + rng.randint(0, 10))
+            elif op in ("isnull", "notnull"):
+                payload = None
+            else:
+                payload = rng.randint(-20, 20)
+            parts.append((col, op, payload))
+        sql = to_sql(parts)
+        conjuncts = analyze_predicate(sql)
+        kept, pruned = prune_files(
+            [n for n, _ in files], stats, lambda f: f, conjuncts
+        )
+        by_name = dict(files)
+        for name in pruned:
+            matches = [r for r in by_name[name] if eval_pred(parts, r)]
+            assert not matches, (
+                f"UNSOUND prune: {sql!r} pruned {name} holding {matches} "
+                f"(stats {stats[name]})"
+            )
