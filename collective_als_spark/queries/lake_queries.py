@@ -572,24 +572,32 @@ def lake_update_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lake_predicate_dml",
     oracle="""
-    WITH c AS (
+    WITH m AS (
+        SELECT
+            o_totalprice,
+            o_orderstatus = 'F'
+              AND o_orderpriority IN ('1-URGENT', '2-HIGH') AS m1,
+            -- written UNPARENthesized on purpose: DuckDB applies SQL
+            -- precedence (AND before OR), so a precedence bug in the
+            -- engine's own analyzer diverges from this oracle
+            o_orderstatus = 'P' AND o_totalprice > 200000
+              OR o_orderkey BETWEEN 1 AND 32 AS m2,
+            o_orderstatus = 'O' AND o_totalprice > 100000 AS m3
+        FROM orders
+    ), c AS (
         SELECT
             CAST(count(*) AS BIGINT) AS n_total,
-            CAST(sum(CASE WHEN o_orderstatus = 'F'
-                           AND o_orderpriority IN ('1-URGENT', '2-HIGH')
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
-            CAST(sum(CASE WHEN o_orderstatus = 'O'
-                           AND o_totalprice > 100000
-                           AND NOT (o_orderstatus = 'F'
-                                    AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            CAST(sum(CASE WHEN m1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+            CAST(sum(CASE WHEN m1 OR m2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d12,
+            CAST(sum(CASE WHEN m3 AND NOT (m1 OR m2)
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
-            CAST(sum(CASE WHEN NOT (o_orderstatus = 'F'
-                                    AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            CAST(sum(CASE WHEN NOT (m1 OR m2)
                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
                           ELSE 0 END) AS BIGINT) AS cents_surv
-        FROM orders
+        FROM m
     )
-    SELECT 'n_after_delete' AS step, n_total - n_deleted AS value FROM c
+    SELECT 'n_after_delete' AS step, n_total - n_d1 AS value FROM c
+    UNION ALL SELECT 'n_after_mixed_delete', n_total - n_d12 FROM c
     UNION ALL SELECT 'n_flagged', n_updated FROM c
     UNION ALL SELECT 'cents_survivors', cents_surv FROM c
     UNION ALL SELECT 'n_matched_left', CAST(0 AS BIGINT) FROM c
@@ -599,9 +607,13 @@ def lake_update_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-predicate DML end-to-end under the oracle (r09): a
     compound ``DELETE WHERE status='F' AND priority IN (...)`` — the
-    exact first-wall predicate the r08 verdict named — followed by a
+    exact first-wall predicate the r08 verdict named — then a second
+    DELETE with an UNPARENTHESIZED mixed-precedence predicate
+    (``status='P' AND price>200000 OR key BETWEEN 1 AND 32`` — the
+    r09/r10 AND-before-OR soundness class, both written verbatim in
+    the DuckDB oracle so a precedence divergence hash-fails), then a
     compound predicate UPDATE, against a scratch snapshot table built
-    from ``orders``. The oracle recomputes the surviving row count,
+    from ``orders``. The oracle recomputes the surviving row counts,
     the updated-row count, and the value-level cents total of the
     SURVIVORS (catching a survivor predicate that isn't the exact
     complement of the matched predicate — the NULL-discipline bug
@@ -625,23 +637,34 @@ def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = (
         "o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')"
     )
+    # unparenthesized on purpose: must bind as (status AND price) OR band
+    pred_mixed = (
+        "o_orderstatus = 'P' AND price > 200000"
+        " OR o_orderkey BETWEEN 1 AND 32"
+    )
     root = tempfile.mkdtemp(prefix="lake_preddml_")
     try:
         t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["o_orderkey"])
         t.append(rows)
         t.delete_where(pred)
+        n_after_delete = t.read().count()
+        t.delete_where(pred_mixed)
         t.update_where(
             "o_orderstatus = 'O' AND price > 100000",
             set={"o_orderpriority": "'FLAGGED'"},
         )
         out = [
-            ("n_after_delete", t.read().count()),
+            ("n_after_delete", n_after_delete),
+            ("n_after_mixed_delete", t.read().count()),
             (
                 "n_flagged",
                 t.read().filter(F.col("o_orderpriority") == "FLAGGED").count(),
             ),
             ("cents_survivors", t.read().agg(F.sum("cents")).first()[0]),
-            ("n_matched_left", t.read(where=pred).count()),
+            (
+                "n_matched_left",
+                t.read(where=pred).count() + t.read(where=pred_mixed).count(),
+            ),
             ("tt_v1_total", t.read(version=1).count()),
         ]
     finally:

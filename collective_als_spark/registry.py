@@ -79,7 +79,12 @@ _PRIORITY: list[str] = [
     # checked by pytest below the cap
     "cmf_quality_gate",
     # -- LLM-pipeline north star
-    "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
+    # r11 swap (r10 verdict #3): minhash_signature demoted (its
+    # signatures are recomputed inside in-cap lsh_candidate_pairs;
+    # the dedup family keeps exact/lsh/embedding/clusters/prefix
+    # in-cap) for lake_predicate_dml — arbitrary-predicate DML with
+    # the mixed-precedence predicate under the oracle
+    "exact_dedup", "lake_predicate_dml", "lsh_candidate_pairs",
     # r05 swap: lake_snapshot_lifecycle (the commit protocol end-to-end
     # under the oracle: CAS appends, copy-on-write merge/delete, time
     # travel — the lake tier's first driver row) takes
@@ -93,7 +98,11 @@ _PRIORITY: list[str] = [
     # skipping tier under the driver
     "lake_mor_upsert_nullstats",
     "lake_snapshot_lifecycle", "ann_topk_cosine",
-    "text_quality_metrics", "lang_id_heuristic", "doc_fingerprint",
+    # r11 swap: doc_fingerprint demoted (the fingerprint family keeps
+    # winnowing coverage pytest-oracle-checked below; text keeps
+    # text_quality_metrics + lang_id in-cap) for snapshot_batch_read —
+    # the pure-python DSv2 batch DataSource with filter pushdown
+    "text_quality_metrics", "lang_id_heuristic", "snapshot_batch_read",
     # -- extended SQL coverage, one representative per family
     # r09 promotions (r08 verdict #4): the four round-8 oracles enter
     # the cap; four redundant family members demote (all stay
@@ -103,11 +112,16 @@ _PRIORITY: list[str] = [
     # profiling agg), range_join_attribution (asof_join stays the
     # in-cap range-join witness)
     "star_join_revenue", "topk_per_group",
-    # CDC apply tier: sequence-ordered upserts+deletes in one atomic
-    # MOR commit (DLT's APPLY CHANGES INTO)
-    "lake_apply_changes",
-    # copy-on-write UPDATE with band pruning + CDF pre/post images
-    "lake_update_quality",
+    # CDC apply tier: r11 swap (r10 verdict #3) — lake_tracked_apply
+    # (cross-batch sequence tracking, the strictly-harder DLT shape)
+    # takes lake_apply_changes' slot; the single-batch apply stays
+    # pytest-oracle-checked below the cap
+    "lake_tracked_apply",
+    # r11 swap: lake_column_mapping (rename/drop by field id + time
+    # travel across the rename) takes lake_update_quality's slot —
+    # CoW UPDATE + band pruning now has its in-cap witness in
+    # lake_predicate_dml, and CDF imaging keeps lake_cdf_stream
+    "lake_column_mapping",
     # Gopher/MassiveText repetition signals, pure JVM array exprs
     "gopher_quality_signals",
     # attribute-filtered ANN serve (single-stage filtering + deletes)
@@ -144,11 +158,10 @@ _PRIORITY: list[str] = [
     # pytest-oracle-checked below the cap)
     "lake_incremental_view",
     # ---------------- below the driver cap line (50) ----------------
-    # r09 additions (pytest-oracle-checked; promotion candidates for
-    # r10): arbitrary-predicate DML, tracked CDC apply, column
-    # mapping, and the batch snapshot DataSource
-    "lake_predicate_dml", "lake_tracked_apply", "lake_column_mapping",
-    "snapshot_batch_read",
+    # r11 demotions (all stay pytest-oracle-checked; see the in-cap
+    # swap comments above for the family reasoning)
+    "minhash_signature", "lake_apply_changes", "lake_update_quality",
+    "doc_fingerprint",
     "semi_anti_join", "exists_subquery", "table_profile",
     "range_join_attribution",
     "trend_regression",

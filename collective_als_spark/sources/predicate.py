@@ -249,27 +249,13 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
     if not tokens:
         return [OPAQUE]
     # a top-level OR becomes a DISJUNCTION conjunct when every branch
-    # is itself provable (union-of-rowsets pruning: a file is out only
-    # if every branch proves it out); NOT / LIKE stay opaque
-    depth = 0
-    has_or = False
-    prev = (None, None)
-    for k, t in tokens:
-        if (k, t) == ("op", "("):
-            depth += 1
-        elif (k, t) == ("op", ")"):
-            depth -= 1
-        elif depth == 0 and k == "kw" and t in ("OR", "NOT", "LIKE"):
-            if t == "NOT" and prev == ("kw", "IS"):
-                prev = (k, t)
-                continue  # part of IS NOT NULL, not a negation
-            if t == "OR":
-                has_or = True
-                prev = (k, t)
-                continue
-            return [OPAQUE]
-        prev = (k, t)
-    if has_or:
+    # yields at least one provable conjunct (union-of-rowsets pruning:
+    # a file is out only if every branch proves it out). Disjuncts
+    # split FIRST — a depth-0 NOT/LIKE inside one branch only opaques
+    # that branch's own conjunct run (branch rows still satisfy the
+    # branch's provable conjuncts, so pruning on them stays sound);
+    # a branch with ZERO provable conjuncts poisons the whole OR.
+    if _has_top_level_or(tokens):
         branches = []
         for part in _split_disjuncts(tokens):
             sub: list[Conjunct] = []
@@ -280,6 +266,21 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
                 return [OPAQUE]  # one unprovable branch poisons the OR
             branches.append(provable)
         return [Conjunct("or", branches=tuple(branches), src=src)]
+    # no disjunction: a depth-0 NOT / LIKE (outside IS NOT NULL) makes
+    # this conjunct run opaque
+    depth = 0
+    prev = (None, None)
+    for k, t in tokens:
+        if (k, t) == ("op", "("):
+            depth += 1
+        elif (k, t) == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and k == "kw" and t in ("NOT", "LIKE"):
+            if t == "NOT" and prev == ("kw", "IS"):
+                prev = (k, t)
+                continue  # part of IS NOT NULL, not a negation
+            return [OPAQUE]
+        prev = (k, t)
     col = None
     if tokens[0][0] == "word":
         col = tokens[0][1]

@@ -105,6 +105,12 @@ def test_registry_priority_ordering():
     # the cap; the subquery/semi-join and range-join families keep
     # in-cap witnesses via star_join/topk_per_group/asof_join) for the
     # four round-8 oracles.
+    # r11 swapped minhash_signature, lake_apply_changes,
+    # lake_update_quality and doc_fingerprint (all still
+    # pytest-oracle-checked below the cap; their families keep in-cap
+    # witnesses — see registry._PRIORITY) for the four r09 oracles:
+    # lake_predicate_dml (with the mixed-precedence predicate),
+    # lake_tracked_apply, lake_column_mapping, snapshot_batch_read.
     for promoted in ["item_item_cosine",
                      "prefix_jaccard_pairs",
                      "grouping_sets_agg",
@@ -112,7 +118,8 @@ def test_registry_priority_ordering():
                      "multimodal_ppm_decode", "lake_incremental_view",
                      "benchmark_decontamination", "lake_cdf_stream",
                      "lake_mor_upsert_nullstats",
-                     "lake_apply_changes", "lake_update_quality",
+                     "lake_predicate_dml", "lake_tracked_apply",
+                     "lake_column_mapping", "snapshot_batch_read",
                      "gopher_quality_signals", "ann_filtered_topk"]:
         assert promoted in head, f"{promoted} not promoted into the cap"
 
