@@ -155,6 +155,20 @@ def pruned_read(
 
 _MANIFEST_RE = re.compile(r"v(\d+)\.json")
 _MAX_COMMIT_RETRIES = 20
+# every Kth commit advances _last_checkpoint.json (plus every expire):
+# the commit-path head resolution then probes forward from the marker
+# instead of listing the whole _snapshots dir — O(K + commits since
+# expire) exists-probes, not O(retained versions) listing entries
+_CHECKPOINT_INTERVAL = 25
+
+# per-key serialized widths for the byte-aware broadcast gates (merge
+# planning and the CDC applied-keys consolidation share it): fixed
+# types priced by dtype, string/binary by measured average length
+_KEY_FIXED_BYTES = {
+    "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
+    "float": 4, "double": 8, "date": 4, "timestamp": 8,
+    "timestamp_ntz": 8, "boolean": 1,
+}
 
 # Iceberg-style partition TRANSFORMS. bucket(n, key) ships as
 # `append_bucketed` (exact modular membership for scattered point
@@ -389,22 +403,78 @@ class SnapshotTable:
         return self._listed_version()
 
     def _listed_version(self) -> int:
-        """Head via the FULL ``_snapshots`` listing — O(retained
-        versions) but immune to hint lag. The COMMIT path must use
-        this, not the hint: a hint lagging k commits while a
-        concurrent ``expire`` deletes old manifests can leave the
-        forward probe stopping at a mid-expire gap (hint exists,
-        hint+1 just deleted), and a commit composed against that
-        stale head would recreate an expired ``v{N}.json`` — forking
-        the log and orphaning the real head. A listing has no gap to
-        stop at: the max version present IS the head (expired
-        versions are always strictly older than the retained set)."""
+        """Commit-path head resolution: checkpoint-bounded probe with
+        a full-listing fallback.
+
+        The naive fast path (probe forward from the ``_head.json``
+        hint) forks the log: a hint lagging k commits while a
+        concurrent ``expire`` deletes old manifests leaves the probe
+        stopping at a mid-expire gap (hint exists, hint+1 just
+        deleted), and a commit composed there would recreate an
+        expired ``v{N}.json`` — orphaning the real head. The FULL
+        listing is gap-immune (the max version present IS the head)
+        but O(retained versions) per commit — at a 100 TB table's
+        commit rate with long time-travel retention, an object-store
+        LIST per commit becomes the bottleneck.
+
+        The ``_last_checkpoint.json`` marker (Delta's checkpoint
+        discipline) restores O(Δ): it advances monotonically, written
+        only for versions that exist — every ``_CHECKPOINT_INTERVAL``th
+        commit and, crucially, by ``expire`` BEFORE it deletes
+        anything (set to the oldest retained version). Probing forward
+        from a verified marker is gap-safe UNLESS an expire races the
+        probe — which the marker re-read detects: any expire that
+        could have cut a gap under the probe advanced the marker
+        first, so ``marker unchanged`` proves the probed range was
+        gap-free. Any doubt (no marker, marker expired, marker moved
+        twice) falls back to the full listing."""
+        for _ in range(3):
+            marker = self._checkpoint_version()
+            if marker is None or not self.log.exists(
+                self._manifest_path(marker)
+            ):
+                break
+            head = marker
+            while self.log.exists(self._manifest_path(head + 1)):
+                head += 1
+            if self._checkpoint_version() == marker:
+                return head
+            # an expire advanced the checkpoint mid-probe: re-probe
+            # from the fresh marker
         best = 0
         for name in self.log.list_dir(f"{self.root}/_snapshots"):
             m = _MANIFEST_RE.fullmatch(name)
             if m:
                 best = max(best, int(m.group(1)))
         return best
+
+    def _checkpoint_path(self) -> str:
+        return f"{self.root}/_snapshots/_last_checkpoint.json"
+
+    def _checkpoint_version(self) -> int | None:
+        try:
+            v = int(
+                json.loads(self.log.read_text(self._checkpoint_path()))[
+                    "version"
+                ]
+            )
+        except Exception:
+            return None
+        return v if v >= 1 else None
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Best-effort MONOTONIC advance of the head-resolution floor;
+        a lost or failed write only costs the next commit a longer
+        probe or a listing, never correctness."""
+        try:
+            cur = self._checkpoint_version()
+            if cur is not None and cur >= version:
+                return
+            self.log.write_text(
+                self._checkpoint_path(), json.dumps({"version": version})
+            )
+        except Exception:
+            pass
 
     def _hinted_version(self) -> int | None:
         """The head hint iff it names a version that verifiably exists
@@ -657,17 +727,20 @@ class SnapshotTable:
             except CommitConflict:
                 continue  # lost the race: re-read state, re-compose
             try:
-                # best-effort head hint (Delta's _last_checkpoint):
-                # bounds current_version() to O(1) listing work. A
-                # failed write only costs the next reader a forward
-                # probe; stale overwrites by racing committers are
-                # fixed by the same probe.
+                # best-effort head hint: bounds current_version() to
+                # O(1) listing work. A failed write only costs the
+                # next reader a forward probe; stale overwrites by
+                # racing committers are fixed by the same probe.
                 self.log.write_text(
                     self._head_hint_path(),
                     json.dumps({"version": base + 1}),
                 )
             except Exception:
                 pass
+            if (base + 1) % _CHECKPOINT_INTERVAL == 0:
+                # periodic checkpoint marker: keeps the COMMIT path's
+                # head resolution probe-bounded (see _listed_version)
+                self._write_checkpoint(base + 1)
             return base + 1
         raise CommitConflict(
             f"commit to {self.root} lost {_MAX_COMMIT_RETRIES} CAS races"
@@ -2946,11 +3019,7 @@ class SnapshotTable:
         # binary) by their measured average length in the SAME
         # validation aggregate — zero extra jobs
         dtypes = dict(source.dtypes)
-        _FIXED = {
-            "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
-            "float": 4, "double": 8, "date": 4, "timestamp": 8,
-            "timestamp_ntz": 8, "boolean": 1,
-        }
+        _FIXED = _KEY_FIXED_BYTES
         var_cols = [
             k for k in keys if dtypes.get(k) in ("string", "binary")
         ]
@@ -3470,6 +3539,7 @@ class SnapshotTable:
         mor: bool = True,
         track_seq: bool = False,
         tombstone_retention_sec: float = 7 * 86400,
+        scd_type: int = 1,
         _markers: dict[str, int] | None = None,
     ) -> int:
         """Apply a CDC change batch — upserts AND deletes, sequence-
@@ -3529,6 +3599,13 @@ class SnapshotTable:
         missing = [k for k in keys if k in drop_cols]
         if missing:
             raise ValueError(f"key columns {missing} collide with op/seq")
+        if scd_type == 2:
+            return self._apply_changes_scd2(
+                source, keys, op_col, seq_col, delete_ops, mor,
+                track_seq, _markers,
+            )
+        if scd_type != 1:
+            raise ValueError(f"apply_changes: scd_type must be 1 or 2")
         is_del = F.col(op_col).isin(list(delete_ops))
         if seq_col is not None:
             from pyspark.sql.window import Window
@@ -3595,8 +3672,11 @@ class SnapshotTable:
 
             cur = self.current_version()
             manifest = self._base_manifest(cur)
+            # one byte-aware broadcast decision for both applied-key
+            # relations below (gate + tombstone consolidation)
+            bcast_ok = self._key_broadcast_ok(latest, keys, checks["nd"])
             applied = self._applied_seq(
-                manifest, latest, keys, checks["nd"], tombstone_retention_sec
+                manifest, latest, keys, bcast_ok, tombstone_retention_sec
             )
             if applied is not None:
                 # stale-change gate: a change at or below its key's
@@ -3625,7 +3705,7 @@ class SnapshotTable:
             applied_keys = self._to_physical(
                 latest.select(*keys).distinct(), manifest
             )
-            if checks["nd"] <= self.merge_broadcast_max_keys:
+            if bcast_ok:
                 applied_keys = F.broadcast(applied_keys)
             state = self._to_physical(
                 latest.filter(is_del).select(
@@ -3672,12 +3752,217 @@ class SnapshotTable:
             _seq_state=seq_state,
         )
 
+    def _apply_changes_scd2(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        op_col: str,
+        seq_col: str | None,
+        delete_ops: tuple[str, ...],
+        mor: bool,
+        track_seq: bool,
+        _markers: dict[str, int] | None,
+    ) -> int:
+        """SCD TYPE 2 apply (DLT's ``APPLY CHANGES .. STORED AS SCD
+        TYPE 2``): instead of overwriting, every change APPENDS to the
+        key's history — rows carry ``__START_AT`` / ``__END_AT`` in
+        the sequence column's own type, the open (current) row has
+        ``__END_AT IS NULL``, an upsert closes the open row at its
+        sequence and opens a new one, a delete just closes. The
+        current-state view is ``read().filter("__END_AT IS NULL")``.
+
+        Each SEQUENCED change in the batch produces its own interval
+        (a per-key ``lead(seq)`` chain), not only the winner — that is
+        the point of SCD2. Ties on ``(key, seq)`` are rejected (the
+        interval chain would be a coin flip).
+
+        ``track_seq=True`` gates stale cross-batch changes exactly as
+        scd_type=1 does, but needs NO tombstone side file: the history
+        itself is the applied-sequence record — a key's floor is
+        ``max(coalesce(__END_AT, __START_AT))`` over its rows, so a
+        late batch at or below it is ignored row-for-row (history is
+        never retro-spliced; size feeds accordingly — DLT's
+        in-order-per-key contract). Without ``track_seq``, feeding
+        batches in order is the caller's contract.
+
+        Execution: ONE band/bloom-pruned candidate scan semi-joined to
+        the batch keys yields the key's history (floor + open rows);
+        the commit is a keyed MERGE on ``(keys.., __START_AT)`` —
+        closed open-rows replace themselves, new intervals insert —
+        so pruning, schema evolution, CDF imaging, and the commit
+        protocol are the merge machinery's, unchanged. O(batch +
+        matched history) per apply.
+
+        Reference parity: DLT APPLY CHANGES INTO .. SCD TYPE 2
+        (``__START_AT``/``__END_AT`` are its column names)."""
+        if seq_col is None:
+            raise ValueError(
+                "apply_changes(scd_type=2) needs seq_col: intervals are "
+                "built from each change's sequence"
+            )
+        reserved = {"__START_AT", "__END_AT"}
+        clash = reserved & set(source.columns)
+        if clash:
+            raise ValueError(
+                f"apply_changes(scd_type=2): source columns {sorted(clash)} "
+                f"are reserved for the SCD2 history"
+            )
+        cur = self.current_version()
+        manifest = self._base_manifest(cur) if cur else {}
+        if cur:
+            logical = {l for l, _p in self._logical_fields(manifest)}
+            if logical and "__START_AT" not in logical:
+                raise ValueError(
+                    "apply_changes(scd_type=2): this table is not "
+                    "SCD2-managed (no __START_AT/__END_AT history "
+                    "columns) — SCD2 must own the table from its first "
+                    "batch; start from an empty root"
+                )
+        is_del = F.col(op_col).isin(list(delete_ops))
+        latest = source.localCheckpoint(eager=True)
+        null_key = F.lit(False)
+        for k in keys:
+            null_key = null_key | F.col(k).isNull()
+        checks = latest.agg(
+            F.sum(F.col(op_col).isNull().cast("long")).alias("n_null_op"),
+            F.sum(F.col(seq_col).isNull().cast("long")).alias("n_null_seq"),
+            F.sum(null_key.cast("long")).alias("n_null_key"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(
+                *[F.col(k) for k in keys], F.col(seq_col)
+            ).alias("nd"),
+        ).first()
+        if checks["n"] == 0:
+            return cur
+        for field, msg in (
+            ("n_null_key", "NULL key values — NULL keys never match"),
+            ("n_null_op", f"NULL {op_col!r} — every change needs an op"),
+            ("n_null_seq", f"NULL {seq_col!r} — SCD2 intervals need "
+                           f"every change sequenced"),
+        ):
+            if checks[field]:
+                raise ValueError(
+                    f"apply_changes(scd_type=2): {checks[field]} rows have "
+                    f"{msg}"
+                )
+        if checks["nd"] < checks["n"]:
+            raise ValueError(
+                f"apply_changes(scd_type=2): {checks['n'] - checks['nd']} "
+                f"rows tie on (key, {seq_col!r}) — their interval order "
+                f"would be undefined; deduplicate upstream"
+            )
+        # ONE pruned history scan for this batch's keys: floor for the
+        # stale gate + the open rows the batch must close
+        hist = self._scd2_key_history(manifest, latest, keys) if cur else None
+        if hist is not None and track_seq:
+            floor = hist.groupBy(*keys).agg(
+                F.max(F.coalesce("__END_AT", "__START_AT")).alias("__flr")
+            )
+            latest = (
+                latest.join(floor, keys, "left")
+                .filter(
+                    F.col("__flr").isNull() | (F.col(seq_col) > F.col("__flr"))
+                )
+                .drop("__flr")
+                .localCheckpoint(eager=True)
+            )
+            if latest.limit(1).count() == 0:
+                return cur  # everything stale: clean no-op
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(seq_col).asc())
+        expanded = latest.withColumn(
+            "__START_AT", F.col(seq_col)
+        ).withColumn("__END_AT", F.lead(seq_col).over(w))
+        new_rows = expanded.filter(~is_del).drop(op_col, seq_col)
+        if hist is not None:
+            first = latest.groupBy(*keys).agg(
+                F.min(seq_col).alias("__close_at")
+            )
+            closed = (
+                hist.filter(F.col("__END_AT").isNull())
+                .join(first, keys, "inner")
+                .withColumn("__END_AT", F.col("__close_at"))
+                .drop("__close_at")
+            )
+            staged = closed.unionByName(new_rows, allowMissingColumns=True)
+        else:
+            staged = new_rows
+        mkeys = keys + ["__START_AT"]
+        if mor:
+            return self.merge_mor(staged, mkeys, _markers=_markers)
+        return self.merge(staged, mkeys, _markers=_markers)
+
+    def _scd2_key_history(
+        self, manifest: dict, latest: DataFrame, keys: list[str]
+    ) -> DataFrame | None:
+        """All history rows for the batch's keys, via a band/bloom-
+        pruned candidate scan (the :meth:`_applied_seq` discipline) —
+        None for a table with no files yet."""
+        if not manifest.get("files"):
+            return None
+        aggs = []
+        for i, k in enumerate(keys):
+            aggs.append(F.min(k).alias(f"lo_{i}"))
+            aggs.append(F.max(k).alias(f"hi_{i}"))
+        aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("nd"))
+        bounds = latest.agg(*aggs).first()
+        bands = [
+            (self._phys(manifest, k), bounds[f"lo_{i}"], bounds[f"hi_{i}"])
+            for i, k in enumerate(keys)
+        ]
+        candidates, _untouched = self._split_by_bands(manifest, bands)
+        if manifest.get("has_blooms") and len(keys) == 1:
+            hashes = self._source_key_hashes(latest, keys[0])
+            candidates, _d = self._bloom_prune(
+                manifest, self._phys(manifest, keys[0]), candidates, hashes
+            )
+        if not candidates:
+            return None
+        kt = latest.select(*keys).distinct()
+        if self._key_broadcast_ok(latest, keys, bounds["nd"]):
+            kt = F.broadcast(kt)
+        return self._to_logical(
+            self._scan_live(manifest, candidates), manifest
+        ).join(kt, keys, "left_semi")
+
+    def _key_broadcast_ok(self, df: DataFrame, keys: list[str], nd: int) -> bool:
+        """Byte-aware broadcast gate for a distinct-key relation — the
+        merge plan's ``broadcast_ok`` discipline for the CDC
+        applied-keys paths (r10 ADVICE): bounded key COUNT and bounded
+        estimated resident BYTES, because 4M wide string/composite key
+        tuples can run hundreds of MB that a row-count gate alone
+        would force-broadcast. Fixed-width keys settle driver-side
+        from dtypes; variable-width keys cost one tiny aggregate over
+        the (already checkpointed) batch."""
+        if nd > self.merge_broadcast_max_keys:
+            return False
+        dtypes = dict(df.select(*keys).dtypes)
+        var_cols = [
+            k for k in keys if dtypes.get(k) in ("string", "binary")
+        ]
+        row_bytes = 32.0
+        if var_cols:
+            widths = df.agg(
+                *[
+                    F.avg(F.length(F.col(k))).alias(f"w_{j}")
+                    for j, k in enumerate(var_cols)
+                ]
+            ).first()
+        for k in keys:
+            if k in var_cols:
+                w = widths[f"w_{var_cols.index(k)}"]
+                row_bytes += (float(w) if w is not None else 0.0) + 20.0
+            else:
+                row_bytes += _KEY_FIXED_BYTES.get(dtypes.get(k, ""), 16)
+        return int(nd * row_bytes) <= self.merge_broadcast_max_bytes
+
     def _applied_seq(
         self,
         manifest: dict,
         latest: DataFrame,
         keys: list[str],
-        nd: int,
+        broadcast_ok: bool,
         retention_sec: float,
     ) -> DataFrame | None:
         """Per-key APPLIED sequence relevant to this batch: max of the
@@ -3710,7 +3995,7 @@ class SnapshotTable:
                 )
             if candidates:
                 kt = latest.select(*keys).distinct()
-                if nd <= self.merge_broadcast_max_keys:
+                if broadcast_ok:
                     kt = F.broadcast(kt)
                 frames.append(
                     self._to_logical(
@@ -4812,7 +5097,21 @@ class SnapshotTable:
                         self._head_hint_path(), json.dumps({"version": cur})
                     )
             except Exception:
-                pass  # advisory hint; commits use the full listing
+                pass  # advisory hint; head resolution re-verifies
+            # checkpoint marker MUST advance to this expire's head
+            # BEFORE any manifest deletion: _listed_version's marker
+            # re-read relies on "any expire that could cut a gap
+            # advanced the marker first" for its probe's fork-safety.
+            # The marker is ``cur``, NOT min(keep_versions): versions
+            # above an expire's head are never deleted by ANY expire
+            # (later expires advance the marker first, monotonic), so
+            # probing upward from the marker can never cross an old
+            # gap — while sparse time-based retention can leave gaps
+            # between old kept versions that min() would probe into,
+            # silently resolving a stale head with no marker motion
+            # to detect.
+            if cur and self.log.exists(self._manifest_path(cur)):
+                self._write_checkpoint(cur)
         for v in range(cur, 0, -1):
             if v not in keep_versions and not dry_run:
                 self.log.delete(self._manifest_path(v))

@@ -56,9 +56,11 @@ from ..streaming.cdf_source import (
     _dv_positions,
     _exists,
     _fs_split,
+    _listed_version,
     _read_json,
     _rel,
     _snap_dir,
+    _write_checkpoint,
     _write_json_atomic,
 )
 from .predicate import conjuncts_from_push_filters, jsonable, prune_files
@@ -375,6 +377,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 "SnapshotTable.append()"
             )
         mapping = m["column_mapping"]
+        self._logical_names = list(schema.names)
         self._rename = {
             l: p for l, p in mapping.items() if l != p and l in schema.names
         }
@@ -495,7 +498,11 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         }
         snap = _snap_dir(self.root)
         for _attempt in range(20):
-            cur = _current_version(self.root)
+            # commit resolves the CAS base from the FULL listing, never
+            # the hint (layout.py _listed_version discipline): a stale
+            # hint × concurrent expire would fork the log by recreating
+            # an expired v{N}.json. Readers keep the hint fast path.
+            cur = _listed_version(self.root)
             prev_raw = _read_json(f"{snap}/v{cur}.json") if cur else {}
             raw: dict = {
                 "version": cur + 1,
@@ -513,6 +520,44 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                         "snapshot writer: CHECK constraints were added "
                         "concurrently — append via SnapshotTable"
                     )
+                # re-validate the STAGED physical columns against the
+                # FRESH mapping/retired state every retry: a rename or
+                # drop_column committed between plan time and this
+                # attempt would land staged data in a retired slot or
+                # under a physical name the mapping no longer assigns
+                # to this logical column (data corruption, not a CAS
+                # race — refuse, don't retry past it)
+                fresh_map = prev_raw.get("column_mapping", {}) or {}
+                fresh_retired = set(prev_raw.get("retired", []) or [])
+                phys_owner = {p: l for l, p in fresh_map.items()}
+                for lname in self._logical_names:
+                    staged_phys = self._rename.get(lname, lname)
+                    owner = phys_owner.get(staged_phys, staged_phys)
+                    if owner != lname:
+                        raise ValueError(
+                            f"snapshot writer: physical slot "
+                            f"{staged_phys!r} (staged for column "
+                            f"{lname!r}) is now mapped to column "
+                            f"{owner!r} by a concurrent rename — re-run "
+                            f"the write against the current table"
+                        )
+                    if fresh_map.get(lname, lname) != staged_phys:
+                        raise ValueError(
+                            f"snapshot writer: column {lname!r} was "
+                            f"renamed concurrently (staged files carry "
+                            f"physical slot {staged_phys!r}, the table "
+                            f"now maps it to "
+                            f"{fresh_map.get(lname, lname)!r}) — re-run "
+                            f"the write against the current table"
+                        )
+                    if staged_phys in fresh_retired:
+                        raise ValueError(
+                            f"snapshot writer: column {lname!r} "
+                            f"(physical slot {staged_phys!r}) was "
+                            f"dropped concurrently; committing would "
+                            f"land data in a retired slot — re-run the "
+                            f"write against the current table"
+                        )
                 prev_schema = prev_raw.get("schema")
                 schema = (
                     _evolve_fields(
@@ -544,6 +589,8 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     _write_json_atomic(
                         f"{snap}/_head.json", {"version": cur + 1}
                     )
+                    if (cur + 1) % 25 == 0:
+                        _write_checkpoint(self.root, cur + 1)
                     return
                 chunk = {"files": sorted(files), "stats": new_stats}
             raw["schema"] = schema
@@ -559,6 +606,8 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             except FileExistsError:
                 continue  # lost the CAS race: recompose against fresh state
             _write_json_atomic(f"{snap}/_head.json", {"version": cur + 1})
+            if (cur + 1) % 25 == 0:
+                _write_checkpoint(self.root, cur + 1)
             return
         raise RuntimeError(f"snapshot writer lost 20 CAS races at {self.root}")
 

@@ -120,6 +120,58 @@ def _current_version(root: str) -> int:
     return max(versions, default=0)
 
 
+def _checkpoint_version(root: str) -> int | None:
+    try:
+        v = int(
+            _read_json(f"{_snap_dir(root)}/_last_checkpoint.json")["version"]
+        )
+    except Exception:
+        return None
+    return v if v >= 1 else None
+
+
+def _write_checkpoint(root: str, version: int) -> None:
+    """Best-effort monotonic advance of ``_last_checkpoint.json``
+    (mirror of ``SnapshotTable._write_checkpoint``)."""
+    try:
+        cur = _checkpoint_version(root)
+        if cur is not None and cur >= version:
+            return
+        _write_json_atomic(
+            f"{_snap_dir(root)}/_last_checkpoint.json", {"version": version}
+        )
+    except Exception:
+        pass
+
+
+def _listed_version(root: str) -> int:
+    """COMMIT-path head resolver (pure-python mirror of
+    ``SnapshotTable._listed_version``, layout.py — see its docstring
+    for the full fork-safety argument). The ``_head.json`` hint is
+    NEVER trusted here: a hint lagging k commits across a concurrent
+    ``expire`` lets the forward probe stop at a mid-expire gap and a
+    commit composed there recreates an expired ``v{N}.json``, forking
+    the log. The ``_last_checkpoint.json`` marker IS probe-safe — it
+    advances monotonically, every expire advances it to its head
+    BEFORE deleting anything, so `marker unchanged across the probe`
+    proves the probed range was gap-free. No/stale marker falls back
+    to the full listing (gap-immune, O(retained versions))."""
+    for _ in range(3):
+        marker = _checkpoint_version(root)
+        if marker is None or not _exists(f"{_snap_dir(root)}/v{marker}.json"):
+            break
+        head = marker
+        while _exists(f"{_snap_dir(root)}/v{head + 1}.json"):
+            head += 1
+        if _checkpoint_version(root) == marker:
+            return head
+    names = _list_dir(_snap_dir(root))
+    return max(
+        (int(m.group(1)) for m in (_VERSION_RE.match(n) for n in names) if m),
+        default=0,
+    )
+
+
 def _read_json(path: str) -> dict:
     fs_, p = _fs_split(path)
     if fs_ is None:

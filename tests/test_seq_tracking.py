@@ -315,3 +315,59 @@ def test_restore_reverts_seq_state_with_data(spark, tmp_path):
         _batch(spark, [(1, 222, "U", 4)]), "k", seq_col="seq", track_seq=True
     )
     assert {r["k"]: r["w"] for r in t.read().collect()} == {1: 222}
+
+
+def test_applied_keys_broadcast_gate_is_byte_aware(spark, tmp_path):
+    """r10 ADVICE: the tracked-apply applied-keys relations must use
+    the merge paths' BYTE-aware broadcast gate, not row count alone —
+    a small number of very wide string keys can exceed the byte budget
+    and must not be force-broadcast."""
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "t"),
+        stats_columns=["k"],
+        merge_broadcast_max_keys=1000,
+        merge_broadcast_max_bytes=2_000,
+    )
+    narrow = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    assert t._key_broadcast_ok(narrow, ["k"], 50) is True
+    # 50 keys x ~1KB strings ≈ 50KB >> 2KB budget: refused despite
+    # passing the count gate
+    wide = spark.createDataFrame(
+        [("x" * 1000 + str(i),) for i in range(50)], "k string"
+    )
+    assert t._key_broadcast_ok(wide, ["k"], 50) is False
+    # count gate still applies on its own
+    assert t._key_broadcast_ok(narrow, ["k"], 5000) is False
+
+
+def test_tracked_apply_wide_keys_converge_without_broadcast(spark, tmp_path):
+    """End-to-end: wide string keys past the byte budget still gate
+    stale batches correctly — the plan just uses a shuffle join
+    instead of a forced broadcast."""
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "t"),
+        stats_columns=["w"],
+        merge_broadcast_max_bytes=100,
+    )
+    key = lambda i: "k" * 200 + str(i)
+    t.append(
+        spark.createDataFrame([(key(i), i) for i in range(8)], "k string, w long")
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, w long, _op string, seq long")
+
+    t.apply_changes(
+        batch([(key(0), 999, "U", 10), (key(1), None, "D", 10)]),
+        "k", seq_col="seq", track_seq=True,
+    )
+    # stale low-seq batch: regression + resurrection both gate out
+    t.apply_changes(
+        batch([(key(0), 111, "U", 5), (key(1), 222, "U", 5)]),
+        "k", seq_col="seq", track_seq=True,
+    )
+    got = {r["k"]: r["w"] for r in t.read().collect()}
+    assert got[key(0)] == 999 and key(1) not in got
+    assert len(got) == 7

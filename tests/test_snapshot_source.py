@@ -295,3 +295,102 @@ def test_writer_races_snapshot_table_commits(registered, spark, tmp_path):
     assert not errs, errs
     assert t.current_version() == v0 + 2
     assert t.read().count() == 320  # both appends landed exactly once
+
+
+# ---------------------------------------------------------------------------
+# commit-protocol hardening (r10 verdict #2)
+# ---------------------------------------------------------------------------
+
+
+def test_writer_commit_resolves_head_from_listing_not_hint(
+    registered, spark, tmp_path
+):
+    """A stale ``_head.json`` hint plus a mid-expire gap must not fork
+    the log: the hint-first probe (hint=3 exists, v4 just expired)
+    stops at 3, and a commit composed there would RECREATE v4.json on
+    top of the expired slot while the real head is v5. The writer's
+    commit loop resolves its CAS base from the full listing instead."""
+    import os
+
+    t = _banded_table(spark, tmp_path / "t")  # v1..v3
+    for lo in (4000, 5000):
+        t.append(
+            spark.range(lo, lo + 10)
+            .select(F.col("id").alias("v"), (F.col("id") * 2).alias("w"))
+            .coalesce(1)
+        )
+    assert t.current_version() == 5
+    snap = f"{t.root}/_snapshots"
+    # fabricate the fork window: v4 expired, hint lagging at 3
+    os.remove(f"{snap}/v4.json")
+    import json
+
+    with open(f"{snap}/_head.json", "w") as f:
+        json.dump({"version": 3}, f)
+    (
+        spark.range(9000, 9010)
+        .select(F.col("id").alias("v"), (F.col("id") * 2).alias("w"))
+        .write.format("snapshot")
+        .option("path", t.root)
+        .mode("append")
+        .save()
+    )
+    # the commit landed AFTER the real head — never in the expired slot
+    assert not os.path.exists(f"{snap}/v4.json")
+    assert os.path.exists(f"{snap}/v6.json")
+    t2 = SnapshotTable(spark, t.root, stats_columns=["v"])
+    assert t2.current_version() == 6
+    assert t2.read().filter(F.col("v") >= 9000).count() == 10
+
+
+def _staged_writer(spark, root, schema_ddl, rows):
+    """Plan a SnapshotBatchWriter and stage one arrow batch through
+    its real write() path, returning (writer, [commit message])."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from collective_als_spark.sources.snapshot_source import (
+        SnapshotBatchWriter,
+    )
+
+    schema = _parse_datatype_string(schema_ddl)
+    w = SnapshotBatchWriter(schema, {"path": root}, overwrite=False)
+    batch = pa.RecordBatch.from_pylist(rows)
+    return w, [w.write(iter([batch]))]
+
+
+def test_writer_commit_revalidates_drop_column_in_retry_loop(
+    registered, spark, tmp_path
+):
+    """drop_column committed between PLAN time and COMMIT time: the
+    plan-time retired check passed, so only an in-loop re-validation
+    against the fresh manifest stops the staged data from landing in
+    the retired physical slot."""
+    t = _banded_table(spark, tmp_path / "t")
+    w, msgs = _staged_writer(
+        spark, t.root, "v long, w long", [{"v": 9100, "w": 1}]
+    )
+    t.drop_column("w")  # concurrent DDL after plan, before commit
+    with pytest.raises(ValueError, match="dropped concurrently"):
+        w.commit(msgs)
+    # nothing committed; the table is unchanged
+    assert t.read().count() == 300
+    assert "w" not in t.read().columns
+
+
+def test_writer_commit_revalidates_rename_in_retry_loop(
+    registered, spark, tmp_path
+):
+    """rename_column committed between plan and commit: the staged
+    files carry the OLD physical slot; committing them would hand the
+    renamed column's slot to a new same-named column. Refused with
+    guidance, not silently merged."""
+    t = _banded_table(spark, tmp_path / "t")
+    w, msgs = _staged_writer(
+        spark, t.root, "v long, w long", [{"v": 9200, "w": 2}]
+    )
+    t.rename_column("w", "wide")
+    with pytest.raises(ValueError, match="concurrent rename"):
+        w.commit(msgs)
+    assert t.read().count() == 300
