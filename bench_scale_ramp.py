@@ -222,6 +222,7 @@ def measure_lake_protocol(spark) -> dict:
         "apply_changes_sec",
         "apply_changes_tracked_sec",
         "apply_changes_stale_sec",
+        "apply_changes_scd2_sec",
         "compact_full_sec",
     )
     out: dict = {}
@@ -365,6 +366,44 @@ def measure_lake_protocol(spark) -> dict:
                 )
                 assert v_stale == v, "stale batch must not commit"
                 bytes_written["apply_changes_stale_sec"] = 0
+                # r11 SCD TYPE 2 apply: a history table seeded with
+                # the FULL orders state (first batch = all inserts),
+                # then the same scattered 1000-key batch applied as
+                # SCD2 — upserts close + open intervals, deletes just
+                # close. The claim: batch-proportional like merge_mor
+                # (one pruned history scan + a batch-sized MOR merge
+                # on (key, __START_AT)); the 10x/1x ratio must not
+                # regress toward the COW curve.
+                ts = SnapshotTable(
+                    spark, f"{root}/scd2", stats_columns=["o_orderkey"]
+                )
+                seed = orders.select(
+                    "o_orderkey",
+                    "o_totalprice",
+                    F.lit("U").alias("_op"),
+                    F.lit(1).cast("long").alias("seq"),
+                )
+                ts.apply_changes(
+                    seed, "o_orderkey", seq_col="seq",
+                    scd_type=2, track_seq=True,
+                )
+                cdc4 = spark.createDataFrame(
+                    [
+                        (k, -5.0, "U" if i % 2 == 0 else "D", 20)
+                        for i, k in enumerate(keys)
+                    ],
+                    "o_orderkey long, o_totalprice double, "
+                    "_op string, seq long",
+                )
+                t0 = time.perf_counter()
+                v = ts.apply_changes(
+                    cdc4, "o_orderkey", seq_col="seq",
+                    scd_type=2, track_seq=True,
+                )
+                runs["apply_changes_scd2_sec"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                bytes_written["apply_changes_scd2_sec"] = _commit_bytes(ts, v)
                 t0 = time.perf_counter()
                 v = t.compact(target_rows_per_file=target)  # full rewrite
                 runs["compact_full_sec"].append(
@@ -518,9 +557,9 @@ def main() -> None:
             if prev.get("replicas") == REPLICAS and prev.get("src") == SRC_DIR:
                 out["queries"] = prev.get("queries", {})
                 lp = prev.get("lake_protocol")
-                # carry only a CURRENT-shape artifact (r09 added the
-                # tracked/stale apply steps — an old one must re-run)
-                if lp and "apply_changes_tracked_sec" in lp.get("1x", {}):
+                # carry only a CURRENT-shape artifact (r11 added the
+                # SCD2 apply step — an old one must re-run)
+                if lp and "apply_changes_scd2_sec" in lp.get("1x", {}):
                     out["lake_protocol"] = lp
                 if prev.get("ann_serve"):
                     out["ann_serve"] = prev["ann_serve"]

@@ -879,3 +879,106 @@ def snapshot_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(local, got.schema)
+
+
+@register(
+    "lake_sql_dml",
+    oracle="""
+    WITH m AS (
+        SELECT
+            o_orderkey,
+            o_totalprice,
+            -- verbatim unparenthesized mix: DuckDB applies SQL
+            -- precedence; the dispatcher must delegate to the same
+            o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+              OR o_orderkey BETWEEN 1 AND 64 AS m1,
+            o_orderstatus = 'O' AND o_totalprice > 150000 AS m2,
+            o_orderkey % 97 = 0 AS mk
+        FROM orders
+    ), c AS (
+        SELECT
+            CAST(sum(CASE WHEN NOT m1 AND NOT mk THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_keep,
+            CAST(sum(CASE WHEN NOT m1 AND NOT mk AND m2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_flag,
+            CAST(sum(CASE WHEN NOT m1 AND NOT mk
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS cents_keep,
+            CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+        FROM m
+    )
+    SELECT 'n_final' AS step, n_keep + n_merged AS value FROM c
+    UNION ALL SELECT 'n_flagged', n_flag FROM c
+    UNION ALL SELECT 'cents_final', cents_keep + 123 * n_merged FROM c
+    UNION ALL SELECT 'n_merged', n_merged FROM c
+    """,
+)
+def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL DML dispatcher end-to-end under the oracle (r10 verdict
+    #6): ``DELETE`` with an UNPARENTHESIZED mixed-precedence
+    predicate, ``UPDATE .. SET .. WHERE``, and a ``MERGE INTO .. USING
+    <view> ON t.k = s.k`` upsert — each statement delegating to the
+    engine verbs, the DuckDB oracle recomputing the converged state
+    algebraically from ``orders`` with the SAME predicate text (so a
+    precedence or clause-split divergence hash-fails).
+
+    Scale shape: identical to the underlying verbs — the dispatcher
+    adds only driver-side string parsing on a bounded statement.
+
+    Reference parity: Delta's SQL DML over path tables
+    (``DELETE FROM delta.`/p` WHERE ..``, ``MERGE INTO delta.`/p``)."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_totalprice").alias("price"),
+    )
+    src = rows.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit("M").alias("o_orderstatus"),
+        F.lit("X").alias("o_orderpriority"),
+        F.lit(123).cast("bigint").alias("cents"),
+        F.lit(0.0).alias("price"),
+    )
+    src.createOrReplaceTempView("lake_sql_dml_src")
+    root = tempfile.mkdtemp(prefix="lake_sqldml_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["o_orderkey"])
+        t.append(rows)
+        snapshot_sql(
+            spark,
+            f"DELETE FROM '{t.root}' WHERE o_orderstatus = 'F' AND "
+            f"o_orderpriority = '1-URGENT' OR o_orderkey BETWEEN 1 AND 64",
+        )
+        snapshot_sql(
+            spark,
+            f"UPDATE '{t.root}' SET o_orderpriority = 'SQL-FLAG' "
+            f"WHERE o_orderstatus = 'O' AND price > 150000",
+        )
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t.root}' AS t USING lake_sql_dml_src AS s "
+            f"ON t.o_orderkey = s.o_orderkey "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *",
+        )
+        got = t.read()
+        out = [
+            ("n_final", got.count()),
+            (
+                "n_flagged",
+                got.filter(F.col("o_orderpriority") == "SQL-FLAG").count(),
+            ),
+            ("cents_final", got.agg(F.sum("cents")).first()[0]),
+            (
+                "n_merged",
+                got.filter(F.col("o_orderstatus") == "M").count(),
+            ),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")

@@ -1,0 +1,436 @@
+"""SQL DML statements over snapshot tables — ``snapshot_sql(spark,
+"DELETE FROM '<root>' WHERE ...")`` — the statement-level surface
+Delta exposes as ``spark.sql("DELETE FROM delta.`/path` ...")``.
+
+This is a thin DISPATCHER, not an engine: it parses the statement's
+verb and clause boundaries (quote- and paren-aware, driver-side, on a
+bounded string), then delegates every clause VERBATIM to the existing
+``SnapshotTable`` verbs — ``delete_where`` / ``update_where`` /
+``merge`` / ``apply_changes`` / ``append`` — which already own
+predicate analysis (``sources/predicate.py``), data-skipping proofs,
+exact residual application, SQL three-valued NULL discipline, CDF
+imaging, and the commit protocol. Nothing here re-implements
+semantics; a statement shape the verbs can't express raises
+``NotImplementedError`` with guidance instead of guessing.
+
+Supported statements (case-insensitive keywords):
+
+- ``DELETE FROM <tbl> [WHERE <pred>]`` — no WHERE deletes every row.
+- ``UPDATE <tbl> SET col = expr[, ...] [WHERE <pred>]``
+- ``MERGE INTO <tbl> [AS] [t] USING <source> [AS] [s] ON <equi-cond>
+  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` —
+  the classic upsert (engine ``merge``); also
+  ``WHEN MATCHED THEN DELETE`` alone (keyed delete via
+  ``apply_changes`` all-delete ops).
+- ``INSERT INTO <tbl> <query>`` — ``append(spark.sql(query))``.
+
+``<tbl>`` is the table ROOT path as a ``'...'`` / ``"..."`` string or
+backtick-quoted identifier. ``<source>`` is a registered view/table
+name or a parenthesized query. The MERGE condition must be an
+equality conjunction on SAME-NAMED columns (``t.k = s.k AND ...``) —
+the key-tuple shape the engine merge is defined over.
+
+Reference parity: Delta Lake's SQL DML over path tables
+(``DELETE FROM delta.`/p```, ``MERGE INTO delta.`/p`` ...``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .layout import SnapshotTable
+
+_VERB_RE = re.compile(
+    r"^\s*(DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO)\s+",
+    re.IGNORECASE,
+)
+
+
+def _scan_clauses(s: str, words: set[str]) -> list[tuple[str, int, int]]:
+    """Positions of top-level keywords (outside quotes/backticks/
+    parens): [(WORD_UPPER, start, end)]."""
+    out = []
+    depth = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "'" or c == '"':
+            q = c
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if c == "`":
+            j = s.find("`", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0 and (c.isalpha() or c == "_"):
+            j = i
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            w = s[i:j].upper()
+            if w in words:
+                out.append((w, i, j))
+            i = j
+            continue
+        i += 1
+    return out
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas outside quotes/backticks/parens."""
+    parts = []
+    cur = []
+    depth = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "'" or c == '"':
+            q = c
+            j = i + 1
+            while j < n:
+                if s[j] == q:
+                    if j + 1 < n and s[j + 1] == q:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c == "`":
+            j = s.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            cur.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _parse_table_ref(s: str) -> tuple[str, str | None, str]:
+    """Leading table ref -> (root_path, alias_or_None, rest). The ref
+    is a quoted/backticked ROOT PATH, optionally ``[AS] alias``."""
+    s = s.lstrip()
+    if not s:
+        raise ValueError("snapshot_sql: missing table reference")
+    q = s[0]
+    if q in ("'", '"', "`"):
+        end = s.find(q, 1)
+        if end < 0:
+            raise ValueError(f"snapshot_sql: unterminated {q} in table ref")
+        root = s[1:end]
+        rest = s[end + 1 :]
+    else:
+        raise ValueError(
+            "snapshot_sql: the table must be the snapshot ROOT PATH as a "
+            "quoted string or backtick identifier, e.g. DELETE FROM "
+            "'/data/events' WHERE ... (registered catalog names are not "
+            "resolved here)"
+        )
+    m = re.match(r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", rest, re.IGNORECASE)
+    alias = None
+    if m and m.group(1).upper() not in (
+        "SET", "WHERE", "USING", "ON", "WHEN", "SELECT", "VALUES",
+    ):
+        alias = m.group(1)
+        rest = rest[m.end() :]
+    return root, alias, rest
+
+
+def _strip_alias_prefix(expr: str, aliases: list[str | None]) -> str:
+    """Remove ``alias.`` qualifiers for the statement's own aliases so
+    clause text delegates cleanly to single-relation verbs."""
+    out = expr
+    for a in aliases:
+        if a:
+            out = re.sub(
+                rf"\b{re.escape(a)}\s*\.\s*", "", out, flags=re.IGNORECASE
+            )
+    return out
+
+
+def snapshot_sql(spark, statement: str, **table_kwargs):
+    """Execute one SQL DML statement against a snapshot table root.
+    Returns the committed version (int). ``table_kwargs`` pass through
+    to the ``SnapshotTable`` constructor (``stats_columns`` etc.)."""
+    m = _VERB_RE.match(statement)
+    if not m:
+        head = statement.strip().split(None, 1)[:1]
+        if head and head[0].upper() == "SELECT":
+            raise NotImplementedError(
+                "snapshot_sql executes DML; for queries use "
+                "spark.read.format('snapshot').option('path', root) and "
+                "spark.sql over a temp view"
+            )
+        raise ValueError(
+            f"snapshot_sql: unrecognized statement (expected DELETE FROM / "
+            f"UPDATE / MERGE INTO / INSERT INTO): {statement[:80]!r}"
+        )
+    verb = re.sub(r"\s+", " ", m.group(1).upper())
+    rest = statement[m.end() :]
+    if verb == "DELETE FROM":
+        return _delete(spark, rest, table_kwargs)
+    if verb == "UPDATE":
+        return _update(spark, rest, table_kwargs)
+    if verb == "MERGE INTO":
+        return _merge(spark, rest, table_kwargs)
+    return _insert(spark, rest, table_kwargs)
+
+
+def _delete(spark, rest: str, kw) -> int:
+    root, alias, tail = _parse_table_ref(rest)
+    t = SnapshotTable(spark, root, **kw)
+    clauses = _scan_clauses(tail, {"WHERE"})
+    if not clauses:
+        if tail.strip():
+            raise ValueError(f"snapshot_sql: trailing text {tail.strip()!r}")
+        return t.delete_where("TRUE")
+    w, start, end = clauses[0]
+    pred = tail[end:].strip()
+    if tail[:start].strip() or not pred:
+        raise ValueError("snapshot_sql: malformed DELETE WHERE clause")
+    return t.delete_where(_strip_alias_prefix(pred, [alias]))
+
+
+def _update(spark, rest: str, kw) -> int:
+    root, alias, tail = _parse_table_ref(rest)
+    t = SnapshotTable(spark, root, **kw)
+    clauses = _scan_clauses(tail, {"SET", "WHERE"})
+    if not clauses or clauses[0][0] != "SET":
+        raise ValueError("snapshot_sql: UPDATE needs a SET clause")
+    set_start = clauses[0][2]
+    where_pos = [(s, e) for w, s, e in clauses if w == "WHERE"]
+    if where_pos:
+        set_text = tail[set_start : where_pos[0][0]]
+        pred = tail[where_pos[0][1] :].strip()
+    else:
+        set_text = tail[set_start:]
+        pred = "TRUE"
+    assignments = {}
+    for part in _split_top_commas(set_text):
+        if not part.strip():
+            continue
+        eq = _scan_eq(part)
+        if eq < 0:
+            raise ValueError(
+                f"snapshot_sql: malformed SET assignment {part.strip()!r}"
+            )
+        col = _strip_alias_prefix(part[:eq].strip(), [alias]).strip("`")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+            raise ValueError(f"snapshot_sql: bad SET target {col!r}")
+        assignments[col] = _strip_alias_prefix(part[eq + 1 :].strip(), [alias])
+    if not assignments:
+        raise ValueError("snapshot_sql: empty SET clause")
+    return t.update_where(
+        predicate=_strip_alias_prefix(pred, [alias]), set=assignments
+    )
+
+
+def _scan_eq(s: str) -> int:
+    """Index of the FIRST top-level ``=`` (outside quotes/parens)."""
+    depth = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            q = c
+            i += 1
+            while i < n and s[i] != q:
+                i += 1
+            i += 1
+            continue
+        if c == "`":
+            j = s.find("`", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "=" and depth == 0:
+            return i
+        i += 1
+    return -1
+
+
+def _matching_paren(s: str) -> int:
+    """Index of the ``)`` matching ``s[0] == '('`` (quote-aware)."""
+    depth = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            q = c
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "`":
+            j = s.find("`", i + 1)
+            i = n if j < 0 else j
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _resolve_source(spark, text: str):
+    """MERGE USING source -> (DataFrame, alias_or_None). The source is
+    a parenthesized query or a registered view/table name, each with
+    an optional ``[AS] alias``."""
+    text = text.strip()
+    alias = None
+    if text.startswith("("):
+        close = _matching_paren(text)
+        if close < 0:
+            raise ValueError(f"snapshot_sql: malformed USING source {text!r}")
+        body = text[1:close]
+        trail = text[close + 1 :].strip()
+        if trail:
+            am = re.fullmatch(
+                r"(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", trail, re.IGNORECASE
+            )
+            if not am:
+                raise ValueError(
+                    f"snapshot_sql: trailing text after USING source: "
+                    f"{trail!r}"
+                )
+            alias = am.group(1)
+        return spark.sql(body), alias
+    parts = text.split()
+    if not parts or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", parts[0]):
+        raise ValueError(
+            f"snapshot_sql: USING source must be a view/table name or a "
+            f"parenthesized query, got {text!r}"
+        )
+    if len(parts) == 2:
+        alias = parts[1]
+    elif len(parts) == 3 and parts[1].upper() == "AS":
+        alias = parts[2]
+    elif len(parts) > 1:
+        raise ValueError(f"snapshot_sql: malformed USING source {text!r}")
+    return spark.table(parts[0]), alias
+
+
+def _merge(spark, rest: str, kw) -> int:
+    import pyspark.sql.functions as F
+
+    root, t_alias, tail = _parse_table_ref(rest)
+    clauses = _scan_clauses(tail, {"USING", "ON", "WHEN"})
+    by_word = {}
+    for w, s, e in clauses:
+        by_word.setdefault(w, []).append((s, e))
+    if "USING" not in by_word or "ON" not in by_word or "WHEN" not in by_word:
+        raise ValueError(
+            "snapshot_sql: MERGE needs USING <source> ON <cond> WHEN ..."
+        )
+    u_s, u_e = by_word["USING"][0]
+    on_s, on_e = by_word["ON"][0]
+    first_when = by_word["WHEN"][0][0]
+    source, s_alias = _resolve_source(spark, tail[u_e:on_s].strip())
+    cond = tail[on_e:first_when].strip()
+    while cond.startswith("(") and _matching_paren(cond) == len(cond) - 1:
+        cond = cond[1:-1].strip()
+    keys = _equi_keys(cond, t_alias, s_alias)
+    actions = tail[first_when:]
+    norm = re.sub(r"\s+", " ", actions).strip().upper()
+    t = SnapshotTable(spark, root, **kw)
+    if norm in (
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "WHEN NOT MATCHED THEN INSERT * WHEN MATCHED THEN UPDATE SET *",
+        "WHEN NOT MATCHED THEN INSERT *",
+    ):
+        if norm == "WHEN NOT MATCHED THEN INSERT *" and t.current_version():
+            # insert-only: drop source rows whose key already exists
+            target_keys = t.read().select(*keys).distinct()
+            source = source.join(target_keys, keys, "left_anti")
+        return t.merge(source, keys)
+    if norm == "WHEN MATCHED THEN DELETE":
+        changes = source.select(*keys).distinct().withColumn(
+            "_op", F.lit("D")
+        )
+        return t.apply_changes(changes, keys if len(keys) > 1 else keys[0])
+    raise NotImplementedError(
+        f"snapshot_sql: unsupported MERGE action clause {actions.strip()!r} "
+        f"— supported: UPDATE SET * / INSERT * upsert, INSERT *-only, "
+        f"and WHEN MATCHED THEN DELETE; conditional/column-level clauses "
+        f"need apply_changes or the DataFrame API"
+    )
+
+
+def _equi_keys(cond: str, t_alias: str | None, s_alias: str | None) -> list[str]:
+    """``t.k = s.k [AND ...]`` -> [k, ...]; the engine merge is keyed
+    on same-named columns, anything else is refused with guidance."""
+    keys = []
+    for part in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+        m = re.fullmatch(
+            r"\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?([A-Za-z_][A-Za-z0-9_]*)"
+            r"\s*=\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*",
+            part,
+        )
+        if not m:
+            raise NotImplementedError(
+                f"snapshot_sql: MERGE condition must be an equality "
+                f"conjunction (t.k = s.k AND ...), got {part.strip()!r}"
+            )
+        _a1, c1, _a2, c2 = m.groups()
+        if c1 != c2:
+            raise NotImplementedError(
+                f"snapshot_sql: MERGE keys must be same-named on both "
+                f"sides ({c1!r} vs {c2!r}) — rename the source column"
+            )
+        keys.append(c1)
+    if not keys:
+        raise ValueError("snapshot_sql: empty MERGE condition")
+    return keys
+
+
+def _insert(spark, rest: str, kw) -> int:
+    root, _alias, tail = _parse_table_ref(rest)
+    q = tail.strip()
+    if not q:
+        raise ValueError("snapshot_sql: INSERT INTO needs a query")
+    if q.startswith("(") and q.endswith(")"):
+        q = q[1:-1]
+    df = spark.sql(q)
+    t = SnapshotTable(spark, root, **kw)
+    return t.append(df)

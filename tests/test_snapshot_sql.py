@@ -1,0 +1,167 @@
+"""SQL DML dispatcher (r10 verdict #6): ``snapshot_sql(spark, "DELETE
+FROM '<root>' WHERE ...")`` parses verb + clauses and delegates to the
+SnapshotTable verbs — every statement must round-trip to the exact
+Python-API result, including the mixed-precedence predicates the
+analyzer now handles and the NULL discipline the verbs own."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from collective_als_spark.sources.layout import SnapshotTable
+from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+
+def _orders(spark):
+    rows = [
+        (1, "cancelled", "EU", 10.0),
+        (2, "cancelled", "US", 20.0),
+        (3, "cancelled", "JP", 30.0),
+        (4, "open", "EU", 40.0),
+        (5, None, "EU", 50.0),
+        (6, "cancelled", None, 60.0),
+        (7, "open", None, 70.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, status string, region string, amount double"
+    )
+
+
+def _pair(spark, tmp_path):
+    a = SnapshotTable(spark, str(tmp_path / "sql"), stats_columns=["id"])
+    b = SnapshotTable(spark, str(tmp_path / "api"), stats_columns=["id"])
+    a.append(_orders(spark))
+    b.append(_orders(spark))
+    return a, b
+
+
+def _rows(t):
+    return sorted(tuple(r) for r in t.read().collect())
+
+
+def test_sql_delete_matches_api_with_nulls_and_precedence(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    pred = "status = 'cancelled' AND region IN ('EU', 'US') OR id = 7"
+    v = snapshot_sql(spark, f"DELETE FROM '{a.root}' WHERE {pred}")
+    b.delete_where(pred)
+    assert _rows(a) == _rows(b)
+    assert v == a.current_version()
+    # alias-qualified columns delegate cleanly
+    a2 = SnapshotTable(spark, str(tmp_path / "sql2"), stats_columns=["id"])
+    a2.append(_orders(spark))
+    snapshot_sql(spark, f"DELETE FROM '{a2.root}' AS t WHERE t.id >= 6")
+    assert sorted(r["id"] for r in a2.read().collect()) == [1, 2, 3, 4, 5]
+
+
+def test_sql_delete_without_where_empties_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    snapshot_sql(spark, f"DELETE FROM '{t.root}'")
+    assert t.read().count() == 0
+    assert t.read(version=1).count() == 7  # time travel intact
+
+
+def test_sql_update_matches_api(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    snapshot_sql(
+        spark,
+        f"UPDATE '{a.root}' SET amount = amount * 10, region = 'XX' "
+        f"WHERE status = 'cancelled' AND amount < 25",
+    )
+    b.update_where(
+        "status = 'cancelled' AND amount < 25",
+        set={"amount": "amount * 10", "region": "'XX'"},
+    )
+    assert _rows(a) == _rows(b)
+    # NULL-predicate rows carried unchanged (3VL owned by the verb)
+    got = {r["id"]: r["amount"] for r in a.read().collect()}
+    assert got[1] == 100.0 and got[5] == 50.0
+
+
+def test_sql_merge_upsert_matches_api(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "reopened", "US", 99.0), (8, "new", "EU", 80.0)],
+        "id long, status string, region string, amount double",
+    )
+    src.createOrReplaceTempView("sqldml_updates")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{a.root}' AS t USING sqldml_updates AS s "
+        f"ON t.id = s.id "
+        f"WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    b.merge(src, "id")
+    assert _rows(a) == _rows(b)
+    assert a.read().count() == 8
+
+
+def test_sql_merge_subquery_source_and_insert_only(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "dup", "EU", 0.0), (9, "new", "JP", 90.0)],
+        "id long, status string, region string, amount double",
+    )
+    src.createOrReplaceTempView("sqldml_feed")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{a.root}' t "
+        f"USING (SELECT * FROM sqldml_feed WHERE amount >= 0) s "
+        f"ON (t.id = s.id) WHEN NOT MATCHED THEN INSERT *",
+    )
+    # id=1 already exists: insert-only must NOT replace it
+    got = {r["id"]: r["status"] for r in a.read().collect()}
+    assert got[1] == "cancelled" and got[9] == "new"
+    assert a.read().count() == 8
+    assert _rows(b) != _rows(a)  # sanity: b untouched
+
+
+def test_sql_merge_matched_delete(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    src = spark.createDataFrame([(2,), (5,), (99,)], "id long")
+    src.createOrReplaceTempView("sqldml_dels")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{a.root}' t USING sqldml_dels s ON t.id = s.id "
+        f"WHEN MATCHED THEN DELETE",
+    )
+    assert sorted(r["id"] for r in a.read().collect()) == [1, 3, 4, 6, 7]
+
+
+def test_sql_insert_into_select(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    _orders(spark).createOrReplaceTempView("sqldml_ins")
+    snapshot_sql(
+        spark,
+        f"INSERT INTO '{t.root}' SELECT id + 100 AS id, status, region, "
+        f"amount FROM sqldml_ins WHERE id <= 2",
+    )
+    assert sorted(r["id"] for r in t.read().collect()) == [
+        1, 2, 3, 4, 5, 6, 7, 101, 102,
+    ]
+
+
+def test_sql_error_shapes(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    with pytest.raises(NotImplementedError, match="DML"):
+        snapshot_sql(spark, f"SELECT * FROM '{t.root}'")
+    with pytest.raises(ValueError, match="quoted string"):
+        snapshot_sql(spark, "DELETE FROM sometable WHERE id = 1")
+    with pytest.raises(NotImplementedError, match="unsupported MERGE"):
+        _orders(spark).createOrReplaceTempView("sqldml_bad")
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t.root}' t USING sqldml_bad s ON t.id = s.id "
+            f"WHEN MATCHED THEN UPDATE SET amount = 0",
+        )
+    with pytest.raises(NotImplementedError, match="same-named"):
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t.root}' t USING sqldml_bad s ON t.id = s.region "
+            f"WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="SET"):
+        snapshot_sql(spark, f"UPDATE '{t.root}' WHERE id = 1")
+    # the table is untouched by every refused statement
+    assert t.read().count() == 7 and t.current_version() == 1
