@@ -170,6 +170,10 @@ _KEY_FIXED_BYTES = {
     "timestamp_ntz": 8, "boolean": 1,
 }
 
+# lossless integer-widening ladder (Spark JSON schema type names) for
+# commit-time type widening; float->double is handled alongside
+_WIDEN_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
 # Iceberg-style partition TRANSFORMS. bucket(n, key) ships as
 # `append_bucketed` (exact modular membership for scattered point
 # keys). day/month/truncate ship as `append_transformed` (r08): their
@@ -858,30 +862,102 @@ class SnapshotTable:
         return files, stats, blooms
 
     @staticmethod
-    def _evolved_schema(prev_schema: dict | None, new_schema: dict) -> dict:
-        """Commit-time schema evolution (the Delta rule): a commit may
-        ADD columns — the manifest schema widens, and older files read
-        the new columns as NULL because readers take the TABLE schema
-        from the manifest, not the file footers — but may not CHANGE
-        an existing column's type, which would make old files
-        unreadable; the right place to find that out is the failing
-        COMMIT, not a reader three weeks later. Returns the widened
-        schema (prev columns first, additions appended)."""
+    def _wider_type(a: str, b: str) -> str | None:
+        """The wider of two Spark JSON type names when one WIDENS to
+        the other losslessly (the Delta type-widening ladder Spark 4's
+        parquet readers natively promote: byte->short->int->long,
+        float->double); None when the pair is not widening-compatible.
+        """
+        if a == b:
+            return a
+        if a in _WIDEN_ORDER and b in _WIDEN_ORDER:
+            return a if _WIDEN_ORDER[a] >= _WIDEN_ORDER[b] else b
+        if {a, b} == {"float", "double"}:
+            return "double"
+        return None
+
+    def _evolved_schema(
+        self,
+        prev_schema: dict | None,
+        new_schema: dict,
+        manifest: dict | None = None,
+    ) -> dict:
+        """Commit-time schema evolution (the Delta rule, plus Delta's
+        TYPE WIDENING): a commit may ADD columns — the manifest schema
+        widens, and older files read the new columns as NULL because
+        readers take the TABLE schema from the manifest, not the file
+        footers — and may WIDEN an existing numeric column along the
+        lossless ladder (int->long, float->double, byte/short up):
+        the manifest records the wider type and Spark 4's parquet
+        readers promote the old narrow files on scan, so no data file
+        is rewritten (metadata-only widening, exactly Delta's
+        ``delta.enableTypeWidening``). A commit carrying a NARROWER
+        type than the table needs no schema change at all — its files
+        are read through the wider manifest schema the same way. Any
+        other type change is rejected at COMMIT, not by a reader
+        three weeks later.
+
+        Guard: a column carrying per-file HASH-BUCKET metadata
+        (``append_bucketed``'s ``__buckets``) cannot widen —
+        ``hash(1)`` as int and as long differ, so bucket pruning
+        against old files would become unsound. ``manifest`` provides
+        the stats to check; widening WITHOUT a manifest is refused
+        conservatively (every commit path passes its base manifest).
+
+        Returns the evolved schema (prev columns first in their
+        order, additions appended)."""
         if prev_schema is None:
             return new_schema
         prev_types = {f["name"]: f["type"] for f in prev_schema["fields"]}
+        widened: dict[str, str] = {}
         for f in new_schema["fields"]:
             old = prev_types.get(f["name"])
-            if old is not None and old != f["type"]:
+            if old is None or old == f["type"]:
+                continue
+            wide = (
+                self._wider_type(old, f["type"])
+                if isinstance(old, str) and isinstance(f["type"], str)
+                else None
+            )
+            if wide is None:
                 raise ValueError(
                     f"schema evolution rejected: column {f['name']!r} is "
                     f"{old} in the table but {f['type']} in this commit; "
-                    f"additive columns are allowed, type changes are not"
+                    f"additive columns and lossless numeric widening "
+                    f"(int->long, float->double) are allowed, other type "
+                    f"changes are not"
                 )
+            if wide != old:
+                widened[f["name"]] = wide
+        if widened:
+            if manifest is None:
+                raise ValueError(
+                    f"schema evolution rejected: widening {sorted(widened)} "
+                    f"needs the commit path's base manifest for the "
+                    f"bucket-metadata guard (internal contract)"
+                )
+            for fstats in (manifest.get("stats") or {}).values():
+                meta = fstats.get("__buckets")
+                if meta and meta[0] in widened:
+                    raise ValueError(
+                        f"schema evolution rejected: column {meta[0]!r} is "
+                        f"hash-bucketed (hidden partitioning) — widening "
+                        f"its type changes the bucket hash of old files; "
+                        f"rewrite the table (compact) under the new type "
+                        f"instead"
+                    )
         known = set(prev_types)
+        fields = [
+            (
+                {**f, "type": widened[f["name"]]}
+                if f["name"] in widened
+                else f
+            )
+            for f in prev_schema["fields"]
+        ]
         return {
             **prev_schema,
-            "fields": prev_schema["fields"]
+            "fields": fields
             + [f for f in new_schema["fields"] if f["name"] not in known],
         }
 
@@ -1610,7 +1686,10 @@ class SnapshotTable:
         bucket = F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
         placed = df.repartition(n_buckets, bucket)
         df_schema = df.schema.jsonValue()
-        self._evolved_schema(base.get("schema") if cur else None, df_schema)
+        self._evolved_schema(
+            base.get("schema") if cur else None, df_schema,
+            manifest=base if cur else None,
+        )
         new_files, new_stats, new_blooms = self._stage(placed)
         if new_files:
             # one column-pruned pass over the staged files records each
@@ -1637,7 +1716,9 @@ class SnapshotTable:
                 prev["files"] + new_files,
                 live_stats,
                 prev.get("batch_markers", {}),
-                schema=self._evolved_schema(prev.get("schema"), df_schema),
+                schema=self._evolved_schema(
+                    prev.get("schema"), df_schema, manifest=prev
+                ),
                 blooms={**prev.get("blooms", {}), **new_blooms},
                 dvs=prev.get("dvs", {}),
                 dv_rows=prev.get("dv_rows", {}),
@@ -1812,7 +1893,10 @@ class SnapshotTable:
             else df.repartitionByRange(texpr)
         )
         df_schema = df.schema.jsonValue()
-        self._evolved_schema(base.get("schema") if cur else None, df_schema)
+        self._evolved_schema(
+            base.get("schema") if cur else None, df_schema,
+            manifest=base if cur else None,
+        )
         new_files, new_stats, new_blooms = self._stage(placed)
         if new_files:
             # one column-pruned pass records each staged file's
@@ -1854,7 +1938,9 @@ class SnapshotTable:
                 prev["files"] + new_files,
                 live_stats,
                 prev.get("batch_markers", {}),
-                schema=self._evolved_schema(prev.get("schema"), df_schema),
+                schema=self._evolved_schema(
+                    prev.get("schema"), df_schema, manifest=prev
+                ),
                 blooms={**prev.get("blooms", {}), **new_blooms},
                 dvs=prev.get("dvs", {}),
                 dv_rows=prev.get("dv_rows", {}),
@@ -2039,7 +2125,10 @@ class SnapshotTable:
         df_schema = df.schema.jsonValue()
         # fail BEFORE staging data on an obvious type conflict; the
         # build re-validates against the fresh manifest on CAS retries
-        self._evolved_schema(base.get("schema") if cur else None, df_schema)
+        self._evolved_schema(
+            base.get("schema") if cur else None, df_schema,
+            manifest=base if cur else None,
+        )
         new_files, new_stats, new_blooms = self._stage(df)
 
         def build(version: int, prev: dict) -> dict:
@@ -2053,7 +2142,9 @@ class SnapshotTable:
                 prev["files"] + new_files,
                 live_stats,
                 prev.get("batch_markers", {}) | (_markers or {}),
-                schema=self._evolved_schema(prev.get("schema"), df_schema),
+                schema=self._evolved_schema(
+                    prev.get("schema"), df_schema, manifest=prev
+                ),
                 blooms={**prev.get("blooms", {}), **new_blooms},
                 dvs=prev.get("dvs", {}),
                 dv_rows=prev.get("dv_rows", {}),
@@ -2788,7 +2879,9 @@ class SnapshotTable:
         candidates, untouched = plan["candidates"], plan["untouched"]
         prev_schema = manifest.get("schema")
         evolved = (
-            self._evolved_schema(prev_schema, df_p.schema.jsonValue())
+            self._evolved_schema(
+                prev_schema, df_p.schema.jsonValue(), manifest=manifest
+            )
             if prev_schema
             else df_p.schema.jsonValue()
         )
@@ -2854,7 +2947,8 @@ class SnapshotTable:
                 stats,
                 prev.get("batch_markers", {}),
                 schema=self._evolved_schema(
-                    prev.get("schema") or src_schema, src_schema
+                    prev.get("schema") or src_schema, src_schema,
+                    manifest=prev,
                 ),
                 blooms=blooms,
                 dvs={
@@ -3081,7 +3175,9 @@ class SnapshotTable:
             prev_schema = (
                 self.spark.read.parquet(*manifest["files"]).schema.jsonValue()
             )
-        evolved = self._evolved_schema(prev_schema, source.schema.jsonValue())
+        evolved = self._evolved_schema(
+            prev_schema, source.schema.jsonValue(), manifest=manifest
+        )
         # point-key skipping: when manifests carry blooms for a
         # single-column key, probe them with the (bounded) source key
         # hashes — the pruning interval stats cannot do for scattered
@@ -3318,7 +3414,9 @@ class SnapshotTable:
                 stats,
                 prev.get("batch_markers", {}) | (_markers or {}),
                 schema=self._evolved_schema(
-                    prev.get("schema") or prev_schema, source.schema.jsonValue()
+                    prev.get("schema") or prev_schema,
+                    source.schema.jsonValue(),
+                    manifest=prev,
                 ),
                 blooms=blooms,
                 # rewritten candidates materialized their DVs
@@ -3518,7 +3616,8 @@ class SnapshotTable:
                 {**prev.get("stats", {}), **new_stats},
                 prev.get("batch_markers", {}) | (_markers or {}),
                 schema=self._evolved_schema(
-                    prev.get("schema") or prev_schema, src_schema
+                    prev.get("schema") or prev_schema, src_schema,
+                    manifest=prev,
                 ),
                 blooms={**prev.get("blooms", {}), **new_blooms},
                 dvs=dvs,
@@ -4504,7 +4603,9 @@ class SnapshotTable:
             if mode == "append":
                 all_files = prev["files"] + files
                 stats = {**prev.get("stats", {}), **new_stats}
-                schema = self._evolved_schema(prev.get("schema"), df_schema)
+                schema = self._evolved_schema(
+                    prev.get("schema"), df_schema, manifest=prev
+                )
                 blooms = {**prev.get("blooms", {}), **new_blooms}
                 dvs = prev.get("dvs", {})
             else:

@@ -293,25 +293,50 @@ def _write_json(path: str, obj) -> None:
         with open(p, "w") as f:
             f.write(data)
         return
+    fs_.create_dir(p.rsplit("/", 1)[0], recursive=True)
     with fs_.open_output_stream(p) as f:
         f.write(data.encode("utf-8"))
 
 
+import threading as _threading
+
+# serializes the exists-check + publish of the OBJECT-STORE exclusive
+# write below across this process's threads — the same single-driver
+# discipline Delta's S3SingleDriverLogStore shipped for years on
+# stores with no native create-if-absent
+_EXCLUSIVE_LOCK = _threading.Lock()
+
+
 def _write_json_exclusive(path: str, obj) -> None:
-    """Atomic create-if-absent — the commit primitive. Pure python can
-    guarantee it only where the OS does (local / ``file:`` paths);
-    object-store schemes must commit through ``SnapshotTable`` (its
-    LogStore carries the per-scheme protocol)."""
+    """Atomic create-if-absent — the commit primitive.
+
+    Local / ``file:`` paths get the OS's true guarantee
+    (``O_CREAT|O_EXCL`` — ``file:`` URIs resolve to a local fs-native
+    path). Object-store schemes get the LogStore discipline Delta's
+    ``S3SingleDriverLogStore`` defined: a process-wide mutex around
+    exists-check -> temp write -> move, which serializes every writer
+    in THIS driver process (racing SnapshotTable commits from the same
+    session included, since both go through the store's object PUT
+    visibility). The put itself is all-or-nothing (no torn manifest);
+    what the emulation cannot give is exclusivity against a SECOND
+    driver process writing the same table — the same published
+    limitation Delta documented, and why multi-driver deployments
+    front the log with a coordination service."""
     import json
     import os
+    import uuid as _uuid
 
     fs_, p = _fs_split(path)
     if fs_ is not None and "://" in path and not path.startswith("file:"):
-        raise NotImplementedError(
-            f"snapshot writer: exclusive manifest creation on "
-            f"{path.split('://', 1)[0]}:// is not available from the "
-            f"pure-python writer — write via SnapshotTable.append()"
-        )
+        with _EXCLUSIVE_LOCK:
+            if _exists(path):
+                raise FileExistsError(path)
+            tmp = f"{p}.tmp.{_uuid.uuid4().hex}"
+            fs_.create_dir(p.rsplit("/", 1)[0], recursive=True)
+            with fs_.open_output_stream(tmp) as f:
+                f.write(json.dumps(obj).encode("utf-8"))
+            fs_.move(tmp, p)
+        return
     fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as f:
         f.write(json.dumps(obj))
@@ -338,8 +363,11 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
 
     Refused shapes, validated at PLAN time: tables carrying CHECK
     constraints (their SQL needs an engine to evaluate — append via
-    ``SnapshotTable``), type-changing schemas, retired column names,
-    and object-store roots (no exclusive-create primitive here).
+    ``SnapshotTable``), type-changing schemas, and retired column
+    names. Object-store roots commit through the single-driver
+    exclusive emulation in ``_write_json_exclusive`` (Delta's
+    S3SingleDriverLogStore discipline — see its docstring for the
+    cross-driver caveat).
 
     Layout note: one file per input partition — for stats that BITE,
     cluster before saving (``df.repartitionByRange(n, "k")
@@ -367,14 +395,6 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 "snapshot writer: this table has CHECK constraints "
                 f"({sorted(raw['checks'])}) — their SQL must be evaluated "
                 "by an engine at staging; append via SnapshotTable"
-            )
-        # fail the job at planning, not in commit(): the exclusive-
-        # create primitive only exists for local/file roots
-        if "://" in self.root and not self.root.startswith("file:"):
-            raise NotImplementedError(
-                "snapshot writer commits need exclusive manifest "
-                "creation; object-store roots must write via "
-                "SnapshotTable.append()"
             )
         mapping = m["column_mapping"]
         self._logical_names = list(schema.names)
@@ -624,17 +644,38 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 pass
 
 
+_WIDEN_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
 def _evolve_fields(prev_schema: dict, new_schema: dict) -> dict:
     """Pure-python mirror of SnapshotTable._evolved_schema: additive
-    columns widen, type changes are rejected at commit."""
+    columns widen, and a write carrying a NARROWER numeric type than
+    the table (int into a long column, float into double) is accepted
+    as-is — the manifest schema stays the wider type and readers
+    promote the narrow parquet files on scan. WIDENING the table's
+    type from this writer is refused (the bucket-metadata guard lives
+    engine-side): widen via ``SnapshotTable.append`` first, then keep
+    writing."""
+
+    def _narrows_to(new: str, old: str) -> bool:
+        if not isinstance(new, str) or not isinstance(old, str):
+            return False
+        if new in _WIDEN_ORDER and old in _WIDEN_ORDER:
+            return _WIDEN_ORDER[new] < _WIDEN_ORDER[old]
+        return (new, old) == ("float", "double")
+
     prev_types = {f["name"]: f["type"] for f in prev_schema["fields"]}
     for f in new_schema["fields"]:
         old = prev_types.get(f["name"])
-        if old is not None and old != f["type"]:
+        if old is not None and old != f["type"] and not _narrows_to(
+            f["type"], old
+        ):
             raise ValueError(
                 f"schema evolution rejected: column {f['name']!r} is "
                 f"{old} in the table but {f['type']} in this write; "
-                f"additive columns are allowed, type changes are not"
+                f"additive columns and narrower-than-table numeric "
+                f"writes are allowed here — to WIDEN the table's type, "
+                f"append via SnapshotTable first"
             )
     known = set(prev_types)
     return {

@@ -23,6 +23,15 @@ Supported statements (case-insensitive keywords):
   ``WHEN MATCHED THEN DELETE`` alone (keyed delete via
   ``apply_changes`` all-delete ops).
 - ``INSERT INTO <tbl> <query>`` — ``append(spark.sql(query))``.
+- ``VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]`` — ``expire`` with
+  time-based retention (default 168 hours, Delta's).
+- ``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b)]`` —
+  ``compact_partial`` (bin-pack small/DV files) or full ``compact``.
+- ``RESTORE <tbl> TO VERSION AS OF <n>``
+- ``ALTER TABLE <tbl> RENAME COLUMN a TO b / DROP COLUMN a /
+  ADD CONSTRAINT n CHECK (expr) / DROP CONSTRAINT n``
+- ``DESCRIBE HISTORY <tbl>`` / ``DESCRIBE DETAIL <tbl>`` — return
+  the ``history()`` / ``detail()`` DataFrames.
 
 ``<tbl>`` is the table ROOT path as a ``'...'`` / ``"..."`` string or
 backtick-quoted identifier. ``<source>`` is a registered view/table
@@ -41,7 +50,9 @@ import re
 from .layout import SnapshotTable
 
 _VERB_RE = re.compile(
-    r"^\s*(DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO)\s+",
+    r"^\s*(DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO|VACUUM"
+    r"|OPTIMIZE|RESTORE|ALTER\s+TABLE|DESCRIBE\s+HISTORY"
+    r"|DESCRIBE\s+DETAIL)\s+",
     re.IGNORECASE,
 )
 
@@ -135,7 +146,9 @@ def _split_top_commas(s: str) -> list[str]:
     return parts
 
 
-def _parse_table_ref(s: str) -> tuple[str, str | None, str]:
+def _parse_table_ref(
+    s: str, allow_alias: bool = True
+) -> tuple[str, str | None, str]:
     """Leading table ref -> (root_path, alias_or_None, rest). The ref
     is a quoted/backticked ROOT PATH, optionally ``[AS] alias``."""
     s = s.lstrip()
@@ -155,6 +168,8 @@ def _parse_table_ref(s: str) -> tuple[str, str | None, str]:
             "'/data/events' WHERE ... (registered catalog names are not "
             "resolved here)"
         )
+    if not allow_alias:
+        return root, None, rest
     m = re.match(r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", rest, re.IGNORECASE)
     alias = None
     if m and m.group(1).upper() not in (
@@ -202,7 +217,21 @@ def snapshot_sql(spark, statement: str, **table_kwargs):
         return _update(spark, rest, table_kwargs)
     if verb == "MERGE INTO":
         return _merge(spark, rest, table_kwargs)
-    return _insert(spark, rest, table_kwargs)
+    if verb == "INSERT INTO":
+        return _insert(spark, rest, table_kwargs)
+    if verb == "VACUUM":
+        return _vacuum(spark, rest, table_kwargs)
+    if verb == "OPTIMIZE":
+        return _optimize(spark, rest, table_kwargs)
+    if verb == "RESTORE":
+        return _restore(spark, rest, table_kwargs)
+    if verb == "ALTER TABLE":
+        return _alter(spark, rest, table_kwargs)
+    root, _a, tail = _parse_table_ref(rest, allow_alias=False)
+    if tail.strip():
+        raise ValueError(f"snapshot_sql: trailing text {tail.strip()!r}")
+    t = SnapshotTable(spark, root, **table_kwargs)
+    return t.history() if verb == "DESCRIBE HISTORY" else t.detail()
 
 
 def _delete(spark, rest: str, kw) -> int:
@@ -422,6 +451,108 @@ def _equi_keys(cond: str, t_alias: str | None, s_alias: str | None) -> list[str]
     if not keys:
         raise ValueError("snapshot_sql: empty MERGE condition")
     return keys
+
+
+def _vacuum(spark, rest: str, kw) -> int:
+    """``VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]`` -> ``expire``
+    with time-based retention (Delta's default 168 hours). Returns
+    the count of data files deleted (or that WOULD be, under DRY
+    RUN)."""
+    root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
+    tail = tail.strip()
+    hours = 168.0
+    dry = False
+    m = re.match(
+        r"^(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*(DRY\s+RUN)?\s*$",
+        tail,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"snapshot_sql: malformed VACUUM clause {tail!r}")
+    if m.group(1):
+        hours = float(m.group(1))
+    dry = bool(m.group(2))
+    t = SnapshotTable(spark, root, **kw)
+    return t.expire(keep_last=1, older_than=hours * 3600, dry_run=dry)
+
+
+def _optimize(spark, rest: str, kw) -> int:
+    """``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b)]``
+    -> ``compact_partial`` (bin-pack only the small / DV-carrying
+    files, Delta's OPTIMIZE shape) or ``compact`` under ``FULL``. The
+    explicit row target replaces Delta's byte-size target — the
+    manifest accounts rows, not encoded bytes."""
+    root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
+    m = re.match(
+        r"^TARGET\s+(\d+)\s+ROWS\s*(FULL)?\s*"
+        r"(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*$",
+        tail.strip(),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            f"snapshot_sql: OPTIMIZE needs 'TARGET <n> ROWS [FULL] "
+            f"[CLUSTER BY (..)]', got {tail.strip()!r}"
+        )
+    target = int(m.group(1))
+    cluster = (
+        [c.strip().strip("`") for c in m.group(3).split(",")]
+        if m.group(3)
+        else None
+    )
+    t = SnapshotTable(spark, root, **kw)
+    if m.group(2):
+        return t.compact(target_rows_per_file=target, cluster_by=cluster)
+    return t.compact_partial(target_rows_per_file=target, cluster_by=cluster)
+
+
+def _restore(spark, rest: str, kw) -> int:
+    root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
+    m = re.match(
+        r"^TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$", tail.strip(), re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(
+            f"snapshot_sql: RESTORE needs 'TO VERSION AS OF <n>', got "
+            f"{tail.strip()!r}"
+        )
+    return SnapshotTable(spark, root, **kw).restore(int(m.group(1)))
+
+
+def _alter(spark, rest: str, kw) -> int:
+    root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
+    t = SnapshotTable(spark, root, **kw)
+    s = tail.strip()
+    m = re.match(
+        r"^RENAME\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+TO\s+"
+        r"`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return t.rename_column(m.group(1), m.group(2))
+    m = re.match(
+        r"^DROP\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$", s, re.IGNORECASE
+    )
+    if m:
+        return t.drop_column(m.group(1))
+    m = re.match(
+        r"^ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.*)\)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return t.add_check_constraint(m.group(1), m.group(2).strip())
+    m = re.match(
+        r"^DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", s, re.IGNORECASE
+    )
+    if m:
+        return t.drop_check_constraint(m.group(1))
+    raise NotImplementedError(
+        f"snapshot_sql: unsupported ALTER TABLE clause {s!r} — supported: "
+        f"RENAME COLUMN a TO b, DROP COLUMN a, ADD CONSTRAINT n CHECK "
+        f"(expr), DROP CONSTRAINT n"
+    )
 
 
 def _insert(spark, rest: str, kw) -> int:

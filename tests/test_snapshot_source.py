@@ -194,11 +194,30 @@ def test_writer_schema_evolution_and_conflicts(registered, spark, tmp_path):
     got = t.read()
     assert set(got.columns) == {"v", "w", "tag"}
     assert got.filter(F.col("tag").isNull()).count() == 300
-    # type change rejected
+    # NARROWER write into the long column: accepted as-is since the
+    # r11 type-widening change (manifest stays long; readers promote
+    # the int32 file on scan)
+    (
+        spark.range(1)
+        .select(
+            (F.col("id") + 7000).cast("int").alias("v"),
+            F.col("id").alias("w"),
+        )
+        .write.format("snapshot")
+        .option("path", t.root)
+        .mode("append")
+        .save()
+    )
+    got2 = t.read()
+    assert dict(got2.dtypes)["v"] == "bigint"
+    assert got2.filter(F.col("v") == 7000).count() == 1
+    # an INCOMPATIBLE type change is still rejected
     with pytest.raises(Exception, match="schema evolution rejected"):
         (
             spark.range(1)
-            .select(F.col("id").cast("int").alias("v"), F.col("id").alias("w"))
+            .select(
+                F.col("id").cast("string").alias("v"), F.col("id").alias("w")
+            )
             .write.format("snapshot")
             .option("path", t.root)
             .mode("append")
@@ -394,3 +413,57 @@ def test_writer_commit_revalidates_rename_in_retry_loop(
     with pytest.raises(ValueError, match="concurrent rename"):
         w.commit(msgs)
     assert t.read().count() == 300
+
+
+def test_writer_commits_on_object_store_root(registered, spark, tmp_path, monkeypatch):
+    """r10 verdict #9: the pure-python writer publishes manifests on
+    object-store roots through the single-driver exclusive emulation
+    (exists-check + temp write + move under a process mutex — Delta's
+    S3SingleDriverLogStore discipline) instead of refusing ``://``
+    schemes. Faked store: a ``mock://`` scheme routed onto a local
+    pyarrow FileSystem, so every IO goes through the pyarrow fs code
+    paths, none through plain ``os``."""
+    import pyarrow.fs as pafs
+
+    from collective_als_spark.sources import snapshot_source as ss
+    from collective_als_spark.streaming import cdf_source as cs
+
+    backing = str(tmp_path / "bucket")
+    real_split = cs._fs_split
+
+    def fake_split(path):
+        if path.startswith("mock://"):
+            return pafs.LocalFileSystem(), backing + "/" + path[len("mock://"):]
+        return real_split(path)
+
+    monkeypatch.setattr(cs, "_fs_split", fake_split)
+    monkeypatch.setattr(ss, "_fs_split", fake_split)
+
+    root = "mock://tbl"
+    w1, msgs1 = _staged_writer(
+        spark, root, "k long, v double", [{"k": 1, "v": 1.5}, {"k": 2, "v": 2.5}]
+    )
+    w1.commit(msgs1)
+    assert ss._current_version(root) == 1
+    m = ss._resolve_full(root, 1)
+    assert len(m["files"]) == 1 and m["schema"] is not None
+    # second append: CAS base from the (faked-fs) listing, version 2
+    w2, msgs2 = _staged_writer(spark, root, "k long, v double", [{"k": 3, "v": 3.5}])
+    w2.commit(msgs2)
+    assert ss._current_version(root) == 2
+    assert len(ss._resolve_full(root, 2)["files"]) == 2
+    # exclusive collision: a pre-created v3 makes the writer lose the
+    # CAS and recompose at v4 — never overwrite, never fork
+    ss._write_json_exclusive(
+        f"{root}/_snapshots/v3.json",
+        {"version": 3, "op": "append", "chunks": [],
+         "schema": ss._resolve_full(root, 2)["schema"]},
+    )
+    with pytest.raises(FileExistsError):
+        ss._write_json_exclusive(f"{root}/_snapshots/v3.json", {})
+    w3, msgs3 = _staged_writer(spark, root, "k long, v double", [{"k": 4, "v": 4.5}])
+    w3.commit(msgs3)
+    assert ss._current_version(root) == 4
+    # the staged parquet is readable through the batch reader's
+    # planning metadata (rows recorded per commit message)
+    assert sum(m.rows for m in msgs1 + msgs2 + msgs3) == 4

@@ -165,3 +165,53 @@ def test_sql_error_shapes(spark, tmp_path):
         snapshot_sql(spark, f"UPDATE '{t.root}' WHERE id = 1")
     # the table is untouched by every refused statement
     assert t.read().count() == 7 and t.current_version() == 1
+
+
+def test_sql_utility_statements(spark, tmp_path):
+    """VACUUM / OPTIMIZE / RESTORE / ALTER TABLE / DESCRIBE round-trip
+    to the maintenance verbs."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    snapshot_sql(spark, f"DELETE FROM '{t.root}' WHERE id <= 2")
+    # ALTER: rename + check constraint lifecycle
+    snapshot_sql(spark, f"ALTER TABLE '{t.root}' RENAME COLUMN amount TO amt")
+    assert "amt" in t.read().columns
+    snapshot_sql(
+        spark, f"ALTER TABLE '{t.root}' ADD CONSTRAINT amt_pos CHECK (amt > 0)"
+    )
+    with pytest.raises(Exception, match="amt_pos"):
+        t.append(
+            spark.createDataFrame(
+                [(99, "x", "EU", -5.0)],
+                "id long, status string, region string, amt double",
+            )
+        )
+    snapshot_sql(spark, f"ALTER TABLE '{t.root}' DROP CONSTRAINT amt_pos")
+    # OPTIMIZE partial folds the small commits; FULL rewrites
+    v = snapshot_sql(spark, f"OPTIMIZE '{t.root}' TARGET 1000 ROWS FULL")
+    assert v == t.current_version()
+    m = t._manifest(v)
+    assert len(m["files"]) == 1
+    # RESTORE back to v1 (pre-delete), auditable as a new commit
+    snapshot_sql(spark, f"RESTORE '{t.root}' TO VERSION AS OF 1")
+    assert t.read().count() == 7
+    assert "amount" in t.read().columns  # names travel with manifests
+    # DESCRIBE surfaces the verbs' frames
+    hist = snapshot_sql(spark, f"DESCRIBE HISTORY '{t.root}'")
+    assert hist.count() == t.current_version()
+    detail = snapshot_sql(spark, f"DESCRIBE DETAIL '{t.root}'")
+    assert detail.count() == 1
+    # VACUUM: DRY RUN deletes nothing; RETAIN 0 HOURS collects the
+    # pre-restore versions' unreferenced files
+    n_dry = snapshot_sql(spark, f"VACUUM '{t.root}' RETAIN 0 HOURS DRY RUN")
+    assert n_dry > 0
+    assert t.read().count() == 7
+    n = snapshot_sql(spark, f"VACUUM '{t.root}' RETAIN 0 HOURS")
+    assert n == n_dry
+    assert t.read().count() == 7  # head untouched
+    with pytest.raises(Exception):
+        t.read(version=2)  # expired
+    with pytest.raises(ValueError, match="OPTIMIZE needs"):
+        snapshot_sql(spark, f"OPTIMIZE '{t.root}'")
+    with pytest.raises(NotImplementedError, match="ALTER TABLE"):
+        snapshot_sql(spark, f"ALTER TABLE '{t.root}' ADD COLUMN x INT")

@@ -1,0 +1,183 @@
+"""Type widening via commit-time schema evolution (r10 verdict #8):
+a commit may widen a numeric column along the lossless ladder
+(int->long, float->double, byte/short up) — metadata-only, Delta's
+``enableTypeWidening``: the manifest records the wider type and old
+narrow parquet files are promoted on scan (Spark 4's parquet widening
+reads; pyarrow cast in the pure-python DataSource), no rewrite.
+
+Invariants driven here:
+- widen-by-append: values exact across mixed-width files, the table
+  schema is the wider type, TIME TRAVEL still shows each version
+  under its own type;
+- stats pruning keeps working across mixed-width files (JSON stats
+  compare numerically regardless of width);
+- a NARROWER write into a widened table needs no schema change (both
+  the engine path and the pure-python writer);
+- non-widening type changes stay rejected; hash-BUCKETED columns
+  refuse widening (int and long hash differently — bucket pruning on
+  old files would become unsound).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from collective_als_spark.sources.layout import SnapshotTable
+
+
+def _ints(spark, lo, n=100):
+    return spark.range(lo, lo + n).select(
+        F.col("id").cast("int").alias("v"),
+        F.col("id").cast("float").alias("w"),
+    ).coalesce(1)
+
+
+def _longs(spark, lo, n=100):
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("v"),
+        F.col("id").cast("double").alias("w"),
+    ).coalesce(1)
+
+
+def test_widen_append_values_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(_ints(spark, 0))
+    assert dict(t.read().dtypes) == {"v": "int", "w": "float"}
+    t.append(_longs(spark, 5_000_000_000))  # values past int range
+    got = t.read()
+    assert dict(got.dtypes) == {"v": "bigint", "w": "double"}
+    assert got.count() == 200
+    assert got.agg(F.sum("v")).first()[0] == sum(range(100)) + sum(
+        range(5_000_000_000, 5_000_000_100)
+    )
+    # old narrow file's values exact through the widened schema
+    assert got.filter(F.col("v") < 100).agg(F.sum("w")).first()[0] == float(
+        sum(range(100))
+    )
+    # time travel: v1 still reads under ITS manifest's narrow type
+    tt = t.read(version=1)
+    assert dict(tt.dtypes) == {"v": "int", "w": "float"}
+    assert tt.count() == 100
+
+
+def test_widen_keeps_stats_pruning_exact(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(_ints(spark, 0))
+    t.append(_longs(spark, 5_000_000_000))
+    pruned = t.read(where="v BETWEEN 5000000000 AND 5000000049")
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 50
+    # band DELETE against the old narrow file leaves the wide file
+    # untouched by path
+    before = set(t._manifest(t.current_version())["files"])
+    t.delete_where("v", 0, 49)
+    after = set(t._manifest(t.current_version())["files"])
+    assert len(before & after) == 1  # wide file carried over
+    assert t.read().count() == 150
+
+
+def test_narrower_write_needs_no_schema_change(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(_longs(spark, 0))
+    v_before = dict(t.read().dtypes)
+    t.append(_ints(spark, 1000))
+    assert dict(t.read().dtypes) == v_before == {"v": "bigint", "w": "double"}
+    assert t.read().count() == 200
+    assert (
+        t.read().filter(F.col("v").between(1000, 1099)).count() == 100
+    )
+
+
+def test_non_widening_changes_still_rejected(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(_ints(spark, 0))
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        t.append(
+            spark.createDataFrame([("x", 1.0)], "v string, w float")
+        )
+    # long -> double is NOT lossless: rejected
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        t2 = SnapshotTable(spark, str(tmp_path / "t2"), stats_columns=["v"])
+        t2.append(spark.range(5).select(F.col("id").alias("v")))
+        t2.append(
+            spark.range(5).select(F.col("id").cast("double").alias("v"))
+        )
+
+
+def test_bucketed_column_refuses_widening(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.append_bucketed(
+        spark.range(0, 1000).select(
+            F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("p")
+        ),
+        "k",
+        4,
+    )
+    with pytest.raises(ValueError, match="hash-bucketed"):
+        t.append(
+            spark.range(0, 10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("p")
+            )
+        )
+    # a non-bucket column CAN still evolve additively
+    t.append(
+        spark.range(0, 10).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).alias("p"),
+            F.lit("z").alias("tag"),
+        )
+    )
+    assert "tag" in t.read().columns
+
+
+def test_widen_through_merge(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(_ints(spark, 0))
+    src = spark.createDataFrame(
+        [(5, 6_000_000_000.0)], "v long, w double"
+    ).select(F.col("v"), F.col("w"))
+    t.merge(src, "v")
+    got = t.read()
+    assert dict(got.dtypes) == {"v": "bigint", "w": "double"}
+    assert got.filter(F.col("v") == 5).first()["w"] == 6_000_000_000.0
+    assert got.count() == 100
+
+
+def test_widened_table_through_batch_datasource_and_writer(
+    spark, tmp_path
+):
+    from collective_als_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(_ints(spark, 0))
+    t.append(_longs(spark, 5_000_000_000))
+    got = spark.read.format("snapshot").option("path", t.root).load()
+    assert dict(got.dtypes) == {"v": "bigint", "w": "double"}
+    assert got.count() == 200
+    assert (
+        got.filter(F.col("v") >= 5_000_000_000).count() == 100
+    )
+    # pure-python writer: NARROWER write into the widened table is
+    # accepted (manifest stays wide) ...
+    (
+        _ints(spark, 2000)
+        .write.format("snapshot")
+        .option("path", t.root)
+        .mode("append")
+        .save()
+    )
+    assert dict(t.read().dtypes) == {"v": "bigint", "w": "double"}
+    assert t.read().count() == 300
+    # ... but WIDENING through the writer is refused with guidance
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), stats_columns=["v"])
+    t2.append(_ints(spark, 0))
+    with pytest.raises(Exception, match="SnapshotTable first"):
+        (
+            _longs(spark, 0)
+            .write.format("snapshot")
+            .option("path", t2.root)
+            .mode("append")
+            .save()
+        )
