@@ -982,3 +982,156 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_scd2_history",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey AS key,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey % 10 = 0 AS upd,
+               o_orderkey % 10 = 5 AS del
+        FROM orders
+    ), c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN upd THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+               CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+               CAST(sum(CASE WHEN upd THEN 999
+                             WHEN del THEN 0 ELSE cents END) AS BIGINT)
+                 AS open_cents
+        FROM k
+    )
+    SELECT 'n_history_rows' AS step, n_keys + n_upd AS value FROM c
+    UNION ALL SELECT 'n_open', n_keys - n_del FROM c
+    UNION ALL SELECT 'n_closed', n_upd + n_del FROM c
+    UNION ALL SELECT 'open_cents', open_cents FROM c
+    UNION ALL SELECT 'n_stale_applied', CAST(0 AS BIGINT) FROM c
+    """,
+)
+def lake_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 apply end-to-end under the oracle (r10 verdict #7):
+    seed every orders key as an open interval at seq 1, apply a CDC
+    batch at seq 10 (update keys %10==0 to cents 999, delete keys
+    %10==5), then a STALE batch at seq 5 (regression + resurrection
+    attempts) that the history-derived floor must gate out entirely.
+    The oracle computes the converged history shape algebraically:
+    one extra interval per updated key, one closed-without-reopen per
+    deleted key, the open rows' cents total, and zero stale effects.
+
+    Scale shape: each apply is one band/bloom-pruned history scan for
+    the batch keys + a (batch + closed rows)-sized MOR merge on
+    (key, __START_AT) — batch-proportional (SCALE_RAMP
+    apply_changes_scd2_sec: 1.33x at a 10x table).
+
+    Reference parity: DLT APPLY CHANGES INTO .. STORED AS SCD TYPE 2
+    (__START_AT/__END_AT are its column names)."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    k = F.col("key")
+
+    def ch(df, cents_val, op, seq):
+        cc = (
+            F.col("cents")
+            if cents_val == "keep"
+            else F.lit(cents_val).cast("bigint")
+        )
+        return df.select(
+            "key", cc.alias("cents"),
+            F.lit(op).alias("_op"), F.lit(seq).cast("long").alias("seq"),
+        )
+
+    root = tempfile.mkdtemp(prefix="lake_scd2_")
+    try:
+        t = SnapshotTable(
+            spark, f"{root}/tbl", stats_columns=["key"], bloom_columns=["key"]
+        )
+        t.apply_changes(
+            ch(rows, "keep", "U", 1), "key",
+            seq_col="seq", scd_type=2, track_seq=True,
+        )
+        live = ch(rows.filter(k % 10 == 0), 999, "U", 10).unionByName(
+            ch(rows.filter(k % 10 == 5), None, "D", 10)
+        )
+        t.apply_changes(
+            live, "key", seq_col="seq", scd_type=2, track_seq=True
+        )
+        stale = ch(rows.filter(k % 10 == 0), 111, "U", 5).unionByName(
+            ch(rows.filter(k % 10 == 5), 222, "U", 5)
+        )
+        t.apply_changes(
+            stale, "key", seq_col="seq", scd_type=2, track_seq=True
+        )
+        got = t.read()
+        is_open = F.col("__END_AT").isNull()
+        out = [
+            ("n_history_rows", got.count()),
+            ("n_open", got.filter(is_open).count()),
+            ("n_closed", got.filter(~is_open).count()),
+            (
+                "open_cents",
+                got.filter(is_open).agg(F.sum("cents")).first()[0],
+            ),
+            (
+                "n_stale_applied",
+                got.filter(F.col("cents").isin(111, 222)).count(),
+            ),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_type_widening",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 'n_total' AS step, 2 * n AS value FROM c
+    UNION ALL SELECT 'sum_all', cents + cents + 5000000000 * n FROM c
+    UNION ALL SELECT 'n_wide_band', n FROM c
+    UNION ALL SELECT 'tt_v1_rows', n FROM c
+    """,
+)
+def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless type widening end-to-end under the oracle (r10
+    verdict #8): append orders cents as INT, then append the same
+    rows shifted past the int32 range as LONG — the commit widens the
+    manifest type metadata-only, old int32 files promote on scan, the
+    band read proves stats pruning still bites across mixed-width
+    files, and time travel shows v1 under its own narrow type.
+
+    Reference parity: Delta's enableTypeWidening."""
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_widen_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["v"])
+        t.append(base.select("k", F.col("v").cast("int").alias("v")))
+        t.append(
+            base.select("k", (F.col("v") + 5_000_000_000).alias("v"))
+        )
+        got = t.read()
+        assert dict(got.dtypes)["v"] == "bigint"
+        wide = t.read(where="v >= 5000000000")
+        out = [
+            ("n_total", got.count()),
+            ("sum_all", got.agg(F.sum("v")).first()[0]),
+            ("n_wide_band", wide.count()),
+            ("tt_v1_rows", t.read(version=1).count()),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")

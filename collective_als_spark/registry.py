@@ -162,6 +162,9 @@ _PRIORITY: list[str] = [
     # swap comments above for the family reasoning)
     "minhash_signature", "lake_apply_changes", "lake_update_quality",
     "doc_fingerprint",
+    # r11 additions (pytest-oracle-checked; promotion candidates):
+    # SQL DML dispatcher, SCD2 history apply, lossless type widening
+    "lake_sql_dml", "lake_scd2_history", "lake_type_widening",
     "semi_anti_join", "exists_subquery", "table_profile",
     "range_join_attribution",
     "trend_regression",
