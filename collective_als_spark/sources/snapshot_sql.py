@@ -32,6 +32,11 @@ Supported statements (case-insensitive keywords):
   ADD CONSTRAINT n CHECK (expr) / DROP CONSTRAINT n``
 - ``DESCRIBE HISTORY <tbl>`` / ``DESCRIBE DETAIL <tbl>`` — return
   the ``history()`` / ``detail()`` DataFrames.
+- ``SELECT / WITH ...`` — quoted table-root refs after FROM/JOIN
+  (optionally ``VERSION AS OF n`` / ``TIMESTAMP AS OF epoch``) are
+  swapped for temp views over the batch ``snapshot`` DataSource and
+  the rewritten text runs through ``spark.sql`` (joins, CTEs,
+  subqueries, filter pushdown, DV masking all ride along).
 
 ``<tbl>`` is the table ROOT path as a ``'...'`` / ``"..."`` string or
 backtick-quoted identifier. ``<source>`` is a registered view/table
@@ -199,15 +204,13 @@ def snapshot_sql(spark, statement: str, **table_kwargs):
     m = _VERB_RE.match(statement)
     if not m:
         head = statement.strip().split(None, 1)[:1]
-        if head and head[0].upper() == "SELECT":
-            raise NotImplementedError(
-                "snapshot_sql executes DML; for queries use "
-                "spark.read.format('snapshot').option('path', root) and "
-                "spark.sql over a temp view"
-            )
+        if head and head[0].upper() in ("SELECT", "WITH"):
+            return _select(spark, statement)
         raise ValueError(
-            f"snapshot_sql: unrecognized statement (expected DELETE FROM / "
-            f"UPDATE / MERGE INTO / INSERT INTO): {statement[:80]!r}"
+            f"snapshot_sql: unrecognized statement (expected SELECT / "
+            f"DELETE FROM / UPDATE / MERGE INTO / INSERT INTO / VACUUM / "
+            f"OPTIMIZE / RESTORE / ALTER TABLE / DESCRIBE): "
+            f"{statement[:80]!r}"
         )
     verb = re.sub(r"\s+", " ", m.group(1).upper())
     rest = statement[m.end() :]
@@ -553,6 +556,88 @@ def _alter(spark, rest: str, kw) -> int:
         f"RENAME COLUMN a TO b, DROP COLUMN a, ADD CONSTRAINT n CHECK "
         f"(expr), DROP CONSTRAINT n"
     )
+
+
+_TT_RE = re.compile(
+    r"^\s*(?:(VERSION)\s+AS\s+OF\s+(\d+)"
+    r"|(TIMESTAMP)\s+AS\s+OF\s+(\d+(?:\.\d+)?))",
+    re.IGNORECASE,
+)
+
+
+def _select(spark, statement: str):
+    """``SELECT ... FROM '<root>' [VERSION AS OF n | TIMESTAMP AS OF
+    epoch] ...`` — every quoted table-root reference in the statement
+    is swapped for a temp view over the batch ``snapshot`` DataSource
+    (filter pushdown + DV masking + time travel ride along), then the
+    rewritten text runs through ``spark.sql``. Joins, CTEs and
+    subqueries work because only the quoted path tokens are touched —
+    string literals inside the query survive: a path is rewritten
+    ONLY when it directly follows a top-level-or-nested FROM/JOIN
+    keyword. Delta parity: ``SELECT .. FROM delta.`/p` VERSION AS OF
+    3``."""
+    from .snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    out = []
+    views: dict[tuple, str] = {}
+    i = 0
+    n = len(statement)
+    prev_word = ""
+    while i < n:
+        c = statement[i]
+        if c == "'" or c == '"':
+            q = c
+            j = i + 1
+            while j < n:
+                if statement[j] == q:
+                    if j + 1 < n and statement[j + 1] == q:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if prev_word in ("FROM", "JOIN") :
+                root = statement[i + 1 : j].replace(q + q, q)
+                rest = statement[j + 1 :]
+                tt = _TT_RE.match(rest)
+                key: tuple = (root, None, None)
+                consumed = j + 1
+                if tt:
+                    if tt.group(1):
+                        key = (root, int(tt.group(2)), None)
+                    else:
+                        key = (root, None, float(tt.group(4)))
+                    consumed = j + 1 + tt.end()
+                if key not in views:
+                    r = spark.read.format("snapshot").option("path", root)
+                    if key[1] is not None:
+                        r = r.option("versionAsOf", str(key[1]))
+                    if key[2] is not None:
+                        r = r.option("timestampAsOf", str(key[2]))
+                    name = f"snapshot_sql_v{len(views)}_{abs(hash(key)) % 10**8}"
+                    r.load().createOrReplaceTempView(name)
+                    views[key] = name
+                out.append(views[key])
+                i = consumed
+                prev_word = ""
+                continue
+            out.append(statement[i : j + 1])
+            i = j + 1
+            prev_word = ""
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (statement[j].isalnum() or statement[j] == "_"):
+                j += 1
+            prev_word = statement[i:j].upper()
+            out.append(statement[i:j])
+            i = j
+            continue
+        if not c.isspace():
+            prev_word = ""
+        out.append(c)
+        i += 1
+    return spark.sql("".join(out))
 
 
 def _insert(spark, rest: str, kw) -> int:

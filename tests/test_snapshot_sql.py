@@ -215,3 +215,41 @@ def test_sql_utility_statements(spark, tmp_path):
         snapshot_sql(spark, f"OPTIMIZE '{t.root}'")
     with pytest.raises(NotImplementedError, match="ALTER TABLE"):
         snapshot_sql(spark, f"ALTER TABLE '{t.root}' ADD COLUMN x INT")
+
+
+def test_sql_select_over_snapshot_roots(spark, tmp_path):
+    """SELECT/WITH statements: quoted roots after FROM/JOIN resolve
+    through the batch DataSource — joins, CTEs, time travel, and
+    untouched string literals."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    snapshot_sql(spark, f"DELETE FROM '{t.root}' WHERE id >= 6")
+    dim = SnapshotTable(spark, str(tmp_path / "dim"), stats_columns=["region"])
+    dim.append(
+        spark.createDataFrame(
+            [("EU", "europe"), ("US", "america"), ("JP", "asia")],
+            "region string, continent string",
+        )
+    )
+    got = snapshot_sql(
+        spark,
+        f"SELECT o.id, d.continent FROM '{t.root}' o "
+        f"JOIN '{dim.root}' d ON o.region = d.region "
+        f"WHERE o.status = 'cancelled' ORDER BY o.id",
+    )
+    assert [(r["id"], r["continent"]) for r in got.collect()] == [
+        (1, "europe"), (2, "america"), (3, "asia"),
+    ]
+    # time travel reads the pre-delete version
+    tt = snapshot_sql(
+        spark,
+        f"SELECT count(*) AS n FROM '{t.root}' VERSION AS OF 1",
+    )
+    assert tt.first()["n"] == 7
+    # CTE + string literal containing FROM stays a literal
+    cte = snapshot_sql(
+        spark,
+        f"WITH c AS (SELECT id, 'FROM' AS tag FROM '{t.root}') "
+        f"SELECT count(*) AS n FROM c WHERE tag = 'FROM'",
+    )
+    assert cte.first()["n"] == 5
