@@ -144,8 +144,6 @@ def test_sql_insert_into_select(spark, tmp_path):
 def test_sql_error_shapes(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
     t.append(_orders(spark))
-    with pytest.raises(NotImplementedError, match="DML"):
-        snapshot_sql(spark, f"SELECT * FROM '{t.root}'")
     with pytest.raises(ValueError, match="quoted string"):
         snapshot_sql(spark, "DELETE FROM sometable WHERE id = 1")
     with pytest.raises(NotImplementedError, match="unsupported MERGE"):
