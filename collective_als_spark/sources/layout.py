@@ -4648,6 +4648,7 @@ class SnapshotTable:
         op_col: str = "_op",
         seq_col: str | None = None,
         track_seq: bool = False,
+        scd_type: int = 1,
         maintain: dict | None = None,
         maintain_every: int = 20,
     ):
@@ -4786,6 +4787,7 @@ class SnapshotTable:
                     op_col=op_col,
                     seq_col=seq_col,
                     track_seq=track_seq,
+                    scd_type=scd_type,
                     _markers=markers,
                 )
                 return

@@ -211,3 +211,32 @@ def _hist_at(t, version):
         (r["k"], r["w"], r["__START_AT"], r["__END_AT"])
         for r in t.read(version=version).collect()
     )
+
+
+def test_streaming_apply_sink_scd2(spark, tmp_path):
+    """The apply_key streaming sink with scd_type=2: each micro-batch
+    appends intervals, a replayed batch id no-ops via the in-manifest
+    markers, a stale later batch gates off the history floor."""
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, w string, _op string, seq long"
+        )
+
+    t = _t(spark, tmp_path / "t")
+    sink = t.streaming_sink(
+        str(tmp_path / "ckpt"),
+        apply_key="k",
+        seq_col="seq",
+        track_seq=True,
+        scd_type=2,
+    )
+    sink(batch([(1, "a", "U", 10), (2, "b", "U", 10)]), 0)
+    sink(batch([(1, "a", "U", 10), (2, "b", "U", 10)]), 0)  # replay
+    assert _hist(t) == [(1, "a", 10, None), (2, "b", 10, None)]
+    sink(batch([(1, "a2", "U", 20), (2, "stale", "U", 5)]), 1)
+    assert _hist(t) == [
+        (1, "a", 10, 20),
+        (1, "a2", 20, None),
+        (2, "b", 10, None),
+    ]
