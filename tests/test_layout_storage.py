@@ -2191,3 +2191,59 @@ def test_expire_advances_checkpoint_before_deleting(spark, tmp_path):
     from collective_als_spark.streaming.cdf_source import _listed_version
 
     assert _listed_version(t.root) == head
+
+
+def test_checkpoint_probe_safe_under_racing_expire_and_commits(
+    spark, tmp_path
+):
+    """Live race: one thread expires (keep_last=2, repeatedly) while
+    another commits metadata-only renames in a loop. The commit path's
+    checkpoint-probe head resolution must never fork the log — at the
+    end the manifest log is strictly sequential above the last expire
+    floor, every commit landed exactly once, and the head equals the
+    committed count."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(
+        spark.range(10).select(F.col("id").alias("v"), F.col("id").alias("w"))
+    )
+    _rename_churn(t, 60)  # seed past several checkpoint intervals
+    start = t.current_version()
+    t2 = SnapshotTable(spark, t.root, stats_columns=["v"])  # racing handle
+    stop = threading.Event()
+    errs = []
+
+    def expirer():
+        try:
+            while not stop.is_set():
+                t2.expire(keep_last=2)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    th = threading.Thread(target=expirer)
+    th.start()
+    n_commits = 40
+    try:
+        for i in range(n_commits // 2):
+            t.rename_column("w", "w_x")
+            t.rename_column("w_x", "w")
+    finally:
+        stop.set()
+        th.join()
+    assert not errs, errs
+    head = t.current_version()
+    assert head == start + n_commits  # every commit landed exactly once
+    # the retained log is gap-free from its floor to the head
+    import re as _re
+
+    names = t.log.list_dir(f"{t.root}/_snapshots")
+    versions = sorted(
+        int(m.group(1))
+        for m in (_re.fullmatch(r"v(\d+)\.json", n) for n in names)
+        if m
+    )
+    assert versions[-1] == head
+    assert versions == list(range(versions[0], head + 1))
+    # and the fast probe agrees with the listing
+    assert t._listed_version() == head
