@@ -22,7 +22,9 @@ Supported statements (case-insensitive keywords):
   the classic upsert (engine ``merge``); also
   ``WHEN MATCHED THEN DELETE`` alone (keyed delete via
   ``apply_changes`` all-delete ops).
-- ``INSERT INTO <tbl> <query>`` — ``append(spark.sql(query))``.
+- ``INSERT INTO <tbl> <query>`` — ``append(spark.sql(query))``;
+  ``INSERT OVERWRITE <tbl> <query>`` — ``overwrite(...)``;
+  ``CREATE TABLE <tbl> AS <query>`` — first commit on a fresh root.
 - ``VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]`` — ``expire`` with
   time-based retention (default 168 hours, Delta's).
 - ``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b)]`` —
@@ -55,7 +57,8 @@ import re
 from .layout import SnapshotTable
 
 _VERB_RE = re.compile(
-    r"^\s*(DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO|VACUUM"
+    r"^\s*(DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO"
+    r"|INSERT\s+OVERWRITE|CREATE\s+TABLE|VACUUM"
     r"|OPTIMIZE|RESTORE|ALTER\s+TABLE|DESCRIBE\s+HISTORY"
     r"|DESCRIBE\s+DETAIL)\s+",
     re.IGNORECASE,
@@ -222,6 +225,10 @@ def snapshot_sql(spark, statement: str, **table_kwargs):
         return _merge(spark, rest, table_kwargs)
     if verb == "INSERT INTO":
         return _insert(spark, rest, table_kwargs)
+    if verb == "INSERT OVERWRITE":
+        return _insert(spark, rest, table_kwargs, overwrite=True)
+    if verb == "CREATE TABLE":
+        return _create(spark, rest, table_kwargs)
     if verb == "VACUUM":
         return _vacuum(spark, rest, table_kwargs)
     if verb == "OPTIMIZE":
@@ -640,13 +647,32 @@ def _select(spark, statement: str):
     return spark.sql("".join(out))
 
 
-def _insert(spark, rest: str, kw) -> int:
-    root, _alias, tail = _parse_table_ref(rest)
+def _insert(spark, rest: str, kw, overwrite: bool = False) -> int:
+    root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
     q = tail.strip()
     if not q:
-        raise ValueError("snapshot_sql: INSERT INTO needs a query")
+        raise ValueError("snapshot_sql: INSERT needs a query")
     if q.startswith("(") and q.endswith(")"):
         q = q[1:-1]
     df = spark.sql(q)
     t = SnapshotTable(spark, root, **kw)
-    return t.append(df)
+    return t.overwrite(df) if overwrite else t.append(df)
+
+
+def _create(spark, rest: str, kw) -> int:
+    """``CREATE TABLE '<root>' AS <query>`` — the root must not hold a
+    committed snapshot yet (Delta's CTAS refuses an existing table)."""
+    root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
+    m = re.match(r"^AS\s+", tail.strip(), re.IGNORECASE)
+    if not m:
+        raise ValueError(
+            "snapshot_sql: only CREATE TABLE '<root>' AS <query> is "
+            "supported (schemas come from the query)"
+        )
+    t = SnapshotTable(spark, root, **kw)
+    if t.current_version():
+        raise ValueError(
+            f"snapshot_sql: CREATE TABLE target {root!r} already holds a "
+            f"committed snapshot — use INSERT INTO / INSERT OVERWRITE"
+        )
+    return t.append(spark.sql(tail.strip()[m.end() :]))

@@ -251,3 +251,31 @@ def test_sql_select_over_snapshot_roots(spark, tmp_path):
         f"SELECT count(*) AS n FROM c WHERE tag = 'FROM'",
     )
     assert cte.first()["n"] == 5
+
+
+def test_sql_ctas_and_insert_overwrite(spark, tmp_path):
+    _orders(spark).createOrReplaceTempView("sqldml_ctas_src")
+    root = str(tmp_path / "ctas")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root}' AS SELECT id, amount FROM sqldml_ctas_src "
+        f"WHERE id <= 3",
+        stats_columns=["id"],
+    )
+    t = SnapshotTable(spark, root, stats_columns=["id"])
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+    # CTAS refuses an existing table
+    with pytest.raises(ValueError, match="already holds"):
+        snapshot_sql(
+            spark, f"CREATE TABLE '{root}' AS SELECT 1 AS id, 2.0 AS amount"
+        )
+    # INSERT OVERWRITE resets data (and may reshape schema); time
+    # travel still shows the CTAS version
+    snapshot_sql(
+        spark,
+        f"INSERT OVERWRITE '{root}' SELECT id AS k FROM sqldml_ctas_src "
+        f"WHERE id >= 6",
+    )
+    assert t.read().columns == ["k"]
+    assert sorted(r["k"] for r in t.read().collect()) == [6, 7]
+    assert t.read(version=1).columns == ["id", "amount"]
