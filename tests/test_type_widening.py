@@ -181,3 +181,82 @@ def test_widened_table_through_batch_datasource_and_writer(
             .mode("append")
             .save()
         )
+
+
+def test_evolution_lattice_randomized():
+    """Seeded randomized schema pairs through _evolved_schema: prev
+    columns keep their order, common columns resolve to the WIDER of
+    the pair exactly when the pair sits on the lossless ladder (else
+    raise), additions append, and a bucket-carrying manifest vetoes
+    widening. Pure python, no Spark."""
+    import random
+
+    from collective_als_spark.sources.layout import SnapshotTable
+
+    rng = random.Random(411)
+    ladder = ["byte", "short", "integer", "long"]
+    types = ladder + ["float", "double", "string", "boolean"]
+
+    def wider(a, b):
+        if a == b:
+            return a
+        if a in ladder and b in ladder:
+            return a if ladder.index(a) >= ladder.index(b) else b
+        if {a, b} == {"float", "double"}:
+            return "double"
+        return None
+
+    ev = SnapshotTable._evolved_schema
+
+    class T:  # uses only the _evolved_schema/_wider_type statics
+        _wider_type = staticmethod(SnapshotTable._wider_type)
+
+    for _trial in range(500):
+        prev_cols = [(f"c{i}", rng.choice(types)) for i in range(rng.randint(1, 5))]
+        new_cols = []
+        for name, t in prev_cols:
+            if rng.random() < 0.6:
+                new_cols.append((name, rng.choice(types)))
+        for j in range(rng.randint(0, 2)):
+            new_cols.append((f"n{j}", rng.choice(types)))
+        rng.shuffle(new_cols)
+        prev = {"type": "struct",
+                "fields": [{"name": n, "type": t, "nullable": True,
+                            "metadata": {}} for n, t in prev_cols]}
+        new = {"type": "struct",
+               "fields": [{"name": n, "type": t, "nullable": True,
+                           "metadata": {}} for n, t in new_cols]}
+        prev_t = dict(prev_cols)
+        should_raise = any(
+            n in prev_t and wider(prev_t[n], t) is None
+            for n, t in new_cols
+        )
+        try:
+            got = ev(T(), prev, new, manifest={"stats": {}})
+        except ValueError:
+            assert should_raise, (prev_cols, new_cols)
+            continue
+        assert not should_raise, (prev_cols, new_cols)
+        names = [f["name"] for f in got["fields"]]
+        assert names[: len(prev_cols)] == [n for n, _ in prev_cols]
+        assert set(names) == {n for n, _ in prev_cols} | {
+            n for n, _ in new_cols
+        }
+        by_name = {f["name"]: f["type"] for f in got["fields"]}
+        for n, t in prev_cols:
+            want = t
+            for nn, nt in new_cols:
+                if nn == n:
+                    want = wider(t, nt)
+            assert by_name[n] == want, (n, t, new_cols, by_name)
+        # bucket veto: any genuinely-widened column under __buckets
+        widened = [
+            n for n, t in prev_cols
+            if by_name[n] != t
+        ]
+        if widened:
+            mani = {"stats": {"f0": {"__buckets": [widened[0], 4, [0]]}}}
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="hash-bucketed"):
+                ev(T(), prev, new, manifest=mani)
