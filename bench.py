@@ -86,6 +86,12 @@ HEADLINE = [
     # tracked out-of-order CDC apply, both end-to-end on scratch tables
     "lake_predicate_dml",
     "lake_tracked_apply",
+    # round-11 families: the SQL statement surface end-to-end (DELETE
+    # with a mixed-precedence predicate + UPDATE + MERGE upsert, each
+    # delegating through the dispatcher) and SCD TYPE 2 history apply
+    # (seed + live + fully-gated stale batch on a scratch table)
+    "lake_sql_dml",
+    "lake_scd2_history",
 ]
 
 
