@@ -593,17 +593,17 @@ def _select(spark, statement: str):
     prev_word = ""
     while i < n:
         c = statement[i]
-        if c == "'" or c == '"':
+        if c == "'" or c == '"' or c == "`":
             q = c
             j = i + 1
             while j < n:
                 if statement[j] == q:
-                    if j + 1 < n and statement[j + 1] == q:
+                    if q != "`" and j + 1 < n and statement[j + 1] == q:
                         j += 2
                         continue
                     break
                 j += 1
-            if prev_word in ("FROM", "JOIN") :
+            if prev_word in ("FROM", "JOIN"):
                 root = statement[i + 1 : j].replace(q + q, q)
                 rest = statement[j + 1 :]
                 tt = _TT_RE.match(rest)
