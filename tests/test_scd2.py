@@ -240,3 +240,27 @@ def test_streaming_apply_sink_scd2(spark, tmp_path):
         (1, "a2", 20, None),
         (2, "b", 10, None),
     ]
+
+
+def test_scd2_plans_lint_clean(spark, tmp_path):
+    """The SCD2 machinery's distributed reads carry no scale smells:
+    the pruned history scan and the current-state view lint clean
+    (no cartesians, no global windows, no row-UDFs, no wide scans) —
+    the per-batch lead(seq) window is KEY-partitioned by design."""
+    from collective_als_spark.plans.lint import lint_plan
+
+    t = _t(spark, tmp_path / "t")
+    t.apply_changes(
+        _batch(spark, [(i, f"v{i}", "U", 1) for i in range(200)]),
+        "k", seq_col="seq", scd_type=2, track_seq=True,
+    )
+    t.apply_changes(
+        _batch(spark, [(i, "x", "U", 9) for i in range(0, 200, 7)]),
+        "k", seq_col="seq", scd_type=2, track_seq=True,
+    )
+    m = t._base_manifest(t.current_version())
+    latest = _batch(spark, [(i, "y", "U", 20) for i in range(0, 200, 13)])
+    hist = t._scd2_key_history(m, latest, ["k"])
+    assert lint_plan(hist) == []
+    cur = t.read().filter(F.col("__END_AT").isNull())
+    assert lint_plan(cur) == []
