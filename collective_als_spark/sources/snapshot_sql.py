@@ -401,7 +401,7 @@ def _merge(spark, rest: str, kw) -> int:
         raise ValueError(
             "snapshot_sql: MERGE needs USING <source> ON <cond> WHEN ..."
         )
-    u_s, u_e = by_word["USING"][0]
+    _u_s, u_e = by_word["USING"][0]
     on_s, on_e = by_word["ON"][0]
     first_when = by_word["WHEN"][0][0]
     source, s_alias = _resolve_source(spark, tail[u_e:on_s].strip())
