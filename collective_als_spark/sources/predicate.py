@@ -22,10 +22,16 @@ results. Recognized shapes per conjunct:
 - parenthesized groups of the above joined by AND (recursed)
 - OR disjunctions whose EVERY branch is provable (union-of-rowsets
   pruning: a file is out only when every branch proves it out)
+- a leading ``NOT`` over any provable structure of the above:
+  intervals complement with flipped strictness (3VL-exact — the
+  negation of a comparison is TRUE precisely on the complement
+  interval of non-NULL values), ``IS [NOT] NULL`` flips, AND/OR go
+  through De Morgan
 
-Anything else — NOT, function calls, column-to-column comparisons,
-``<>``/``!=`` (an exclusion proves nothing for min/max pruning), an
-OR with any unprovable branch — is opaque. Literals: numbers, ``'strings'`` (with
+Anything else — function calls, column-to-column comparisons,
+``<>``/``!=`` and ``NOT IN`` (an exclusion's complement has interior
+gaps min/max stats cannot see), an OR with any unprovable branch —
+is opaque. Literals: numbers, ``'strings'`` (with
 ``''`` escape), ``DATE '...'`` / ``TIMESTAMP '...'`` (compared as ISO
 strings, which is exactly how the manifest stats store temporal
 min/max — ISO order == chronological order), TRUE/FALSE.
@@ -266,8 +272,16 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
                 return [OPAQUE]  # one unprovable branch poisons the OR
             branches.append(provable)
         return [Conjunct("or", branches=tuple(branches), src=src)]
-    # no disjunction: a depth-0 NOT / LIKE (outside IS NOT NULL) makes
-    # this conjunct run opaque
+    # a LEADING NOT negates whatever the rest of the run proves:
+    # intervals complement (3VL-safe — ``NOT (x >= 5)`` is TRUE iff
+    # ``x < 5``, NULL rows match neither side), IS [NOT] NULL flips,
+    # AND/OR structures go through De Morgan. An unprovable negation
+    # degrades to opaque, exactly like any other unrecognized shape.
+    if tokens[0] == ("kw", "NOT"):
+        neg = _negate(_match_conjunct(tokens[1:], src), src)
+        return neg if neg is not None else [OPAQUE]
+    # otherwise a depth-0 NOT / LIKE (outside IS NOT NULL) makes this
+    # conjunct run opaque
     depth = 0
     prev = (None, None)
     for k, t in tokens:
@@ -343,6 +357,78 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
             c = c[1:-1]
         return [_cmp_conjunct(c, _FLIP[tokens[j][1]], v, src)]
     return [OPAQUE]
+
+
+def _negate(conjs: list[Conjunct], src: str) -> list[Conjunct] | None:
+    """``NOT (c1 AND c2 AND ...)`` -> ``(NOT c1) OR (NOT c2) OR ...``
+    (Kleene De Morgan: the result is TRUE for exactly the rows the
+    original was not-TRUE-able on... precisely, TRUE iff some NOT ci
+    is TRUE — which is what matched = ``pred IS TRUE`` pruning needs).
+    Returns the conjunct list of the negation, or None when any piece
+    is unprovable (caller degrades to opaque)."""
+    branches = []
+    for c in conjs:
+        neg = _negate_one(c, src)
+        if neg is None:
+            return None
+        branches.append(tuple(neg))
+    if len(branches) == 1:
+        return list(branches[0])
+    return [Conjunct("or", branches=tuple(branches), src=src)]
+
+
+def _negate_one(c: Conjunct, src: str) -> list[Conjunct] | None:
+    """One conjunct's negation as an AND-list of conjuncts, or None.
+
+    3VL note: for a comparison/band, ``NOT pred`` is TRUE exactly on
+    the complement interval of non-NULL values (NULL compares to
+    neither side), and band conjuncts already never match NULL — so
+    interval complement with flipped strictness is exact."""
+    if c.kind == "null":
+        return [
+            Conjunct("null", column=c.column, want_null=not c.want_null,
+                     src=src)
+        ]
+    if c.kind == "band":
+        if c.values is not None:
+            if len(c.values) != 1:
+                # NOT IN {a, b, ...}: the complement has interior gaps
+                # min/max stats cannot see — no sound interval proof
+                return None
+            (v,) = c.values
+            lo_b = Conjunct("band", column=c.column, hi=v, hi_strict=True,
+                            src=src)
+            hi_b = Conjunct("band", column=c.column, lo=v, lo_strict=True,
+                            src=src)
+            return [Conjunct("or", branches=((lo_b,), (hi_b,)), src=src)]
+        if c.lo is not None and c.hi is not None:
+            below = Conjunct("band", column=c.column, hi=c.lo,
+                             hi_strict=not c.lo_strict, src=src)
+            above = Conjunct("band", column=c.column, lo=c.hi,
+                             lo_strict=not c.hi_strict, src=src)
+            return [Conjunct("or", branches=((below,), (above,)), src=src)]
+        if c.lo is not None:
+            return [
+                Conjunct("band", column=c.column, hi=c.lo,
+                         hi_strict=not c.lo_strict, src=src)
+            ]
+        if c.hi is not None:
+            return [
+                Conjunct("band", column=c.column, lo=c.hi,
+                         lo_strict=not c.hi_strict, src=src)
+            ]
+        return None
+    if c.kind == "or":
+        # NOT (d1 OR d2) = (NOT d1) AND (NOT d2); each branch is an
+        # AND-tuple whose negation must itself be provable
+        out: list[Conjunct] = []
+        for br in c.branches:
+            neg = _negate(list(br), src)
+            if neg is None:
+                return None
+            out.extend(neg)
+        return out
+    return None  # opaque
 
 
 def _cmp_conjunct(col: str, op: str, v, src: str) -> Conjunct:

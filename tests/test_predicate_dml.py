@@ -100,14 +100,20 @@ def test_analyze_mixed_precedence_regression():
     assert d5.kind == "or"
     assert [[c.column for c in br] for br in d5.branches] == [["a"], ["c"]]
     # a branch with ZERO provable conjuncts still poisons the OR
-    (d6,) = analyze_predicate("NOT a = 1 OR c = 3")
+    (d6,) = analyze_predicate("NOT upper(a) = 'x' OR c = 3")
     assert d6 == OPAQUE
+    # a provable NOT branch participates (complement-interval pruning)
+    (d7,) = analyze_predicate("NOT a = 1 OR c = 3")
+    assert d7.kind == "or" and len(d7.branches) == 2
+    assert d7.branches[0][0].kind == "or"  # (a < 1) OR (a > 1)
 
 
 def test_analyze_degrades_to_opaque_never_raises():
-    # NOT / functions / <> / LIKE / column-to-column: opaque
+    # functions / <> / LIKE / column-to-column / NOT-over-unprovable:
+    # opaque
     for sql in (
-        "NOT (x = 1)",
+        "NOT upper(x) = 'A'",
+        "NOT x IN (1, 2)",
         "upper(s) = 'A'",
         "x <> 3",
         "x LIKE 'a%'",
@@ -633,3 +639,48 @@ def test_prune_soundness_randomized_boolean_trees():
                 f"UNSOUND prune: {sql!r} pruned {name} holding {matches} "
                 f"(stats {stats[name]})"
             )
+
+
+def test_analyze_not_negation_shapes():
+    """Leading NOT over provable structure prunes via complement
+    intervals (De Morgan, 3VL-exact); unprovable negations degrade."""
+    (d,) = analyze_predicate("NOT x BETWEEN 5 AND 10")
+    assert d.kind == "or" and len(d.branches) == 2
+    lo_b, hi_b = d.branches[0][0], d.branches[1][0]
+    assert (lo_b.hi, lo_b.hi_strict) == (5, True)
+    assert (hi_b.lo, hi_b.lo_strict) == (10, True)
+    # strictness flips: NOT(x > 5) == x <= 5
+    (e,) = analyze_predicate("NOT (x > 5)")
+    assert (e.kind, e.hi, e.hi_strict) == ("band", 5, False)
+    (e2,) = analyze_predicate("NOT (x >= 5)")
+    assert (e2.kind, e2.hi, e2.hi_strict) == ("band", 5, True)
+    # IS NULL flips
+    (n,) = analyze_predicate("NOT (a IS NULL)")
+    assert (n.kind, n.want_null) == ("null", False)
+    # De Morgan over AND: NOT(a=1 AND b=2) == (a!=1) OR (b!=2)
+    (m,) = analyze_predicate("NOT (a = 1 AND b = 2)")
+    assert m.kind == "or" and len(m.branches) == 2
+    # De Morgan over OR: NOT(a=1 OR b=2) == two AND-conjuncts
+    conj = analyze_predicate("NOT (a = 1 OR b = 2)")
+    assert len(conj) == 2 and all(c.kind == "or" for c in conj)
+
+
+def test_read_where_not_predicate_prunes_and_matches(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    _banded(spark, t)
+    # NOT BETWEEN covering the middle band: that band's file is
+    # provably out; results equal the full-scan filter exactly
+    got = t.read(where="NOT v BETWEEN 1000 AND 1099")
+    full = t.read().filter(~F.col("v").between(1000, 1099))
+    assert len(got.inputFiles()) == 2
+    assert sorted(r["v"] for r in got.collect()) == sorted(
+        r["v"] for r in full.collect()
+    )
+    # NOT over a one-sided comparison prunes the upper bands
+    got2 = t.read(where="NOT (v >= 1000)")
+    assert len(got2.inputFiles()) == 1
+    assert got2.count() == 100
+    # delete with a NOT predicate: exact complement survives
+    t.delete_where("NOT (v < 2000)")
+    assert t.read().count() == 200
+    assert t.read().filter(F.col("v") >= 2000).count() == 0
