@@ -26,12 +26,13 @@ results. Recognized shapes per conjunct:
   intervals complement with flipped strictness (3VL-exact — the
   negation of a comparison is TRUE precisely on the complement
   interval of non-NULL values), ``IS [NOT] NULL`` flips, AND/OR go
-  through De Morgan
+  through De Morgan; ``col <> lit`` / ``!=`` / ``NOT BETWEEN`` /
+  single-value ``NOT IN`` are the same complements spelled infix
+  (an exclusion proves out single-valued files)
 
 Anything else — function calls, column-to-column comparisons,
-``<>``/``!=`` and ``NOT IN`` (an exclusion's complement has interior
-gaps min/max stats cannot see), an OR with any unprovable branch —
-is opaque. Literals: numbers, ``'strings'`` (with
+multi-value ``NOT IN`` (its complement has interior gaps min/max
+stats cannot see), an OR with any unprovable branch — is opaque. Literals: numbers, ``'strings'`` (with
 ``''`` escape), ``DATE '...'`` / ``TIMESTAMP '...'`` (compared as ISO
 strings, which is exactly how the manifest stats store temporal
 min/max — ISO order == chronological order), TRUE/FALSE.
@@ -280,6 +281,21 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
     if tokens[0] == ("kw", "NOT"):
         neg = _negate(_match_conjunct(tokens[1:], src), src)
         return neg if neg is not None else [OPAQUE]
+    # infix negation sugar: ``col NOT BETWEEN lo AND hi`` / ``col NOT
+    # IN (...)`` parse as the negation of their positive form (the
+    # multi-value NOT IN then degrades inside _negate, single-value
+    # proves)
+    if (
+        len(tokens) >= 3
+        and tokens[0][0] in ("word", "bq")
+        and tokens[1] == ("kw", "NOT")
+        and tokens[2][0] == "kw"
+        and tokens[2][1] in ("BETWEEN", "IN")
+    ):
+        neg = _negate(
+            _match_conjunct([tokens[0]] + tokens[2:], src), src
+        )
+        return neg if neg is not None else [OPAQUE]
     # otherwise a depth-0 NOT / LIKE (outside IS NOT NULL) makes this
     # conjunct run opaque
     depth = 0
@@ -342,19 +358,27 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
         v, j = _literal(tokens, 2)
         if j == len(tokens) and op in _FLIP:
             return [_cmp_conjunct(col, op, v, src)]
+        if j == len(tokens) and op in ("<>", "!="):
+            # exclusion as complement intervals: (< v) OR (> v) —
+            # proves out single-valued files (min == max == v)
+            neg = _negate_one(_cmp_conjunct(col, "=", v, src), src)
+            return neg if neg is not None else [OPAQUE]
         return [OPAQUE]
     v, j = _literal(tokens, 0)
     if (
         v is not None
         and j < len(tokens) - 1
         and tokens[j][0] == "op"
-        and tokens[j][1] in _FLIP
+        and (tokens[j][1] in _FLIP or tokens[j][1] in ("<>", "!="))
         and j + 1 == len(tokens) - 1
         and tokens[j + 1][0] in ("word", "bq")
     ):
         c = tokens[j + 1][1]
         if tokens[j + 1][0] == "bq":
             c = c[1:-1]
+        if tokens[j][1] in ("<>", "!="):  # symmetric exclusion
+            neg = _negate_one(_cmp_conjunct(c, "=", v, src), src)
+            return neg if neg is not None else [OPAQUE]
         return [_cmp_conjunct(c, _FLIP[tokens[j][1]], v, src)]
     return [OPAQUE]
 

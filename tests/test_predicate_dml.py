@@ -109,14 +109,15 @@ def test_analyze_mixed_precedence_regression():
 
 
 def test_analyze_degrades_to_opaque_never_raises():
-    # functions / <> / LIKE / column-to-column / NOT-over-unprovable:
-    # opaque
+    # functions / LIKE / column-to-column / NOT-over-unprovable /
+    # multi-value NOT IN: opaque
     for sql in (
         "NOT upper(x) = 'A'",
         "NOT x IN (1, 2)",
+        "x NOT IN (1, 2)",
         "upper(s) = 'A'",
-        "x <> 3",
         "x LIKE 'a%'",
+        "x NOT LIKE 'a%'",
         "a = b",
         "???",
         "",
@@ -408,10 +409,14 @@ def test_prune_soundness_randomized():
                 ok = None
             elif op == "=":
                 ok = v == payload
+            elif op == "<>":
+                ok = v != payload
             elif op == "in":
                 ok = v in payload
             elif op == "between":
                 ok = payload[0] <= v <= payload[1]
+            elif op == "notbetween":
+                ok = not (payload[0] <= v <= payload[1])
             elif op == ">":
                 ok = v > payload
             elif op == "<":
@@ -437,6 +442,10 @@ def test_prune_soundness_randomized():
                 frags.append(f"{col} IN ({', '.join(str(x) for x in payload)})")
             elif op == "between":
                 frags.append(f"{col} BETWEEN {payload[0]} AND {payload[1]}")
+            elif op == "notbetween":
+                frags.append(
+                    f"{col} NOT BETWEEN {payload[0]} AND {payload[1]}"
+                )
             else:
                 frags.append(f"{col} {op} {payload}")
         return " AND ".join(frags)
@@ -469,13 +478,14 @@ def test_prune_soundness_randomized():
         for _ in range(rng.randint(1, 3)):
             col = rng.choice(cols)
             op = rng.choice(
-                ["=", "in", "between", ">", "<", ">=", "<=", "isnull", "notnull"]
+                ["=", "<>", "in", "between", "notbetween",
+                 ">", "<", ">=", "<=", "isnull", "notnull"]
             )
             if op == "in":
                 payload = tuple(
                     rng.randint(-20, 20) for _ in range(rng.randint(1, 3))
                 )
-            elif op == "between":
+            elif op in ("between", "notbetween"):
                 lo = rng.randint(-20, 20)
                 payload = (lo, lo + rng.randint(0, 10))
             elif op in ("isnull", "notnull"):
@@ -516,7 +526,8 @@ def test_prune_soundness_randomized_boolean_trees():
     def rand_leaf():
         col = rng.choice(cols)
         op = rng.choice(
-            ["=", "in", "between", ">", "<", ">=", "<=", "isnull", "notnull"]
+            ["=", "<>", "in", "between",
+             ">", "<", ">=", "<=", "isnull", "notnull"]
         )
         if op == "in":
             payload = tuple(rng.randint(-20, 20) for _ in range(rng.randint(1, 3)))
@@ -550,6 +561,8 @@ def test_prune_soundness_randomized_boolean_trees():
             return None  # SQL NULL comparison
         if op == "=":
             return v == payload
+        if op == "<>":
+            return v != payload
         if op == "in":
             return v in payload
         if op == "between":
@@ -663,6 +676,18 @@ def test_analyze_not_negation_shapes():
     # De Morgan over OR: NOT(a=1 OR b=2) == two AND-conjuncts
     conj = analyze_predicate("NOT (a = 1 OR b = 2)")
     assert len(conj) == 2 and all(c.kind == "or" for c in conj)
+    # infix exclusions are the same complements: <> / != / NOT BETWEEN
+    for sql in ("x <> 3", "x != 3", "3 <> x"):
+        (x,) = analyze_predicate(sql)
+        assert x.kind == "or" and len(x.branches) == 2, sql
+        assert (x.branches[0][0].hi, x.branches[0][0].hi_strict) == (3, True)
+        assert (x.branches[1][0].lo, x.branches[1][0].lo_strict) == (3, True)
+    (nb,) = analyze_predicate("x NOT BETWEEN 5 AND 10")
+    assert nb.kind == "or"
+    assert (nb.branches[0][0].hi, nb.branches[1][0].lo) == (5, 10)
+    # single-value NOT IN proves; multi-value stays opaque
+    (ni,) = analyze_predicate("x NOT IN (7)")
+    assert ni.kind == "or" and len(ni.branches) == 2
 
 
 def test_read_where_not_predicate_prunes_and_matches(spark, tmp_path):
