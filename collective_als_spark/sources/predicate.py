@@ -592,8 +592,15 @@ def conjuncts_from_push_filters(filters) -> list[Conjunct]:
     -> pruning conjuncts. Only top-level single-part columns convert;
     anything else is skipped (NOT opaque — the caller returns every
     filter back to Spark as unhandled, so Spark re-applies the exact
-    predicate and skipped filters only cost file opens)."""
+    predicate and skipped filters only cost file opens).
+
+    ``Not(child)`` negates a converted child through the same
+    complement-interval logic the SQL analyzer uses (``x != 5``
+    arrives pushed as ``Not(EqualTo)``). ``Not(EqualNullSafe)`` is
+    deliberately SKIPPED: ``x IS DISTINCT FROM v`` is TRUE for NULL
+    rows, which interval complements cannot see."""
     from pyspark.sql.datasource import (
+        EqualNullSafe,
         EqualTo,
         GreaterThan,
         GreaterThanOrEqual,
@@ -602,42 +609,73 @@ def conjuncts_from_push_filters(filters) -> list[Conjunct]:
         IsNull,
         LessThan,
         LessThanOrEqual,
+        Not,
     )
 
-    out: list[Conjunct] = []
-    for f in filters:
+    def convert(f) -> Conjunct | None:
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:
-            continue
+            return None
         col = attr[0]
         if isinstance(f, EqualTo):
             try:
                 vals = frozenset([f.value])
             except TypeError:
-                continue  # unhashable literal (array/map): no proof
-            out.append(
-                Conjunct("band", column=col, lo=f.value, hi=f.value, values=vals)
+                return None  # unhashable literal (array/map): no proof
+            return Conjunct(
+                "band", column=col, lo=f.value, hi=f.value, values=vals
             )
-        elif isinstance(f, In):
+        if isinstance(f, EqualNullSafe):
+            if f.value is None:
+                return Conjunct("null", column=col, want_null=True)
+            try:
+                vals = frozenset([f.value])
+            except TypeError:
+                return None
+            # non-NULL <=> matches exactly the = rows (NULL rows are
+            # FALSE, and band conjuncts never match NULL anyway)
+            return Conjunct(
+                "band", column=col, lo=f.value, hi=f.value, values=vals
+            )
+        if isinstance(f, In):
             try:
                 vals = list(f.value)
                 frozenset(vals)
             except TypeError:
+                return None
+            if not vals:
+                return None
+            return _in_conjunct(col, vals, "")
+        if isinstance(f, GreaterThan):
+            return Conjunct("band", column=col, lo=f.value, lo_strict=True)
+        if isinstance(f, GreaterThanOrEqual):
+            return Conjunct("band", column=col, lo=f.value)
+        if isinstance(f, LessThan):
+            return Conjunct("band", column=col, hi=f.value, hi_strict=True)
+        if isinstance(f, LessThanOrEqual):
+            return Conjunct("band", column=col, hi=f.value)
+        if isinstance(f, IsNull):
+            return Conjunct("null", column=col, want_null=True)
+        if isinstance(f, IsNotNull):
+            return Conjunct("null", column=col, want_null=False)
+        return None
+
+    out: list[Conjunct] = []
+    for f in filters:
+        if isinstance(f, Not):
+            child = f.child
+            if isinstance(child, EqualNullSafe):
+                continue  # IS DISTINCT FROM: TRUE on NULLs, no proof
+            c = convert(child)
+            if c is None:
                 continue
-            if vals:
-                out.append(_in_conjunct(col, vals, ""))
-        elif isinstance(f, GreaterThan):
-            out.append(Conjunct("band", column=col, lo=f.value, lo_strict=True))
-        elif isinstance(f, GreaterThanOrEqual):
-            out.append(Conjunct("band", column=col, lo=f.value))
-        elif isinstance(f, LessThan):
-            out.append(Conjunct("band", column=col, hi=f.value, hi_strict=True))
-        elif isinstance(f, LessThanOrEqual):
-            out.append(Conjunct("band", column=col, hi=f.value))
-        elif isinstance(f, IsNull):
-            out.append(Conjunct("null", column=col, want_null=True))
-        elif isinstance(f, IsNotNull):
-            out.append(Conjunct("null", column=col, want_null=False))
+            neg = _negate([c], "")
+            if neg is not None:
+                out.extend(neg)
+            continue
+        c = convert(f)
+        if c is not None:
+            out.append(c)
     return out
 
 

@@ -467,3 +467,42 @@ def test_writer_commits_on_object_store_root(registered, spark, tmp_path, monkey
     # the staged parquet is readable through the batch reader's
     # planning metadata (rows recorded per commit message)
     assert sum(m.rows for m in msgs1 + msgs2 + msgs3) == 4
+
+
+def test_pushed_not_filters_prune_and_stay_exact(registered, spark, tmp_path):
+    """r11: Not(child) pushed filters convert through the analyzer's
+    complement-interval negation — Not(EqualTo) prunes single-valued
+    files, Not(EqualNullSafe) is skipped (IS DISTINCT FROM is TRUE on
+    NULLs), and end-to-end results equal the full-scan filter."""
+    from pyspark.sql.datasource import EqualNullSafe, EqualTo, In, Not
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(
+        spark.range(100)
+        .select(F.lit(777).alias("v"), F.col("id").alias("w"))
+        .coalesce(1)
+    )
+    t.append(
+        spark.range(100)
+        .select(F.col("id").alias("v"), F.col("id").alias("w"))
+        .coalesce(1)
+    )
+    opts = {"path": t.root}
+    # Not(=777) proves out the constant-valued file
+    r = SnapshotBatchReader(t.read().schema, opts)
+    r.pushFilters([Not(EqualTo(("v",), 777))])
+    assert len(r.partitions()) == 1
+    # Not(EqualNullSafe): skipped -> both files stay candidates
+    r = SnapshotBatchReader(t.read().schema, opts)
+    r.pushFilters([Not(EqualNullSafe(("v",), 777))])
+    assert len(r.partitions()) == 2
+    # multi-value Not(In): unprovable complement -> both files stay
+    r = SnapshotBatchReader(t.read().schema, opts)
+    r.pushFilters([Not(In(("v",), (777, 5)))])
+    assert len(r.partitions()) == 2
+    # end-to-end exactness through spark.sql (Spark re-applies)
+    got = _load(spark, t.root).filter("v != 777")
+    assert got.count() == 100
+    assert sorted(r["v"] for r in got.collect()) == [
+        v for v in range(100) if v != 777
+    ]
