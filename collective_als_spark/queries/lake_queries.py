@@ -582,7 +582,11 @@ def lake_update_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- engine's own analyzer diverges from this oracle
             o_orderstatus = 'P' AND o_totalprice > 200000
               OR o_orderkey BETWEEN 1 AND 32 AS m2,
-            o_orderstatus = 'O' AND o_totalprice > 100000 AS m3
+            o_orderstatus = 'O' AND o_totalprice > 100000 AS m3,
+            -- the r11 negation shapes, verbatim: complement intervals
+            -- and an exclusion, NOT applied over a parenthesized band
+            o_totalprice NOT BETWEEN 1000 AND 400000
+              AND o_orderstatus <> 'P' AS m4
         FROM orders
     ), c AS (
         SELECT
@@ -593,7 +597,12 @@ def lake_update_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
             CAST(sum(CASE WHEN NOT (m1 OR m2)
                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
-                          ELSE 0 END) AS BIGINT) AS cents_surv
+                          ELSE 0 END) AS BIGINT) AS cents_surv,
+            CAST(sum(CASE WHEN NOT (m1 OR m2) AND NOT m4
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_fin,
+            CAST(sum(CASE WHEN NOT (m1 OR m2) AND NOT m4
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS cents_fin
         FROM m
     )
     SELECT 'n_after_delete' AS step, n_total - n_d1 AS value FROM c
@@ -602,6 +611,8 @@ def lake_update_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'cents_survivors', cents_surv FROM c
     UNION ALL SELECT 'n_matched_left', CAST(0 AS BIGINT) FROM c
     UNION ALL SELECT 'tt_v1_total', n_total FROM c
+    UNION ALL SELECT 'n_after_not_delete', n_fin FROM c
+    UNION ALL SELECT 'cents_final', cents_fin FROM c
     """,
 )
 def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,8 +623,10 @@ def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``status='P' AND price>200000 OR key BETWEEN 1 AND 32`` — the
     r09/r10 AND-before-OR soundness class, both written verbatim in
     the DuckDB oracle so a precedence divergence hash-fails), then a
-    compound predicate UPDATE, against a scratch snapshot table built
-    from ``orders``. The oracle recomputes the surviving row counts,
+    compound predicate UPDATE, then an r11 NEGATION delete
+    (``price NOT BETWEEN .. AND status <> 'P'`` — complement-interval
+    pruning under the same hash), against a scratch snapshot table
+    built from ``orders``. The oracle recomputes the surviving row counts,
     the updated-row count, and the value-level cents total of the
     SURVIVORS (catching a survivor predicate that isn't the exact
     complement of the matched predicate — the NULL-discipline bug
@@ -667,6 +680,13 @@ def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ("tt_v1_total", t.read(version=1).count()),
         ]
+        # r11 negation shapes under the driver hash: NOT BETWEEN +
+        # an exclusion, complement-interval pruned, exact residual
+        t.delete_where(
+            "price NOT BETWEEN 1000 AND 400000 AND o_orderstatus <> 'P'"
+        )
+        out.append(("n_after_not_delete", t.read().count()))
+        out.append(("cents_final", t.read().agg(F.sum("cents")).first()[0]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(out, "step string, value bigint")
