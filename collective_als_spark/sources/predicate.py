@@ -29,6 +29,11 @@ results. Recognized shapes per conjunct:
   through De Morgan; ``col <> lit`` / ``!=`` / ``NOT BETWEEN`` /
   single-value ``NOT IN`` are the same complements spelled infix
   (an exclusion proves out single-valued files)
+- ``col [NOT] LIKE 'abc%'`` for plain PREFIX patterns (one trailing
+  ``%``, no other wildcards/escapes): the half-open interval
+  ``['abc', 'abd')`` — UTF-8 byte order equals codepoint order, so
+  the bound is exact against the stored string min/max; NOT takes
+  its complement
 
 Anything else — function calls, column-to-column comparisons,
 multi-value ``NOT IN`` (its complement has interior gaps min/max
@@ -282,20 +287,37 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
         neg = _negate(_match_conjunct(tokens[1:], src), src)
         return neg if neg is not None else [OPAQUE]
     # infix negation sugar: ``col NOT BETWEEN lo AND hi`` / ``col NOT
-    # IN (...)`` parse as the negation of their positive form (the
-    # multi-value NOT IN then degrades inside _negate, single-value
-    # proves)
+    # IN (...)`` / ``col NOT LIKE 'p%'`` parse as the negation of
+    # their positive form (the multi-value NOT IN then degrades inside
+    # _negate, single-value and prefix-LIKE prove)
     if (
         len(tokens) >= 3
         and tokens[0][0] in ("word", "bq")
         and tokens[1] == ("kw", "NOT")
         and tokens[2][0] == "kw"
-        and tokens[2][1] in ("BETWEEN", "IN")
+        and tokens[2][1] in ("BETWEEN", "IN", "LIKE")
     ):
         neg = _negate(
             _match_conjunct([tokens[0]] + tokens[2:], src), src
         )
         return neg if neg is not None else [OPAQUE]
+    # prefix LIKE: ``col LIKE 'abc%'`` (one trailing %, no other
+    # wildcards/escapes) is the half-open interval
+    # ['abc', 'abd') — UTF-8 byte order equals codepoint order, so
+    # the bound is exact for the string min/max the manifest stores
+    if (
+        len(tokens) == 3
+        and tokens[0][0] in ("word", "bq")
+        and tokens[1] == ("kw", "LIKE")
+        and tokens[2][0] == "str"
+    ):
+        like_col = (
+            tokens[0][1][1:-1] if tokens[0][0] == "bq" else tokens[0][1]
+        )
+        band = _like_prefix_band(
+            like_col, tokens[2][1][1:-1].replace("''", "'"), src
+        )
+        return [band] if band is not None else [OPAQUE]
     # otherwise a depth-0 NOT / LIKE (outside IS NOT NULL) makes this
     # conjunct run opaque
     depth = 0
@@ -455,6 +477,26 @@ def _negate_one(c: Conjunct, src: str) -> list[Conjunct] | None:
     return None  # opaque
 
 
+def _like_prefix_band(col: str, pattern: str, src: str) -> Conjunct | None:
+    """``LIKE 'abc%'`` -> band ['abc', 'abd') when the pattern is a
+    plain prefix (exactly one ``%``, at the end, no ``_`` and no
+    escape characters — anything else is None/opaque). The upper
+    bound increments the prefix's last codepoint; a prefix ending at
+    the maximum codepoint can't increment and stays one-sided."""
+    if not pattern.endswith("%"):
+        return None
+    prefix = pattern[:-1]
+    if not prefix or any(ch in prefix for ch in ("%", "_", "\\")):
+        return None
+    last = ord(prefix[-1])
+    if last >= 0x10FFFF:
+        return Conjunct("band", column=col, lo=prefix, src=src)
+    hi = prefix[:-1] + chr(last + 1)
+    return Conjunct(
+        "band", column=col, lo=prefix, hi=hi, hi_strict=True, src=src
+    )
+
+
 def _cmp_conjunct(col: str, op: str, v, src: str) -> Conjunct:
     if op == "=":
         return Conjunct(
@@ -610,6 +652,7 @@ def conjuncts_from_push_filters(filters) -> list[Conjunct]:
         LessThan,
         LessThanOrEqual,
         Not,
+        StringStartsWith,
     )
 
     def convert(f) -> Conjunct | None:
@@ -658,6 +701,10 @@ def conjuncts_from_push_filters(filters) -> list[Conjunct]:
             return Conjunct("null", column=col, want_null=True)
         if isinstance(f, IsNotNull):
             return Conjunct("null", column=col, want_null=False)
+        if isinstance(f, StringStartsWith) and isinstance(f.value, str):
+            # a pushed ``like 'abc%'``: the same half-open prefix
+            # interval the SQL analyzer builds
+            return _like_prefix_band(col, f.value + "%", "")
         return None
 
     out: list[Conjunct] = []

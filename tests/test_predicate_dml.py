@@ -96,7 +96,7 @@ def test_analyze_mixed_precedence_regression():
     assert (d4.branches[1][0].kind, d4.branches[1][0].want_null) == ("null", False)
     # an unprovable piece inside a branch only opaques that piece —
     # branch rows still satisfy a = 1, so pruning on it is sound
-    (d5,) = analyze_predicate("a = 1 AND x LIKE 'y%' OR c = 3")
+    (d5,) = analyze_predicate("a = 1 AND x LIKE '%y' OR c = 3")
     assert d5.kind == "or"
     assert [[c.column for c in br] for br in d5.branches] == [["a"], ["c"]]
     # a branch with ZERO provable conjuncts still poisons the OR
@@ -116,8 +116,8 @@ def test_analyze_degrades_to_opaque_never_raises():
         "NOT x IN (1, 2)",
         "x NOT IN (1, 2)",
         "upper(s) = 'A'",
-        "x LIKE 'a%'",
-        "x NOT LIKE 'a%'",
+        "x LIKE '%a'",
+        "x NOT LIKE '%a'",
         "a = b",
         "???",
         "",
@@ -709,3 +709,103 @@ def test_read_where_not_predicate_prunes_and_matches(spark, tmp_path):
     t.delete_where("NOT (v < 2000)")
     assert t.read().count() == 200
     assert t.read().filter(F.col("v") >= 2000).count() == 0
+
+
+def test_analyze_like_prefix_band():
+    """``LIKE 'abc%'`` prunes as the half-open interval
+    ['abc', 'abd'); non-prefix patterns stay opaque; NOT LIKE takes
+    the complement."""
+    (b,) = analyze_predicate("x LIKE 'abc%'")
+    assert (b.kind, b.lo, b.hi, b.hi_strict) == ("band", "abc", "abd", True)
+    for sql in ("x LIKE 'a%b'", "x LIKE '%abc'", "x LIKE 'a_c%'",
+                "x LIKE '%'", "x LIKE 'a\\\\%c%'"):
+        assert analyze_predicate(sql) == [OPAQUE], sql
+    (n,) = analyze_predicate("x NOT LIKE 'abc%'")
+    assert n.kind == "or"
+    assert (n.branches[0][0].hi, n.branches[0][0].hi_strict) == ("abc", True)
+    assert (n.branches[1][0].lo, n.branches[1][0].lo_strict) == ("abd", False)
+    # escaped quote inside the prefix
+    (q,) = analyze_predicate("s LIKE 'ab''c%'")
+    assert (q.lo, q.hi) == ("ab'c", "ab'd")
+
+
+def test_read_where_like_prefix_prunes_and_matches(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["s"])
+    for prefix in ("apple", "mango", "zebra"):
+        t.append(
+            spark.createDataFrame(
+                [(f"{prefix}{i:02d}",) for i in range(50)], "s string"
+            ).coalesce(1)
+        )
+    got = t.read(where="s LIKE 'mango%'")
+    assert len(got.inputFiles()) == 1
+    assert got.count() == 50
+    full = t.read().filter(F.col("s").like("mango%"))
+    assert sorted(r["s"] for r in got.collect()) == sorted(
+        r["s"] for r in full.collect()
+    )
+    # NOT LIKE complement prunes the matching band's file... it can't
+    # (the file holds only mango rows, complement proves it out)
+    got2 = t.read(where="s NOT LIKE 'mango%'")
+    assert len(got2.inputFiles()) == 2
+    assert got2.count() == 100
+    # delete through a LIKE predicate: exact complement survives
+    t.delete_where("s LIKE 'apple%'")
+    assert t.read().count() == 100
+    assert t.read().filter(F.col("s").like("apple%")).count() == 0
+
+
+def test_like_prefix_prune_soundness_randomized():
+    """Seeded random string files vs random prefix LIKE / NOT LIKE
+    predicates: a file holding a matching row is never pruned."""
+    import random
+
+    from collective_als_spark.sources.predicate import prune_files
+
+    rng = random.Random(1109)
+    alphabet = "abcz"  # narrow alphabet makes boundary hits common
+
+    def rand_s():
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 4))
+        )
+
+    for _trial in range(400):
+        files = []
+        for fi in range(4):
+            rows = [
+                (None if rng.random() < 0.1 else rand_s())
+                for _ in range(rng.randint(1, 6))
+            ]
+            files.append((f"f{fi}", rows))
+        stats = {}
+        for name, rows in files:
+            vals = [v for v in rows if v is not None]
+            stats[name] = {
+                "__rows": len(rows),
+                "s": [min(vals) if vals else None,
+                      max(vals) if vals else None,
+                      sum(1 for v in rows if v is None)],
+            }
+        prefix = rand_s() or "a"
+        neg = rng.random() < 0.5
+        sql = (
+            f"s NOT LIKE '{prefix}%'" if neg else f"s LIKE '{prefix}%'"
+        )
+        conjuncts = analyze_predicate(sql)
+        kept, pruned = prune_files(
+            [n for n, _ in files], stats, lambda f: f, conjuncts
+        )
+        by_name = dict(files)
+        for name in pruned:
+            matches = [
+                v for v in by_name[name]
+                if v is not None and (
+                    (not v.startswith(prefix)) if neg
+                    else v.startswith(prefix)
+                )
+            ]
+            assert not matches, (
+                f"UNSOUND prune: {sql!r} pruned {name} holding {matches} "
+                f"(stats {stats[name]})"
+            )
