@@ -73,6 +73,16 @@ class Conjunct:
       conjunct tuples; a file is provably out only when EVERY branch
       proves it out (the union-of-rowsets rule).
     - ``opaque``: recognized nothing — no pruning power.
+
+    ``lossy`` marks a conjunct that OVER-approximates its source
+    predicate (its rowset is a superset of the predicate's TRUE rows):
+    an ``or`` whose branches dropped opaque conjuncts, or a one-sided
+    LIKE-prefix band. Prove-out pruning on a superset is still sound
+    (no row in the superset ⇒ no row in the predicate), but NEGATION
+    of an over-approximation is an UNDER-approximation — pruning on it
+    would be wrong — so ``_negate_one`` refuses lossy conjuncts and
+    the negation degrades to opaque (r11-ADVICE high: ``NOT (a = 1 AND
+    f(b) OR c = 2)`` must not prune on ``a <> 1 AND c <> 2``).
     """
 
     kind: str
@@ -84,6 +94,7 @@ class Conjunct:
     values: frozenset | None = None
     want_null: bool = False
     branches: tuple = ()
+    lossy: bool = False
     src: str = field(default="", compare=False)
 
 
@@ -269,6 +280,7 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
     # a branch with ZERO provable conjuncts poisons the whole OR.
     if _has_top_level_or(tokens):
         branches = []
+        lossy = False
         for part in _split_disjuncts(tokens):
             sub: list[Conjunct] = []
             for run in _split_conjuncts(part):
@@ -276,8 +288,13 @@ def _match_conjunct(tokens: list, src: str) -> list[Conjunct]:
             provable = tuple(c for c in sub if c.kind != "opaque")
             if not provable:
                 return [OPAQUE]  # one unprovable branch poisons the OR
+            # dropping opaque conjuncts widens the branch's rowset:
+            # the OR becomes an over-approximation, unsafe to negate
+            if len(provable) != len(sub) or any(c.lossy for c in provable):
+                lossy = True
             branches.append(provable)
-        return [Conjunct("or", branches=tuple(branches), src=src)]
+        return [Conjunct("or", branches=tuple(branches), lossy=lossy,
+                         src=src)]
     # a LEADING NOT negates whatever the rest of the run proves:
     # intervals complement (3VL-safe — ``NOT (x >= 5)`` is TRUE iff
     # ``x < 5``, NULL rows match neither side), IS [NOT] NULL flips,
@@ -429,7 +446,13 @@ def _negate_one(c: Conjunct, src: str) -> list[Conjunct] | None:
     3VL note: for a comparison/band, ``NOT pred`` is TRUE exactly on
     the complement interval of non-NULL values (NULL compares to
     neither side), and band conjuncts already never match NULL — so
-    interval complement with flipped strictness is exact."""
+    interval complement with flipped strictness is exact.
+
+    A ``lossy`` conjunct OVER-approximates its predicate; its negation
+    would UNDER-approximate — pruning on that is unsound (r11-ADVICE
+    high) — so negation refuses and the caller degrades to opaque."""
+    if c.lossy:
+        return None
     if c.kind == "null":
         return [
             Conjunct("null", column=c.column, want_null=not c.want_null,
@@ -490,7 +513,10 @@ def _like_prefix_band(col: str, pattern: str, src: str) -> Conjunct | None:
         return None
     last = ord(prefix[-1])
     if last >= 0x10FFFF:
-        return Conjunct("band", column=col, lo=prefix, src=src)
+        # the prefix can't increment: [prefix, +inf) is a one-sided
+        # OVER-approximation (strings >= prefix need not start with
+        # it). Sound for positive prove-out; lossy ⇒ never negated.
+        return Conjunct("band", column=col, lo=prefix, lossy=True, src=src)
     hi = prefix[:-1] + chr(last + 1)
     return Conjunct(
         "band", column=col, lo=prefix, hi=hi, hi_strict=True, src=src

@@ -527,9 +527,15 @@ def test_prune_soundness_randomized_boolean_trees():
         col = rng.choice(cols)
         op = rng.choice(
             ["=", "<>", "in", "between",
-             ">", "<", ">=", "<=", "isnull", "notnull"]
+             ">", "<", ">=", "<=", "isnull", "notnull", "opaq"]
         )
-        if op == "in":
+        if op == "opaq":
+            # 'col + col = k': exact semantics (2*col = k, NULL->NULL)
+            # but unparseable by the analyzer -> opaque conjunct. An
+            # OR branch that drops it is LOSSY; NOT over that OR must
+            # degrade (r11-ADVICE high revert detector).
+            payload = rng.randint(-20, 20)
+        elif op == "in":
             payload = tuple(rng.randint(-20, 20) for _ in range(rng.randint(1, 3)))
         elif op == "between":
             lo = rng.randint(-20, 20)
@@ -559,6 +565,8 @@ def test_prune_soundness_randomized_boolean_trees():
             return v is not None
         if v is None:
             return None  # SQL NULL comparison
+        if op == "opaq":
+            return v + v == payload
         if op == "=":
             return v == payload
         if op == "<>":
@@ -593,6 +601,8 @@ def test_prune_soundness_randomized_boolean_trees():
 
     def leaf_sql(part):
         col, op, payload = part
+        if op == "opaq":
+            return f"{col} + {col} = {payload}"
         if op == "isnull":
             return f"{col} IS NULL"
         if op == "notnull":
@@ -652,6 +662,157 @@ def test_prune_soundness_randomized_boolean_trees():
                 f"UNSOUND prune: {sql!r} pruned {name} holding {matches} "
                 f"(stats {stats[name]})"
             )
+
+
+def test_lossy_negation_soundness_randomized():
+    """Focused generator for the r11-ADVICE-high shape: ``NOT (<AND
+    mixing provable + opaque leaves> OR <branch> ...)``. The general
+    tree generator hits this composition too rarely to be a reliable
+    revert detector, so this one emits it every trial. Ground truth is
+    the same 3VL evaluation; invariant: a file holding a row where the
+    predicate IS TRUE is never pruned."""
+    import random
+
+    from collective_als_spark.sources.predicate import prune_files
+
+    rng = random.Random(1202)
+    cols = ["a", "b", "c"]
+
+    def leaf():
+        col = rng.choice(cols)
+        if rng.random() < 0.35:  # opaque leaf: col + col = k
+            k = rng.randint(-20, 20)
+            return (f"{col} + {col} = {k}",
+                    lambda r, c=col, k=k: None if r[c] is None
+                    else r[c] + r[c] == k)
+        k = rng.randint(-10, 10)
+        op = rng.choice(["=", ">", "<", ">=", "<="])
+        import operator as _op
+        fn = {"=": _op.eq, ">": _op.gt, "<": _op.lt,
+              ">=": _op.ge, "<=": _op.le}[op]
+        return (f"{col} {op} {k}",
+                lambda r, c=col, k=k, fn=fn: None if r[c] is None
+                else fn(r[c], k))
+
+    def branch():
+        leaves = [leaf() for _ in range(rng.randint(1, 3))]
+        sql = " AND ".join(s for s, _ in leaves)
+        def ev(row, leaves=leaves):
+            vals = [f(row) for _, f in leaves]
+            if any(v is False for v in vals):
+                return False
+            return None if any(v is None for v in vals) else True
+        return sql, ev
+
+    for _trial in range(300):
+        branches = [branch() for _ in range(rng.randint(2, 3))]
+        inner_sql = " OR ".join(s for s, _ in branches)
+        sql = f"NOT ({inner_sql})"
+
+        def ev_pred(row):
+            vals = [f(row) for _, f in branches]
+            if any(v is True for v in vals):
+                return False  # NOT TRUE
+            return None if any(v is None for v in vals) else True
+
+        files = []
+        for fi in range(4):
+            rows = [
+                {c: (None if rng.random() < 0.1 else rng.randint(-10, 10))
+                 for c in cols}
+                for _ in range(rng.randint(1, 6))
+            ]
+            files.append((f"f{fi}", rows))
+        stats = {}
+        for name, rows in files:
+            ent = {"__rows": len(rows)}
+            for c in cols:
+                vals = [r[c] for r in rows if r[c] is not None]
+                nulls = sum(1 for r in rows if r[c] is None)
+                ent[c] = [min(vals) if vals else None,
+                          max(vals) if vals else None, nulls]
+            stats[name] = ent
+        conjuncts = analyze_predicate(sql)
+        _, pruned = prune_files(
+            [n for n, _ in files], stats, lambda f: f, conjuncts
+        )
+        by_name = dict(files)
+        for name in pruned:
+            matches = [r for r in by_name[name] if ev_pred(r) is True]
+            assert not matches, (
+                f"UNSOUND prune: {sql!r} pruned {name} holding "
+                f"{matches} (stats {stats[name]})"
+            )
+
+
+def test_lossy_or_negation_degrades_to_opaque():
+    """r11-ADVICE high: an OR whose branch dropped an opaque conjunct
+    over-approximates its predicate; negating it as if exact prunes
+    files whose rows DO satisfy the NOT — e.g. NOT (a = 1 AND f(b) OR
+    c = 2) must not prune on a<>1 AND c<>2 (rows with a=1, f(b) FALSE,
+    c<>2 satisfy the predicate). Lossy ORs must refuse negation."""
+    from collective_als_spark.sources.predicate import prune_files
+
+    # the exact ADVICE repro shape: a+a=99 stands in for opaque f(b)
+    conj = analyze_predicate("NOT (a = 1 AND a + a = 99 OR c = 2)")
+    assert [c.kind for c in conj] == ["opaque"]
+    stats = {"f": {"__rows": 1, "a": [1, 1, 0], "c": [5, 5, 0]}}
+    kept, pruned = prune_files(["f"], stats, lambda f: f, conj)
+    assert pruned == [] and kept == ["f"]
+    # the positive (un-negated) lossy OR still prunes soundly
+    pos = analyze_predicate("a = 1 AND a + a = 99 OR c = 2")
+    (d,) = pos
+    assert d.kind == "or" and d.lossy
+    _, p2 = prune_files(
+        ["g"], {"g": {"__rows": 1, "a": [9, 9, 0], "c": [7, 7, 0]}},
+        lambda f: f, pos,
+    )
+    assert p2 == ["g"]
+    # an exact OR (no dropped conjuncts) still negates
+    exact = analyze_predicate("NOT (a = 1 OR c = 2)")
+    assert all(c.kind == "or" for c in exact) and len(exact) == 2
+    # lossiness propagates through nesting: a lossy OR inside a
+    # branch of an outer OR makes the outer OR lossy too
+    (outer,) = analyze_predicate(
+        "(a = 1 AND (b = 2 AND b + b = 99 OR c = 3)) OR d = 4"
+    )
+    assert outer.kind == "or" and outer.lossy
+    neg = analyze_predicate(
+        "NOT ((a = 1 AND (b = 2 AND b + b = 99 OR c = 3)) OR d = 4)"
+    )
+    assert [c.kind for c in neg] == ["opaque"]
+
+
+def test_like_prefix_max_codepoint_band_is_lossy():
+    """r11-ADVICE low: 'LIKE p%' with the prefix ending at U+10FFFF
+    can't increment — the one-sided band [p, +inf) over-approximates
+    (strings >= p need not start with p). Positive prove-out stays;
+    negation (SQL NOT LIKE or pushed Not(StringStartsWith)) must
+    degrade instead of pruning rows that satisfy the predicate."""
+    from pyspark.sql.datasource import Not, StringStartsWith
+
+    from collective_als_spark.sources.predicate import (
+        conjuncts_from_push_filters,
+        prune_files,
+    )
+
+    pat = "a\U0010FFFF%"
+    (band,) = analyze_predicate(f"s LIKE '{pat}'")
+    assert band.kind == "band" and band.lossy and band.hi is None
+    # positive: a file whose max < prefix is provably out
+    _, pruned = prune_files(
+        ["h"], {"h": {"__rows": 1, "s": ["A", "Z", 0]}},
+        lambda f: f, [band],
+    )
+    assert pruned == ["h"]
+    # negation degrades: file holding only 'b' (satisfies NOT LIKE)
+    (negc,) = analyze_predicate(f"s NOT LIKE '{pat}'")
+    assert negc.kind == "opaque"
+    # same through the DSv2 push-filter path
+    pushed = conjuncts_from_push_filters(
+        [Not(StringStartsWith(("s",), pat[:-1]))]
+    )
+    assert pushed == []  # skipped entirely: Spark re-applies the filter
 
 
 def test_analyze_not_negation_shapes():
