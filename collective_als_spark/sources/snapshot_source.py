@@ -314,28 +314,47 @@ def _write_json_exclusive(path: str, obj) -> None:
     (``O_CREAT|O_EXCL`` — ``file:`` URIs resolve to a local fs-native
     path). Object-store schemes get the LogStore discipline Delta's
     ``S3SingleDriverLogStore`` defined: a process-wide mutex around
-    exists-check -> temp write -> move, which serializes every writer
-    in THIS driver process (racing SnapshotTable commits from the same
-    session included, since both go through the store's object PUT
-    visibility). The put itself is all-or-nothing (no torn manifest);
-    what the emulation cannot give is exclusivity against a SECOND
-    driver process writing the same table — the same published
-    limitation Delta documented, and why multi-driver deployments
-    front the log with a coordination service."""
+    exists-check -> temp write -> move. The put itself is
+    all-or-nothing (no torn manifest).
+
+    SCOPE OF THE EMULATION (r11-ADVICE, corrected): the mutex
+    serializes ONLY writers inside this Python process that go through
+    THIS function — i.e. concurrent ``snapshot``-DataSource writes.
+    It does NOT serialize against ``SnapshotTable`` commits on the
+    same object-store root: those run through ``HadoopLogStore``
+    (``FileContext.rename`` in the JVM) and never see this lock — a
+    lock can't span the DSv2 Python worker and the JVM anyway — and
+    pyarrow ``fs.move`` OVERWRITES an existing destination on S3-like
+    stores. Mixing the batch writer and SnapshotTable on one
+    object-store table therefore needs a coordination service, same as
+    Delta's multi-driver caveat; ON TOP of the documented limitation,
+    the read-back below downgrades a silently LOST commit to a
+    DETECTED ``CommitConflict`` whenever the clobber lands before the
+    verification read (manifest content is writer-unique, so a byte
+    mismatch proves the race). Local paths need none of this —
+    ``link(2)``/``O_EXCL`` is shared and kernel-atomic across all
+    writers."""
     import json
     import os
     import uuid as _uuid
 
     fs_, p = _fs_split(path)
     if fs_ is not None and "://" in path and not path.startswith("file:"):
+        data = json.dumps(obj).encode("utf-8")
         with _EXCLUSIVE_LOCK:
             if _exists(path):
                 raise FileExistsError(path)
             tmp = f"{p}.tmp.{_uuid.uuid4().hex}"
             fs_.create_dir(p.rsplit("/", 1)[0], recursive=True)
             with fs_.open_output_stream(tmp) as f:
-                f.write(json.dumps(obj).encode("utf-8"))
+                f.write(data)
             fs_.move(tmp, p)
+            with fs_.open_input_stream(p) as f:
+                if f.read() != data:
+                    # a racing writer (SnapshotTable's JVM rename, or
+                    # another driver) clobbered the version between
+                    # our move and this read: surface the CAS loss
+                    raise FileExistsError(path)
         return
     fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as f:

@@ -121,24 +121,41 @@ def _current_version(root: str) -> int:
 
 
 def _checkpoint_version(root: str) -> int | None:
+    """Max over immutable ``_checkpoints/v{N}`` marker files, with the
+    frozen legacy ``_last_checkpoint.json`` as a read-only floor
+    (mirror of ``SnapshotTable._checkpoint_version`` — see layout.py
+    for the structural-monotonicity argument that replaces the racy
+    read-check-overwrite of a single marker file)."""
+    best = 0
+    for name in _list_dir(f"{_snap_dir(root)}/_checkpoints"):
+        if name.startswith("v"):
+            try:
+                best = max(best, int(name[1:]))
+            except ValueError:
+                continue
     try:
-        v = int(
-            _read_json(f"{_snap_dir(root)}/_last_checkpoint.json")["version"]
+        best = max(
+            best,
+            int(_read_json(f"{_snap_dir(root)}/_last_checkpoint.json")["version"]),
         )
     except Exception:
-        return None
-    return v if v >= 1 else None
+        pass
+    return best if best >= 1 else None
 
 
 def _write_checkpoint(root: str, version: int) -> None:
-    """Best-effort monotonic advance of ``_last_checkpoint.json``
-    (mirror of ``SnapshotTable._write_checkpoint``)."""
+    """Best-effort marker advance: ADD an immutable versioned file —
+    never overwrite — so a stalled writer's late PUT of an old version
+    cannot regress the max (mirror of
+    ``SnapshotTable._write_checkpoint``). Identical content per name
+    makes racing same-version writers harmless on overwrite stores."""
     try:
         cur = _checkpoint_version(root)
         if cur is not None and cur >= version:
             return
         _write_json_atomic(
-            f"{_snap_dir(root)}/_last_checkpoint.json", {"version": version}
+            f"{_snap_dir(root)}/_checkpoints/v{version}",
+            {"version": version},
         )
     except Exception:
         pass

@@ -453,6 +453,66 @@ def test_merge_upserts_with_file_pruning(spark, tmp_path):
     assert t.merge(source.limit(0), "k") == v
 
 
+def test_merge_when_passengers_and_pruning(spark, tmp_path):
+    """merge_when (conditional MERGE): a multi-row target key where
+    only ONE pair's clause fires must keep the other row (passenger
+    re-staged, not lost), and files outside the source key band stay
+    untouched."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    # duplicate target key 1001 (two rows, different v)
+    t.append(
+        spark.createDataFrame(
+            [(1001, 5), (1001, 50), (1002, 7)], "k long, v long"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.range(2000, 2010)
+        .select(F.col("id").alias("k"), F.lit(0).alias("v"))
+        .coalesce(1)
+    )
+    before = set(t._manifest(t.current_version())["files"])
+    src = spark.createDataFrame([(1001, 10), (1500, 1)], "k long, v long")
+    t.merge_when(
+        src,
+        "k",
+        matched=[("t.v < s.v", "update", {"v": "t.v + 100"})],
+        not_matched=[None],
+    )
+    rows = sorted((r["k"], r["v"]) for r in t.read().collect())
+    # (1001,5): 5<10 fired -> 105; (1001,50): 50>=10 no clause, but its
+    # key fired -> passenger carried unchanged; (1002,7) untouched
+    assert (1001, 105) in rows and (1001, 50) in rows
+    assert (1002, 7) in rows and (1500, 1) in rows
+    assert len(rows) == 14
+    # the 2000-band file is out of the source rectangle: untouched
+    after = set(t._manifest(t.current_version())["files"])
+    assert len(before & after) >= 1
+    # no fired clause and no insert clause -> nothing changes
+    v0 = t.current_version()
+    t.merge_when(
+        spark.createDataFrame([(9999, 1)], "k long, v long"),
+        "k",
+        matched=[("s.v > 100", "delete", None)],
+    )
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read().collect()
+    ) == rows
+    # empty source: version unchanged no-op
+    assert (
+        t.merge_when(src.limit(0), "k", matched=[(None, "update_all", None)])
+        == t.current_version()
+    )
+    # bad shapes refused before any work
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        t.merge_when(src, "k")
+    with pytest.raises(ValueError, match="no assignments"):
+        t.merge_when(src, "k", matched=[(None, "update", {})])
+    with pytest.raises(ValueError, match="SET target"):
+        t.merge_when(
+            src, "k", matched=[(None, "update", {"nope": "1"})]
+        )
+
+
 def test_merge_composite_key(spark, tmp_path):
     """MERGE on a multi-column key: matched (k1, k2) tuples replaced,
     unmatched inserted, per-column rectangle pruning keeps files
@@ -2132,6 +2192,8 @@ def test_checkpoint_marker_bounds_head_resolution(spark, tmp_path):
     is ignored (fallback), never trusted."""
     import json as _json
 
+    import shutil
+
     t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
     t.append(
         spark.range(10).select(F.col("id").alias("v"), F.col("id").alias("w"))
@@ -2145,18 +2207,30 @@ def test_checkpoint_marker_bounds_head_resolution(spark, tmp_path):
     t.log.list_dir = lambda p: (calls.append(p), real_list_dir(p))[1]
     try:
         assert t._listed_version() == head
-        assert calls == []  # probe path: zero directory listings
+        # probe path: never LISTs the O(retained-versions) _snapshots
+        # dir itself (the O(few)-name _checkpoints dir is the marker)
+        assert all(p.endswith("_checkpoints") for p in calls)
         # no marker -> full listing, same head
-        os.remove(t._checkpoint_path())
+        shutil.rmtree(t._checkpoint_dir())
+        calls.clear()
         assert t._listed_version() == head
         assert any(p.endswith("_snapshots") for p in calls)
         # stale marker naming an expired/absent version -> fallback
         calls.clear()
-        with open(t._checkpoint_path(), "w") as f:
+        os.makedirs(t._checkpoint_dir(), exist_ok=True)
+        with open(f"{t._checkpoint_dir()}/v1", "w") as f:
             _json.dump({"version": 1}, f)
         os.remove(f"{t.root}/_snapshots/v1.json")
         assert t._listed_version() == head
         assert any(p.endswith("_snapshots") for p in calls)
+        # a pre-r12 legacy single-file marker is still read as a floor
+        shutil.rmtree(t._checkpoint_dir())
+        with open(t._legacy_checkpoint_path(), "w") as f:
+            _json.dump({"version": 175}, f)
+        assert t._checkpoint_version() == 175
+        calls.clear()
+        assert t._listed_version() == head
+        assert not any(p.endswith("_snapshots") for p in calls)
     finally:
         t.log.list_dir = real_list_dir
     # commits still work against the fallback-resolved head
@@ -2178,12 +2252,14 @@ def test_expire_advances_checkpoint_before_deleting(spark, tmp_path):
     t.expire(keep_last=2)
     head = t.current_version()
     assert t._checkpoint_version() == head == 61
+    # expire pruned marker files strictly below its own (max intact)
+    assert os.listdir(t._checkpoint_dir()) == ["v61"]
     calls = []
     real_list_dir = t.log.list_dir
     t.log.list_dir = lambda p: (calls.append(p), real_list_dir(p))[1]
     try:
         assert t._listed_version() == head
-        assert calls == []
+        assert all(p.endswith("_checkpoints") for p in calls)
     finally:
         t.log.list_dir = real_list_dir
     # and the pure-python writer-side resolver agrees (no listing API
@@ -2191,6 +2267,84 @@ def test_expire_advances_checkpoint_before_deleting(spark, tmp_path):
     from collective_als_spark.streaming.cdf_source import _listed_version
 
     assert _listed_version(t.root) == head
+
+
+def test_expire_aborts_before_deleting_when_marker_write_fails(
+    spark, tmp_path
+):
+    """r11-verdict #1: the expire-path marker advance is MANDATORY —
+     'marker MUST advance BEFORE any manifest deletion' is what makes
+    _listed_version's probe re-read fork-safe. Inject a failing marker
+    write (object-store transient) and prove expire deletes NOTHING
+    and surfaces the failure, instead of swallowing it and deleting
+    behind a stale marker."""
+    import pytest as _pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(
+        spark.range(10).select(F.col("id").alias("v"), F.col("id").alias("w"))
+    )
+    _rename_churn(t, 60)  # head 61, marker 50
+    before = sorted(t.log.list_dir(f"{t.root}/_snapshots"))
+    real_write = t.log.write_text
+
+    def failing_write(path, content):
+        if "/_checkpoints/" in path:
+            raise OSError("injected: marker PUT failed")
+        return real_write(path, content)
+
+    t.log.write_text = failing_write
+    try:
+        with _pytest.raises(OSError, match="injected"):
+            t.expire(keep_last=2)
+    finally:
+        t.log.write_text = real_write
+    after = sorted(t.log.list_dir(f"{t.root}/_snapshots"))
+    assert after == before  # nothing deleted, nothing half-done
+    # the table is fully usable and a clean expire succeeds after
+    assert t._listed_version() == 61
+    t.expire(keep_last=2)
+    assert t._checkpoint_version() == 61
+
+
+def test_checkpoint_marker_cannot_regress_from_stalled_writer(
+    spark, tmp_path
+):
+    """r11-ADVICE medium: under the old single-file marker, a stalled
+    writer's read-check-OVERWRITE landing after an expire advanced the
+    marker regressed it. Versioned marker files make monotonicity
+    structural: replay the exact stall interleaving and prove the
+    marker max never regresses."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(
+        spark.range(10).select(F.col("id").alias("v"), F.col("id").alias("w"))
+    )
+    _rename_churn(t, 60)  # head 61, marker 50
+    # stalled writer: read cur (50), pause — meanwhile expire advances
+    stalled_version = t._checkpoint_version()
+    assert stalled_version == 50
+    t.expire(keep_last=2)
+    assert t._checkpoint_version() == 61
+    # ...the stalled PUT now lands raw (its guard read is long stale;
+    # bypass _write_checkpoint's freshness check entirely, as a
+    # paused-then-resumed writer effectively does)
+    t.log.write_text(
+        f"{t._checkpoint_dir()}/v{stalled_version}",
+        _json.dumps({"version": stalled_version}),
+    )
+    assert t._checkpoint_version() == 61  # max intact, no regression
+    # and the probe still resolves the true head without _snapshots
+    # listings
+    calls = []
+    real_list_dir = t.log.list_dir
+    t.log.list_dir = lambda p: (calls.append(p), real_list_dir(p))[1]
+    try:
+        assert t._listed_version() == 61
+        assert all(p.endswith("_checkpoints") for p in calls)
+    finally:
+        t.log.list_dir = real_list_dir
 
 
 def test_checkpoint_probe_safe_under_racing_expire_and_commits(
