@@ -18,10 +18,13 @@ Supported statements (case-insensitive keywords):
 - ``DELETE FROM <tbl> [WHERE <pred>]`` — no WHERE deletes every row.
 - ``UPDATE <tbl> SET col = expr[, ...] [WHERE <pred>]``
 - ``MERGE INTO <tbl> [AS] [t] USING <source> [AS] [s] ON <equi-cond>
-  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` —
-  the classic upsert (engine ``merge``); also
-  ``WHEN MATCHED THEN DELETE`` alone (keyed delete via
-  ``apply_changes`` all-delete ops).
+  WHEN ...`` — the classic upsert (``UPDATE SET * / INSERT *``,
+  engine ``merge``), ``WHEN MATCHED THEN DELETE`` alone (keyed delete
+  via ``apply_changes``), insert-only (pruned ``merge_insert_only``),
+  and the FULL conditional clause matrix (``WHEN MATCHED [AND <cond>]
+  THEN UPDATE SET col = expr, ... | UPDATE SET * | DELETE``, ``WHEN
+  NOT MATCHED [AND <cond>] THEN INSERT *``, first-match-wins) via
+  engine ``merge_when``.
 - ``INSERT INTO <tbl> <query>`` — ``append(spark.sql(query))``;
   ``INSERT OVERWRITE <tbl> <query>`` — ``overwrite(...)``;
   ``CREATE TABLE <tbl> AS <query>`` — first commit on a fresh root.
@@ -188,16 +191,70 @@ def _parse_table_ref(
     return root, alias, rest
 
 
+def _rewrite_alias_prefix(expr: str, mapping: dict[str, str]) -> str:
+    """Rewrite ``alias.`` qualifiers per ``mapping`` (upper-cased alias
+    -> replacement alias, ``""`` = drop the qualifier entirely).
+
+    QUOTE-AWARE (r11-ADVICE): the replacement walks the text and skips
+    ``'...'`` / ``"..."`` / backtick regions entirely — a regex sub
+    would also rewrite matching text INSIDE string literals (``SET
+    note = 't. x'`` must keep its literal)."""
+    if not mapping:
+        return expr
+    out = []
+    i = 0
+    n = len(expr)
+    while i < n:
+        c = expr[i]
+        if c in ("'", '"'):
+            q = c
+            j = i + 1
+            while j < n:
+                if expr[j] == q:
+                    if j + 1 < n and expr[j + 1] == q:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(expr[i : j + 1])
+            i = j + 1
+            continue
+        if c == "`":
+            j = expr.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(expr[i : j + 1])
+            i = j + 1
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (expr[j].isalnum() or expr[j] == "_"):
+                j += 1
+            word = expr[i:j]
+            # 'alias . ' -> replacement (or dropped with its dot)
+            k = j
+            while k < n and expr[k].isspace():
+                k += 1
+            if word.upper() in mapping and k < n and expr[k] == ".":
+                k += 1
+                while k < n and expr[k].isspace():
+                    k += 1
+                repl = mapping[word.upper()]
+                if repl:
+                    out.append(repl + ".")
+                i = k
+                continue
+            out.append(word)
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _strip_alias_prefix(expr: str, aliases: list[str | None]) -> str:
     """Remove ``alias.`` qualifiers for the statement's own aliases so
     clause text delegates cleanly to single-relation verbs."""
-    out = expr
-    for a in aliases:
-        if a:
-            out = re.sub(
-                rf"\b{re.escape(a)}\s*\.\s*", "", out, flags=re.IGNORECASE
-            )
-    return out
+    return _rewrite_alias_prefix(expr, {a.upper(): "" for a in aliases if a})
 
 
 def snapshot_sql(spark, statement: str, **table_kwargs):
@@ -415,24 +472,139 @@ def _merge(spark, rest: str, kw) -> int:
     if norm in (
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
         "WHEN NOT MATCHED THEN INSERT * WHEN MATCHED THEN UPDATE SET *",
-        "WHEN NOT MATCHED THEN INSERT *",
     ):
-        if norm == "WHEN NOT MATCHED THEN INSERT *" and t.current_version():
-            # insert-only: drop source rows whose key already exists
-            target_keys = t.read().select(*keys).distinct()
-            source = source.join(target_keys, keys, "left_anti")
         return t.merge(source, keys)
+    if norm == "WHEN NOT MATCHED THEN INSERT *":
+        # insert-only: matched-key detection over only the planner's
+        # stats/bloom/bucket-pruned candidate files (r11-verdict #2)
+        return t.merge_insert_only(source, keys)
     if norm == "WHEN MATCHED THEN DELETE":
         changes = source.select(*keys).distinct().withColumn(
             "_op", F.lit("D")
         )
         return t.apply_changes(changes, keys if len(keys) > 1 else keys[0])
-    raise NotImplementedError(
-        f"snapshot_sql: unsupported MERGE action clause {actions.strip()!r} "
-        f"— supported: UPDATE SET * / INSERT * upsert, INSERT *-only, "
-        f"and WHEN MATCHED THEN DELETE; conditional/column-level clauses "
-        f"need apply_changes or the DataFrame API"
+    # general conditional / column-level clause list -> merge_when
+    matched_c, not_matched_c = _parse_when_clauses(
+        actions, t_alias, s_alias
     )
+    return t.merge_when(
+        source, keys, matched=matched_c, not_matched=not_matched_c
+    )
+
+
+def _parse_when_clauses(
+    actions: str, t_alias: str | None, s_alias: str | None
+) -> tuple[list[tuple], list[str | None]]:
+    """The full Delta clause matrix -> ``merge_when`` arguments:
+
+    ``WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ... | SET *
+    | DELETE`` and ``WHEN NOT MATCHED [AND <cond>] THEN INSERT *``.
+    Conditions/exprs are requalified from the statement's own aliases
+    to the engine's canonical ``t`` (target) / ``s`` (source); clause
+    ORDER is preserved (first matching clause wins, Delta semantics).
+    Column-level INSERT (col lists + VALUES) is refused with
+    guidance."""
+    amap = {}
+    if t_alias:
+        amap[t_alias.upper()] = "t"
+    if s_alias:
+        amap[s_alias.upper()] = "s"
+
+    def requal(text: str) -> str:
+        return _rewrite_alias_prefix(text, amap)
+
+    # clause boundaries: WHEN directly followed by [NOT] MATCHED (a
+    # CASE WHEN inside a condition or SET expr is not followed by
+    # MATCHED, so it cannot split a clause)
+    marks = []
+    for _w, s, e in _scan_clauses(actions, {"WHEN"}):
+        m = re.match(r"\s*(NOT\s+)?MATCHED\b", actions[e:], re.IGNORECASE)
+        if m:
+            marks.append((s, e + m.end(), bool(m.group(1))))
+    if not marks or actions[: marks[0][0]].strip():
+        raise ValueError(
+            f"snapshot_sql: malformed MERGE WHEN clauses "
+            f"{actions.strip()[:80]!r}"
+        )
+    matched: list[tuple] = []
+    not_matched: list[str | None] = []
+    for idx, (start, body_s, is_not) in enumerate(marks):
+        end = marks[idx + 1][0] if idx + 1 < len(marks) else len(actions)
+        body = actions[body_s:end]
+        # the structural THEN: first top-level THEN followed by an
+        # action keyword (CASE ... THEN inside a condition never is)
+        t_pos = None
+        for _w, ts, te in _scan_clauses(body, {"THEN"}):
+            if re.match(
+                r"\s*(UPDATE|DELETE|INSERT)\b", body[te:], re.IGNORECASE
+            ):
+                t_pos = (ts, te)
+                break
+        if t_pos is None:
+            raise ValueError(
+                f"snapshot_sql: MERGE clause missing THEN <action>: "
+                f"{body.strip()[:80]!r}"
+            )
+        cond_text = body[: t_pos[0]].strip()
+        cond = None
+        if cond_text:
+            am = re.match(r"AND\b", cond_text, re.IGNORECASE)
+            if not am:
+                raise ValueError(
+                    f"snapshot_sql: expected AND <condition> before THEN, "
+                    f"got {cond_text[:60]!r}"
+                )
+            cond = requal(cond_text[am.end() :].strip())
+        action_text = body[t_pos[1] :].strip()
+        au = re.sub(r"\s+", " ", action_text).upper()
+        if is_not:
+            if au != "INSERT *":
+                raise NotImplementedError(
+                    f"snapshot_sql: WHEN NOT MATCHED supports INSERT * "
+                    f"(schema by name); column-level INSERT lists need "
+                    f"the DataFrame API — got {action_text[:60]!r}"
+                )
+            not_matched.append(cond)
+            continue
+        if au == "DELETE":
+            matched.append((cond, "delete", None))
+        elif au == "UPDATE SET *":
+            matched.append((cond, "update_all", None))
+        elif au.startswith("UPDATE"):
+            m = re.match(r"UPDATE\s+SET\s+", action_text, re.IGNORECASE)
+            if not m:
+                raise ValueError(
+                    f"snapshot_sql: malformed UPDATE action "
+                    f"{action_text[:60]!r}"
+                )
+            assigns = {}
+            for part in _split_top_commas(action_text[m.end() :]):
+                if not part.strip():
+                    continue
+                eq = _scan_eq(part)
+                if eq < 0:
+                    raise ValueError(
+                        f"snapshot_sql: malformed SET assignment "
+                        f"{part.strip()!r}"
+                    )
+                col = _strip_alias_prefix(
+                    part[:eq].strip(), [t_alias]
+                ).strip("`")
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+                    raise ValueError(
+                        f"snapshot_sql: bad SET target {col!r}"
+                    )
+                assigns[col] = requal(part[eq + 1 :].strip())
+            if not assigns:
+                raise ValueError("snapshot_sql: empty SET clause")
+            matched.append((cond, "update", assigns))
+        else:
+            raise NotImplementedError(
+                f"snapshot_sql: unsupported MERGE action "
+                f"{action_text[:60]!r} — matched clauses support UPDATE "
+                f"SET col = expr / UPDATE SET * / DELETE"
+            )
+    return matched, not_matched
 
 
 def _equi_keys(cond: str, t_alias: str | None, s_alias: str | None) -> list[str]:
@@ -580,9 +752,12 @@ def _select(spark, statement: str):
     rewritten text runs through ``spark.sql``. Joins, CTEs and
     subqueries work because only the quoted path tokens are touched —
     string literals inside the query survive: a path is rewritten
-    ONLY when it directly follows a top-level-or-nested FROM/JOIN
-    keyword. Delta parity: ``SELECT .. FROM delta.`/p` VERSION AS OF
-    3``."""
+    ONLY when it directly follows a FROM/JOIN keyword in RELATION
+    context — paren regions are classified as subqueries (first word
+    SELECT/WITH; FROM inside them is a real clause) or expressions
+    (function arguments; ``EXTRACT(YEAR FROM '2021-01-01')`` /
+    ``TRIM(BOTH 'x' FROM y)`` must keep their literals — r11-ADVICE).
+    Delta parity: ``SELECT .. FROM delta.`/p` VERSION AS OF 3``."""
     from .snapshot_source import register_snapshot_source
 
     register_snapshot_source(spark)
@@ -591,8 +766,30 @@ def _select(spark, statement: str):
     i = 0
     n = len(statement)
     prev_word = ""
+    # one entry per open paren: True = subquery region (relation
+    # context preserved), False = expression region (no rewrites)
+    ctx: list[bool] = []
     while i < n:
         c = statement[i]
+        if c == "(":
+            j = i + 1
+            while j < n and statement[j].isspace():
+                j += 1
+            k = j
+            while k < n and (statement[k].isalnum() or statement[k] == "_"):
+                k += 1
+            ctx.append(statement[j:k].upper() in ("SELECT", "WITH"))
+            out.append(c)
+            prev_word = ""
+            i += 1
+            continue
+        if c == ")":
+            if ctx:
+                ctx.pop()
+            out.append(c)
+            prev_word = ""
+            i += 1
+            continue
         if c == "'" or c == '"' or c == "`":
             q = c
             j = i + 1
@@ -603,7 +800,7 @@ def _select(spark, statement: str):
                         continue
                     break
                 j += 1
-            if prev_word in ("FROM", "JOIN"):
+            if prev_word in ("FROM", "JOIN") and all(ctx):
                 root = statement[i + 1 : j].replace(q + q, q)
                 rest = statement[j + 1 :]
                 tt = _TT_RE.match(rest)

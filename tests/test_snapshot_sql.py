@@ -115,6 +115,75 @@ def test_sql_merge_subquery_source_and_insert_only(spark, tmp_path):
     assert _rows(b) != _rows(a)  # sanity: b untouched
 
 
+def test_sql_merge_insert_only_probes_only_candidate_files(
+    spark, tmp_path
+):
+    """r11-verdict #2: insert-only MERGE must not pay a full-table key
+    sweep — matched-key detection reads ONLY the merge planner's
+    stats-pruned candidate files, and no existing file is rewritten."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 10)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+    files_before = set(t._manifest(t.current_version())["files"])
+    src = spark.createDataFrame([(1001, -1), (1500, -2)], "k long, v long")
+    src.createOrReplaceTempView("sqldml_ins_only")
+    probed = []
+    real_scan = t._scan_live
+
+    def spy_scan(manifest, files, keep_pos=False):
+        probed.append(list(files))
+        return real_scan(manifest, files, keep_pos)
+
+    t._scan_live = spy_scan
+    try:
+        v = snapshot_sql_on(
+            spark,
+            t,
+            f"MERGE INTO '{t.root}' t USING sqldml_ins_only s ON t.k = s.k "
+            f"WHEN NOT MATCHED THEN INSERT *",
+        )
+    finally:
+        t._scan_live = real_scan
+    # the matched-key probe opened ONLY the 1000-band candidate file
+    assert len(probed) == 1 and len(probed[0]) == 1
+    assert "1000" in str(
+        spark.read.parquet(*probed[0]).agg(F.min("k")).first()[0]
+    ) or spark.read.parquet(*probed[0]).agg(F.min("k")).first()[0] == 1000
+    # existing key kept, new key inserted, NO existing file rewritten
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[1001] == 2002 and got[1500] == -2
+    assert t.read().count() == 31
+    files_after = set(t._manifest(v)["files"])
+    assert files_before <= files_after  # append-only commit
+    # empty source: clean no-op
+    assert t.merge_insert_only(src.limit(0), "k") == v
+    # insert-only into an EMPTY table appends everything
+    e = SnapshotTable(spark, str(tmp_path / "e"), stats_columns=["k"])
+    e.merge_insert_only(src, "k")
+    assert e.read().count() == 2
+    # duplicate source keys rejected by the shared planner
+    dup = spark.createDataFrame([(7, 1), (7, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge_insert_only(dup, "k")
+
+
+def snapshot_sql_on(spark, t, stmt):
+    """Run a statement but reuse the instrumented table handle (the
+    dispatcher normally constructs its own)."""
+    from collective_als_spark.sources import snapshot_sql as mod
+
+    real_ctor = mod.SnapshotTable
+    mod.SnapshotTable = lambda _spark, root, **kw: t
+    try:
+        return snapshot_sql(spark, stmt)
+    finally:
+        mod.SnapshotTable = real_ctor
+
+
 def test_sql_merge_matched_delete(spark, tmp_path):
     a, b = _pair(spark, tmp_path)
     src = spark.createDataFrame([(2,), (5,), (99,)], "id long")
@@ -251,6 +320,134 @@ def test_sql_select_over_snapshot_roots(spark, tmp_path):
         f"SELECT count(*) AS n FROM c WHERE tag = 'FROM'",
     )
     assert cte.first()["n"] == 5
+
+
+def test_sql_merge_conditional_clauses(spark, tmp_path):
+    """r11-verdict #4: the full Delta MERGE clause matrix — WHEN
+    MATCHED [AND cond] THEN UPDATE SET col = expr / DELETE, WHEN NOT
+    MATCHED [AND cond] THEN INSERT *, first-matching-clause-wins."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    src = spark.createDataFrame(
+        [
+            (1, "cancel-me", "EU", 5.0),     # matched, cond1 -> DELETE
+            (2, "boost", "US", 500.0),       # matched, cond2 -> UPDATE
+            (3, "small", "JP", 1.0),         # matched, no clause: kept
+            (8, "new", "EU", 80.0),          # unmatched, amount>0 -> INSERT
+            (9, "reject", "US", -1.0),       # unmatched, cond fails
+        ],
+        "id long, status string, region string, amount double",
+    )
+    src.createOrReplaceTempView("sqldml_cond")
+    v = snapshot_sql(
+        spark,
+        f"MERGE INTO '{t.root}' AS tgt USING sqldml_cond AS src "
+        f"ON tgt.id = src.id "
+        f"WHEN MATCHED AND src.status = 'cancel-me' THEN DELETE "
+        f"WHEN MATCHED AND src.amount > tgt.amount THEN UPDATE SET "
+        f"amount = src.amount + tgt.amount, status = 'boosted' "
+        f"WHEN NOT MATCHED AND src.amount > 0 THEN INSERT *",
+    )
+    rows = {r["id"]: (r["status"], r["region"], r["amount"])
+            for r in t.read().collect()}
+    assert 1 not in rows                       # deleted
+    assert rows[2] == ("boosted", "US", 520.0)  # conditional update
+    assert rows[3] == ("cancelled", "JP", 30.0)  # no clause fired: kept
+    assert rows[8] == ("new", "EU", 80.0)      # conditional insert
+    assert 9 not in rows                       # insert cond failed
+    assert len(rows) == 7  # 7 - 1 deleted + 1 inserted
+    assert v == t.current_version()
+    # clause ORDER decides: first matching clause wins
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), stats_columns=["id"])
+    t2.append(_orders(spark))
+    src2 = spark.createDataFrame(
+        [(1, "x", "EU", 999.0)],
+        "id long, status string, region string, amount double",
+    )
+    src2.createOrReplaceTempView("sqldml_cond2")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{t2.root}' t USING sqldml_cond2 s ON t.id = s.id "
+        f"WHEN MATCHED AND s.amount > 0 THEN UPDATE SET status = 'first' "
+        f"WHEN MATCHED THEN DELETE",
+    )
+    got2 = {r["id"]: r["status"] for r in t2.read().collect()}
+    assert got2[1] == "first" and len(got2) == 7
+    # ...and flipping the order makes DELETE win
+    t3 = SnapshotTable(spark, str(tmp_path / "t3"), stats_columns=["id"])
+    t3.append(_orders(spark))
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{t3.root}' t USING sqldml_cond2 s ON t.id = s.id "
+        f"WHEN MATCHED THEN DELETE "
+        f"WHEN MATCHED AND s.amount > 0 THEN UPDATE SET status = 'first'",
+    )
+    assert 1 not in {r["id"] for r in t3.read().collect()}
+    # conditional UPDATE SET * (matched upsert only over a band)
+    t4 = SnapshotTable(spark, str(tmp_path / "t4"), stats_columns=["id"])
+    t4.append(_orders(spark))
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{t4.root}' t USING sqldml_cond2 s ON t.id = s.id "
+        f"WHEN MATCHED AND t.status = 'cancelled' THEN UPDATE SET *",
+    )
+    got4 = {r["id"]: r["amount"] for r in t4.read().collect()}
+    assert got4[1] == 999.0 and len(got4) == 7
+    # refusal: column-level INSERT lists
+    with pytest.raises(NotImplementedError, match="INSERT"):
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t4.root}' t USING sqldml_cond2 s ON t.id = s.id "
+            f"WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
+        )
+    # string literal containing ' THEN ' survives clause parsing
+    t5 = SnapshotTable(spark, str(tmp_path / "t5"), stats_columns=["id"])
+    t5.append(_orders(spark))
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{t5.root}' t USING sqldml_cond2 s ON t.id = s.id "
+        f"WHEN MATCHED THEN UPDATE SET status = "
+        f"CASE WHEN s.amount > 0 THEN 'pos' ELSE 'neg' END",
+    )
+    assert {r["id"]: r["status"] for r in t5.read().collect()}[1] == "pos"
+
+
+def test_sql_parser_quote_and_function_context(spark, tmp_path):
+    """r11-ADVICE parser edges: (1) alias stripping must not rewrite
+    matching text inside string literals; (2) an intra-function FROM
+    (EXTRACT / TRIM) must not hijack the following quoted literal as a
+    table root."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    # literal 't. x' survives alias stripping; t.status is stripped
+    snapshot_sql(
+        spark,
+        f"UPDATE '{t.root}' AS t SET status = 't. x' WHERE t.id = 1",
+    )
+    got = {r["id"]: r["status"] for r in t.read().collect()}
+    assert got[1] == "t. x" and got[2] == "cancelled"
+    # EXTRACT(... FROM '<date literal>') keeps its literal while the
+    # real FROM still resolves the snapshot root
+    y = snapshot_sql(
+        spark,
+        f"SELECT EXTRACT(YEAR FROM DATE '2021-03-04') AS y, count(*) AS n "
+        f"FROM '{t.root}' GROUP BY 1",
+    )
+    assert (y.first()["y"], y.first()["n"]) == (2021, 7)
+    # TRIM(BOTH 'x' FROM col) — quoted literal directly after FROM
+    # inside a function region
+    tr = snapshot_sql(
+        spark,
+        f"SELECT TRIM(BOTH 'c' FROM status) AS s FROM '{t.root}' "
+        f"WHERE id = 2",
+    )
+    assert tr.first()["s"] == "ancelled"
+    # and a SUBQUERY region still rewrites its own FROM
+    sub = snapshot_sql(
+        spark,
+        f"SELECT max(n) AS m FROM (SELECT count(*) AS n FROM '{t.root}')",
+    )
+    assert sub.first()["m"] == 7
 
 
 def test_sql_ctas_and_insert_overwrite(spark, tmp_path):
