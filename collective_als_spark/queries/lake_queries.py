@@ -913,7 +913,9 @@ def snapshot_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
               OR o_orderkey BETWEEN 1 AND 64 AS m1,
             o_orderstatus = 'O' AND o_totalprice > 150000 AS m2,
-            o_orderkey % 97 = 0 AS mk
+            o_orderkey % 97 = 0 AS mk,
+            o_orderkey % 31 = 0 AS c31,
+            o_orderkey % 2 = 1 AS odd
         FROM orders
     ), c AS (
         SELECT
@@ -924,29 +926,50 @@ def snapshot_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(sum(CASE WHEN NOT m1 AND NOT mk
                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
                           ELSE 0 END) AS BIGINT) AS cents_keep,
-            CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+            CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+            -- conditional-MERGE effects (first-match-wins): M rows
+            -- with key%31==0 DELETE (clause 1 beats the always-true
+            -- update clause 2); kept rows with key%31==0 gain 777
+            -- cents; absent odd keys with key%31==0 insert at 777
+            CAST(sum(CASE WHEN mk AND c31 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_mk_c31,
+            CAST(sum(CASE WHEN NOT m1 AND NOT mk AND c31 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_cond_upd,
+            CAST(sum(CASE WHEN m1 AND NOT mk AND c31 AND odd
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_cond_ins
         FROM m
     )
-    SELECT 'n_final' AS step, n_keep + n_merged AS value FROM c
+    SELECT 'n_final' AS step,
+           n_keep + n_merged - n_mk_c31 + n_cond_ins AS value FROM c
     UNION ALL SELECT 'n_flagged', n_flag FROM c
-    UNION ALL SELECT 'cents_final', cents_keep + 123 * n_merged FROM c
-    UNION ALL SELECT 'n_merged', n_merged FROM c
+    UNION ALL SELECT 'cents_final',
+        cents_keep + 123 * (n_merged - n_mk_c31)
+        + 777 * n_cond_upd + 777 * n_cond_ins FROM c
+    UNION ALL SELECT 'n_merged', n_merged - n_mk_c31 FROM c
+    UNION ALL SELECT 'n_cond_ins', n_cond_ins FROM c
     """,
 )
 def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL DML dispatcher end-to-end under the oracle (r10 verdict
     #6): ``DELETE`` with an UNPARENTHESIZED mixed-precedence
-    predicate, ``UPDATE .. SET .. WHERE``, and a ``MERGE INTO .. USING
-    <view> ON t.k = s.k`` upsert — each statement delegating to the
+    predicate, ``UPDATE .. SET .. WHERE``, a ``MERGE INTO .. USING
+    <view> ON t.k = s.k`` upsert, and (r12, r11-verdict #4) a
+    CONDITIONAL multi-clause MERGE — ``WHEN MATCHED AND <cond> THEN
+    DELETE`` beating an always-true ``UPDATE SET col = t.col +
+    s.col`` (first-match-wins order pinned by the hash) plus a
+    conditional ``INSERT *`` — each statement delegating to the
     engine verbs, the DuckDB oracle recomputing the converged state
     algebraically from ``orders`` with the SAME predicate text (so a
-    precedence or clause-split divergence hash-fails).
+    precedence, clause-split, or clause-order divergence hash-fails).
 
     Scale shape: identical to the underlying verbs — the dispatcher
-    adds only driver-side string parsing on a bounded statement.
+    adds only driver-side string parsing on a bounded statement; the
+    conditional MERGE evaluates its clauses in ONE pruned candidate
+    join (``merge_when``).
 
     Reference parity: Delta's SQL DML over path tables
-    (``DELETE FROM delta.`/p` WHERE ..``, ``MERGE INTO delta.`/p``)."""
+    (``DELETE FROM delta.`/p` WHERE ..``, ``MERGE INTO delta.`/p``)
+    incl. the conditional clause matrix."""
     from collective_als_spark.sources.layout import SnapshotTable
     from collective_als_spark.sources.snapshot_sql import snapshot_sql
 
@@ -986,6 +1009,25 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"WHEN MATCHED THEN UPDATE SET * "
             f"WHEN NOT MATCHED THEN INSERT *",
         )
+        # conditional multi-clause MERGE: clause ORDER is load-bearing
+        # (M rows satisfy BOTH conds; DELETE is first and must win)
+        src2 = rows.filter(F.col("o_orderkey") % 31 == 0).select(
+            "o_orderkey",
+            F.lit("C").alias("o_orderstatus"),
+            F.lit("COND-INS").alias("o_orderpriority"),
+            F.lit(777).cast("bigint").alias("cents"),
+            F.lit(0.0).alias("price"),
+        )
+        src2.createOrReplaceTempView("lake_sql_dml_src2")
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t.root}' AS t USING lake_sql_dml_src2 AS s "
+            f"ON t.o_orderkey = s.o_orderkey "
+            f"WHEN MATCHED AND t.o_orderstatus = 'M' THEN DELETE "
+            f"WHEN MATCHED AND s.cents = 777 THEN UPDATE SET "
+            f"cents = t.cents + s.cents "
+            f"WHEN NOT MATCHED AND s.o_orderkey % 2 = 1 THEN INSERT *",
+        )
         got = t.read()
         out = [
             ("n_final", got.count()),
@@ -997,6 +1039,10 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "n_merged",
                 got.filter(F.col("o_orderstatus") == "M").count(),
+            ),
+            (
+                "n_cond_ins",
+                got.filter(F.col("o_orderpriority") == "COND-INS").count(),
             ),
         ]
     finally:

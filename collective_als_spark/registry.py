@@ -102,7 +102,12 @@ _PRIORITY: list[str] = [
     # winnowing coverage pytest-oracle-checked below; text keeps
     # text_quality_metrics + lang_id in-cap) for snapshot_batch_read —
     # the pure-python DSv2 batch DataSource with filter pushdown
-    "text_quality_metrics", "lang_id_heuristic", "snapshot_batch_read",
+    # r12 swap (r11 verdict #3): lang_id_heuristic demoted (the text
+    # family keeps text_quality_metrics in-cap; lang-ID stays
+    # pytest-oracle-checked below) for lake_sql_dml — the SQL DML
+    # dispatcher end-to-end, now incl. the conditional multi-clause
+    # MERGE under the driver hash
+    "text_quality_metrics", "lake_sql_dml", "snapshot_batch_read",
     # -- extended SQL coverage, one representative per family
     # r09 promotions (r08 verdict #4): the four round-8 oracles enter
     # the cap; four redundant family members demote (all stay
@@ -126,8 +131,12 @@ _PRIORITY: list[str] = [
     "gopher_quality_signals",
     # attribute-filtered ANN serve (single-stage filtering + deletes)
     "ann_filtered_topk",
-    # -- windowed/streaming batch twin
-    "sessionization",
+    # r12 swap (r11 verdict #3): sessionization demoted (the window
+    # family keeps topk_per_group in-cap; streaming keeps
+    # lake_cdf_stream; sessionization stays pytest-oracle-checked
+    # below) for lake_scd2_history — SCD TYPE 2 apply with the
+    # history-derived stale gate under the driver hash
+    "lake_scd2_history",
     # -- r03 promotions: extension oracles never driver-checked before
     # (r06: tfidf_term_stats demoted — the text family keeps
     # text_quality_metrics/lang_id/doc_fingerprint in-cap and tfidf
@@ -135,7 +144,11 @@ _PRIORITY: list[str] = [
     # GPT-3-style 8-gram eval-overlap gate)
     "benchmark_decontamination",
     "item_item_cosine", "prefix_jaccard_pairs",
-    "grouping_sets_agg",
+    # r12 swap (r11 verdict #3): grouping_sets_agg demoted (the
+    # rollup/grouping-sets family keeps its pytest oracle below the
+    # cap and rollup_agg as the family twin) for lake_type_widening —
+    # the lossless type-widening ladder under the driver hash
+    "lake_type_widening",
     # r04 swap: substring_containment_pairs (lossless winnowing-candidate
     # exact dedup, the novel r04 tier) replaces intersect_except (a
     # trivially-correct set op that stays pytest-oracle-checked below);
@@ -162,9 +175,9 @@ _PRIORITY: list[str] = [
     # swap comments above for the family reasoning)
     "minhash_signature", "lake_apply_changes", "lake_update_quality",
     "doc_fingerprint",
-    # r11 additions (pytest-oracle-checked; promotion candidates):
-    # SQL DML dispatcher, SCD2 history apply, lossless type widening
-    "lake_sql_dml", "lake_scd2_history", "lake_type_widening",
+    # r12 demotions (all stay pytest-oracle-checked; see the in-cap
+    # swap comments above for the family reasoning)
+    "lang_id_heuristic", "sessionization", "grouping_sets_agg",
     "semi_anti_join", "exists_subquery", "table_profile",
     "range_join_attribution",
     "trend_regression",

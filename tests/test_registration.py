@@ -111,16 +111,23 @@ def test_registry_priority_ordering():
     # witnesses — see registry._PRIORITY) for the four r09 oracles:
     # lake_predicate_dml (with the mixed-precedence predicate),
     # lake_tracked_apply, lake_column_mapping, snapshot_batch_read.
+    # r12 swapped lang_id_heuristic, sessionization and
+    # grouping_sets_agg (all still pytest-oracle-checked below the
+    # cap; text keeps text_quality_metrics, windows keep
+    # topk_per_group, rollup_agg twins grouping sets) for the three
+    # r11 oracles: lake_sql_dml (SQL DML dispatcher incl. conditional
+    # MERGE), lake_scd2_history, lake_type_widening.
     for promoted in ["item_item_cosine",
                      "prefix_jaccard_pairs",
-                     "grouping_sets_agg",
                      "dq_expectations_suite",
                      "multimodal_ppm_decode", "lake_incremental_view",
                      "benchmark_decontamination", "lake_cdf_stream",
                      "lake_mor_upsert_nullstats",
                      "lake_predicate_dml", "lake_tracked_apply",
                      "lake_column_mapping", "snapshot_batch_read",
-                     "gopher_quality_signals", "ann_filtered_topk"]:
+                     "gopher_quality_signals", "ann_filtered_topk",
+                     "lake_sql_dml", "lake_scd2_history",
+                     "lake_type_widening"]:
         assert promoted in head, f"{promoted} not promoted into the cap"
 
 
