@@ -1165,6 +1165,14 @@ def lake_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'sum_all', cents + cents + 5000000000 * n FROM c
     UNION ALL SELECT 'n_wide_band', n FROM c
     UNION ALL SELECT 'tt_v1_rows', n FROM c
+    UNION ALL SELECT 'dec_cents_x100', 2 * cents + 25 * n FROM c
+    UNION ALL SELECT 'dec_n_band',
+        CAST(sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           >= 10000000 THEN 1 ELSE 0 END)
+             + sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             + 25 >= 10000000 THEN 1 ELSE 0 END)
+             AS BIGINT)
+        FROM orders
     """,
 )
 def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1173,9 +1181,15 @@ def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows shifted past the int32 range as LONG — the commit widens the
     manifest type metadata-only, old int32 files promote on scan, the
     band read proves stats pruning still bites across mixed-width
-    files, and time travel shows v1 under its own narrow type.
+    files, and time travel shows v1 under its own narrow type. r12
+    adds the DECIMAL rung (r11 verdict missing #3): a second table
+    seeds cents as decimal(12,2) dollars, widens to decimal(16,4) by
+    appending quarter-cent values, and the band read + exact sum
+    (scaled x100 to integer cents for the hash) pin mixed-width
+    decimal promotion and pruning.
 
-    Reference parity: Delta's enableTypeWidening."""
+    Reference parity: Delta's enableTypeWidening (3.x int ladder +
+    4.x decimal precision/scale growth)."""
     from collective_als_spark.sources.layout import SnapshotTable
 
     base = load_table(spark, sf_dir, "orders").select(
@@ -1192,11 +1206,31 @@ def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = t.read()
         assert dict(got.dtypes)["v"] == "bigint"
         wide = t.read(where="v >= 5000000000")
+        # decimal rung: dollars at (12,2), widened by quarter-cent
+        # values at (16,4); sums are exact in decimal, hashed x100
+        d = SnapshotTable(spark, f"{root}/dec", stats_columns=["d"])
+        d.append(
+            base.select(
+                "k", (F.col("v") / 100).cast("decimal(12,2)").alias("d")
+            )
+        )
+        d.append(
+            base.select(
+                "k",
+                ((F.col("v") + 25) / 100).cast("decimal(16,4)").alias("d"),
+            )
+        )
+        dgot = d.read()
+        assert dict(dgot.dtypes)["d"] == "decimal(16,4)"
+        dec_sum = dgot.agg(F.sum("d")).first()[0]
+        dec_band = d.read(where="d >= 100000").count()
         out = [
             ("n_total", got.count()),
             ("sum_all", got.agg(F.sum("v")).first()[0]),
             ("n_wide_band", wide.count()),
             ("tt_v1_rows", t.read(version=1).count()),
+            ("dec_cents_x100", int(dec_sum * 100)),
+            ("dec_n_band", dec_band),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -206,16 +206,34 @@ def _split_disjuncts(tokens: list) -> list[list]:
 
 def _literal(tokens: list, i: int):
     """(value, next_index) or (None, -1) when tokens[i:] doesn't start
-    with a literal. DATE/TIMESTAMP literals come back as their ISO
-    payload string — the manifest stats store temporal min/max the
-    same way, so interval comparisons line up."""
+    with a literal. DATE/TIMESTAMP literals come back CANONICALIZED to
+    ``datetime.isoformat()`` text — the manifest stats store temporal
+    min/max exactly that way, so interval comparisons line up. The
+    canonicalization is load-bearing for soundness, not cosmetics: the
+    SQL-conventional space form (``TIMESTAMP '2021-03-05 14:00:00'``)
+    sorts BELOW the stats' ``T`` separator (0x20 < 0x54), so a raw
+    payload made ``min > probe`` true for same-day values and pruned
+    files whose rows matched (r12 fix, regression-tested). A payload
+    ``fromisoformat`` cannot parse, or one carrying a timezone offset
+    (stats are naive), degrades to no-literal -> opaque conjunct."""
     if i >= len(tokens):
         return None, -1
     kind, text = tokens[i]
     if kind == "kw" and text in ("DATE", "TIMESTAMP") and i + 1 < len(tokens):
         k2, t2 = tokens[i + 1]
         if k2 == "str":
-            return t2[1:-1].replace("''", "'"), i + 2
+            import datetime
+
+            raw = t2[1:-1].replace("''", "'")
+            try:
+                if text == "DATE":
+                    return datetime.date.fromisoformat(raw).isoformat(), i + 2
+                dt = datetime.datetime.fromisoformat(raw)
+                if dt.tzinfo is not None:
+                    return None, -1  # naive stats: no sound comparison
+                return dt.isoformat(), i + 2
+            except ValueError:
+                return None, -1
         return None, -1
     if kind == "str":
         return text[1:-1].replace("''", "'"), i + 1

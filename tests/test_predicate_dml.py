@@ -664,6 +664,48 @@ def test_prune_soundness_randomized_boolean_trees():
             )
 
 
+def test_timestamp_literal_canonicalized_for_stats_compare():
+    """r12 soundness fix: manifest stats store temporal min/max as
+    ``datetime.isoformat()`` ('T' separator), while SQL convention
+    writes ``TIMESTAMP '2021-03-05 14:00:00'`` (space). Raw-payload
+    lexical comparison made ``min > probe`` true for same-day values
+    (0x20 < 0x54) and pruned files whose rows matched. Literals are
+    now canonicalized through fromisoformat/isoformat; unparseable or
+    tz-offset payloads degrade to opaque."""
+    from collective_als_spark.sources.predicate import prune_files
+
+    stats = {
+        "f": {"__rows": 1,
+              "ts": ["2021-03-05T13:00:00", "2021-03-05T13:00:00", 0]}
+    }
+    # space-form upper bound on the same day: must NOT prune
+    conj = analyze_predicate("ts <= TIMESTAMP '2021-03-05 14:00:00'")
+    _, pruned = prune_files(["f"], stats, lambda f: f, conj)
+    assert pruned == []
+    # pruning power retained across days
+    _, p2 = prune_files(
+        ["f"], stats, lambda f: f,
+        analyze_predicate("ts <= TIMESTAMP '2021-03-04 23:00:00'"),
+    )
+    assert p2 == ["f"]
+    # short form (no seconds) equality: canonical full form, no prune
+    _, p3 = prune_files(
+        ["f"], stats, lambda f: f,
+        analyze_predicate("ts = TIMESTAMP '2021-03-05 13:00'"),
+    )
+    assert p3 == []
+    # tz-offset / garbage payloads degrade to opaque (stats are naive)
+    (tz,) = analyze_predicate("ts = TIMESTAMP '2021-03-05 13:00:00+02:00'")
+    assert tz.kind == "opaque"
+    (bad,) = analyze_predicate("ts = TIMESTAMP 'not-a-time'")
+    assert bad.kind == "opaque"
+    # DATE literals validate and stay canonical
+    (d,) = analyze_predicate("d BETWEEN DATE '2021-01-01' AND DATE '2021-02-01'")
+    assert (d.lo, d.hi) == ("2021-01-01", "2021-02-01")
+    (bd,) = analyze_predicate("d = DATE '2021-13-99'")
+    assert bd.kind == "opaque"
+
+
 def test_lossy_negation_soundness_randomized():
     """Focused generator for the r11-ADVICE-high shape: ``NOT (<AND
     mixing provable + opaque leaves> OR <branch> ...)``. The general

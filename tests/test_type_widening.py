@@ -195,15 +195,43 @@ def test_evolution_lattice_randomized():
 
     rng = random.Random(411)
     ladder = ["byte", "short", "integer", "long"]
-    types = ladder + ["float", "double", "string", "boolean"]
+    types = ladder + [
+        "float", "double", "string", "boolean",
+        "date", "timestamp_ntz",
+        "decimal(10,2)", "decimal(14,4)", "decimal(12,0)", "decimal(20,0)",
+    ]
+    digits = {"byte": 3, "short": 5, "integer": 10, "long": 19}
+
+    def dec(t):
+        import re as _re
+
+        m = _re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+        return (int(m.group(1)), int(m.group(2))) if m else None
 
     def wider(a, b):
+        # independent mirror of the FULL Delta widening table
         if a == b:
             return a
         if a in ladder and b in ladder:
             return a if ladder.index(a) >= ladder.index(b) else b
         if {a, b} == {"float", "double"}:
             return "double"
+        if "double" in (a, b):
+            o = b if a == "double" else a
+            if o in ("byte", "short", "integer"):
+                return "double"
+        if {a, b} == {"date", "timestamp_ntz"}:
+            return "timestamp_ntz"
+        da, db = dec(a), dec(b)
+        if da and db:
+            if db[1] >= da[1] and db[0] - db[1] >= da[0] - da[1]:
+                return b
+            if da[1] >= db[1] and da[0] - da[1] >= db[0] - db[1]:
+                return a
+            return None
+        for d, o in ((da, b), (db, a)):
+            if d and o in digits and d[0] - d[1] >= digits[o]:
+                return a if d is da else b
         return None
 
     ev = SnapshotTable._evolved_schema
@@ -260,3 +288,116 @@ def test_evolution_lattice_randomized():
 
             with _pytest.raises(ValueError, match="hash-bucketed"):
                 ev(T(), prev, new, manifest=mani)
+
+
+def test_widen_decimal_int_and_date_rungs(spark, tmp_path):
+    """r11 verdict missing #3 — the rest of Delta's widening table:
+    decimal precision/scale growth, int->decimal, small-int->double,
+    and date->timestamp_ntz, each metadata-only with old files
+    promoted on scan; the lossy classics stay rejected."""
+    # decimal(10,2) -> decimal(14,4), values exact across widths
+    t = SnapshotTable(spark, str(tmp_path / "d"), stats_columns=["v"])
+    t.append(
+        spark.range(3).select(
+            F.col("id").cast("decimal(10,2)").alias("v")
+        ).coalesce(1)
+    )
+    t.append(
+        spark.range(3).select(
+            (F.col("id") + F.lit(0.25)).cast("decimal(14,4)").alias("v")
+        ).coalesce(1)
+    )
+    assert dict(t.read().dtypes) == {"v": "decimal(14,4)"}
+    import decimal as _dec
+
+    got = sorted(r["v"] for r in t.read().collect())
+    assert got[0] == _dec.Decimal("0.0000") and got[-1] == _dec.Decimal(
+        "2.2500"
+    )
+    # time travel shows v1 under its own narrow type
+    assert dict(t.read(version=1).dtypes) == {"v": "decimal(10,2)"}
+    # int -> decimal(12,2); stats pruning still exact across widths
+    t2 = SnapshotTable(spark, str(tmp_path / "i"), stats_columns=["v"])
+    t2.append(
+        spark.range(0, 100).select(F.col("id").cast("int").alias("v"))
+        .coalesce(1)
+    )
+    t2.append(
+        spark.range(1000, 1100).select(
+            F.col("id").cast("decimal(12,2)").alias("v")
+        ).coalesce(1)
+    )
+    assert dict(t2.read().dtypes) == {"v": "decimal(12,2)"}
+    pruned = t2.read(where=("v", 1000, 1050))
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 51
+    assert t2.read().count() == 200
+    # a decimal too narrow for every int32 (p-s < 10): rejected
+    t2b = SnapshotTable(spark, str(tmp_path / "i2"))
+    t2b.append(spark.range(3).select(F.col("id").cast("int").alias("v")))
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        t2b.append(
+            spark.range(1).select(F.col("id").cast("decimal(4,0)").alias("v"))
+        )
+    # ...while a narrower decimal INTO a wider decimal table is just a
+    # narrower write (no schema change)
+    t2.append(
+        spark.range(1).select(F.col("id").cast("decimal(4,0)").alias("v"))
+    )
+    assert dict(t2.read().dtypes) == {"v": "decimal(12,2)"}
+    # small-int -> double is float64-exact; long -> double is NOT
+    t3 = SnapshotTable(spark, str(tmp_path / "s"), stats_columns=["v"])
+    t3.append(spark.range(5).select(F.col("id").cast("int").alias("v")))
+    t3.append(spark.range(5).select(F.col("id").cast("double").alias("v")))
+    assert dict(t3.read().dtypes) == {"v": "double"}
+    t4 = SnapshotTable(spark, str(tmp_path / "l"))
+    t4.append(spark.range(5).select(F.col("id").alias("v")))
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        t4.append(spark.range(5).select(F.col("id").cast("double").alias("v")))
+    # decimal shrink in EITHER dimension rejected ((12,0) vs (10,4))
+    t5 = SnapshotTable(spark, str(tmp_path / "ds"))
+    t5.append(
+        spark.range(3).select(F.col("id").cast("decimal(12,0)").alias("v"))
+    )
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        t5.append(
+            spark.range(3).select(F.col("id").cast("decimal(10,4)").alias("v"))
+        )
+    # float -> decimal stays rejected (binary fractions are lossy)
+    t6 = SnapshotTable(spark, str(tmp_path / "f"))
+    t6.append(spark.range(3).select(F.col("id").cast("float").alias("v")))
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        t6.append(
+            spark.range(3).select(F.col("id").cast("decimal(20,2)").alias("v"))
+        )
+
+
+def test_widen_date_to_timestamp_ntz_and_stats_guard(spark, tmp_path):
+    """date -> timestamp_ntz widens (midnight promotion, reader-native)
+    UNLESS the column carries per-file date stats: old min/max are date
+    strings, lexically incomparable with timestamp probes at the
+    boundary day, so the widen is refused with guidance instead of
+    silently breaking pruning soundness."""
+    t = SnapshotTable(spark, str(tmp_path / "nostats"))
+    t.append(spark.sql("SELECT DATE'2021-03-04' AS d, 1 AS v"))
+    t.append(
+        spark.sql("SELECT TIMESTAMP_NTZ'2021-03-05 13:30:00' AS d, 2 AS v")
+    )
+    got = t.read()
+    assert dict(got.dtypes)["d"] == "timestamp_ntz"
+    import datetime as _dt
+
+    vals = sorted(r["d"] for r in got.collect())
+    assert vals[0] == _dt.datetime(2021, 3, 4, 0, 0)  # midnight promotion
+    assert vals[1] == _dt.datetime(2021, 3, 5, 13, 30)
+    # date -> timestamp (zoned) is NOT on the ladder
+    t2 = SnapshotTable(spark, str(tmp_path / "zoned"))
+    t2.append(spark.sql("SELECT DATE'2021-03-04' AS d"))
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        t2.append(spark.sql("SELECT TIMESTAMP'2021-03-05 13:30:00' AS d"))
+    # a stats-tracked date column refuses the widen with guidance
+    t3 = SnapshotTable(spark, str(tmp_path / "stats"), stats_columns=["d"])
+    t3.append(spark.sql("SELECT DATE'2021-03-04' AS d"))
+    with pytest.raises(ValueError, match="date min/max stats"):
+        t3.append(
+            spark.sql("SELECT TIMESTAMP_NTZ'2021-03-05 13:30:00' AS d")
+        )
