@@ -2809,10 +2809,14 @@ class SnapshotTable:
         day/month/truncate, null-count) are extracted from the
         AND-conjuncts the analyzer recognizes; unrecognized conjuncts
         degrade to a full-candidate scan, never to wrong results —
-        the exact predicate is always the rewrite filter. The matched
-        set is ``pred IS TRUE`` and the survivors are its exact
-        complement (SQL three-valued logic: a NULL predicate row is
-        NOT deleted), the same NULL discipline as the band path."""
+        the exact predicate is always the rewrite filter. That
+        includes SUBQUERY predicates (``key IN (SELECT ...)`` /
+        ``EXISTS (...)``): the analyzer keeps them opaque and Spark
+        itself plans the subquery as a join inside the residual filter
+        (broadcast/shuffle chosen by AQE). The matched set is ``pred
+        IS TRUE`` and the survivors are its exact complement (SQL
+        three-valued logic: a NULL predicate row is NOT deleted), the
+        same NULL discipline as the band path."""
         cur = self.current_version()
         if cur == 0:
             raise ValueError("empty table: no committed snapshot")
@@ -4208,6 +4212,22 @@ class SnapshotTable:
             _stage_df=upserts,
             _seq_state=seq_state,
         )
+
+    def read_current(self, version: int | None = None) -> DataFrame:
+        """The SCD TYPE 2 CURRENT-STATE view: open intervals only
+        (``__END_AT IS NULL``) — DLT reads the target of ``APPLY
+        CHANGES ... STORED AS SCD TYPE 2`` the same way. One filter on
+        :meth:`read` (same pruned scan, no extra shuffle); refused
+        with guidance on a table that carries no SCD2 history
+        columns."""
+        df = self.read(version)
+        if "__END_AT" not in df.columns:
+            raise ValueError(
+                f"read_current: {self.root!r} has no __END_AT column — "
+                f"it is not an SCD TYPE 2 table (apply_changes with "
+                f"scd_type=2 creates the history schema); use read()"
+            )
+        return df.filter(F.col("__END_AT").isNull())
 
     def _apply_changes_scd2(
         self,

@@ -37,6 +37,10 @@ Supported statements (case-insensitive keywords):
   ADD CONSTRAINT n CHECK (expr) / DROP CONSTRAINT n``
 - ``DESCRIBE HISTORY <tbl>`` / ``DESCRIBE DETAIL <tbl>`` — return
   the ``history()`` / ``detail()`` DataFrames.
+- ``APPLY CHANGES INTO <tbl> FROM <source> KEYS (k[, ...]) [APPLY AS
+  DELETE WHEN <expr>] [SEQUENCE BY <col>] [STORED AS SCD TYPE {1|2}]
+  [TRACK SEQUENCE]`` — DLT's CDC statement over ``apply_changes``
+  (the op column is synthesized from the delete condition).
 - ``SELECT / WITH ...`` — quoted table-root refs after FROM/JOIN
   (optionally ``VERSION AS OF n`` / ``TIMESTAMP AS OF epoch``) are
   swapped for temp views over the batch ``snapshot`` DataSource and
@@ -63,7 +67,7 @@ _VERB_RE = re.compile(
     r"^\s*(DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO"
     r"|INSERT\s+OVERWRITE|CREATE\s+TABLE|VACUUM"
     r"|OPTIMIZE|RESTORE|ALTER\s+TABLE|DESCRIBE\s+HISTORY"
-    r"|DESCRIBE\s+DETAIL)\s+",
+    r"|DESCRIBE\s+DETAIL|APPLY\s+CHANGES\s+INTO)\s+",
     re.IGNORECASE,
 )
 
@@ -294,6 +298,8 @@ def snapshot_sql(spark, statement: str, **table_kwargs):
         return _restore(spark, rest, table_kwargs)
     if verb == "ALTER TABLE":
         return _alter(spark, rest, table_kwargs)
+    if verb == "APPLY CHANGES INTO":
+        return _apply_changes_stmt(spark, rest, table_kwargs)
     root, _a, tail = _parse_table_ref(rest, allow_alias=False)
     if tail.strip():
         raise ValueError(f"snapshot_sql: trailing text {tail.strip()!r}")
@@ -633,6 +639,107 @@ def _equi_keys(cond: str, t_alias: str | None, s_alias: str | None) -> list[str]
     if not keys:
         raise ValueError("snapshot_sql: empty MERGE condition")
     return keys
+
+
+def _apply_changes_stmt(spark, rest: str, kw) -> int:
+    """``APPLY CHANGES INTO '<root>' FROM <source> KEYS (k[, ...])
+    [APPLY AS DELETE WHEN <expr>] [SEQUENCE BY <col>]
+    [STORED AS SCD TYPE {1|2}] [TRACK SEQUENCE]`` — DLT's CDC
+    statement over the engine's :meth:`SnapshotTable.apply_changes`.
+    ``APPLY AS DELETE WHEN`` synthesizes the op column from the
+    delete condition (rows where it is TRUE delete, everything else
+    upserts); without it every change row upserts. ``TRACK SEQUENCE``
+    (requires ``SEQUENCE BY``) turns on cross-batch applied-sequence
+    gating."""
+    import pyspark.sql.functions as F
+
+    root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
+    clauses = _scan_clauses(
+        tail, {"FROM", "KEYS", "SEQUENCE", "APPLY", "STORED", "TRACK"}
+    )
+    # clause text spans from each keyword to the next top-level one
+    spans: dict[str, str] = {}
+    for i, (w, s, e) in enumerate(clauses):
+        end = clauses[i + 1][1] if i + 1 < len(clauses) else len(tail)
+        spans[w] = tail[e:end].strip()
+    if "FROM" not in spans or "KEYS" not in spans:
+        raise ValueError(
+            "snapshot_sql: APPLY CHANGES INTO needs FROM <source> and "
+            "KEYS (k[, ...])"
+        )
+    source, _s_alias = _resolve_source(spark, spans["FROM"])
+    km = re.fullmatch(r"\((.*)\)", spans["KEYS"].strip(), re.DOTALL)
+    if not km:
+        raise ValueError(
+            f"snapshot_sql: KEYS needs a parenthesized column list, got "
+            f"{spans['KEYS']!r}"
+        )
+    keys = [c.strip().strip("`") for c in km.group(1).split(",") if c.strip()]
+    if not keys:
+        raise ValueError("snapshot_sql: empty KEYS list")
+    seq_col = None
+    if "SEQUENCE" in spans:
+        sm = re.fullmatch(
+            r"BY\s+`?([A-Za-z_][A-Za-z0-9_]*)`?", spans["SEQUENCE"],
+            re.IGNORECASE,
+        )
+        if not sm:
+            raise ValueError(
+                f"snapshot_sql: SEQUENCE BY needs one column, got "
+                f"{spans['SEQUENCE']!r}"
+            )
+        seq_col = sm.group(1)
+    scd_type = 1
+    if "STORED" in spans:
+        tm = re.fullmatch(
+            r"AS\s+SCD\s+TYPE\s+([12])", spans["STORED"], re.IGNORECASE
+        )
+        if not tm:
+            raise ValueError(
+                f"snapshot_sql: STORED AS SCD TYPE must be 1 or 2, got "
+                f"{spans['STORED']!r}"
+            )
+        scd_type = int(tm.group(1))
+    track_seq = False
+    if "TRACK" in spans:
+        if not re.fullmatch(r"SEQUENCE", spans["TRACK"], re.IGNORECASE):
+            raise ValueError(
+                f"snapshot_sql: trailing text after TRACK "
+                f"{spans['TRACK']!r}"
+            )
+        track_seq = True
+    # synthesize the op column from the delete condition (TRUE ->
+    # delete, FALSE/NULL -> upsert); reserved name checked
+    if "__sql_op" in source.columns:
+        raise ValueError(
+            "snapshot_sql: '__sql_op' is reserved for APPLY CHANGES "
+            "op synthesis — rename the source column"
+        )
+    if "APPLY" in spans:
+        am = re.match(
+            r"AS\s+DELETE\s+WHEN\s+(.+)$", spans["APPLY"],
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not am:
+            raise ValueError(
+                f"snapshot_sql: malformed APPLY AS DELETE WHEN clause "
+                f"{spans['APPLY']!r}"
+            )
+        op = F.when(F.expr(am.group(1).strip()), F.lit("D")).otherwise(
+            F.lit("U")
+        )
+    else:
+        op = F.lit("U")
+    t = SnapshotTable(spark, root, **kw)
+    return t.apply_changes(
+        source.withColumn("__sql_op", op),
+        keys if len(keys) > 1 else keys[0],
+        op_col="__sql_op",
+        seq_col=seq_col,
+        delete_ops=("D",),
+        scd_type=scd_type,
+        track_seq=track_seq,
+    )
 
 
 def _vacuum(spark, rest: str, kw) -> int:

@@ -450,6 +450,68 @@ def test_sql_parser_quote_and_function_context(spark, tmp_path):
     assert sub.first()["m"] == 7
 
 
+def test_sql_apply_changes_into_scd2_and_read_current(spark, tmp_path):
+    """r11-verdict #7: the DLT APPLY CHANGES INTO statement shape over
+    apply_changes, STORED AS SCD TYPE 2, equal to the Python-API
+    result; read_current() is the open-interval view."""
+    seed = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1), (3, 30, 1)], "k long, v long, ts long"
+    )
+    changes = spark.createDataFrame(
+        [(1, 99, 5, "upsert"), (2, 0, 5, "del"), (4, 40, 5, "upsert")],
+        "k long, v long, ts long, op string",
+    )
+    changes.createOrReplaceTempView("sqldml_cdc")
+    # seed via the API, apply the CDC batch via the STATEMENT
+    b = SnapshotTable(spark, str(tmp_path / "b"), stats_columns=["k"])
+    b.apply_changes(
+        seed.withColumn("_op", F.lit("U")), "k", seq_col="ts", scd_type=2
+    )
+    snapshot_sql(
+        spark,
+        f"APPLY CHANGES INTO '{b.root}' FROM sqldml_cdc KEYS (k) "
+        f"APPLY AS DELETE WHEN op = 'del' "
+        f"SEQUENCE BY ts STORED AS SCD TYPE 2",
+    )
+    hist = {
+        (r["k"], r["__START_AT"], r["__END_AT"]): r["v"]
+        for r in b.read().collect()
+    }
+    # k=1: closed (1,5) + open 99@5; k=2: closed; k=3 open; k=4 open
+    assert hist[(1, 1, 5)] == 10 and hist[(1, 5, None)] == 99
+    assert (2, 1, 5) in hist and (2, 5, None) not in hist
+    assert hist[(3, 1, None)] == 30 and hist[(4, 5, None)] == 40
+    cur = {r["k"]: r["v"] for r in b.read_current().collect()}
+    assert cur == {1: 99, 3: 30, 4: 40}
+    # read_current refuses a non-SCD2 table with guidance
+    plain = SnapshotTable(spark, str(tmp_path / "p"))
+    plain.append(seed)
+    with pytest.raises(ValueError, match="not an SCD TYPE 2"):
+        plain.read_current()
+    # SCD TYPE 1 statement: op synthesis deletes / upserts in place
+    c = SnapshotTable(spark, str(tmp_path / "c"), stats_columns=["k"])
+    c.append(seed.select("k", "v"))
+    snapshot_sql(
+        spark,
+        f"APPLY CHANGES INTO '{c.root}' FROM "
+        f"(SELECT k, v, op FROM sqldml_cdc) KEYS (k) "
+        f"APPLY AS DELETE WHEN op = 'del'",
+    )
+    got = {r["k"]: r["v"] for r in c.read().collect()}
+    assert got == {1: 99, 3: 30, 4: 40}
+    # error shapes
+    with pytest.raises(ValueError, match="KEYS"):
+        snapshot_sql(
+            spark, f"APPLY CHANGES INTO '{c.root}' FROM sqldml_cdc"
+        )
+    with pytest.raises(ValueError, match="SCD TYPE"):
+        snapshot_sql(
+            spark,
+            f"APPLY CHANGES INTO '{c.root}' FROM sqldml_cdc KEYS (k) "
+            f"STORED AS SCD TYPE 3",
+        )
+
+
 def test_sql_ctas_and_insert_overwrite(spark, tmp_path):
     _orders(spark).createOrReplaceTempView("sqldml_ctas_src")
     root = str(tmp_path / "ctas")
