@@ -215,12 +215,14 @@ def test_sql_error_shapes(spark, tmp_path):
     t.append(_orders(spark))
     with pytest.raises(ValueError, match="quoted string"):
         snapshot_sql(spark, "DELETE FROM sometable WHERE id = 1")
-    with pytest.raises(NotImplementedError, match="unsupported MERGE"):
-        _orders(spark).createOrReplaceTempView("sqldml_bad")
+    # column-level UPDATE SET is SUPPORTED since r12 (merge_when);
+    # the refused shape left is a column-level INSERT list
+    _orders(spark).createOrReplaceTempView("sqldml_bad")
+    with pytest.raises(NotImplementedError, match="INSERT"):
         snapshot_sql(
             spark,
             f"MERGE INTO '{t.root}' t USING sqldml_bad s ON t.id = s.id "
-            f"WHEN MATCHED THEN UPDATE SET amount = 0",
+            f"WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, 0)",
         )
     with pytest.raises(NotImplementedError, match="same-named"):
         snapshot_sql(
