@@ -3391,6 +3391,9 @@ class SnapshotTable:
         _plan: dict | None = None,
         _stage_df: DataFrame | None = None,
         _seq_state: dict | None = None,
+        _extra_candidates: list[str] | None = None,
+        _extra_replan=None,
+        _survivor_fn=None,
     ) -> int:
         """Copy-on-write MERGE (upsert) keyed on one or more columns:
         target rows whose key tuple matches a source row are replaced
@@ -3425,6 +3428,15 @@ class SnapshotTable:
         rows), while ``_stage_df`` is what actually gets written —
         keys present in ``source`` but absent from ``_stage_df`` are
         therefore DELETED rather than replaced.
+
+        ``_extra_candidates`` / ``_extra_replan`` / ``_survivor_fn``
+        (private, used by :meth:`merge_when` for NOT MATCHED BY SOURCE
+        clauses): extra files join the rewrite set beyond the source-
+        key candidates, ``_extra_replan(prev_manifest)`` re-derives
+        them on CAS retries for the conflict check, and
+        ``_survivor_fn`` transforms the anti-joined survivor rows
+        (physical names) before staging — by-source deletes/updates of
+        target rows no source key touches.
         """
         base0 = self._base_manifest(self.current_version())
         source = self._to_physical(source, base0)
@@ -3447,6 +3459,11 @@ class SnapshotTable:
         prev_schema = plan["prev_schema"]
         key_hashes = plan["key_hashes"]
         candidates, untouched = plan["candidates"], plan["untouched"]
+        if _extra_candidates:
+            known = set(candidates)
+            extra = [f for f in _extra_candidates if f not in known]
+            candidates = candidates + extra
+            untouched = [f for f in untouched if f not in set(extra)]
         evolved_manifest = plan["evolved_manifest"]
         cdc_dir = None
         if candidates:
@@ -3469,6 +3486,8 @@ class SnapshotTable:
                 matched = cand_scan.join(key_tuples, keys, "left_semi")
                 cdc_dir = self._write_cdc(matched, stage, plan["evolved"])
             survivors = cand_scan.join(key_tuples, keys, "left_anti")
+            if _survivor_fn is not None:
+                survivors = _survivor_fn(survivors)
             rewritten = survivors.unionByName(stage, allowMissingColumns=True)
         else:
             rewritten = self._conform_to_schema(stage, plan["evolved"])
@@ -3494,6 +3513,13 @@ class SnapshotTable:
                     prev, k, cands, transform_wanted.get(k)
                 )
                 untch = untch + tdropped
+            if _extra_replan is not None:
+                cset = set(cands)
+                extra2 = [
+                    f for f in _extra_replan(prev) if f not in cset
+                ]
+                cands = cands + extra2
+                untch = [f for f in untch if f not in set(extra2)]
             if set(cands) != set(candidates):
                 raise CommitConflict(
                     "concurrent commit changed the candidate file set; "
@@ -3601,7 +3627,8 @@ class SnapshotTable:
         source: DataFrame,
         key: str | list[str],
         matched: list[tuple] = (),
-        not_matched: list[str | None] = (),
+        not_matched: list = (),
+        not_matched_by_source: list[tuple] = (),
         _markers: dict[str, int] | None = None,
     ) -> int:
         """Multi-clause conditional MERGE — Delta's full form::
@@ -3611,6 +3638,9 @@ class SnapshotTable:
             WHEN MATCHED [AND <cond>] THEN UPDATE SET *
             WHEN MATCHED [AND <cond>] THEN DELETE
             WHEN NOT MATCHED [AND <cond>] THEN INSERT *
+            WHEN NOT MATCHED [AND <cond>] THEN INSERT (c, ..) VALUES (e, ..)
+            WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+            WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ..
 
         ``matched`` is an ordered list of ``(condition, action,
         assignments)``: ``condition`` is a Spark-SQL boolean over the
@@ -3618,10 +3648,16 @@ class SnapshotTable:
         unconditional; ``action`` is ``"update"`` (with ``assignments``
         mapping target column -> SQL expr over t/s), ``"update_all"``
         (SET *), or ``"delete"``. ``not_matched`` is an ordered list of
-        conditions (over ``s`` only) for ``INSERT *`` clauses; empty =
-        no inserts. Per MERGE semantics the FIRST matched clause whose
-        condition evaluates TRUE wins per matched row pair; a matched
-        pair satisfying no clause leaves the target row untouched.
+        INSERT clauses — each a bare condition (INSERT *) or a
+        ``(condition, assignments)`` tuple for column-level INSERT
+        (unassigned table columns get NULL, Delta's rule); empty = no
+        inserts. ``not_matched_by_source`` is an ordered list of
+        ``(condition, action, assignments)`` over TARGET rows no
+        source key touches (conditions reference BARE target column
+        names — they double as pruning predicates); actions are
+        ``"delete"`` / ``"update"``. Per MERGE semantics the FIRST
+        clause of a group whose condition evaluates TRUE wins per row;
+        a row satisfying no clause is untouched.
 
         Execution rides the shared merge machinery: the planner prunes
         candidate files by the source key rectangle/blooms/buckets, the
@@ -3636,13 +3672,50 @@ class SnapshotTable:
         survivors when they share a candidate file, never re-imaged in
         CDF except for multi-row fired keys).
 
+        BY SOURCE scale shape: these clauses touch target rows OUTSIDE
+        the source key set, so the planner's key rectangle cannot
+        bound them — instead each clause's own condition is analyzed
+        for pruning proofs (``sources/predicate.py``), a file is extra-
+        rewritten only when SOME clause could fire in it (union-of-
+        rowsets), and the transform runs inside merge's survivor scan
+        (one pass, no second commit). An unconditional by-source
+        clause is inherently a full-table rewrite — bound it with a
+        condition, Delta's own guidance. CDF-enabled tables refuse
+        by-source clauses (their deletes/updates would escape the
+        change images); an EMPTY source with by-source clauses is
+        refused too (it degenerates to delete/update-everything — say
+        that with delete_where/update_where).
+
         Reference parity: Delta MERGE's conditional clause matrix
-        (first-match-wins), DLT apply_changes is the CDC-shaped cousin
+        (first-match-wins, WHEN NOT MATCHED BY SOURCE since Delta
+        2.3), DLT apply_changes is the CDC-shaped cousin
         (:meth:`apply_changes`)."""
         matched = list(matched)
-        not_matched = list(not_matched)
-        if not matched and not not_matched:
+        # normalize INSERT clauses: bare condition -> (cond, None)
+        not_matched = [
+            e if isinstance(e, tuple) else (e, None) for e in not_matched
+        ]
+        by_source = list(not_matched_by_source)
+        if not matched and not not_matched and not by_source:
             raise ValueError("merge_when: at least one WHEN clause")
+        for i, (cond, action, assigns) in enumerate(by_source):
+            if action not in ("update", "delete"):
+                raise ValueError(
+                    f"merge_when: by-source action must be update/delete, "
+                    f"got {action!r}"
+                )
+            if action == "update" and not assigns:
+                raise ValueError(
+                    f"merge_when: by-source clause {i} is 'update' but "
+                    f"has no assignments"
+                )
+        if by_source and self.change_data_feed:
+            raise NotImplementedError(
+                "merge_when: NOT MATCHED BY SOURCE on a change_data_feed "
+                "table is not supported (by-source deletes/updates would "
+                "not be imaged) — run the by-source pass as delete_where/"
+                "update_where, or disable CDF"
+            )
         for i, (cond, action, assigns) in enumerate(matched):
             if action not in ("update", "update_all", "delete"):
                 raise ValueError(
@@ -3660,137 +3733,255 @@ class SnapshotTable:
         pkeys = self._phys_keys(base0, key)
         plan = self._plan_merge(phys, pkeys)
         if isinstance(plan, int):
+            if by_source:
+                raise ValueError(
+                    "merge_when: empty source with NOT MATCHED BY SOURCE "
+                    "clauses degenerates to delete/update-everything — "
+                    "use delete_where/update_where for that"
+                )
             return plan  # empty source
         src_l = source.alias("s")
 
-        def _insert_filter(df: DataFrame) -> DataFrame:
+        def _insert_rows(df: DataFrame) -> DataFrame:
+            """First-matching-INSERT-clause-wins projection of the
+            unmatched source rows; empty frame when no clause fires."""
             if not not_matched:
                 return df.limit(0)
-            conds = [
-                F.expr(c) if c is not None else F.lit(True)
-                for c in not_matched
-            ]
-            keep = conds[0]
-            for c in conds[1:]:
-                keep = keep | c
-            return df.filter(F.coalesce(keep, F.lit(False)))
+            chain = None
+            for i, (cond, _assigns) in enumerate(not_matched):
+                c = F.expr(cond) if cond is not None else F.lit(True)
+                chain = (
+                    F.when(c, F.lit(i)) if chain is None
+                    else chain.when(c, F.lit(i))
+                )
+            tagged = df.withColumn("__ins_clause", chain)
+            parts = []
+            for i, (_cond, assigns) in enumerate(not_matched):
+                rows = tagged.filter(F.col("__ins_clause") == i)
+                if assigns is None:
+                    parts.append(rows.select(*df.columns))
+                else:
+                    parts.append(
+                        rows.select(
+                            *[F.expr(e).alias(c) for c, e in assigns.items()]
+                        )
+                    )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out
 
         if plan is None:
-            # empty table: every source row is unmatched
-            return self.append(_insert_filter(src_l), _markers=_markers)
+            # empty table: every source row is unmatched (by-source
+            # clauses have no target rows to touch)
+            return self.append(_insert_rows(src_l), _markers=_markers)
         keys = [key] if isinstance(key, str) else list(key)
         candidates = plan["candidates"]
-        if not candidates:
-            # no file can hold a matched key: inserts only
-            return self.append(_insert_filter(src_l), _markers=_markers)
-        ev_manifest = plan["evolved_manifest"]
-        cand = self._to_logical(
-            self._scan_live(ev_manifest, candidates), ev_manifest
-        ).alias("t")
-        on = F.expr(
-            " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
-        )  # NULL source keys are rejected by the planner, so = is exact
-        joined = cand.join(src_l, on, "inner")
-        clause_expr = None
-        for i, (cond, _action, _assigns) in enumerate(matched):
-            c = F.expr(cond) if cond is not None else F.lit(True)
-            clause_expr = (
-                F.when(c, F.lit(i)) if clause_expr is None
-                else clause_expr.when(c, F.lit(i))
+        # by-source extra rewrite set: a file joins only when SOME
+        # clause's own condition could fire in it (union-of-rowsets
+        # over the per-clause pruning conjuncts; an unprovable or
+        # unconditional clause keeps every live file)
+        bs_extra: list[str] = []
+        bs_replan = None
+        if by_source:
+            from .predicate import OPAQUE, Conjunct, analyze_predicate
+
+            branches = []
+            provable_all = True
+            for cond, _a, _s in by_source:
+                if cond is None:
+                    provable_all = False
+                    break
+                sub = tuple(
+                    c for c in analyze_predicate(cond) if c.kind != "opaque"
+                )
+                if not sub:
+                    provable_all = False
+                    break
+                branches.append(sub)
+            bs_conjuncts = (
+                [Conjunct("or", branches=tuple(branches), lossy=True)]
+                if provable_all
+                else [OPAQUE]
             )
-        if clause_expr is None:
-            clause_expr = F.lit(None).cast("int")
+            bs_conjuncts = self._conjuncts_to_physical(
+                plan["manifest"], bs_conjuncts
+            )
+
+            def bs_replan(prev, _c=bs_conjuncts):
+                cands, _u = self._split_by_conjuncts(prev, _c)
+                return cands
+
+            bs_extra = bs_replan(plan["manifest"])
+        if not candidates and not bs_extra:
+            # no file can hold a matched key or a by-source row:
+            # inserts only
+            return self.append(_insert_rows(src_l), _markers=_markers)
+        ev_manifest = plan["evolved_manifest"]
         # logical output columns = evolved table schema
         out_cols = [l for l, _p in self._logical_fields(ev_manifest)]
         src_cols = set(source.columns)
-        # EVERY alias-dependent expression — clause conditions, target
-        # values, source values, per-clause SET exprs — is evaluated in
-        # THIS projection, while the t/s alias scopes are alive; the
-        # localCheckpoint below erases them (a checkpointed frame is a
-        # fresh leaf with no qualifier history)
-        wide = [clause_expr.alias("__clause")]
-        for c in out_cols:
-            wide.append(
-                (F.expr(f"t.`{c}`") if c in cand.columns else F.lit(None))
-                .alias(f"__t_{c}")
-            )
-            if c in src_cols:
-                wide.append(F.expr(f"s.`{c}`").alias(f"__s_{c}"))
-        for i, (_cond, action, assigns) in enumerate(matched):
-            if action == "update" and assigns:
-                for c, e in assigns.items():
+        for i, (_c, action, assigns) in enumerate(by_source):
+            if action == "update":
+                for c in assigns:
                     if c not in out_cols:
                         raise ValueError(
-                            f"merge_when: SET target {c!r} is not a "
-                            f"table or source column"
+                            f"merge_when: by-source SET target {c!r} is "
+                            f"not a table column"
                         )
-                    wide.append(F.expr(e).alias(f"__a{i}_{c}"))
-        pairs = joined.select(*wide)
-        from pyspark.sql.window import Window
+        stage = None
+        if candidates:
+            cand = self._to_logical(
+                self._scan_live(ev_manifest, candidates), ev_manifest
+            ).alias("t")
+            on = F.expr(
+                " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+            )  # NULL source keys are planner-rejected, so = is exact
+            joined = cand.join(src_l, on, "inner")
+            clause_expr = None
+            for i, (cond, _action, _assigns) in enumerate(matched):
+                c = F.expr(cond) if cond is not None else F.lit(True)
+                clause_expr = (
+                    F.when(c, F.lit(i)) if clause_expr is None
+                    else clause_expr.when(c, F.lit(i))
+                )
+            if clause_expr is None:
+                clause_expr = F.lit(None).cast("int")
+            # EVERY alias-dependent expression — clause conditions,
+            # target values, source values, per-clause SET exprs — is
+            # evaluated in THIS projection, while the t/s alias scopes
+            # are alive; the localCheckpoint below erases them (a
+            # checkpointed frame is a fresh leaf with no qualifier
+            # history)
+            wide = [clause_expr.alias("__clause")]
+            for c in out_cols:
+                wide.append(
+                    (F.expr(f"t.`{c}`") if c in cand.columns else F.lit(None))
+                    .alias(f"__t_{c}")
+                )
+                if c in src_cols:
+                    wide.append(F.expr(f"s.`{c}`").alias(f"__s_{c}"))
+            for i, (_cond, action, assigns) in enumerate(matched):
+                if action == "update" and assigns:
+                    for c, e in assigns.items():
+                        if c not in out_cols:
+                            raise ValueError(
+                                f"merge_when: SET target {c!r} is not a "
+                                f"table or source column"
+                            )
+                        wide.append(F.expr(e).alias(f"__a{i}_{c}"))
+            pairs = joined.select(*wide)
+            from pyspark.sql.window import Window
 
-        wkey = Window.partitionBy(*[F.col(f"__t_{k}") for k in keys])
-        pairs = pairs.withColumn(
-            "__key_fired",
-            F.max(F.col("__clause").isNotNull().cast("int")).over(wkey) == 1,
+            wkey = Window.partitionBy(*[F.col(f"__t_{k}") for k in keys])
+            pairs = pairs.withColumn(
+                "__key_fired",
+                F.max(F.col("__clause").isNotNull().cast("int")).over(wkey)
+                == 1,
+            )
+            # matched pairs are bounded by |source keys| x target key
+            # multiplicity; materialize once for the consumers below
+            pairs = pairs.localCheckpoint(eager=True)
+            fired = pairs.filter(F.col("__key_fired"))
+            stage_parts = []
+            for i, (_cond, action, assigns) in enumerate(matched):
+                if action == "delete":
+                    continue
+                rows = fired.filter(F.col("__clause") == i)
+                if action == "update_all":
+                    proj = [
+                        F.col(f"__s_{c}" if c in src_cols else f"__t_{c}")
+                        .alias(c)
+                        for c in out_cols
+                    ]
+                else:
+                    proj = [
+                        F.col(
+                            f"__a{i}_{c}" if assigns and c in assigns
+                            else f"__t_{c}"
+                        ).alias(c)
+                        for c in out_cols
+                    ]
+                stage_parts.append(rows.select(*proj))
+            # passenger rows: multi-row keys where ANOTHER row fired —
+            # the key's target rows all drop, so unchanged pairs must
+            # re-stage
+            stage_parts.append(
+                fired.filter(F.col("__clause").isNull()).select(
+                    *[F.col(f"__t_{c}").alias(c) for c in out_cols]
+                )
+            )
+            stage = stage_parts[0]
+            for part in stage_parts[1:]:
+                stage = stage.unionByName(part, allowMissingColumns=True)
+            # inserts: source rows whose key matched NO candidate row
+            matched_keys = pairs.select(
+                *[F.col(f"__t_{k}").alias(k) for k in keys]
+            ).distinct()
+            if plan["broadcast_ok"]:
+                matched_keys = F.broadcast(matched_keys)
+            unmatched = src_l.join(matched_keys, keys, "left_anti")
+            # source role for merge = full rows of FIRED keys (their
+            # target rows drop; schema evolution sees the full width)
+            fired_keys = fired.select(
+                *[F.col(f"__t_{k}").alias(k) for k in keys]
+            ).distinct()
+            if plan["broadcast_ok"]:
+                fired_keys = F.broadcast(fired_keys)
+            merge_source = source.join(fired_keys, keys, "left_semi")
+        else:
+            # by-source-only rewrite set: no matched pairs possible
+            unmatched = src_l
+            merge_source = source.limit(0)
+        inserts = _insert_rows(unmatched)
+        stage = (
+            inserts if stage is None
+            else stage.unionByName(inserts, allowMissingColumns=True)
         )
-        # matched pairs are bounded by |source keys| x target key
-        # multiplicity; materialize once for the consumers below
-        pairs = pairs.localCheckpoint(eager=True)
-        fired = pairs.filter(F.col("__key_fired"))
+        surv_fn = None
+        if by_source:
 
-        def target_proj():
-            return [F.col(f"__t_{c}").alias(c) for c in out_cols]
-
-        stage_parts = []
-        for i, (_cond, action, assigns) in enumerate(matched):
-            if action == "delete":
-                continue
-            rows = fired.filter(F.col("__clause") == i)
-            if action == "update_all":
-                proj = [
-                    F.col(f"__s_{c}" if c in src_cols else f"__t_{c}")
-                    .alias(c)
-                    for c in out_cols
+            def surv_fn(df, _m=ev_manifest):
+                """Apply the by-source clause chain to the survivor
+                rows (target rows no source key matched): first fired
+                clause wins — delete drops, update projects, no clause
+                passes through unchanged."""
+                ldf = self._to_logical(df, _m)
+                chain = None
+                for i, (cond, _a, _s) in enumerate(by_source):
+                    c = F.expr(cond) if cond is not None else F.lit(True)
+                    chain = (
+                        F.when(c, F.lit(i)) if chain is None
+                        else chain.when(c, F.lit(i))
+                    )
+                tagged = ldf.withColumn("__bs_clause", chain)
+                parts = [
+                    tagged.filter(F.col("__bs_clause").isNull()).drop(
+                        "__bs_clause"
+                    )
                 ]
-            else:
-                proj = [
-                    F.col(
-                        f"__a{i}_{c}" if assigns and c in assigns
-                        else f"__t_{c}"
-                    ).alias(c)
-                    for c in out_cols
-                ]
-            stage_parts.append(rows.select(*proj))
-        # passenger rows: multi-row keys where ANOTHER row fired — the
-        # key's target rows all drop, so unchanged pairs must re-stage
-        stage_parts.append(
-            fired.filter(F.col("__clause").isNull()).select(*target_proj())
-        )
-        stage = stage_parts[0]
-        for part in stage_parts[1:]:
-            stage = stage.unionByName(part, allowMissingColumns=True)
-        # inserts: source rows whose key matched NOTHING in candidates
-        matched_keys = pairs.select(
-            *[F.col(f"__t_{k}").alias(k) for k in keys]
-        ).distinct()
-        if plan["broadcast_ok"]:
-            matched_keys = F.broadcast(matched_keys)
-        unmatched = src_l.join(matched_keys, keys, "left_anti")
-        stage = stage.unionByName(
-            _insert_filter(unmatched).select(*source.columns),
-            allowMissingColumns=True,
-        )
-        # source role for merge = full rows of FIRED keys (their target
-        # rows drop; schema evolution sees the full source width)
-        fired_keys = fired.select(
-            *[F.col(f"__t_{k}").alias(k) for k in keys]
-        ).distinct()
-        if plan["broadcast_ok"]:
-            fired_keys = F.broadcast(fired_keys)
-        merge_source = source.join(fired_keys, keys, "left_semi")
+                for i, (_cond, action, assigns) in enumerate(by_source):
+                    if action == "delete":
+                        continue
+                    rows = tagged.filter(F.col("__bs_clause") == i)
+                    proj = [
+                        (
+                            F.expr(assigns[c]) if c in assigns else F.col(c)
+                        ).alias(c)
+                        for c in ldf.columns
+                    ]
+                    parts.append(rows.select(*proj))
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p, allowMissingColumns=True)
+                return self._to_physical(out, _m)
+
         return self.merge(
             merge_source, key, _markers=_markers, _plan=plan,
             _stage_df=stage,
+            _extra_candidates=bs_extra or None,
+            _extra_replan=bs_replan,
+            _survivor_fn=surv_fn,
         )
 
     def merge_mor(

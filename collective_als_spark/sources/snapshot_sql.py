@@ -23,8 +23,9 @@ Supported statements (case-insensitive keywords):
   via ``apply_changes``), insert-only (pruned ``merge_insert_only``),
   and the FULL conditional clause matrix (``WHEN MATCHED [AND <cond>]
   THEN UPDATE SET col = expr, ... | UPDATE SET * | DELETE``, ``WHEN
-  NOT MATCHED [AND <cond>] THEN INSERT *``, first-match-wins) via
-  engine ``merge_when``.
+  NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (c, ..) VALUES
+  (e, ..)``, ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE |
+  UPDATE SET ..``, first-match-wins) via engine ``merge_when``.
 - ``INSERT INTO <tbl> <query>`` — ``append(spark.sql(query))``;
   ``INSERT OVERWRITE <tbl> <query>`` — ``overwrite(...)``;
   ``CREATE TABLE <tbl> AS <query>`` — first commit on a fresh root.
@@ -490,26 +491,33 @@ def _merge(spark, rest: str, kw) -> int:
         )
         return t.apply_changes(changes, keys if len(keys) > 1 else keys[0])
     # general conditional / column-level clause list -> merge_when
-    matched_c, not_matched_c = _parse_when_clauses(
+    matched_c, not_matched_c, by_source_c = _parse_when_clauses(
         actions, t_alias, s_alias
     )
     return t.merge_when(
-        source, keys, matched=matched_c, not_matched=not_matched_c
+        source,
+        keys,
+        matched=matched_c,
+        not_matched=not_matched_c,
+        not_matched_by_source=by_source_c,
     )
 
 
 def _parse_when_clauses(
     actions: str, t_alias: str | None, s_alias: str | None
-) -> tuple[list[tuple], list[str | None]]:
+) -> tuple[list[tuple], list[tuple], list[tuple]]:
     """The full Delta clause matrix -> ``merge_when`` arguments:
 
     ``WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ... | SET *
-    | DELETE`` and ``WHEN NOT MATCHED [AND <cond>] THEN INSERT *``.
+    | DELETE``, ``WHEN NOT MATCHED [AND <cond>] THEN INSERT * |
+    INSERT (c, ..) VALUES (e, ..)``, and ``WHEN NOT MATCHED BY SOURCE
+    [AND <cond>] THEN DELETE | UPDATE SET col = expr, ...``.
     Conditions/exprs are requalified from the statement's own aliases
-    to the engine's canonical ``t`` (target) / ``s`` (source); clause
-    ORDER is preserved (first matching clause wins, Delta semantics).
-    Column-level INSERT (col lists + VALUES) is refused with
-    guidance."""
+    to the engine's canonical ``t`` (target) / ``s`` (source) —
+    by-source conditions reference only the target, so their alias is
+    STRIPPED to bare column names (they double as pruning predicates);
+    clause ORDER is preserved (first matching clause wins, Delta
+    semantics)."""
     amap = {}
     if t_alias:
         amap[t_alias.upper()] = "t"
@@ -519,22 +527,36 @@ def _parse_when_clauses(
     def requal(text: str) -> str:
         return _rewrite_alias_prefix(text, amap)
 
-    # clause boundaries: WHEN directly followed by [NOT] MATCHED (a
-    # CASE WHEN inside a condition or SET expr is not followed by
-    # MATCHED, so it cannot split a clause)
+    def requal_bare_target(text: str) -> str:
+        return _strip_alias_prefix(text, [t_alias, "t"])
+
+    # clause boundaries: WHEN directly followed by [NOT] MATCHED
+    # [BY SOURCE] (a CASE WHEN inside a condition or SET expr is not
+    # followed by MATCHED, so it cannot split a clause)
     marks = []
     for _w, s, e in _scan_clauses(actions, {"WHEN"}):
-        m = re.match(r"\s*(NOT\s+)?MATCHED\b", actions[e:], re.IGNORECASE)
+        m = re.match(
+            r"\s*(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?\b", actions[e:],
+            re.IGNORECASE,
+        )
         if m:
-            marks.append((s, e + m.end(), bool(m.group(1))))
+            if m.group(2) and not m.group(1):
+                raise ValueError(
+                    "snapshot_sql: MATCHED BY SOURCE is not a clause — "
+                    "did you mean WHEN NOT MATCHED BY SOURCE?"
+                )
+            marks.append(
+                (s, e + m.end(), bool(m.group(1)), bool(m.group(2)))
+            )
     if not marks or actions[: marks[0][0]].strip():
         raise ValueError(
             f"snapshot_sql: malformed MERGE WHEN clauses "
             f"{actions.strip()[:80]!r}"
         )
     matched: list[tuple] = []
-    not_matched: list[str | None] = []
-    for idx, (start, body_s, is_not) in enumerate(marks):
+    not_matched: list[tuple] = []
+    by_source: list[tuple] = []
+    for idx, (start, body_s, is_not, is_by_source) in enumerate(marks):
         end = marks[idx + 1][0] if idx + 1 < len(marks) else len(actions)
         body = actions[body_s:end]
         # the structural THEN: first top-level THEN followed by an
@@ -551,6 +573,7 @@ def _parse_when_clauses(
                 f"snapshot_sql: MERGE clause missing THEN <action>: "
                 f"{body.strip()[:80]!r}"
             )
+        requal_cond = requal_bare_target if is_by_source else requal
         cond_text = body[: t_pos[0]].strip()
         cond = None
         if cond_text:
@@ -560,17 +583,94 @@ def _parse_when_clauses(
                     f"snapshot_sql: expected AND <condition> before THEN, "
                     f"got {cond_text[:60]!r}"
                 )
-            cond = requal(cond_text[am.end() :].strip())
+            cond = requal_cond(cond_text[am.end() :].strip())
         action_text = body[t_pos[1] :].strip()
         au = re.sub(r"\s+", " ", action_text).upper()
-        if is_not:
-            if au != "INSERT *":
+
+        def parse_set(text: str, value_requal) -> dict:
+            assigns = {}
+            for part in _split_top_commas(text):
+                if not part.strip():
+                    continue
+                eq = _scan_eq(part)
+                if eq < 0:
+                    raise ValueError(
+                        f"snapshot_sql: malformed SET assignment "
+                        f"{part.strip()!r}"
+                    )
+                col = _strip_alias_prefix(
+                    part[:eq].strip(), [t_alias, "t"]
+                ).strip("`")
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+                    raise ValueError(
+                        f"snapshot_sql: bad SET target {col!r}"
+                    )
+                assigns[col] = value_requal(part[eq + 1 :].strip())
+            if not assigns:
+                raise ValueError("snapshot_sql: empty SET clause")
+            return assigns
+
+        if is_not and not is_by_source:
+            if au == "INSERT *":
+                not_matched.append((cond, None))
+                continue
+            m = re.match(r"INSERT\s*\(", action_text, re.IGNORECASE)
+            if not m:
                 raise NotImplementedError(
                     f"snapshot_sql: WHEN NOT MATCHED supports INSERT * "
-                    f"(schema by name); column-level INSERT lists need "
-                    f"the DataFrame API — got {action_text[:60]!r}"
+                    f"and INSERT (cols) VALUES (exprs) — got "
+                    f"{action_text[:60]!r}"
                 )
-            not_matched.append(cond)
+            cols_open = action_text.index("(")
+            cols_close = cols_open + _matching_paren(action_text[cols_open:])
+            cols = [
+                c.strip().strip("`")
+                for c in _split_top_commas(
+                    action_text[cols_open + 1 : cols_close]
+                )
+            ]
+            rest2 = action_text[cols_close + 1 :].strip()
+            vm = re.match(r"VALUES\s*\(", rest2, re.IGNORECASE)
+            if not vm:
+                raise ValueError(
+                    f"snapshot_sql: INSERT column list needs VALUES "
+                    f"(exprs), got {rest2[:60]!r}"
+                )
+            v_open = rest2.index("(")
+            v_close = v_open + _matching_paren(rest2[v_open:])
+            vals = _split_top_commas(rest2[v_open + 1 : v_close])
+            if rest2[v_close + 1 :].strip():
+                raise ValueError(
+                    f"snapshot_sql: trailing text after VALUES: "
+                    f"{rest2[v_close + 1:].strip()!r}"
+                )
+            if len(cols) != len(vals):
+                raise ValueError(
+                    f"snapshot_sql: INSERT lists {len(cols)} columns but "
+                    f"{len(vals)} values"
+                )
+            not_matched.append(
+                (cond, {c: requal(v.strip()) for c, v in zip(cols, vals)})
+            )
+            continue
+        if is_by_source:
+            if au == "DELETE":
+                by_source.append((cond, "delete", None))
+                continue
+            m = re.match(r"UPDATE\s+SET\s+", action_text, re.IGNORECASE)
+            if not m:
+                raise NotImplementedError(
+                    f"snapshot_sql: WHEN NOT MATCHED BY SOURCE supports "
+                    f"DELETE and UPDATE SET col = expr — got "
+                    f"{action_text[:60]!r}"
+                )
+            by_source.append(
+                (
+                    cond,
+                    "update",
+                    parse_set(action_text[m.end() :], requal_bare_target),
+                )
+            )
             continue
         if au == "DELETE":
             matched.append((cond, "delete", None))
@@ -583,34 +683,16 @@ def _parse_when_clauses(
                     f"snapshot_sql: malformed UPDATE action "
                     f"{action_text[:60]!r}"
                 )
-            assigns = {}
-            for part in _split_top_commas(action_text[m.end() :]):
-                if not part.strip():
-                    continue
-                eq = _scan_eq(part)
-                if eq < 0:
-                    raise ValueError(
-                        f"snapshot_sql: malformed SET assignment "
-                        f"{part.strip()!r}"
-                    )
-                col = _strip_alias_prefix(
-                    part[:eq].strip(), [t_alias]
-                ).strip("`")
-                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
-                    raise ValueError(
-                        f"snapshot_sql: bad SET target {col!r}"
-                    )
-                assigns[col] = requal(part[eq + 1 :].strip())
-            if not assigns:
-                raise ValueError("snapshot_sql: empty SET clause")
-            matched.append((cond, "update", assigns))
+            matched.append(
+                (cond, "update", parse_set(action_text[m.end() :], requal))
+            )
         else:
             raise NotImplementedError(
                 f"snapshot_sql: unsupported MERGE action "
                 f"{action_text[:60]!r} — matched clauses support UPDATE "
                 f"SET col = expr / UPDATE SET * / DELETE"
             )
-    return matched, not_matched
+    return matched, not_matched, by_source
 
 
 def _equi_keys(cond: str, t_alias: str | None, s_alias: str | None) -> list[str]:

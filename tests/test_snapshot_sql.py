@@ -215,14 +215,14 @@ def test_sql_error_shapes(spark, tmp_path):
     t.append(_orders(spark))
     with pytest.raises(ValueError, match="quoted string"):
         snapshot_sql(spark, "DELETE FROM sometable WHERE id = 1")
-    # column-level UPDATE SET is SUPPORTED since r12 (merge_when);
-    # the refused shape left is a column-level INSERT list
+    # column-level UPDATE SET and INSERT lists are SUPPORTED since
+    # r12 (merge_when); a not-matched UPDATE stays refused
     _orders(spark).createOrReplaceTempView("sqldml_bad")
     with pytest.raises(NotImplementedError, match="INSERT"):
         snapshot_sql(
             spark,
             f"MERGE INTO '{t.root}' t USING sqldml_bad s ON t.id = s.id "
-            f"WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, 0)",
+            f"WHEN NOT MATCHED THEN UPDATE SET amount = 0",
         )
     with pytest.raises(NotImplementedError, match="same-named"):
         snapshot_sql(
@@ -395,12 +395,12 @@ def test_sql_merge_conditional_clauses(spark, tmp_path):
     )
     got4 = {r["id"]: r["amount"] for r in t4.read().collect()}
     assert got4[1] == 999.0 and len(got4) == 7
-    # refusal: column-level INSERT lists
+    # refusal: a not-matched UPDATE action is not a MERGE shape
     with pytest.raises(NotImplementedError, match="INSERT"):
         snapshot_sql(
             spark,
             f"MERGE INTO '{t4.root}' t USING sqldml_cond2 s ON t.id = s.id "
-            f"WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
+            f"WHEN NOT MATCHED THEN UPDATE SET amount = 0",
         )
     # string literal containing ' THEN ' survives clause parsing
     t5 = SnapshotTable(spark, str(tmp_path / "t5"), stats_columns=["id"])
@@ -412,6 +412,90 @@ def test_sql_merge_conditional_clauses(spark, tmp_path):
         f"CASE WHEN s.amount > 0 THEN 'pos' ELSE 'neg' END",
     )
     assert {r["id"]: r["status"] for r in t5.read().collect()}[1] == "pos"
+
+
+def test_sql_merge_by_source_and_insert_lists(spark, tmp_path):
+    """The rest of Delta's MERGE matrix: WHEN NOT MATCHED BY SOURCE
+    (DELETE / UPDATE SET over target rows no source key touches, with
+    the clause condition doubling as a pruning predicate) and
+    column-level INSERT (cols) VALUES (exprs)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    src = spark.createDataFrame(
+        [(1, "seen", "EU", 11.0), (8, "new", "JP", 80.0)],
+        "id long, status string, region string, amount double",
+    )
+    src.createOrReplaceTempView("sqldml_bys")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{t.root}' AS tgt USING sqldml_bys AS src "
+        f"ON tgt.id = src.id "
+        f"WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN NOT MATCHED AND src.amount > 0 THEN "
+        f"INSERT (id, status, amount) VALUES (src.id, "
+        f"concat(src.status, '-ins'), src.amount / 2) "
+        f"WHEN NOT MATCHED BY SOURCE AND tgt.amount > 45 THEN DELETE "
+        f"WHEN NOT MATCHED BY SOURCE AND tgt.status = 'open' THEN "
+        f"UPDATE SET status = 'stale'",
+    )
+    rows = {r["id"]: (r["status"], r["region"], r["amount"])
+            for r in t.read().collect()}
+    # by-source rows are 2..7: amount>45 deletes 5,6,7; status='open'
+    # then updates 4 (7 is open too but the DELETE clause fired first)
+    assert rows[1] == ("seen", "EU", 11.0)        # matched update
+    assert rows[8] == ("new-ins", None, 40.0)     # column-level insert
+    assert not {5, 6, 7} & set(rows)              # by-source deletes
+    assert rows[4] == ("stale", "EU", 40.0)       # by-source update
+    assert rows[2] == ("cancelled", "US", 20.0)   # untouched
+    assert set(rows) == {1, 2, 3, 4, 8}
+
+
+def test_merge_when_by_source_prunes_files(spark, tmp_path):
+    """By-source clause conditions drive file pruning: a banded table
+    where no clause can fire keeps its out-of-band files untouched
+    (never opened for the by-source rewrite)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 10)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+    before = set(t._manifest(t.current_version())["files"])
+    src = spark.createDataFrame([(1001, -1)], "k long, v long")
+    t.merge_when(
+        src,
+        "k",
+        matched=[(None, "update_all", None)],
+        not_matched_by_source=[("k BETWEEN 1000 AND 1100", "update",
+                                {"v": "v + 1"})],
+    )
+    after = set(t._manifest(t.current_version())["files"])
+    # 0-band and 2000-band files untouched by path: neither the
+    # source key rectangle nor the by-source condition reaches them
+    assert len(before & after) == 2
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[1001] == -1          # matched update_all
+    assert got[1002] == 2005        # by-source +1
+    assert got[0] == 0 and got[2005] == 4010  # untouched bands
+    # CDF tables refuse by-source clauses with guidance
+    c = SnapshotTable(
+        spark, str(tmp_path / "cdf"), stats_columns=["k"],
+        change_data_feed=True,
+    )
+    c.append(spark.range(3).select(F.col("id").alias("k")))
+    with pytest.raises(NotImplementedError, match="BY SOURCE"):
+        c.merge_when(
+            spark.range(1).select(F.col("id").alias("k")),
+            "k",
+            not_matched_by_source=[(None, "delete", None)],
+        )
+    # empty source + by-source refused with guidance
+    with pytest.raises(ValueError, match="delete_where"):
+        t.merge_when(
+            src.limit(0), "k",
+            not_matched_by_source=[(None, "delete", None)],
+        )
 
 
 def test_sql_parser_quote_and_function_context(spark, tmp_path):
