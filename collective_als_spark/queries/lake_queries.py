@@ -1235,3 +1235,101 @@ def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_merge_matrix",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey % 7 = 0 AS insrc
+        FROM orders
+    ), c AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN insrc AND cents < 20000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+            CAST(sum(CASE WHEN insrc AND cents >= 20000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_del_m,
+            CAST(sum(CASE WHEN NOT insrc AND cents > 40000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_del_bs,
+            CAST(sum(CASE WHEN NOT insrc AND cents <= 40000000
+                               AND cents < 2000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+            CAST(sum(CASE WHEN NOT insrc AND cents <= 40000000
+                          THEN cents ELSE 0 END) AS BIGINT) AS keep_cents
+        FROM k
+    )
+    SELECT 'n_final' AS step, n - n_del_m - n_del_bs + 2 AS value FROM c
+    UNION ALL SELECT 'cents_final',
+        keep_cents + 77777777777 * n_upd + 2 * 77777777778 FROM c
+    UNION ALL SELECT 'n_upd', n_upd FROM c
+    UNION ALL SELECT 'n_low', n_low FROM c
+    UNION ALL SELECT 'n_ins', CAST(2 AS BIGINT) FROM c
+    """,
+)
+def lake_merge_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Delta MERGE clause matrix in one statement, under the
+    oracle (r12): conditional matched UPDATE vs DELETE (first-match-
+    wins), column-level ``INSERT (cols) VALUES (exprs)`` with a
+    condition, and both NOT MATCHED BY SOURCE forms (conditional
+    DELETE + conditional UPDATE SET) — all delegated through
+    ``snapshot_sql`` to ``merge_when`` and recomputed algebraically by
+    DuckDB from ``orders``.
+
+    Scale shape: one planner-pruned candidate join for the matched
+    clauses; the by-source clauses' own conditions drive extra-file
+    pruning (union-of-rowsets); everything commits in ONE pass through
+    the merge machinery. The update sentinel (77,777,777,777 cents)
+    exceeds any real order total, so the count is collision-free.
+
+    Reference parity: Delta MERGE WHEN MATCHED / NOT MATCHED /
+    NOT MATCHED BY SOURCE (Delta 2.3+)."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("base").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    src = rows.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit("src").alias("status"),
+        F.lit(77777777777).alias("cents"),
+    )
+    extra = spark.createDataFrame(
+        [(-1, "src", 77777777777), (-2, "src", 77777777777),
+         (-3, "src", 77777777777)],
+        "k long, status string, cents bigint",
+    )
+    src.unionByName(extra).createOrReplaceTempView("lake_merge_matrix_src")
+    root = tempfile.mkdtemp(prefix="lake_matrix_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["k"])
+        t.append(rows)
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t.root}' AS t USING lake_merge_matrix_src AS s "
+            f"ON t.k = s.k "
+            f"WHEN MATCHED AND t.cents < 20000000 THEN UPDATE SET "
+            f"cents = s.cents "
+            f"WHEN MATCHED THEN DELETE "
+            f"WHEN NOT MATCHED AND s.k % 2 <> 0 THEN "
+            f"INSERT (k, cents) VALUES (s.k, s.cents + 1) "
+            f"WHEN NOT MATCHED BY SOURCE AND t.cents > 40000000 THEN "
+            f"DELETE "
+            f"WHEN NOT MATCHED BY SOURCE AND t.cents < 2000000 THEN "
+            f"UPDATE SET status = 'low'",
+        )
+        got = t.read()
+        out = [
+            ("n_final", got.count()),
+            ("cents_final", got.agg(F.sum("cents")).first()[0]),
+            ("n_upd", got.filter(F.col("cents") == 77777777777).count()),
+            ("n_low", got.filter(F.col("status") == "low").count()),
+            ("n_ins", got.filter(F.col("status").isNull()).count()),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
