@@ -223,6 +223,7 @@ def measure_lake_protocol(spark) -> dict:
         "apply_changes_tracked_sec",
         "apply_changes_stale_sec",
         "apply_changes_scd2_sec",
+        "merge_when_sec",
         "compact_full_sec",
     )
     out: dict = {}
@@ -404,6 +405,39 @@ def measure_lake_protocol(spark) -> dict:
                     round(time.perf_counter() - t0, 3)
                 )
                 bytes_written["apply_changes_scd2_sec"] = _commit_bytes(ts, v)
+                # r12 conditional MERGE matrix: the same scattered
+                # batch through matched cond-update-vs-delete + an
+                # unconditional insert clause + a BANDED by-source
+                # update (first ~1% of the key range). The claim: the
+                # matched rewrite is candidate-bound (tracks the COW
+                # merge curve — scattered keys touch every file by
+                # design), while the by-source extra set is bounded by
+                # ITS condition's band, not the table, so the ratio
+                # must not exceed merge_cow's.
+                mw = spark.createDataFrame(
+                    [(k, -6.0) for k in keys],
+                    "o_orderkey long, o_totalprice double",
+                )
+                bs_hi = all_keys[len(all_keys) // 100]
+                t0 = time.perf_counter()
+                v = t.merge_when(
+                    mw,
+                    "o_orderkey",
+                    matched=[
+                        ("s.o_totalprice < t.o_totalprice", "update",
+                         {"o_totalprice": "s.o_totalprice"}),
+                        (None, "delete", None),
+                    ],
+                    not_matched=[None],
+                    not_matched_by_source=[
+                        (f"o_orderkey <= {bs_hi}", "update",
+                         {"o_totalprice": "o_totalprice + 1"}),
+                    ],
+                )
+                runs["merge_when_sec"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                bytes_written["merge_when_sec"] = _commit_bytes(t, v)
                 t0 = time.perf_counter()
                 v = t.compact(target_rows_per_file=target)  # full rewrite
                 runs["compact_full_sec"].append(
@@ -557,9 +591,9 @@ def main() -> None:
             if prev.get("replicas") == REPLICAS and prev.get("src") == SRC_DIR:
                 out["queries"] = prev.get("queries", {})
                 lp = prev.get("lake_protocol")
-                # carry only a CURRENT-shape artifact (r11 added the
-                # SCD2 apply step — an old one must re-run)
-                if lp and "apply_changes_scd2_sec" in lp.get("1x", {}):
+                # carry only a CURRENT-shape artifact (r12 added the
+                # conditional-MERGE step — an old one must re-run)
+                if lp and "merge_when_sec" in lp.get("1x", {}):
                     out["lake_protocol"] = lp
                 if prev.get("ann_serve"):
                     out["ann_serve"] = prev["ann_serve"]
