@@ -3940,13 +3940,35 @@ class SnapshotTable:
         )
         surv_fn = None
         if by_source:
+            # merge's survivors = candidate rows whose key is not in
+            # the FIRED set — that still includes matched-but-unfired
+            # rows, which are MATCHED and must never see the by-source
+            # chain (Delta: the clause groups partition by match
+            # status, not by effect)
+            all_matched_keys = (
+                pairs.select(
+                    *[F.col(f"__t_{k}").alias(k) for k in keys]
+                ).distinct()
+                if candidates
+                else None
+            )
+            if all_matched_keys is not None and plan["broadcast_ok"]:
+                all_matched_keys = F.broadcast(all_matched_keys)
 
             def surv_fn(df, _m=ev_manifest):
                 """Apply the by-source clause chain to the survivor
-                rows (target rows no source key matched): first fired
-                clause wins — delete drops, update projects, no clause
-                passes through unchanged."""
+                rows that matched NO source key; matched-but-unfired
+                rows pass through untouched. First fired clause wins —
+                delete drops, update projects, no clause passes
+                through unchanged."""
                 ldf = self._to_logical(df, _m)
+                if all_matched_keys is not None:
+                    kept_matched = ldf.join(
+                        all_matched_keys, keys, "left_semi"
+                    )
+                    ldf = ldf.join(all_matched_keys, keys, "left_anti")
+                else:
+                    kept_matched = None
                 chain = None
                 for i, (cond, _a, _s) in enumerate(by_source):
                     c = F.expr(cond) if cond is not None else F.lit(True)
@@ -3974,6 +3996,10 @@ class SnapshotTable:
                 out = parts[0]
                 for p in parts[1:]:
                     out = out.unionByName(p, allowMissingColumns=True)
+                if kept_matched is not None:
+                    out = out.unionByName(
+                        kept_matched, allowMissingColumns=True
+                    )
                 return self._to_physical(out, _m)
 
         return self.merge(

@@ -498,6 +498,32 @@ def test_merge_when_by_source_prunes_files(spark, tmp_path):
         )
 
 
+def test_merge_when_matched_unfired_rows_escape_by_source(spark, tmp_path):
+    """A target row whose key IS in the source but whose matched
+    clauses all fail is MATCHED — the by-source clause group must
+    never touch it, even when its values satisfy a by-source
+    condition (clause groups partition by match status, not effect)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(1, 99.0), (2, 99.0), (3, 1.0)], "k long, v double"
+        )
+    )
+    src = spark.createDataFrame([(1, 0.0)], "k long, v double")
+    t.merge_when(
+        src,
+        "k",
+        # matched clause never fires (0.0 > 99.0 is false)
+        matched=[("s.v > t.v", "update_all", None)],
+        # by-source condition that row k=1 WOULD satisfy
+        not_matched_by_source=[("v > 50", "delete", None)],
+    )
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    # k=1 is matched (unfired) -> kept; k=2 is unmatched and fires ->
+    # deleted; k=3 unmatched, condition false -> kept
+    assert rows == {1: 99.0, 3: 1.0}
+
+
 def test_sql_parser_quote_and_function_context(spark, tmp_path):
     """r11-ADVICE parser edges: (1) alias stripping must not rewrite
     matching text inside string literals; (2) an intra-function FROM
