@@ -3617,7 +3617,10 @@ class SnapshotTable:
                 ).distinct()
                 to_insert = phys.join(F.broadcast(matched), keys, "left_anti")
             else:
-                to_insert = phys.join(cand_keys.distinct(), keys, "left_anti")
+                # anti-join has set semantics on its right side — a
+                # distinct here would add a full shuffle+aggregate of
+                # every candidate-file key for zero semantic effect
+                to_insert = phys.join(cand_keys, keys, "left_anti")
         return self.append(
             self._to_logical(to_insert, base0), _markers=_markers
         )

@@ -100,6 +100,32 @@ class Conjunct:
 
 OPAQUE = Conjunct(kind="opaque")
 
+
+class DateLit(str):
+    """A ``DATE '...'`` literal's payload. SQL coerces a date to
+    MIDNIGHT when compared against a timestamp column, while the
+    manifest stats for such a column are full isoformat strings — a
+    bare ``YYYY-MM-DD`` sorts lexically BELOW every same-day
+    timestamp, so ``ts <= DATE 'd'`` would unsoundly prune files whose
+    min is exactly midnight of ``d``. The comparator extends a DateLit
+    bound to ``dT00:00:00`` when the file's stats are
+    timestamp-shaped; plain string literals (no DATE keyword) never
+    get this treatment, so string-column pruning semantics are
+    untouched."""
+
+
+def _against_stats(bound, stat):
+    """The probe value to compare against this file's recorded stat:
+    a DATE literal facing timestamp-shaped stats (longer than the
+    10-char date form) compares as its midnight instant."""
+    if (
+        isinstance(bound, DateLit)
+        and isinstance(stat, str)
+        and len(stat) > 10
+    ):
+        return bound + "T00:00:00"
+    return bound
+
 _TOKEN_RE = re.compile(
     r"""
     \s+
@@ -227,7 +253,10 @@ def _literal(tokens: list, i: int):
             raw = t2[1:-1].replace("''", "'")
             try:
                 if text == "DATE":
-                    return datetime.date.fromisoformat(raw).isoformat(), i + 2
+                    return (
+                        DateLit(datetime.date.fromisoformat(raw).isoformat()),
+                        i + 2,
+                    )
                 dt = datetime.datetime.fromisoformat(raw)
                 if dt.tzinfo is not None:
                     return None, -1  # naive stats: no sound comparison
@@ -660,14 +689,14 @@ def _conjunct_proves_out(fstats: dict, rows, c: Conjunct) -> bool:
         )
     lo, hi = jsonable(c.lo), jsonable(c.hi)
     try:
-        if lo is not None and (
-            band[1] < lo or (c.lo_strict and band[1] == lo)
-        ):
-            return True
-        if hi is not None and (
-            band[0] > hi or (c.hi_strict and band[0] == hi)
-        ):
-            return True
+        if lo is not None:
+            lo_cmp = _against_stats(lo, band[1])
+            if band[1] < lo_cmp or (c.lo_strict and band[1] == lo_cmp):
+                return True
+        if hi is not None:
+            hi_cmp = _against_stats(hi, band[0])
+            if band[0] > hi_cmp or (c.hi_strict and band[0] == hi_cmp):
+                return True
     except TypeError:
         return False  # literal/stats type mismatch: no proof
     return False

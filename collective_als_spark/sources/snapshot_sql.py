@@ -736,14 +736,41 @@ def _apply_changes_stmt(spark, rest: str, kw) -> int:
     import pyspark.sql.functions as F
 
     root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
-    clauses = _scan_clauses(
-        tail, {"FROM", "KEYS", "SEQUENCE", "APPLY", "STORED", "TRACK"}
-    )
-    # clause text spans from each keyword to the next top-level one
+    # a top-level word only STARTS a clause when the right shape
+    # follows — a bare column named keys/stored/sequence/from/track
+    # inside the APPLY AS DELETE WHEN expression must not clobber the
+    # real clause span (first occurrence of each real clause wins)
+    shapes = {
+        "FROM": r"\S",
+        "KEYS": r"\(",
+        "SEQUENCE": r"BY\b",
+        "APPLY": r"AS\s+DELETE\s+WHEN\b",
+        "STORED": r"AS\s+SCD\s+TYPE\b",
+        "TRACK": r"SEQUENCE\b",
+    }
+    marks = [
+        (w, s, e)
+        for w, s, e in _scan_clauses(
+            tail, {"FROM", "KEYS", "SEQUENCE", "APPLY", "STORED", "TRACK"}
+        )
+        if re.match(r"\s*" + shapes[w], tail[e:], re.IGNORECASE)
+        # TRACK SEQUENCE's SEQUENCE must not also start a clause: a
+        # SEQUENCE mark directly following a TRACK mark is its operand
+    ]
+    filtered = []
+    for i, (w, s, e) in enumerate(marks):
+        if (
+            w == "SEQUENCE"
+            and filtered
+            and filtered[-1][0] == "TRACK"
+            and not tail[filtered[-1][2] : s].strip()
+        ):
+            continue
+        filtered.append((w, s, e))
     spans: dict[str, str] = {}
-    for i, (w, s, e) in enumerate(clauses):
-        end = clauses[i + 1][1] if i + 1 < len(clauses) else len(tail)
-        spans[w] = tail[e:end].strip()
+    for i, (w, s, e) in enumerate(filtered):
+        end = filtered[i + 1][1] if i + 1 < len(filtered) else len(tail)
+        spans.setdefault(w, tail[e:end].strip())
     if "FROM" not in spans or "KEYS" not in spans:
         raise ValueError(
             "snapshot_sql: APPLY CHANGES INTO needs FROM <source> and "
@@ -942,11 +969,14 @@ def _select(spark, statement: str):
     subqueries work because only the quoted path tokens are touched —
     string literals inside the query survive: a path is rewritten
     ONLY when it directly follows a FROM/JOIN keyword in RELATION
-    context — paren regions are classified as subqueries (first word
-    SELECT/WITH; FROM inside them is a real clause) or expressions
-    (function arguments; ``EXTRACT(YEAR FROM '2021-01-01')`` /
-    ``TRIM(BOTH 'x' FROM y)`` must keep their literals — r11-ADVICE).
-    Delta parity: ``SELECT .. FROM delta.`/p` VERSION AS OF 3``."""
+    context — each paren region is classified as a subquery (first
+    word SELECT/WITH; FROM inside it is a real clause) or an
+    expression (function arguments; ``EXTRACT(YEAR FROM
+    '2021-01-01')`` / ``TRIM(BOTH 'x' FROM y)`` must keep their
+    literals — r11-ADVICE). The INNERMOST frame decides: a scalar
+    subquery nested inside a function call (``coalesce((SELECT ..
+    FROM '<root>'), 0)``) is relation context again. Delta parity:
+    ``SELECT .. FROM delta.`/p` VERSION AS OF 3``."""
     from .snapshot_source import register_snapshot_source
 
     register_snapshot_source(spark)
@@ -989,7 +1019,7 @@ def _select(spark, statement: str):
                         continue
                     break
                 j += 1
-            if prev_word in ("FROM", "JOIN") and all(ctx):
+            if prev_word in ("FROM", "JOIN") and (not ctx or ctx[-1]):
                 root = statement[i + 1 : j].replace(q + q, q)
                 rest = statement[j + 1 :]
                 tt = _TT_RE.match(rest)

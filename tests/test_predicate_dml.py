@@ -759,6 +759,35 @@ def test_timestamp_literal_canonicalized_for_stats_compare():
     assert (d.lo, d.hi) == ("2021-01-01", "2021-02-01")
     (bd,) = analyze_predicate("d = DATE '2021-13-99'")
     assert bd.kind == "opaque"
+    # DATE literal against a TIMESTAMP column's stats: SQL coerces the
+    # date to midnight, so 'ts <= DATE d' must keep a file whose min
+    # is exactly dT00:00:00 (bare 'YYYY-MM-DD' sorts below it) while
+    # still pruning files strictly after midnight
+    ts_stats = {
+        "f": {"__rows": 1,
+              "ts": ["2021-03-05T00:00:00", "2021-03-05T12:00:00", 0]}
+    }
+    le_date = analyze_predicate("ts <= DATE '2021-03-05'")
+    _, pd1 = prune_files(["f"], ts_stats, lambda f: f, le_date)
+    assert pd1 == []
+    after = {
+        "g": {"__rows": 1,
+              "ts": ["2021-03-05T00:00:01", "2021-03-05T12:00:00", 0]}
+    }
+    _, pd2 = prune_files(["g"], after, lambda f: f, le_date)
+    assert pd2 == ["g"]
+    # ...and DATE-vs-DATE-column pruning is unchanged
+    d_stats = {"h": {"__rows": 1, "d": ["2021-03-06", "2021-03-07", 0]}}
+    _, pd3 = prune_files(
+        ["h"], d_stats, lambda f: f,
+        analyze_predicate("d <= DATE '2021-03-05'"),
+    )
+    assert pd3 == ["h"]
+    _, pd4 = prune_files(
+        ["h"], d_stats, lambda f: f,
+        analyze_predicate("d >= DATE '2021-03-06'"),
+    )
+    assert pd4 == []
 
 
 def test_lossy_negation_soundness_randomized():

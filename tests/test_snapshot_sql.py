@@ -560,6 +560,13 @@ def test_sql_parser_quote_and_function_context(spark, tmp_path):
         f"SELECT max(n) AS m FROM (SELECT count(*) AS n FROM '{t.root}')",
     )
     assert sub.first()["m"] == 7
+    # a scalar subquery nested inside a FUNCTION paren is relation
+    # context again (innermost frame decides)
+    sc = snapshot_sql(
+        spark,
+        f"SELECT coalesce((SELECT max(id) FROM '{t.root}'), 0) AS m",
+    )
+    assert sc.first()["m"] == 7
 
 
 def test_sql_apply_changes_into_scd2_and_read_current(spark, tmp_path):
@@ -611,6 +618,23 @@ def test_sql_apply_changes_into_scd2_and_read_current(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in c.read().collect()}
     assert got == {1: 99, 3: 30, 4: 40}
+    # a source column named like a clause keyword inside the delete
+    # condition must not clobber the real clause spans
+    d2 = SnapshotTable(spark, str(tmp_path / "d2"), stats_columns=["k"])
+    d2.append(
+        spark.createDataFrame(
+            [(1, 10, "keep"), (2, 20, "keep")], "k long, v long, stored string"
+        )
+    )
+    spark.createDataFrame(
+        [(1, 99, "del"), (3, 30, "keep")], "k long, v long, stored string"
+    ).createOrReplaceTempView("sqldml_cdc_kw")
+    snapshot_sql(
+        spark,
+        f"APPLY CHANGES INTO '{d2.root}' FROM sqldml_cdc_kw KEYS (k) "
+        f"APPLY AS DELETE WHEN stored = 'del'",
+    )
+    assert {r["k"]: r["v"] for r in d2.read().collect()} == {2: 20, 3: 30}
     # error shapes
     with pytest.raises(ValueError, match="KEYS"):
         snapshot_sql(
