@@ -790,6 +790,84 @@ def test_timestamp_literal_canonicalized_for_stats_compare():
     assert pd4 == []
 
 
+def test_temporal_prune_soundness_randomized():
+    """Randomized soundness for the temporal-literal comparator (r12):
+    random timestamp files vs random DATE/TIMESTAMP literal predicates
+    in both SQL spellings (space and 'T' separators; bare dates).
+    Ground truth evaluates with SQL's coercion (DATE -> midnight when
+    compared to a timestamp). Invariant: a file holding a row where
+    the predicate IS TRUE is never pruned."""
+    import datetime as dt
+    import random
+
+    from collective_als_spark.sources.predicate import prune_files
+
+    rng = random.Random(1212)
+    base = dt.datetime(2021, 3, 1)
+
+    def rand_ts():
+        return base + dt.timedelta(
+            days=rng.randint(0, 6),
+            seconds=rng.choice([0, 0, rng.randint(0, 86399)]),
+            microseconds=rng.choice([0, 0, 0, rng.randint(0, 999999)]),
+        )
+
+    def rand_literal():
+        if rng.random() < 0.4:
+            d = (base + dt.timedelta(days=rng.randint(0, 6))).date()
+            return f"DATE '{d.isoformat()}'", dt.datetime(
+                d.year, d.month, d.day
+            )
+        ts = rand_ts()
+        if rng.random() < 0.5:
+            text = ts.isoformat(sep=" ")
+        else:
+            text = ts.isoformat()
+        if ts.microsecond == 0 and ts.second == 0 and rng.random() < 0.5:
+            text = text[:16]  # short form HH:MM
+        return f"TIMESTAMP '{text}'", ts
+
+    ops = ["=", "<", "<=", ">", ">="]
+    for _trial in range(400):
+        lit_sql, lit_val = rand_literal()
+        op = rng.choice(ops)
+        neg = rng.random() < 0.3
+        sql = f"ts {op} {lit_sql}"
+        if neg:
+            sql = f"NOT ({sql})"
+
+        def ev(v):
+            import operator as O
+
+            fn = {"=": O.eq, "<": O.lt, "<=": O.le,
+                  ">": O.gt, ">=": O.ge}[op]
+            r = fn(v, lit_val)
+            return (not r) if neg else r
+
+        files = []
+        for fi in range(4):
+            vals = [rand_ts() for _ in range(rng.randint(1, 6))]
+            files.append((f"f{fi}", vals))
+        stats = {
+            name: {
+                "__rows": len(vals),
+                "ts": [min(vals).isoformat(), max(vals).isoformat(), 0],
+            }
+            for name, vals in files
+        }
+        conj = analyze_predicate(sql)
+        _, pruned = prune_files(
+            [n for n, _ in files], stats, lambda f: f, conj
+        )
+        by_name = dict(files)
+        for name in pruned:
+            matches = [v for v in by_name[name] if ev(v)]
+            assert not matches, (
+                f"UNSOUND temporal prune: {sql!r} pruned {name} holding "
+                f"{matches} (stats {stats[name]})"
+            )
+
+
 def test_lossy_negation_soundness_randomized():
     """Focused generator for the r11-ADVICE-high shape: ``NOT (<AND
     mixing provable + opaque leaves> OR <branch> ...)``. The general
