@@ -513,6 +513,24 @@ def test_merge_when_passengers_and_pruning(spark, tmp_path):
         )
 
 
+def test_merge_when_schema_evolution(spark, tmp_path):
+    """A conditional MERGE whose source ADDS a column widens the table
+    additively (Delta autoMerge through the shared planner): updated
+    and inserted rows carry the new column, survivors NULL-pad."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.append(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"))
+    src = spark.createDataFrame(
+        [(1, 100.0, "x"), (9, 90.0, "y")], "k long, v double, w string"
+    )
+    t.merge_when(
+        src, "k",
+        matched=[("s.v > t.v", "update_all", None)],
+        not_matched=[None],
+    )
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, 100.0, "x"), (2, 20.0, None), (9, 90.0, "y")]
+
+
 def test_merge_composite_key(spark, tmp_path):
     """MERGE on a multi-column key: matched (k1, k2) tuples replaced,
     unmatched inserted, per-column rectangle pruning keeps files
