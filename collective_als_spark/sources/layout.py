@@ -388,6 +388,25 @@ class SnapshotTable:
         self.log = log if log is not None else logstore_for(spark, self.root)
         self.log.mkdirs(f"{self.root}/_snapshots")
         self.log.mkdirs(f"{self.root}/data")
+        # table-persistent pruning config (Delta's table-properties
+        # discipline): every commit records the effective stats/bloom
+        # columns in its manifest, and a handle constructed WITHOUT
+        # explicit config inherits the table's — so a maintenance or
+        # SQL-statement handle (snapshot_sql builds its own) can never
+        # silently rewrite files WITHOUT the stats the table has been
+        # pruning on. Explicit arguments (including explicit empty
+        # lists) always win — changing the config is a handle-level
+        # decision, persisting it is the commit's job.
+        if stats_columns is None or bloom_columns is None:
+            try:
+                cur = self.current_version()
+                cfg = self._manifest(cur).get("config", {}) if cur else {}
+            except Exception:
+                cfg = {}
+            if stats_columns is None:
+                self.stats_columns = list(cfg.get("stats_columns", []))
+            if bloom_columns is None:
+                self.bloom_columns = list(cfg.get("bloom_columns", []))
 
     # -- internals
 
@@ -694,10 +713,14 @@ class SnapshotTable:
                 # constraints are governance, not data: a RESTORE rolls
                 # the data back but keeps the CURRENT constraint set
                 raw["checks"] = desired["checks"]
+            if desired.get("config"):
+                # pruning config is table property, not data: restores
+                # keep the current stats/bloom column set
+                raw["config"] = desired["config"]
             return raw
         for k in (
             "batch_markers", "schema", "dvs", "dv_rows", "op", "cdc",
-            "checks", "seq_state", "column_mapping", "retired",
+            "checks", "seq_state", "column_mapping", "retired", "config",
         ):
             if desired.get(k):
                 raw[k] = desired[k]
@@ -1313,6 +1336,14 @@ class SnapshotTable:
         if not self.stats_columns or not files:
             return {}
         stats_cols = self._physical_config_cols(self.stats_columns)
+        # a reshaping write (overwrite with new columns) may drop a
+        # configured column entirely — stats for the columns that
+        # remain, none for the gone ones (absent stats = conservative
+        # full-candidate behavior; matters since config is inherited
+        # from the manifest, not always hand-passed)
+        scan = self.spark.read.parquet(*files)
+        present = set(scan.columns)
+        stats_cols = [c for c in stats_cols if c in present]
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stats_cols:
             aggs.append(F.min(c).alias(f"{c}__min"))
@@ -1321,8 +1352,7 @@ class SnapshotTable:
                 F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
             )
         rows = (
-            self.spark.read.parquet(*files)
-            .select(F.input_file_name().alias("file"), *stats_cols)
+            scan.select(F.input_file_name().alias("file"), *stats_cols)
             .groupBy("file")
             .agg(*aggs)
             .collect()
@@ -1453,6 +1483,13 @@ class SnapshotTable:
         cdc: str | None = None,
     ) -> dict:
         manifest: dict = {"version": version, "files": sorted(files)}
+        if self.stats_columns or self.bloom_columns:
+            # persist the pruning config so config-less handles (SQL
+            # statements, maintenance crons) inherit it — see __init__
+            manifest["config"] = {
+                "stats_columns": self.stats_columns,
+                "bloom_columns": self.bloom_columns,
+            }
         if op is not None:
             # the committing operation (Delta's operation/ dataChange
             # log fields): "compact" marks a rewrite that changes NO
@@ -4726,7 +4763,10 @@ class SnapshotTable:
         return allf.groupBy(*keys).agg(F.max("__seq").alias("__applied_seq"))
 
     def compact(
-        self, target_rows_per_file: int, cluster_by: list[str] | None = None
+        self,
+        target_rows_per_file: int,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Small-file compaction as a COMMIT: read the current
         snapshot, rewrite into ceil(rows/target) files, and commit the
@@ -4747,8 +4787,17 @@ class SnapshotTable:
         every file's [min,max] to the full range — data skipping
         degrades to no-ops until the next clustered write — so tables
         written via ``append_clustered`` should compact with the same
-        keys (for 2-D box predicates, a
-        ``functions.vector.zorder_key`` column)."""
+        keys.
+
+        ``zorder_by`` (exactly two numeric columns, mutually exclusive
+        with ``cluster_by``) is Delta's ``OPTIMIZE .. ZORDER BY``:
+        each column rank-normalizes into ~256 buckets via
+        ``approxQuantile`` cut points (one bounded driver-side list
+        per column — no global sort), the bucket ids Morton-interleave
+        (``functions.vector.zorder_key``), and files range-partition
+        on the z-key — every output file covers a narrow BOX in both
+        dimensions, so min/max stats prune predicates on EITHER
+        column, not just the leading cluster key."""
         import math
 
         # pin the snapshot the rewrite is computed from: the commit
@@ -4767,7 +4816,39 @@ class SnapshotTable:
             return base_v
         n = cur.count()
         n_files = max(1, math.ceil(n / target_rows_per_file))
-        if cluster_by:
+        if cluster_by and zorder_by:
+            raise ValueError("compact: pass cluster_by OR zorder_by")
+        if zorder_by:
+            if len(zorder_by) != 2:
+                raise ValueError(
+                    f"compact: zorder_by takes exactly two columns "
+                    f"(Morton interleave), got {zorder_by}"
+                )
+            from collective_als_spark.functions.vector import zorder_key
+
+            buckets = []
+            for c in zorder_by:
+                p = self._phys(base, c)
+                cuts = sorted(
+                    set(
+                        cur.stat.approxQuantile(
+                            p, [i / 256 for i in range(1, 256)], 0.01
+                        )
+                    )
+                )
+                # bucket id = number of cut points below the value —
+                # a flat codegen sum, no window, no global sort
+                b = F.lit(0).cast("bigint")
+                for cut in cuts:
+                    b = b + (F.col(p) > F.lit(cut)).cast("bigint")
+                buckets.append(b)
+            rewritten = (
+                cur.withColumn("__zkey", zorder_key(buckets[0], buckets[1], bits=9))
+                .repartitionByRange(n_files, F.col("__zkey"))
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        elif cluster_by:
             cols = [F.col(self._phys(base, c)) for c in cluster_by]
             rewritten = cur.repartitionByRange(
                 n_files, *cols

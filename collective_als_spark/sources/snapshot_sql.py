@@ -31,8 +31,9 @@ Supported statements (case-insensitive keywords):
   ``CREATE TABLE <tbl> AS <query>`` — first commit on a fresh root.
 - ``VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]`` — ``expire`` with
   time-based retention (default 168 hours, Delta's).
-- ``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b)]`` —
-  ``compact_partial`` (bin-pack small/DV files) or full ``compact``.
+- ``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b) |
+  ZORDER BY (a, b)]`` — ``compact_partial`` (bin-pack small/DV
+  files), full ``compact``, or the Morton-interleaved 2-D relayout.
 - ``RESTORE <tbl> TO VERSION AS OF <n>``
 - ``ALTER TABLE <tbl> RENAME COLUMN a TO b / DROP COLUMN a /
   ADD CONSTRAINT n CHECK (expr) / DROP CONSTRAINT n``
@@ -875,33 +876,38 @@ def _vacuum(spark, rest: str, kw) -> int:
 
 
 def _optimize(spark, rest: str, kw) -> int:
-    """``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b)]``
-    -> ``compact_partial`` (bin-pack only the small / DV-carrying
-    files, Delta's OPTIMIZE shape) or ``compact`` under ``FULL``. The
-    explicit row target replaces Delta's byte-size target — the
-    manifest accounts rows, not encoded bytes."""
+    """``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b) |
+    ZORDER BY (a, b)]`` -> ``compact_partial`` (bin-pack only the
+    small / DV-carrying files, Delta's OPTIMIZE shape) or ``compact``
+    under ``FULL``; ``ZORDER BY`` implies the full rewrite (Delta's
+    rule — interleaving is a whole-table layout). The explicit row
+    target replaces Delta's byte-size target — the manifest accounts
+    rows, not encoded bytes."""
     root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
     m = re.match(
         r"^TARGET\s+(\d+)\s+ROWS\s*(FULL)?\s*"
-        r"(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*$",
+        r"(?:(CLUSTER|ZORDER)\s+BY\s*\(([^)]*)\))?\s*$",
         tail.strip(),
         re.IGNORECASE,
     )
     if not m:
         raise ValueError(
             f"snapshot_sql: OPTIMIZE needs 'TARGET <n> ROWS [FULL] "
-            f"[CLUSTER BY (..)]', got {tail.strip()!r}"
+            f"[CLUSTER BY (..) | ZORDER BY (..)]', got {tail.strip()!r}"
         )
     target = int(m.group(1))
-    cluster = (
-        [c.strip().strip("`") for c in m.group(3).split(",")]
-        if m.group(3)
+    cols = (
+        [c.strip().strip("`") for c in m.group(4).split(",")]
+        if m.group(4)
         else None
     )
+    zorder = bool(m.group(3)) and m.group(3).upper() == "ZORDER"
     t = SnapshotTable(spark, root, **kw)
+    if zorder:
+        return t.compact(target_rows_per_file=target, zorder_by=cols)
     if m.group(2):
-        return t.compact(target_rows_per_file=target, cluster_by=cluster)
-    return t.compact_partial(target_rows_per_file=target, cluster_by=cluster)
+        return t.compact(target_rows_per_file=target, cluster_by=cols)
+    return t.compact_partial(target_rows_per_file=target, cluster_by=cols)
 
 
 def _restore(spark, rest: str, kw) -> int:

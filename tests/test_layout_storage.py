@@ -513,6 +513,41 @@ def test_merge_when_passengers_and_pruning(spark, tmp_path):
         )
 
 
+def test_pruning_config_persists_in_manifest(spark, tmp_path):
+    """Stats/bloom config is a TABLE property (Delta table-properties
+    discipline): commits record it in the manifest and a handle built
+    WITHOUT explicit config inherits it — a maintenance or SQL handle
+    can never silently rewrite files without the stats the table has
+    been pruning on. Explicit arguments (incl. explicit []) win."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stats_columns=["k"], bloom_columns=["k"]
+    )
+    t.append(
+        spark.range(100).select(F.col("id").alias("k")).coalesce(1)
+    )
+    assert t._manifest(1)["config"] == {
+        "stats_columns": ["k"], "bloom_columns": ["k"]
+    }
+    # config-less handle inherits and keeps writing stats
+    h = SnapshotTable(spark, t.root)
+    assert h.stats_columns == ["k"] and h.bloom_columns == ["k"]
+    h.append(
+        spark.range(1000, 1100).select(F.col("id").alias("k")).coalesce(1)
+    )
+    pruned = h.read(where=("k", 1000, 1050))
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 51
+    # a config-less handle's COMPACT keeps the stats alive
+    h2 = SnapshotTable(spark, t.root)
+    v = h2.compact(target_rows_per_file=50, cluster_by=["k"])
+    assert t._manifest(v).get("stats")
+    assert len(t.read(where=("k", 0, 10)).inputFiles()) < len(
+        t._manifest(v)["files"]
+    )
+    # explicit empty config overrides the inherited one
+    e = SnapshotTable(spark, t.root, stats_columns=[], bloom_columns=[])
+    assert e.stats_columns == [] and e.bloom_columns == []
+
+
 def test_merge_when_schema_evolution(spark, tmp_path):
     """A conditional MERGE whose source ADDS a column widens the table
     additively (Delta autoMerge through the shared planner): updated

@@ -524,6 +524,43 @@ def test_merge_when_matched_unfired_rows_escape_by_source(spark, tmp_path):
     assert rows == {1: 99.0, 3: 1.0}
 
 
+def test_sql_optimize_zorder(spark, tmp_path):
+    """OPTIMIZE .. ZORDER BY (x, y): after the Morton relayout, box
+    predicates on EITHER dimension prune files — the property linear
+    clustering on one key cannot give the trailing dimension."""
+    import random
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["x", "y"])
+    rng = random.Random(7)
+    rows = [
+        (rng.randint(0, 9999), rng.randint(0, 9999)) for _ in range(20000)
+    ]
+    t.append(
+        spark.createDataFrame(rows, "x long, y long").repartition(8)
+    )
+    v = snapshot_sql(
+        spark, f"OPTIMIZE '{t.root}' TARGET 1250 ROWS ZORDER BY (x, y)"
+    )
+    assert v == t.current_version()
+    total = len(t._manifest(v)["files"])
+    assert total >= 8
+    x_scan = t.read(where="x BETWEEN 100 AND 600")
+    y_scan = t.read(where="y BETWEEN 100 AND 600")
+    assert len(x_scan.inputFiles()) < total
+    assert len(y_scan.inputFiles()) < total
+    # content unchanged by the relayout
+    assert t.read().count() == 20000
+    assert x_scan.count() == sum(1 for x, _ in rows if 100 <= x <= 600)
+    assert y_scan.count() == sum(1 for _, y in rows if 100 <= y <= 600)
+    # shape errors
+    with pytest.raises(ValueError, match="exactly two"):
+        t.compact(target_rows_per_file=1000, zorder_by=["x"])
+    with pytest.raises(ValueError, match="cluster_by OR zorder_by"):
+        t.compact(
+            target_rows_per_file=1000, cluster_by=["x"], zorder_by=["x", "y"]
+        )
+
+
 def test_sql_parser_quote_and_function_context(spark, tmp_path):
     """r11-ADVICE parser edges: (1) alias stripping must not rewrite
     matching text inside string literals; (2) an intra-function FROM
