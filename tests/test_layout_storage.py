@@ -548,6 +548,45 @@ def test_pruning_config_persists_in_manifest(spark, tmp_path):
     assert e.stats_columns == [] and e.bloom_columns == []
 
 
+def test_merge_when_cdf_images(spark, tmp_path):
+    """Conditional MERGE on a change_data_feed table: pre-images are
+    exactly the FIRED keys' target rows (matched-but-unfired rows are
+    never imaged), post-images are the staged updates + inserts — the
+    feed reconciles with the table delta."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stats_columns=["k"],
+        change_data_feed=True,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        )
+    )
+    v1 = t.current_version()
+    src = spark.createDataFrame(
+        [(1, 100.0), (2, 1.0), (9, 90.0)], "k long, v double"
+    )
+    v2 = t.merge_when(
+        src, "k",
+        matched=[("s.v > t.v", "update", {"v": "s.v"})],
+        not_matched=[None],
+    )
+    feed = t.changes(v1, v2)
+    dels = sorted(
+        (r["k"], r["v"])
+        for r in feed.filter(F.col("_change_type") == "delete").collect()
+    )
+    ins = sorted(
+        (r["k"], r["v"])
+        for r in feed.filter(F.col("_change_type") == "insert").collect()
+    )
+    # k=1 fired (update); k=2 matched-unfired -> NOT imaged; k=9 insert
+    assert dels == [(1, 10.0)]
+    assert ins == [(1, 100.0), (9, 90.0)]
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: 100.0, 2: 20.0, 3: 30.0, 9: 90.0}
+
+
 def test_merge_when_schema_evolution(spark, tmp_path):
     """A conditional MERGE whose source ADDS a column widens the table
     additively (Delta autoMerge through the shared planner): updated
