@@ -5714,13 +5714,20 @@ class SnapshotTable:
             len(m.get("column_mapping", {}) or {}),
             len(m.get("retired", []) or []),
             bool(m.get("seq_state")),
+            # r12: the table-persistent pruning config (Delta's
+            # DESCRIBE DETAIL shows table properties the same way)
+            ",".join((m.get("config") or {}).get("stats_columns", []))
+            or None,
+            ",".join((m.get("config") or {}).get("bloom_columns", []))
+            or None,
         )
         return self.spark.createDataFrame(
             [row],
             "version int, n_files int, total_bytes bigint, n_meta_chunks int, "
             "n_tombstones int, n_dv_files int, dv_masked_rows bigint, "
             "n_columns int, committed_at double, n_renamed_columns int, "
-            "n_retired_slots int, has_seq_state boolean",
+            "n_retired_slots int, has_seq_state boolean, "
+            "stats_columns string, bloom_columns string",
         )
 
     def restore(self, version: int) -> int:
