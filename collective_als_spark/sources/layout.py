@@ -398,11 +398,13 @@ class SnapshotTable:
         # lists) always win — changing the config is a handle-level
         # decision, persisting it is the commit's job.
         if stats_columns is None or bloom_columns is None:
-            try:
-                cur = self.current_version()
-                cfg = self._manifest(cur).get("config", {}) if cur else {}
-            except Exception:
-                cfg = {}
+            # resolve LOUDLY: a transient storage fault silently mapped
+            # to "no config" would let this handle commit stat-less
+            # files — the exact degradation the persistence prevents.
+            # (An empty table resolves to no config without IO errors;
+            # anything else propagates to the constructor's caller.)
+            cur = self.current_version()
+            cfg = (self._manifest(cur).get("config") or {}) if cur else {}
             if stats_columns is None:
                 self.stats_columns = list(cfg.get("stats_columns", []))
             if bloom_columns is None:
@@ -799,8 +801,11 @@ class SnapshotTable:
                 manifest["seq_state"] = prev["seq_state"]
             # column mapping + retired slots carry the same way: only
             # rename/drop/overwrite manage them; every other commit
-            # must not silently shed a rename
-            for k in ("column_mapping", "retired"):
+            # must not silently shed a rename. The pruning config
+            # carries too (r12 review: restore's build dict bypasses
+            # _compose, and a shed config would make every later
+            # config-less handle silently stop writing stats)
+            for k in ("column_mapping", "retired", "config"):
                 if k not in manifest and prev.get(k):
                     manifest[k] = prev[k]
             raw = self._serialize(manifest, prev_raw)
@@ -4800,6 +4805,16 @@ class SnapshotTable:
         column, not just the leading cluster key."""
         import math
 
+        # argument-shape checks BEFORE any job (r12 review: raising
+        # after the count, or silently succeeding on an empty table,
+        # hides a contradictory call)
+        if cluster_by and zorder_by:
+            raise ValueError("compact: pass cluster_by OR zorder_by")
+        if zorder_by is not None and len(zorder_by) != 2:
+            raise ValueError(
+                f"compact: zorder_by takes exactly two columns "
+                f"(Morton interleave), got {zorder_by}"
+            )
         # pin the snapshot the rewrite is computed from: the commit
         # below conflicts if ANY writer (append, delete, MOR delete)
         # lands in between — otherwise compact's overwrite would
@@ -4816,30 +4831,22 @@ class SnapshotTable:
             return base_v
         n = cur.count()
         n_files = max(1, math.ceil(n / target_rows_per_file))
-        if cluster_by and zorder_by:
-            raise ValueError("compact: pass cluster_by OR zorder_by")
         if zorder_by:
-            if len(zorder_by) != 2:
-                raise ValueError(
-                    f"compact: zorder_by takes exactly two columns "
-                    f"(Morton interleave), got {zorder_by}"
-                )
             from collective_als_spark.functions.vector import zorder_key
 
+            pcols = [self._phys(base, c) for c in zorder_by]
+            # ONE pass computes both columns' cut points (r12 review:
+            # per-column approxQuantile calls doubled the pre-rewrite
+            # full scan)
+            all_cuts = cur.stat.approxQuantile(
+                pcols, [i / 256 for i in range(1, 256)], 0.01
+            )
             buckets = []
-            for c in zorder_by:
-                p = self._phys(base, c)
-                cuts = sorted(
-                    set(
-                        cur.stat.approxQuantile(
-                            p, [i / 256 for i in range(1, 256)], 0.01
-                        )
-                    )
-                )
+            for p, col_cuts in zip(pcols, all_cuts):
                 # bucket id = number of cut points below the value —
                 # a flat codegen sum, no window, no global sort
                 b = F.lit(0).cast("bigint")
-                for cut in cuts:
+                for cut in sorted(set(col_cuts)):
                     b = b + (F.col(p) > F.lit(cut)).cast("bigint")
                 buckets.append(b)
             rewritten = (

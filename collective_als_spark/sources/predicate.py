@@ -102,29 +102,44 @@ OPAQUE = Conjunct(kind="opaque")
 
 
 class DateLit(str):
-    """A ``DATE '...'`` literal's payload. SQL coerces a date to
-    MIDNIGHT when compared against a timestamp column, while the
-    manifest stats for such a column are full isoformat strings — a
-    bare ``YYYY-MM-DD`` sorts lexically BELOW every same-day
-    timestamp, so ``ts <= DATE 'd'`` would unsoundly prune files whose
-    min is exactly midnight of ``d``. The comparator extends a DateLit
-    bound to ``dT00:00:00`` when the file's stats are
-    timestamp-shaped; plain string literals (no DATE keyword) never
-    get this treatment, so string-column pruning semantics are
-    untouched."""
+    """A ``DATE '...'`` literal's payload (see ``_bound_vs_stat``)."""
 
 
-def _against_stats(bound, stat):
-    """The probe value to compare against this file's recorded stat:
-    a DATE literal facing timestamp-shaped stats (longer than the
-    10-char date form) compares as its midnight instant."""
-    if (
-        isinstance(bound, DateLit)
-        and isinstance(stat, str)
-        and len(stat) > 10
-    ):
-        return bound + "T00:00:00"
-    return bound
+class TsLit(str):
+    """A ``TIMESTAMP '...'`` literal's canonicalized payload (see
+    ``_bound_vs_stat``)."""
+
+
+def _bound_vs_stat(bound, stat, is_hi: bool):
+    """``(probe_value, allow_strict)`` for comparing a temporal
+    literal bound against this file's recorded stat.
+
+    SQL coerces across the date/timestamp divide (a date compared to a
+    timestamp becomes its MIDNIGHT; a string column compared to a date
+    literal casts to DATE), but the stats strings live in whichever
+    space the COLUMN writes — ``YYYY-MM-DD`` for dates, full isoformat
+    for timestamps, anything for strings. Same-space comparisons are
+    exact; cross-shape ones use the CONSERVATIVE direction (r12
+    review — both directions were unsound when compared raw):
+
+    - DateLit ``d`` vs longer-than-date stats: as a LO bound the bare
+      date is already a sound lower envelope (every same-day rendering
+      sorts above it); as a HI bound it must cover the WHOLE day for
+      any rendering/coercion (``d~`` — 0x7E sorts above every same-day
+      time text), forfeiting boundary-day pruning instead of dropping
+      midnight rows.
+    - TsLit vs date-shaped stats (len 10): truncate to the date prefix
+      — day-granular pruning is all date stats can prove.
+    - ``allow_strict`` is False whenever the probe was widened or
+      truncated: strict-equality boundary pruning is only exact in
+      same-space comparisons."""
+    if isinstance(bound, DateLit) and isinstance(stat, str):
+        if len(stat) > 10:
+            return (bound + "~", False) if is_hi else (bound, True)
+        return bound, True
+    if isinstance(bound, TsLit) and isinstance(stat, str) and len(stat) == 10:
+        return str(bound)[:10], False
+    return bound, True
 
 _TOKEN_RE = re.compile(
     r"""
@@ -260,7 +275,7 @@ def _literal(tokens: list, i: int):
                 dt = datetime.datetime.fromisoformat(raw)
                 if dt.tzinfo is not None:
                     return None, -1  # naive stats: no sound comparison
-                return dt.isoformat(), i + 2
+                return TsLit(dt.isoformat()), i + 2
             except ValueError:
                 return None, -1
         return None, -1
@@ -690,12 +705,16 @@ def _conjunct_proves_out(fstats: dict, rows, c: Conjunct) -> bool:
     lo, hi = jsonable(c.lo), jsonable(c.hi)
     try:
         if lo is not None:
-            lo_cmp = _against_stats(lo, band[1])
-            if band[1] < lo_cmp or (c.lo_strict and band[1] == lo_cmp):
+            lo_cmp, strict_ok = _bound_vs_stat(lo, band[1], is_hi=False)
+            if band[1] < lo_cmp or (
+                strict_ok and c.lo_strict and band[1] == lo_cmp
+            ):
                 return True
         if hi is not None:
-            hi_cmp = _against_stats(hi, band[0])
-            if band[0] > hi_cmp or (c.hi_strict and band[0] == hi_cmp):
+            hi_cmp, strict_ok = _bound_vs_stat(hi, band[0], is_hi=True)
+            if band[0] > hi_cmp or (
+                strict_ok and c.hi_strict and band[0] == hi_cmp
+            ):
                 return True
     except TypeError:
         return False  # literal/stats type mismatch: no proof

@@ -897,11 +897,22 @@ def _optimize(spark, rest: str, kw) -> int:
         )
     target = int(m.group(1))
     cols = (
-        [c.strip().strip("`") for c in m.group(4).split(",")]
+        [
+            c.strip().strip("`")
+            for c in m.group(4).split(",")
+            if c.strip()
+        ]
         if m.group(4)
         else None
-    )
+    ) or None
     zorder = bool(m.group(3)) and m.group(3).upper() == "ZORDER"
+    if m.group(3) and not cols:
+        # an empty column list must not silently degrade to a
+        # round-robin rewrite that destroys existing clustering
+        raise ValueError(
+            f"snapshot_sql: {m.group(3).upper()} BY needs a non-empty "
+            f"column list"
+        )
     t = SnapshotTable(spark, root, **kw)
     if zorder:
         return t.compact(target_rows_per_file=target, zorder_by=cols)

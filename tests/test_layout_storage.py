@@ -546,6 +546,13 @@ def test_pruning_config_persists_in_manifest(spark, tmp_path):
     # explicit empty config overrides the inherited one
     e = SnapshotTable(spark, t.root, stats_columns=[], bloom_columns=[])
     assert e.stats_columns == [] and e.bloom_columns == []
+    # RESTORE must not shed the config (its build dict bypasses
+    # _compose; _commit carries config like checks/column_mapping)
+    h3 = SnapshotTable(spark, t.root)
+    rv = h3.restore(1)
+    assert t._manifest(rv).get("config", {}).get("stats_columns") == ["k"]
+    h4 = SnapshotTable(spark, t.root)
+    assert h4.stats_columns == ["k"]
 
 
 def test_merge_when_cdf_images(spark, tmp_path):

@@ -761,8 +761,10 @@ def test_timestamp_literal_canonicalized_for_stats_compare():
     assert bd.kind == "opaque"
     # DATE literal against a TIMESTAMP column's stats: SQL coerces the
     # date to midnight, so 'ts <= DATE d' must keep a file whose min
-    # is exactly dT00:00:00 (bare 'YYYY-MM-DD' sorts below it) while
-    # still pruning files strictly after midnight
+    # is exactly dT00:00:00 (bare 'YYYY-MM-DD' sorts below it). The
+    # hi bound is the CONSERVATIVE whole-day envelope ('d~'): a
+    # same-day file is kept (a string column casting to DATE would
+    # match the whole day), a next-day file still prunes
     ts_stats = {
         "f": {"__rows": 1,
               "ts": ["2021-03-05T00:00:00", "2021-03-05T12:00:00", 0]}
@@ -772,10 +774,33 @@ def test_timestamp_literal_canonicalized_for_stats_compare():
     assert pd1 == []
     after = {
         "g": {"__rows": 1,
-              "ts": ["2021-03-05T00:00:01", "2021-03-05T12:00:00", 0]}
+              "ts": ["2021-03-06T00:00:01", "2021-03-06T12:00:00", 0]}
     }
     _, pd2 = prune_files(["g"], after, lambda f: f, le_date)
     assert pd2 == ["g"]
+    # the REVERSE direction (r12 second review): a midnight TIMESTAMP
+    # literal against a DATE column's stats must not prune the
+    # boundary day (the date coerces to midnight and matches)
+    d_ts_stats = {"b": {"__rows": 1, "d": ["2021-03-01", "2021-03-05", 0]}}
+    ge_mid = analyze_predicate("d >= TIMESTAMP '2021-03-05 00:00:00'")
+    _, pd5 = prune_files(["b"], d_ts_stats, lambda f: f, ge_mid)
+    assert pd5 == []
+    _, pd6 = prune_files(
+        ["b"], d_ts_stats, lambda f: f,
+        analyze_predicate("d >= TIMESTAMP '2021-03-06 00:00:00'"),
+    )
+    assert pd6 == ["b"]
+    # ISO-like STRING stats (cast to DATE by Spark) are not over-pruned
+    # by the whole-day envelope
+    s_stats = {
+        "s": {"__rows": 1,
+              "v": ["2021-03-05T06:00:00", "2021-03-05T12:00:00", 0]}
+    }
+    _, pd7 = prune_files(
+        ["s"], s_stats, lambda f: f,
+        analyze_predicate("v <= DATE '2021-03-05'"),
+    )
+    assert pd7 == []
     # ...and DATE-vs-DATE-column pruning is unchanged
     d_stats = {"h": {"__rows": 1, "d": ["2021-03-06", "2021-03-07", 0]}}
     _, pd3 = prune_files(
@@ -828,10 +853,14 @@ def test_temporal_prune_soundness_randomized():
         return f"TIMESTAMP '{text}'", ts
 
     ops = ["=", "<", "<=", ">", ">="]
-    for _trial in range(400):
+    for _trial in range(600):
         lit_sql, lit_val = rand_literal()
         op = rng.choice(ops)
         neg = rng.random() < 0.3
+        # half the trials use a DATE column (stats are bare
+        # 'YYYY-MM-DD' strings; values coerce to midnight against a
+        # timestamp literal — the r12 second-review direction)
+        date_col = rng.random() < 0.5
         sql = f"ts {op} {lit_sql}"
         if neg:
             sql = f"NOT ({sql})"
@@ -846,12 +875,26 @@ def test_temporal_prune_soundness_randomized():
 
         files = []
         for fi in range(4):
-            vals = [rand_ts() for _ in range(rng.randint(1, 6))]
+            if date_col:
+                vals = [
+                    dt.datetime.combine(rand_ts().date(), dt.time())
+                    for _ in range(rng.randint(1, 6))
+                ]
+            else:
+                vals = [rand_ts() for _ in range(rng.randint(1, 6))]
             files.append((f"f{fi}", vals))
         stats = {
             name: {
                 "__rows": len(vals),
-                "ts": [min(vals).isoformat(), max(vals).isoformat(), 0],
+                "ts": [
+                    min(vals).date().isoformat()
+                    if date_col
+                    else min(vals).isoformat(),
+                    max(vals).date().isoformat()
+                    if date_col
+                    else max(vals).isoformat(),
+                    0,
+                ],
             }
             for name, vals in files
         }

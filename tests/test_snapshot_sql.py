@@ -559,6 +559,12 @@ def test_sql_optimize_zorder(spark, tmp_path):
         t.compact(
             target_rows_per_file=1000, cluster_by=["x"], zorder_by=["x", "y"]
         )
+    # an empty ZORDER column list must not silently degrade to a
+    # round-robin rewrite that destroys the clustering
+    with pytest.raises(ValueError, match="non-empty"):
+        snapshot_sql(
+            spark, f"OPTIMIZE '{t.root}' TARGET 1000 ROWS ZORDER BY ()"
+        )
 
 
 def test_sql_parser_quote_and_function_context(spark, tmp_path):
