@@ -34,7 +34,8 @@ Supported statements (case-insensitive keywords):
 - ``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b) |
   ZORDER BY (a, b)]`` — ``compact_partial`` (bin-pack small/DV
   files), full ``compact``, or the Morton-interleaved 2-D relayout.
-- ``RESTORE <tbl> TO VERSION AS OF <n>``
+- ``RESTORE <tbl> TO VERSION AS OF <n>`` / ``TO TIMESTAMP AS OF
+  <epoch>`` (newest commit at or before the instant, Delta's rule)
 - ``ALTER TABLE <tbl> RENAME COLUMN a TO b / DROP COLUMN a /
   ADD CONSTRAINT n CHECK (expr) / DROP CONSTRAINT n``
 - ``DESCRIBE HISTORY <tbl>`` / ``DESCRIBE DETAIL <tbl>`` — return
@@ -926,12 +927,23 @@ def _restore(spark, rest: str, kw) -> int:
     m = re.match(
         r"^TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$", tail.strip(), re.IGNORECASE
     )
-    if not m:
-        raise ValueError(
-            f"snapshot_sql: RESTORE needs 'TO VERSION AS OF <n>', got "
-            f"{tail.strip()!r}"
-        )
-    return SnapshotTable(spark, root, **kw).restore(int(m.group(1)))
+    if m:
+        return SnapshotTable(spark, root, **kw).restore(int(m.group(1)))
+    m = re.match(
+        r"^TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+(?:\.\d+)?)\s*$",
+        tail.strip(),
+        re.IGNORECASE,
+    )
+    if m:
+        # Delta's RESTORE TO TIMESTAMP AS OF: resolve through the same
+        # newest-commit-at-or-before rule reads use (version_at raises
+        # on future or pre-retention instants)
+        t = SnapshotTable(spark, root, **kw)
+        return t.restore(t.version_at(float(m.group(1))))
+    raise ValueError(
+        f"snapshot_sql: RESTORE needs 'TO VERSION AS OF <n>' or "
+        f"'TO TIMESTAMP AS OF <epoch>', got {tail.strip()!r}"
+    )
 
 
 def _alter(spark, rest: str, kw) -> int:

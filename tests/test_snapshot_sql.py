@@ -524,6 +524,26 @@ def test_merge_when_matched_unfired_rows_escape_by_source(spark, tmp_path):
     assert rows == {1: 99.0, 3: 1.0}
 
 
+def test_sql_restore_timestamp_as_of(spark, tmp_path):
+    """RESTORE TO TIMESTAMP AS OF resolves through version_at (newest
+    commit at or before the instant) and errors on future instants."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    t.append(_orders(spark))
+    ts1 = t._raw_manifest(1)["committed_at"]
+    snapshot_sql(spark, f"DELETE FROM '{t.root}' WHERE id <= 3")
+    assert t.read().count() == 4
+    v = snapshot_sql(
+        spark, f"RESTORE '{t.root}' TO TIMESTAMP AS OF {ts1}"
+    )
+    assert v == t.current_version() and t.read().count() == 7
+    with pytest.raises(ValueError, match="after the newest commit"):
+        snapshot_sql(
+            spark, f"RESTORE '{t.root}' TO TIMESTAMP AS OF {ts1 + 1e9}"
+        )
+    with pytest.raises(ValueError, match="RESTORE needs"):
+        snapshot_sql(spark, f"RESTORE '{t.root}' TO YESTERDAY")
+
+
 def test_sql_optimize_zorder(spark, tmp_path):
     """OPTIMIZE .. ZORDER BY (x, y): after the Morton relayout, box
     predicates on EITHER dimension prune files — the property linear
