@@ -396,7 +396,16 @@ class SnapshotTable:
         # silently rewrite files WITHOUT the stats the table has been
         # pruning on. Explicit arguments (including explicit empty
         # lists) always win — changing the config is a handle-level
-        # decision, persisting it is the commit's job.
+        # decision, persisting it is the commit's job. An EXPLICIT
+        # argument (even an empty list) makes this handle's commits
+        # persist the config unconditionally (r12 ADVICE): without
+        # that, an explicit-[] handle wrote no 'config' key and the
+        # commit-time carry loop silently restored the previous
+        # manifest's config — the table property could never be
+        # cleared despite "explicit arguments always win".
+        self._explicit_config = (
+            stats_columns is not None or bloom_columns is not None
+        )
         if stats_columns is None or bloom_columns is None:
             # resolve LOUDLY: a transient storage fault silently mapped
             # to "no config" would let this handle commit stat-less
@@ -1488,9 +1497,17 @@ class SnapshotTable:
         cdc: str | None = None,
     ) -> dict:
         manifest: dict = {"version": version, "files": sorted(files)}
-        if self.stats_columns or self.bloom_columns:
+        if (
+            self.stats_columns
+            or self.bloom_columns
+            or getattr(self, "_explicit_config", False)
+        ):
             # persist the pruning config so config-less handles (SQL
-            # statements, maintenance crons) inherit it — see __init__
+            # statements, maintenance crons) inherit it — see __init__.
+            # An explicitly-configured handle persists even an EMPTY
+            # config: that's the only way to CLEAR the table property
+            # (the commit carry loop otherwise restores the previous
+            # manifest's config forever — r12 ADVICE)
             manifest["config"] = {
                 "stats_columns": self.stats_columns,
                 "bloom_columns": self.bloom_columns,
@@ -5908,8 +5925,21 @@ class SnapshotTable:
             # to detect. STRICT (r11-verdict #1): if the marker write
             # fails, abort the expire here — deleting nothing is
             # always safe; deleting behind a stale marker forks the
-            # log.
-            if cur and self.log.exists(self._manifest_path(cur)):
+            # log. A head manifest that cannot be VERIFIED to exist is
+            # the same abort condition (r12 ADVICE): skipping the
+            # marker advance on a transient exists() fault and then
+            # deleting manifests recreates the exact
+            # delete-behind-a-stale-marker fork the strict write
+            # prevents.
+            if cur:
+                if not self.log.exists(self._manifest_path(cur)):
+                    raise RuntimeError(
+                        f"expire: head manifest v{cur} not verifiable "
+                        f"at {self._manifest_path(cur)} — aborting "
+                        f"before any deletion (a transient storage "
+                        f"fault here must not skip the checkpoint-"
+                        f"marker advance)"
+                    )
                 self._write_checkpoint_strict(cur)
         for v in range(cur, 0, -1):
             if v not in keep_versions and not dry_run:

@@ -769,10 +769,21 @@ def _apply_changes_stmt(spark, rest: str, kw) -> int:
         ):
             continue
         filtered.append((w, s, e))
+    # first occurrence of each clause word wins — for the span END
+    # too (r12 ADVICE): a later shape-matching identifier for an
+    # ALREADY-BOUND word (`... WHEN flag AND keys(x) > 0` after the
+    # real KEYS clause) must not truncate the preceding clause's span
+    bound: set[str] = set()
+    dedup: list[tuple[str, int, int]] = []
+    for w, s, e in filtered:
+        if w in bound:
+            continue
+        bound.add(w)
+        dedup.append((w, s, e))
     spans: dict[str, str] = {}
-    for i, (w, s, e) in enumerate(filtered):
-        end = filtered[i + 1][1] if i + 1 < len(filtered) else len(tail)
-        spans.setdefault(w, tail[e:end].strip())
+    for i, (w, s, e) in enumerate(dedup):
+        end = dedup[i + 1][1] if i + 1 < len(dedup) else len(tail)
+        spans[w] = tail[e:end].strip()
     if "FROM" not in spans or "KEYS" not in spans:
         raise ValueError(
             "snapshot_sql: APPLY CHANGES INTO needs FROM <source> and "

@@ -2406,6 +2406,84 @@ def test_expire_aborts_before_deleting_when_marker_write_fails(
     assert t._checkpoint_version() == 61
 
 
+def test_expire_aborts_when_head_manifest_unverifiable(spark, tmp_path):
+    """r12 ADVICE medium: a transient exists() fault on the head
+    manifest during expire must ABORT (nothing deleted), not silently
+    skip the marker advance and then delete manifests — that would
+    recreate the delete-behind-a-stale-marker fork the strict write
+    exists to prevent."""
+    import pytest as _pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["v"])
+    t.append(
+        spark.range(10).select(F.col("id").alias("v"), F.col("id").alias("w"))
+    )
+    _rename_churn(t, 60)  # head 61, marker 50
+    before = sorted(t.log.list_dir(f"{t.root}/_snapshots"))
+    head_path = t._manifest_path(61)
+    real_exists = t.log.exists
+
+    def flaky_exists(path):
+        if path == head_path:
+            return False  # injected: transient object-store fault
+        return real_exists(path)
+
+    # pin head resolution (the fault models a transient miss on the
+    # VERIFICATION read specifically, not a vanished head)
+    t.current_version = lambda: 61
+    t.log.exists = flaky_exists
+    try:
+        with _pytest.raises(RuntimeError, match="not verifiable"):
+            t.expire(keep_last=2)
+    finally:
+        t.log.exists = real_exists
+        del t.current_version
+    after = sorted(t.log.list_dir(f"{t.root}/_snapshots"))
+    assert after == before  # nothing deleted under the fault
+    # marker untouched (no partial advance), clean expire works after
+    assert t._checkpoint_version() == 50
+    t.expire(keep_last=2)
+    assert t._checkpoint_version() == 61
+
+
+def test_explicit_empty_config_clears_table_property(spark, tmp_path):
+    """r12 ADVICE low: a handle constructed with EXPLICIT empty
+    stats/bloom lists persists an explicit empty config — the
+    commit-time carry must not resurrect the previous manifest's
+    config, and future config-less handles inherit the cleared
+    state ("explicit arguments, including explicit empty lists,
+    always win" now holds at the TABLE level too)."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stats_columns=["k"], bloom_columns=["k"]
+    )
+    t.append(spark.range(10).select(F.col("id").alias("k")).coalesce(1))
+    assert t._manifest(1)["config"]["stats_columns"] == ["k"]
+    # explicit-[] handle commits: config persisted as EXPLICIT empty
+    e = SnapshotTable(spark, t.root, stats_columns=[], bloom_columns=[])
+    v = e.append(
+        spark.range(10, 20).select(F.col("id").alias("k")).coalesce(1)
+    )
+    assert e._manifest(v)["config"] == {
+        "stats_columns": [], "bloom_columns": []
+    }
+    # config-less handles now inherit the CLEARED config
+    h = SnapshotTable(spark, t.root)
+    assert h.stats_columns == [] and h.bloom_columns == []
+    v2 = h.append(
+        spark.range(20, 30).select(F.col("id").alias("k")).coalesce(1)
+    )
+    # ...and keep it cleared across their own commits
+    assert h._manifest(v2).get("config", {}).get("stats_columns") == []
+    # partial explicitness: stats cleared, blooms re-enabled
+    p = SnapshotTable(spark, t.root, bloom_columns=["k"])
+    v3 = p.append(
+        spark.range(30, 40).select(F.col("id").alias("k")).coalesce(1)
+    )
+    assert p._manifest(v3)["config"] == {
+        "stats_columns": [], "bloom_columns": ["k"]
+    }
+
+
 def test_checkpoint_marker_cannot_regress_from_stalled_writer(
     spark, tmp_path
 ):

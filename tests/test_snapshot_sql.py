@@ -698,6 +698,22 @@ def test_sql_apply_changes_into_scd2_and_read_current(spark, tmp_path):
         f"APPLY AS DELETE WHEN stored = 'del'",
     )
     assert {r["k"]: r["v"] for r in d2.read().collect()} == {2: 20, 3: 30}
+    # r12 ADVICE low: a FUNCTION CALL spelled like a clause keyword
+    # inside the delete condition (keys(v)) must not truncate the
+    # APPLY span at its mark — already-bound clause words are ignored
+    # when computing span ENDS, not just starts
+    spark.udf.register("keys", lambda x: x, "long")
+    d3 = SnapshotTable(spark, str(tmp_path / "d3"), stats_columns=["k"])
+    d3.append(seed.select("k", "v"))
+    snapshot_sql(
+        spark,
+        f"APPLY CHANGES INTO '{d3.root}' FROM "
+        f"(SELECT k, v, op FROM sqldml_cdc) KEYS (k) "
+        f"APPLY AS DELETE WHEN op = 'del' AND keys(v) >= 0",
+    )
+    assert {r["k"]: r["v"] for r in d3.read().collect()} == {
+        1: 99, 3: 30, 4: 40
+    }
     # error shapes
     with pytest.raises(ValueError, match="KEYS"):
         snapshot_sql(
