@@ -1238,6 +1238,93 @@ def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_merge_on_predicates",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey % 5 = 0 AS insrc
+        FROM orders
+    ), c AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN insrc AND cents < 30000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+            CAST(sum(CASE WHEN insrc AND cents >= 30000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_res_ins,
+            CAST(sum(CASE WHEN insrc AND cents < 30000000
+                          THEN 0 ELSE cents END) AS BIGINT) AS keep_cents
+        FROM k
+    )
+    SELECT 'n_final' AS step, n + n_res_ins + 2 AS value FROM c
+    UNION ALL SELECT 'cents_final',
+        keep_cents + 88888888888 * n_upd
+                   + 88888888889 * (n_res_ins + 2) FROM c
+    UNION ALL SELECT 'n_upd', n_upd FROM c
+    UNION ALL SELECT 'n_res_ins', n_res_ins FROM c
+    """,
+)
+def lake_merge_on_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary MERGE ON predicates under the oracle (r13 verdict
+    task #1): a DIFFERENTLY-NAMED equi key (``ON t.k = s.ck`` —
+    rename-projected source, clause text follows the rename) combined
+    with a RESIDUAL non-equi conjunct (``AND t.cents < 30000000``)
+    that gates matching row-granularly, Delta's semantics: a key-equal
+    pair failing the residual is NOT matched, so its source row
+    INSERTS (duplicate key next to the untouched target row) — DuckDB
+    recomputes the outcome algebraically from ``orders``.
+
+    Scale shape: the rename is a metadata projection; the residual
+    rides the same single pruned candidate join as any conditional
+    merge (key-rectangle pruning is unaffected — the residual only
+    narrows matches).
+
+    Reference parity: Delta MERGE arbitrary ON conditions
+    (differently-named keys + extra conjuncts)."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    src = rows.filter(F.col("k") % 5 == 0).select(
+        F.col("k").alias("ck"), F.lit(88888888888).alias("cents")
+    )
+    extra = spark.createDataFrame(
+        [(-1, 88888888888), (-2, 88888888888)], "ck long, cents bigint"
+    )
+    src.unionByName(extra).createOrReplaceTempView("lake_merge_onpred_src")
+    root = tempfile.mkdtemp(prefix="lake_onpred_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["k"])
+        t.append(rows)
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t.root}' AS t USING lake_merge_onpred_src AS s "
+            f"ON t.k = s.ck AND t.cents < 30000000 "
+            f"WHEN MATCHED THEN UPDATE SET cents = s.cents "
+            f"WHEN NOT MATCHED THEN INSERT (k, cents) "
+            f"VALUES (s.ck, s.cents + 1)",
+        )
+        got = t.read()
+        out = [
+            ("n_final", got.count()),
+            ("cents_final", got.agg(F.sum("cents")).first()[0]),
+            ("n_upd", got.filter(F.col("cents") == 88888888888).count()),
+            (
+                "n_res_ins",
+                got.filter(
+                    (F.col("cents") == 88888888889) & (F.col("k") > 0)
+                ).count(),
+            ),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
     "lake_merge_matrix",
     oracle="""
     WITH k AS (

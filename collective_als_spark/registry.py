@@ -143,7 +143,15 @@ _PRIORITY: list[str] = [
     # stays pytest-oracle-checked — for benchmark_decontamination, the
     # GPT-3-style 8-gram eval-overlap gate)
     "benchmark_decontamination",
-    "item_item_cosine", "prefix_jaccard_pairs",
+    # r13 swap (r12 verdict #3): prefix_jaccard_pairs demoted (the
+    # PPJoin family keeps ngram_jaccard_pairs +
+    # substring_containment_pairs pytest-oracle-checked below the cap,
+    # and dedup keeps exact/lsh/embedding/clusters in-cap) for
+    # lake_merge_matrix — the FULL Delta MERGE clause matrix
+    # (conditional matched UPDATE vs DELETE, column-level INSERT, both
+    # NOT MATCHED BY SOURCE forms — the round-12 extra-candidate
+    # replan + survivor-transform machinery) under the driver hash
+    "item_item_cosine", "lake_merge_matrix",
     # r12 swap (r11 verdict #3): grouping_sets_agg demoted (the
     # rollup/grouping-sets family keeps its pytest oracle below the
     # cap and rollup_agg as the family twin) for lake_type_widening —
@@ -175,6 +183,9 @@ _PRIORITY: list[str] = [
     # swap comments above for the family reasoning)
     "minhash_signature", "lake_apply_changes", "lake_update_quality",
     "doc_fingerprint",
+    # r13 demotion (stays pytest-oracle-checked; PPJoin family keeps
+    # below-cap twins, dedup keeps four in-cap witnesses)
+    "prefix_jaccard_pairs",
     # r12 demotions (all stay pytest-oracle-checked; see the in-cap
     # swap comments above for the family reasoning)
     "lang_id_heuristic", "sessionization", "grouping_sets_agg",

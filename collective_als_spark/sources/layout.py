@@ -3453,6 +3453,7 @@ class SnapshotTable:
         _extra_candidates: list[str] | None = None,
         _extra_replan=None,
         _survivor_fn=None,
+        _cdc_image_fn=None,
     ) -> int:
         """Copy-on-write MERGE (upsert) keyed on one or more columns:
         target rows whose key tuple matches a source row are replaced
@@ -3496,6 +3497,16 @@ class SnapshotTable:
         ``_survivor_fn`` transforms the anti-joined survivor rows
         (physical names) before staging — by-source deletes/updates of
         target rows no source key touches.
+
+        ``_cdc_image_fn`` (private, used by :meth:`merge_when`):
+        refined CDF imaging — called with the (checkpointed) physical
+        candidate scan (or None when there are no candidates) and must
+        return ``(pre_images, post_images)`` physical-name frames (or
+        None) that REPLACE the default key-level image sets. Delta CDF
+        images logical changes only; the default images (matched rows
+        as pre, the whole stage as post) over-image multi-row keys
+        whose unfired "passenger" rows are physically rewritten but
+        logically unchanged (r12 verdict #2).
         """
         base0 = self._base_manifest(self.current_version())
         source = self._to_physical(source, base0)
@@ -3541,9 +3552,20 @@ class SnapshotTable:
                 # Delta CDF's update_pre/postimage flattened to
                 # delete+insert pairs. key_tuples carries the guarded
                 # broadcast hint iff nd is bounded (set above).
+                # merge_when passes _cdc_image_fn to refine the images
+                # to row-level fired changes (passengers and by-source
+                # effects, r12 verdict #2/#4).
                 cand_scan = cand_scan.localCheckpoint(eager=True)
-                matched = cand_scan.join(key_tuples, keys, "left_semi")
-                cdc_dir = self._write_cdc(matched, stage, plan["evolved"])
+                if _cdc_image_fn is not None:
+                    pre_img, post_img = _cdc_image_fn(cand_scan)
+                    cdc_dir = self._write_cdc(
+                        pre_img, post_img, plan["evolved"]
+                    )
+                else:
+                    matched = cand_scan.join(key_tuples, keys, "left_semi")
+                    cdc_dir = self._write_cdc(
+                        matched, stage, plan["evolved"]
+                    )
             survivors = cand_scan.join(key_tuples, keys, "left_anti")
             if _survivor_fn is not None:
                 survivors = _survivor_fn(survivors)
@@ -3551,7 +3573,13 @@ class SnapshotTable:
         else:
             rewritten = self._conform_to_schema(stage, plan["evolved"])
             if self.change_data_feed:
-                cdc_dir = self._write_cdc(None, stage, plan["evolved"])
+                if _cdc_image_fn is not None:
+                    pre_img, post_img = _cdc_image_fn(None)
+                    cdc_dir = self._write_cdc(
+                        pre_img, post_img, plan["evolved"]
+                    )
+                else:
+                    cdc_dir = self._write_cdc(None, stage, plan["evolved"])
         new_files, new_stats, new_blooms = self._stage(rewritten, _keep_empty=False)
 
         base_dvs = manifest.get("dvs", {})
@@ -3691,6 +3719,7 @@ class SnapshotTable:
         matched: list[tuple] = (),
         not_matched: list = (),
         not_matched_by_source: list[tuple] = (),
+        on_residual: str | None = None,
         _markers: dict[str, int] | None = None,
     ) -> int:
         """Multi-clause conditional MERGE — Delta's full form::
@@ -3721,6 +3750,16 @@ class SnapshotTable:
         clause of a group whose condition evaluates TRUE wins per row;
         a row satisfying no clause is untouched.
 
+        ``on_residual`` (r12 verdict #1): extra non-equi conjuncts of
+        the MERGE ON condition beyond the equality keys (Delta's ``ON
+        t.k = s.k AND t.region = 'EU'``) as one Spark-SQL boolean over
+        ``t``/``s``. Semantics are Delta's, row-granular: a key-equal
+        pair failing the residual is NOT MATCHED — its source row
+        inserts, its target row is by-source-eligible — never a
+        matched-unfired pair. Pruning still uses the key rectangle
+        (a superset: residual only narrows, so candidate pruning
+        stays sound).
+
         Execution rides the shared merge machinery: the planner prunes
         candidate files by the source key rectangle/blooms/buckets, the
         candidate scan joins the source ONCE to evaluate every clause
@@ -3742,11 +3781,25 @@ class SnapshotTable:
         rowsets), and the transform runs inside merge's survivor scan
         (one pass, no second commit). An unconditional by-source
         clause is inherently a full-table rewrite — bound it with a
-        condition, Delta's own guidance. CDF-enabled tables refuse
-        by-source clauses (their deletes/updates would escape the
-        change images); an EMPTY source with by-source clauses is
-        refused too (it degenerates to delete/update-everything — say
-        that with delete_where/update_where).
+        condition, Delta's own guidance. On a CDF table, by-source
+        deletes image as ``delete`` rows and by-source updates as
+        delete+insert pairs through the refined-image hook (r12
+        verdict #4 — Delta images them as ordinary change rows); an
+        EMPTY source with by-source clauses is refused (it
+        degenerates to delete/update-everything — say that with
+        delete_where/update_where).
+
+        CDF imaging is ROW-level (r12 verdict #2): only rows a clause
+        actually fired on are imaged — an unchanged "passenger" row
+        that merely shares a key with a fired row is physically
+        rewritten but never imaged (Delta CDF carries logical changes
+        only).
+
+        Insert-only clause lists (``not_matched`` alone) never enter
+        the candidate-rewrite path: matched keys are probed over the
+        pruned candidate scan and the surviving inserts APPEND, the
+        same O(candidate-files) economics as :meth:`merge_insert_only`
+        (r12 ADVICE medium).
 
         Reference parity: Delta MERGE's conditional clause matrix
         (first-match-wins, WHEN NOT MATCHED BY SOURCE since Delta
@@ -3771,13 +3824,6 @@ class SnapshotTable:
                     f"merge_when: by-source clause {i} is 'update' but "
                     f"has no assignments"
                 )
-        if by_source and self.change_data_feed:
-            raise NotImplementedError(
-                "merge_when: NOT MATCHED BY SOURCE on a change_data_feed "
-                "table is not supported (by-source deletes/updates would "
-                "not be imaged) — run the by-source pass as delete_where/"
-                "update_where, or disable CDF"
-            )
         for i, (cond, action, assigns) in enumerate(matched):
             if action not in ("update", "update_all", "delete"):
                 raise ValueError(
@@ -3839,6 +3885,51 @@ class SnapshotTable:
             return self.append(_insert_rows(src_l), _markers=_markers)
         keys = [key] if isinstance(key, str) else list(key)
         candidates = plan["candidates"]
+        on_keys = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        if not matched and not by_source:
+            # insert-only MERGE, conditional or not: probe matched keys
+            # over the planner's pruned candidate scan and APPEND the
+            # surviving inserts. Routing this through the candidate-
+            # rewrite path would rewrite every candidate file unchanged
+            # just to add the inserts — the O(candidate-files) rewrite
+            # merge_insert_only exists to avoid (r12 ADVICE medium).
+            ev0 = plan["evolved_manifest"]
+            to_insert = src_l
+            if candidates:
+                cand_l = self._to_logical(
+                    self._scan_live(ev0, candidates), ev0
+                )
+                if on_residual:
+                    # row-granular match: a key-equal pair failing the
+                    # residual is NOT matched — its source row inserts
+                    pairs0 = cand_l.alias("t").join(
+                        src_l,
+                        F.expr(f"{on_keys} AND ({on_residual})"),
+                        "inner",
+                    )
+                    mkeys = pairs0.select(
+                        *[F.expr(f"s.`{k}`").alias(k) for k in keys]
+                    ).distinct()
+                    if plan["broadcast_ok"]:
+                        mkeys = F.broadcast(mkeys)
+                    to_insert = src_l.join(mkeys, keys, "left_anti")
+                elif plan["broadcast_ok"]:
+                    # both joins map-side on the candidate scan (the
+                    # merge_insert_only discipline)
+                    key_tuples = F.broadcast(src_l.select(*keys).distinct())
+                    probed = (
+                        cand_l.select(*keys)
+                        .join(key_tuples, keys, "left_semi")
+                        .distinct()
+                    )
+                    to_insert = src_l.join(
+                        F.broadcast(probed), keys, "left_anti"
+                    )
+                else:
+                    to_insert = src_l.join(
+                        cand_l.select(*keys), keys, "left_anti"
+                    )
+            return self.append(_insert_rows(to_insert), _markers=_markers)
         # by-source extra rewrite set: a file joins only when SOME
         # clause's own condition could fire in it (union-of-rowsets
         # over the per-clause pruning conjuncts; an unprovable or
@@ -3891,18 +3982,101 @@ class SnapshotTable:
                             f"merge_when: by-source SET target {c!r} is "
                             f"not a table column"
                         )
+
+        def _bs_chain():
+            """First-matching-by-source-clause index Column (bare
+            target column names, first TRUE clause wins)."""
+            chain = None
+            for i, (cond, _a, _s) in enumerate(by_source):
+                c = F.expr(cond) if cond is not None else F.lit(True)
+                chain = (
+                    F.when(c, F.lit(i)) if chain is None
+                    else chain.when(c, F.lit(i))
+                )
+            return chain
+
+        def _apply_bs_chain(ldf):
+            """Apply the by-source clause chain to a logical frame of
+            by-source-ELIGIBLE rows: delete drops, update projects,
+            no fired clause passes through unchanged."""
+            cols = ldf.columns
+            tagged = ldf.withColumn("__bs_clause", _bs_chain())
+            parts = [
+                tagged.filter(F.col("__bs_clause").isNull()).select(*cols)
+            ]
+            for i, (_cond, action, assigns) in enumerate(by_source):
+                if action == "delete":
+                    continue
+                rows = tagged.filter(F.col("__bs_clause") == i)
+                parts.append(
+                    rows.select(
+                        *[
+                            (
+                                F.expr(assigns[c]) if c in assigns
+                                else F.col(c)
+                            ).alias(c)
+                            for c in cols
+                        ]
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out
+
+        def _bs_images(ldf):
+            """(pre_images, [post_image frames]) of the by-source
+            clause chain over eligible rows: fired deletes/updates are
+            pre-images; fired updates' projections are post-images
+            (Delta's update_pre/postimage flattened to delete+insert
+            pairs, same convention as the matched-clause images)."""
+            cols = ldf.columns
+            tagged = ldf.withColumn("__bs_clause", _bs_chain())
+            pre = tagged.filter(F.col("__bs_clause").isNotNull()).select(
+                *cols
+            )
+            posts = []
+            for i, (_cond, action, assigns) in enumerate(by_source):
+                if action != "update":
+                    continue
+                rows = tagged.filter(F.col("__bs_clause") == i)
+                posts.append(
+                    rows.select(
+                        *[
+                            (
+                                F.expr(assigns[c]) if c in assigns
+                                else F.col(c)
+                            ).alias(c)
+                            for c in cols
+                        ]
+                    )
+                )
+            return pre, posts
+
         stage = None
+        update_parts: list[DataFrame] = []
         if candidates:
             cand = self._to_logical(
                 self._scan_live(ev_manifest, candidates), ev_manifest
             ).alias("t")
-            on = F.expr(
-                " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
-            )  # NULL source keys are planner-rejected, so = is exact
-            joined = cand.join(src_l, on, "inner")
+            # the join stays KEYS-ONLY even under a residual: merge's
+            # survivor anti-join is key-level, so every key-equal pair
+            # must be in the frame (a residual-failing row of a fired
+            # key is a passenger that must re-stage, not vanish). The
+            # residual gates the clause chain and the __match flag
+            # instead. NULL source keys are planner-rejected, so = is
+            # exact; a NULL residual is NOT matched (SQL 3VL).
+            joined = cand.join(src_l, F.expr(on_keys), "inner")
+            res_expr = (
+                F.coalesce(F.expr(on_residual), F.lit(False))
+                if on_residual
+                else None
+            )
             clause_expr = None
             for i, (cond, _action, _assigns) in enumerate(matched):
                 c = F.expr(cond) if cond is not None else F.lit(True)
+                if res_expr is not None:
+                    c = res_expr & c
                 clause_expr = (
                     F.when(c, F.lit(i)) if clause_expr is None
                     else clause_expr.when(c, F.lit(i))
@@ -3915,7 +4089,14 @@ class SnapshotTable:
             # are alive; the localCheckpoint below erases them (a
             # checkpointed frame is a fresh leaf with no qualifier
             # history)
-            wide = [clause_expr.alias("__clause")]
+            wide = [
+                clause_expr.alias("__clause"),
+                # row-granular match status under a residual (Delta:
+                # the full ON decides matched vs not-matched)
+                (res_expr if res_expr is not None else F.lit(True)).alias(
+                    "__match"
+                ),
+            ]
             for c in out_cols:
                 wide.append(
                     (F.expr(f"t.`{c}`") if c in cand.columns else F.lit(None))
@@ -3945,7 +4126,6 @@ class SnapshotTable:
             # multiplicity; materialize once for the consumers below
             pairs = pairs.localCheckpoint(eager=True)
             fired = pairs.filter(F.col("__key_fired"))
-            stage_parts = []
             for i, (_cond, action, assigns) in enumerate(matched):
                 if action == "delete":
                     continue
@@ -3964,20 +4144,35 @@ class SnapshotTable:
                         ).alias(c)
                         for c in out_cols
                     ]
-                stage_parts.append(rows.select(*proj))
+                update_parts.append(rows.select(*proj))
             # passenger rows: multi-row keys where ANOTHER row fired —
             # the key's target rows all drop, so unchanged pairs must
-            # re-stage
-            stage_parts.append(
-                fired.filter(F.col("__clause").isNull()).select(
-                    *[F.col(f"__t_{c}").alias(c) for c in out_cols]
+            # re-stage. Under a residual, a passenger whose own pair
+            # FAILED the residual is row-level NOT MATCHED (Delta): it
+            # re-stages through the by-source clause chain instead of
+            # passing through untouched.
+            t_proj = [F.col(f"__t_{c}").alias(c) for c in out_cols]
+            pass_rows = fired.filter(F.col("__clause").isNull())
+            if by_source and on_residual:
+                passenger = pass_rows.filter(F.col("__match")).select(
+                    *t_proj
+                ).unionByName(
+                    _apply_bs_chain(
+                        pass_rows.filter(~F.col("__match")).select(*t_proj)
+                    ),
+                    allowMissingColumns=True,
                 )
-            )
+            else:
+                passenger = pass_rows.select(*t_proj)
+            stage_parts = update_parts + [passenger]
             stage = stage_parts[0]
             for part in stage_parts[1:]:
                 stage = stage.unionByName(part, allowMissingColumns=True)
-            # inserts: source rows whose key matched NO candidate row
-            matched_keys = pairs.select(
+            # inserts: source rows with NO matched pair — under a
+            # residual a key-equal pair failing it does NOT match, so
+            # its source row inserts (source keys are unique, so the
+            # key-granular anti-join is row-exact)
+            matched_keys = pairs.filter(F.col("__match")).select(
                 *[F.col(f"__t_{k}").alias(k) for k in keys]
             ).distinct()
             if plan["broadcast_ok"]:
@@ -4000,69 +4195,97 @@ class SnapshotTable:
             inserts if stage is None
             else stage.unionByName(inserts, allowMissingColumns=True)
         )
+        # match-status split for by-source rows: merge's survivors =
+        # candidate rows whose key is not in the FIRED set — that
+        # still includes matched-but-unfired rows, which are MATCHED
+        # and must never see the by-source chain (Delta: the clause
+        # groups partition by match status, not by effect). Without a
+        # residual, key match == row match and the pairs' key set is
+        # exact; under a residual the split is ROW-granular via the
+        # full ON condition (a key-equal row failing the residual IS
+        # not-matched-by-source).
+        all_matched_keys = None
+        if by_source and candidates and not on_residual:
+            all_matched_keys = pairs.select(
+                *[F.col(f"__t_{k}").alias(k) for k in keys]
+            ).distinct()
+            if plan["broadcast_ok"]:
+                all_matched_keys = F.broadcast(all_matched_keys)
+
+        def _bs_split(ldf):
+            """(eligible, kept): by-source-eligible rows of a logical
+            frame and their matched complement (None = nothing to
+            keep apart)."""
+            if on_residual:
+                on_full = F.expr(f"{on_keys} AND ({on_residual})")
+                t_ldf = ldf.alias("t")
+                return (
+                    t_ldf.join(src_l, on_full, "left_anti"),
+                    t_ldf.join(src_l, on_full, "left_semi"),
+                )
+            if all_matched_keys is not None:
+                return (
+                    ldf.join(all_matched_keys, keys, "left_anti"),
+                    ldf.join(all_matched_keys, keys, "left_semi"),
+                )
+            return ldf, None
+
         surv_fn = None
         if by_source:
-            # merge's survivors = candidate rows whose key is not in
-            # the FIRED set — that still includes matched-but-unfired
-            # rows, which are MATCHED and must never see the by-source
-            # chain (Delta: the clause groups partition by match
-            # status, not by effect)
-            all_matched_keys = (
-                pairs.select(
-                    *[F.col(f"__t_{k}").alias(k) for k in keys]
-                ).distinct()
-                if candidates
-                else None
-            )
-            if all_matched_keys is not None and plan["broadcast_ok"]:
-                all_matched_keys = F.broadcast(all_matched_keys)
 
             def surv_fn(df, _m=ev_manifest):
                 """Apply the by-source clause chain to the survivor
-                rows that matched NO source key; matched-but-unfired
+                rows that matched NO source row; matched-but-unfired
                 rows pass through untouched. First fired clause wins —
                 delete drops, update projects, no clause passes
                 through unchanged."""
-                ldf = self._to_logical(df, _m)
-                if all_matched_keys is not None:
-                    kept_matched = ldf.join(
-                        all_matched_keys, keys, "left_semi"
-                    )
-                    ldf = ldf.join(all_matched_keys, keys, "left_anti")
-                else:
-                    kept_matched = None
-                chain = None
-                for i, (cond, _a, _s) in enumerate(by_source):
-                    c = F.expr(cond) if cond is not None else F.lit(True)
-                    chain = (
-                        F.when(c, F.lit(i)) if chain is None
-                        else chain.when(c, F.lit(i))
-                    )
-                tagged = ldf.withColumn("__bs_clause", chain)
-                parts = [
-                    tagged.filter(F.col("__bs_clause").isNull()).drop(
-                        "__bs_clause"
-                    )
-                ]
-                for i, (_cond, action, assigns) in enumerate(by_source):
-                    if action == "delete":
-                        continue
-                    rows = tagged.filter(F.col("__bs_clause") == i)
-                    proj = [
-                        (
-                            F.expr(assigns[c]) if c in assigns else F.col(c)
-                        ).alias(c)
-                        for c in ldf.columns
-                    ]
-                    parts.append(rows.select(*proj))
-                out = parts[0]
-                for p in parts[1:]:
-                    out = out.unionByName(p, allowMissingColumns=True)
-                if kept_matched is not None:
-                    out = out.unionByName(
-                        kept_matched, allowMissingColumns=True
-                    )
+                eligible, kept = _bs_split(self._to_logical(df, _m))
+                out = _apply_bs_chain(eligible)
+                if kept is not None:
+                    out = out.unionByName(kept, allowMissingColumns=True)
                 return self._to_physical(out, _m)
+
+        cdc_fn = None
+        if self.change_data_feed:
+
+            def cdc_fn(cand_scan_phys, _m=ev_manifest):
+                """Row-level CDF images (r12 verdict #2/#4): pre =
+                target rows a matched clause FIRED on plus by-source
+                fired rows; post = fired update projections plus
+                inserts plus by-source update projections. Passengers
+                (unfired rows of fired keys) and matched-but-unfired
+                rows are physical rewrites, never imaged."""
+                pre_parts: list[DataFrame] = []
+                post_parts: list[DataFrame] = []
+                if candidates:
+                    fired_rows = fired.filter(F.col("__clause").isNotNull())
+                    pre_parts.append(fired_rows.select(*t_proj))
+                    post_parts.extend(update_parts)
+                post_parts.append(inserts)
+                if by_source and cand_scan_phys is not None:
+                    eligible, _kept = _bs_split(
+                        self._to_logical(cand_scan_phys, _m)
+                    )
+                    bs_pre, bs_posts = _bs_images(eligible)
+                    pre_parts.append(bs_pre)
+                    post_parts.extend(bs_posts)
+
+                def _union(parts):
+                    out = None
+                    for p in parts:
+                        out = (
+                            p if out is None
+                            else out.unionByName(
+                                p, allowMissingColumns=True
+                            )
+                        )
+                    return out
+
+                pre, post = _union(pre_parts), _union(post_parts)
+                return (
+                    self._to_physical(pre, _m) if pre is not None else None,
+                    self._to_physical(post, _m) if post is not None else None,
+                )
 
         return self.merge(
             merge_source, key, _markers=_markers, _plan=plan,
@@ -4070,6 +4293,7 @@ class SnapshotTable:
             _extra_candidates=bs_extra or None,
             _extra_replan=bs_replan,
             _survivor_fn=surv_fn,
+            _cdc_image_fn=cdc_fn,
         )
 
     def merge_mor(

@@ -474,24 +474,69 @@ def _merge(spark, rest: str, kw) -> int:
     cond = tail[on_e:first_when].strip()
     while cond.startswith("(") and _matching_paren(cond) == len(cond) - 1:
         cond = cond[1:-1].strip()
-    keys = _equi_keys(cond, t_alias, s_alias)
+    keys, renames, residual = _parse_merge_on(cond, t_alias, s_alias)
     actions = tail[first_when:]
+    if renames:
+        # differently-named equi keys (ON t.id = s.customer_id): the
+        # engine merge keys on same-named columns, so the SOURCE
+        # column is renamed to the target name and every source-
+        # qualified reference in the clause text (and the residual)
+        # follows the rename (r12 verdict #1)
+        if not s_alias:
+            raise NotImplementedError(
+                "snapshot_sql: differently-named MERGE keys need a "
+                "source alias (USING src AS s ... ON t.id = "
+                "s.customer_id) so clause text can be rewritten"
+            )
+        for sc, tc in renames.items():
+            if sc not in source.columns:
+                raise ValueError(
+                    f"snapshot_sql: MERGE ON references source column "
+                    f"{sc!r}, not in the USING source"
+                )
+            if tc in source.columns:
+                raise NotImplementedError(
+                    f"snapshot_sql: MERGE key rename {sc!r} -> {tc!r} "
+                    f"collides with an existing source column {tc!r} "
+                    f"— project it away or alias it in the USING query"
+                )
+        for sc, tc in renames.items():
+            source = source.withColumnRenamed(sc, tc)
+        actions = _rename_qualified(actions, {s_alias.upper()}, renames)
+        if residual:
+            residual = _rename_qualified(
+                residual, {s_alias.upper()}, renames
+            )
+    if residual:
+        # requalify the residual to the engine's canonical t/s aliases
+        amap = {}
+        if t_alias:
+            amap[t_alias.upper()] = "t"
+        if s_alias:
+            amap[s_alias.upper()] = "s"
+        residual = _rewrite_alias_prefix(residual, amap)
     norm = re.sub(r"\s+", " ", actions).strip().upper()
     t = SnapshotTable(spark, root, **kw)
-    if norm in (
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
-        "WHEN NOT MATCHED THEN INSERT * WHEN MATCHED THEN UPDATE SET *",
-    ):
-        return t.merge(source, keys)
-    if norm == "WHEN NOT MATCHED THEN INSERT *":
-        # insert-only: matched-key detection over only the planner's
-        # stats/bloom/bucket-pruned candidate files (r11-verdict #2)
-        return t.merge_insert_only(source, keys)
-    if norm == "WHEN MATCHED THEN DELETE":
-        changes = source.select(*keys).distinct().withColumn(
-            "_op", F.lit("D")
-        )
-        return t.apply_changes(changes, keys if len(keys) > 1 else keys[0])
+    if residual is None:
+        # residual-free fast paths (a residual changes MATCH status
+        # row-granularly, which only merge_when models)
+        if norm in (
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+            "WHEN NOT MATCHED THEN INSERT * WHEN MATCHED THEN UPDATE SET *",
+        ):
+            return t.merge(source, keys)
+        if norm == "WHEN NOT MATCHED THEN INSERT *":
+            # insert-only: matched-key detection over only the
+            # planner's stats/bloom/bucket-pruned candidate files
+            # (r11-verdict #2)
+            return t.merge_insert_only(source, keys)
+        if norm == "WHEN MATCHED THEN DELETE":
+            changes = source.select(*keys).distinct().withColumn(
+                "_op", F.lit("D")
+            )
+            return t.apply_changes(
+                changes, keys if len(keys) > 1 else keys[0]
+            )
     # general conditional / column-level clause list -> merge_when
     matched_c, not_matched_c, by_source_c = _parse_when_clauses(
         actions, t_alias, s_alias
@@ -502,6 +547,7 @@ def _merge(spark, rest: str, kw) -> int:
         matched=matched_c,
         not_matched=not_matched_c,
         not_matched_by_source=by_source_c,
+        on_residual=residual,
     )
 
 
@@ -697,32 +743,171 @@ def _parse_when_clauses(
     return matched, not_matched, by_source
 
 
-def _equi_keys(cond: str, t_alias: str | None, s_alias: str | None) -> list[str]:
-    """``t.k = s.k [AND ...]`` -> [k, ...]; the engine merge is keyed
-    on same-named columns, anything else is refused with guidance."""
-    keys = []
-    for part in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
-        m = re.fullmatch(
-            r"\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?([A-Za-z_][A-Za-z0-9_]*)"
-            r"\s*=\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?"
-            r"([A-Za-z_][A-Za-z0-9_]*)\s*",
-            part,
-        )
+_ON_EQ_RE = re.compile(
+    r"\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?`?([A-Za-z_][A-Za-z0-9_]*)`?"
+    r"\s*=\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?"
+    r"`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$"
+)
+
+
+def _parse_merge_on(
+    cond: str, t_alias: str | None, s_alias: str | None
+) -> tuple[list[str], dict[str, str], str | None]:
+    """MERGE ON condition -> ``(keys, renames, residual)`` — Delta's
+    full ON-predicate surface (r12 verdict #1):
+
+    - same-named column equalities (``t.k = s.k`` / bare ``k = k``)
+      are the merge KEYS;
+    - DIFFERENTLY-named equi conjuncts (``ON t.id = s.customer_id``)
+      key on the TARGET name, recording ``renames[source_col] =
+      target_col`` — the caller renames the source column (and
+      rewrites source-qualified clause text) before planning;
+    - every other conjunct (column-vs-literal, non-equality,
+      same-side comparisons) is RESIDUAL: the caller requalifies it
+      to the canonical ``t``/``s`` aliases and passes it as
+      ``merge_when(on_residual=...)``, where it gates matching
+      row-granularly (a key-equal pair failing it is NOT matched).
+
+    At least one target-vs-source equality conjunct is required — a
+    genuinely non-equi ON is refused with guidance, as before."""
+    t_up = t_alias.upper() if t_alias else None
+    s_up = s_alias.upper() if s_alias else None
+
+    def side(alias: str | None) -> str | None:
+        if alias is None:
+            return None
+        a = alias.upper()
+        if a == t_up:
+            return "t"
+        if a == s_up:
+            return "s"
+        return "?"  # unknown qualifier: leave to Spark's resolution
+
+    keys: list[str] = []
+    renames: dict[str, str] = {}
+    residual: list[str] = []
+    parts = []
+    prev = 0
+    for _w, s, e in _scan_clauses(cond, {"AND"}):
+        parts.append(cond[prev:s])
+        prev = e
+    parts.append(cond[prev:])
+    for part in parts:
+        if not part.strip():
+            raise ValueError(
+                f"snapshot_sql: empty MERGE ON conjunct in {cond!r}"
+            )
+        m = _ON_EQ_RE.fullmatch(part)
         if not m:
-            raise NotImplementedError(
-                f"snapshot_sql: MERGE condition must be an equality "
-                f"conjunction (t.k = s.k AND ...), got {part.strip()!r}"
-            )
-        _a1, c1, _a2, c2 = m.groups()
-        if c1 != c2:
-            raise NotImplementedError(
-                f"snapshot_sql: MERGE keys must be same-named on both "
-                f"sides ({c1!r} vs {c2!r}) — rename the source column"
-            )
-        keys.append(c1)
+            residual.append(part.strip())
+            continue
+        a1, c1, a2, c2 = m.groups()
+        d1, d2 = side(a1), side(a2)
+        if d1 == "?" or d2 == "?" or (d1 is not None and d1 == d2):
+            # unknown qualifier or same-side comparison: residual
+            residual.append(part.strip())
+            continue
+        if d1 == "t" and d2 in (None, "s"):
+            tc, sc = c1, c2
+        elif d1 == "s" and d2 in (None, "t"):
+            tc, sc = c2, c1
+        elif d1 is None and d2 == "s":
+            tc, sc = c1, c2
+        elif d1 is None and d2 == "t":
+            tc, sc = c2, c1
+        else:  # both unqualified
+            if c1 != c2:
+                raise NotImplementedError(
+                    f"snapshot_sql: qualify differently-named MERGE "
+                    f"keys with the statement aliases "
+                    f"(t.{c1} = s.{c2}), got {part.strip()!r}"
+                )
+            tc = sc = c1
+        if tc != sc:
+            if renames.get(sc, tc) != tc:
+                raise ValueError(
+                    f"snapshot_sql: source column {sc!r} keyed against "
+                    f"two target columns ({renames[sc]!r}, {tc!r})"
+                )
+            renames[sc] = tc
+        keys.append(tc)
     if not keys:
-        raise ValueError("snapshot_sql: empty MERGE condition")
-    return keys
+        raise NotImplementedError(
+            f"snapshot_sql: MERGE ON needs at least one target-vs-"
+            f"source equality conjunct (t.k = s.k); non-equi "
+            f"conditions ride along as residual conjuncts only — got "
+            f"{cond.strip()[:80]!r}"
+        )
+    res = " AND ".join(f"({r})" for r in residual) if residual else None
+    return keys, renames, res
+
+
+def _rename_qualified(
+    expr: str, aliases: set[str], colmap: dict[str, str]
+) -> str:
+    """Rewrite ``alias.old`` -> ``alias.new`` per ``colmap`` for the
+    given (upper-cased) aliases — quote-aware like
+    ``_rewrite_alias_prefix``. Used when differently-named MERGE ON
+    keys rename a source column before planning: clause text written
+    against the old source name must follow the rename."""
+    if not colmap:
+        return expr
+    out = []
+    i = 0
+    n = len(expr)
+    while i < n:
+        c = expr[i]
+        if c in ("'", '"'):
+            q = c
+            j = i + 1
+            while j < n:
+                if expr[j] == q:
+                    if j + 1 < n and expr[j + 1] == q:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(expr[i : j + 1])
+            i = j + 1
+            continue
+        if c == "`":
+            j = expr.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(expr[i : j + 1])
+            i = j + 1
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (expr[j].isalnum() or expr[j] == "_"):
+                j += 1
+            word = expr[i:j]
+            k = j
+            while k < n and expr[k].isspace():
+                k += 1
+            if word.upper() in aliases and k < n and expr[k] == ".":
+                k += 1
+                while k < n and expr[k].isspace():
+                    k += 1
+                col = None
+                if k < n and expr[k] == "`":
+                    e2 = expr.find("`", k + 1)
+                    if e2 > 0:
+                        col, endpos = expr[k + 1 : e2], e2 + 1
+                elif k < n and (expr[k].isalpha() or expr[k] == "_"):
+                    e2 = k
+                    while e2 < n and (expr[e2].isalnum() or expr[e2] == "_"):
+                        e2 += 1
+                    col, endpos = expr[k:e2], e2
+                if col is not None:
+                    out.append(f"{word}.{colmap.get(col, col)}")
+                    i = endpos
+                    continue
+            out.append(word)
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _apply_changes_stmt(spark, rest: str, kw) -> int:

@@ -592,6 +592,91 @@ def test_merge_when_cdf_images(spark, tmp_path):
     assert ins == [(1, 100.0), (9, 90.0)]
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert rows == {1: 100.0, 2: 20.0, 3: 30.0, 9: 90.0}
+    # r12 verdict #2: a MULTI-ROW key where one pair fires — the
+    # unchanged passenger row is physically rewritten but must produce
+    # ZERO images in the commit's change files (Delta CDF carries
+    # logical changes only; a per-key downstream trigger must not fire
+    # on passengers)
+    p = SnapshotTable(
+        spark, str(tmp_path / "p"), stats_columns=["k"],
+        change_data_feed=True,
+    )
+    p.append(
+        spark.createDataFrame(
+            [(1, 5.0), (1, 50.0), (2, 7.0)], "k long, v double"
+        )
+    )
+    pv = p.merge_when(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), "k",
+        matched=[("s.v > t.v", "update", {"v": "s.v"})],
+    )
+    images = sorted(
+        (r["_change_type"], r["k"], r["v"])
+        for r in spark.read.parquet(p._manifest(pv)["cdc"]).collect()
+    )
+    # fired pair (1,5.0)->10.0 imaged; passenger (1,50.0) and
+    # matched-unfired key 2 produce NOTHING
+    assert images == [("delete", 1, 5.0), ("insert", 1, 10.0)]
+    prows = sorted((r["k"], r["v"]) for r in p.read().collect())
+    assert prows == [(1, 10.0), (1, 50.0), (2, 7.0)]
+
+
+def test_merge_when_by_source_cdf_reconciles(spark, tmp_path):
+    """r12 verdict #4: by-source deletes image as delete rows and
+    by-source updates as delete+insert pairs; applying the change
+    files to the FROM snapshot reproduces the TO snapshot exactly,
+    and matched-but-unfired / untouched rows are never imaged."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stats_columns=["k"],
+        change_data_feed=True,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)],
+            "k long, v double",
+        )
+    )
+    v1 = t.current_version()
+    src = spark.createDataFrame([(1, 100.0), (9, 90.0)], "k long, v double")
+    v2 = t.merge_when(
+        src, "k",
+        matched=[("s.v > t.v", "update_all", None)],
+        not_matched=[None],
+        not_matched_by_source=[
+            ("v >= 40", "delete", None),
+            ("v >= 30", "update", {"v": "v + 0.5"}),
+        ],
+    )
+    feed = spark.read.parquet(t._manifest(v2)["cdc"])
+    dels = sorted(
+        (r["k"], r["v"])
+        for r in feed.filter(F.col("_change_type") == "delete").collect()
+    )
+    ins = sorted(
+        (r["k"], r["v"])
+        for r in feed.filter(F.col("_change_type") == "insert").collect()
+    )
+    # k=1 fired update; k=2 unmatched-by-source, no clause -> nothing;
+    # k=3 by-source update pair; k=4 by-source delete; k=9 insert
+    assert dels == [(1, 10.0), (3, 30.0), (4, 40.0)]
+    assert ins == [(1, 100.0), (3, 30.5), (9, 90.0)]
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: 100.0, 2: 20.0, 3: 30.5, 9: 90.0}
+    # reconciliation: v1 rows minus deletes plus inserts == v2 rows
+    before = {(r["k"], r["v"]) for r in t.read(v1).collect()}
+    after = (before - set(dels)) | set(ins)
+    assert after == {(r["k"], r["v"]) for r in t.read().collect()}
+    # and the netted file-diff feed agrees with the change files
+    net = t.changes(v1, v2)
+    net_dels = sorted(
+        (r["k"], r["v"])
+        for r in net.filter(F.col("_change_type") == "delete").collect()
+    )
+    net_ins = sorted(
+        (r["k"], r["v"])
+        for r in net.filter(F.col("_change_type") == "insert").collect()
+    )
+    assert net_dels == dels and net_ins == ins
 
 
 def test_merge_when_schema_evolution(spark, tmp_path):

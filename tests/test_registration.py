@@ -117,8 +117,14 @@ def test_registry_priority_ordering():
     # topk_per_group, rollup_agg twins grouping sets) for the three
     # r11 oracles: lake_sql_dml (SQL DML dispatcher incl. conditional
     # MERGE), lake_scd2_history, lake_type_widening.
+    # r13 swapped prefix_jaccard_pairs (still pytest-oracle-checked
+    # below the cap; the PPJoin family keeps ngram_jaccard_pairs and
+    # substring_containment_pairs there, dedup keeps
+    # exact/lsh/embedding/clusters in-cap) for lake_merge_matrix —
+    # the full Delta MERGE clause matrix under the driver hash
+    # (r12 verdict #3).
     for promoted in ["item_item_cosine",
-                     "prefix_jaccard_pairs",
+                     "lake_merge_matrix",
                      "dq_expectations_suite",
                      "multimodal_ppm_decode", "lake_incremental_view",
                      "benchmark_decontamination", "lake_cdf_stream",

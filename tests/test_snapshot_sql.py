@@ -171,6 +171,177 @@ def test_sql_merge_insert_only_probes_only_candidate_files(
         t.merge_insert_only(dup, "k")
 
 
+def test_sql_merge_renamed_key_on_predicate(spark, tmp_path):
+    """r12 verdict #1a: differently-named equi keys — ``ON t.id =
+    s.customer_id`` rename-projects the source (clause text follows
+    the rename) and the result equals a join-built expected."""
+    t = SnapshotTable(spark, str(tmp_path / "ren"), stats_columns=["id"])
+    t.append(_orders(spark))
+    src = spark.createDataFrame(
+        [(2, "renamed", "US", 99.0), (8, "new", "EU", 80.0)],
+        "customer_id long, status string, region string, amount double",
+    )
+    src.createOrReplaceTempView("sqldml_renkey")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{t.root}' AS t USING sqldml_renkey AS s "
+        f"ON t.id = s.customer_id "
+        f"WHEN MATCHED AND s.customer_id > 0 THEN UPDATE SET "
+        f"status = s.status, amount = s.amount "
+        f"WHEN NOT MATCHED THEN INSERT "
+        f"(id, status, amount) VALUES (s.customer_id, s.status, s.amount)",
+    )
+    # join-built expected over the same inputs
+    base = _orders(spark).alias("b")
+    s2 = src.alias("s")
+    upd = base.join(s2, F.expr("b.id = s.customer_id"), "left").select(
+        F.col("b.id").alias("id"),
+        F.coalesce(F.col("s.status"), F.col("b.status")).alias("status"),
+        F.col("b.region").alias("region"),
+        F.coalesce(F.col("s.amount"), F.col("b.amount")).alias("amount"),
+    )
+    ins = s2.join(base, F.expr("b.id = s.customer_id"), "left_anti").select(
+        F.col("customer_id").alias("id"),
+        F.col("status"),
+        F.lit(None).cast("string").alias("region"),
+        F.col("amount"),
+    )
+    expected = sorted(tuple(r) for r in upd.unionByName(ins).collect())
+    assert _rows(t) == expected
+    # no source alias -> rename refused with guidance
+    t2 = SnapshotTable(spark, str(tmp_path / "ren2"), stats_columns=["id"])
+    t2.append(_orders(spark))
+    with pytest.raises(NotImplementedError, match="source alias"):
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t2.root}' AS t USING sqldml_renkey "
+            f"ON t.id = customer_id WHEN MATCHED THEN DELETE",
+        )
+    # rename colliding with an existing source column refused
+    src.withColumn("id", F.lit(0)).createOrReplaceTempView("sqldml_rencol")
+    with pytest.raises(NotImplementedError, match="collides"):
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t2.root}' AS t USING sqldml_rencol AS s "
+            f"ON t.id = s.customer_id WHEN MATCHED THEN DELETE",
+        )
+    # genuinely non-equi ON still refused with guidance
+    with pytest.raises(NotImplementedError, match="equality conjunct"):
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t2.root}' AS t USING sqldml_renkey AS s "
+            f"ON t.id > s.customer_id WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_sql_merge_residual_on_predicate(spark, tmp_path):
+    """r12 verdict #1b: residual non-equi ON conjuncts gate matching
+    ROW-granularly (Delta): a key-equal pair failing the residual is
+    NOT matched — its source row INSERTS and its target row becomes
+    by-source-eligible — never a silently-matched-unfired pair."""
+    a, b = _pair(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "hit", "EU", 1.0), (2, "miss", "US", 2.0),
+         (8, "new", "JP", 8.0)],
+        "id long, status string, region string, amount double",
+    )
+    src.createOrReplaceTempView("sqldml_resid")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{a.root}' AS t USING sqldml_resid AS s "
+        f"ON t.id = s.id AND t.region = 'EU' "
+        f"WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT *",
+    )
+    # API twin through merge_when(on_residual=...)
+    b.merge_when(
+        src, "id",
+        matched=[(None, "update_all", None)],
+        not_matched=[None],
+        on_residual="t.region = 'EU'",
+    )
+    assert _rows(a) == _rows(b)
+    rows = sorted(
+        (r["id"], r["status"]) for r in a.read().collect()
+    )
+    # id=1: region EU -> matched, updated; id=2: key-equal but region
+    # US -> NOT matched -> source row inserted NEXT TO the target row;
+    # id=8: plain insert
+    assert rows.count((1, "hit")) == 1 and (1, "cancelled") not in rows
+    assert (2, "cancelled") in rows and (2, "miss") in rows
+    assert (8, "new") in rows
+    assert a.read().count() == 9
+    # residual + by-source: a key-equal target row failing the
+    # residual IS not-matched-by-source (row-granular)
+    c = SnapshotTable(spark, str(tmp_path / "bysr"), stats_columns=["id"])
+    c.append(_orders(spark))
+    spark.createDataFrame(
+        [(4, "x", "EU", 4.0)],
+        "id long, status string, region string, amount double",
+    ).createOrReplaceTempView("sqldml_resid_bys")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{c.root}' AS t USING sqldml_resid_bys AS s "
+        f"ON t.id = s.id AND s.amount > 100 "
+        f"WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN "
+        f"UPDATE SET status = 'bys'",
+    )
+    got = {r["id"]: r["status"] for r in c.read().collect()}
+    # the (4,4) pair fails the residual -> target row 4 is NOT matched
+    # -> the by-source clause fires on it; nothing else changes
+    assert got[4] == "bys"
+    assert got[1] == "cancelled" and c.read().count() == 7
+
+
+def test_merge_when_conditional_insert_only_appends(spark, tmp_path):
+    """r12 ADVICE medium: a CONDITIONAL insert-only MERGE (only WHEN
+    NOT MATCHED clauses routed through merge_when) must take the same
+    probe+append path as the unconditional form — no candidate file
+    rewritten, only the pruned candidates opened for the key probe —
+    not the candidate-rewrite branch that rewrites every candidate
+    unchanged just to add the inserts."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 10)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+    files_before = set(t._manifest(t.current_version())["files"])
+    src = spark.createDataFrame(
+        [(1001, -1), (1500, -2), (1600, 0)], "k long, v long"
+    )
+    src.createOrReplaceTempView("sqldml_cins")
+    probed = []
+    real_scan = t._scan_live
+
+    def spy_scan(manifest, files, keep_pos=False):
+        probed.append(list(files))
+        return real_scan(manifest, files, keep_pos)
+
+    t._scan_live = spy_scan
+    try:
+        v = snapshot_sql_on(
+            spark,
+            t,
+            f"MERGE INTO '{t.root}' t USING sqldml_cins s ON t.k = s.k "
+            f"WHEN NOT MATCHED AND s.v < 0 THEN INSERT *",
+        )
+    finally:
+        t._scan_live = real_scan
+    # the probe opened ONLY the 1000-band candidate file
+    assert len(probed) == 1 and len(probed[0]) == 1
+    # 1001 matched -> kept; 1500 unmatched + condition fires -> insert;
+    # 1600 unmatched but v=0 fails the clause condition -> dropped
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[1001] == 2002 and got[1500] == -2 and 1600 not in got
+    assert t.read().count() == 31
+    files_after = set(t._manifest(v)["files"])
+    assert files_before <= files_after  # append-only commit
+    assert t._manifest(v).get("op") == "append"
+
+
 def snapshot_sql_on(spark, t, stmt):
     """Run a statement but reuse the instrumented table handle (the
     dispatcher normally constructs its own)."""
@@ -224,7 +395,10 @@ def test_sql_error_shapes(spark, tmp_path):
             f"MERGE INTO '{t.root}' t USING sqldml_bad s ON t.id = s.id "
             f"WHEN NOT MATCHED THEN UPDATE SET amount = 0",
         )
-    with pytest.raises(NotImplementedError, match="same-named"):
+    # differently-named keys are SUPPORTED since r13 (rename
+    # projection) — but a rename landing on an existing source column
+    # is refused with guidance
+    with pytest.raises(NotImplementedError, match="collides"):
         snapshot_sql(
             spark,
             f"MERGE INTO '{t.root}' t USING sqldml_bad s ON t.id = s.region "
@@ -478,18 +652,25 @@ def test_merge_when_by_source_prunes_files(spark, tmp_path):
     assert got[1001] == -1          # matched update_all
     assert got[1002] == 2005        # by-source +1
     assert got[0] == 0 and got[2005] == 4010  # untouched bands
-    # CDF tables refuse by-source clauses with guidance
+    # CDF tables image by-source effects (r12 verdict #4): a by-source
+    # delete appears as a delete row in the commit's change files
     c = SnapshotTable(
         spark, str(tmp_path / "cdf"), stats_columns=["k"],
         change_data_feed=True,
     )
     c.append(spark.range(3).select(F.col("id").alias("k")))
-    with pytest.raises(NotImplementedError, match="BY SOURCE"):
-        c.merge_when(
-            spark.range(1).select(F.col("id").alias("k")),
-            "k",
-            not_matched_by_source=[(None, "delete", None)],
-        )
+    v2 = c.merge_when(
+        spark.range(1).select(F.col("id").alias("k")),
+        "k",
+        not_matched_by_source=[("k >= 2", "delete", None)],
+    )
+    assert sorted(r["k"] for r in c.read().collect()) == [0, 1]
+    cdc_dir = c._manifest(v2)["cdc"]
+    images = [
+        (r["_change_type"], r["k"])
+        for r in spark.read.parquet(cdc_dir).collect()
+    ]
+    assert images == [("delete", 2)]  # row-level: k=0/1 never imaged
     # empty source + by-source refused with guidance
     with pytest.raises(ValueError, match="delete_where"):
         t.merge_when(
