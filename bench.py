@@ -203,6 +203,35 @@ def main() -> None:
         except (OSError, ValueError):
             return None  # no PSI on this host; JSON must stay strict (no NaN)
 
+    # Machine-drift calibration (r12 verdict #6): a deterministic
+    # CPU-bound whole-stage-codegen loop over a CACHED range — zero IO,
+    # zero shuffle variance, constant work every round. Its wall time
+    # moves with the HOST (JIT state, hypervisor steal, thermal), never
+    # with engine code, so round-over-round per-query comparisons can
+    # divide out machine drift (ann_topk_cosine swung 1.55x across
+    # rounds on byte-untouched code; this separates that from real
+    # regressions). Run once BEFORE and once AFTER the timed passes
+    # (brackets any mid-run stall episode); min reported.
+    import pyspark.sql.functions as F  # noqa: N812
+
+    cal_base = spark.range(0, 20_000_000, 1, 32).cache()
+    cal_base.count()  # materialize outside the timed region
+
+    def _calibration_run() -> float:
+        col = F.col("id")
+        t0 = time.perf_counter()
+        for i in range(8):
+            col = F.xxhash64(col, F.lit(i))
+        # pmod before the sum: an ANSI-mode long sum of raw 64-bit
+        # hashes overflows
+        cal_base.select(
+            F.sum(F.pmod(col, F.lit(1_000_000))).alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    _calibration_run()  # pay this plan's codegen compile once
+    cal_runs = [_calibration_run()]
+
     load_before = [round(x, 2) for x in os.getloadavg()]
     psi_before = {r: _psi_total(r) for r in ("cpu", "io")}
     raw_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
@@ -238,6 +267,9 @@ def main() -> None:
             # pass B, reproducibly). One System.gc() per query (~0.1s)
             # makes queries independent, which is what min-of-2 assumes.
             spark.sparkContext._jvm.System.gc()
+    cal_runs.append(_calibration_run())
+    calibration = min(cal_runs)
+    cal_base.unpersist()
     timings: dict[str, float] = {name: min(raw_runs[name]) for name in HEADLINE}
     if sig_state["df"] is not None:
         sig_state["df"].unpersist()
@@ -276,7 +308,55 @@ def main() -> None:
         "timing": "min of 2 interleaved passes (pass A pays codegen compile; "
         "see bench.py comment)",
         "runs": raw_runs,
+        "calibration_runs": cal_runs,
     }
+    # Normalized round-over-round delta table (r12 verdict #6): for
+    # each query shared with the newest prior BENCH_r*.json, report the
+    # raw ratio AND the ratio divided by the calibration drift — a
+    # query whose normalized ratio ~1.0 moved with the machine, not the
+    # code. Prior rounds without a calibration value get raw-only.
+    try:
+        import glob as _glob
+        import re as _re
+
+        benches = {}
+        here = os.path.dirname(os.path.abspath(__file__))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = _re.search(r"BENCH_r(\d+)\.json$", p)
+            if m:
+                benches[int(m.group(1))] = p
+        if benches:
+            prev_n = max(benches)
+            with open(benches[prev_n]) as f:
+                prev_doc = json.load(f)
+            prev_tail = prev_doc.get("tail", "")
+            prev_line = json.loads(
+                prev_tail[prev_tail.rindex("\n{") + 1:]
+                if "\n{" in prev_tail
+                else prev_tail
+            ) if isinstance(prev_tail, str) and prev_tail.strip() else prev_doc
+            pq = prev_line.get("queries", {})
+            pcal = prev_line.get("calibration_sec")
+            drift = round(calibration / pcal, 3) if pcal else None
+            table = {}
+            for n, t in timings.items():
+                if pq.get(n):
+                    raw = round(t / pq[n], 3)
+                    table[n] = {
+                        "prev": pq[n],
+                        "now": t,
+                        "ratio": raw,
+                        "ratio_normalized": (
+                            round(raw / drift, 3) if drift else None
+                        ),
+                    }
+            detail["normalized_delta"] = {
+                "vs_round": prev_n,
+                "calibration_drift": drift,
+                "queries": table,
+            }
+    except (OSError, ValueError, KeyError):
+        pass  # the delta table is best-effort observability
     ramp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_RAMP.json")
     if os.path.exists(ramp_path):
         try:
@@ -308,6 +388,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # host-drift calibration: deterministic CPU-bound codegen loop,
+        # excluded from the total (it times the MACHINE, not the engine)
+        "calibration_sec": calibration,
         "psi_stall_sec": psi_stall,
         "detail": "BENCH_DETAIL.json",
     }

@@ -1238,6 +1238,65 @@ def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_generated_columns",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    )
+    SELECT 'n_total' AS step, CAST(count(*) AS BIGINT) AS value FROM k
+    UNION ALL SELECT 'y_sum',
+        CAST(sum(EXTRACT(year FROM d)) AS BIGINT) FROM k
+    UNION ALL SELECT 'n_1995',
+        CAST(sum(CASE WHEN d >= DATE '1995-01-01'
+                       AND d <  DATE '1996-01-01'
+                      THEN 1 ELSE 0 END) AS BIGINT) FROM k
+    """,
+)
+def lake_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns under the oracle (r12 verdict #5):
+    declare ``y = year(d)`` before the first write, append a batch
+    that OMITS it (write-time computation), and band-read on the RAW
+    date — the monotone transform implies a pruning band on ``y``,
+    whose stats are the only ones the table carries. DuckDB recomputes
+    every number from ``orders``.
+
+    Scale shape: the computed column is one projection at write; the
+    implied conjunct costs two 1-row driver jobs per predicate —
+    pruning economics identical to hidden-partition transforms.
+
+    Reference parity: Delta Lake generated columns + partition-
+    pruning-from-generated-expressions."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_gen_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["y"])
+        snapshot_sql(
+            spark,
+            f"ALTER TABLE '{t.root}' ADD COLUMN y GENERATED ALWAYS AS "
+            f"(year(d))",
+        )
+        t2 = SnapshotTable(spark, t.root, stats_columns=["y"])
+        t2.append_clustered(rows, cluster_by=["d"], n_files=8)
+        got = t2.read()
+        band = t2.read(where="d >= '1995-01-01' AND d < '1996-01-01'")
+        out = [
+            ("n_total", got.count()),
+            ("y_sum", got.agg(F.sum("y")).first()[0]),
+            ("n_1995", band.count()),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
     "lake_merge_on_predicates",
     oracle="""
     WITH k AS (

@@ -269,6 +269,53 @@ def _rel(path: str) -> str:
     return "/".join(path.rstrip("/").split("/")[-2:])
 
 
+# GENERATED ALWAYS AS expressions that are provably MONOTONE
+# NONDECREASING in their single base column — the set for which a band
+# predicate on the base column implies a band on the generated column
+# (Delta's generated-column partition pruning). Extractions like
+# month(x)/day(x) are deliberately ABSENT: month(2021-01-31) >
+# month(2021-02-01), so they imply nothing about intervals.
+_GEN_MONOTONE_RES = [
+    re.compile(
+        r"^\s*(?:to_date|date)\s*\(\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\)\s*$",
+        re.IGNORECASE,
+    ),
+    re.compile(
+        r"^\s*cast\s*\(\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s+as\s+date\s*\)\s*$",
+        re.IGNORECASE,
+    ),
+    re.compile(
+        r"^\s*year\s*\(\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\)\s*$",
+        re.IGNORECASE,
+    ),
+    re.compile(
+        r"^\s*date_trunc\s*\(\s*'(?:year|quarter|month|week|day|hour)'\s*,"
+        r"\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\)\s*$",
+        re.IGNORECASE,
+    ),
+    re.compile(
+        r"^\s*trunc\s*\(\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*,"
+        r"\s*'(?:year|month|week|quarter)'\s*\)\s*$",
+        re.IGNORECASE,
+    ),
+    re.compile(
+        r"^\s*substr(?:ing)?\s*\(\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*,"
+        r"\s*1\s*,\s*\d+\s*\)\s*$",
+        re.IGNORECASE,
+    ),
+]
+
+
+def _generated_monotone_base(gexpr: str) -> str | None:
+    """Base column name when ``gexpr`` is one supported monotone
+    transform of a single column, else None (enforce-only)."""
+    for rx in _GEN_MONOTONE_RES:
+        m = rx.match(gexpr)
+        if m:
+            return m.group(1)
+    return None
+
+
 class SnapshotTable:
     """Versioned parquet table: immutable data files + JSON manifests,
     committed by exclusive manifest creation (optimistic CAS).
@@ -728,10 +775,15 @@ class SnapshotTable:
                 # pruning config is table property, not data: restores
                 # keep the current stats/bloom column set
                 raw["config"] = desired["config"]
+            if desired.get("generated"):
+                # generated-column definitions are governance, like
+                # checks: a restore rolls data back, not the contract
+                raw["generated"] = desired["generated"]
             return raw
         for k in (
             "batch_markers", "schema", "dvs", "dv_rows", "op", "cdc",
             "checks", "seq_state", "column_mapping", "retired", "config",
+            "generated",
         ):
             if desired.get(k):
                 raw[k] = desired[k]
@@ -814,7 +866,9 @@ class SnapshotTable:
             # carries too (r12 review: restore's build dict bypasses
             # _compose, and a shed config would make every later
             # config-less handle silently stop writing stats)
-            for k in ("column_mapping", "retired", "config"):
+            # generated-column definitions carry like checks: only
+            # add/drop_generated_column manage them
+            for k in ("column_mapping", "retired", "config", "generated"):
                 if k not in manifest and prev.get(k):
                     manifest[k] = prev[k]
             raw = self._serialize(manifest, prev_raw)
@@ -850,6 +904,52 @@ class SnapshotTable:
             return {}
         return self._manifest(cur).get("batch_markers", {})
 
+    def _fill_generated_logical(
+        self,
+        ldf: DataFrame,
+        gen: dict[str, str],
+        manifest: dict,
+        recompute: bool = False,
+    ) -> DataFrame:
+        """Compute GENERATED columns on a LOGICAL-name frame: columns
+        the frame omits are computed from their definitions (Delta's
+        write-time computation); ``recompute=True`` recomputes even
+        present ones (the UPDATE rule — a base-column change must
+        refresh its derivations). Table columns the frame omits are
+        NULL-padded first so the expressions analyze (readers NULL-pad
+        them identically)."""
+        have = set(ldf.columns)
+        todo = {c: e for c, e in gen.items() if recompute or c not in have}
+        if not todo:
+            return ldf
+        tschema = manifest.get("schema")
+        if tschema:
+            from pyspark.sql.types import StructType
+
+            inv = {p: l for l, p in self._col_mapping(manifest).items()}
+            for fld in StructType.fromJson(tschema).fields:
+                lname = inv.get(fld.name, fld.name)
+                if lname not in have and lname not in gen:
+                    ldf = ldf.withColumn(
+                        lname, F.lit(None).cast(fld.dataType)
+                    )
+                    have.add(lname)
+        for c, e in todo.items():
+            ldf = ldf.withColumn(c, F.expr(e))
+        return ldf
+
+    def _compute_generated(
+        self, df: DataFrame, gen: dict[str, str], manifest: dict
+    ) -> DataFrame:
+        """PHYSICAL-name wrapper of :meth:`_fill_generated_logical`
+        (generated definitions are written against logical names)."""
+        return self._to_physical(
+            self._fill_generated_logical(
+                self._to_logical(df, manifest), gen, manifest
+            ),
+            manifest,
+        )
+
     def _write_data(self, df: DataFrame) -> list[str]:
         commit_dir = f"{self.root}/data/{uuid.uuid4().hex}"
         df.write.mode("error").parquet(commit_dir)
@@ -879,12 +979,31 @@ class SnapshotTable:
         the kept empty file would be that same forever-candidate —
         e.g. a delete-only apply_changes would otherwise poison every
         later band plan and spuriously conflict concurrent writers."""
-        files = self._write_data(df)
         # data-preserving maintenance rewrites (compact/compact_partial,
         # dataChange=false) stage rows that already passed the gate —
         # re-validating them would add a TABLE-sized scan to every
         # compaction (Delta likewise exempts OPTIMIZE)
+        gen = {} if _skip_checks else self._table_generated()
+        if gen:
+            # GENERATED ALWAYS AS at the staging choke point: a batch
+            # omitting a generated column gets it COMPUTED (Delta's
+            # write-time rule); explicit values are audited below
+            cur_v = self.current_version()
+            gbase = self._base_manifest(cur_v) if cur_v else {}
+            df = self._compute_generated(df, gen, gbase)
+        files = self._write_data(df)
         checks = {} if _skip_checks else self._table_checks()
+        if gen:
+            # explicit conflicting values violate like a CHECK; the
+            # null-safe <=> never returns NULL, so the audit is exact
+            # (computed columns trivially pass)
+            checks = {
+                **checks,
+                **{
+                    f"__generated_{c}": f"`{c}` <=> ({e})"
+                    for c, e in gen.items()
+                },
+            }
         if checks and files:
             # CHECK enforcement at the single staging choke point
             # (append, WAP, merge, merge_mor, apply_changes, update,
@@ -1847,6 +1966,9 @@ class SnapshotTable:
         base = self._base_manifest(cur)
         df = self._to_physical(df, base)
         self._reject_retired(base, df, "append_bucketed")
+        gen = self._table_generated()
+        if gen:
+            df = self._compute_generated(df, gen, base)
         # hidden-partition metadata is keyed PHYSICALLY (it outlives
         # renames, like the files it describes)
         key = self._phys(base, key)
@@ -2048,6 +2170,9 @@ class SnapshotTable:
         base = self._base_manifest(cur)
         df = self._to_physical(df, base)
         self._reject_retired(base, df, "append_transformed")
+        gen = self._table_generated()
+        if gen:
+            df = self._compute_generated(df, gen, base)
         # transform metadata is keyed PHYSICALLY, like bucket metadata
         key = self._phys(base, key)
         dtype = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields])).get(key)
@@ -2289,6 +2414,12 @@ class SnapshotTable:
         # user frames carry LOGICAL names; files store PHYSICAL ones
         df = self._to_physical(df, base)
         self._reject_retired(base, df, "append")
+        gen = self._table_generated()
+        if gen:
+            # fill BEFORE schema composition: the first write after a
+            # generated-column declaration defines the table schema,
+            # which must include the computed column
+            df = self._compute_generated(df, gen, base)
         df_schema = df.schema.jsonValue()
         # fail BEFORE staging data on an obvious type conflict; the
         # build re-validates against the fresh manifest on CAS retries
@@ -2337,6 +2468,12 @@ class SnapshotTable:
         read-state-was-fresh check a read-modify-write maintainer
         (the view's refresh) needs to lose a race cleanly instead of
         double-applying its delta."""
+        gen = self._table_generated()
+        if gen:
+            cur0 = self.current_version()
+            df = self._compute_generated(
+                df, gen, self._base_manifest(cur0) if cur0 else {}
+            )
         new_files, new_stats, new_blooms = self._stage(df)
         df_schema = df.schema.jsonValue()
 
@@ -2505,6 +2642,11 @@ class SnapshotTable:
                 conjuncts, matched = self._normalize_dml_predicate(
                     None, None, None, where
                 )
+            # implied generated-column proofs ride along (lossy bands
+            # on G = T(X) for monotone T — see _generated_conjuncts)
+            conjuncts = conjuncts + self._generated_conjuncts(
+                manifest, conjuncts
+            )
             # predicates are written in LOGICAL names; the stats and
             # hidden-partition metadata are physical — translate for
             # pruning, keep the residual logical (it filters the
@@ -2646,7 +2788,9 @@ class SnapshotTable:
                     f"predicate must be a SQL string or Column, got "
                     f"{type(predicate).__name__}"
                 )
-            return analyze_predicate(predicate), F.expr(predicate)
+            conj = analyze_predicate(predicate)
+            conj = conj + self._in_subquery_conjuncts(predicate)
+            return conj, F.expr(predicate)
         if column is None or lo is None or hi is None:
             raise ValueError("pass (column, lo, hi) or a predicate")
         from .predicate import Conjunct
@@ -2809,6 +2953,136 @@ class SnapshotTable:
                     untouched = untouched + dropped
         return candidates, untouched, proofs
 
+    def _generated_conjuncts(self, manifest: dict, conjuncts) -> list:
+        """Implied pruning conjuncts from GENERATED columns (r12
+        verdict #5 — Delta's generated-column partition pruning): when
+        ``G = T(X)`` for a supported MONOTONE transform T and the
+        predicate carries a band conjunct on the BASE column X with
+        literal bounds, the rows also satisfy ``G BETWEEN T(lo),
+        T(hi)`` — appended as a LOSSY conjunct (an over-approximation:
+        sound to prune on, refused for negation) evaluated against
+        G's own file stats. Transform values cost one 1-row job per
+        bound, the ``_literal_transform_bounds`` discipline."""
+        gen = manifest.get("generated") or {}
+        if not gen:
+            return []
+        from .predicate import Conjunct
+
+        out = []
+        for gcol, gexpr in gen.items():
+            base = _generated_monotone_base(gexpr)
+            if base is None:
+                continue
+            for c in conjuncts:
+                if c.kind != "band" or c.column != base:
+                    continue
+                tlo = (
+                    self._gen_transform_value(manifest, gexpr, base, c.lo)
+                    if c.lo is not None
+                    else None
+                )
+                thi = (
+                    self._gen_transform_value(manifest, gexpr, base, c.hi)
+                    if c.hi is not None
+                    else None
+                )
+                if c.lo is not None and tlo is None:
+                    continue  # uncomputable bound: no implied proof
+                if c.hi is not None and thi is None:
+                    continue
+                if tlo is None and thi is None:
+                    continue
+                # endpoints non-strict (T is nondecreasing, not
+                # strictly increasing: T(lo) can equal in-range values)
+                out.append(
+                    Conjunct(
+                        "band", column=gcol, lo=tlo, hi=thi, lossy=True,
+                        src=f"generated:{gcol}",
+                    )
+                )
+        return out
+
+    def _gen_transform_value(self, manifest, gexpr, base, v):
+        """T(v) at the base column's table type — one 1-row job; None
+        when the literal can't cast or the transform NULLs out (no
+        implied proof, never wrong)."""
+        try:
+            dtype = self._column_dtype(manifest, self._phys(manifest, base))
+        except Exception:
+            dtype = None
+        try:
+            lit = F.lit(str(v) if isinstance(v, str) else v)
+            if dtype:
+                lit = lit.cast(dtype)
+            row = (
+                self.spark.range(1)
+                .select(lit.alias(base))
+                .select(F.expr(gexpr).alias("g"))
+                .first()
+            )
+        except Exception:
+            return None
+        return row["g"]
+
+    def _in_subquery_conjuncts(self, sql: str) -> list:
+        """Bounded IN-list pruning for uncorrelated subquery DML
+        predicates (r12 verdict #7): a top-level ``col IN (SELECT
+        ...)`` conjunct whose subquery RESULT passes the merge
+        broadcast gate (row count AND estimated bytes — the
+        ``_key_broadcast_ok`` discipline) materializes into an in-set
+        pruning conjunct, so the planner skips files instead of
+        scanning every candidate. Past the gate — or for correlated /
+        multi-column / unresolvable subqueries — the predicate stays
+        OPAQUE for pruning and Spark plans the subquery join in the
+        exact residual filter, exactly as before (correct, unpruned).
+
+        The conjunct is marked ``lossy`` defensively: the residual
+        re-evaluates the subquery at scan time, so if its source
+        mutates between this materialization and the scan the set is
+        an approximation — pruning on it is the same read-skew window
+        every non-serializable DML-with-subquery has, but NEGATING it
+        would be wrong, so negation stays refused. NULLs in the result
+        are dropped (``x IN (..., NULL)`` is never TRUE via the NULL).
+        """
+        from .predicate import Conjunct, in_subquery_shapes
+
+        out: list = []
+        for col, sub in in_subquery_shapes(sql):
+            try:
+                df = self.spark.sql(sub)
+            except Exception:
+                continue  # correlated / unresolvable: stays opaque
+            if len(df.columns) != 1:
+                continue
+            limit = self.merge_broadcast_max_keys
+            try:
+                rows = df.limit(limit + 1).collect()
+            except Exception:
+                continue
+            if len(rows) > limit:
+                continue  # unbounded set: opaque (correct, unpruned)
+            vals = [r[0] for r in rows if r[0] is not None]
+            if not vals:
+                continue
+            est = sum(len(str(v)) + 16 for v in vals)
+            if est > self.merge_broadcast_max_bytes:
+                continue
+            try:
+                lo, hi = min(vals), max(vals)
+            except TypeError:
+                lo = hi = None  # mixed types: set-only proofs
+            try:
+                vset = frozenset(vals)
+            except TypeError:
+                continue  # unhashable literals: no set proof
+            out.append(
+                Conjunct(
+                    "band", column=col, lo=lo, hi=hi, values=vset,
+                    lossy=True, src=f"in_subquery:{col}",
+                )
+            )
+        return out
+
     def _plan_dml_predicate(self, manifest, column, lo, hi, predicate):
         """Shared head of the predicate DML verbs: normalize, split,
         hidden-prune. Returns a plan dict; ``replan`` inside build
@@ -2816,6 +3090,9 @@ class SnapshotTable:
         manifest with the recorded proofs."""
         conjuncts, matched = self._normalize_dml_predicate(
             column, lo, hi, predicate
+        )
+        conjuncts = conjuncts + self._generated_conjuncts(
+            manifest, conjuncts
         )
         # predicates arrive in LOGICAL names; pruning metadata is
         # physical. The stored (translated) conjuncts also serve the
@@ -3189,6 +3466,14 @@ class SnapshotTable:
                 f"update_where: SET names columns not in the table: "
                 f"{unknown} — adding columns is a merge, not an update"
             )
+        gen = self._table_generated()
+        gen_assigned = sorted(c for c in set if c in gen)
+        if gen_assigned:
+            raise ValueError(
+                f"update_where: {gen_assigned} are GENERATED columns — "
+                f"they are recomputed from their definitions on update; "
+                f"omit them from SET (Delta's rule)"
+            )
         matched_pred = plan["matched"]
 
         def apply_set(df: DataFrame, pred) -> DataFrame:
@@ -3196,6 +3481,14 @@ class SnapshotTable:
             for c, v in set.items():
                 expr = F.expr(v) if isinstance(v, str) else v
                 out = out.withColumn(c, F.when(pred, expr).otherwise(F.col(c)))
+            # base-column changes refresh their derivations on the
+            # matched rows (Delta recomputes generated columns on
+            # UPDATE); carried rows keep their already-valid values
+            for c, e in gen.items():
+                if c in out.columns:
+                    out = out.withColumn(
+                        c, F.when(pred, F.expr(e)).otherwise(F.col(c))
+                    )
             return out
 
         rewritten = apply_set(cand_scan, matched_pred)
@@ -3517,6 +3810,12 @@ class SnapshotTable:
             if _stage_df is None
             else self._to_physical(_stage_df, base0)
         )
+        gen0 = self._table_generated()
+        if gen0:
+            # fill generated columns BEFORE the survivor union below:
+            # a union pads missing columns with NULL, which would read
+            # as explicit (conflicting) values at the staging audit
+            stage = self._compute_generated(stage, gen0, base0)
         plan = self._plan_merge(source, key) if _plan is None else _plan
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
@@ -3835,6 +4134,25 @@ class SnapshotTable:
                     f"merge_when: matched clause {i} is 'update' but has "
                     f"no assignments"
                 )
+        gen_w = self._table_generated()
+        if gen_w:
+            for group in (matched, by_source):
+                for _c, action, assigns in group:
+                    bad = sorted(set(assigns or ()) & set(gen_w))
+                    if bad:
+                        raise ValueError(
+                            f"merge_when: {bad} are GENERATED columns — "
+                            f"they are computed from their definitions "
+                            f"at write; omit them from SET"
+                        )
+            for _c, assigns in not_matched:
+                bad = sorted(set(assigns or ()) & set(gen_w))
+                if bad:
+                    raise ValueError(
+                        f"merge_when: {bad} are GENERATED columns — "
+                        f"omit them from the INSERT column list (they "
+                        f"are computed at write)"
+                    )
         base0 = self._base_manifest(self.current_version())
         phys = self._to_physical(source, base0)
         self._reject_retired(base0, phys, "merge")
@@ -4144,7 +4462,15 @@ class SnapshotTable:
                         ).alias(c)
                         for c in out_cols
                     ]
-                update_parts.append(rows.select(*proj))
+                part = rows.select(*proj)
+                if gen_w:
+                    # a base-column change refreshes its derivations
+                    # (Delta recomputes generated columns on UPDATE);
+                    # recomputed parts also feed the CDF post-images
+                    part = self._fill_generated_logical(
+                        part, gen_w, ev_manifest, recompute=True
+                    )
+                update_parts.append(part)
             # passenger rows: multi-row keys where ANOTHER row fired —
             # the key's target rows all drop, so unchanged pairs must
             # re-stage. Under a residual, a passenger whose own pair
@@ -4191,6 +4517,13 @@ class SnapshotTable:
             unmatched = src_l
             merge_source = source.limit(0)
         inserts = _insert_rows(unmatched)
+        if gen_w:
+            # compute omitted generated columns on the insert rows NOW
+            # (before unions NULL-pad them into "explicit" conflicts);
+            # INSERT *-provided values are left for the staging audit
+            inserts = self._fill_generated_logical(
+                inserts, gen_w, ev_manifest
+            )
         stage = (
             inserts if stage is None
             else stage.unionByName(inserts, allowMissingColumns=True)
@@ -5397,6 +5730,13 @@ class SnapshotTable:
         cur = self.current_version()
         return self._raw_manifest(cur).get("checks", {}) if cur else {}
 
+    def _table_generated(self) -> dict[str, str]:
+        """The table's GENERATED ALWAYS AS definitions (column -> SQL
+        expr) from the current manifest; {} for an empty table. Raw
+        top-level read, same O(1) discipline as ``_table_checks``."""
+        cur = self.current_version()
+        return self._raw_manifest(cur).get("generated", {}) if cur else {}
+
     def add_check_constraint(self, name: str, expr: str) -> int:
         """Delta's ``ALTER TABLE ADD CONSTRAINT``: a named SQL boolean
         expression every FUTURE commit's staged rows must satisfy
@@ -5450,6 +5790,103 @@ class SnapshotTable:
                 op="add_constraint",
             )
             m["checks"] = {**prev_checks, name: expr}
+            return m
+
+        return self._commit(build)
+
+    def add_generated_column(self, name: str, expr: str) -> int:
+        """Delta's ``GENERATED ALWAYS AS (expr)`` column as a table
+        property (r12 verdict #5): every FUTURE write COMPUTES ``name``
+        from ``expr`` when the batch omits it, and REJECTS a batch
+        whose explicit values conflict (null-safe ``<=>`` comparison,
+        enforced at the same staging choke point as CHECK constraints,
+        so every write path is covered).
+
+        On a non-empty table the existing rows must already satisfy
+        the definition (one table scan, the ``add_check_constraint``
+        rule) — Delta only allows declaring these at CREATE; adding
+        one late here is allowed exactly when it is already true. A
+        column not yet in the schema can only be declared on an EMPTY
+        table (no backfill rewrite is implied).
+
+        When ``expr`` is a supported MONOTONE transform of another
+        column (``to_date(x)`` / ``CAST(x AS DATE)``, ``year(x)``,
+        ``date_trunc('unit', x)``, ``trunc(x, 'unit')``,
+        ``substring(x, 1, n)``), reads and predicate DML with bands on
+        the BASE column gain an implied pruning conjunct on the
+        generated column — Delta's generated-column partition pruning
+        over this engine's stats machinery (put the generated column
+        in ``stats_columns`` for the proof to bite). Non-monotone
+        shapes (``month(x)``, ``day(x)`` extractions, arbitrary
+        exprs) are enforce-only.
+        """
+        if not name or not name.isidentifier():
+            raise ValueError(f"column name must be an identifier: {name!r}")
+        existing = self._table_generated()
+        if name in existing:
+            raise ValueError(f"generated column {name!r} already exists")
+        cur = self.current_version()
+        if cur:
+            logical = {l for l, _p in self._logical_fields(self._manifest(cur))}
+            if name not in logical:
+                raise ValueError(
+                    f"cannot add generated column {name!r} to a non-empty "
+                    f"table without the column: declare it before the "
+                    f"first write, or backfill and re-add"
+                )
+            n_bad = self.read().filter(
+                ~F.expr(f"`{name}` <=> ({expr})")
+            ).count()
+            if n_bad:
+                raise ValueError(
+                    f"cannot declare generated column {name!r}: {n_bad} "
+                    f"existing rows violate {expr!r}"
+                )
+
+        def build(version: int, prev: dict) -> dict:
+            prev_gen = prev.get("generated", {})
+            if name in prev_gen:
+                raise CommitConflict(
+                    f"concurrent commit added generated column {name!r}"
+                )
+            m = self._compose(
+                version,
+                prev.get("files", []),
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms"),
+                dvs=prev.get("dvs"),
+                dv_rows=prev.get("dv_rows", {}),
+                op="add_generated",
+            )
+            m["generated"] = {**prev_gen, name: expr}
+            return m
+
+        return self._commit(build)
+
+    def drop_generated_column(self, name: str) -> int:
+        """Remove a GENERATED ALWAYS AS definition (the column and its
+        data stay; future writes stop computing/validating it); an
+        O(metadata) commit."""
+        if name not in self._table_generated():
+            raise ValueError(f"no such generated column: {name!r}")
+
+        def build(version: int, prev: dict) -> dict:
+            prev_gen = dict(prev.get("generated", {}))
+            prev_gen.pop(name, None)
+            m = self._compose(
+                version,
+                prev.get("files", []),
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms"),
+                dvs=prev.get("dvs"),
+                dv_rows=prev.get("dv_rows", {}),
+                op="drop_generated",
+            )
+            m["generated"] = prev_gen
             return m
 
         return self._commit(build)
@@ -5508,6 +5945,9 @@ class SnapshotTable:
         df = self._to_physical(df, base0)
         if mode == "append":
             self._reject_retired(base0, df, "wap_commit")
+        gen = self._table_generated()
+        if gen:
+            df = self._compute_generated(df, gen, base0)
         files, new_stats, new_blooms = self._stage(df)
         # audit expressions are written in LOGICAL names
         audit_rows = [
@@ -5968,6 +6408,12 @@ class SnapshotTable:
             or None,
             ",".join((m.get("config") or {}).get("bloom_columns", []))
             or None,
+            # r13: GENERATED ALWAYS AS definitions (table property)
+            "; ".join(
+                f"{c} AS ({e})"
+                for c, e in sorted((m.get("generated") or {}).items())
+            )
+            or None,
         )
         return self.spark.createDataFrame(
             [row],
@@ -5975,7 +6421,8 @@ class SnapshotTable:
             "n_tombstones int, n_dv_files int, dv_masked_rows bigint, "
             "n_columns int, committed_at double, n_renamed_columns int, "
             "n_retired_slots int, has_seq_state boolean, "
-            "stats_columns string, bloom_columns string",
+            "stats_columns string, bloom_columns string, "
+            "generated_columns string",
         )
 
     def restore(self, version: int) -> int:

@@ -631,6 +631,78 @@ def analyze_predicate(sql: str) -> list[Conjunct]:
     return out
 
 
+_IN_SUBQ_RE = re.compile(
+    r"^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s+IN\s*\(\s*(SELECT\b.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _scan_split_and(sql: str) -> list[str] | None:
+    """Split on top-level AND (quote/backtick/paren-aware); None when
+    a top-level OR is present (the run is a disjunction — its pieces
+    are not conjunctive restrictions)."""
+    parts: list[str] = []
+    start = 0
+    depth = 0
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if c == "`":
+            j = sql.find("`", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            w = sql[i:j].upper()
+            if w == "OR":
+                return None
+            if w == "AND":
+                parts.append(sql[start:i])
+                start = j
+            i = j
+            continue
+        i += 1
+    parts.append(sql[start:])
+    return parts
+
+
+def in_subquery_shapes(sql: str) -> list[tuple[str, str]]:
+    """Top-level AND-conjuncts of shape ``col IN (SELECT ...)`` ->
+    ``[(column, subquery_sql)]`` (r12 verdict #7). Only plain
+    conjuncts qualify: a subquery under OR / NOT / parenthesized
+    disjunction is never returned (its rowset is not a conjunctive
+    restriction of the predicate, so materializing it would prune
+    unsoundly). The caller decides whether the subquery's RESULT is
+    small enough to become an in-set pruning conjunct."""
+    parts = _scan_split_and(sql)
+    if parts is None:
+        return []
+    out: list[tuple[str, str]] = []
+    for part in parts:
+        m = _IN_SUBQ_RE.match(part)
+        if m:
+            out.append((m.group(1), m.group(2).strip()))
+    return out
+
+
 def jsonable(v):
     """Probe literals must compare in the manifest stats' JSON value
     space (dates/timestamps stored as ISO strings — ISO order ==

@@ -1171,10 +1171,30 @@ def _alter(spark, rest: str, kw) -> int:
     )
     if m:
         return t.drop_check_constraint(m.group(1))
+    m = re.match(
+        r"^ADD\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+GENERATED\s+"
+        r"ALWAYS\s+AS\s*\((.*)\)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        # Delta declares these in CREATE TABLE column lists; the
+        # engine's CTAS dispatcher has no column-DDL grammar, so the
+        # declaration rides ALTER (before the first write, or on data
+        # that already satisfies it — layout.add_generated_column)
+        return t.add_generated_column(m.group(1), m.group(2).strip())
+    m = re.match(
+        r"^DROP\s+GENERATED\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return t.drop_generated_column(m.group(1))
     raise NotImplementedError(
         f"snapshot_sql: unsupported ALTER TABLE clause {s!r} — supported: "
         f"RENAME COLUMN a TO b, DROP COLUMN a, ADD CONSTRAINT n CHECK "
-        f"(expr), DROP CONSTRAINT n"
+        f"(expr), DROP CONSTRAINT n, ADD COLUMN g GENERATED ALWAYS AS "
+        f"(expr), DROP GENERATED COLUMN g"
     )
 
 

@@ -1217,3 +1217,66 @@ def test_like_prefix_prune_soundness_randomized():
                 f"UNSOUND prune: {sql!r} pruned {name} holding {matches} "
                 f"(stats {stats[name]})"
             )
+
+
+def test_in_subquery_prunes_when_bounded(spark, tmp_path):
+    """r12 verdict #7: an uncorrelated ``col IN (SELECT ...)`` whose
+    result passes the broadcast byte gate materializes into an in-set
+    pruning conjunct — only the files that can hold those keys are
+    opened for the rewrite; past the gate the predicate stays opaque
+    (full-candidate scan, identical results)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 10)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+    spark.createDataFrame(
+        [(1001,), (1003,)], "sel long"
+    ).createOrReplaceTempView("pdml_subq_small")
+    before = set(t._manifest(t.current_version())["files"])
+    t.delete_where("k IN (SELECT sel FROM pdml_subq_small)")
+    after = set(t._manifest(t.current_version())["files"])
+    # only the 1000-band file was a candidate: the other two carried
+    # over by path (bounded subquery -> in-set conjunct -> pruned)
+    assert len(before & after) == 2
+    assert t.read().count() == 28
+    assert sorted(
+        r["k"] for r in t.read(where=("k", 1000, 1010)).collect()
+    ) == [1000, 1002, 1004, 1005, 1006, 1007, 1008, 1009]
+    # past the gate (tiny key budget): opaque -> every file is a
+    # candidate, results identical
+    g = SnapshotTable(
+        spark, str(tmp_path / "g"), stats_columns=["k"],
+        merge_broadcast_max_keys=1,
+    )
+    for lo in (0, 1000):
+        g.append(
+            spark.range(lo, lo + 5)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+    spark.createDataFrame(
+        [(1001,), (1002,)], "sel long"
+    ).createOrReplaceTempView("pdml_subq_big")
+    gb = set(g._manifest(g.current_version())["files"])
+    g.delete_where("k IN (SELECT sel FROM pdml_subq_big)")
+    ga = set(g._manifest(g.current_version())["files"])
+    assert len(gb & ga) == 0  # opaque: both files rewritten
+    assert sorted(r["k"] for r in g.read().collect()) == [
+        0, 1, 2, 3, 4, 1000, 1003, 1004,
+    ]
+    # under OR the subquery must NOT become a conjunct (unsound):
+    # full-candidate scan, exact result
+    h = SnapshotTable(spark, str(tmp_path / "h"), stats_columns=["k"])
+    for lo in (0, 1000):
+        h.append(
+            spark.range(lo, lo + 5)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+    h.delete_where("k IN (SELECT sel FROM pdml_subq_big) OR k = 0")
+    assert sorted(r["k"] for r in h.read().collect()) == [
+        1, 2, 3, 4, 1000, 1003, 1004,
+    ]
