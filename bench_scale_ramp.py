@@ -224,6 +224,7 @@ def measure_lake_protocol(spark) -> dict:
         "apply_changes_stale_sec",
         "apply_changes_scd2_sec",
         "merge_when_sec",
+        "merge_on_residual_sec",
         "compact_full_sec",
     )
     out: dict = {}
@@ -438,6 +439,27 @@ def measure_lake_protocol(spark) -> dict:
                     round(time.perf_counter() - t0, 3)
                 )
                 bytes_written["merge_when_sec"] = _commit_bytes(t, v)
+                # r13 arbitrary ON predicates: the same batch through a
+                # RESIDUAL conjunct (row-granular match gating). The
+                # claim: the residual rides the same keys-only pruned
+                # candidate join — one extra projected boolean, zero
+                # extra scans — so its ratio must track merge_when's.
+                mr = spark.createDataFrame(
+                    [(k, -7.0) for k in keys],
+                    "o_orderkey long, o_totalprice double",
+                )
+                t0 = time.perf_counter()
+                v = t.merge_when(
+                    mr,
+                    "o_orderkey",
+                    matched=[(None, "update_all", None)],
+                    not_matched=[None],
+                    on_residual="t.o_totalprice > -1000000",
+                )
+                runs["merge_on_residual_sec"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                bytes_written["merge_on_residual_sec"] = _commit_bytes(t, v)
                 t0 = time.perf_counter()
                 v = t.compact(target_rows_per_file=target)  # full rewrite
                 runs["compact_full_sec"].append(
@@ -591,9 +613,9 @@ def main() -> None:
             if prev.get("replicas") == REPLICAS and prev.get("src") == SRC_DIR:
                 out["queries"] = prev.get("queries", {})
                 lp = prev.get("lake_protocol")
-                # carry only a CURRENT-shape artifact (r12 added the
-                # conditional-MERGE step — an old one must re-run)
-                if lp and "merge_when_sec" in lp.get("1x", {}):
+                # carry only a CURRENT-shape artifact (r13 added the
+                # residual-ON step — an old one must re-run)
+                if lp and "merge_on_residual_sec" in lp.get("1x", {}):
                     out["lake_protocol"] = lp
                 if prev.get("ann_serve"):
                     out["ann_serve"] = prev["ann_serve"]

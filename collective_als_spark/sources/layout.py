@@ -3054,7 +3054,12 @@ class SnapshotTable:
                 continue  # correlated / unresolvable: stays opaque
             if len(df.columns) != 1:
                 continue
-            limit = self.merge_broadcast_max_keys
+            # the hard cap is far below the executor-side broadcast
+            # gate: these values land on the DRIVER and feed per-file
+            # set probes (and the bucket/transform proofs build one
+            # 1-row-job column per value) — past ~10k values the
+            # proofs cost more than the skipped file opens save
+            limit = min(self.merge_broadcast_max_keys, 10_000)
             try:
                 rows = df.limit(limit + 1).collect()
             except Exception:
@@ -3071,10 +3076,18 @@ class SnapshotTable:
                 lo, hi = min(vals), max(vals)
             except TypeError:
                 lo = hi = None  # mixed types: set-only proofs
-            try:
-                vset = frozenset(vals)
-            except TypeError:
-                continue  # unhashable literals: no set proof
+            vset = None
+            if len(vals) <= 1000:
+                # set-membership powers the bucket/transform proofs,
+                # which cost one 1-row-job COLUMN per value — keep the
+                # exact set only when that stays cheap; larger results
+                # prune by the [min, max] interval alone
+                try:
+                    vset = frozenset(vals)
+                except TypeError:
+                    vset = None  # unhashable literals: interval only
+            if vset is None and lo is None and hi is None:
+                continue  # neither proof shape available
             out.append(
                 Conjunct(
                     "band", column=col, lo=lo, hi=hi, values=vset,
