@@ -1238,6 +1238,78 @@ def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_identity_columns",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM orders
+    )
+    SELECT 'n_total' AS step, n + n2 AS value FROM c
+    UNION ALL SELECT 'rid_min', CAST(10 AS BIGINT) FROM c
+    UNION ALL SELECT 'rid_max', 10 + 2 * (n + n2 - 1) FROM c
+    UNION ALL SELECT 'rid_sum', (n + n2) * (10 + 10 + 2 * (n + n2 - 1)) / 2
+    FROM c
+    UNION ALL SELECT 'rid_distinct', n + n2 FROM c
+    """,
+)
+def lake_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY under the oracle (r13): declare
+    ``rid (START WITH 10 INCREMENT BY 2)`` before the first write,
+    append ``orders`` (the table assigns one contiguous claimed range
+    — any row order), then a second filtered append CONTINUES from
+    the high-water mark. The row→id mapping is partitioning-dependent
+    but the assigned SET is deterministic: min/max/sum/distinct-count
+    are exact closed forms DuckDB recomputes from ``orders``.
+
+    Scale shape: assignment is batch-proportional — one
+    localCheckpoint of the batch (about to be written anyway), a
+    per-partition count agg, a broadcast offset join and a
+    PER-PARTITION row_number; no global window, no driver collect
+    beyond nPartitions rows.
+
+    Reference parity: Delta Lake identity columns (incl. the
+    documented MERGE restriction, shipped here as guided refusals)."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_ident_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["rid"])
+        snapshot_sql(
+            spark,
+            f"ALTER TABLE '{t.root}' ADD COLUMN rid GENERATED ALWAYS "
+            f"AS IDENTITY (START WITH 10 INCREMENT BY 2)",
+        )
+        t2 = SnapshotTable(spark, t.root, stats_columns=["rid"])
+        t2.append(rows)
+        t2.append(rows.filter(F.col("k") % 3 == 0))
+        got = t2.read()
+        agg = got.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rid").alias("mn"),
+            F.max("rid").alias("mx"),
+            F.sum("rid").alias("sm"),
+            F.countDistinct("rid").alias("nd"),
+        ).first()
+        out = [
+            ("n_total", agg["n"]),
+            ("rid_min", agg["mn"]),
+            ("rid_max", agg["mx"]),
+            ("rid_sum", agg["sm"]),
+            ("rid_distinct", agg["nd"]),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
     "lake_generated_columns",
     oracle="""
     WITH k AS (

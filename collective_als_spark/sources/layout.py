@@ -779,11 +779,15 @@ class SnapshotTable:
                 # generated-column definitions are governance, like
                 # checks: a restore rolls data back, not the contract
                 raw["generated"] = desired["generated"]
+            if desired.get("identity"):
+                # identity keeps the CURRENT counter: rolling it back
+                # would re-issue ids the rolled-back data consumed
+                raw["identity"] = desired["identity"]
             return raw
         for k in (
             "batch_markers", "schema", "dvs", "dv_rows", "op", "cdc",
             "checks", "seq_state", "column_mapping", "retired", "config",
-            "generated",
+            "generated", "identity",
         ):
             if desired.get(k):
                 raw[k] = desired[k]
@@ -867,8 +871,12 @@ class SnapshotTable:
             # _compose, and a shed config would make every later
             # config-less handle silently stop writing stats)
             # generated-column definitions carry like checks: only
-            # add/drop_generated_column manage them
-            for k in ("column_mapping", "retired", "config", "generated"):
+            # add/drop_generated_column manage them; identity carries
+            # the same way (assigning commits advance it themselves)
+            for k in (
+                "column_mapping", "retired", "config", "generated",
+                "identity",
+            ):
                 if k not in manifest and prev.get(k):
                     manifest[k] = prev[k]
             raw = self._serialize(manifest, prev_raw)
@@ -1969,6 +1977,10 @@ class SnapshotTable:
         gen = self._table_generated()
         if gen:
             df = self._compute_generated(df, gen, base)
+        idents = self._table_identity()
+        id_claims: dict = {}
+        if idents:
+            df, id_claims = self._assign_identity(df, idents, base)
         # hidden-partition metadata is keyed PHYSICALLY (it outlives
         # renames, like the files it describes)
         key = self._phys(base, key)
@@ -2000,7 +2012,7 @@ class SnapshotTable:
         def build(version: int, prev: dict) -> dict:
             live_stats = dict(prev.get("stats", {}))
             live_stats.update(new_stats)
-            return self._compose(
+            m = self._compose(
                 version,
                 prev["files"] + new_files,
                 live_stats,
@@ -2013,6 +2025,9 @@ class SnapshotTable:
                 dv_rows=prev.get("dv_rows", {}),
                 op="append",
             )
+            if id_claims:
+                m["identity"] = self._advance_identity(prev, id_claims)
+            return m
 
         return self._commit(build)
 
@@ -2173,6 +2188,10 @@ class SnapshotTable:
         gen = self._table_generated()
         if gen:
             df = self._compute_generated(df, gen, base)
+        idents = self._table_identity()
+        id_claims: dict = {}
+        if idents:
+            df, id_claims = self._assign_identity(df, idents, base)
         # transform metadata is keyed PHYSICALLY, like bucket metadata
         key = self._phys(base, key)
         dtype = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields])).get(key)
@@ -2225,7 +2244,7 @@ class SnapshotTable:
         def build(version: int, prev: dict) -> dict:
             live_stats = dict(prev.get("stats", {}))
             live_stats.update(new_stats)
-            return self._compose(
+            m = self._compose(
                 version,
                 prev["files"] + new_files,
                 live_stats,
@@ -2238,6 +2257,9 @@ class SnapshotTable:
                 dv_rows=prev.get("dv_rows", {}),
                 op="append",
             )
+            if id_claims:
+                m["identity"] = self._advance_identity(prev, id_claims)
+            return m
 
         return self._commit(build)
 
@@ -2420,6 +2442,10 @@ class SnapshotTable:
             # generated-column declaration defines the table schema,
             # which must include the computed column
             df = self._compute_generated(df, gen, base)
+        idents = self._table_identity()
+        id_claims: dict = {}
+        if idents:
+            df, id_claims = self._assign_identity(df, idents, base)
         df_schema = df.schema.jsonValue()
         # fail BEFORE staging data on an obvious type conflict; the
         # build re-validates against the fresh manifest on CAS retries
@@ -2448,6 +2474,8 @@ class SnapshotTable:
                 dv_rows=prev.get("dv_rows", {}),
                 op="append",
             )
+            if id_claims:
+                m["identity"] = self._advance_identity(prev, id_claims)
             return self._with_seq_state(m, prev, _seq_state)
 
         return self._commit(build)
@@ -2468,12 +2496,18 @@ class SnapshotTable:
         read-state-was-fresh check a read-modify-write maintainer
         (the view's refresh) needs to lose a race cleanly instead of
         double-applying its delta."""
+        cur0 = self.current_version()
+        base0 = self._base_manifest(cur0) if cur0 else {}
         gen = self._table_generated()
         if gen:
-            cur0 = self.current_version()
-            df = self._compute_generated(
-                df, gen, self._base_manifest(cur0) if cur0 else {}
-            )
+            df = self._compute_generated(df, gen, base0)
+        idents = self._table_identity()
+        id_claims: dict = {}
+        if idents:
+            # overwrite REPLACES the rows but the counter NEVER rewinds
+            # (re-issuing ids rolled-over data consumed breaks
+            # downstream joins — Delta's identity discipline)
+            df, id_claims = self._assign_identity(df, idents, base0)
         new_files, new_stats, new_blooms = self._stage(df)
         df_schema = df.schema.jsonValue()
 
@@ -2500,6 +2534,8 @@ class SnapshotTable:
             )
             m["column_mapping"] = {}
             m["retired"] = []
+            if id_claims:
+                m["identity"] = self._advance_identity(prev, id_claims)
             return m
 
         return self._commit(build)
@@ -3487,6 +3523,12 @@ class SnapshotTable:
                 f"they are recomputed from their definitions on update; "
                 f"omit them from SET (Delta's rule)"
             )
+        id_assigned = sorted(c for c in set if c in self._table_identity())
+        if id_assigned:
+            raise ValueError(
+                f"update_where: {id_assigned} are IDENTITY columns — "
+                f"the table assigns their values; omit them from SET"
+            )
         matched_pred = plan["matched"]
 
         def apply_set(df: DataFrame, pred) -> DataFrame:
@@ -3814,6 +3856,7 @@ class SnapshotTable:
         whose unfired "passenger" rows are physically rewritten but
         logically unchanged (r12 verdict #2).
         """
+        self._reject_identity("merge")
         base0 = self._base_manifest(self.current_version())
         source = self._to_physical(source, base0)
         self._reject_retired(base0, source, "merge")
@@ -4147,6 +4190,12 @@ class SnapshotTable:
                     f"merge_when: matched clause {i} is 'update' but has "
                     f"no assignments"
                 )
+        if matched or by_source:
+            # insert-only clause lists route through the probe+append
+            # path below, which assigns identity values like any
+            # append; matched/by-source clauses would need target-id
+            # carry (Delta's own MERGE-with-identity restriction)
+            self._reject_identity("merge_when")
         gen_w = self._table_generated()
         if gen_w:
             for group in (matched, by_source):
@@ -4677,6 +4726,7 @@ class SnapshotTable:
         ``_stage_df`` (private, used by :meth:`apply_changes`): same
         role split as :meth:`merge` — ``source`` plans and masks,
         ``_stage_df`` is what gets appended."""
+        self._reject_identity("merge_mor")
         base0 = self._base_manifest(self.current_version())
         source = self._to_physical(source, base0)
         self._reject_retired(base0, source, "merge_mor")
@@ -4902,6 +4952,7 @@ class SnapshotTable:
         ``change_data_feed=True`` writes exact change files: deletes
         appear as pre-image-only rows). Deleting an absent key is a
         no-op, per SQL MERGE."""
+        self._reject_identity("apply_changes")
         keys = [key] if isinstance(key, str) else list(key)
         if op_col not in source.columns:
             raise ValueError(f"apply_changes: no {op_col!r} column in source")
@@ -5750,6 +5801,12 @@ class SnapshotTable:
         cur = self.current_version()
         return self._raw_manifest(cur).get("generated", {}) if cur else {}
 
+    def _table_identity(self) -> dict[str, dict]:
+        """The table's IDENTITY column specs (column -> {start, step,
+        next}) from the current manifest; {} for an empty table."""
+        cur = self.current_version()
+        return self._raw_manifest(cur).get("identity", {}) if cur else {}
+
     def add_check_constraint(self, name: str, expr: str) -> int:
         """Delta's ``ALTER TABLE ADD CONSTRAINT``: a named SQL boolean
         expression every FUTURE commit's staged rows must satisfy
@@ -5904,6 +5961,223 @@ class SnapshotTable:
 
         return self._commit(build)
 
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1
+    ) -> int:
+        """Delta's ``GENERATED ALWAYS AS IDENTITY`` column (r13,
+        industry-parity residue of r12 verdict #5): a monotonic
+        counter the TABLE owns. Writes that omit the column get
+        values assigned from the manifest's high-water mark
+        (``identity: {col: {start, step, next}}``); explicit values
+        are REFUSED (the ALWAYS form — Delta's rule). Values are
+        unique and move in ``step`` direction but may have GAPS
+        (failed/retried commits burn ranges — Delta documents the
+        same).
+
+        Concurrency: an assigning commit CLAIMS ``[next, next +
+        step*n)`` and its build re-checks the claim base against the
+        fresh manifest — a concurrent identity write moves ``next``
+        and the loser surfaces ``CommitConflict`` (re-run to assign
+        from the new mark). Identity state survives RESTORE (the
+        counter must never re-issue ids rolled-back data consumed).
+
+        Supported writers: append / append_clustered / INSERT INTO /
+        CTAS / overwrite / wap_commit. merge / merge_when /
+        apply_changes / update on identity tables are refused with
+        guidance — Delta itself shipped identity with "MERGE is not
+        supported with identity columns" (matched rows would need
+        target-id carry; inserts-only can route through append).
+
+        On a NON-empty table the column must already exist; ``next``
+        then syncs past the current max (Delta's ALTER ... SYNC
+        IDENTITY discipline). ``start``/``step`` are ignored in that
+        case except for ``step``'s sign/magnitude."""
+        if not name or not name.isidentifier():
+            raise ValueError(f"column name must be an identifier: {name!r}")
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        if name in self._table_identity():
+            raise ValueError(f"identity column {name!r} already exists")
+        if name in self._table_generated():
+            raise ValueError(
+                f"{name!r} is already a GENERATED expression column"
+            )
+        cur = self.current_version()
+        nxt = start
+        if cur and self._manifest(cur).get("files"):
+            logical = {
+                l for l, _p in self._logical_fields(self._manifest(cur))
+            }
+            if name not in logical:
+                raise ValueError(
+                    f"cannot add identity column {name!r} to a non-empty "
+                    f"table without the column: declare it before the "
+                    f"first write"
+                )
+            row = self.read().agg(
+                (F.max(name) if step > 0 else F.min(name)).alias("m"),
+                F.sum(F.col(name).isNull().cast("long")).alias("nulls"),
+            ).first()
+            if row["nulls"]:
+                raise ValueError(
+                    f"cannot declare identity column {name!r}: "
+                    f"{row['nulls']} existing rows are NULL"
+                )
+            if row["m"] is not None:
+                nxt = int(row["m"]) + step
+
+        def build(version: int, prev: dict) -> dict:
+            prev_id = prev.get("identity", {})
+            if name in prev_id:
+                raise CommitConflict(
+                    f"concurrent commit added identity column {name!r}"
+                )
+            m = self._compose(
+                version,
+                prev.get("files", []),
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms"),
+                dvs=prev.get("dvs"),
+                dv_rows=prev.get("dv_rows", {}),
+                op="add_identity",
+            )
+            m["identity"] = {
+                **prev_id,
+                name: {"start": start, "step": step, "next": nxt},
+            }
+            return m
+
+        return self._commit(build)
+
+    def _assign_identity(
+        self, df: DataFrame, idents: dict, manifest: dict
+    ) -> tuple[DataFrame, dict]:
+        """Assign identity values to a PHYSICAL-name frame:
+        ``(frame_with_ids, claims)`` where ``claims[col] = (base, n)``
+        records the range the commit must validate. Batch-proportional
+        and shuffle-light: one localCheckpoint of the batch (it is
+        about to be written anyway), one tiny per-partition count agg,
+        a broadcast offset join, and a PER-PARTITION row_number — no
+        global window, no ``.rdd``. Explicit values are refused (the
+        GENERATED ALWAYS rule)."""
+        from pyspark.sql.window import Window
+
+        inv = {p: l for l, p in self._col_mapping(manifest).items()}
+        logical_cols = {inv.get(c, c) for c in df.columns}
+        todo = {c: s for c, s in idents.items() if c not in logical_cols}
+        explicit = sorted(set(idents) & logical_cols)
+        if explicit:
+            raise ValueError(
+                f"{explicit} are GENERATED ALWAYS AS IDENTITY columns — "
+                f"the table assigns their values; omit them from the "
+                f"write"
+            )
+        if not todo:
+            return df, {}
+        df = df.localCheckpoint(eager=True)  # stabilize row placement
+        tagged = df.withColumn("__id_pid", F.spark_partition_id())
+        counts = {
+            r["__id_pid"]: r["cnt"]
+            for r in tagged.groupBy("__id_pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        total = sum(counts.values())
+        offsets = []
+        acc = 0
+        for pid in sorted(counts):
+            offsets.append((pid, acc))
+            acc += counts[pid]
+        if offsets:
+            off_df = self.spark.createDataFrame(
+                offsets, "__id_pid int, __id_off long"
+            )
+            tagged = tagged.join(F.broadcast(off_df), "__id_pid")
+        else:
+            tagged = tagged.withColumn("__id_off", F.lit(0))
+        rn = F.row_number().over(
+            Window.partitionBy("__id_pid").orderBy(
+                F.monotonically_increasing_id()
+            )
+        )
+        claims = {}
+        out_cols = list(df.columns)
+        for col, spec in todo.items():
+            base, step = int(spec["next"]), int(spec["step"])
+            pcol = self._phys(manifest, col)
+            tagged = tagged.withColumn(
+                pcol,
+                (
+                    F.lit(base)
+                    + F.lit(step) * (F.col("__id_off") + rn - 1)
+                ).cast("long"),
+            )
+            out_cols.append(pcol)
+            claims[col] = (base, total)
+        return tagged.select(*out_cols), claims
+
+    def _advance_identity(self, prev: dict, claims: dict) -> dict:
+        """The committed identity state after this commit's claims —
+        raises ``CommitConflict`` when a concurrent identity write
+        moved ``next`` past a claim's base (the staged ids could
+        collide; the caller re-runs and assigns from the fresh
+        mark)."""
+        state = dict(prev.get("identity", {}))
+        for col, (base, n) in claims.items():
+            spec = dict(state.get(col) or {})
+            if not spec:
+                raise CommitConflict(
+                    f"identity column {col!r} dropped concurrently"
+                )
+            if int(spec["next"]) != base:
+                raise CommitConflict(
+                    f"concurrent identity write advanced {col!r} past "
+                    f"this commit's claimed range; re-run"
+                )
+            spec["next"] = base + int(spec["step"]) * n
+            state[col] = spec
+        return state
+
+    def _reject_identity(self, verb: str) -> None:
+        """Guided refusal for write paths identity does not support
+        (Delta's own identity restriction for MERGE)."""
+        idents = self._table_identity()
+        if idents:
+            raise NotImplementedError(
+                f"{verb}: not supported on a table with IDENTITY "
+                f"columns {sorted(idents)} — matched rows would need "
+                f"target-id carry (Delta ships the same MERGE "
+                f"restriction); route inserts through append / INSERT "
+                f"INTO, or drop_identity_column first"
+            )
+
+    def drop_identity_column(self, name: str) -> int:
+        """Remove an IDENTITY spec (the column and its data stay;
+        future writes stop assigning); an O(metadata) commit."""
+        if name not in self._table_identity():
+            raise ValueError(f"no such identity column: {name!r}")
+
+        def build(version: int, prev: dict) -> dict:
+            state = dict(prev.get("identity", {}))
+            state.pop(name, None)
+            m = self._compose(
+                version,
+                prev.get("files", []),
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms"),
+                dvs=prev.get("dvs"),
+                dv_rows=prev.get("dv_rows", {}),
+                op="drop_identity",
+            )
+            m["identity"] = state
+            return m
+
+        return self._commit(build)
+
     def drop_check_constraint(self, name: str) -> int:
         """Remove a CHECK constraint by name (Delta's ``DROP
         CONSTRAINT``); an O(metadata) commit."""
@@ -5961,6 +6235,10 @@ class SnapshotTable:
         gen = self._table_generated()
         if gen:
             df = self._compute_generated(df, gen, base0)
+        idents = self._table_identity()
+        id_claims: dict = {}
+        if idents:
+            df, id_claims = self._assign_identity(df, idents, base0)
         files, new_stats, new_blooms = self._stage(df)
         # audit expressions are written in LOGICAL names
         audit_rows = [
@@ -6007,6 +6285,8 @@ class SnapshotTable:
                 # like overwrite(): the physical layout resets
                 m["column_mapping"] = {}
                 m["retired"] = []
+            if id_claims:
+                m["identity"] = self._advance_identity(prev, id_claims)
             return m
 
         version = self._commit(build)
@@ -6427,6 +6707,12 @@ class SnapshotTable:
                 for c, e in sorted((m.get("generated") or {}).items())
             )
             or None,
+            # r13: IDENTITY specs with their high-water marks
+            "; ".join(
+                f"{c} (start {s['start']} step {s['step']} next {s['next']})"
+                for c, s in sorted((m.get("identity") or {}).items())
+            )
+            or None,
         )
         return self.spark.createDataFrame(
             [row],
@@ -6435,7 +6721,7 @@ class SnapshotTable:
             "n_columns int, committed_at double, n_renamed_columns int, "
             "n_retired_slots int, has_seq_state boolean, "
             "stats_columns string, bloom_columns string, "
-            "generated_columns string",
+            "generated_columns string, identity_columns string",
         )
 
     def restore(self, version: int) -> int:

@@ -1173,6 +1173,27 @@ def _alter(spark, rest: str, kw) -> int:
         return t.drop_check_constraint(m.group(1))
     m = re.match(
         r"^ADD\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+GENERATED\s+"
+        r"ALWAYS\s+AS\s+IDENTITY"
+        r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
+        r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return t.add_identity_column(
+            m.group(1),
+            start=int(m.group(2)) if m.group(2) else 1,
+            step=int(m.group(3)) if m.group(3) else 1,
+        )
+    m = re.match(
+        r"^DROP\s+IDENTITY\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return t.drop_identity_column(m.group(1))
+    m = re.match(
+        r"^ADD\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+GENERATED\s+"
         r"ALWAYS\s+AS\s*\((.*)\)\s*$",
         s,
         re.IGNORECASE | re.DOTALL,
@@ -1194,7 +1215,9 @@ def _alter(spark, rest: str, kw) -> int:
         f"snapshot_sql: unsupported ALTER TABLE clause {s!r} — supported: "
         f"RENAME COLUMN a TO b, DROP COLUMN a, ADD CONSTRAINT n CHECK "
         f"(expr), DROP CONSTRAINT n, ADD COLUMN g GENERATED ALWAYS AS "
-        f"(expr), DROP GENERATED COLUMN g"
+        f"(expr), DROP GENERATED COLUMN g, ADD COLUMN i GENERATED ALWAYS "
+        f"AS IDENTITY [(START WITH n [INCREMENT BY k])], DROP IDENTITY "
+        f"COLUMN i"
     )
 
 
