@@ -1238,6 +1238,89 @@ def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_table_changes",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN cents < 10000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_del
+        FROM k
+    )
+    SELECT 'v1_inserts' AS step, n AS value FROM c
+    UNION ALL SELECT 'v2_deletes', n_del FROM c
+    UNION ALL SELECT 'v3_inserts', CAST(3 AS BIGINT) FROM c
+    UNION ALL SELECT 'window_2_2', n_del FROM c
+    UNION ALL SELECT 'ts_nonnull', n + n_del + 3 FROM c
+    """,
+)
+def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's ``table_changes()`` CDF table-valued function under the
+    oracle (r13): three commits on a scratch table (bulk insert, a
+    banded DELETE, a small append), then the per-commit change feed is
+    consumed ENTIRELY through the SQL surface — inclusive version
+    windows, per-commit attribution, non-null commit timestamps —
+    and DuckDB recomputes every count algebraically from ``orders``.
+
+    Scale shape: each window step opens only the files that commit
+    added/removed (delta-proportional file diffs, lazy union) — never
+    a table scan.
+
+    Reference parity: Delta Lake ``table_changes`` /
+    ``readChangeFeed``."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_tc_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["cents"])
+        t.append(rows)                                            # v1
+        snapshot_sql(
+            spark, f"DELETE FROM '{t.root}' WHERE cents < 10000000"
+        )                                                         # v2
+        t.append(
+            spark.createDataFrame(
+                [(-1, 1), (-2, 2), (-3, 3)], "k long, cents bigint"
+            )
+        )                                                         # v3
+        per_commit = {
+            (r["_commit_version"], r["_change_type"]): r["n"]
+            for r in snapshot_sql(
+                spark,
+                f"SELECT _commit_version, _change_type, count(*) AS n "
+                f"FROM table_changes('{t.root}', 1) "
+                f"GROUP BY _commit_version, _change_type",
+            ).collect()
+        }
+        window = snapshot_sql(
+            spark,
+            f"SELECT count(*) AS n FROM table_changes('{t.root}', 2, 2)",
+        ).first()["n"]
+        ts_nonnull = snapshot_sql(
+            spark,
+            f"SELECT count(_commit_timestamp) AS n FROM "
+            f"table_changes('{t.root}', 1)",
+        ).first()["n"]
+        out = [
+            ("v1_inserts", per_commit.get((1, "insert"), 0)),
+            ("v2_deletes", per_commit.get((2, "delete"), 0)),
+            ("v3_inserts", per_commit.get((3, "insert"), 0)),
+            ("window_2_2", window),
+            ("ts_nonnull", ts_nonnull),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
     "lake_identity_columns",
     oracle="""
     WITH c AS (

@@ -1244,7 +1244,13 @@ def _select(spark, statement: str):
     literals — r11-ADVICE). The INNERMOST frame decides: a scalar
     subquery nested inside a function call (``coalesce((SELECT ..
     FROM '<root>'), 0)``) is relation context again. Delta parity:
-    ``SELECT .. FROM delta.`/p` VERSION AS OF 3``."""
+    ``SELECT .. FROM delta.`/p` VERSION AS OF 3``.
+
+    ``FROM table_changes('<root>', start [, end])`` (r13) is Delta's
+    CDF table-valued function: the call is swapped for a temp view of
+    the per-commit change feed (inclusive version window,
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``) —
+    see :func:`_table_changes_view`."""
     from .snapshot_source import register_snapshot_source
 
     register_snapshot_source(spark)
@@ -1320,7 +1326,32 @@ def _select(spark, statement: str):
             j = i
             while j < n and (statement[j].isalnum() or statement[j] == "_"):
                 j += 1
-            prev_word = statement[i:j].upper()
+            w = statement[i:j].upper()
+            if (
+                w == "TABLE_CHANGES"
+                and prev_word in ("FROM", "JOIN")
+                and (not ctx or ctx[-1])
+            ):
+                # Delta's CDF table-valued function: the whole call is
+                # swapped for a temp view over changes_by_version
+                k = j
+                while k < n and statement[k].isspace():
+                    k += 1
+                if k < n and statement[k] == "(":
+                    close = k + _matching_paren(statement[k:])
+                    if close <= k:
+                        raise ValueError(
+                            "snapshot_sql: malformed table_changes(...)"
+                        )
+                    out.append(
+                        _table_changes_view(
+                            spark, statement[k + 1 : close], views
+                        )
+                    )
+                    i = close + 1
+                    prev_word = ""
+                    continue
+            prev_word = w
             out.append(statement[i:j])
             i = j
             continue
@@ -1329,6 +1360,63 @@ def _select(spark, statement: str):
         out.append(c)
         i += 1
     return spark.sql("".join(out))
+
+
+def _table_changes_view(spark, args: str, views: dict) -> str:
+    """``table_changes('<root>', start [, end])`` -> a temp view of
+    the per-commit change feed — Delta's CDF table-valued function.
+    ``start``/``end`` are INCLUSIVE commit versions (Delta's
+    convention); ``end`` defaults to the current head. Rows carry
+    ``_change_type`` (an update is its delete+insert pair),
+    ``_commit_version`` and ``_commit_timestamp`` (from the commit's
+    manifest; NULL for pre-timestamp legacy commits). Cost is the sum
+    of per-commit file diffs — delta-proportional, never a table
+    scan."""
+    import pyspark.sql.functions as F
+
+    parts = [p.strip() for p in _split_top_commas(args)]
+    if len(parts) not in (2, 3):
+        raise ValueError(
+            "snapshot_sql: table_changes needs ('<root>', start_version"
+            "[, end_version])"
+        )
+    rm = re.fullmatch(r"'((?:[^']|'')*)'|`([^`]*)`", parts[0])
+    if not rm:
+        raise ValueError(
+            f"snapshot_sql: table_changes root must be a quoted path, "
+            f"got {parts[0]!r}"
+        )
+    root = (rm.group(1) or rm.group(2) or "").replace("''", "'")
+    try:
+        start = int(parts[1])
+        end = int(parts[2]) if len(parts) == 3 else None
+    except ValueError:
+        raise ValueError(
+            f"snapshot_sql: table_changes versions must be integers, "
+            f"got {parts[1:]!r}"
+        ) from None
+    if start < 1:
+        raise ValueError("snapshot_sql: table_changes start must be >= 1")
+    key = ("__table_changes__", root, start, end)
+    if key not in views:
+        t = SnapshotTable(spark, root)
+        v_end = t.current_version() if end is None else end
+        df = t.changes_by_version(start - 1, v_end)
+        ts_rows = []
+        for v in range(start, v_end + 1):
+            try:
+                ts = t._raw_manifest(v).get("committed_at")
+            except FileNotFoundError:
+                ts = None
+            ts_rows.append((v, float(ts) if ts is not None else None))
+        ts_df = spark.createDataFrame(
+            ts_rows, "_commit_version int, _commit_timestamp double"
+        )
+        df = df.join(F.broadcast(ts_df), "_commit_version", "left")
+        name = f"snapshot_sql_tc{len(views)}_{abs(hash(key)) % 10**8}"
+        df.createOrReplaceTempView(name)
+        views[key] = name
+    return views[key]
 
 
 def _insert(spark, rest: str, kw, overwrite: bool = False) -> int:

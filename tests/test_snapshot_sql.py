@@ -908,6 +908,65 @@ def test_sql_apply_changes_into_scd2_and_read_current(spark, tmp_path):
         )
 
 
+def test_sql_table_changes_function(spark, tmp_path):
+    """Delta's CDF table-valued function: ``SELECT ... FROM
+    table_changes('<root>', start[, end])`` — inclusive version window,
+    per-commit attribution, _commit_timestamp from the manifest."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.append(spark.range(1, 6).select(F.col("id").alias("k")))   # v1
+    snapshot_sql(spark, f"DELETE FROM '{t.root}' WHERE k <= 2")  # v2
+    t.append(spark.createDataFrame([(10,)], "k long"))           # v3
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in snapshot_sql(
+            spark,
+            f"SELECT _commit_version, _change_type, k FROM "
+            f"table_changes('{t.root}', 2)",
+        ).collect()
+    )
+    assert rows == [
+        (2, "delete", 1), (2, "delete", 2), (3, "insert", 10),
+    ]
+    # explicit inclusive end bounds the window
+    rows = sorted(
+        (r["_change_type"], r["k"])
+        for r in snapshot_sql(
+            spark,
+            f"SELECT * FROM table_changes('{t.root}', 2, 2)",
+        ).collect()
+    )
+    assert rows == [("delete", 1), ("delete", 2)]
+    # timestamps ride along (non-null for every timestamped commit)
+    ts = snapshot_sql(
+        spark,
+        f"SELECT min(_commit_timestamp) AS m FROM "
+        f"table_changes('{t.root}', 1)",
+    ).first()["m"]
+    assert ts is not None and ts > 0
+    # composes with ordinary SQL (aggregation + alias)
+    agg = {
+        (r["_commit_version"], r["n"])
+        for r in snapshot_sql(
+            spark,
+            f"SELECT ch._commit_version, count(*) AS n FROM "
+            f"table_changes('{t.root}', 1) ch GROUP BY ch._commit_version",
+        ).collect()
+    }
+    assert agg == {(1, 5), (2, 2), (3, 1)}
+    # error shapes
+    with pytest.raises(ValueError, match="start must be >= 1"):
+        snapshot_sql(
+            spark, f"SELECT * FROM table_changes('{t.root}', 0)"
+        )
+    with pytest.raises(ValueError, match="quoted path"):
+        snapshot_sql(spark, "SELECT * FROM table_changes(nope, 1)")
+    # a string literal naming table_changes is untouched
+    lit = snapshot_sql(
+        spark, "SELECT 'table_changes(''x'', 1)' AS s"
+    ).first()["s"]
+    assert lit == "table_changes('x', 1)"
+
+
 def test_sql_ctas_and_insert_overwrite(spark, tmp_path):
     _orders(spark).createOrReplaceTempView("sqldml_ctas_src")
     root = str(tmp_path / "ctas")
