@@ -679,6 +679,50 @@ def test_merge_when_by_source_cdf_reconciles(spark, tmp_path):
     assert net_dels == dels and net_ins == ins
 
 
+def test_merge_when_residual_by_source_cdf_multirow(spark, tmp_path):
+    """The hardest r13 corner, all at once: CDF imaging x ON-residual
+    x by-source clauses x a multi-row key. The residual-failing row of
+    a FIRED key is row-level NOT MATCHED: it re-stages through the
+    by-source chain (here: deleted) and images as a delete; the fired
+    pair images as its delete+insert; the untouched unmatched row
+    images NOTHING; the feed reconciles with the table delta."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stats_columns=["k"],
+        change_data_feed=True,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 10.0), (1, 99.0), (2, 20.0)], "k long, v double"
+        )
+    )
+    v1 = t.current_version()
+    v2 = t.merge_when(
+        spark.createDataFrame([(1, 50.0)], "k long, v double"),
+        "k",
+        matched=[(None, "update", {"v": "s.v"})],
+        not_matched_by_source=[("v > 90", "delete", None)],
+        on_residual="t.v < 50",
+    )
+    rows = sorted((r["k"], r["v"]) for r in t.read().collect())
+    # (1,10) matched+fired -> 50; (1,99) residual-failed passenger ->
+    # by-source delete; (2,20) unmatched, clause false -> untouched
+    assert rows == [(1, 50.0), (2, 20.0)]
+    feed = spark.read.parquet(t._manifest(v2)["cdc"])
+    dels = sorted(
+        (r["k"], r["v"])
+        for r in feed.filter(F.col("_change_type") == "delete").collect()
+    )
+    ins = sorted(
+        (r["k"], r["v"])
+        for r in feed.filter(F.col("_change_type") == "insert").collect()
+    )
+    assert dels == [(1, 10.0), (1, 99.0)]
+    assert ins == [(1, 50.0)]
+    # reconciliation against the netted file-diff feed
+    before = {(r["k"], r["v"]) for r in t.read(v1).collect()}
+    assert (before - set(dels)) | set(ins) == set(rows)
+
+
 def test_merge_when_schema_evolution(spark, tmp_path):
     """A conditional MERGE whose source ADDS a column widens the table
     additively (Delta autoMerge through the shared planner): updated
