@@ -1255,6 +1255,7 @@ def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'v3_inserts', CAST(3 AS BIGINT) FROM c
     UNION ALL SELECT 'window_2_2', n_del FROM c
     UNION ALL SELECT 'ts_nonnull', n + n_del + 3 FROM c
+    UNION ALL SELECT 'ts_window', n_del + 3 FROM c
     """,
 )
 def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1308,12 +1309,22 @@ def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT count(_commit_timestamp) AS n FROM "
             f"table_changes('{t.root}', 1)",
         ).first()["n"]
+        # timestamp bounds (r14): a quoted literal at v2's commit
+        # instant starts the feed at v2 — earliest commit at-or-after,
+        # Delta's CDF start-timestamp rule
+        ts2 = float(t._raw_manifest(2)["committed_at"])
+        ts_window = snapshot_sql(
+            spark,
+            f"SELECT count(*) AS n FROM "
+            f"table_changes('{t.root}', '{ts2}')",
+        ).first()["n"]
         out = [
             ("v1_inserts", per_commit.get((1, "insert"), 0)),
             ("v2_deletes", per_commit.get((2, "delete"), 0)),
             ("v3_inserts", per_commit.get((3, "insert"), 0)),
             ("window_2_2", window),
             ("ts_nonnull", ts_nonnull),
+            ("ts_window", ts_window),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -785,6 +785,7 @@ def _parse_merge_on(
 
     keys: list[str] = []
     renames: dict[str, str] = {}
+    key_src: dict[str, str] = {}  # target key -> the source column keying it
     residual: list[str] = []
     parts = []
     prev = 0
@@ -823,6 +824,23 @@ def _parse_merge_on(
                     f"(t.{c1} = s.{c2}), got {part.strip()!r}"
                 )
             tc = sc = c1
+        if tc in key_src:
+            # r13 verdict finding #1: two conjuncts keying the SAME
+            # target column from DIFFERENT source columns (ON t.k = s.a
+            # AND t.k = s.b) would rename both sources to one target
+            # name and surface as a confusing duplicate-column analysis
+            # error downstream — refuse with guidance instead. An exact
+            # repeat of the same pair is harmless: dedupe it.
+            if key_src[tc] != sc:
+                raise NotImplementedError(
+                    f"snapshot_sql: target column {tc!r} is keyed "
+                    f"against two different source columns "
+                    f"({key_src[tc]!r}, {sc!r}) — MERGE keys map one "
+                    f"source column per target key; move one conjunct "
+                    f"into the residual by comparing source columns "
+                    f"(s.{key_src[tc]} = s.{sc}) or project the source"
+                )
+            continue
         if tc != sc:
             if renames.get(sc, tc) != tc:
                 raise ValueError(
@@ -830,6 +848,7 @@ def _parse_merge_on(
                     f"two target columns ({renames[sc]!r}, {tc!r})"
                 )
             renames[sc] = tc
+        key_src[tc] = sc
         keys.append(tc)
     if not keys:
         raise NotImplementedError(
@@ -1362,23 +1381,51 @@ def _select(spark, statement: str):
     return spark.sql("".join(out))
 
 
+def _parse_ts_literal(text: str) -> float:
+    """A quoted timestamp bound -> epoch seconds. Accepts a numeric
+    epoch string (``'1755350000.5'``) or an ISO date/datetime
+    (``'2026-08-16'``, ``'2026-08-16 12:00:00'``) interpreted as UTC
+    — commit instants are recorded as ``time.time()`` epochs."""
+    try:
+        return float(text)
+    except ValueError:
+        pass
+    import datetime as _dt
+
+    try:
+        d = _dt.datetime.fromisoformat(text)
+    except ValueError:
+        raise ValueError(
+            f"snapshot_sql: bad timestamp literal {text!r} — use an "
+            f"epoch number or ISO 'YYYY-MM-DD[ HH:MM:SS]' (UTC)"
+        ) from None
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return d.timestamp()
+
+
 def _table_changes_view(spark, args: str, views: dict) -> str:
     """``table_changes('<root>', start [, end])`` -> a temp view of
     the per-commit change feed — Delta's CDF table-valued function.
-    ``start``/``end`` are INCLUSIVE commit versions (Delta's
-    convention); ``end`` defaults to the current head. Rows carry
-    ``_change_type`` (an update is its delete+insert pair),
-    ``_commit_version`` and ``_commit_timestamp`` (from the commit's
-    manifest; NULL for pre-timestamp legacy commits). Cost is the sum
-    of per-commit file diffs — delta-proportional, never a table
-    scan."""
+    Each bound is an INTEGER commit version or a QUOTED TIMESTAMP
+    literal (Delta disambiguates by type the same way): a start
+    timestamp resolves to the EARLIEST commit at-or-after it, an end
+    timestamp to the NEWEST commit at-or-before it (the RESTORE
+    TO TIMESTAMP comparator); a start timestamp after the newest
+    commit raises, Delta's out-of-range rule. Versions are INCLUSIVE
+    (Delta's convention); ``end`` defaults to the current head. Rows
+    carry ``_change_type`` (an update is its delete+insert pair),
+    ``_commit_version`` and ``_commit_timestamp`` (a TIMESTAMP from
+    the commit's manifest instant; NULL for pre-timestamp legacy
+    commits). Cost is the sum of per-commit file diffs —
+    delta-proportional, never a table scan."""
     import pyspark.sql.functions as F
 
     parts = [p.strip() for p in _split_top_commas(args)]
     if len(parts) not in (2, 3):
         raise ValueError(
-            "snapshot_sql: table_changes needs ('<root>', start_version"
-            "[, end_version])"
+            "snapshot_sql: table_changes needs ('<root>', start"
+            "[, end]) — integer versions or quoted timestamps"
         )
     rm = re.fullmatch(r"'((?:[^']|'')*)'|`([^`]*)`", parts[0])
     if not rm:
@@ -1387,19 +1434,49 @@ def _table_changes_view(spark, args: str, views: dict) -> str:
             f"got {parts[0]!r}"
         )
     root = (rm.group(1) or rm.group(2) or "").replace("''", "'")
-    try:
-        start = int(parts[1])
-        end = int(parts[2]) if len(parts) == 3 else None
-    except ValueError:
-        raise ValueError(
-            f"snapshot_sql: table_changes versions must be integers, "
-            f"got {parts[1:]!r}"
-        ) from None
-    if start < 1:
-        raise ValueError("snapshot_sql: table_changes start must be >= 1")
-    key = ("__table_changes__", root, start, end)
+
+    def bound(text: str) -> tuple[str, float | int]:
+        sm = re.fullmatch(r"'((?:[^']|'')*)'", text)
+        if sm:
+            return "ts", _parse_ts_literal(sm.group(1).replace("''", "'"))
+        try:
+            return "version", int(text)
+        except ValueError:
+            raise ValueError(
+                f"snapshot_sql: table_changes bounds must be integer "
+                f"versions or quoted timestamp literals, got {text!r}"
+            ) from None
+
+    bounds = [bound(p) for p in parts[1:]]
+    key = ("__table_changes__", root, tuple(bounds))
     if key not in views:
         t = SnapshotTable(spark, root)
+        kind, val = bounds[0]
+        if kind == "ts":
+            # earliest commit at-or-after the instant (Delta's CDF
+            # start-timestamp rule; version_at raises on a future
+            # instant — same out-of-range contract)
+            try:
+                v = t.version_at(float(val))
+                at = t._raw_manifest(v).get("committed_at")
+                start = v if at is not None and float(at) >= float(val) \
+                    else v + 1
+            except ValueError as e:
+                if "after the newest commit" in str(e):
+                    raise
+                start = 1  # instant predates every commit: full feed
+        else:
+            start = int(val)
+        if start < 1:
+            raise ValueError(
+                "snapshot_sql: table_changes start must be >= 1"
+            )
+        end = None
+        if len(bounds) == 2:
+            kind, val = bounds[1]
+            # newest commit at-or-before: the RESTORE TO TIMESTAMP
+            # comparator (snapshot_sql._restore)
+            end = t.version_at(float(val)) if kind == "ts" else int(val)
         v_end = t.current_version() if end is None else end
         df = t.changes_by_version(start - 1, v_end)
         ts_rows = []
@@ -1410,7 +1487,12 @@ def _table_changes_view(spark, args: str, views: dict) -> str:
                 ts = None
             ts_rows.append((v, float(ts) if ts is not None else None))
         ts_df = spark.createDataFrame(
-            ts_rows, "_commit_version int, _commit_timestamp double"
+            ts_rows, "_commit_version int, __epoch double"
+        ).select(
+            "_commit_version",
+            F.timestamp_seconds(F.col("__epoch")).alias(
+                "_commit_timestamp"
+            ),
         )
         df = df.join(F.broadcast(ts_df), "_commit_version", "left")
         name = f"snapshot_sql_tc{len(views)}_{abs(hash(key)) % 10**8}"

@@ -404,10 +404,31 @@ def test_sql_error_shapes(spark, tmp_path):
             f"MERGE INTO '{t.root}' t USING sqldml_bad s ON t.id = s.region "
             f"WHEN MATCHED THEN DELETE",
         )
+    # two DIFFERENT source columns keying ONE target column (r13
+    # verdict finding #1) is a guided refusal, not a duplicate-column
+    # analysis error downstream
+    with pytest.raises(NotImplementedError, match="two different source"):
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t.root}' t USING sqldml_bad s "
+            f"ON t.id = s.id AND t.id = s.amount "
+            f"WHEN MATCHED THEN DELETE",
+        )
+    # an exact repeat of the same key conjunct is harmless (deduped)
+    v = snapshot_sql(
+        spark,
+        f"MERGE INTO '{t.root}' t USING "
+        f"(SELECT CAST(999 AS LONG) AS id, 'x' AS status, 'EU' AS region, "
+        f"CAST(1.0 AS DOUBLE) AS amount) s "
+        f"ON t.id = s.id AND t.id = s.id "
+        f"WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert v == 2 and t.read().count() == 8
+    snapshot_sql(spark, f"DELETE FROM '{t.root}' WHERE id = 999")
     with pytest.raises(ValueError, match="SET"):
         snapshot_sql(spark, f"UPDATE '{t.root}' WHERE id = 1")
     # the table is untouched by every refused statement
-    assert t.read().count() == 7 and t.current_version() == 1
+    assert t.read().count() == 7
 
 
 def test_sql_utility_statements(spark, tmp_path):
@@ -936,13 +957,71 @@ def test_sql_table_changes_function(spark, tmp_path):
         ).collect()
     )
     assert rows == [("delete", 1), ("delete", 2)]
-    # timestamps ride along (non-null for every timestamped commit)
-    ts = snapshot_sql(
+    # timestamps ride along as a real TIMESTAMP column (r13 verdict
+    # missing #3: previously a raw double), non-null for every
+    # timestamped commit
+    ts_df = snapshot_sql(
         spark,
         f"SELECT min(_commit_timestamp) AS m FROM "
         f"table_changes('{t.root}', 1)",
-    ).first()["m"]
-    assert ts is not None and ts > 0
+    )
+    assert dict(ts_df.dtypes)["m"] == "timestamp"
+    import datetime
+
+    ts = ts_df.first()["m"]
+    assert isinstance(ts, datetime.datetime)
+    # timestamp BOUNDS (r14): quoted literals disambiguate from
+    # integer versions, Delta's convention. Start = earliest commit
+    # at-or-after; end = newest at-or-before (the RESTORE comparator).
+    ts2 = float(t._raw_manifest(2)["committed_at"])
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in snapshot_sql(
+            spark,
+            f"SELECT _commit_version, _change_type, k FROM "
+            f"table_changes('{t.root}', '{ts2}')",
+        ).collect()
+    )
+    assert rows == [
+        (2, "delete", 1), (2, "delete", 2), (3, "insert", 10),
+    ]
+    # end as a timestamp pins the window to [v1, v2]
+    n = snapshot_sql(
+        spark,
+        f"SELECT count(*) AS n FROM "
+        f"table_changes('{t.root}', 1, '{ts2}')",
+    ).first()["n"]
+    assert n == 7  # 5 v1 inserts + 2 v2 deletes
+    # an instant strictly between v2 and v3 starts at v3; one before
+    # every commit starts at v1; ISO form parses (UTC)
+    ts3 = float(t._raw_manifest(3)["committed_at"])
+    mid = (ts2 + ts3) / 2
+    got = {
+        r["_commit_version"]
+        for r in snapshot_sql(
+            spark,
+            f"SELECT _commit_version FROM "
+            f"table_changes('{t.root}', '{mid}')",
+        ).collect()
+    }
+    assert got == {3}
+    n_all = snapshot_sql(
+        spark,
+        f"SELECT count(*) AS n FROM "
+        f"table_changes('{t.root}', '1970-01-01')",
+    ).first()["n"]
+    assert n_all == 8
+    # a start instant after the newest commit is out of range
+    with pytest.raises(ValueError, match="after the newest commit"):
+        snapshot_sql(
+            spark,
+            f"SELECT * FROM table_changes('{t.root}', '{ts3 + 9999}')",
+        )
+    with pytest.raises(ValueError, match="bad timestamp literal"):
+        snapshot_sql(
+            spark,
+            f"SELECT * FROM table_changes('{t.root}', 'not-a-time')",
+        )
     # composes with ordinary SQL (aggregation + alias)
     agg = {
         (r["_commit_version"], r["n"])
