@@ -92,6 +92,17 @@ HEADLINE = [
     # (seed + live + fully-gated stale batch on a scratch table)
     "lake_sql_dml",
     "lake_scd2_history",
+    # round-14 (r13 verdict #1): the newest lake machinery under
+    # per-round cost tracking — the full MERGE clause matrix, the
+    # arbitrary-ON matcher (rename + residual), generated/identity
+    # column write paths, the CDF table-valued function, and column
+    # DEFAULT fills
+    "lake_merge_matrix",
+    "lake_merge_on_predicates",
+    "lake_generated_columns",
+    "lake_identity_columns",
+    "lake_table_changes",
+    "lake_column_defaults",
 ]
 
 

@@ -225,6 +225,7 @@ def measure_lake_protocol(spark) -> dict:
         "apply_changes_scd2_sec",
         "merge_when_sec",
         "merge_on_residual_sec",
+        "merge_identity_sec",
         "compact_full_sec",
     )
     out: dict = {}
@@ -460,6 +461,32 @@ def measure_lake_protocol(spark) -> dict:
                     round(time.perf_counter() - t0, 3)
                 )
                 bytes_written["merge_on_residual_sec"] = _commit_bytes(t, v)
+                # r14 identity MERGE: the same scattered batch (+10
+                # fresh keys) against an IDENTITY table. The claim:
+                # target-id carry rides the same pruned candidate
+                # join (one extra projected column) and fresh-id
+                # assignment is BATCH-proportional (per-partition
+                # row_number over the inserts, no global window) — so
+                # the ratio must track merge_when's, not the table.
+                ti = SnapshotTable(
+                    spark, f"{root}/tbl_id",
+                    stats_columns=["o_orderkey"],
+                )
+                ti.add_identity_column("rid")
+                ti.append_clustered(
+                    orders, ["o_orderkey"], n_files=n_files
+                )
+                mi = spark.createDataFrame(
+                    [(k, -9.0) for k in keys]
+                    + [(95_000_000 + i, -9.0) for i in range(10)],
+                    "o_orderkey long, o_totalprice double",
+                )
+                t0 = time.perf_counter()
+                v = ti.merge(mi, "o_orderkey")
+                runs["merge_identity_sec"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                bytes_written["merge_identity_sec"] = _commit_bytes(ti, v)
                 t0 = time.perf_counter()
                 v = t.compact(target_rows_per_file=target)  # full rewrite
                 runs["compact_full_sec"].append(
@@ -613,9 +640,9 @@ def main() -> None:
             if prev.get("replicas") == REPLICAS and prev.get("src") == SRC_DIR:
                 out["queries"] = prev.get("queries", {})
                 lp = prev.get("lake_protocol")
-                # carry only a CURRENT-shape artifact (r13 added the
-                # residual-ON step — an old one must re-run)
-                if lp and "merge_on_residual_sec" in lp.get("1x", {}):
+                # carry only a CURRENT-shape artifact (r14 added the
+                # identity-merge step — an old one must re-run)
+                if lp and "merge_identity_sec" in lp.get("1x", {}):
                     out["lake_protocol"] = lp
                 if prev.get("ann_serve"):
                     out["ann_serve"] = prev["ann_serve"]

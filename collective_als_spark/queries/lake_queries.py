@@ -1349,7 +1349,8 @@ def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lake_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GENERATED ALWAYS AS IDENTITY under the oracle (r13): declare
+    """GENERATED ALWAYS AS IDENTITY under the oracle (r13; declared
+    at CREATE since r14 — verdict #2's column-list DDL): declare
     ``rid (START WITH 10 INCREMENT BY 2)`` before the first write,
     append ``orders`` (the table assigns one contiguous claimed range
     — any row order), then a second filtered append CONTINUES from
@@ -1377,8 +1378,9 @@ def lake_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["rid"])
         snapshot_sql(
             spark,
-            f"ALTER TABLE '{t.root}' ADD COLUMN rid GENERATED ALWAYS "
-            f"AS IDENTITY (START WITH 10 INCREMENT BY 2)",
+            f"CREATE TABLE '{t.root}' (k BIGINT, cents BIGINT, "
+            f"rid BIGINT GENERATED ALWAYS AS IDENTITY "
+            f"(START WITH 10 INCREMENT BY 2))",
         )
         t2 = SnapshotTable(spark, t.root, stats_columns=["rid"])
         t2.append(rows)
@@ -1420,12 +1422,14 @@ def lake_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lake_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GENERATED ALWAYS AS columns under the oracle (r12 verdict #5):
-    declare ``y = year(d)`` before the first write, append a batch
-    that OMITS it (write-time computation), and band-read on the RAW
-    date — the monotone transform implies a pruning band on ``y``,
-    whose stats are the only ones the table carries. DuckDB recomputes
-    every number from ``orders``.
+    """GENERATED ALWAYS AS columns under the oracle (r12 verdict #5;
+    declared at CREATE since r14 — verdict #2's column-list DDL):
+    ``CREATE TABLE (.., y INT GENERATED ALWAYS AS (year(d)))`` before
+    the first write, append a batch that OMITS it (write-time
+    computation), and band-read on the RAW date — the monotone
+    transform implies a pruning band on ``y``, whose stats are the
+    only ones the table carries. DuckDB recomputes every number from
+    ``orders``.
 
     Scale shape: the computed column is one projection at write; the
     implied conjunct costs two 1-row driver jobs per predicate —
@@ -1445,8 +1449,8 @@ def lake_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["y"])
         snapshot_sql(
             spark,
-            f"ALTER TABLE '{t.root}' ADD COLUMN y GENERATED ALWAYS AS "
-            f"(year(d))",
+            f"CREATE TABLE '{t.root}' (k BIGINT, d DATE, "
+            f"y INT GENERATED ALWAYS AS (year(d)))",
         )
         t2 = SnapshotTable(spark, t.root, stats_columns=["y"])
         t2.append_clustered(rows, cluster_by=["d"], n_files=8)
@@ -1456,6 +1460,82 @@ def lake_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_total", got.count()),
             ("y_sum", got.agg(F.sum("y")).first()[0]),
             ("n_1995", band.count()),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_column_defaults",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey AS k FROM orders
+    ), c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n4
+        FROM k
+    )
+    SELECT 'n_total' AS step, n + n4 + 3 + 2 AS value FROM c
+    UNION ALL SELECT 'n_seed', n FROM c
+    UNION ALL SELECT 'n_web', n4 + 2 FROM c
+    UNION ALL SELECT 'n_null', CAST(3 AS BIGINT) FROM c
+    """,
+)
+def lake_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values under the oracle (r13 verdict missing
+    #2): ``ALTER COLUMN src SET DEFAULT 'web'`` through the SQL
+    surface, then (a) an append OMITTING the column fills 'web', (b) a
+    batch carrying explicit NULLs keeps them (explicit always wins —
+    the difference from GENERATED), and (c) a MERGE INSERT column list
+    omitting the column fills too (the contract is pruning-invariant
+    across the append and candidate-rewrite routes). DuckDB recomputes
+    every count from ``orders``.
+
+    Scale shape: the fill is ONE projection on the staged batch —
+    no scan of existing data, which is never backfilled.
+
+    Reference parity: Delta Lake default column values
+    (``delta.feature.allowColumnDefaults``)."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("seed").alias("src"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_dflt_")
+    try:
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["k"])
+        t.append(rows)                                            # v1
+        snapshot_sql(
+            spark,
+            f"ALTER TABLE '{t.root}' ALTER COLUMN src SET DEFAULT 'web'",
+        )                                                         # v2
+        t.append(rows.filter(F.col("k") % 4 == 0).select("k"))   # v3 fill
+        t.append(
+            spark.createDataFrame(
+                [(-1, None), (-2, None), (-3, None)],
+                "k long, src string",
+            )
+        )                                                         # v4 nulls
+        spark.createDataFrame(
+            [(-10,), (-11,)], "k long"
+        ).createOrReplaceTempView("lake_dflt_src")
+        snapshot_sql(
+            spark,
+            f"MERGE INTO '{t.root}' AS t USING lake_dflt_src AS s "
+            f"ON t.k = s.k "
+            f"WHEN MATCHED THEN DELETE "
+            f"WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
+        )                                                         # v5 fill
+        got = t.read()
+        out = [
+            ("n_total", got.count()),
+            ("n_seed", got.filter(F.col("src") == "seed").count()),
+            ("n_web", got.filter(F.col("src") == "web").count()),
+            ("n_null", got.filter(F.col("src").isNull()).count()),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -127,8 +127,15 @@ _PRIORITY: list[str] = [
     # CoW UPDATE + band pruning now has its in-cap witness in
     # lake_predicate_dml, and CDF imaging keeps lake_cdf_stream
     "lake_column_mapping",
-    # Gopher/MassiveText repetition signals, pure JVM array exprs
-    "gopher_quality_signals",
+    # r14 swap (r13 verdict #4): gopher_quality_signals demoted (the
+    # text-quality family keeps text_quality_metrics in-cap and the
+    # repetition signals keep repetition_metrics +
+    # duplicate_ngram_fraction pytest-oracle-checked below the cap)
+    # for lake_merge_on_predicates — the arbitrary MERGE ON surface
+    # (differently-named equi keys via rename projection + row-
+    # granular residual conjuncts), the r13 round's hardest new
+    # machinery, under the driver hash
+    "lake_merge_on_predicates",
     # attribute-filtered ANN serve (single-stage filtering + deletes)
     "ann_filtered_topk",
     # r12 swap (r11 verdict #3): sessionization demoted (the window
@@ -179,6 +186,9 @@ _PRIORITY: list[str] = [
     # pytest-oracle-checked below the cap)
     "lake_incremental_view",
     # ---------------- below the driver cap line (50) ----------------
+    # r14 demotion (stays pytest-oracle-checked; text-quality keeps
+    # text_quality_metrics in-cap, repetition keeps below-cap twins)
+    "gopher_quality_signals",
     # r11 demotions (all stay pytest-oracle-checked; see the in-cap
     # swap comments above for the family reasoning)
     "minhash_signature", "lake_apply_changes", "lake_update_quality",

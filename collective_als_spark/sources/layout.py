@@ -783,11 +783,15 @@ class SnapshotTable:
                 # identity keeps the CURRENT counter: rolling it back
                 # would re-issue ids the rolled-back data consumed
                 raw["identity"] = desired["identity"]
+            if desired.get("defaults"):
+                # column DEFAULTs are governance, like checks: a
+                # restore rolls data back, not the write-time contract
+                raw["defaults"] = desired["defaults"]
             return raw
         for k in (
             "batch_markers", "schema", "dvs", "dv_rows", "op", "cdc",
             "checks", "seq_state", "column_mapping", "retired", "config",
-            "generated", "identity",
+            "generated", "identity", "defaults",
         ):
             if desired.get(k):
                 raw[k] = desired[k]
@@ -872,10 +876,11 @@ class SnapshotTable:
             # config-less handle silently stop writing stats)
             # generated-column definitions carry like checks: only
             # add/drop_generated_column manage them; identity carries
-            # the same way (assigning commits advance it themselves)
+            # the same way (assigning commits advance it themselves);
+            # column DEFAULTs carry like generated definitions
             for k in (
                 "column_mapping", "retired", "config", "generated",
-                "identity",
+                "identity", "defaults",
             ):
                 if k not in manifest and prev.get(k):
                     manifest[k] = prev[k]
@@ -1376,6 +1381,90 @@ class SnapshotTable:
             return m
 
         return self._commit(build)
+
+    def add_column(self, name: str, dtype: str, default: str | None = None) -> int:
+        """Metadata-only column ADD (Delta's ``ALTER TABLE ADD
+        COLUMN``, r14): one manifest commit appends the field to the
+        schema; no data file is rewritten — existing rows read as NULL
+        (readers NULL-pad columns a file predates), later writes carry
+        it. Re-adding a previously DROPPED name mints a FRESH physical
+        slot via column mapping (Delta's column-mapping-id
+        discipline), so stale values in old files can never resurface
+        under the new column — the write-path refusal
+        (:meth:`_reject_retired`) guards only un-mapped name reuse.
+        ``default`` chains :meth:`set_column_default` for the
+        ``ADD COLUMN c TYPE DEFAULT expr`` form (fills FUTURE writes;
+        existing rows stay NULL, Delta's rule)."""
+        if not name or not name.isidentifier():
+            raise ValueError(f"column name must be an identifier: {name!r}")
+        from pyspark.sql.types import StructType
+
+        try:
+            type_json = (
+                StructType.fromDDL(f"x {dtype}").fields[0].dataType.jsonValue()
+            )
+        except Exception as e:
+            raise ValueError(
+                f"add_column: bad type {dtype!r}: {e}"
+            ) from None
+        if isinstance(type_json, dict):
+            raise ValueError(
+                f"add_column: nested type {dtype!r} not supported — "
+                f"widen via a write (schema evolution) instead"
+            )
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError(
+                "empty table: declare columns at CREATE TABLE / the "
+                "first write instead"
+            )
+
+        def build(version: int, prev: dict) -> dict:
+            if not prev.get("schema"):
+                raise ValueError("add_column needs a schema-carrying manifest")
+            fields = self._logical_fields(prev)
+            if name in {l for l, _p in fields}:
+                raise ValueError(f"add_column: {name!r} already exists")
+            phys_taken = {p for _l, p in fields} | set(
+                prev.get("retired", [])
+            )
+            phys = name
+            mapping = dict(self._col_mapping(prev))
+            if phys in phys_taken:
+                i = 0
+                while f"{name}__c{i}" in phys_taken:
+                    i += 1
+                phys = f"{name}__c{i}"
+                mapping[name] = phys
+            schema = dict(prev["schema"])
+            schema["fields"] = list(schema["fields"]) + [
+                {
+                    "name": phys,
+                    "type": type_json,
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ]
+            m = self._compose(
+                version,
+                prev["files"],
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=schema,
+                blooms=prev.get("blooms", {}),
+                dvs=prev.get("dvs", {}),
+                dv_rows=prev.get("dv_rows", {}),
+                op="add_column",
+            )
+            m["column_mapping"] = mapping
+            if prev.get("retired"):
+                m["retired"] = prev["retired"]
+            return m
+
+        v = self._commit(build)
+        if default is not None:
+            v = self.set_column_default(name, default)
+        return v
 
     def drop_column(self, name: str) -> int:
         """Metadata-only column DROP: one manifest commit removes the
@@ -1974,13 +2063,17 @@ class SnapshotTable:
         base = self._base_manifest(cur)
         df = self._to_physical(df, base)
         self._reject_retired(base, df, "append_bucketed")
-        gen = self._table_generated()
-        if gen:
-            df = self._compute_generated(df, gen, base)
+        dflt = self._table_defaults()
+        if dflt:
+            df = self._apply_defaults(df, dflt, base)
         idents = self._table_identity()
         id_claims: dict = {}
         if idents:
+            # before generated compute — see append()
             df, id_claims = self._assign_identity(df, idents, base)
+        gen = self._table_generated()
+        if gen:
+            df = self._compute_generated(df, gen, base)
         # hidden-partition metadata is keyed PHYSICALLY (it outlives
         # renames, like the files it describes)
         key = self._phys(base, key)
@@ -2185,13 +2278,17 @@ class SnapshotTable:
         base = self._base_manifest(cur)
         df = self._to_physical(df, base)
         self._reject_retired(base, df, "append_transformed")
-        gen = self._table_generated()
-        if gen:
-            df = self._compute_generated(df, gen, base)
+        dflt = self._table_defaults()
+        if dflt:
+            df = self._apply_defaults(df, dflt, base)
         idents = self._table_identity()
         id_claims: dict = {}
         if idents:
+            # before generated compute — see append()
             df, id_claims = self._assign_identity(df, idents, base)
+        gen = self._table_generated()
+        if gen:
+            df = self._compute_generated(df, gen, base)
         # transform metadata is keyed PHYSICALLY, like bucket metadata
         key = self._phys(base, key)
         dtype = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields])).get(key)
@@ -2436,16 +2533,25 @@ class SnapshotTable:
         # user frames carry LOGICAL names; files store PHYSICAL ones
         df = self._to_physical(df, base)
         self._reject_retired(base, df, "append")
+        dflt = self._table_defaults()
+        if dflt:
+            # DEFAULTs fill BEFORE generated compute: a generated
+            # expression may reference a defaulted column
+            df = self._apply_defaults(df, dflt, base)
+        # identity BEFORE generated: generated's analysis NULL-pad of
+        # omitted table columns would otherwise make the identity
+        # column look explicitly (NULL-)valued and refuse the write —
+        # and a generated expression may reference the assigned ids
+        idents = self._table_identity()
+        id_claims: dict = {}
+        if idents:
+            df, id_claims = self._assign_identity(df, idents, base)
         gen = self._table_generated()
         if gen:
             # fill BEFORE schema composition: the first write after a
             # generated-column declaration defines the table schema,
             # which must include the computed column
             df = self._compute_generated(df, gen, base)
-        idents = self._table_identity()
-        id_claims: dict = {}
-        if idents:
-            df, id_claims = self._assign_identity(df, idents, base)
         df_schema = df.schema.jsonValue()
         # fail BEFORE staging data on an obvious type conflict; the
         # build re-validates against the fresh manifest on CAS retries
@@ -2485,6 +2591,7 @@ class SnapshotTable:
         df: DataFrame,
         _markers: dict[str, int] | None = None,
         _expect_markers: dict[str, int] | None = None,
+        _reset_properties: bool = False,
     ) -> int:
         """New snapshot = this commit's files only. The replaced files
         are NOT deleted — older versions still reference them. Batch
@@ -2498,17 +2605,24 @@ class SnapshotTable:
         double-applying its delta."""
         cur0 = self.current_version()
         base0 = self._base_manifest(cur0) if cur0 else {}
-        gen = self._table_generated()
-        if gen:
-            df = self._compute_generated(df, gen, base0)
-        idents = self._table_identity()
         id_claims: dict = {}
-        if idents:
-            # overwrite REPLACES the rows but the counter NEVER rewinds
-            # (re-issuing ids rolled-over data consumed breaks
-            # downstream joins — Delta's identity discipline)
-            df, id_claims = self._assign_identity(df, idents, base0)
-        new_files, new_stats, new_blooms = self._stage(df)
+        if not _reset_properties:
+            dflt = self._table_defaults()
+            if dflt:
+                df = self._apply_defaults(df, dflt, base0)
+            idents = self._table_identity()
+            if idents:
+                # overwrite REPLACES the rows but the counter NEVER
+                # rewinds (re-issuing ids rolled-over data consumed
+                # breaks downstream joins — Delta's identity
+                # discipline); before generated compute — see append()
+                df, id_claims = self._assign_identity(df, idents, base0)
+            gen = self._table_generated()
+            if gen:
+                df = self._compute_generated(df, gen, base0)
+        new_files, new_stats, new_blooms = self._stage(
+            df, _skip_checks=_reset_properties
+        )
         df_schema = df.schema.jsonValue()
 
         def build(version: int, prev: dict) -> dict:
@@ -2534,6 +2648,18 @@ class SnapshotTable:
             )
             m["column_mapping"] = {}
             m["retired"] = []
+            if _reset_properties:
+                # CREATE OR REPLACE TABLE (r14): the new definition
+                # replaces GOVERNANCE too — checks, generated/identity
+                # specs, and defaults clear (Delta's OR REPLACE);
+                # falsy values serialize as ABSENT keys and the commit
+                # carry never resurrects absent keys from a manifest
+                # that explicitly owns them
+                m["checks"] = {}
+                m["generated"] = {}
+                m["identity"] = {}
+                m["defaults"] = {}
+                m["seq_state"] = None  # present-but-None clears (CDC)
             if id_claims:
                 m["identity"] = self._advance_identity(prev, id_claims)
             return m
@@ -3802,6 +3928,8 @@ class SnapshotTable:
         _extra_replan=None,
         _survivor_fn=None,
         _cdc_image_fn=None,
+        _identity_ok: bool = False,
+        _id_claims: dict | None = None,
     ) -> int:
         """Copy-on-write MERGE (upsert) keyed on one or more columns:
         target rows whose key tuple matches a source row are replaced
@@ -3856,7 +3984,26 @@ class SnapshotTable:
         whose unfired "passenger" rows are physically rewritten but
         logically unchanged (r12 verdict #2).
         """
-        self._reject_identity("merge")
+        if not _identity_ok and self._table_identity():
+            if (
+                _stage_df is None and _plan is None
+                and _survivor_fn is None and _extra_candidates is None
+            ):
+                # plain upsert on an identity table (r13 verdict #7,
+                # current Delta behavior): delegate to merge_when —
+                # matched rows carry the target's ids (update_all
+                # projection), unmatched rows insert with fresh ids
+                return self.merge_when(
+                    source,
+                    key,
+                    matched=[(None, "update_all", None)],
+                    not_matched=[None],
+                    _markers=_markers,
+                )
+            # role-split callers (apply_changes, merge_mor fallback)
+            # still need target-id carry semantics their stage frames
+            # don't model
+            self._reject_identity("merge")
         base0 = self._base_manifest(self.current_version())
         source = self._to_physical(source, base0)
         self._reject_retired(base0, source, "merge")
@@ -3866,6 +4013,14 @@ class SnapshotTable:
             if _stage_df is None
             else self._to_physical(_stage_df, base0)
         )
+        dflt0 = self._table_defaults()
+        if dflt0:
+            # staged NEW rows fill defaults BEFORE the survivor union
+            # NULL-pads them; survivors carry their own values and are
+            # never backfilled (see _fill_defaults_logical). merge_when
+            # stages a full-width frame (defaults filled per INSERT
+            # part already), so this is a no-op there.
+            stage = self._apply_defaults(stage, dflt0, base0)
         gen0 = self._table_generated()
         if gen0:
             # fill generated columns BEFORE the survivor union below:
@@ -4007,6 +4162,8 @@ class SnapshotTable:
                 op="merge",
                 cdc=cdc_dir,
             )
+            if _id_claims:
+                m["identity"] = self._advance_identity(prev, _id_claims)
             return self._with_seq_state(m, prev, _seq_state)
 
         return self._commit(build)
@@ -4190,12 +4347,41 @@ class SnapshotTable:
                     f"merge_when: matched clause {i} is 'update' but has "
                     f"no assignments"
                 )
-        if matched or by_source:
-            # insert-only clause lists route through the probe+append
-            # path below, which assigns identity values like any
-            # append; matched/by-source clauses would need target-id
-            # carry (Delta's own MERGE-with-identity restriction)
-            self._reject_identity("merge_when")
+        idents_w = self._table_identity()
+        if idents_w:
+            # MERGE on identity tables (r13 verdict #7, current
+            # Delta's behavior — the original shipped restriction is
+            # lifted): matched/by-source rows CARRY the target's ids
+            # (the wide projection takes __t_<id>; update_all never
+            # reads a source id because the source may not carry one),
+            # and INSERT rows get FRESH ids assigned below, advancing
+            # the counter by exactly |inserts|. Explicit values stay
+            # refused everywhere — the GENERATED ALWAYS rule.
+            id_cols = set(idents_w)
+            src_id = sorted(id_cols & set(source.columns))
+            if src_id:
+                raise ValueError(
+                    f"merge_when: {src_id} are GENERATED ALWAYS AS "
+                    f"IDENTITY columns — the table assigns their "
+                    f"values; project them out of the USING source"
+                )
+            for group in (matched, by_source):
+                for _c, _action, assigns in group:
+                    bad = sorted(set(assigns or ()) & id_cols)
+                    if bad:
+                        raise ValueError(
+                            f"merge_when: {bad} are IDENTITY columns — "
+                            f"the table assigns their values; omit "
+                            f"them from SET"
+                        )
+            for _c, assigns in not_matched:
+                bad = sorted(set(assigns or ()) & id_cols)
+                if bad:
+                    raise ValueError(
+                        f"merge_when: {bad} are IDENTITY columns — "
+                        f"omit them from the INSERT column list (the "
+                        f"table assigns them)"
+                    )
         gen_w = self._table_generated()
         if gen_w:
             for group in (matched, by_source):
@@ -4229,10 +4415,15 @@ class SnapshotTable:
                 )
             return plan  # empty source
         src_l = source.alias("s")
+        dflt_w = self._table_defaults()
 
         def _insert_rows(df: DataFrame) -> DataFrame:
             """First-matching-INSERT-clause-wins projection of the
-            unmatched source rows; empty frame when no clause fires."""
+            unmatched source rows; empty frame when no clause fires.
+            Each clause's projection fills omitted DEFAULT columns
+            PER-PART, before the cross-part union NULL-pads them —
+            so an INSERT (k) next to an INSERT (k, status) keeps the
+            first clause's default and the second's explicit value."""
             if not not_matched:
                 return df.limit(0)
             chain = None
@@ -4247,13 +4438,14 @@ class SnapshotTable:
             for i, (_cond, assigns) in enumerate(not_matched):
                 rows = tagged.filter(F.col("__ins_clause") == i)
                 if assigns is None:
-                    parts.append(rows.select(*df.columns))
+                    part = rows.select(*df.columns)
                 else:
-                    parts.append(
-                        rows.select(
-                            *[F.expr(e).alias(c) for c, e in assigns.items()]
-                        )
+                    part = rows.select(
+                        *[F.expr(e).alias(c) for c, e in assigns.items()]
                     )
+                if dflt_w:
+                    part = self._fill_defaults_logical(part, dflt_w, base0)
+                parts.append(part)
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p, allowMissingColumns=True)
@@ -4579,6 +4771,18 @@ class SnapshotTable:
             unmatched = src_l
             merge_source = source.limit(0)
         inserts = _insert_rows(unmatched)
+        id_claims: dict = {}
+        if idents_w and not_matched:
+            # fresh ids for the INSERT rows, assigned NOW — before the
+            # stage union NULL-pads them into refused "explicit"
+            # values; matched/passenger/by-source rows carry __t_<id>.
+            # The claimed range advances the counter in merge's commit
+            # (CAS-rechecked, the append discipline).
+            ins_phys = self._to_physical(inserts, ev_manifest)
+            ins_phys, id_claims = self._assign_identity(
+                ins_phys, idents_w, ev_manifest
+            )
+            inserts = self._to_logical(ins_phys, ev_manifest)
         if gen_w:
             # compute omitted generated columns on the insert rows NOW
             # (before unions NULL-pad them into "explicit" conflicts);
@@ -4689,6 +4893,8 @@ class SnapshotTable:
             _extra_replan=bs_replan,
             _survivor_fn=surv_fn,
             _cdc_image_fn=cdc_fn,
+            _identity_ok=True,
+            _id_claims=id_claims or None,
         )
 
     def merge_mor(
@@ -4736,6 +4942,12 @@ class SnapshotTable:
             if _stage_df is None
             else self._to_physical(_stage_df, base0)
         )
+        dflt0 = self._table_defaults()
+        if dflt0:
+            # same staged-new-rows fill as the COW path: the conform-
+            # to-schema below would otherwise NULL-pad omitted default
+            # columns before _stage could see them as omitted
+            stage = self._apply_defaults(stage, dflt0, base0)
         plan = self._plan_merge(source, key)
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
@@ -5807,6 +6019,62 @@ class SnapshotTable:
         cur = self.current_version()
         return self._raw_manifest(cur).get("identity", {}) if cur else {}
 
+    def _table_defaults(self) -> dict[str, str]:
+        """The table's column DEFAULT expressions (column -> SQL expr)
+        from the current manifest; {} for an empty table."""
+        cur = self.current_version()
+        return self._raw_manifest(cur).get("defaults", {}) if cur else {}
+
+    def _fill_defaults_logical(
+        self, ldf: DataFrame, defaults: dict[str, str], manifest: dict
+    ) -> DataFrame:
+        """Write-time DEFAULT fill on a LOGICAL-name frame: default
+        columns the frame OMITS entirely are appended as their default
+        expression (cast to the declared table type when the schema
+        carries one); columns the frame DOES carry — including
+        explicit NULLs — always win, the difference from GENERATED
+        (Delta's rule: a default fills only omitted columns).
+
+        The fill covers every frame of NEWLY STAGED rows — the
+        append/INSERT/CTAS/overwrite/WAP batch, merge/apply_changes
+        staged rows, and each merge_when INSERT clause's projection
+        (per-part, BEFORE unions NULL-pad it) — so the semantics are
+        PRUNING-INVARIANT: a merge insert fills the same whether the
+        planner routed it through append (no candidate files) or
+        through the candidate-rewrite stage. Survivor/passenger/
+        update/compaction rewrites of EXISTING rows carry their own
+        values and are never backfilled."""
+        have = set(ldf.columns)
+        todo = {c: e for c, e in defaults.items() if c not in have}
+        if not todo:
+            return ldf
+        types: dict[str, object] = {}
+        tschema = manifest.get("schema")
+        if tschema:
+            from pyspark.sql.types import StructType
+
+            inv = {p: l for l, p in self._col_mapping(manifest).items()}
+            for fld in StructType.fromJson(tschema).fields:
+                types[inv.get(fld.name, fld.name)] = fld.dataType
+        for c, e in todo.items():
+            col = F.expr(e)
+            if c in types:
+                col = col.cast(types[c])
+            ldf = ldf.withColumn(c, col)
+        return ldf
+
+    def _apply_defaults(
+        self, df: DataFrame, defaults: dict[str, str], manifest: dict
+    ) -> DataFrame:
+        """PHYSICAL-name wrapper of :meth:`_fill_defaults_logical`
+        (defaults are written against logical names)."""
+        return self._to_physical(
+            self._fill_defaults_logical(
+                self._to_logical(df, manifest), defaults, manifest
+            ),
+            manifest,
+        )
+
     def add_check_constraint(self, name: str, expr: str) -> int:
         """Delta's ``ALTER TABLE ADD CONSTRAINT``: a named SQL boolean
         expression every FUTURE commit's staged rows must satisfy
@@ -5895,6 +6163,11 @@ class SnapshotTable:
         existing = self._table_generated()
         if name in existing:
             raise ValueError(f"generated column {name!r} already exists")
+        if name in self._table_defaults():
+            raise ValueError(
+                f"{name!r} carries a column DEFAULT — drop it first "
+                f"(a column is either defaulted or generated, not both)"
+            )
         cur = self.current_version()
         if cur:
             logical = {l for l, _p in self._logical_fields(self._manifest(cur))}
@@ -5961,6 +6234,101 @@ class SnapshotTable:
 
         return self._commit(build)
 
+    def set_column_default(self, name: str, expr: str) -> int:
+        """Delta's ``ALTER TABLE .. ALTER COLUMN c SET DEFAULT <expr>``
+        (r13 verdict missing #2): every FUTURE INSERT-family write
+        (append / INSERT INTO / CTAS / overwrite / WAP) that OMITS the
+        column fills it with ``expr`` instead of NULL; a batch that
+        carries the column — explicit NULLs included — always wins
+        (the difference from GENERATED ALWAYS AS, which computes and
+        audits). Existing rows are untouched (Delta's rule: defaults
+        apply to new writes only). The default must be self-contained
+        (no column references — Delta restricts defaults to foldable
+        expressions); it is validated by evaluating it once here. An
+        O(metadata) commit; the definition carries like a CHECK
+        constraint and survives RESTORE (governance follows the table,
+        not the snapshot).
+
+        Reference parity: Delta Lake default column values
+        (``delta.feature.allowColumnDefaults``)."""
+        if not name or not name.isidentifier():
+            raise ValueError(f"column name must be an identifier: {name!r}")
+        if name in self._table_generated():
+            raise ValueError(
+                f"{name!r} is a GENERATED column — its values are "
+                f"computed from the definition, not defaulted"
+            )
+        if name in self._table_identity():
+            raise ValueError(
+                f"{name!r} is an IDENTITY column — the table assigns "
+                f"its values, not a default"
+            )
+        # evaluate once against a zero-column frame: column references
+        # and malformed SQL both fail HERE, not at some later write
+        from pyspark.sql.types import StructType
+
+        try:
+            self.spark.createDataFrame([()], StructType([])).select(
+                F.expr(expr).alias("__probe")
+            ).collect()
+        except Exception as e:
+            raise ValueError(
+                f"bad DEFAULT expression {expr!r} for column {name!r}: "
+                f"defaults must be self-contained (literals / foldable "
+                f"expressions, no column references) — {e}"
+            ) from None
+        cur = self.current_version()
+        if cur and self._manifest(cur).get("schema"):
+            logical = {l for l, _p in self._logical_fields(self._manifest(cur))}
+            if name not in logical:
+                raise ValueError(
+                    f"cannot set a default for {name!r}: not a table "
+                    f"column (add the column first)"
+                )
+
+        def build(version: int, prev: dict) -> dict:
+            m = self._compose(
+                version,
+                prev.get("files", []),
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms"),
+                dvs=prev.get("dvs"),
+                dv_rows=prev.get("dv_rows", {}),
+                op="set_default",
+            )
+            m["defaults"] = {**prev.get("defaults", {}), name: expr}
+            return m
+
+        return self._commit(build)
+
+    def drop_column_default(self, name: str) -> int:
+        """Delta's ``ALTER COLUMN c DROP DEFAULT``: future writes that
+        omit the column go back to NULL-padding; an O(metadata)
+        commit."""
+        if name not in self._table_defaults():
+            raise ValueError(f"no default on column: {name!r}")
+
+        def build(version: int, prev: dict) -> dict:
+            dflt = dict(prev.get("defaults", {}))
+            dflt.pop(name, None)
+            m = self._compose(
+                version,
+                prev.get("files", []),
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms"),
+                dvs=prev.get("dvs"),
+                dv_rows=prev.get("dv_rows", {}),
+                op="drop_default",
+            )
+            m["defaults"] = dflt
+            return m
+
+        return self._commit(build)
+
     def add_identity_column(
         self, name: str, start: int = 1, step: int = 1
     ) -> int:
@@ -5982,11 +6350,14 @@ class SnapshotTable:
         counter must never re-issue ids rolled-back data consumed).
 
         Supported writers: append / append_clustered / INSERT INTO /
-        CTAS / overwrite / wap_commit. merge / merge_when /
-        apply_changes / update on identity tables are refused with
-        guidance — Delta itself shipped identity with "MERGE is not
-        supported with identity columns" (matched rows would need
-        target-id carry; inserts-only can route through append).
+        CTAS / overwrite / wap_commit — and, since r14, merge /
+        merge_when (current Delta behavior; the original "MERGE is not
+        supported with identity columns" restriction is lifted):
+        matched/passenger/by-source rows CARRY the target's ids,
+        INSERT rows assign fresh ids advancing the counter by exactly
+        the insert count. merge_mor / apply_changes stay refused with
+        guidance (their role-split stage frames don't model target-id
+        carry); UPDATE works but refuses SET on the identity column.
 
         On a NON-empty table the column must already exist; ``next``
         then syncs past the current max (Delta's ALTER ... SYNC
@@ -6001,6 +6372,11 @@ class SnapshotTable:
         if name in self._table_generated():
             raise ValueError(
                 f"{name!r} is already a GENERATED expression column"
+            )
+        if name in self._table_defaults():
+            raise ValueError(
+                f"{name!r} carries a column DEFAULT — drop it first "
+                f"(the table assigns identity values, not a default)"
             )
         cur = self.current_version()
         nxt = start
@@ -6141,16 +6517,18 @@ class SnapshotTable:
         return state
 
     def _reject_identity(self, verb: str) -> None:
-        """Guided refusal for write paths identity does not support
-        (Delta's own identity restriction for MERGE)."""
+        """Guided refusal for the write paths identity still does not
+        support (role-split CDC stages whose frames don't model
+        target-id carry). merge / merge_when support identity since
+        r14: matched rows carry target ids, inserts assign fresh."""
         idents = self._table_identity()
         if idents:
             raise NotImplementedError(
                 f"{verb}: not supported on a table with IDENTITY "
-                f"columns {sorted(idents)} — matched rows would need "
-                f"target-id carry (Delta ships the same MERGE "
-                f"restriction); route inserts through append / INSERT "
-                f"INTO, or drop_identity_column first"
+                f"columns {sorted(idents)} — this path's stage frames "
+                f"don't model target-id carry; use merge / merge_when "
+                f"(identity-aware since r14), route inserts through "
+                f"append / INSERT INTO, or drop_identity_column first"
             )
 
     def drop_identity_column(self, name: str) -> int:
@@ -6232,13 +6610,17 @@ class SnapshotTable:
         df = self._to_physical(df, base0)
         if mode == "append":
             self._reject_retired(base0, df, "wap_commit")
-        gen = self._table_generated()
-        if gen:
-            df = self._compute_generated(df, gen, base0)
+        dflt = self._table_defaults()
+        if dflt:
+            df = self._apply_defaults(df, dflt, base0)
         idents = self._table_identity()
         id_claims: dict = {}
         if idents:
+            # before generated compute — see append()
             df, id_claims = self._assign_identity(df, idents, base0)
+        gen = self._table_generated()
+        if gen:
+            df = self._compute_generated(df, gen, base0)
         files, new_stats, new_blooms = self._stage(df)
         # audit expressions are written in LOGICAL names
         audit_rows = [
@@ -6713,6 +7095,12 @@ class SnapshotTable:
                 for c, s in sorted((m.get("identity") or {}).items())
             )
             or None,
+            # r14: column DEFAULT expressions (table property)
+            "; ".join(
+                f"{c} DEFAULT {e}"
+                for c, e in sorted((m.get("defaults") or {}).items())
+            )
+            or None,
         )
         return self.spark.createDataFrame(
             [row],
@@ -6721,7 +7109,8 @@ class SnapshotTable:
             "n_columns int, committed_at double, n_renamed_columns int, "
             "n_retired_slots int, has_seq_state boolean, "
             "stats_columns string, bloom_columns string, "
-            "generated_columns string, identity_columns string",
+            "generated_columns string, identity_columns string, "
+            "column_defaults string",
         )
 
     def restore(self, version: int) -> int:

@@ -4,9 +4,11 @@ unique values from a manifest-carried high-water mark; explicit values
 are refused; concurrent assigning writers conflict cleanly on the
 claimed range; the counter survives RESTORE and never rewinds.
 
-Reference parity: Delta Lake identity columns, including Delta's own
-documented MERGE restriction (matched rows would need target-id
-carry), which this engine ships as guided refusals."""
+Reference parity: Delta Lake identity columns. MERGE is supported
+since r14 (current Delta behavior — the originally-shipped "MERGE is
+not supported with identity columns" restriction is lifted): matched
+rows carry target ids, inserts assign fresh ids; merge_mor /
+apply_changes stay guided refusals (role-split stage frames)."""
 
 import pyspark.sql.functions as F
 import pytest
@@ -59,16 +61,25 @@ def test_identity_refusals(spark, tmp_path):
     # SET on identity refused
     with pytest.raises(ValueError, match="IDENTITY"):
         t.update_where("k = 1", set={"rid": "99"})
-    # merge-family refused with guidance (Delta's own restriction)
+    # role-split CDC paths stay refused with guidance (their stage
+    # frames don't model target-id carry); merge/merge_when WORK
+    # since r14 — see test_identity_merge_carries_and_assigns
     src = _batch(spark, 1, 2)
-    with pytest.raises(NotImplementedError, match="IDENTITY"):
-        t.merge(src, "k")
     with pytest.raises(NotImplementedError, match="IDENTITY"):
         t.merge_mor(src, "k")
     with pytest.raises(NotImplementedError, match="IDENTITY"):
-        t.merge_when(src, "k", matched=[(None, "update_all", None)])
-    with pytest.raises(NotImplementedError, match="IDENTITY"):
         t.apply_changes(src.withColumn("_op", F.lit("U")), "k")
+    # explicit identity values stay refused in merge_when: a source
+    # carrying the column, or SET / INSERT lists naming it
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.merge_when(
+            src.withColumn("rid", F.lit(99)), "k",
+            matched=[(None, "update_all", None)],
+        )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.merge_when(src, "k", matched=[(None, "update", {"rid": "99"})])
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.merge_when(src, "k", not_matched=[(None, {"rid": "99"})])
     # ...but INSERT-only merges route through append and WORK
     t.merge_insert_only(_batch(spark, 2, 3), "k")  # k=2 exists; 3,4 new
     rows = {r["k"]: r["rid"] for r in t.read().collect()}
@@ -162,3 +173,67 @@ def test_identity_sql_surface(spark, tmp_path):
     t2 = SnapshotTable(spark, t.root, stats_columns=["k"])
     t2.append(_batch(spark, 10, 1).withColumn("rid", F.lit(0)))
     assert t2.read().count() == 4
+
+
+def test_identity_merge_carries_and_assigns(spark, tmp_path):
+    """r13 verdict #7: matched MERGE clauses carry the target's ids
+    (stable across updates), inserts get fresh ids, and the counter
+    advances by EXACTLY the insert count."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.add_identity_column("rid")
+    t.append(_batch(spark, 0, 6))  # rids consume [1, 6], next = 7
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    # full clause matrix: conditional update, delete, insert, by-source
+    src = _batch(spark, 4, 4)  # keys 4,5 matched; 6,7 inserts
+    v = t.merge_when(
+        src,
+        "k",
+        matched=[
+            ("s.k = 4", "update", {"v": "s.v + 1000"}),
+            (None, "update_all", None),
+        ],
+        not_matched=[None],
+        not_matched_by_source=[("k = 0", "delete", None)],
+    )
+    after = {r["k"]: r["rid"] for r in t.read().collect()}
+    # updated rows kept their ids; passengers/survivors kept theirs
+    for k in (1, 2, 3, 4, 5):
+        assert after[k] == before[k], k
+    assert 0 not in after  # by-source delete fired
+    # inserts got FRESH unique ids from the high-water mark
+    assert sorted(after[k] for k in (6, 7)) == [7, 8]
+    state = t._table_identity()["rid"]
+    assert state["next"] == 9  # advanced by exactly |inserts| = 2
+    assert v == t.current_version()
+    # the conditional update actually fired
+    vals = {r["k"]: r["v"] for r in t.read().collect()}
+    assert vals[4] == 4 * 2.0 + 1000 and vals[5] == 5 * 2.0
+    # plain upsert merge delegates to the same machinery
+    t.merge(_batch(spark, 5, 3), "k")  # 5,6,7 matched; nothing new... 
+    after2 = {r["k"]: r["rid"] for r in t.read().collect()}
+    for k in (5, 6, 7):
+        assert after2[k] == after[k], k
+    assert t._table_identity()["rid"]["next"] == 9  # no inserts
+    t.merge(_batch(spark, 8, 2), "k")  # 8, 9 insert
+    after3 = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert sorted(after3[k] for k in (8, 9)) == [9, 10]
+    assert t._table_identity()["rid"]["next"] == 11
+    # delete-only matrix on an identity table: no inserts, no advance
+    t.merge_when(_batch(spark, 9, 1), "k", matched=[(None, "delete", None)])
+    assert 9 not in {r["k"] for r in t.read().collect()}
+    assert t._table_identity()["rid"]["next"] == 11
+    # SQL MERGE rides the same path: k=8 matched, k=9 (just deleted)
+    # re-inserts with a FRESH id
+    _batch(spark, 8, 2).createOrReplaceTempView("ident_merge_src")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{t.root}' AS tg USING ident_merge_src AS s "
+        f"ON tg.k = s.k "
+        f"WHEN MATCHED THEN UPDATE SET v = s.v "
+        f"WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)",
+    )
+    after4 = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert after4[8] == after3[8]  # matched row kept its id
+    assert after4[9] == 11         # fresh id for the re-insert
+    assert t._table_identity()["rid"]["next"] == 12
+    assert len(set(after4.values())) == len(after4)  # all unique

@@ -123,15 +123,22 @@ def test_registry_priority_ordering():
     # exact/lsh/embedding/clusters in-cap) for lake_merge_matrix —
     # the full Delta MERGE clause matrix under the driver hash
     # (r12 verdict #3).
+    # r14 swapped gopher_quality_signals (still pytest-oracle-checked
+    # below the cap; text-quality keeps text_quality_metrics in-cap,
+    # repetition keeps repetition_metrics + duplicate_ngram_fraction
+    # below) for lake_merge_on_predicates — the arbitrary MERGE ON
+    # surface (rename-projected keys + row-granular residual) under
+    # the driver hash (r13 verdict #4).
     for promoted in ["item_item_cosine",
                      "lake_merge_matrix",
+                     "lake_merge_on_predicates",
                      "dq_expectations_suite",
                      "multimodal_ppm_decode", "lake_incremental_view",
                      "benchmark_decontamination", "lake_cdf_stream",
                      "lake_mor_upsert_nullstats",
                      "lake_predicate_dml", "lake_tracked_apply",
                      "lake_column_mapping", "snapshot_batch_read",
-                     "gopher_quality_signals", "ann_filtered_topk",
+                     "ann_filtered_topk",
                      "lake_sql_dml", "lake_scd2_history",
                      "lake_type_widening"]:
         assert promoted in head, f"{promoted} not promoted into the cap"

@@ -478,7 +478,7 @@ def test_sql_utility_statements(spark, tmp_path):
     with pytest.raises(ValueError, match="OPTIMIZE needs"):
         snapshot_sql(spark, f"OPTIMIZE '{t.root}'")
     with pytest.raises(NotImplementedError, match="ALTER TABLE"):
-        snapshot_sql(spark, f"ALTER TABLE '{t.root}' ADD COLUMN x INT")
+        snapshot_sql(spark, f"ALTER TABLE '{t.root}' SPARKLE HARDER")
 
 
 def test_sql_select_over_snapshot_roots(spark, tmp_path):
