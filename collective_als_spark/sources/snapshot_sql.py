@@ -359,9 +359,31 @@ def _update(spark, rest: str, kw) -> int:
         assignments[col] = _strip_alias_prefix(part[eq + 1 :].strip(), [alias])
     if not assignments:
         raise ValueError("snapshot_sql: empty SET clause")
+    assignments = _resolve_default_keyword(t, assignments)
     return t.update_where(
         predicate=_strip_alias_prefix(pred, [alias]), set=assignments
     )
+
+
+def _resolve_default_keyword(t, assigns: dict) -> dict:
+    """``SET c = DEFAULT`` / ``VALUES (..., DEFAULT, ...)`` (r14):
+    the bare DEFAULT keyword resolves to the column's stored DEFAULT
+    expression, or the SQL-standard NULL when none is declared —
+    Delta's explicit-DEFAULT surface for UPDATE/MERGE."""
+    if not any(
+        v is not None and v.strip().upper() == "DEFAULT"
+        for v in assigns.values()
+    ):
+        return assigns
+    defaults = t._table_defaults()
+    return {
+        c: (
+            defaults.get(c, "NULL")
+            if v is not None and v.strip().upper() == "DEFAULT"
+            else v
+        )
+        for c, v in assigns.items()
+    }
 
 
 def _scan_eq(s: str) -> int:
@@ -546,6 +568,19 @@ def _merge(spark, rest: str, kw) -> int:
     matched_c, not_matched_c, by_source_c = _parse_when_clauses(
         actions, t_alias, s_alias
     )
+    # the explicit DEFAULT keyword in SET / INSERT VALUES (r14)
+    matched_c = [
+        (c, a, _resolve_default_keyword(t, s) if s else s)
+        for c, a, s in matched_c
+    ]
+    not_matched_c = [
+        (c, _resolve_default_keyword(t, s) if s else s)
+        for c, s in not_matched_c
+    ]
+    by_source_c = [
+        (c, a, _resolve_default_keyword(t, s) if s else s)
+        for c, a, s in by_source_c
+    ]
     return t.merge_when(
         source,
         keys,
@@ -1249,6 +1284,38 @@ def _alter(spark, rest: str, kw) -> int:
             m.group(1), m.group(2),
             default=m.group(3).strip() if m.group(3) else None,
         )
+    m = re.match(r"^ADD\s+COLUMNS\s*\(", s, re.IGNORECASE)
+    if m:
+        # Delta's plural form: ADD COLUMNS (a INT, b STRING DEFAULT 'x')
+        open_p = s.index("(", m.end() - 1)
+        close_p = open_p + _matching_paren(s[open_p:])
+        if close_p <= open_p or s[close_p + 1 :].strip():
+            raise ValueError(
+                f"snapshot_sql: malformed ADD COLUMNS list {s!r}"
+            )
+        v = None
+        for item in _split_top_commas(s[open_p + 1 : close_p]):
+            cm = re.fullmatch(
+                r"\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s+"
+                r"([A-Za-z_][A-Za-z0-9_]*"
+                r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+                r"(?:\s+DEFAULT\s+(.+?))?\s*",
+                item,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(
+                    f"snapshot_sql: malformed ADD COLUMNS entry "
+                    f"{item.strip()!r} — expected 'name TYPE "
+                    f"[DEFAULT expr]'"
+                )
+            v = t.add_column(
+                cm.group(1), cm.group(2),
+                default=cm.group(3).strip() if cm.group(3) else None,
+            )
+        if v is None:
+            raise ValueError("snapshot_sql: empty ADD COLUMNS list")
+        return v
     m = re.match(
         r"^ALTER\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+DEFAULT"
         r"\s+(.+)$",
@@ -1788,6 +1855,29 @@ def _create_with_columns(
             f"snapshot_sql: bad CREATE TABLE column types "
             f"({', '.join(fields)!r}): {e}"
         ) from None
+    # a generated expression must ANALYZE against the declared columns
+    # and produce the declared type (Delta refuses the mismatch at
+    # declare — failing here beats a confusing schema-evolution error
+    # at the first write)
+    for name, expr in generated:
+        try:
+            probe = spark.createDataFrame([], schema).select(
+                *[f.name for f in schema.fields if f.name != name],
+            ).selectExpr(f"({expr}) AS __gen_probe")
+        except Exception as e:
+            raise ValueError(
+                f"snapshot_sql: GENERATED expression for {name!r} does "
+                f"not analyze against the declared columns: {e}"
+            ) from None
+        got = probe.schema[0].dataType
+        want = schema[name].dataType
+        if got != want:
+            raise ValueError(
+                f"snapshot_sql: GENERATED column {name!r} is declared "
+                f"{want.simpleString()} but the expression produces "
+                f"{got.simpleString()} — declare the matching type or "
+                f"CAST inside the expression"
+            )
     # v1: the declared schema, zero rows (the staging path keeps one
     # schema-carrying empty file) — the add_* verbs then see every
     # declared column and validate against zero rows, the

@@ -169,3 +169,40 @@ def test_insert_into_column_list(spark, tmp_path):
     )
     t2 = SnapshotTable(spark, root2)
     assert sorted(r["rid"] for r in t2.read().collect()) == [1, 2, 3]
+
+
+def test_add_columns_plural_sql(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.append(_rows(spark, 0, 2))
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE '{t.root}' ADD COLUMNS "
+        f"(a INT, b STRING DEFAULT 'bee', c DECIMAL(6, 3))",
+    )
+    assert dict(t.read().dtypes)["a"] == "int"
+    assert dict(t.read().dtypes)["c"] == "decimal(6,3)"
+    t.append(spark.createDataFrame([(9, "x")], "k long, status string"))
+    got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert got[9] == (None, "bee") and got[0] == (None, None)
+    with pytest.raises(ValueError, match="malformed ADD COLUMNS entry"):
+        snapshot_sql(
+            spark, f"ALTER TABLE '{t.root}' ADD COLUMNS (x INT, !!)"
+        )
+
+
+def test_table_changes_under_column_mapping(spark, tmp_path):
+    """The CDF TVF exposes LOGICAL names across a metadata-only
+    rename (column mapping)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.append(_rows(spark, 0, 4))                                  # v1
+    snapshot_sql(
+        spark, f"ALTER TABLE '{t.root}' RENAME COLUMN status TO state"
+    )                                                             # v2
+    snapshot_sql(spark, f"DELETE FROM '{t.root}' WHERE k <= 1")   # v3
+    df = snapshot_sql(
+        spark,
+        f"SELECT _change_type, k, state FROM "
+        f"table_changes('{t.root}', 3)",
+    )
+    rows = sorted((r["_change_type"], r["k"], r["state"]) for r in df.collect())
+    assert rows == [("delete", 0, "s0"), ("delete", 1, "s1")]

@@ -222,3 +222,41 @@ def test_default_survives_restore(spark, tmp_path):
     t.append(_rows(spark, 20, 1, with_status=False))
     got = {r["k"]: r["status"] for r in t.read().collect()}
     assert got[20] == "kept"
+
+
+def test_default_keyword_in_update_and_merge(spark, tmp_path):
+    """The explicit DEFAULT keyword (r14): ``SET c = DEFAULT`` and
+    ``INSERT ... VALUES (..., DEFAULT)`` resolve to the stored
+    default (SQL-standard NULL when none is declared)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.append(_rows(spark, 0, 3))
+    t.set_column_default("status", "'dflt'")
+    snapshot_sql(
+        spark,
+        f"UPDATE '{t.root}' SET status = DEFAULT WHERE k = 0",
+    )
+    got = {r["k"]: r["status"] for r in t.read().collect()}
+    assert got[0] == "dflt" and got[1] == "s1"
+    # no declared default -> SQL-standard NULL
+    t.drop_column_default("status")
+    snapshot_sql(
+        spark,
+        f"UPDATE '{t.root}' SET status = DEFAULT WHERE k = 1",
+    )
+    got = {r["k"]: r["status"] for r in t.read().collect()}
+    assert got[1] is None
+    # MERGE: matched SET ... = DEFAULT and INSERT VALUES (..., DEFAULT)
+    t.set_column_default("status", "'dflt2'")
+    spark.createDataFrame(
+        [(2,), (50,)], "k long"
+    ).createOrReplaceTempView("dflt_kw_src")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO '{t.root}' AS tg USING dflt_kw_src AS s "
+        f"ON tg.k = s.k "
+        f"WHEN MATCHED THEN UPDATE SET status = DEFAULT "
+        f"WHEN NOT MATCHED THEN INSERT (k, status) "
+        f"VALUES (s.k, DEFAULT)",
+    )
+    got = {r["k"]: r["status"] for r in t.read().collect()}
+    assert got[2] == "dflt2" and got[50] == "dflt2"

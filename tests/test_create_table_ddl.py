@@ -207,3 +207,32 @@ def test_create_or_replace_and_if_not_exists(spark, tmp_path):
         f"CREATE OR REPLACE TABLE '{root2}' AS SELECT 1 AS k",
     )
     assert SnapshotTable(spark, root2).read().count() == 1
+
+
+def test_create_generated_type_mismatch_refused(spark, tmp_path):
+    """A generated expression whose type doesn't match the declared
+    column type is refused AT CREATE (Delta's rule) — not at some
+    later write's schema-evolution error."""
+    root = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="declared int but"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{root}' (k BIGINT, "
+            f"k2 INT GENERATED ALWAYS AS (k * 2))",
+        )
+    with pytest.raises(ValueError, match="does not analyze"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{root}' (k BIGINT, "
+            f"z BIGINT GENERATED ALWAYS AS (missing_col + 1))",
+        )
+    assert SnapshotTable(spark, root).current_version() == 0
+    # the matching declaration (or an explicit CAST) passes
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root}' (k BIGINT, "
+        f"k2 INT GENERATED ALWAYS AS (CAST(k * 2 AS INT)))",
+    )
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(4,)], "k long"))
+    assert t.read().first()["k2"] == 8
