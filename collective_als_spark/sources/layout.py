@@ -6526,9 +6526,11 @@ class SnapshotTable:
             raise NotImplementedError(
                 f"{verb}: not supported on a table with IDENTITY "
                 f"columns {sorted(idents)} — this path's stage frames "
-                f"don't model target-id carry; use merge / merge_when "
-                f"(identity-aware since r14), route inserts through "
-                f"append / INSERT INTO, or drop_identity_column first"
+                f"don't model target-id carry (DLT likewise documents "
+                f"identity columns as unsupported with APPLY CHANGES "
+                f"targets); use merge / merge_when (identity-aware "
+                f"since r14), route inserts through append / INSERT "
+                f"INTO, or drop_identity_column first"
             )
 
     def drop_identity_column(self, name: str) -> int:
@@ -6968,6 +6970,54 @@ class SnapshotTable:
             )
             out = step if out is None else out.unionByName(step)
         return out
+
+    def describe_table(self) -> DataFrame:
+        """Column-level ``DESCRIBE TABLE`` (r14): one row per LOGICAL
+        column in schema order — name, type, nullability, and the
+        column's declared properties (GENERATED ALWAYS AS expression,
+        IDENTITY spec, DEFAULT expression) as a readable string.
+        Driver-side manifest work only; complements the table-level
+        :meth:`detail`."""
+        from pyspark.sql.types import StructType
+
+        cur = self.current_version()
+        if not cur:
+            raise ValueError("empty table: no committed snapshot")
+        m = self._manifest(cur)
+        if not m.get("schema"):
+            raise ValueError("describe_table needs a schema-carrying manifest")
+        raw = self._raw_manifest(cur)
+        gen = raw.get("generated") or {}
+        ident = raw.get("identity") or {}
+        defaults = raw.get("defaults") or {}
+        inv = {p: l for l, p in self._col_mapping(m).items()}
+        rows = []
+        for fld in StructType.fromJson(m["schema"]).fields:
+            lname = inv.get(fld.name, fld.name)
+            props = []
+            if lname in gen:
+                props.append(f"GENERATED ALWAYS AS ({gen[lname]})")
+            if lname in ident:
+                s = ident[lname]
+                props.append(
+                    f"GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f"{s['start']} INCREMENT BY {s['step']})"
+                )
+            if lname in defaults:
+                props.append(f"DEFAULT {defaults[lname]}")
+            rows.append(
+                (
+                    lname,
+                    fld.dataType.simpleString(),
+                    bool(fld.nullable),
+                    "; ".join(props) or None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "col_name string, data_type string, nullable boolean, "
+            "properties string",
+        )
 
     def history(self) -> DataFrame:
         """Commit log as a DataFrame (Delta's DESCRIBE HISTORY):

@@ -71,7 +71,7 @@ _VERB_RE = re.compile(
     r"|INSERT\s+OVERWRITE|CREATE\s+OR\s+REPLACE\s+TABLE"
     r"|CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS|CREATE\s+TABLE|VACUUM"
     r"|OPTIMIZE|RESTORE|ALTER\s+TABLE|DESCRIBE\s+HISTORY"
-    r"|DESCRIBE\s+DETAIL|APPLY\s+CHANGES\s+INTO)\s+",
+    r"|DESCRIBE\s+DETAIL|DESCRIBE\s+TABLE|APPLY\s+CHANGES\s+INTO)\s+",
     re.IGNORECASE,
 )
 
@@ -312,7 +312,11 @@ def snapshot_sql(spark, statement: str, **table_kwargs):
     if tail.strip():
         raise ValueError(f"snapshot_sql: trailing text {tail.strip()!r}")
     t = SnapshotTable(spark, root, **table_kwargs)
-    return t.history() if verb == "DESCRIBE HISTORY" else t.detail()
+    if verb == "DESCRIBE HISTORY":
+        return t.history()
+    if verb == "DESCRIBE TABLE":
+        return t.describe_table()
+    return t.detail()
 
 
 def _delete(spark, rest: str, kw) -> int:

@@ -237,3 +237,62 @@ def test_identity_merge_carries_and_assigns(spark, tmp_path):
     assert after4[9] == 11         # fresh id for the re-insert
     assert t._table_identity()["rid"]["next"] == 12
     assert len(set(after4.values())) == len(after4)  # all unique
+
+
+def test_identity_merge_cdf_images_carry_ids(spark, tmp_path):
+    """CDF images of an identity-table MERGE carry the ids: the fired
+    pre-image keeps the target's id, update post-images carry the SAME
+    id, insert post-images carry the freshly assigned ones."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stats_columns=["k"],
+        change_data_feed=True,
+    )
+    t.add_identity_column("rid")
+    t.append(_batch(spark, 0, 4))  # rids 1..4
+    v1 = t.current_version()
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    v2 = t.merge_when(
+        _batch(spark, 2, 3),  # keys 2,3 matched (only 2 fires); 4 inserts
+        "k",
+        matched=[("s.k = 2", "update", {"v": "s.v + 100"})],
+        not_matched=[None],
+    )
+    feed = t.changes(v1, v2)
+    dels = {
+        r["k"]: r["rid"]
+        for r in feed.filter(F.col("_change_type") == "delete").collect()
+    }
+    ins = {
+        r["k"]: r["rid"]
+        for r in feed.filter(F.col("_change_type") == "insert").collect()
+    }
+    # k=2 fired: pre and post carry the ORIGINAL id; k=3 matched but
+    # unfired -> never imaged; k=4 inserted with the FRESH id 5
+    assert dels == {2: before[2]}
+    assert ins == {2: before[2], 4: 5}
+    # a later merge insert continues the counter in its images too
+    v3 = t.merge_when(
+        spark.createDataFrame([(50, 0.0)], "k long, v double"),
+        "k",
+        matched=[(None, "update_all", None)],
+        not_matched=[None],
+    )
+    feed2 = t.changes(v2, v3)
+    ins2 = {
+        r["k"]: r["rid"]
+        for r in feed2.filter(F.col("_change_type") == "insert").collect()
+    }
+    assert ins2 == {50: 6}
+    assert {r["k"]: r["rid"] for r in t.read().collect()}[50] == 6
+
+
+def test_identity_assigns_across_streaming_microbatches(spark, tmp_path):
+    """A foreachBatch sink appending to an identity table assigns
+    unique continuing ids across micro-batches (the append path's
+    claim-and-advance per commit)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.add_identity_column("rid")
+    for lo in (0, 10, 20):  # three "micro-batches" through append
+        t.append(_batch(spark, lo, 3))
+    ids = sorted(r["rid"] for r in t.read().collect())
+    assert ids == list(range(1, 10))

@@ -1072,3 +1072,35 @@ def test_sql_ctas_and_insert_overwrite(spark, tmp_path):
     assert t.read().columns == ["k"]
     assert sorted(r["k"] for r in t.read().collect()) == [6, 7]
     assert t.read(version=1).columns == ["id", "amount"]
+
+
+def test_sql_describe_table(spark, tmp_path):
+    """DESCRIBE TABLE (r14): one row per logical column with its
+    declared properties (generated / identity / default)."""
+    root = str(tmp_path / "t")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root}' ("
+        f"  k BIGINT,"
+        f"  y INT GENERATED ALWAYS AS (CAST(k % 7 AS INT)),"
+        f"  rid BIGINT GENERATED ALWAYS AS IDENTITY "
+        f"      (START WITH 5 INCREMENT BY 5),"
+        f"  tag STRING DEFAULT 'x'"
+        f")",
+    )
+    rows = snapshot_sql(spark, f"DESCRIBE TABLE '{root}'").collect()
+    by_name = {r["col_name"]: r for r in rows}
+    assert [r["col_name"] for r in rows] == ["k", "y", "rid", "tag"]
+    assert by_name["k"]["data_type"] == "bigint"
+    assert by_name["k"]["properties"] is None
+    assert by_name["y"]["properties"] == (
+        "GENERATED ALWAYS AS (CAST(k % 7 AS INT))"
+    )
+    assert by_name["rid"]["properties"] == (
+        "GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 5)"
+    )
+    assert by_name["tag"]["properties"] == "DEFAULT 'x'"
+    # logical names ride a rename
+    snapshot_sql(spark, f"ALTER TABLE '{root}' RENAME COLUMN k TO kk")
+    rows = snapshot_sql(spark, f"DESCRIBE TABLE '{root}'").collect()
+    assert rows[0]["col_name"] == "kk"
