@@ -296,3 +296,111 @@ def test_identity_assigns_across_streaming_microbatches(spark, tmp_path):
         t.append(_batch(spark, lo, 3))
     ids = sorted(r["rid"] for r in t.read().collect())
     assert ids == list(range(1, 10))
+
+
+def test_identity_merge_residual_and_by_source_corner(spark, tmp_path):
+    """Identity x residual-ON x by-source in one statement: a
+    key-equal pair FAILING the residual is NOT matched — its source
+    row inserts with a FRESH id while the untouched target row keeps
+    its id (duplicate key, Delta's row-granular rule); by-source
+    deletes drop rows without burning counter values."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.add_identity_column("rid")
+    t.append(_batch(spark, 0, 6))  # keys 0..5, v = 2k, rids 1..6
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    src = _batch(spark, 2, 2)  # keys 2 (t.v=4), 3 (t.v=6)
+    v = t.merge_when(
+        src,
+        "k",
+        matched=[(None, "update", {"v": "s.v + 1000"})],
+        not_matched=[None],
+        not_matched_by_source=[("k = 0", "delete", None)],
+        on_residual="t.v < 5",  # k=2 matches; k=3's pair fails
+    )
+    rows = sorted(
+        (r["k"], r["rid"], r["v"]) for r in t.read().collect()
+    )
+    got = {}
+    for k, rid, val in rows:
+        got.setdefault(k, []).append((rid, val))
+    # k=0 by-source-deleted; k=2 updated in place, id kept
+    assert 0 not in got
+    assert got[2] == [(before[2], 2 * 2.0 + 1000)]
+    # k=3: the target row is UNTOUCHED (id + value kept) AND the
+    # source row inserted beside it with the fresh id 7
+    assert sorted(got[3]) == sorted(
+        [(before[3], 3 * 2.0), (7, 3 * 2.0)]
+    )
+    # every id unique; the counter advanced by exactly the one insert
+    all_ids = [rid for k, pairs in got.items() for rid, _ in pairs]
+    assert len(all_ids) == len(set(all_ids))
+    assert t._table_identity()["rid"]["next"] == 8
+    assert v == t.current_version()
+
+
+def test_identity_unique_under_random_op_sequence(spark, tmp_path):
+    """Randomized invariant lock: across a mixed sequence of appends,
+    merges, merge_when matrices, deletes, and RESTOREs, identity values
+    stay globally unique, the counter never rewinds, and live ids never
+    reach the counter."""
+    import random
+
+    rng = random.Random(1405)
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.add_identity_column("rid")
+    t.append(_batch(spark, 0, 5))
+    next_key = 100
+    prev_next = t._table_identity()["rid"]["next"]
+    ever_issued: set[int] = set(
+        r["rid"] for r in t.read().collect()
+    )
+    for step in range(8):
+        op = rng.choice(
+            ["append", "merge", "merge_when", "delete", "restore"]
+        )
+        if op == "append":
+            t.append(_batch(spark, next_key, rng.randint(1, 4)))
+            next_key += 10
+        elif op == "merge":
+            live = [r["k"] for r in t.read().select("k").collect()]
+            ks = rng.sample(live, min(2, len(live))) + [next_key]
+            next_key += 10
+            t.merge(
+                spark.createDataFrame(
+                    [(k, -1.0) for k in ks], "k long, v double"
+                ),
+                "k",
+            )
+        elif op == "merge_when":
+            live = [r["k"] for r in t.read().select("k").collect()]
+            ks = rng.sample(live, min(2, len(live))) + [next_key]
+            next_key += 10
+            t.merge_when(
+                spark.createDataFrame(
+                    [(k, -2.0) for k in ks], "k long, v double"
+                ),
+                "k",
+                matched=[("s.k % 2 = 0", "update", {"v": "s.v"}),
+                         (None, "delete", None)],
+                not_matched=[None],
+            )
+        elif op == "delete":
+            t.delete_where(f"k % 3 = {rng.randint(0, 2)}")
+        else:
+            v = t.current_version()
+            t.restore(max(2, v - rng.randint(1, 2)))
+        state = t._table_identity()["rid"]
+        live_rows = t.read().select("rid").collect()
+        live_ids = [r["rid"] for r in live_rows]
+        # 1. no NULL ids, globally unique among live rows
+        assert all(i is not None for i in live_ids), (step, op)
+        assert len(live_ids) == len(set(live_ids)), (step, op)
+        # 2. the counter never rewinds (not even across RESTORE)
+        assert state["next"] >= prev_next, (step, op)
+        prev_next = state["next"]
+        # 3. live ids never reach the counter, and anything newly
+        # visible is a genuinely new issue below it (restores only
+        # resurface ids the counter already moved past)
+        assert all(i < state["next"] for i in live_ids), (step, op)
+        ever_issued |= set(live_ids)
+        assert max(ever_issued) < state["next"], (step, op)
