@@ -787,11 +787,13 @@ class SnapshotTable:
                 # column DEFAULTs are governance, like checks: a
                 # restore rolls data back, not the write-time contract
                 raw["defaults"] = desired["defaults"]
+            if desired.get("comments"):
+                raw["comments"] = desired["comments"]
             return raw
         for k in (
             "batch_markers", "schema", "dvs", "dv_rows", "op", "cdc",
             "checks", "seq_state", "column_mapping", "retired", "config",
-            "generated", "identity", "defaults",
+            "generated", "identity", "defaults", "comments",
         ):
             if desired.get(k):
                 raw[k] = desired[k]
@@ -880,7 +882,7 @@ class SnapshotTable:
             # column DEFAULTs carry like generated definitions
             for k in (
                 "column_mapping", "retired", "config", "generated",
-                "identity", "defaults",
+                "identity", "defaults", "comments",
             ):
                 if k not in manifest and prev.get(k):
                     manifest[k] = prev[k]
@@ -2659,6 +2661,7 @@ class SnapshotTable:
                 m["generated"] = {}
                 m["identity"] = {}
                 m["defaults"] = {}
+                m["comments"] = {}
                 m["seq_state"] = None  # present-but-None clears (CDC)
             if id_claims:
                 m["identity"] = self._advance_identity(prev, id_claims)
@@ -6303,6 +6306,44 @@ class SnapshotTable:
 
         return self._commit(build)
 
+    def set_column_comment(self, name: str, text: str | None) -> int:
+        """Delta's ``ALTER TABLE .. ALTER COLUMN c COMMENT '<text>'``
+        (r14): a documentation string carried in the manifest like
+        other column governance (survives RESTORE); surfaced by
+        :meth:`describe_table`. ``None`` / empty clears. O(metadata)
+        commit."""
+        if not name or not name.isidentifier():
+            raise ValueError(f"column name must be an identifier: {name!r}")
+        cur = self.current_version()
+        if cur and self._manifest(cur).get("schema"):
+            logical = {l for l, _p in self._logical_fields(self._manifest(cur))}
+            if name not in logical:
+                raise ValueError(
+                    f"cannot comment {name!r}: not a table column"
+                )
+
+        def build(version: int, prev: dict) -> dict:
+            m = self._compose(
+                version,
+                prev.get("files", []),
+                prev.get("stats", {}),
+                prev.get("batch_markers", {}),
+                schema=prev.get("schema"),
+                blooms=prev.get("blooms"),
+                dvs=prev.get("dvs"),
+                dv_rows=prev.get("dv_rows", {}),
+                op="set_comment",
+            )
+            comments = dict(prev.get("comments", {}))
+            if text:
+                comments[name] = text
+            else:
+                comments.pop(name, None)
+            m["comments"] = comments
+            return m
+
+        return self._commit(build)
+
     def drop_column_default(self, name: str) -> int:
         """Delta's ``ALTER COLUMN c DROP DEFAULT``: future writes that
         omit the column go back to NULL-padding; an O(metadata)
@@ -6990,6 +7031,7 @@ class SnapshotTable:
         gen = raw.get("generated") or {}
         ident = raw.get("identity") or {}
         defaults = raw.get("defaults") or {}
+        comments = raw.get("comments") or {}
         inv = {p: l for l, p in self._col_mapping(m).items()}
         rows = []
         for fld in StructType.fromJson(m["schema"]).fields:
@@ -7011,12 +7053,13 @@ class SnapshotTable:
                     fld.dataType.simpleString(),
                     bool(fld.nullable),
                     "; ".join(props) or None,
+                    comments.get(lname),
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "col_name string, data_type string, nullable boolean, "
-            "properties string",
+            "properties string, comment string",
         )
 
     def history(self) -> DataFrame:

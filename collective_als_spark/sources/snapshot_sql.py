@@ -1339,6 +1339,16 @@ def _alter(spark, rest: str, kw) -> int:
     )
     if m:
         return t.drop_column_default(m.group(1))
+    m = re.match(
+        r"^ALTER\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+COMMENT\s+"
+        r"'((?:[^']|'')*)'\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return t.set_column_comment(
+            m.group(1), m.group(2).replace("''", "'") or None
+        )
     raise NotImplementedError(
         f"snapshot_sql: unsupported ALTER TABLE clause {s!r} — supported: "
         f"RENAME COLUMN a TO b, DROP COLUMN a, ADD COLUMN c TYPE "
@@ -1755,6 +1765,7 @@ def _create_with_columns(
     identity: list[tuple[str, int, int]] = []
     checks: list[tuple[str, str]] = []
     defaults: list[tuple[str, str]] = []
+    comments: list[tuple[str, str]] = []
     for item in _split_top_commas(col_list):
         item = item.strip()
         if not item:
@@ -1798,6 +1809,23 @@ def _create_with_columns(
             )
         seen.add(name)
         fields.append(f"{name} {dtype}")
+        # trailing COMMENT '<text>' suffix — LAST modifier by contract;
+        # located with the quote-aware scanner so a DEFAULT literal
+        # containing the word COMMENT can never be mistaken for it
+        cpos = _scan_clauses(mods, {"COMMENT"})
+        if cpos:
+            _w, s0, e0 = cpos[-1]
+            lm = re.fullmatch(
+                r"\s*'((?:[^']|'')*)'\s*", mods[e0:], re.DOTALL
+            )
+            if not lm:
+                raise ValueError(
+                    f"snapshot_sql: COMMENT must be the last modifier "
+                    f"of column {name!r} and take one quoted string, "
+                    f"got {mods[s0:][:60]!r}"
+                )
+            comments.append((name, lm.group(1).replace("''", "'")))
+            mods = mods[:s0].strip()
         # NOT NULL suffix -> an auto-named CHECK (SQL 3VL: `c IS NOT
         # NULL` is FALSE for NULL, so the staging audit enforces it)
         nn = re.search(r"\bNOT\s+NULL\s*$", mods, re.IGNORECASE)
@@ -1903,6 +1931,8 @@ def _create_with_columns(
         v = t.add_check_constraint(name, expr)
     for name, expr in defaults:
         v = t.set_column_default(name, expr)
+    for name, text in comments:
+        v = t.set_column_comment(name, text)
     if query is not None:
         v = t.append(spark.sql(query))
     return v

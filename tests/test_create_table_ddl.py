@@ -236,3 +236,62 @@ def test_create_generated_type_mismatch_refused(spark, tmp_path):
     t = SnapshotTable(spark, root)
     t.append(spark.createDataFrame([(4,)], "k long"))
     assert t.read().first()["k2"] == 8
+
+
+def test_column_comments(spark, tmp_path):
+    """Column COMMENTs (r14): declared in the CREATE list (last
+    modifier) or via ALTER COLUMN c COMMENT; surfaced by DESCRIBE
+    TABLE; survive RESTORE; cleared by empty text."""
+    root = str(tmp_path / "t")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root}' ("
+        f"  k BIGINT NOT NULL COMMENT 'primary key',"
+        f"  tag STRING DEFAULT 'x' COMMENT 'it''s a tag',"
+        f"  v DOUBLE"
+        f")",
+    )
+    t = SnapshotTable(spark, root)
+    rows = {
+        r["col_name"]: r["comment"]
+        for r in snapshot_sql(spark, f"DESCRIBE TABLE '{root}'").collect()
+    }
+    assert rows == {"k": "primary key", "tag": "it's a tag", "v": None}
+    # the co-declared modifiers still landed
+    assert t._table_defaults() == {"tag": "'x'"}
+    assert "k_not_null" in t._table_checks()
+    # ALTER sets and clears
+    snapshot_sql(
+        spark, f"ALTER TABLE '{root}' ALTER COLUMN v COMMENT 'volume'"
+    )
+    snapshot_sql(
+        spark, f"ALTER TABLE '{root}' ALTER COLUMN k COMMENT ''"
+    )
+    rows = {
+        r["col_name"]: r["comment"]
+        for r in snapshot_sql(spark, f"DESCRIBE TABLE '{root}'").collect()
+    }
+    assert rows == {"k": None, "tag": "it's a tag", "v": "volume"}
+    # survives restore (governance follows the table)
+    t.append(spark.createDataFrame([(1, 2.0)], "k long, v double"))
+    t.restore(t.current_version() - 1)
+    rows = {
+        r["col_name"]: r["comment"]
+        for r in t.describe_table().collect()
+    }
+    assert rows["v"] == "volume"
+    # a DEFAULT literal containing the word COMMENT is not a comment
+    root2 = str(tmp_path / "t2")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root2}' (k BIGINT, "
+        f"note STRING DEFAULT 'see COMMENT below')",
+    )
+    t2 = SnapshotTable(spark, root2)
+    assert t2._table_defaults() == {"note": "'see COMMENT below'"}
+    with pytest.raises(ValueError, match="COMMENT must be the last"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{tmp_path / 't3'}' "
+            f"(k BIGINT COMMENT 'x' NOT NULL)",
+        )
