@@ -6028,6 +6028,29 @@ class SnapshotTable:
         cur = self.current_version()
         return self._raw_manifest(cur).get("defaults", {}) if cur else {}
 
+    @staticmethod
+    def _expr_references(zero_df, expr: str, col: str) -> bool:
+        """True when ``expr`` analyzes against ``zero_df``'s columns
+        WITH ``col`` present but NOT without it — i.e. the expression
+        references ``col``. Driver-only Catalyst analysis over a
+        zero-row frame (no job runs); used by the generated/identity
+        declare guards (r14 verdict finding #1: generated expressions
+        may reference only non-generated columns, Delta's rule —
+        cross-references make the write-time fill order-dependent)."""
+        without = [c for c in zero_df.columns if c != col]
+        try:
+            zero_df.select(*without).selectExpr(f"({expr}) AS __ref_probe")
+            return False
+        except Exception:
+            pass
+        try:
+            zero_df.selectExpr(f"({expr}) AS __ref_probe")
+            return True
+        except Exception:
+            # globally invalid expression — not a cross-reference; the
+            # caller's own validation surfaces the real analysis error
+            return False
+
     def _fill_defaults_logical(
         self, ldf: DataFrame, defaults: dict[str, str], manifest: dict
     ) -> DataFrame:
@@ -6180,6 +6203,35 @@ class SnapshotTable:
                     f"table without the column: declare it before the "
                     f"first write, or backfill and re-add"
                 )
+            # Delta's rule (r14 verdict finding #1): a generated
+            # expression may reference only NON-generated columns.
+            # A cross-reference (or self-reference) would make the
+            # write-time fill order-dependent — refuse at declare,
+            # in BOTH directions, via driver-only analysis probes.
+            zero = self.read().limit(0)
+            computed = (
+                set(self._table_generated())
+                | set(self._table_identity())
+                | {name}
+            )
+            for other in sorted(computed):
+                if self._expr_references(zero, expr, other):
+                    raise ValueError(
+                        f"generated column {name!r} references {other!r}, "
+                        f"itself a GENERATED/IDENTITY column — generated "
+                        f"expressions may reference only non-generated "
+                        f"columns (inline the referenced definition "
+                        f"instead)"
+                    )
+            for g, gexpr in sorted(self._table_generated().items()):
+                if self._expr_references(zero, gexpr, name):
+                    raise ValueError(
+                        f"cannot make {name!r} generated: existing "
+                        f"generated column {g!r} references it "
+                        f"({gexpr!r}) and generated expressions may "
+                        f"reference only non-generated columns — drop "
+                        f"{g!r}'s definition first"
+                    )
             n_bad = self.read().filter(
                 ~F.expr(f"`{name}` <=> ({expr})")
             ).count()
@@ -6421,6 +6473,22 @@ class SnapshotTable:
             )
         cur = self.current_version()
         nxt = start
+        if cur:
+            # same rule as add_generated_column, reverse direction: an
+            # existing generated expression referencing this column
+            # would become generated-on-computed once the table owns
+            # its values — refuse at declare (r14 verdict finding #1)
+            zero = self.read().limit(0)
+            if name in zero.columns:
+                for g, gexpr in sorted(self._table_generated().items()):
+                    if self._expr_references(zero, gexpr, name):
+                        raise ValueError(
+                            f"cannot make {name!r} an identity column: "
+                            f"existing generated column {g!r} references "
+                            f"it ({gexpr!r}) and generated expressions "
+                            f"may reference only non-generated columns "
+                            f"— drop {g!r}'s definition first"
+                        )
         if cur and self._manifest(cur).get("files"):
             logical = {
                 l for l, _p in self._logical_fields(self._manifest(cur))

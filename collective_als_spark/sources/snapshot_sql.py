@@ -1887,19 +1887,41 @@ def _create_with_columns(
             f"snapshot_sql: bad CREATE TABLE column types "
             f"({', '.join(fields)!r}): {e}"
         ) from None
-    # a generated expression must ANALYZE against the declared columns
-    # and produce the declared type (Delta refuses the mismatch at
-    # declare — failing here beats a confusing schema-evolution error
-    # at the first write)
+    # a generated expression must ANALYZE against the NON-generated
+    # declared columns only (Delta's rule: generated expressions may
+    # reference only non-generated, non-identity columns — a
+    # cross-reference would make the write-time fill order-dependent,
+    # the r14 verdict finding #1) and produce the declared type
+    # (Delta refuses the mismatch at declare — failing here beats a
+    # confusing schema-evolution error at the first write)
+    computed_names = {n for n, _ in generated} | {n for n, _s, _k in identity}
     for name, expr in generated:
+        base_cols = [
+            f.name for f in schema.fields if f.name not in computed_names
+        ]
         try:
             probe = spark.createDataFrame([], schema).select(
-                *[f.name for f in schema.fields if f.name != name],
+                *base_cols,
             ).selectExpr(f"({expr}) AS __gen_probe")
         except Exception as e:
+            # distinguish the refusal shapes: an expression that DOES
+            # analyze once the other computed columns are visible is a
+            # generated-on-generated cross-reference (refused with
+            # guidance); anything else is plain bad SQL
+            try:
+                spark.createDataFrame([], schema).select(
+                    *[f.name for f in schema.fields if f.name != name],
+                ).selectExpr(f"({expr}) AS __gen_probe")
+            except Exception:
+                raise ValueError(
+                    f"snapshot_sql: GENERATED expression for {name!r} "
+                    f"does not analyze against the declared columns: {e}"
+                ) from None
             raise ValueError(
-                f"snapshot_sql: GENERATED expression for {name!r} does "
-                f"not analyze against the declared columns: {e}"
+                f"snapshot_sql: GENERATED column {name!r} references "
+                f"another GENERATED/IDENTITY column — generated "
+                f"expressions may reference only non-generated columns "
+                f"(inline the referenced definition instead)"
             ) from None
         got = probe.schema[0].dataType
         want = schema[name].dataType

@@ -295,3 +295,45 @@ def test_column_comments(spark, tmp_path):
             f"CREATE TABLE '{tmp_path / 't3'}' "
             f"(k BIGINT COMMENT 'x' NOT NULL)",
         )
+
+
+def test_create_generated_on_generated_refused_both_orders(spark, tmp_path):
+    """r14 verdict finding #1: generated expressions may reference only
+    non-generated columns (Delta's rule). BOTH declaration orders must
+    refuse at CREATE — the forward order used to break the first write
+    with a raw UNRESOLVED_COLUMN, the reverse order used to silently
+    'work' with order-dependent chained values."""
+    orders = [
+        # referenced-after (the order that used to break the first write)
+        "a INT, g2 INT GENERATED ALWAYS AS (g1 * 2), "
+        "g1 INT GENERATED ALWAYS AS (a + 1)",
+        # referenced-before (the order that used to silently 'work')
+        "a INT, g1 INT GENERATED ALWAYS AS (a + 1), "
+        "g2 INT GENERATED ALWAYS AS (g1 * 2)",
+    ]
+    for i, cols in enumerate(orders):
+        with pytest.raises(
+            ValueError, match="references another GENERATED"
+        ):
+            snapshot_sql(
+                spark, f"CREATE TABLE '{tmp_path / f'gg{i}'}' ({cols})"
+            )
+    # an IDENTITY column referenced by a generated expression is the
+    # same refusal (identity values are table-assigned, i.e. computed)
+    with pytest.raises(ValueError, match="references another GENERATED"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{tmp_path / 'ggid'}' (a INT, "
+            f"rid BIGINT GENERATED ALWAYS AS IDENTITY, "
+            f"g BIGINT GENERATED ALWAYS AS (rid + 1))",
+        )
+    # plain bad SQL keeps the plain-analysis error shape
+    with pytest.raises(ValueError, match="does not analyze"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{tmp_path / 'ggbad'}' (a INT, "
+            f"g INT GENERATED ALWAYS AS (nosuch + 1))",
+        )
+    # a refused CREATE leaves NO committed table behind (the probe
+    # runs before the v1 empty-schema commit)
+    assert not SnapshotTable(spark, str(tmp_path / "gg0")).current_version()

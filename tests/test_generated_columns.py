@@ -45,11 +45,14 @@ def test_generated_compute_and_enforce(spark, tmp_path):
         t.add_generated_column("y", "year(ts)")
     with pytest.raises(ValueError, match="no such generated"):
         t.drop_generated_column("nope")
-    # late declaration on a non-empty table: violating definition
+    # late declaration on a non-empty table: self-reference refused at
+    # declare (r14 finding #1 — before any scan), violating definition
     # refused, absent column refused; a SATISFIED existing column
     # round-trips through drop + re-add
-    with pytest.raises(ValueError, match="violate"):
+    with pytest.raises(ValueError, match="may reference only non-generated"):
         t.add_generated_column("k", "k + 1")
+    with pytest.raises(ValueError, match="violate"):
+        t.add_generated_column("k", "CAST(-1 AS BIGINT)")
     with pytest.raises(ValueError, match="without the column"):
         t.add_generated_column("brand_new", "k * 2")
     t.drop_generated_column("y")
@@ -165,3 +168,43 @@ def test_generated_sql_surface(spark, tmp_path):
     }
     t2.append(_events(spark, 20, 1, 3))  # still computed post-restore
     assert {r["y"] for r in t2.read().collect()} == {2021}
+
+
+def test_generated_cross_reference_guards(spark, tmp_path):
+    """r14 verdict finding #1, the Python-API layer: declare-time
+    refusal of generated-on-generated in BOTH directions, of
+    self-reference, and of generated-on-identity — before any write
+    can hit the order-dependent fill."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([], "a int, g1 int, g2 int, rid bigint")
+    )
+    t.add_generated_column("g1", "a + 1")
+    # forward: new expression references an existing generated column
+    with pytest.raises(
+        ValueError, match="may reference only non-generated"
+    ):
+        t.add_generated_column("g2", "g1 * 2")
+    # self-reference
+    with pytest.raises(
+        ValueError, match="may reference only non-generated"
+    ):
+        t.add_generated_column("g2", "g2 + 1")
+    # new expression references an identity column
+    t.add_identity_column("rid")
+    with pytest.raises(
+        ValueError, match="may reference only non-generated"
+    ):
+        t.add_generated_column("g2", "rid + 1")
+    # reverse: making a column generated/identity when an EXISTING
+    # generated expression references it
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([], "a int, b int, g int"))
+    t2.add_generated_column("g", "b * 2")
+    with pytest.raises(ValueError, match="drop 'g'"):
+        t2.add_generated_column("b", "a + 1")
+    with pytest.raises(ValueError, match="drop 'g'"):
+        t2.add_identity_column("b")
+    # the referenced plain column still writes and g still computes
+    t2.append(spark.createDataFrame([(1, 5)], "a int, b int"))
+    assert t2.read().select("g").first()["g"] == 10
