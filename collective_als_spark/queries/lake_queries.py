@@ -990,6 +990,17 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.createOrReplaceTempView("lake_sql_dml_src")
     root = tempfile.mkdtemp(prefix="lake_sqldml_")
     try:
+        # r15: the table declares its layout at CREATE — every write
+        # below range-clusters on o_orderkey automatically (and the
+        # CREATE persists the column into the stats config), so the
+        # DML statements prune by band stats without any per-append
+        # placement call
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{root}/tbl' (o_orderkey BIGINT, "
+            f"o_orderstatus STRING, o_orderpriority STRING, "
+            f"cents BIGINT, price DOUBLE) PARTITIONED BY (o_orderkey)",
+        )
         t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["o_orderkey"])
         t.append(rows)
         snapshot_sql(

@@ -28,7 +28,14 @@ Supported statements (case-insensitive keywords):
   UPDATE SET ..``, first-match-wins) via engine ``merge_when``.
 - ``INSERT INTO <tbl> <query>`` — ``append(spark.sql(query))``;
   ``INSERT OVERWRITE <tbl> <query>`` — ``overwrite(...)``;
-  ``CREATE TABLE <tbl> AS <query>`` — first commit on a fresh root.
+  ``CREATE TABLE <tbl> [(col TYPE ..., ...)] [PARTITIONED BY (col |
+  bucket(n, col) | days(col) | months(col) | truncate(col, n))]
+  [AS <query>]`` — first commit on a fresh root; the declared layout
+  places every later append-family write.
+- ``CREATE TABLE '<dst>' SHALLOW|DEEP CLONE '<src>' [VERSION AS OF n
+  | TIMESTAMP AS OF <ts>]`` — ``clone_to`` (shallow: one metadata
+  commit referencing the source snapshot's files; deep: materialized
+  copy), with the RESTORE temporal comparator for the pin.
 - ``VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]`` — ``expire`` with
   time-based retention (default 168 hours, Delta's).
 - ``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b) |
@@ -71,7 +78,8 @@ _VERB_RE = re.compile(
     r"|INSERT\s+OVERWRITE|CREATE\s+OR\s+REPLACE\s+TABLE"
     r"|CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS|CREATE\s+TABLE|VACUUM"
     r"|OPTIMIZE|RESTORE|ALTER\s+TABLE|DESCRIBE\s+HISTORY"
-    r"|DESCRIBE\s+DETAIL|DESCRIBE\s+TABLE|APPLY\s+CHANGES\s+INTO)\s+",
+    r"|DESCRIBE\s+DETAIL|DESCRIBE\s+TABLE|APPLY\s+CHANGES\s+INTO"
+    r"|COMMENT\s+ON\s+TABLE|SHOW\s+TBLPROPERTIES)\s+",
     re.IGNORECASE,
 )
 
@@ -308,6 +316,8 @@ def snapshot_sql(spark, statement: str, **table_kwargs):
         return _alter(spark, rest, table_kwargs)
     if verb == "APPLY CHANGES INTO":
         return _apply_changes_stmt(spark, rest, table_kwargs)
+    if verb == "COMMENT ON TABLE":
+        return _comment_on_table(spark, rest, table_kwargs)
     root, _a, tail = _parse_table_ref(rest, allow_alias=False)
     if tail.strip():
         raise ValueError(f"snapshot_sql: trailing text {tail.strip()!r}")
@@ -316,6 +326,8 @@ def snapshot_sql(spark, statement: str, **table_kwargs):
         return t.history()
     if verb == "DESCRIBE TABLE":
         return t.describe_table()
+    if verb == "SHOW TBLPROPERTIES":
+        return t.show_tblproperties()
     return t.detail()
 
 
@@ -1205,10 +1217,121 @@ def _restore(spark, rest: str, kw) -> int:
     )
 
 
+def _comment_on_table(spark, rest: str, kw) -> int:
+    """``COMMENT ON TABLE '<root>' IS '<text>'`` — the table comment
+    is the ``comment`` property (``IS NULL`` clears, Delta's form)."""
+    root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
+    t = SnapshotTable(spark, root, **kw)
+    s = tail.strip()
+    m = re.match(
+        r"^IS\s+(?:'((?:[^']|'')*)'|(NULL))\s*$", s, re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        raise ValueError(
+            f"snapshot_sql: COMMENT ON TABLE needs IS '<text>' or IS "
+            f"NULL, got {s[:60]!r}"
+        )
+    text = None if m.group(2) else m.group(1).replace("''", "'")
+    return t.set_table_comment(text)
+
+
+_TBLPROP_KEY_RE = re.compile(
+    r"^(?:'((?:[^']|'')*)'|([A-Za-z_][A-Za-z0-9_.]*))$"
+)
+
+
+def _parse_tblproperties(body: str) -> dict[str, str]:
+    """``TBLPROPERTIES`` entry list -> {key: value}. Keys are quoted
+    strings or dotted identifiers; values are quoted strings or bare
+    numbers/words (stored as strings, Delta's model)."""
+    props: dict[str, str] = {}
+    for item in _split_top_commas(body):
+        item = item.strip()
+        # '=' is not a word — find the first top-level '=' manually
+        pos = -1
+        depth = 0
+        i = 0
+        while i < len(item):
+            c = item[i]
+            if c == "'":
+                i += 1
+                while i < len(item):
+                    if item[i] == "'":
+                        if i + 1 < len(item) and item[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "=" and depth == 0:
+                pos = i
+                break
+            i += 1
+        if pos < 0:
+            raise ValueError(
+                f"snapshot_sql: malformed TBLPROPERTIES entry {item!r} — "
+                f"expected key = value"
+            )
+        rawk, rawv = item[:pos].strip(), item[pos + 1 :].strip()
+        km = _TBLPROP_KEY_RE.match(rawk)
+        if not km:
+            raise ValueError(
+                f"snapshot_sql: bad TBLPROPERTIES key {rawk!r}"
+            )
+        key = (
+            km.group(1).replace("''", "'")
+            if km.group(1) is not None
+            else km.group(2)
+        )
+        vm = re.fullmatch(r"'((?:[^']|'')*)'", rawv, re.DOTALL)
+        if vm:
+            val = vm.group(1).replace("''", "'")
+        elif re.fullmatch(r"[A-Za-z0-9_.+-]+", rawv):
+            val = rawv
+        else:
+            raise ValueError(
+                f"snapshot_sql: bad TBLPROPERTIES value {rawv!r} for "
+                f"key {key!r}"
+            )
+        if key in props:
+            raise ValueError(f"snapshot_sql: duplicate property {key!r}")
+        props[key] = val
+    if not props:
+        raise ValueError("snapshot_sql: TBLPROPERTIES list is empty")
+    return props
+
+
 def _alter(spark, rest: str, kw) -> int:
     root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
     t = SnapshotTable(spark, root, **kw)
     s = tail.strip()
+    m = re.match(
+        r"^SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", s, re.IGNORECASE | re.DOTALL
+    )
+    if m:
+        return t.set_table_properties(_parse_tblproperties(m.group(1)))
+    m = re.match(
+        r"^UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\((.*)\)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        keys = []
+        for item in _split_top_commas(m.group(1)):
+            km = _TBLPROP_KEY_RE.match(item.strip())
+            if not km:
+                raise ValueError(
+                    f"snapshot_sql: bad TBLPROPERTIES key {item.strip()!r}"
+                )
+            keys.append(
+                km.group(1).replace("''", "'")
+                if km.group(1) is not None
+                else km.group(2)
+            )
+        return t.set_table_properties({k: None for k in keys})
     m = re.match(
         r"^RENAME\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+TO\s+"
         r"`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$",
@@ -1661,7 +1784,147 @@ def _insert(spark, rest: str, kw, overwrite: bool = False) -> int:
             )
         df = df.toDF(*cols)
     t = SnapshotTable(spark, root, **kw)
+    if cols is None and not overwrite:
+        # INSERT INTO with no column list and NO query column naming
+        # the table — a fully positional source (``VALUES (..)``
+        # surfaces col1/col2/...): map positionally onto the table
+        # columns (ANSI / Delta rule). Without this, VALUES silently
+        # schema-evolved colN columns and NULL-padded the real ones —
+        # a wrong answer, not a write. INSERT OVERWRITE keeps its
+        # documented reshape semantics (the query DEFINES the shape).
+        cur = t.current_version()
+        logical = (
+            [l for l, _p in t._logical_fields(t._base_manifest(cur))]
+            if cur
+            else []
+        )
+        if logical and not (set(df.columns) & set(logical)):
+            computed = set(t._table_generated()) | set(t._table_identity())
+            writable = [c for c in logical if c not in computed]
+            if len(df.columns) == len(logical):
+                df = df.toDF(*logical)
+            elif len(df.columns) == len(writable):
+                df = df.toDF(*writable)
+            else:
+                raise ValueError(
+                    f"snapshot_sql: INSERT query produces "
+                    f"{len(df.columns)} columns but the table has "
+                    f"{len(logical)} ({len(writable)} writable) — list "
+                    f"the target columns explicitly: INSERT INTO "
+                    f"'<root>' (col, ...) <query>"
+                )
     return t.overwrite(df) if overwrite else t.append(df)
+
+
+_PARTITION_ENTRY_RE = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_]*)\s*(?:\((.*)\))?$", re.DOTALL
+)
+
+
+def _parse_partitioned_by(body: str) -> list[dict]:
+    """``PARTITIONED BY`` entry list -> layout specs for
+    ``SnapshotTable.set_table_layout``. Entries: a bare column
+    (identity — range-clustered), ``bucket(n, col)``,
+    ``days(col)``/``months(col)`` (``day``/``month`` accepted), or
+    ``truncate(col, n)`` (Iceberg also writes ``truncate(n, col)`` —
+    both orders accepted, the integer is the width)."""
+    specs: list[dict] = []
+    for item in _split_top_commas(body):
+        item = item.strip()
+        m = _PARTITION_ENTRY_RE.match(item)
+        if not m:
+            raise ValueError(
+                f"snapshot_sql: malformed PARTITIONED BY entry {item!r} — "
+                f"expected col | bucket(n, col) | days(col) | "
+                f"months(col) | truncate(col, n)"
+            )
+        word, args = m.group(1), m.group(2)
+        if args is None:
+            specs.append({"transform": "identity", "key": word, "param": None})
+            continue
+        fn = word.lower()
+        fn = {"days": "day", "months": "month"}.get(fn, fn)
+        parts = [a.strip() for a in _split_top_commas(args)]
+        if fn in ("day", "month"):
+            if len(parts) != 1 or not parts[0].isidentifier():
+                raise ValueError(
+                    f"snapshot_sql: {word} takes exactly one column "
+                    f"({item!r})"
+                )
+            specs.append({"transform": fn, "key": parts[0], "param": None})
+        elif fn in ("bucket", "truncate"):
+            if len(parts) != 2:
+                raise ValueError(
+                    f"snapshot_sql: {word} takes (n, col) or (col, n) "
+                    f"({item!r})"
+                )
+            ints = [p for p in parts if re.fullmatch(r"\d+", p)]
+            cols = [p for p in parts if p.isidentifier() and not p.isdigit()]
+            if len(ints) != 1 or len(cols) != 1:
+                raise ValueError(
+                    f"snapshot_sql: {word} needs one integer and one "
+                    f"column ({item!r})"
+                )
+            specs.append(
+                {"transform": fn, "key": cols[0], "param": int(ints[0])}
+            )
+        else:
+            raise ValueError(
+                f"snapshot_sql: unknown PARTITIONED BY transform "
+                f"{word!r} — expected bucket | days | months | truncate"
+            )
+    if not specs:
+        raise ValueError("snapshot_sql: PARTITIONED BY list is empty")
+    return specs
+
+
+def _strip_partitioned_by(text: str) -> tuple[list[dict] | None, str]:
+    """If ``text`` starts with ``PARTITIONED BY (...)``, parse it and
+    return (specs, remainder); else (None, text)."""
+    m = re.match(r"^PARTITIONED\s+BY\s*\(", text, re.IGNORECASE)
+    if not m:
+        return None, text
+    open_p = text.index("(", m.end() - 1)
+    close_p = open_p + _matching_paren(text[open_p:])
+    if close_p <= open_p:
+        raise ValueError("snapshot_sql: unterminated PARTITIONED BY list")
+    specs = _parse_partitioned_by(text[open_p + 1 : close_p])
+    return specs, text[close_p + 1 :].strip()
+
+
+def _strip_create_clauses(
+    text: str,
+) -> tuple[list[dict] | None, dict | None, str | None, str]:
+    """Strip the CREATE TABLE suffix clauses — ``PARTITIONED BY
+    (...)``, ``TBLPROPERTIES (...)``, ``COMMENT '<text>'`` — in ANY
+    order (Spark accepts them reordered) and return (layout, props,
+    comment, remainder). ``AS <query>`` is left in the remainder."""
+    layout = props = comment = None
+    while True:
+        if layout is None:
+            layout, text2 = _strip_partitioned_by(text)
+            if layout is not None:
+                text = text2
+                continue
+        m = re.match(r"^TBLPROPERTIES\s*\(", text, re.IGNORECASE)
+        if m and props is None:
+            open_p = text.index("(", m.end() - 1)
+            close_p = open_p + _matching_paren(text[open_p:])
+            if close_p <= open_p:
+                raise ValueError(
+                    "snapshot_sql: unterminated TBLPROPERTIES list"
+                )
+            props = _parse_tblproperties(text[open_p + 1 : close_p])
+            text = text[close_p + 1 :].strip()
+            continue
+        m = re.match(
+            r"^COMMENT\s+'((?:[^']|'')*)'", text, re.IGNORECASE | re.DOTALL
+        )
+        if m and comment is None:
+            comment = m.group(1).replace("''", "'")
+            text = text[m.end():].strip()
+            continue
+        return layout, props, comment, text
 
 
 def _create(
@@ -1697,6 +1960,56 @@ def _create(
             f"CREATE OR REPLACE TABLE, or CREATE TABLE IF NOT EXISTS"
         )
     replacing = exists and replace
+    cm = re.match(r"^(SHALLOW|DEEP)\s+CLONE\s+", tail, re.IGNORECASE)
+    if cm:
+        # ``CREATE TABLE '<dst>' SHALLOW|DEEP CLONE '<src>'
+        # [VERSION AS OF n | TIMESTAMP AS OF <ts>]`` (r14 verdict
+        # missing #2) — Delta's SQL clone surface, routed to
+        # ``clone_to``. The source handle is config-less (it inherits
+        # the source table's persisted stats/bloom config, which the
+        # clone carries over); the temporal pin resolves through the
+        # same newest-commit-at-or-before rule as RESTORE / reads.
+        if replacing:
+            raise NotImplementedError(
+                "snapshot_sql: CREATE OR REPLACE ... CLONE is not "
+                "supported — clone to a fresh root (the clone commit "
+                "must be the target's v1 so its expire/GC can never "
+                "touch pre-clone files)"
+            )
+        deep = cm.group(1).upper() == "DEEP"
+        src_root, _a, ctail = _parse_table_ref(
+            tail[cm.end():], allow_alias=False
+        )
+        ctail = ctail.strip()
+        src = SnapshotTable(spark, src_root)
+        version = None
+        if ctail:
+            vm = re.match(
+                r"^VERSION\s+AS\s+OF\s+(\d+)\s*$", ctail, re.IGNORECASE
+            )
+            tm = re.match(
+                r"^TIMESTAMP\s+AS\s+OF\s+(?:'((?:[^']|'')*)'"
+                r"|(\d+(?:\.\d+)?))\s*$",
+                ctail,
+                re.IGNORECASE,
+            )
+            if vm:
+                version = int(vm.group(1))
+            elif tm:
+                ts = (
+                    _parse_ts_literal(tm.group(1).replace("''", "'"))
+                    if tm.group(1) is not None
+                    else float(tm.group(2))
+                )
+                version = src.version_at(ts)
+            else:
+                raise ValueError(
+                    f"snapshot_sql: CLONE takes an optional 'VERSION AS "
+                    f"OF <n>' or 'TIMESTAMP AS OF <ts>' pin, got "
+                    f"{ctail[:60]!r}"
+                )
+        dest = src.clone_to(root, version=version, deep=deep)
+        return dest.current_version()
     if tail.startswith("("):
         close = _matching_paren(tail)
         if close < 0:
@@ -1704,6 +2017,7 @@ def _create(
                 "snapshot_sql: unterminated CREATE TABLE column list"
             )
         after = tail[close + 1 :].strip()
+        layout, props, tcomment, after = _strip_create_clauses(after)
         query = None
         if after:
             m = re.match(r"^AS\s+", after, re.IGNORECASE)
@@ -1714,8 +2028,10 @@ def _create(
                 )
             query = after[m.end() :]
         return _create_with_columns(
-            spark, t, tail[1:close], query, replacing=replacing
+            spark, t, tail[1:close], query, replacing=replacing,
+            layout=layout, props=props, tcomment=tcomment,
         )
+    layout, props, tcomment, tail = _strip_create_clauses(tail)
     m = re.match(r"^AS\s+", tail, re.IGNORECASE)
     if not m:
         raise ValueError(
@@ -1723,9 +2039,27 @@ def _create(
             "(col TYPE ..., ...) column list"
         )
     df = spark.sql(tail[m.end() :])
-    if replacing:
-        return t.overwrite(df, _reset_properties=True)
-    return t.append(df)
+    if layout:
+        # mirror the column-list flow: commit the empty schema first,
+        # declare the layout (validating keys against the schema),
+        # then append the query rows PLACED by the declared layout
+        empty = spark.createDataFrame([], df.schema)
+        (
+            t.overwrite(empty, _reset_properties=True)
+            if replacing
+            else t.append(empty)
+        )
+        t.set_table_layout(layout)
+        v = t.append(df)
+    elif replacing:
+        v = t.overwrite(df, _reset_properties=True)
+    else:
+        v = t.append(df)
+    if tcomment is not None:
+        props = {**(props or {}), "comment": tcomment}
+    if props:
+        v = t.set_table_properties(props)
+    return v
 
 
 _COL_DEF_RE = re.compile(
@@ -1747,6 +2081,9 @@ def _create_with_columns(
     col_list: str,
     query: str | None,
     replacing: bool = False,
+    layout: list[dict] | None = None,
+    props: dict | None = None,
+    tcomment: str | None = None,
 ) -> int:
     """Column-list CREATE TABLE: commit the declared schema as an
     empty v1, apply column properties via the add_* verbs, then append
@@ -1955,6 +2292,15 @@ def _create_with_columns(
         v = t.set_column_default(name, expr)
     for name, text in comments:
         v = t.set_column_comment(name, text)
+    if layout:
+        # declared AFTER governance (set_table_layout validates
+        # transform keys against generated/identity definitions) and
+        # BEFORE the AS-query rows, which it places
+        v = t.set_table_layout(layout)
+    if tcomment is not None:
+        props = {**(props or {}), "comment": tcomment}
+    if props:
+        v = t.set_table_properties(props)
     if query is not None:
         v = t.append(spark.sql(query))
     return v
