@@ -158,7 +158,14 @@ _PRIORITY: list[str] = [
     # (conditional matched UPDATE vs DELETE, column-level INSERT, both
     # NOT MATCHED BY SOURCE forms — the round-12 extra-candidate
     # replan + survivor-transform machinery) under the driver hash
-    "item_item_cosine", "lake_merge_matrix",
+    # r15 swap (r14 verdict #3): item_item_cosine demoted (the
+    # similarity family keeps ann_topk_cosine + ann_filtered_topk +
+    # embedding_neardup_pairs in-cap; item-item stays
+    # pytest-oracle-checked below the cap) for lake_identity_columns —
+    # the claim-CAS identity counter + per-partition assignment +
+    # r14's MERGE target-id carry, the hardest write-time column
+    # machinery, under the driver hash
+    "lake_identity_columns", "lake_merge_matrix",
     # r12 swap (r11 verdict #3): grouping_sets_agg demoted (the
     # rollup/grouping-sets family keeps its pytest oracle below the
     # cap and rollup_agg as the family twin) for lake_type_widening —
@@ -186,6 +193,10 @@ _PRIORITY: list[str] = [
     # pytest-oracle-checked below the cap)
     "lake_incremental_view",
     # ---------------- below the driver cap line (50) ----------------
+    # r15 demotion (stays pytest-oracle-checked; the similarity family
+    # keeps ann_topk_cosine/ann_filtered_topk/embedding_neardup_pairs
+    # in-cap)
+    "item_item_cosine",
     # r14 demotion (stays pytest-oracle-checked; text-quality keeps
     # text_quality_metrics in-cap, repetition keeps below-cap twins)
     "gopher_quality_signals",

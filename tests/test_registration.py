@@ -129,7 +129,13 @@ def test_registry_priority_ordering():
     # below) for lake_merge_on_predicates — the arbitrary MERGE ON
     # surface (rename-projected keys + row-granular residual) under
     # the driver hash (r13 verdict #4).
-    for promoted in ["item_item_cosine",
+    # r15 swapped item_item_cosine (still pytest-oracle-checked below
+    # the cap; the similarity family keeps ann_topk_cosine +
+    # ann_filtered_topk + embedding_neardup_pairs in-cap) for
+    # lake_identity_columns — the claim-CAS identity counter +
+    # per-partition assignment + MERGE target-id carry under the
+    # driver hash (r14 verdict #3).
+    for promoted in ["lake_identity_columns",
                      "lake_merge_matrix",
                      "lake_merge_on_predicates",
                      "dq_expectations_suite",
