@@ -1104,3 +1104,195 @@ def test_sql_describe_table(spark, tmp_path):
     snapshot_sql(spark, f"ALTER TABLE '{root}' RENAME COLUMN k TO kk")
     rows = snapshot_sql(spark, f"DESCRIBE TABLE '{root}'").collect()
     assert rows[0]["col_name"] == "kk"
+
+
+def test_sql_insert_values_maps_positionally(spark, tmp_path):
+    """``INSERT INTO t VALUES (..)`` with no column list: the VALUES
+    columns surface as col1/col2/... — when NO query column names the
+    table, the mapping is POSITIONAL (ANSI / Delta). Previously this
+    silently schema-evolved colN columns and NULL-padded the real
+    ones — a wrong answer, not a write."""
+    root = str(tmp_path / "t")
+    snapshot_sql(spark, f"CREATE TABLE '{root}' (k BIGINT, v BIGINT)")
+    snapshot_sql(spark, f"INSERT INTO '{root}' VALUES (1000, 1), (2000, 2)")
+    t = SnapshotTable(spark, root)
+    assert t.read().columns == ["k", "v"]
+    assert sorted(tuple(r) for r in t.read().collect()) == [
+        (1000, 1), (2000, 2),
+    ]
+    # computed columns don't count toward the positional arity: a
+    # 1-wide VALUES fits the 1 writable column (rid is identity)
+    root2 = str(tmp_path / "t2")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root2}' (k BIGINT, "
+        f"rid BIGINT GENERATED ALWAYS AS IDENTITY)",
+    )
+    snapshot_sql(spark, f"INSERT INTO '{root2}' VALUES (7)")
+    t2 = SnapshotTable(spark, root2)
+    assert {tuple(r) for r in t2.read().collect()} == {(7, 1)}
+    # arity that fits neither all columns nor the writable ones is a
+    # guided refusal, never a silent evolution
+    with pytest.raises(ValueError, match="list the target columns"):
+        snapshot_sql(spark, f"INSERT INTO '{root}' VALUES (1, 2, 3)")
+    # named queries keep the name-matching path (any order)
+    snapshot_sql(
+        spark, f"INSERT INTO '{root}' SELECT 9 AS v, 3000 AS k"
+    )
+    assert (3000, 9) in {tuple(r) for r in t.read().collect()}
+
+
+def test_sql_shallow_clone(spark, tmp_path):
+    """``CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF v |
+    TIMESTAMP AS OF ts]`` (r14 verdict missing #2): one metadata
+    commit referencing the source files; version pin via the RESTORE
+    temporal comparator; full clone independence (writes to the clone
+    never touch the source)."""
+    src_root = str(tmp_path / "src")
+    t = SnapshotTable(spark, src_root, stats_columns=["k"])
+    t.append(spark.range(0, 10).select(F.col("id").alias("k"),
+                                       (F.col("id") * 2).alias("v")))
+    v1_files = set(t._manifest(1)["files"])
+    t.append(spark.range(10, 20).select(F.col("id").alias("k"),
+                                        (F.col("id") * 2).alias("v")))
+    # pinned shallow clone of v1
+    dst1 = str(tmp_path / "dst1")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{dst1}' SHALLOW CLONE '{src_root}' "
+        f"VERSION AS OF 1",
+    )
+    c1 = SnapshotTable(spark, dst1)
+    assert c1.read().count() == 10
+    # shallow: the clone's v1 REFERENCES the source's files by path
+    assert set(c1._manifest(1)["files"]) == v1_files
+    # head clone (no pin) sees all 20 rows
+    dst2 = str(tmp_path / "dst2")
+    snapshot_sql(spark, f"CREATE TABLE '{dst2}' SHALLOW CLONE '{src_root}'")
+    c2 = SnapshotTable(spark, dst2)
+    assert c2.read().count() == 20
+    # independence: clone writes stage under the clone's root and the
+    # source never changes
+    src_head = t.current_version()
+    c2.append(spark.range(100, 103).select(F.col("id").alias("k"),
+                                           (F.col("id") * 2).alias("v")))
+    assert t.current_version() == src_head
+    assert t.read().count() == 20
+    assert c2.read().count() == 23
+    new_files = set(c2._manifest(2)["files"]) - set(c2._manifest(1)["files"])
+    assert all(f.startswith(dst2) for f in new_files)
+    # TIMESTAMP AS OF resolves via newest-commit-at-or-before
+    ts1 = t._raw_manifest(1)["committed_at"]
+    dst3 = str(tmp_path / "dst3")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{dst3}' SHALLOW CLONE '{src_root}' "
+        f"TIMESTAMP AS OF {ts1}",
+    )
+    assert SnapshotTable(spark, dst3).read().count() == 10
+    # DEEP clone materializes its own files
+    dst4 = str(tmp_path / "dst4")
+    snapshot_sql(spark, f"CREATE TABLE '{dst4}' DEEP CLONE '{src_root}'")
+    c4 = SnapshotTable(spark, dst4)
+    assert c4.read().count() == 20
+    assert all(f.startswith(dst4) for f in c4._manifest(1)["files"])
+    # error shapes: non-empty target, OR REPLACE, trailing junk
+    with pytest.raises(ValueError, match="already holds"):
+        snapshot_sql(
+            spark, f"CREATE TABLE '{dst1}' SHALLOW CLONE '{src_root}'"
+        )
+    with pytest.raises(NotImplementedError, match="fresh root"):
+        snapshot_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE '{dst1}' SHALLOW CLONE "
+            f"'{src_root}'",
+        )
+    with pytest.raises(ValueError, match="CLONE takes"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{tmp_path / 'dst5'}' SHALLOW CLONE "
+            f"'{src_root}' AS OF 3",
+        )
+
+
+def test_sql_table_properties_and_comment(spark, tmp_path):
+    """Table-level properties surface (r14 verdict missing #4):
+    COMMENT ON TABLE, SET/UNSET TBLPROPERTIES, SHOW TBLPROPERTIES
+    (user props + the manifest's engine config under engine.*), the
+    CREATE-suffix TBLPROPERTIES/COMMENT clauses, DESCRIBE DETAIL
+    parity, and the governance lifecycle (carry, RESTORE survival,
+    OR REPLACE clear)."""
+    root = str(tmp_path / "t")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root}' (k BIGINT, v BIGINT) "
+        f"PARTITIONED BY (k) "
+        f"TBLPROPERTIES ('team' = 'data-eng', quality.tier = 'gold') "
+        f"COMMENT 'it''s the orders table'",
+        stats_columns=["k"],
+    )
+    t = SnapshotTable(spark, root)
+    props = {r["key"]: r["value"]
+             for r in snapshot_sql(spark, f"SHOW TBLPROPERTIES '{root}'")
+             .collect()}
+    assert props["team"] == "data-eng"
+    assert props["quality.tier"] == "gold"
+    assert props["comment"] == "it's the orders table"
+    assert props["engine.stats_columns"] == "k"
+    assert props["engine.partitioned_by"] == "k"
+    # DESCRIBE DETAIL parity
+    d = t.detail().first()
+    assert d["table_comment"] == "it's the orders table"
+    assert d["partitioned_by"] == "k"
+    # SET merges, UNSET deletes, COMMENT ON TABLE updates/clears
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE '{root}' SET TBLPROPERTIES "
+        f"(team = 'ml', 'retention.days' = 30)",
+    )
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE '{root}' UNSET TBLPROPERTIES ('quality.tier')",
+    )
+    snapshot_sql(spark, f"COMMENT ON TABLE '{root}' IS 'new comment'")
+    props = {r["key"]: r["value"] for r in t.show_tblproperties().collect()}
+    assert props["team"] == "ml"
+    assert props["retention.days"] == "30"
+    assert "quality.tier" not in props
+    assert props["comment"] == "new comment"
+    # properties CARRY across data commits and survive RESTORE
+    t.append(spark.createDataFrame([(1, 2)], "k long, v long"))
+    t.restore(t.current_version() - 1)
+    props = {r["key"]: r["value"] for r in t.show_tblproperties().collect()}
+    assert props["team"] == "ml" and props["comment"] == "new comment"
+    # IS NULL clears the comment
+    snapshot_sql(spark, f"COMMENT ON TABLE '{root}' IS NULL")
+    props = {r["key"]: r["value"] for r in t.show_tblproperties().collect()}
+    assert "comment" not in props
+    assert t.detail().first()["table_comment"] is None
+    # OR REPLACE clears properties with the rest of the governance
+    snapshot_sql(
+        spark, f"CREATE OR REPLACE TABLE '{root}' AS SELECT 1 AS a"
+    )
+    props = {r["key"]: r["value"]
+             for r in SnapshotTable(spark, root)
+             .show_tblproperties().collect()}
+    assert "team" not in props
+    # plain-CTAS suffix clauses work too (any order)
+    root2 = str(tmp_path / "t2")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root2}' COMMENT 'ctas table' "
+        f"TBLPROPERTIES (x = '1') AS SELECT 1 AS a",
+    )
+    props = {r["key"]: r["value"]
+             for r in SnapshotTable(spark, root2)
+             .show_tblproperties().collect()}
+    assert props == {"comment": "ctas table", "x": "1"}
+    # error shapes
+    with pytest.raises(ValueError, match="key = value"):
+        snapshot_sql(
+            spark, f"ALTER TABLE '{root2}' SET TBLPROPERTIES (oops)"
+        )
+    with pytest.raises(ValueError, match="COMMENT ON TABLE needs"):
+        snapshot_sql(spark, f"COMMENT ON TABLE '{root2}' IS 42")
