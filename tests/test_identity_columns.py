@@ -7,8 +7,9 @@ claimed range; the counter survives RESTORE and never rewinds.
 Reference parity: Delta Lake identity columns. MERGE is supported
 since r14 (current Delta behavior — the originally-shipped "MERGE is
 not supported with identity columns" restriction is lifted): matched
-rows carry target ids, inserts assign fresh ids; merge_mor /
-apply_changes stay guided refusals (role-split stage frames)."""
+rows carry target ids, inserts assign fresh ids. merge_mor and
+apply_changes (SCD TYPE 1) carry the same way since r15; SCD TYPE 2
+keeps a guided refusal (history rows re-key by (key, __START_AT))."""
 
 import pyspark.sql.functions as F
 import pytest
@@ -61,14 +62,21 @@ def test_identity_refusals(spark, tmp_path):
     # SET on identity refused
     with pytest.raises(ValueError, match="IDENTITY"):
         t.update_where("k = 1", set={"rid": "99"})
-    # role-split CDC paths stay refused with guidance (their stage
-    # frames don't model target-id carry); merge/merge_when WORK
-    # since r14 — see test_identity_merge_carries_and_assigns
+    # merge_mor / apply_changes (SCD TYPE 1) WORK since r15 — see
+    # test_identity_merge_mor / test_identity_apply_changes; explicit
+    # ids stay refused there, and SCD TYPE 2 keeps its guided refusal
     src = _batch(spark, 1, 2)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.merge_mor(src.withColumn("rid", F.lit(99)), "k")
     with pytest.raises(NotImplementedError, match="IDENTITY"):
-        t.merge_mor(src, "k")
-    with pytest.raises(NotImplementedError, match="IDENTITY"):
-        t.apply_changes(src.withColumn("_op", F.lit("U")), "k")
+        t.apply_changes(
+            src.withColumn("_op", F.lit("U")).withColumn(
+                "_seq", F.lit(1)
+            ),
+            "k",
+            seq_col="_seq",
+            scd_type=2,
+        )
     # explicit identity values stay refused in merge_when: a source
     # carrying the column, or SET / INSERT lists naming it
     with pytest.raises(ValueError, match="IDENTITY"):
@@ -404,3 +412,120 @@ def test_identity_unique_under_random_op_sequence(spark, tmp_path):
         assert all(i < state["next"] for i in live_ids), (step, op)
         ever_issued |= set(live_ids)
         assert max(ever_issued) < state["next"], (step, op)
+
+
+def test_identity_merge_mor(spark, tmp_path):
+    """r14 verdict missing #3, the MOR half: mask-and-append upserts
+    on an identity table — appended rows replacing masked targets
+    CARRY the masked rows' ids, fresh keys assign from the counter
+    (advancing by exactly the fresh count), and the DV path is really
+    taken (no candidate file rewritten)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.add_identity_column("rid")
+    t.append(_batch(spark, 0, 6))  # rids consume [1, 6], next = 7
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    files_before = set(t._manifest(t.current_version())["files"])
+    v = t.merge_mor(_batch(spark, 4, 4), "k")  # 4,5 matched; 6,7 fresh
+    m = t._manifest(v)
+    # DV path: the candidate file was masked, not rewritten
+    assert files_before <= set(m["files"])
+    assert m.get("dvs")
+    after = {r["k"]: r["rid"] for r in t.read().collect()}
+    for k in (0, 1, 2, 3):  # untouched rows keep their ids
+        assert after[k] == before[k], k
+    for k in (4, 5):  # replaced rows CARRY the masked rows' ids
+        assert after[k] == before[k], k
+    assert sorted(after[k] for k in (6, 7)) == [7, 8]  # fresh
+    assert t._table_identity()["rid"]["next"] == 9
+    # second micro-batch continues the counter; all-matched batch
+    # advances nothing
+    t.merge_mor(_batch(spark, 4, 2), "k")
+    assert t._table_identity()["rid"]["next"] == 9
+    after2 = {r["k"]: r["rid"] for r in t.read().collect()}
+    for k in (4, 5):
+        assert after2[k] == before[k], k
+    # ids stay unique across the whole lifecycle
+    rids = [r["rid"] for r in t.read().collect()]
+    assert len(rids) == len(set(rids)) == 8
+
+
+def test_identity_apply_changes(spark, tmp_path):
+    """r14 verdict missing #3, the APPLY CHANGES half (SCD TYPE 1,
+    both MOR and COW routes): upserted existing keys carry their ids,
+    new keys assign fresh, deletes retire ids without reuse, and the
+    counter advances by exactly the fresh-insert count."""
+    for mor in (True, False):
+        t = SnapshotTable(
+            spark, str(tmp_path / f"t_{mor}"), stats_columns=["k"]
+        )
+        t.add_identity_column("rid")
+        t.append(_batch(spark, 0, 5))  # rids [1, 5], next = 6
+        before = {r["k"]: r["rid"] for r in t.read().collect()}
+        changes = spark.createDataFrame(
+            [
+                (1, 999.0, "U", 10),   # update existing key
+                (4, None, "D", 10),    # delete existing key
+                (7, 14.0, "U", 10),    # fresh insert
+                (8, 16.0, "D", 10),    # delete absent key: no-op
+            ],
+            "k long, v double, _op string, _seq long",
+        )
+        t.apply_changes(changes, "k", seq_col="_seq", mor=mor)
+        after = {r["k"]: r["rid"] for r in t.read().collect()}
+        assert 4 not in after and 8 not in after
+        assert after[1] == before[1]  # upserted key carried its id
+        for k in (0, 2, 3):
+            assert after[k] == before[k], k
+        assert after[7] == 6  # fresh id, not a reuse of key 4's
+        assert t._table_identity()["rid"]["next"] == 7
+        vals = {r["k"]: r["v"] for r in t.read().collect()}
+        assert vals[1] == 999.0
+        # a later batch re-inserting the deleted key gets a FRESH id
+        # (the counter never re-issues retired values)
+        t.apply_changes(
+            spark.createDataFrame(
+                [(4, 8.0, "U", 20)], "k long, v double, _op string, _seq long"
+            ),
+            "k",
+            seq_col="_seq",
+            mor=mor,
+        )
+        after2 = {r["k"]: r["rid"] for r in t.read().collect()}
+        assert after2[4] == 7 and after2[4] != before[4]
+        assert t._table_identity()["rid"]["next"] == 8
+        # CDC sources carrying the identity column are refused with
+        # guidance (project it out)
+        with pytest.raises(ValueError, match="IDENTITY"):
+            t.apply_changes(
+                spark.createDataFrame(
+                    [(9, 1.0, 99, "U", 30)],
+                    "k long, v double, rid long, _op string, _seq long",
+                ),
+                "k",
+                seq_col="_seq",
+                mor=mor,
+            )
+
+
+def test_identity_mor_cow_fallback_carries(spark, tmp_path):
+    """The measured MOR->COW fallback hands the plan to merge, which
+    must carry ids the same way: force the fallback with a tiny
+    mor_fallback_max_rows and assert identical carry semantics."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stats_columns=["k"],
+        mor_fallback_max_rows=1,
+    )
+    t.add_identity_column("rid")
+    t.append(_batch(spark, 0, 6))
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    files_before = set(t._manifest(t.current_version())["files"])
+    v = t.merge_mor(_batch(spark, 2, 6), "k")  # 2..5 matched > budget
+    m = t._manifest(v)
+    # fallback really rewrote (no DVs; candidate files replaced)
+    assert not m.get("dvs")
+    assert not (files_before <= set(m["files"]))
+    after = {r["k"]: r["rid"] for r in t.read().collect()}
+    for k in (0, 1, 2, 3, 4, 5):
+        assert after[k] == before[k], k
+    assert sorted(after[k] for k in (6, 7)) == [7, 8]
+    assert t._table_identity()["rid"]["next"] == 9
