@@ -103,6 +103,12 @@ HEADLINE = [
     "lake_identity_columns",
     "lake_table_changes",
     "lake_column_defaults",
+    # round-15: SHALLOW CLONE SQL + clone-side DML/TBLPROPERTIES, and
+    # identity through the CDC write paths (MOR carry + apply_changes),
+    # under cost tracking (the PARTITIONED BY declared-layout cost
+    # rides the extended lake_sql_dml row)
+    "lake_shallow_clone",
+    "lake_identity_cdc",
 ]
 
 

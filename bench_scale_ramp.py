@@ -226,6 +226,8 @@ def measure_lake_protocol(spark) -> dict:
         "merge_when_sec",
         "merge_on_residual_sec",
         "merge_identity_sec",
+        "merge_mor_identity_sec",
+        "shallow_clone_sec",
         "compact_full_sec",
     )
     out: dict = {}
@@ -487,6 +489,35 @@ def measure_lake_protocol(spark) -> dict:
                     round(time.perf_counter() - t0, 3)
                 )
                 bytes_written["merge_identity_sec"] = _commit_bytes(ti, v)
+                # r15 identity through merge-on-read: the same shape
+                # via the DV mask + append. The claim: target-id carry
+                # is ONE pruned candidate scan (map-side-combined
+                # per-key min) and fresh assignment stays batch-
+                # proportional, so the commit tracks merge_mor's
+                # batch-bound curve, not the table.
+                mm = spark.createDataFrame(
+                    [(k, -11.0) for k in keys]
+                    + [(96_000_000 + i, -11.0) for i in range(10)],
+                    "o_orderkey long, o_totalprice double",
+                )
+                t0 = time.perf_counter()
+                v = ti.merge_mor(mm, "o_orderkey")
+                runs["merge_mor_identity_sec"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                bytes_written["merge_mor_identity_sec"] = _commit_bytes(
+                    ti, v
+                )
+                # r15 SHALLOW CLONE: one metadata commit referencing
+                # the source files — the wall must stay FLAT at 10x
+                # (data bytes: zero; the step is excluded from the
+                # bytes table by its 0)
+                t0 = time.perf_counter()
+                ti.clone_to(f"{root}/clone")
+                runs["shallow_clone_sec"].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                bytes_written["shallow_clone_sec"] = 0
                 t0 = time.perf_counter()
                 v = t.compact(target_rows_per_file=target)  # full rewrite
                 runs["compact_full_sec"].append(
@@ -640,9 +671,10 @@ def main() -> None:
             if prev.get("replicas") == REPLICAS and prev.get("src") == SRC_DIR:
                 out["queries"] = prev.get("queries", {})
                 lp = prev.get("lake_protocol")
-                # carry only a CURRENT-shape artifact (r14 added the
-                # identity-merge step — an old one must re-run)
-                if lp and "merge_identity_sec" in lp.get("1x", {}):
+                # carry only a CURRENT-shape artifact (r15 added the
+                # identity-MOR and shallow-clone steps — an old one
+                # must re-run)
+                if lp and "merge_mor_identity_sec" in lp.get("1x", {}):
                     out["lake_protocol"] = lp
                 if prev.get("ann_serve"):
                     out["ann_serve"] = prev["ann_serve"]

@@ -1736,3 +1736,217 @@ def lake_merge_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_shallow_clone",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey AS k FROM orders
+    ), c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n5,
+               CAST(sum(CASE WHEN k % 15 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n15
+        FROM k
+    )
+    SELECT 'clone_v1_n' AS step, n AS value FROM c
+    UNION ALL SELECT 'clone_head_n', n + n3 FROM c
+    UNION ALL SELECT 'clone_after_delete', n + n3 - n5 - n15 FROM c
+    UNION ALL SELECT 'src_untouched', n + n3 FROM c
+    UNION ALL SELECT 'clone_props', CAST(2 AS BIGINT) FROM c
+    """,
+)
+def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF
+    v]`` under the oracle (r14 verdict missing #2, shipped r15): a
+    version-pinned clone sees exactly the pinned snapshot, a head
+    clone sees the head, DML on the clone rewrites under the CLONE's
+    root while the source stays byte-untouched (full clone
+    independence — the defining property), and the clone carries its
+    own TBLPROPERTIES. DuckDB recomputes every count from ``orders``.
+
+    Scale shape: a shallow clone is ONE metadata commit referencing
+    the source snapshot's files by path — cloning a 100 TB table
+    costs a manifest write (the scale-ramp ``shallow_clone_sec`` step
+    measures the flat curve); the clone's later rewrites are ordinary
+    pruned DML under its own root.
+
+    Reference parity: Delta Lake CREATE TABLE ... SHALLOW CLONE
+    (delta.io docs)."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_clone_")
+    try:
+        src = SnapshotTable(spark, f"{root}/src", stats_columns=["k"])
+        src.append(rows)                                        # v1
+        src.append(rows.filter(F.col("k") % 3 == 0))            # v2
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{root}/pinned' SHALLOW CLONE "
+            f"'{src.root}' VERSION AS OF 1",
+        )
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{root}/head' SHALLOW CLONE '{src.root}'",
+        )
+        head = SnapshotTable(spark, f"{root}/head")
+        out = [
+            ("clone_v1_n", SnapshotTable(spark, f"{root}/pinned")
+             .read().count()),
+            ("clone_head_n", head.read().count()),
+        ]
+        src_head_before = src.current_version()
+        snapshot_sql(spark, f"DELETE FROM '{root}/head' WHERE k % 5 = 0")
+        snapshot_sql(
+            spark,
+            f"ALTER TABLE '{root}/head' SET TBLPROPERTIES "
+            f"(owner = 'clone-test', tier = 'scratch')",
+        )
+        out += [
+            ("clone_after_delete", head.read().count()),
+            # clone independence: the source never advanced or changed
+            ("src_untouched", src.read().count()
+             if src.current_version() == src_head_before else -1),
+            ("clone_props", head.show_tblproperties()
+             .filter(~F.col("key").startswith("engine.")).count()),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
+
+
+@register(
+    "lake_identity_cdc",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN o_orderkey % 7 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+               CAST(sum(CASE WHEN o_orderkey % 11 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN o_orderkey % 13 = 0
+                             AND o_orderkey % 7 <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n13
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT 'mor_n' AS step, n AS value FROM c
+    UNION ALL SELECT 'mor_bad_ids', CAST(0 AS BIGINT) FROM c
+    UNION ALL SELECT 'mor_distinct', n FROM c
+    UNION ALL SELECT 'apply_n', n - n13 + n11 FROM c
+    UNION ALL SELECT 'apply_rid_max', 10 + 2 * (n + n2 + n11 - 1) FROM c
+    UNION ALL SELECT 'apply_distinct', n - n13 + n11 FROM c
+    UNION ALL SELECT 'apply_cents_777', n7 FROM c
+    """,
+)
+def lake_identity_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY columns through the r15 CDC write paths under the
+    oracle (r14 verdict missing #3): a full-key ``merge_mor``
+    collapses duplicate keys while CARRYING target ids (no counter
+    advance — every surviving id stays inside the already-claimed
+    arithmetic progression), then an ``apply_changes`` batch updates
+    (carry), deletes (retire, never reuse) and inserts (fresh ids
+    advancing the counter by exactly the insert count). The row→id
+    mapping is partitioning-dependent but the claimed SET is
+    deterministic, so count/max/distinct/membership are exact closed
+    forms DuckDB recomputes from ``orders`` (the even-key half — the
+    steps run seven protocol commits/scans and the machinery is
+    identical at any base size; the scale ramp's
+    ``merge_mor_identity_sec`` step owns the growth curve).
+
+    Scale shape: the carry is ONE pruned candidate scan with a
+    map-side-combined per-key min, broadcast onto the stage join only
+    under the merge nd gate; fresh assignment stays batch-proportional
+    (per-partition row_number + broadcast offsets, no global window).
+
+    Reference parity: Delta Lake identity columns through MERGE and
+    DLT APPLY CHANGES (SCD TYPE 1) targets — current behavior; the
+    originally-documented restrictions are lifted."""
+    from collective_als_spark.sources.layout import SnapshotTable
+    from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+    rows = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 2 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_idcdc_")
+    try:
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{root}/tbl' (k BIGINT, cents BIGINT, "
+            f"rid BIGINT GENERATED ALWAYS AS IDENTITY "
+            f"(START WITH 10 INCREMENT BY 2))",
+        )
+        t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["rid"])
+        t.append(rows)                              # ids [10, 10+2(n-1)]
+        t.append(rows.filter(F.col("k") % 3 == 0))  # continues the range
+        hi_row = t.read().agg(F.max("rid").alias("mx")).first()
+        hi = hi_row["mx"]  # top of the claimed range before the merge
+        # MOR carry: a full-key upsert masks every row (incl. the
+        # duplicate-key pairs) and appends one row per key CARRYING a
+        # masked id — no fresh assignment, counter untouched
+        t.merge_mor(
+            rows.withColumn("cents", F.lit(0).cast("bigint")), "k"
+        )
+        in_claimed = (
+            F.col("rid").between(10, hi) & (F.col("rid") % 2 == 0)
+        )
+        agg2 = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~in_claimed).cast("long")).alias("bad"),
+            F.countDistinct("rid").alias("nd"),
+        ).first()
+        out = [
+            ("mor_n", agg2["n"]),
+            ("mor_bad_ids", agg2["bad"]),
+            ("mor_distinct", agg2["nd"]),
+        ]
+        # apply_changes: matched updates carry, deletes retire, fresh
+        # inserts advance the counter by exactly their count
+        changes = (
+            rows.filter(F.col("k") % 7 == 0)
+            .select("k", F.lit(777).cast("bigint").alias("cents"),
+                    F.lit("U").alias("_op"))
+            .unionByName(
+                rows.filter(
+                    (F.col("k") % 13 == 0) & (F.col("k") % 7 != 0)
+                ).select("k", F.lit(0).cast("bigint").alias("cents"),
+                         F.lit("D").alias("_op"))
+            )
+            .unionByName(
+                rows.filter(F.col("k") % 11 == 0)
+                .select(
+                    (F.col("k") + F.lit(10 ** 12)).alias("k"),
+                    F.lit(1).cast("bigint").alias("cents"),
+                    F.lit("U").alias("_op"),
+                )
+            )
+        )
+        t.apply_changes(changes, "k")
+        agg3 = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("rid").alias("mx"),
+            F.countDistinct("rid").alias("nd"),
+            F.sum((F.col("cents") == 777).cast("long")).alias("c777"),
+        ).first()
+        out += [
+            ("apply_n", agg3["n"]),
+            ("apply_rid_max", agg3["mx"]),
+            ("apply_distinct", agg3["nd"]),
+            ("apply_cents_777", agg3["c777"]),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "step string, value bigint")
