@@ -1201,19 +1201,26 @@ def _restore(spark, rest: str, kw) -> int:
     if m:
         return SnapshotTable(spark, root, **kw).restore(int(m.group(1)))
     m = re.match(
-        r"^TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+(?:\.\d+)?)\s*$",
+        r"^TO\s+TIMESTAMP\s+AS\s+OF\s+(?:(\d+(?:\.\d+)?)"
+        r"|'((?:[^']|'')*)')\s*$",
         tail.strip(),
         re.IGNORECASE,
     )
     if m:
         # Delta's RESTORE TO TIMESTAMP AS OF: resolve through the same
         # newest-commit-at-or-before rule reads use (version_at raises
-        # on future or pre-retention instants)
+        # on future or pre-retention instants); quoted ISO literals go
+        # through the shared UTC comparator, like table_changes/CLONE
         t = SnapshotTable(spark, root, **kw)
-        return t.restore(t.version_at(float(m.group(1))))
+        ts = (
+            float(m.group(1))
+            if m.group(1) is not None
+            else _parse_ts_literal(m.group(2).replace("''", "'"))
+        )
+        return t.restore(t.version_at(ts))
     raise ValueError(
         f"snapshot_sql: RESTORE needs 'TO VERSION AS OF <n>' or "
-        f"'TO TIMESTAMP AS OF <epoch>', got {tail.strip()!r}"
+        f"'TO TIMESTAMP AS OF <epoch | ''iso''>', got {tail.strip()!r}"
     )
 
 
@@ -1486,7 +1493,7 @@ def _alter(spark, rest: str, kw) -> int:
 
 _TT_RE = re.compile(
     r"^\s*(?:(VERSION)\s+AS\s+OF\s+(\d+)"
-    r"|(TIMESTAMP)\s+AS\s+OF\s+(\d+(?:\.\d+)?))",
+    r"|(TIMESTAMP)\s+AS\s+OF\s+(?:(\d+(?:\.\d+)?)|'((?:[^']|'')*)'))",
     re.IGNORECASE,
 )
 
@@ -1565,8 +1572,18 @@ def _select(spark, statement: str):
                 if tt:
                     if tt.group(1):
                         key = (root, int(tt.group(2)), None)
-                    else:
+                    elif tt.group(4) is not None:
                         key = (root, None, float(tt.group(4)))
+                    else:
+                        # quoted ISO/epoch literal, same comparator as
+                        # table_changes/CLONE/RESTORE (UTC calendar)
+                        key = (
+                            root,
+                            None,
+                            _parse_ts_literal(
+                                tt.group(5).replace("''", "'")
+                            ),
+                        )
                     consumed = j + 1 + tt.end()
                 if key not in views:
                     r = spark.read.format("snapshot").option("path", root)

@@ -1296,3 +1296,46 @@ def test_sql_table_properties_and_comment(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="COMMENT ON TABLE needs"):
         snapshot_sql(spark, f"COMMENT ON TABLE '{root2}' IS 42")
+
+
+def test_sql_quoted_timestamp_literals_everywhere(spark, tmp_path):
+    """r15 consistency: SELECT ... TIMESTAMP AS OF and RESTORE ... TO
+    TIMESTAMP AS OF accept quoted epoch/ISO literals through the SAME
+    UTC comparator as table_changes()/CLONE — a user who learned one
+    spelling must not get a parse error from the next statement."""
+    import datetime as _dt
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root, stats_columns=["k"])
+    t.append(spark.range(0, 5).select(F.col("id").alias("k")))   # v1
+    t.append(spark.range(5, 9).select(F.col("id").alias("k")))   # v2
+    ts1 = t._raw_manifest(1)["committed_at"]
+    # quoted numeric epoch
+    rows = snapshot_sql(
+        spark,
+        f"SELECT count(*) AS n FROM '{root}' TIMESTAMP AS OF '{ts1}'",
+    ).first()
+    assert rows["n"] == 5
+    # quoted ISO datetime (UTC)
+    iso = _dt.datetime.fromtimestamp(
+        ts1, _dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    # the ISO second floor may predate the commit's sub-second stamp —
+    # nudge to the next full second, which is still before v2 unless
+    # the two commits landed in the same second (then skip the check)
+    ts_next = _dt.datetime.fromtimestamp(
+        ts1, _dt.timezone.utc
+    ).replace(microsecond=0) + _dt.timedelta(seconds=1)
+    if ts_next.timestamp() < t._raw_manifest(2)["committed_at"]:
+        iso2 = ts_next.strftime("%Y-%m-%d %H:%M:%S")
+        rows = snapshot_sql(
+            spark,
+            f"SELECT count(*) AS n FROM '{root}' "
+            f"TIMESTAMP AS OF '{iso2}'",
+        ).first()
+        assert rows["n"] == 5
+    # RESTORE with a quoted literal resolves the same way
+    snapshot_sql(
+        spark, f"RESTORE '{root}' TO TIMESTAMP AS OF '{ts1}'"
+    )
+    assert t.read().count() == 5
