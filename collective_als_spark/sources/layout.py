@@ -1388,9 +1388,43 @@ class SnapshotTable:
             m["column_mapping"] = mapping
             if prev.get("retired"):
                 m["retired"] = prev["retired"]
+            # governance keyed by LOGICAL column name follows the
+            # rename (r15): a stale key would break the write-time
+            # fill (generated/identity) or silently stop the explicit-
+            # value refusal, the declared layout's placement, and the
+            # DESCRIBE surfaces. Pure dict-key rewrites — no SQL text
+            # changes (text references are refused above).
+            for gk in ("generated", "identity", "defaults", "comments"):
+                gov = prev.get(gk)
+                if gov and old in gov:
+                    m[gk] = {
+                        (new if k == old else k): v for k, v in gov.items()
+                    }
+            layout = prev.get("layout") or []
+            if any(s.get("key") == old for s in layout):
+                m["layout"] = [
+                    {**s, "key": new} if s.get("key") == old else s
+                    for s in layout
+                ]
             return m
 
-        return self._commit(build)
+        # the handle's pruning config follows too — rewritten BEFORE
+        # the commit so the manifest _compose writes carries the new
+        # name (idempotent across CAS retries; restored on failure)
+        old_sc = list(self.stats_columns)
+        old_bc = list(self.bloom_columns)
+        self.stats_columns = [
+            new if c == old else c for c in self.stats_columns
+        ]
+        self.bloom_columns = [
+            new if c == old else c for c in self.bloom_columns
+        ]
+        try:
+            return self._commit(build)
+        except BaseException:
+            self.stats_columns = old_sc
+            self.bloom_columns = old_bc
+            raise
 
     def add_column(self, name: str, dtype: str, default: str | None = None) -> int:
         """Metadata-only column ADD (Delta's ``ALTER TABLE ADD
@@ -1501,6 +1535,15 @@ class SnapshotTable:
             if len(fields) == 1:
                 raise ValueError("drop_column: cannot drop the last column")
             self._guard_checks_reference(prev, name, "drop_column")
+            if any(
+                s.get("key") == name for s in (prev.get("layout") or [])
+            ):
+                raise ValueError(
+                    f"drop_column: {name!r} is a declared PARTITIONED "
+                    f"BY column — clear the layout first "
+                    f"(set_table_layout(None)), Delta likewise refuses "
+                    f"dropping partition columns"
+                )
             phys = by_logical[name]
             schema = dict(prev["schema"])
             schema["fields"] = [
@@ -1524,15 +1567,26 @@ class SnapshotTable:
             )
             m["column_mapping"] = mapping
             m["retired"] = sorted(set(prev.get("retired", [])) | {phys})
+            # the dropped column's OWN keyed governance goes with it
+            # (r15): a stale generated/identity/default entry would
+            # make the next write's fill re-create the dropped column
+            # (and re-adding the name later must start clean)
+            for gk in ("generated", "identity", "defaults", "comments"):
+                gov = prev.get(gk)
+                if gov and name in gov:
+                    m[gk] = {k: v for k, v in gov.items() if k != name}
             return m
 
         return self._commit(build)
 
     @staticmethod
     def _guard_checks_reference(manifest: dict, col: str, verb: str):
-        """Conservative word-boundary guard: a CHECK constraint whose
-        SQL text mentions the column blocks rename/drop (the
-        expression text cannot be rewritten safely)."""
+        """Conservative word-boundary guard: a CHECK constraint or a
+        GENERATED expression whose SQL text mentions the column blocks
+        rename/drop (expression text cannot be rewritten safely —
+        Delta likewise refuses renaming/dropping columns generated
+        expressions reference). DEFAULT expressions are exempt: they
+        are validated self-contained at declare."""
         import re as _re
 
         pat = _re.compile(rf"\b{_re.escape(col)}\b")
@@ -1546,6 +1600,18 @@ class SnapshotTable:
                 f"{verb}: CHECK constraint(s) {hits} reference "
                 f"{col!r} — drop them first, then re-add against the "
                 f"new schema"
+            )
+        ghits = [
+            n
+            for n, e in (manifest.get("generated") or {}).items()
+            if pat.search(e)
+        ]
+        if ghits:
+            raise ValueError(
+                f"{verb}: GENERATED column(s) {ghits} are computed "
+                f"from {col!r} — drop their definitions first "
+                f"(drop_generated_column), then re-declare against "
+                f"the new schema"
             )
 
     def _conform_to_schema(self, df: DataFrame, schema_json: dict) -> DataFrame:

@@ -36,6 +36,9 @@ Supported statements (case-insensitive keywords):
   | TIMESTAMP AS OF <ts>]`` — ``clone_to`` (shallow: one metadata
   commit referencing the source snapshot's files; deep: materialized
   copy), with the RESTORE temporal comparator for the pin.
+- ``CREATE TABLE '<dst>' LIKE '<src>'`` — the source's schema and
+  governance (checks, generated/identity/defaults/comments, layout,
+  properties) on a fresh EMPTY table; identity counters restart.
 - ``VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]`` — ``expire`` with
   time-based retention (default 168 hours, Delta's).
 - ``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b) |
@@ -1479,6 +1482,36 @@ def _alter(spark, rest: str, kw) -> int:
         return t.set_column_comment(
             m.group(1), m.group(2).replace("''", "'") or None
         )
+    m = re.match(
+        r"^ALTER\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+"
+        r"NOT\s+NULL\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        # Delta's ALTER COLUMN SET NOT NULL: the same auto-named CHECK
+        # the CREATE-list NOT NULL suffix declares (SQL 3VL makes
+        # `c IS NOT NULL` enforce exactly); add_check_constraint
+        # validates the existing rows first — declaring NOT NULL on a
+        # column that already holds NULLs is refused, Delta's rule
+        c = m.group(1)
+        return t.add_check_constraint(f"{c}_not_null", f"`{c}` IS NOT NULL")
+    m = re.match(
+        r"^ALTER\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+DROP\s+"
+        r"NOT\s+NULL\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        c = m.group(1)
+        name = f"{c}_not_null"
+        if name not in t._table_checks():
+            raise ValueError(
+                f"snapshot_sql: column {c!r} carries no NOT NULL "
+                f"constraint (auto-named {name!r}); DESCRIBE DETAIL "
+                f"lists the active checks"
+            )
+        return t.drop_check_constraint(name)
     raise NotImplementedError(
         f"snapshot_sql: unsupported ALTER TABLE clause {s!r} — supported: "
         f"RENAME COLUMN a TO b, DROP COLUMN a, ADD COLUMN c TYPE "
@@ -1486,8 +1519,9 @@ def _alter(spark, rest: str, kw) -> int:
         f"(expr), DROP CONSTRAINT n, ADD COLUMN g GENERATED ALWAYS AS "
         f"(expr), DROP GENERATED COLUMN g, ADD COLUMN i GENERATED ALWAYS "
         f"AS IDENTITY [(START WITH n [INCREMENT BY k])], DROP IDENTITY "
-        f"COLUMN i, ALTER COLUMN c SET DEFAULT <expr>, ALTER COLUMN c "
-        f"DROP DEFAULT"
+        f"COLUMN i, ALTER COLUMN c SET DEFAULT <expr> | DROP DEFAULT | "
+        f"COMMENT '<text>' | SET NOT NULL | DROP NOT NULL, SET/UNSET "
+        f"TBLPROPERTIES (...)"
     )
 
 
@@ -2027,6 +2061,73 @@ def _create(
                 )
         dest = src.clone_to(root, version=version, deep=deep)
         return dest.current_version()
+    lm = re.match(r"^LIKE\s+", tail, re.IGNORECASE)
+    if lm:
+        # ``CREATE TABLE '<dst>' LIKE '<src>'`` — the source's SCHEMA
+        # and governance (checks incl. NOT NULL, generated/identity
+        # definitions, defaults, comments, declared layout, user
+        # properties) on a fresh EMPTY table; identity counters
+        # restart at their declared START (no data is copied — that is
+        # CLONE's job). Spark/Delta's CREATE TABLE LIKE semantics.
+        from pyspark.sql.types import StructType
+
+        src_root, _a, ltail = _parse_table_ref(
+            tail[lm.end():], allow_alias=False
+        )
+        if ltail.strip():
+            raise ValueError(
+                f"snapshot_sql: trailing text after CREATE TABLE LIKE: "
+                f"{ltail.strip()[:60]!r}"
+            )
+        src = SnapshotTable(spark, src_root)
+        cur = src.current_version()
+        if not cur:
+            raise ValueError(
+                f"snapshot_sql: LIKE source {src_root!r} has no "
+                f"committed snapshot"
+            )
+        sm = src._manifest(cur)
+        if not sm.get("schema"):
+            raise ValueError(
+                f"snapshot_sql: LIKE source {src_root!r} carries no "
+                f"schema"
+            )
+        # the source schema stores PHYSICAL names; the new table gets
+        # the LOGICAL view (it has no rename history of its own)
+        phys = StructType.fromJson(sm["schema"])
+        inv = {p: l for l, p in src._col_mapping(sm).items()}
+        fields = [
+            (inv.get(f.name, f.name), f.dataType) for f in phys.fields
+        ]
+        logical_schema = StructType()
+        for lname, dtype in fields:
+            logical_schema.add(lname, dtype)
+        empty = spark.createDataFrame([], logical_schema)
+        v = (
+            t.overwrite(empty, _reset_properties=True)
+            if replacing
+            else t.append(empty)
+        )
+        for name, spec in sorted(src._table_identity().items()):
+            v = t.add_identity_column(
+                name, start=int(spec["start"]), step=int(spec["step"])
+            )
+        for name, expr in sorted(src._table_generated().items()):
+            v = t.add_generated_column(name, expr)
+        for name, expr in sorted(src._table_defaults().items()):
+            v = t.set_column_default(name, expr)
+        for name, expr in sorted(src._table_checks().items()):
+            v = t.add_check_constraint(name, expr)
+        cmts = src._raw_manifest(cur).get("comments", {})
+        for name, text in sorted(cmts.items()):
+            v = t.set_column_comment(name, text)
+        layout = src._table_layout()
+        if layout:
+            v = t.set_table_layout(layout)
+        props = src._table_properties()
+        if props:
+            v = t.set_table_properties(props)
+        return v
     if tail.startswith("("):
         close = _matching_paren(tail)
         if close < 0:

@@ -1,0 +1,163 @@
+"""Column RENAME/DROP x governance interactions (r15): governance
+keyed by LOGICAL column name must FOLLOW a rename (generated/identity
+definitions, defaults, comments, the declared layout, the pruning
+config) and VANISH with a drop — a stale key broke the next write
+with a raw UNRESOLVED_COLUMN / COLUMN_ALREADY_EXISTS, silently
+disabled the explicit-identity refusal, or silently stopped the
+declared layout's placement. SQL-text references (CHECK constraints,
+generated expressions reading the column) are refused with guidance —
+expression text cannot be rewritten safely (Delta's rule).
+
+Reference parity: Delta Lake column mapping — governance references
+survive renames by column id there; here the logical-name keys are
+rewritten in the SAME rename commit."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from collective_als_spark.sources.layout import SnapshotTable
+from collective_als_spark.sources.snapshot_sql import snapshot_sql
+
+
+def test_rename_rekeys_default_and_comment(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "k long, status string"))
+    t.set_column_default("status", "'web'")
+    t.set_column_comment("status", "source channel")
+    t.rename_column("status", "state")
+    assert t._table_defaults() == {"state": "'web'"}
+    # the fill works against the new name and DESCRIBE shows it
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    assert t.read().first()["state"] == "web"
+    rows = {
+        r["col_name"]: (r["properties"], r["comment"])
+        for r in t.describe_table().collect()
+    }
+    assert rows["state"] == ("DEFAULT 'web'", "source channel")
+    assert "status" not in rows
+
+
+def test_rename_generated_base_refused(spark, tmp_path):
+    """Renaming a column a GENERATED expression reads is refused
+    (expression text cannot be rewritten safely) — previously the
+    rename 'worked' and the NEXT write died with a raw
+    UNRESOLVED_COLUMN AnalysisException."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "a int, g int"))
+    t.add_generated_column("g", "a + 1")
+    with pytest.raises(ValueError, match="computed from"):
+        t.rename_column("a", "b")
+    with pytest.raises(ValueError, match="computed from"):
+        t.drop_column("a")
+    # dropping the DEFINITION first unblocks both
+    t.drop_generated_column("g")
+    t.rename_column("a", "b")
+    t.append(spark.createDataFrame([(5, 6)], "b int, g int"))
+    assert t.read().first()["b"] == 5
+
+
+def test_rename_generated_column_itself_rekeys(spark, tmp_path):
+    """Renaming the generated column ITSELF is a pure key rewrite (the
+    expression doesn't reference it) — previously the next write died
+    with COLUMN_ALREADY_EXISTS (fill computed the old name beside the
+    renamed schema)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "a int, g int"))
+    t.add_generated_column("g", "a + 1")
+    t.rename_column("g", "derived")
+    assert t._table_generated() == {"derived": "a + 1"}
+    t.append(spark.createDataFrame([(5,)], "a int"))
+    assert t.read().first()["derived"] == 6
+    # explicit conflicting values still audited under the new name
+    with pytest.raises(ValueError, match="__generated_derived"):
+        t.append(
+            spark.createDataFrame([(1, 99)], "a int, derived int")
+        )
+
+
+def test_rename_identity_column_rekeys(spark, tmp_path):
+    """Renaming an identity column keeps the counter AND the explicit-
+    value refusal — previously the spec stayed keyed by the old name,
+    so explicit values written to the new name were silently
+    OVERWRITTEN instead of refused."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "k long, rid long"))
+    t.add_identity_column("rid", start=10, step=2)
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    t.rename_column("rid", "row_id")
+    assert t._table_identity() == {
+        "row_id": {"start": 10, "step": 2, "next": 12}
+    }
+    # assignment continues under the new name
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    assert sorted(r["row_id"] for r in t.read().collect()) == [10, 12]
+    # explicit values to the RENAMED column are refused, not clobbered
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.append(
+            spark.createDataFrame([(3, 99)], "k long, row_id long")
+        )
+    assert t._table_identity()["row_id"]["next"] == 14
+
+
+def test_rename_layout_and_stats_config_follow(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root}' (k BIGINT, v BIGINT) PARTITIONED BY (k)",
+    )
+    t = SnapshotTable(spark, root)
+    t.rename_column("k", "kk")
+    assert t._table_layout() == [
+        {"transform": "identity", "key": "kk", "param": None}
+    ]
+    cfg = t._raw_manifest(t.current_version()).get("config") or {}
+    assert "kk" in cfg.get("stats_columns", [])
+    assert "k" not in cfg.get("stats_columns", [])
+    # placement still routes: the new append carries band stats for
+    # the renamed column's physical slot
+    t.append(
+        spark.range(0, 10).select(F.col("id").alias("kk"),
+                                  F.col("id").alias("v"))
+    )
+    m = t._manifest(t.current_version())
+    assert any("k" in s for s in m.get("stats", {}).values())
+    assert t.detail().first()["partitioned_by"] == "kk"
+
+
+def test_drop_column_cleans_its_governance(spark, tmp_path):
+    # defaulted column: the fill must NOT re-create the dropped column
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "k long, status string"))
+    t.set_column_default("status", "'web'")
+    t.set_column_comment("status", "x")
+    t.drop_column("status")
+    assert t._table_defaults() == {}
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    assert t.read().columns == ["k"]
+    # identity column: assignment stops with the drop
+    u = SnapshotTable(spark, str(tmp_path / "u"))
+    u.append(spark.createDataFrame([], "k long, rid long"))
+    u.add_identity_column("rid")
+    u.append(spark.createDataFrame([(1,)], "k long"))
+    u.drop_column("rid")
+    assert u._table_identity() == {}
+    u.append(spark.createDataFrame([(2,)], "k long"))
+    assert u.read().columns == ["k"]
+    # generated column: dropping the COLUMN takes the definition along
+    g = SnapshotTable(spark, str(tmp_path / "g"))
+    g.append(spark.createDataFrame([], "a int, y int"))
+    g.add_generated_column("y", "a + 1")
+    g.drop_column("y")
+    assert g._table_generated() == {}
+    g.append(spark.createDataFrame([(5,)], "a int"))
+    assert g.read().columns == ["a"]
+    # declared layout column: refused with guidance (Delta's rule)
+    p = SnapshotTable(spark, str(tmp_path / "p"))
+    p.append(spark.createDataFrame([], "k long, v long"))
+    p.set_table_layout([{"transform": "identity", "key": "k",
+                         "param": None}])
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        p.drop_column("k")
+    p.set_table_layout(None)
+    p.drop_column("k")
+    assert p.read().columns == ["v"]

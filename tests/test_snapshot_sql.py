@@ -1100,10 +1100,16 @@ def test_sql_describe_table(spark, tmp_path):
         "GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 5)"
     )
     assert by_name["tag"]["properties"] == "DEFAULT 'x'"
-    # logical names ride a rename
-    snapshot_sql(spark, f"ALTER TABLE '{root}' RENAME COLUMN k TO kk")
+    # logical names ride a rename (k is refused — the generated
+    # column y reads it, the r15 guard; tag is free to move)
+    with pytest.raises(ValueError, match="computed from"):
+        snapshot_sql(spark, f"ALTER TABLE '{root}' RENAME COLUMN k TO kk")
+    snapshot_sql(spark, f"ALTER TABLE '{root}' RENAME COLUMN tag TO label")
     rows = snapshot_sql(spark, f"DESCRIBE TABLE '{root}'").collect()
-    assert rows[0]["col_name"] == "kk"
+    assert [r["col_name"] for r in rows] == ["k", "y", "rid", "label"]
+    by_name = {r["col_name"]: r for r in rows}
+    # the DEFAULT followed the rename (r15 governance rekey)
+    assert by_name["label"]["properties"] == "DEFAULT 'x'"
 
 
 def test_sql_insert_values_maps_positionally(spark, tmp_path):
@@ -1339,3 +1345,108 @@ def test_sql_quoted_timestamp_literals_everywhere(spark, tmp_path):
         spark, f"RESTORE '{root}' TO TIMESTAMP AS OF '{ts1}'"
     )
     assert t.read().count() == 5
+
+
+def test_sql_alter_column_not_null(spark, tmp_path):
+    """``ALTER COLUMN c SET NOT NULL`` is the auto-named CHECK the
+    CREATE-list suffix declares; declaring it over existing NULLs is
+    refused (Delta's rule); DROP NOT NULL removes it."""
+    root = str(tmp_path / "t")
+    snapshot_sql(spark, f"CREATE TABLE '{root}' (k BIGINT, v STRING)")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    snapshot_sql(spark, f"ALTER TABLE '{root}' ALTER COLUMN v SET NOT NULL")
+    assert "v_not_null" in t._table_checks()
+    with pytest.raises(ValueError, match="v_not_null"):
+        t.append(spark.createDataFrame([(3, None)], "k long, v string"))
+    assert t.read().count() == 2  # the violating batch never landed
+    snapshot_sql(spark, f"ALTER TABLE '{root}' ALTER COLUMN v DROP NOT NULL")
+    assert "v_not_null" not in t._table_checks()
+    t.append(spark.createDataFrame([(3, None)], "k long, v string"))
+    assert t.read().count() == 3
+    # declaring over existing NULLs is refused (add_check validates)
+    with pytest.raises(ValueError, match="violate"):
+        snapshot_sql(
+            spark, f"ALTER TABLE '{root}' ALTER COLUMN v SET NOT NULL"
+        )
+    # dropping an undeclared NOT NULL is a guided error
+    with pytest.raises(ValueError, match="no NOT NULL"):
+        snapshot_sql(
+            spark, f"ALTER TABLE '{root}' ALTER COLUMN k DROP NOT NULL"
+        )
+
+
+def test_sql_create_table_like(spark, tmp_path):
+    """``CREATE TABLE '<dst>' LIKE '<src>'``: schema + governance on a
+    fresh EMPTY table — checks, generated/identity (counter restarts
+    at START), defaults, comments, declared layout, user properties —
+    and NO data (that is CLONE's job)."""
+    src_root = str(tmp_path / "src")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{src_root}' ("
+        f"  k BIGINT NOT NULL,"
+        f"  d DATE,"
+        f"  y INT GENERATED ALWAYS AS (year(d)),"
+        f"  rid BIGINT GENERATED ALWAYS AS IDENTITY "
+        f"      (START WITH 100 INCREMENT BY 3),"
+        f"  status STRING DEFAULT 'pending' COMMENT 'state'"
+        f") PARTITIONED BY (k) "
+        f"TBLPROPERTIES (team = 'x') COMMENT 'the source'",
+    )
+    src = SnapshotTable(spark, src_root)
+    src.append(
+        spark.createDataFrame([(1, "2021-03-04")], "k long, d string")
+        .select("k", F.col("d").cast("date").alias("d"))
+    )  # consumes rid 100
+    dst_root = str(tmp_path / "dst")
+    snapshot_sql(spark, f"CREATE TABLE '{dst_root}' LIKE '{src_root}'")
+    dst = SnapshotTable(spark, dst_root)
+    assert dst.read().count() == 0  # no data copied
+    assert dict(dst.read().dtypes) == dict(src.read().dtypes)
+    assert dst._table_generated() == {"y": "year(d)"}
+    # the counter RESTARTS (no data came over)
+    assert dst._table_identity() == {
+        "rid": {"start": 100, "step": 3, "next": 100}
+    }
+    assert dst._table_defaults() == {"status": "'pending'"}
+    assert "k_not_null" in dst._table_checks()
+    assert dst._table_layout() == [
+        {"transform": "identity", "key": "k", "param": None}
+    ]
+    props = dst._table_properties()
+    assert props["team"] == "x" and props["comment"] == "the source"
+    rows = {
+        r["col_name"]: r["comment"]
+        for r in dst.describe_table().collect()
+    }
+    assert rows["status"] == "state"
+    # the new table enforces and assigns like the source's declaration
+    dst.append(
+        spark.createDataFrame([(7, "2022-01-01")], "k long, d string")
+        .select("k", F.col("d").cast("date").alias("d"))
+    )
+    row = dst.read().first()
+    assert row["rid"] == 100 and row["y"] == 2022
+    assert row["status"] == "pending"
+    # LIKE follows a RENAME: logical names come over, not physical
+    # (the NOT NULL check references k, so it drops first — renames of
+    # constraint-referenced columns are refused by design)
+    snapshot_sql(spark, f"ALTER TABLE '{src_root}' DROP CONSTRAINT k_not_null")
+    snapshot_sql(spark, f"ALTER TABLE '{src_root}' RENAME COLUMN k TO kk")
+    dst2_root = str(tmp_path / "dst2")
+    snapshot_sql(spark, f"CREATE TABLE '{dst2_root}' LIKE '{src_root}'")
+    assert "kk" in SnapshotTable(spark, dst2_root).read().columns
+    # error shapes
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{tmp_path / 'dst3'}' LIKE "
+            f"'{tmp_path / 'nosuch'}'",
+        )
+    with pytest.raises(ValueError, match="trailing text"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE '{tmp_path / 'dst4'}' LIKE '{src_root}' "
+            f"VERSION AS OF 1",
+        )
