@@ -6094,6 +6094,7 @@ class SnapshotTable:
         small_file_max_bytes: int | None = None,
         include_dv_files: bool = True,
         cluster_by: list[str] | None = None,
+        where: str | None = None,
     ) -> int:
         """OPTIMIZE-style partial compaction: bin-pack ONLY the files
         worth rewriting — small files and files carrying
@@ -6121,7 +6122,18 @@ class SnapshotTable:
         version; when nothing is worth folding (fewer than two
         selected files and no DV debt) the table is returned
         UNCHANGED at its current version — maintenance schedulers can
-        call this idempotently off ``detail()``'s numbers."""
+        call this idempotently off ``detail()``'s numbers.
+
+        ``where`` (r15, Delta's ``OPTIMIZE ... WHERE``) SCOPES the
+        selection: only files the predicate cannot prove out (the
+        same conjunct proofs reads and predicate DML prune with —
+        stats bands, bucket/day/month/truncate value sets, implied
+        generated-column bands) are candidates for folding, so a
+        maintenance job can target one day/tenant of a 100 TB table
+        without even LISTING the rest's sizes. Files without stats
+        for the scoping column stay in scope (compaction preserves
+        rows, so over-scoping costs IO, never correctness); the
+        predicate is metadata-only — it never filters rows."""
         import math
 
         base_v = self.current_version()
@@ -6130,6 +6142,20 @@ class SnapshotTable:
         base = self._manifest(base_v)
         stats = base.get("stats", {})
         dvs = base.get("dvs", {})
+        scope_rels: set | None = None
+        if where is not None:
+            conjuncts, _matched = self._normalize_dml_predicate(
+                None, None, None, where
+            )
+            conjuncts = conjuncts + self._generated_conjuncts(
+                base, conjuncts
+            )
+            pconj = self._conjuncts_to_physical(base, conjuncts)
+            kept, _out = self._split_by_conjuncts(base, pconj)
+            kept, _out, _proofs = self._conjunct_hidden_prune(
+                base, pconj, kept, _out
+            )
+            scope_rels = {_rel(f) for f in kept}
         max_rows = (
             target_rows_per_file
             if small_file_max_rows is None
@@ -6139,6 +6165,8 @@ class SnapshotTable:
         selected: list[str] = []
         for f in base["files"]:
             rel = _rel(f)
+            if scope_rels is not None and rel not in scope_rels:
+                continue
             if include_dv_files and rel in dvs:
                 selected.append(f)
                 continue

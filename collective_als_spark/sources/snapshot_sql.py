@@ -41,9 +41,11 @@ Supported statements (case-insensitive keywords):
   properties) on a fresh EMPTY table; identity counters restart.
 - ``VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]`` — ``expire`` with
   time-based retention (default 168 hours, Delta's).
-- ``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b) |
-  ZORDER BY (a, b)]`` — ``compact_partial`` (bin-pack small/DV
-  files), full ``compact``, or the Morton-interleaved 2-D relayout.
+- ``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [WHERE <pred>] [CLUSTER BY
+  (a, b) | ZORDER BY (a, b)]`` — ``compact_partial`` (bin-pack
+  small/DV files; ``WHERE`` scopes the selection to files the
+  predicate cannot prove out, metadata-only), full ``compact``, or
+  the Morton-interleaved 2-D relayout.
 - ``RESTORE <tbl> TO VERSION AS OF <n>`` / ``TO TIMESTAMP AS OF
   <epoch>`` (newest commit at or before the instant, Delta's rule)
 - ``ALTER TABLE <tbl> RENAME COLUMN a TO b / DROP COLUMN a /
@@ -1151,41 +1153,54 @@ def _vacuum(spark, rest: str, kw) -> int:
 
 
 def _optimize(spark, rest: str, kw) -> int:
-    """``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [CLUSTER BY (a, b) |
-    ZORDER BY (a, b)]`` -> ``compact_partial`` (bin-pack only the
-    small / DV-carrying files, Delta's OPTIMIZE shape) or ``compact``
-    under ``FULL``; ``ZORDER BY`` implies the full rewrite (Delta's
-    rule — interleaving is a whole-table layout). The explicit row
+    """``OPTIMIZE <tbl> TARGET <n> ROWS [FULL] [WHERE <pred>]
+    [CLUSTER BY (a, b) | ZORDER BY (a, b)]`` -> ``compact_partial``
+    (bin-pack only the small / DV-carrying files, Delta's OPTIMIZE
+    shape) or ``compact`` under ``FULL``; ``ZORDER BY`` implies the
+    full rewrite (Delta's rule — interleaving is a whole-table
+    layout). ``WHERE`` scopes the partial selection to files the
+    predicate cannot prove out (Delta's ``OPTIMIZE ... WHERE`` —
+    metadata-only, never a row filter) and is refused with FULL /
+    ZORDER (they are whole-table by definition). The explicit row
     target replaces Delta's byte-size target — the manifest accounts
     rows, not encoded bytes."""
     root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
     m = re.match(
         r"^TARGET\s+(\d+)\s+ROWS\s*(FULL)?\s*"
+        r"(?:WHERE\s+(.*?))??\s*"
         r"(?:(CLUSTER|ZORDER)\s+BY\s*\(([^)]*)\))?\s*$",
         tail.strip(),
-        re.IGNORECASE,
+        re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError(
             f"snapshot_sql: OPTIMIZE needs 'TARGET <n> ROWS [FULL] "
-            f"[CLUSTER BY (..) | ZORDER BY (..)]', got {tail.strip()!r}"
+            f"[WHERE <pred>] [CLUSTER BY (..) | ZORDER BY (..)]', "
+            f"got {tail.strip()!r}"
         )
     target = int(m.group(1))
+    pred = m.group(3).strip() if m.group(3) else None
     cols = (
         [
             c.strip().strip("`")
-            for c in m.group(4).split(",")
+            for c in m.group(5).split(",")
             if c.strip()
         ]
-        if m.group(4)
+        if m.group(5)
         else None
     ) or None
-    zorder = bool(m.group(3)) and m.group(3).upper() == "ZORDER"
-    if m.group(3) and not cols:
+    zorder = bool(m.group(4)) and m.group(4).upper() == "ZORDER"
+    if pred is not None and (m.group(2) or zorder):
+        raise ValueError(
+            "snapshot_sql: OPTIMIZE WHERE scopes the PARTIAL "
+            "selection — FULL and ZORDER BY are whole-table rewrites "
+            "by definition; drop WHERE or the FULL/ZORDER clause"
+        )
+    if m.group(4) and not cols:
         # an empty column list must not silently degrade to a
         # round-robin rewrite that destroys existing clustering
         raise ValueError(
-            f"snapshot_sql: {m.group(3).upper()} BY needs a non-empty "
+            f"snapshot_sql: {m.group(4).upper()} BY needs a non-empty "
             f"column list"
         )
     t = SnapshotTable(spark, root, **kw)
@@ -1193,7 +1208,9 @@ def _optimize(spark, rest: str, kw) -> int:
         return t.compact(target_rows_per_file=target, zorder_by=cols)
     if m.group(2):
         return t.compact(target_rows_per_file=target, cluster_by=cols)
-    return t.compact_partial(target_rows_per_file=target, cluster_by=cols)
+    return t.compact_partial(
+        target_rows_per_file=target, cluster_by=cols, where=pred
+    )
 
 
 def _restore(spark, rest: str, kw) -> int:

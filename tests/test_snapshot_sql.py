@@ -1450,3 +1450,62 @@ def test_sql_create_table_like(spark, tmp_path):
             f"CREATE TABLE '{tmp_path / 'dst4'}' LIKE '{src_root}' "
             f"VERSION AS OF 1",
         )
+
+
+def test_sql_optimize_where_scopes_selection(spark, tmp_path):
+    """``OPTIMIZE ... WHERE <pred>`` (r15): the partial compaction's
+    selection is SCOPED to files the predicate cannot prove out — a
+    maintenance job targets one band of the table and every
+    out-of-scope small file survives byte-identical; results are
+    unchanged (the predicate is metadata-only, never a row filter)."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root, stats_columns=["k"])
+    # three bands x three tiny files each: all 'small' by row count
+    for lo in (0, 1000, 2000):
+        for i in range(3):
+            t.append(
+                spark.range(lo + i * 10, lo + i * 10 + 10)
+                .select(F.col("id").alias("k"),
+                        (F.col("id") * 2).alias("v"))
+                .coalesce(1)
+            )
+    before = set(t._manifest(t.current_version())["files"])
+    assert len(before) == 9
+    snapshot_sql(
+        spark,
+        f"OPTIMIZE '{root}' TARGET 1000 ROWS WHERE k >= 1000 AND "
+        f"k < 2000",
+    )
+    after = set(t._manifest(t.current_version())["files"])
+    # exactly the 1000-band's three files folded into one; the other
+    # six survive by path
+    assert len(before & after) == 6
+    assert len(after) == 7
+    assert t.read().count() == 90
+    assert sorted(
+        r["k"] for r in t.read(where=("k", 1000, 1025)).collect()
+    ) == sorted(list(range(1000, 1020)) + [1020, 1021, 1022, 1023, 1024, 1025])
+    # a scope that proves every file out folds nothing (no commit)
+    v = t.current_version()
+    snapshot_sql(
+        spark, f"OPTIMIZE '{root}' TARGET 1000 ROWS WHERE k > 90000"
+    )
+    assert t.current_version() == v
+    # WHERE composes with CLUSTER BY; refused with FULL / ZORDER
+    snapshot_sql(
+        spark,
+        f"OPTIMIZE '{root}' TARGET 1000 ROWS WHERE k < 1000 "
+        f"CLUSTER BY (k)",
+    )
+    assert t.read().count() == 90
+    with pytest.raises(ValueError, match="whole-table"):
+        snapshot_sql(
+            spark,
+            f"OPTIMIZE '{root}' TARGET 1000 ROWS FULL WHERE k < 10",
+        )
+    with pytest.raises(ValueError, match="whole-table"):
+        snapshot_sql(
+            spark,
+            f"OPTIMIZE '{root}' TARGET 1000 ROWS WHERE k < 10 "
+            f"ZORDER BY (k, v)",
+        )
