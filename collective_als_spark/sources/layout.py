@@ -6280,13 +6280,50 @@ class SnapshotTable:
         )
         if dest.current_version() != 0:
             raise ValueError(f"clone target {dest_root} is not empty")
+        # the FULL governance set travels with a clone (r15 — Delta
+        # clones carry table properties and column metadata): without
+        # it a clone of an identity/generated/defaulted table silently
+        # wrote NULLs where the source assigns/computes/fills. The
+        # PINNED version's governance is the right one — its identity
+        # counter covers exactly the cloned data, so the clone
+        # continues from it without re-issuing an id the cloned rows
+        # consumed.
+        gov_keys = (
+            "checks", "generated", "identity", "defaults", "comments",
+            "layout", "properties",
+        )
         if deep:
             scan = self._scan_live(m, m["files"])
             if m.get("schema"):
                 scan = self._conform_to_schema(scan, m["schema"])
             # a deep clone is a fresh physical layout: write under the
-            # CURRENT logical names (logical == physical again)
+            # CURRENT logical names (logical == physical again). The
+            # data lands BEFORE the governance commit — identity
+            # values must arrive as plain carried columns, not refused
+            # explicit writes; the initial copy therefore predates the
+            # declared layout's placement (a conservative candidate,
+            # like any pre-layout file — later writes place).
             dest.append(self._to_logical(scan, m))
+            if any(raw.get(k) for k in gov_keys):
+
+                def gbuild(version_d: int, prev: dict) -> dict:
+                    mm = self._compose(
+                        version_d,
+                        prev.get("files", []),
+                        prev.get("stats", {}),
+                        prev.get("batch_markers", {}),
+                        schema=prev.get("schema"),
+                        blooms=prev.get("blooms"),
+                        dvs=prev.get("dvs"),
+                        dv_rows=prev.get("dv_rows", {}),
+                        op="clone_governance",
+                    )
+                    for k in gov_keys:
+                        if raw.get(k):
+                            mm[k] = raw[k]
+                    return mm
+
+                dest._commit(gbuild)
             return dest
 
         def build(version_d: int, prev: dict) -> dict:
@@ -6304,8 +6341,9 @@ class SnapshotTable:
                 dv_rows=m.get("dv_rows", {}),
                 op="clone",
             )
-            if raw.get("checks"):
-                mm["checks"] = raw["checks"]
+            for k in gov_keys:
+                if raw.get(k):
+                    mm[k] = raw[k]
             # a shallow clone shares the source's physical files, so
             # it must share their name mapping too
             for k in ("column_mapping", "retired"):

@@ -161,3 +161,48 @@ def test_drop_column_cleans_its_governance(spark, tmp_path):
     p.set_table_layout(None)
     p.drop_column("k")
     assert p.read().columns == ["v"]
+
+
+def test_clone_carries_full_governance(spark, tmp_path):
+    """r15: a clone (shallow AND deep, head AND version-pinned)
+    carries the FULL governance set — identity (with the pinned
+    counter), generated, defaults, comments, layout, properties,
+    checks. Previously only checks rode the shallow clone, so a clone
+    of an identity table silently wrote NULL ids on its next append."""
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame([], "k long, rid long, y long, s string")
+    )
+    src.add_identity_column("rid")
+    src.add_generated_column("y", "k + 1")
+    src.set_column_default("s", "'web'")
+    src.set_column_comment("s", "source")
+    src.set_table_properties({"team": "x"})
+    src.add_check_constraint("k_pos", "k >= 0")
+    src.append(spark.createDataFrame([(1,)], "k long"))   # rid 1
+    v_pin = src.current_version()
+    src.append(spark.createDataFrame([(2,)], "k long"))   # rid 2
+    for deep in (False, True):
+        c = src.clone_to(str(tmp_path / f"dst_{deep}"), deep=deep)
+        assert c._table_identity()["rid"]["next"] == 3
+        assert c._table_generated() == {"y": "k + 1"}
+        assert c._table_defaults() == {"s": "'web'"}
+        assert c._table_properties() == {"team": "x"}
+        assert "k_pos" in c._table_checks()
+        # the clone ASSIGNS/COMPUTES/FILLS like the source
+        c.append(spark.createDataFrame([(5,)], "k long"))
+        rows = {r["k"]: r for r in c.read().collect()}
+        assert rows[5]["rid"] == 3 and rows[5]["y"] == 6
+        assert rows[5]["s"] == "web"
+        # and ENFORCES
+        with pytest.raises(ValueError, match="k_pos"):
+            c.append(spark.createDataFrame([(-1,)], "k long"))
+        # source untouched by clone writes
+        assert src._table_identity()["rid"]["next"] == 3
+    # a version-pinned clone carries the PINNED counter: it covers
+    # exactly the cloned rows, continuing without reuse
+    p = src.clone_to(str(tmp_path / "dst_pin"), version=v_pin)
+    assert p.read().count() == 1
+    assert p._table_identity()["rid"]["next"] == 2
+    p.append(spark.createDataFrame([(9,)], "k long"))
+    assert sorted(r["rid"] for r in p.read().collect()) == [1, 2]
