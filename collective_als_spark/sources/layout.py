@@ -246,6 +246,18 @@ def _bloom_probe(bloom_b64: str, hashes) -> bool:
     return True
 
 
+def _format_layout(specs: list) -> str:
+    """Human-readable PARTITIONED BY rendering shared by DESCRIBE
+    DETAIL and SHOW TBLPROPERTIES (one formatter, so the two surfaces
+    can never disagree about the same manifest field)."""
+    return ", ".join(
+        s["key"] if s["transform"] == "identity"
+        else f"{s['transform']}({s['key']})" if s["param"] is None
+        else f"{s['transform']}({s['key']}, {s['param']})"
+        for s in specs
+    )
+
+
 def _jsonable(v):
     """Manifest stats must round-trip through JSON with their ordering
     preserved: numerics/strings/bools pass through; date/timestamp
@@ -2544,11 +2556,16 @@ class SnapshotTable:
                         f"declare identity layout on the generated "
                         f"column"
                     )
+        old_sc = list(self.stats_columns)
+        old_explicit = getattr(self, "_explicit_config", False)
         if norm and any(s["transform"] == "identity" for s in norm):
             # identity layout prunes through min/max band stats — make
             # the declared columns part of the persisted stats config
             # so the clustering actually bites (the commit below
-            # persists it; config-less handles then inherit it)
+            # persists it; config-less handles then inherit it).
+            # Restored on commit failure — a failed declare must not
+            # leave the handle persisting a never-declared column
+            # (the rename_column discipline)
             extra = [
                 s["key"] for s in norm if s["key"] not in self.stats_columns
             ]
@@ -2571,7 +2588,12 @@ class SnapshotTable:
             m["layout"] = norm
             return m
 
-        return self._commit(build)
+        try:
+            return self._commit(build)
+        except BaseException:
+            self.stats_columns = old_sc
+            self._explicit_config = old_explicit
+            raise
 
     @staticmethod
     def _prunable_tmeta(stats: dict, f: str, column: str):
@@ -6456,16 +6478,7 @@ class SnapshotTable:
             rows.append(("engine.bloom_columns", ",".join(cfg["bloom_columns"])))
         layout = raw.get("layout") or []
         if layout:
-            rows.append((
-                "engine.partitioned_by",
-                ", ".join(
-                    s["key"] if s["transform"] == "identity"
-                    else f"{s['transform']}({s['key']})"
-                    if s["param"] is None
-                    else f"{s['transform']}({s['key']}, {s['param']})"
-                    for s in layout
-                ),
-            ))
+            rows.append(("engine.partitioned_by", _format_layout(layout)))
         return self.spark.createDataFrame(rows, "key string, value string")
 
     @staticmethod
@@ -6915,14 +6928,18 @@ class SnapshotTable:
             )
         cur = self.current_version()
         nxt = start
-        if cur:
+        gen_defs = self._table_generated() if cur else {}
+        if gen_defs and self._manifest(cur).get("schema"):
             # same rule as add_generated_column, reverse direction: an
             # existing generated expression referencing this column
             # would become generated-on-computed once the table owns
-            # its values — refuse at declare (r14 verdict finding #1)
+            # its values — refuse at declare (r14 verdict finding #1).
+            # Gated on a schema-carrying manifest: a governance-only
+            # root (no data, no schema) has nothing to analyze against
+            # and can have no cross-reference to this column anyway
             zero = self.read().limit(0)
             if name in zero.columns:
-                for g, gexpr in sorted(self._table_generated().items()):
+                for g, gexpr in sorted(gen_defs.items()):
                     if self._expr_references(zero, gexpr, name):
                         raise ValueError(
                             f"cannot make {name!r} an identity column: "
@@ -7042,7 +7059,13 @@ class SnapshotTable:
                 ).cast("long"),
             )
             out_cols.append(pcol)
-            claims[col] = (base, total)
+            if total:
+                # an empty batch claims NOTHING: a (base, 0) claim
+                # would still CAS-check the base and spuriously
+                # conflict with a concurrent assigning writer even
+                # though no id was consumed (the r15 carry path hands
+                # all-matched stages through here with zero fresh rows)
+                claims[col] = (base, total)
         return tagged.select(*out_cols), claims
 
     def _carry_identity_for_stage(
@@ -7755,13 +7778,7 @@ class SnapshotTable:
             )
             or None,
             # r15: the declared PARTITIONED BY layout
-            ", ".join(
-                s["key"] if s["transform"] == "identity"
-                else f"{s['transform']}({s['key']})" if s["param"] is None
-                else f"{s['transform']}({s['key']}, {s['param']})"
-                for s in m.get("layout", [])
-            )
-            or None,
+            _format_layout(m.get("layout", [])) or None,
             # r15: the table COMMENT (the 'comment' user property;
             # SHOW TBLPROPERTIES lists the full property map)
             (m.get("properties") or {}).get("comment"),

@@ -1180,6 +1180,13 @@ def _optimize(spark, rest: str, kw) -> int:
         )
     target = int(m.group(1))
     pred = m.group(3).strip() if m.group(3) else None
+    if pred is None and re.search(r"\bWHERE\b", tail, re.IGNORECASE):
+        # a WHERE keyword whose predicate parsed empty must not
+        # silently degrade to an unscoped compaction (the empty
+        # ZORDER BY () list is refused for the same reason)
+        raise ValueError(
+            "snapshot_sql: OPTIMIZE WHERE needs a predicate"
+        )
     cols = (
         [
             c.strip().strip("`")
@@ -1341,13 +1348,13 @@ def _alter(spark, rest: str, kw) -> int:
     if m:
         return t.set_table_properties(_parse_tblproperties(m.group(1)))
     m = re.match(
-        r"^UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\((.*)\)\s*$",
+        r"^UNSET\s+TBLPROPERTIES\s*(IF\s+EXISTS\s*)?\((.*)\)\s*$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
         keys = []
-        for item in _split_top_commas(m.group(1)):
+        for item in _split_top_commas(m.group(2)):
             km = _TBLPROP_KEY_RE.match(item.strip())
             if not km:
                 raise ValueError(
@@ -1358,6 +1365,19 @@ def _alter(spark, rest: str, kw) -> int:
                 if km.group(1) is not None
                 else km.group(2)
             )
+        if not m.group(1):
+            # Delta's rule: without IF EXISTS a missing key is an
+            # error — a typo'd unset must not succeed silently
+            missing = sorted(
+                k for k in keys if k not in t._table_properties()
+            )
+            if missing:
+                raise ValueError(
+                    f"snapshot_sql: UNSET TBLPROPERTIES: no such "
+                    f"propert{'y' if len(missing) == 1 else 'ies'} "
+                    f"{missing} — use UNSET TBLPROPERTIES IF EXISTS "
+                    f"to ignore missing keys"
+                )
         return t.set_table_properties({k: None for k in keys})
     m = re.match(
         r"^RENAME\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+TO\s+"
@@ -1818,7 +1838,15 @@ def _insert(spark, rest: str, kw, overwrite: bool = False) -> int:
     a COLUMN LIST (r14) the query's output maps POSITIONALLY onto the
     listed columns (standard SQL); columns the list omits flow through
     the write-time choke points (DEFAULT fill, IDENTITY assignment,
-    GENERATED compute, NULL-pad on read otherwise)."""
+    GENERATED compute, NULL-pad on read otherwise).
+
+    Without a column list, the mapping rule is BY NAME when any query
+    column names a table column — this engine's documented
+    schema-evolution INSERT (query columns the table lacks evolve the
+    schema additively, like Delta's autoMerge; name your outputs or
+    use a column list for exact control) — and POSITIONAL when NO
+    query column names the table (the ``VALUES (..)`` col1/col2
+    shape, ANSI's rule; arity mismatches are refused)."""
     root, _alias, tail = _parse_table_ref(rest, allow_alias=False)
     q = tail.strip()
     cols: list[str] | None = None
@@ -2103,6 +2131,16 @@ def _create(
                 f"snapshot_sql: LIKE source {src_root!r} has no "
                 f"committed snapshot"
             )
+        # the persisted pruning config travels with LIKE too (the
+        # CLONE branch carries it via the handle) — without it the new
+        # table silently writes stat-less files; explicit kwargs win
+        scfg = src._raw_manifest(cur).get("config") or {}
+        if not getattr(t, "_explicit_config", False) and (
+            scfg.get("stats_columns") or scfg.get("bloom_columns")
+        ):
+            t.stats_columns = list(scfg.get("stats_columns", []))
+            t.bloom_columns = list(scfg.get("bloom_columns", []))
+            t._explicit_config = True
         sm = src._manifest(cur)
         if not sm.get("schema"):
             raise ValueError(

@@ -206,3 +206,53 @@ def test_clone_carries_full_governance(spark, tmp_path):
     assert p._table_identity()["rid"]["next"] == 2
     p.append(spark.createDataFrame([(9,)], "k long"))
     assert sorted(r["rid"] for r in p.read().collect()) == [1, 2]
+
+
+def test_identity_declare_on_governance_only_root(spark, tmp_path):
+    """Review finding (r15): the cross-reference guard must not crash
+    the declare-before-first-write chain on a schema-less
+    governance-only root (two identity declares, or identity after a
+    default/check, before any data)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.add_identity_column("a")
+    t.add_identity_column("b", start=100)
+    u = SnapshotTable(spark, str(tmp_path / "u"))
+    u.add_check_constraint("pos", "k >= 0")
+    u.add_identity_column("rid")
+    # the declared governance all bites on the first write
+    u.append(spark.createDataFrame([(5,)], "k long"))
+    assert u.read().first()["rid"] == 1
+    with pytest.raises(ValueError, match="pos"):
+        u.append(spark.createDataFrame([(-1,)], "k long"))
+
+
+def test_carry_only_merge_claims_nothing(spark, tmp_path):
+    """Review finding (r15): an all-matched merge_mor stages ZERO
+    fresh ids and must commit WITHOUT an identity claim — a (base, 0)
+    claim would spuriously CommitConflict against a concurrent
+    assigning writer. Simulated via a stale counter: the carry-only
+    merge must succeed where a claiming write would conflict."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_columns=["k"])
+    t.add_identity_column("rid")
+    t.append(
+        spark.range(0, 4).select(F.col("id").alias("k"),
+                                 (F.col("id") * 2.0).alias("v"))
+    )
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    # a stale handle view of the counter: claiming writers conflict...
+    stale = {"rid": {"start": 1, "step": 1, "next": 1}}
+    real = type(t)._table_identity
+    t._table_identity = lambda: stale
+    try:
+        # ...but the ALL-MATCHED upsert claims nothing and commits
+        v = t.merge_mor(
+            spark.range(0, 4).select(F.col("id").alias("k"),
+                                     F.lit(-1.0).alias("v")),
+            "k",
+        )
+    finally:
+        del t._table_identity
+    assert v == t.current_version()
+    after = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert after == before  # every id carried
+    assert t._table_identity()["rid"]["next"] == 5  # untouched

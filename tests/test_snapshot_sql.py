@@ -1509,3 +1509,45 @@ def test_sql_optimize_where_scopes_selection(spark, tmp_path):
             f"OPTIMIZE '{root}' TARGET 1000 ROWS WHERE k < 10 "
             f"ZORDER BY (k, v)",
         )
+
+
+def test_sql_optimize_and_unset_strictness(spark, tmp_path):
+    """Review findings (r15): OPTIMIZE with a WHERE keyword but an
+    empty predicate must refuse (not silently run unscoped); UNSET
+    TBLPROPERTIES without IF EXISTS refuses missing keys; LIKE carries
+    the source's persisted pruning config."""
+    root = str(tmp_path / "t")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root}' (k BIGINT, v BIGINT)",
+        stats_columns=["k"],
+    )
+    with pytest.raises(ValueError, match="WHERE needs a predicate"):
+        snapshot_sql(
+            spark,
+            f"OPTIMIZE '{root}' TARGET 1000 ROWS WHERE CLUSTER BY (k)",
+        )
+    t = SnapshotTable(spark, root)
+    t.set_table_properties({"team": "x"})
+    with pytest.raises(ValueError, match="no such propert"):
+        snapshot_sql(
+            spark, f"ALTER TABLE '{root}' UNSET TBLPROPERTIES (typo_key)"
+        )
+    # IF EXISTS ignores the missing key, and still removes present ones
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE '{root}' UNSET TBLPROPERTIES IF EXISTS "
+        f"(typo_key, team)",
+    )
+    assert t._table_properties() == {}
+    # LIKE carries the persisted stats config (the CLONE parity rule)
+    dst = str(tmp_path / "d")
+    snapshot_sql(spark, f"CREATE TABLE '{dst}' LIKE '{root}'")
+    d = SnapshotTable(spark, dst)
+    cfg = d._raw_manifest(d.current_version()).get("config") or {}
+    assert cfg.get("stats_columns") == ["k"]
+    # ...and its appends actually write band stats
+    d.append(spark.range(0, 5).select(F.col("id").alias("k"),
+                                      F.col("id").alias("v")))
+    m = d._manifest(d.current_version())
+    assert any("k" in s for s in m.get("stats", {}).values())
