@@ -7247,6 +7247,22 @@ class SnapshotTable:
         gen = self._table_generated()
         if gen:
             df = self._compute_generated(df, gen, base0)
+        layout = self._table_layout()
+        if layout and layout[0]["transform"] == "identity":
+            # declared identity layout places WAP batches too (post-
+            # fill, like append). Transform layouts stay unplaced here
+            # — their metadata recording lives in the dedicated verbs,
+            # and un-metadata'd files are conservative candidates:
+            # pruning degrades, never correctness.
+            pcols = [
+                F.col(self._phys(base0, s["key"]))
+                for s in layout
+                if self._phys(base0, s["key"]) in df.columns
+            ]
+            if pcols:
+                df = df.repartitionByRange(*pcols).sortWithinPartitions(
+                    *pcols
+                )
         files, new_stats, new_blooms = self._stage(df)
         # audit expressions are written in LOGICAL names
         audit_rows = [

@@ -250,3 +250,37 @@ def test_partitioned_by_markers_ride_routed_appends(spark, tmp_path):
     assert any(
         "__buckets" in s for s in m.get("stats", {}).values()
     )
+
+
+def test_wap_commit_places_identity_layout(spark, tmp_path):
+    """WAP batches are placed by a declared identity layout too (post-
+    fill, like append): each published file carries a narrow band for
+    the declared column; a failing audit still publishes nothing."""
+    root = str(tmp_path / "t")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE '{root}' (k BIGINT, v BIGINT) PARTITIONED BY (k)",
+    )
+    t = SnapshotTable(spark, root)
+    t.wap_commit(
+        spark.range(0, 2000).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("v")),
+        checks=[{"name": "k_nonneg", "kind": "range",
+                 "column": "k", "lo": 0, "hi": 10 ** 9}],
+    )
+    m = t._manifest(t.current_version())
+    bands = [
+        s["k"] for s in m.get("stats", {}).values()
+        if s.get("k") and s.get("__rows")
+    ]
+    # range-clustered: at least one file covers a PROPER sub-band
+    assert bands
+    assert any(b[0] > 0 or b[1] < 1999 for b in bands) or len(bands) == 1
+    v = t.current_version()
+    with pytest.raises(ValueError, match="k_nonneg"):
+        t.wap_commit(
+            spark.createDataFrame([(-5, 0)], "k long, v long"),
+            checks=[{"name": "k_nonneg", "kind": "range",
+                     "column": "k", "lo": 0, "hi": 10 ** 9}],
+        )
+    assert t.current_version() == v
