@@ -245,15 +245,18 @@ def lake_mor_upsert_nullstats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(777).cast("bigint").alias("cents"),
         )
         t.merge_mor(upserts, "k")
+        # count + cents fused into one action over the final snapshot;
+        # the three where_null= reads stay separate on purpose — they
+        # exercise the null-count data-skipping read path itself
+        a = t.read().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+        ).first()
         out = [
-            ("n_total_after_upsert", t.read().count()),
+            ("n_total_after_upsert", a["n"]),
             ("n_band_null", t.read(where_null=("band", True)).count()),
             ("n_band_notnull", t.read(where_null=("band", False)).count()),
             ("tt_v1_band_null", t.read(version=1, where_null=("band", True)).count()),
-            (
-                "cents_total",
-                t.read().agg(F.sum("cents")).first()[0],
-            ),
+            ("cents_total", a["cents"]),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -456,18 +459,24 @@ def lake_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(rows)
         v = t.apply_changes(batch, "k", seq_col="seq")
         assert v == 2  # upserts + deletes land as ONE commit
+        # one fused aggregate over the final snapshot instead of five
+        # separate actions (each re-ran the DV-masked scan); a filtered
+        # count IS a conditional sum — value-identical, oracle-pinned
+        a = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(((k % 100 == 0) & (k <= mx)).cast("long")).alias("nd"),
+            F.sum(
+                ((k % 100 == 50) & (c == 222)).cast("long")
+            ).alias("nr"),
+            F.sum((k > mx).cast("long")).alias("ni"),
+            F.sum("cents").alias("cents"),
+        ).first()
         out = [
-            ("n_total_after", t.read().count()),
-            (
-                "n_deleted_remaining",
-                t.read().filter((k % 100 == 0) & (k <= mx)).count(),
-            ),
-            (
-                "n_revived",
-                t.read().filter((k % 100 == 50) & (c == 222)).count(),
-            ),
-            ("n_inserted", t.read().filter(k > mx).count()),
-            ("cents_total", t.read().agg(F.sum("cents")).first()[0]),
+            ("n_total_after", a["n"]),
+            ("n_deleted_remaining", a["nd"]),
+            ("n_revived", a["nr"]),
+            ("n_inserted", a["ni"]),
+            ("cents_total", a["cents"]),
             ("tt_v1_total", t.read(version=1).count()),
         ]
     finally:
@@ -666,14 +675,23 @@ def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus = 'O' AND price > 100000",
             set={"o_orderpriority": "'FLAGGED'"},
         )
+        # fused aggregate over the post-UPDATE snapshot (count, flagged
+        # count and cents were three separate actions re-running the
+        # same scan; a filtered count IS a conditional sum). The two
+        # where= reads stay separate on purpose: they exercise the
+        # data-skipping read path itself.
+        a = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("o_orderpriority") == "FLAGGED").cast("long")
+            ).alias("nf"),
+            F.sum("cents").alias("cents"),
+        ).first()
         out = [
             ("n_after_delete", n_after_delete),
-            ("n_after_mixed_delete", t.read().count()),
-            (
-                "n_flagged",
-                t.read().filter(F.col("o_orderpriority") == "FLAGGED").count(),
-            ),
-            ("cents_survivors", t.read().agg(F.sum("cents")).first()[0]),
+            ("n_after_mixed_delete", a["n"]),
+            ("n_flagged", a["nf"]),
+            ("cents_survivors", a["cents"]),
             (
                 "n_matched_left",
                 t.read(where=pred).count() + t.read(where=pred_mixed).count(),
@@ -685,8 +703,11 @@ def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.delete_where(
             "price NOT BETWEEN 1000 AND 400000 AND o_orderstatus <> 'P'"
         )
-        out.append(("n_after_not_delete", t.read().count()))
-        out.append(("cents_final", t.read().agg(F.sum("cents")).first()[0]))
+        b = t.read().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+        ).first()
+        out.append(("n_after_not_delete", b["n"]))
+        out.append(("cents_final", b["cents"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(out, "step string, value bigint")
@@ -757,15 +778,22 @@ def lake_tracked_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ch(rows.filter(k % 10 == 5), 222, "U", 5)
         )
         t.apply_changes(late, "k", seq_col="seq", track_seq=True)
-        got = t.read()
+        # one fused aggregate instead of four actions over the same
+        # DV-masked snapshot; filtered counts become conditional sums —
+        # value-identical, oracle-pinned
+        a = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("cents") == 999).cast("long")).alias("nw"),
+            F.sum((F.col("cents") == 111).cast("long")).alias("ns"),
+            F.sum(
+                ((k % 10 == 5) | (F.col("cents") == 222)).cast("long")
+            ).alias("nr"),
+        ).first()
         out = [
-            ("n_after", got.count()),
-            ("n_winner_value", got.filter(F.col("cents") == 999).count()),
-            ("n_stale_applied", got.filter(F.col("cents") == 111).count()),
-            (
-                "n_resurrected",
-                got.filter((k % 10 == 5) | (F.col("cents") == 222)).count(),
-            ),
+            ("n_after", a["n"]),
+            ("n_winner_value", a["nw"]),
+            ("n_stale_applied", a["ns"]),
+            ("n_resurrected", a["nr"]),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1039,22 +1067,26 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cents = t.cents + s.cents "
             f"WHEN NOT MATCHED AND s.o_orderkey % 2 = 1 THEN INSERT *",
         )
-        got = t.read()
+        # one fused aggregate instead of five actions over the same
+        # snapshot; filtered counts become conditional sums —
+        # value-identical, oracle-pinned
+        a = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("o_orderpriority") == "SQL-FLAG").cast("long")
+            ).alias("nf"),
+            F.sum("cents").alias("cents"),
+            F.sum((F.col("o_orderstatus") == "M").cast("long")).alias("nm"),
+            F.sum(
+                (F.col("o_orderpriority") == "COND-INS").cast("long")
+            ).alias("nci"),
+        ).first()
         out = [
-            ("n_final", got.count()),
-            (
-                "n_flagged",
-                got.filter(F.col("o_orderpriority") == "SQL-FLAG").count(),
-            ),
-            ("cents_final", got.agg(F.sum("cents")).first()[0]),
-            (
-                "n_merged",
-                got.filter(F.col("o_orderstatus") == "M").count(),
-            ),
-            (
-                "n_cond_ins",
-                got.filter(F.col("o_orderpriority") == "COND-INS").count(),
-            ),
+            ("n_final", a["n"]),
+            ("n_flagged", a["nf"]),
+            ("cents_final", a["cents"]),
+            ("n_merged", a["nm"]),
+            ("n_cond_ins", a["nci"]),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1145,18 +1177,25 @@ def lake_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         got = t.read()
         is_open = F.col("__END_AT").isNull()
+        # one fused aggregate instead of five separate actions over the
+        # same snapshot (guide §1.2: each count re-ran the full history
+        # scan; a filtered count IS a conditional sum, so the fusion is
+        # value-identical and the oracle hash pins it)
+        a = got.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_open.cast("long")).alias("n_open"),
+            F.sum((~is_open).cast("long")).alias("n_closed"),
+            F.sum(F.when(is_open, F.col("cents"))).alias("open_cents"),
+            F.sum(
+                F.col("cents").isin(111, 222).cast("long")
+            ).alias("n_stale"),
+        ).first()
         out = [
-            ("n_history_rows", got.count()),
-            ("n_open", got.filter(is_open).count()),
-            ("n_closed", got.filter(~is_open).count()),
-            (
-                "open_cents",
-                got.filter(is_open).agg(F.sum("cents")).first()[0],
-            ),
-            (
-                "n_stale_applied",
-                got.filter(F.col("cents").isin(111, 222)).count(),
-            ),
+            ("n_history_rows", a["n"]),
+            ("n_open", a["n_open"]),
+            ("n_closed", a["n_closed"]),
+            ("open_cents", a["open_cents"]),
+            ("n_stale_applied", a["n_stale"]),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1465,11 +1504,16 @@ def lake_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t2 = SnapshotTable(spark, t.root, stats_columns=["y"])
         t2.append_clustered(rows, cluster_by=["d"], n_files=8)
-        got = t2.read()
+        # count + y_sum fused into one action; the band read stays a
+        # separate action on purpose — it exercises the generated-
+        # column implied-band pruning read path itself
         band = t2.read(where="d >= '1995-01-01' AND d < '1996-01-01'")
+        a = t2.read().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").alias("ys")
+        ).first()
         out = [
-            ("n_total", got.count()),
-            ("y_sum", got.agg(F.sum("y")).first()[0]),
+            ("n_total", a["n"]),
+            ("y_sum", a["ys"]),
             ("n_1995", band.count()),
         ]
     finally:
@@ -1541,12 +1585,20 @@ def lake_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"WHEN MATCHED THEN DELETE "
             f"WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
         )                                                         # v5 fill
-        got = t.read()
+        # one fused aggregate instead of four actions over the same
+        # snapshot; filtered counts become conditional sums —
+        # value-identical, oracle-pinned
+        a = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("src") == "seed").cast("long")).alias("ns"),
+            F.sum((F.col("src") == "web").cast("long")).alias("nw"),
+            F.sum(F.col("src").isNull().cast("long")).alias("nn"),
+        ).first()
         out = [
-            ("n_total", got.count()),
-            ("n_seed", got.filter(F.col("src") == "seed").count()),
-            ("n_web", got.filter(F.col("src") == "web").count()),
-            ("n_null", got.filter(F.col("src").isNull()).count()),
+            ("n_total", a["n"]),
+            ("n_seed", a["ns"]),
+            ("n_web", a["nw"]),
+            ("n_null", a["nn"]),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1623,17 +1675,25 @@ def lake_merge_on_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"WHEN NOT MATCHED THEN INSERT (k, cents) "
             f"VALUES (s.ck, s.cents + 1)",
         )
-        got = t.read()
+        # one fused aggregate instead of four actions over the same
+        # snapshot; filtered counts become conditional sums —
+        # value-identical, oracle-pinned
+        a = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+            F.sum(
+                (F.col("cents") == 88888888888).cast("long")
+            ).alias("nu"),
+            F.sum(
+                ((F.col("cents") == 88888888889) & (F.col("k") > 0))
+                .cast("long")
+            ).alias("nri"),
+        ).first()
         out = [
-            ("n_final", got.count()),
-            ("cents_final", got.agg(F.sum("cents")).first()[0]),
-            ("n_upd", got.filter(F.col("cents") == 88888888888).count()),
-            (
-                "n_res_ins",
-                got.filter(
-                    (F.col("cents") == 88888888889) & (F.col("k") > 0)
-                ).count(),
-            ),
+            ("n_final", a["n"]),
+            ("cents_final", a["cents"]),
+            ("n_upd", a["nu"]),
+            ("n_res_ins", a["nri"]),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1725,13 +1785,24 @@ def lake_merge_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"WHEN NOT MATCHED BY SOURCE AND t.cents < 2000000 THEN "
             f"UPDATE SET status = 'low'",
         )
-        got = t.read()
+        # one fused aggregate instead of five actions over the same
+        # snapshot; filtered counts become conditional sums —
+        # value-identical, oracle-pinned
+        a = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+            F.sum(
+                (F.col("cents") == 77777777777).cast("long")
+            ).alias("nu"),
+            F.sum((F.col("status") == "low").cast("long")).alias("nl"),
+            F.sum(F.col("status").isNull().cast("long")).alias("ni"),
+        ).first()
         out = [
-            ("n_final", got.count()),
-            ("cents_final", got.agg(F.sum("cents")).first()[0]),
-            ("n_upd", got.filter(F.col("cents") == 77777777777).count()),
-            ("n_low", got.filter(F.col("status") == "low").count()),
-            ("n_ins", got.filter(F.col("status").isNull()).count()),
+            ("n_final", a["n"]),
+            ("cents_final", a["cents"]),
+            ("n_upd", a["nu"]),
+            ("n_low", a["nl"]),
+            ("n_ins", a["ni"]),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)

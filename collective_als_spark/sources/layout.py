@@ -1039,54 +1039,141 @@ class SnapshotTable:
                     for c, e in gen.items()
                 },
             }
-        if checks and files:
-            # CHECK enforcement at the single staging choke point
-            # (append, WAP, merge, merge_mor, apply_changes, update,
-            # compact all stage here): one scan of the STAGED files —
-            # the audit sees exactly the bytes readers would — with
-            # SQL CHECK semantics (NULL passes, only FALSE violates).
-            # The staged scan is conformed to the CURRENT table schema
-            # first (NULL-pad columns this narrower commit omitted —
-            # readers NULL-pad them too, and SQL CHECK passes NULL),
-            # so a legal narrower write can't fail analysis on a
-            # constrained column it never carried. A violating batch —
-            # or an analysis error (e.g. a check referencing a column
-            # nowhere in table or batch) — deletes its staged files
-            # and raises; the table stays at its previous version.
-            try:
-                staged = self.spark.read.parquet(*files)
-                cur_v = self.current_version()
-                base = self._base_manifest(cur_v) if cur_v else {}
-                tschema = base.get("schema")
-                # constraints are written against LOGICAL names: audit
-                # the logical view of the staged (physical) bytes
-                staged = self._to_logical(staged, base)
-                if tschema is not None:
-                    from pyspark.sql.types import StructType
-
-                    inv = {
-                        p: l for l, p in self._col_mapping(base).items()
-                    }
-                    have = set(staged.columns)
-                    for fld in StructType.fromJson(tschema).fields:
-                        lname = inv.get(fld.name, fld.name)
-                        if lname not in have:
-                            staged = staged.withColumn(
-                                lname, F.lit(None).cast(fld.dataType)
-                            )
-                viol = staged.agg(
-                    *[
-                        F.sum(
-                            (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
-                        ).alias(n)
-                        for n, e in checks.items()
-                    ]
-                ).first()
-            except Exception:
+        stats, blooms = self._stage_metadata(files, checks)
+        if self.stats_columns:
+            nonempty = [f for f in files if _rel(f) in stats]
+            if nonempty or not _keep_empty:
                 for f in files:
-                    self.log.delete(f)
-                raise
-            bad = {n: int(viol[n]) for n in checks if viol[n]}
+                    if _rel(f) not in stats:
+                        self.log.delete(f)
+                files = nonempty
+        return files, stats, blooms
+
+    def _stage_metadata(
+        self, files: list[str], checks: dict[str, str]
+    ) -> tuple[dict[str, dict], dict[str, dict]]:
+        """Per-file stats + Bloom bitsets + the CHECK audit in ONE
+        column-pruned scan of the newly staged files. These were one
+        Spark job EACH (audit, stats, then one per bloom column), i.e.
+        2-4 full passes over the staged bytes per commit; one fused
+        groupBy(file) pass computes identical metadata — at 100 TB the
+        staged batch is read back exactly once instead of up to four
+        times, and in local mode each commit sheds 1-3 job launches.
+
+        Semantics are byte-identical to the unfused form:
+
+        - CHECK enforcement at the single staging choke point (append,
+          WAP, merge, merge_mor, apply_changes, update all stage
+          here), with SQL CHECK semantics (NULL passes, only FALSE
+          violates) over the LOGICAL view of the staged bytes,
+          NULL-padded to the current table schema so a legal narrower
+          write can't fail analysis on a constrained column it never
+          carried. A violating batch — or an analysis error — deletes
+          its staged files and raises; the table stays at its previous
+          version.
+        - Stats entries ({col: [min, max, null_count], "__rows": n})
+          appear only for files with rows; empty files stay invisible
+          (conservatively unpruneable) exactly as before.
+        - Bloom bitsets fold the same k=_BLOOM_K double-hashed probe
+          positions per value; the per-probe collect_set is bounded by
+          _BLOOM_BITS, so the collect stays manifest-sized.
+        """
+        import base64
+
+        stats_cols: list[str] = (
+            self._physical_config_cols(self.stats_columns)
+            if self.stats_columns
+            else []
+        )
+        bloom_cols: list[str] = (
+            self._physical_config_cols(self.bloom_columns)
+            if self.bloom_columns
+            else []
+        )
+        if not files or not (stats_cols or bloom_cols or checks):
+            return {}, {}
+        if stats_cols and not bloom_cols and not checks:
+            # stats-only commit: the staged files' PARQUET FOOTERS
+            # already hold exact min/max/null-count/row-count for the
+            # exactness-safe types — read them driver-side (a few KB of
+            # metadata per file, threaded) instead of launching a Spark
+            # job that re-scans the staged bytes (guide §1.2: zero
+            # passes beats one). Iceberg/Delta collect write metrics
+            # the same way. Falls back to the fused scan whenever any
+            # footer lacks exact stats (string truncation, NaN-bearing
+            # doubles, exotic types, remote filesystems).
+            footer = self._footer_stats(files, stats_cols)
+            if footer is not None:
+                return footer, {}
+        chk_names = list(checks)
+        try:
+            scan = self.spark.read.parquet(*files)
+            # a reshaping write (overwrite with new columns) may drop a
+            # configured stats column entirely — stats for the columns
+            # that remain, none for the gone ones (absent stats =
+            # conservative full-candidate behavior)
+            stats_cols = [c for c in stats_cols if c in set(scan.columns)]
+            cur_v = self.current_version()
+            base = self._base_manifest(cur_v) if cur_v else {}
+            inv = {p: l for l, p in self._col_mapping(base).items()}
+            # constraints are written against LOGICAL names: audit the
+            # logical view of the staged (physical) bytes; stats/bloom
+            # config is physical — aggregate the same data through its
+            # logical alias and key the manifest entries physically
+            ldf = self._to_logical(scan, base)
+            if checks and base.get("schema") is not None:
+                from pyspark.sql.types import StructType
+
+                have = set(ldf.columns)
+                for fld in StructType.fromJson(base["schema"]).fields:
+                    lname = inv.get(fld.name, fld.name)
+                    if lname not in have:
+                        ldf = ldf.withColumn(
+                            lname, F.lit(None).cast(fld.dataType)
+                        )
+            tagged = ldf.select(
+                F.input_file_name().alias("__stg_file"), "*"
+            )
+            aggs = [F.count(F.lit(1)).alias("__rows")]
+            for c in stats_cols:
+                lc = F.col(inv.get(c, c))
+                aggs.append(F.min(lc).alias(f"{c}__min"))
+                aggs.append(F.max(lc).alias(f"{c}__max"))
+                aggs.append(
+                    F.sum(lc.isNull().cast("long")).alias(f"{c}__nulls")
+                )
+            for c in bloom_cols:
+                h = F.xxhash64(F.col(inv.get(c, c)).cast("string"))
+                h1 = F.pmod(h, F.lit(_BLOOM_BITS))
+                h2 = F.pmod(F.shiftright(h, 13), F.lit(_BLOOM_BITS)) * 2 + 1
+                for i in range(_BLOOM_K):
+                    aggs.append(
+                        F.collect_set(
+                            F.pmod(
+                                h1 + F.lit(i) * h2, F.lit(_BLOOM_BITS)
+                            ).cast("int")
+                        ).alias(f"__bloom_{c}__{i}")
+                    )
+            for idx, n in enumerate(chk_names):
+                aggs.append(
+                    F.sum(
+                        (~F.coalesce(F.expr(checks[n]), F.lit(True)))
+                        .cast("long")
+                    ).alias(f"__chk_{idx}")
+                )
+            rows = tagged.groupBy("__stg_file").agg(*aggs).collect()
+        except Exception:
+            for f in files:
+                self.log.delete(f)
+            raise
+        if checks:
+            tot: dict[str, int] = {n: 0 for n in chk_names}
+            for r in rows:
+                for idx, n in enumerate(chk_names):
+                    v = r[f"__chk_{idx}"]
+                    if v:
+                        tot[n] += int(v)
+            bad = {n: c for n, c in tot.items() if c}
             if bad:
                 for f in files:
                     self.log.delete(f)
@@ -1098,16 +1185,107 @@ class SnapshotTable:
                         for n, c in bad.items()
                     )
                 )
-        stats = self._file_stats(files)
+        stats: dict[str, dict] = {}
         if self.stats_columns:
-            nonempty = [f for f in files if _rel(f) in stats]
-            if nonempty or not _keep_empty:
-                for f in files:
-                    if _rel(f) not in stats:
-                        self.log.delete(f)
-                files = nonempty
-        blooms = self._file_blooms(files)
-        return files, stats, blooms
+            for r in rows:
+                stats[_rel(r["__stg_file"])] = {
+                    "__rows": r["__rows"],
+                    **{
+                        c: [
+                            _jsonable(r[f"{c}__min"]),
+                            _jsonable(r[f"{c}__max"]),
+                            r[f"{c}__nulls"],
+                        ]
+                        for c in stats_cols
+                    },
+                }
+        blooms: dict[str, dict] = {}
+        for c in bloom_cols:
+            for r in rows:
+                bits = bytearray(_BLOOM_BITS // 8)
+                for i in range(_BLOOM_K):
+                    for p in r[f"__bloom_{c}__{i}"]:
+                        bits[p >> 3] |= 1 << (p & 7)
+                blooms.setdefault(_rel(r["__stg_file"]), {})[c] = (
+                    base64.b64encode(bytes(bits)).decode()
+                )
+        return stats, blooms
+
+    # parquet physical/logical types whose footer min/max are EXACT by
+    # spec and whose ordering equals Spark's: fixed-width numerics,
+    # booleans and dates. Strings/binary (writer truncation), decimals,
+    # timestamps (unit/zone coercion) and NaN-bearing float columns
+    # (writers omit their stats -> has_min_max False) fall back to the
+    # fused scan instead.
+    _FOOTER_EXACT_TYPES = frozenset(
+        ["INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"]
+    )
+
+    def _footer_stats(
+        self, files: list[str], stats_cols: list[str]
+    ) -> dict[str, dict] | None:
+        """Per-file stats from the staged parquet FOOTERS — the same
+        ``{col: [min, max, null_count], "__rows": n}`` entries the
+        fused scan computes, with zero Spark jobs. Returns None
+        (caller falls back to the scan) unless EVERY row group of
+        every stats column carries exact stats of an exactness-safe
+        type; date columns ride the DATE logical annotation on INT32.
+        Entries appear only for files with rows, like the scan."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        from concurrent.futures import ThreadPoolExecutor
+
+        class Inexact(Exception):
+            pass
+
+        def one(path: str):
+            local = path[7:] if path.startswith("file://") else path
+            md = pq.ParquetFile(local).metadata
+            if md.num_rows == 0:
+                return _rel(path), None
+            idx: dict[str, int] = {}
+            for i in range(md.num_columns):
+                sc = md.schema.column(i)
+                if sc.path in stats_cols:
+                    phys = str(sc.physical_type)
+                    logical = str(sc.logical_type.type)
+                    if phys not in self._FOOTER_EXACT_TYPES:
+                        raise Inexact(path)
+                    if logical not in ("NONE", "INT", "DATE"):
+                        raise Inexact(path)
+                    idx[sc.path] = i
+            entry: dict = {"__rows": md.num_rows}
+            for c, i in idx.items():
+                mn = mx = None
+                nulls = 0
+                for rg in range(md.num_row_groups):
+                    grp = md.row_group(rg)
+                    st = grp.column(i).statistics
+                    if st is None or not st.has_null_count:
+                        raise Inexact(path)
+                    nulls += st.null_count
+                    if st.null_count == grp.num_rows:
+                        continue  # all-NULL row group: nothing to merge
+                    if not st.has_min_max:
+                        # non-null values but no stats (e.g. a writer
+                        # skipping NaN-bearing float stats): not exact
+                        raise Inexact(path)
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                entry[c] = [_jsonable(mn), _jsonable(mx), nulls]
+            return _rel(path), entry
+
+        try:
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                results = list(pool.map(one, files))
+        except Exception:
+            # ANY footer surprise (missing stats, exotic type, remote
+            # path, corrupt metadata) falls back to the fused scan —
+            # strictly a performance fallback, never a behavior change
+            return None
+        return {rel: entry for rel, entry in results if entry is not None}
 
     @staticmethod
     def _wider_type(a: str, b: str) -> str | None:
@@ -5511,12 +5689,27 @@ class SnapshotTable:
         null_key = F.lit(False)
         for k in keys:
             null_key = null_key | F.col(k).isNull()
-        checks = latest.agg(
+        validation_aggs = [
             F.sum(F.col(op_col).isNull().cast("long")).alias("n_null_op"),
             F.sum(null_key.cast("long")).alias("n_null_key"),
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
-        ).first()
+        ]
+        if track_seq and seq_col is not None:
+            # the tracked path needs the NULL-seq census AND the
+            # per-key batch bounds (for _applied_seq's candidate
+            # pruning) — both ride the same validation aggregate
+            # instead of two more jobs (the raise-order below is
+            # unchanged; only the values are shared)
+            validation_aggs.append(
+                F.sum(F.col(seq_col).isNull().cast("long")).alias(
+                    "n_null_seq"
+                )
+            )
+            for i, k in enumerate(keys):
+                validation_aggs.append(F.min(k).alias(f"__lo_{i}"))
+                validation_aggs.append(F.max(k).alias(f"__hi_{i}"))
+        checks = latest.agg(*validation_aggs).first()
         if checks["n_null_key"]:
             raise ValueError(
                 f"apply_changes: {checks['n_null_key']} rows have NULL "
@@ -5545,9 +5738,7 @@ class SnapshotTable:
                     "apply_changes: '__seq' is reserved for track_seq "
                     "bookkeeping — rename the source column"
                 )
-            n_null_seq = latest.agg(
-                F.sum(F.col(seq_col).isNull().cast("long")).alias("v")
-            ).first()["v"]
+            n_null_seq = checks["n_null_seq"]
             if n_null_seq:
                 raise ValueError(
                     f"apply_changes: {n_null_seq} rows have NULL "
@@ -5562,7 +5753,11 @@ class SnapshotTable:
             # relations below (gate + tombstone consolidation)
             bcast_ok = self._key_broadcast_ok(latest, keys, checks["nd"])
             applied = self._applied_seq(
-                manifest, latest, keys, bcast_ok, tombstone_retention_sec
+                manifest, latest, keys, bcast_ok, tombstone_retention_sec,
+                _bounds={
+                    i: (checks[f"__lo_{i}"], checks[f"__hi_{i}"])
+                    for i in range(len(keys))
+                },
             )
             if applied is not None:
                 # stale-change gate: a change at or below its key's
@@ -5725,6 +5920,9 @@ class SnapshotTable:
         null_key = F.lit(False)
         for k in keys:
             null_key = null_key | F.col(k).isNull()
+        # the per-key batch bounds and distinct-key count for the
+        # pruned history scan ride the SAME validation aggregate —
+        # previously _scd2_key_history paid its own bounds job
         checks = latest.agg(
             F.sum(F.col(op_col).isNull().cast("long")).alias("n_null_op"),
             F.sum(F.col(seq_col).isNull().cast("long")).alias("n_null_seq"),
@@ -5733,6 +5931,15 @@ class SnapshotTable:
             F.count_distinct(
                 *[F.col(k) for k in keys], F.col(seq_col)
             ).alias("nd"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("nd_keys"),
+            *[
+                a
+                for i, k in enumerate(keys)
+                for a in (
+                    F.min(k).alias(f"__lo_{i}"),
+                    F.max(k).alias(f"__hi_{i}"),
+                )
+            ],
         ).first()
         if checks["n"] == 0:
             return cur
@@ -5754,8 +5961,22 @@ class SnapshotTable:
                 f"would be undefined; deduplicate upstream"
             )
         # ONE pruned history scan for this batch's keys: floor for the
-        # stale gate + the open rows the batch must close
-        hist = self._scd2_key_history(manifest, latest, keys) if cur else None
+        # stale gate + the open rows the batch must close (bounds and
+        # distinct-key count handed over from the validation aggregate)
+        hist = (
+            self._scd2_key_history(
+                manifest,
+                latest,
+                keys,
+                _bounds={
+                    i: (checks[f"__lo_{i}"], checks[f"__hi_{i}"])
+                    for i in range(len(keys))
+                },
+                _nd=checks["nd_keys"],
+            )
+            if cur
+            else None
+        )
         if hist is not None and track_seq:
             floor = hist.groupBy(*keys).agg(
                 F.max(F.coalesce("__END_AT", "__START_AT")).alias("__flr")
@@ -5790,27 +6011,49 @@ class SnapshotTable:
             staged = closed.unionByName(new_rows, allowMissingColumns=True)
         else:
             staged = new_rows
+        # materialize the staged history delta ONCE: merge re-executes
+        # its source for the validation aggregate, the key-tuple
+        # distinct and the staged write — without this the pruned
+        # history scan + close-join + interval window re-ran 3x per
+        # batch (guide §1.2/§5: the frame is batch+closed-rows-sized,
+        # so the checkpoint is cheap; the scan subtree is not)
+        staged = staged.localCheckpoint(eager=True)
         mkeys = keys + ["__START_AT"]
         if mor:
             return self.merge_mor(staged, mkeys, _markers=_markers)
         return self.merge(staged, mkeys, _markers=_markers)
 
     def _scd2_key_history(
-        self, manifest: dict, latest: DataFrame, keys: list[str]
+        self,
+        manifest: dict,
+        latest: DataFrame,
+        keys: list[str],
+        _bounds: dict | None = None,
+        _nd: int | None = None,
     ) -> DataFrame | None:
         """All history rows for the batch's keys, via a band/bloom-
         pruned candidate scan (the :meth:`_applied_seq` discipline) —
-        None for a table with no files yet."""
+        None for a table with no files yet. ``_bounds`` / ``_nd`` let
+        the scd2 apply hand over the per-key bounds and distinct-key
+        count its validation aggregate already computed, instead of
+        paying a second aggregate job here."""
         if not manifest.get("files"):
             return None
-        aggs = []
-        for i, k in enumerate(keys):
-            aggs.append(F.min(k).alias(f"lo_{i}"))
-            aggs.append(F.max(k).alias(f"hi_{i}"))
-        aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("nd"))
-        bounds = latest.agg(*aggs).first()
+        if _bounds is None or _nd is None:
+            aggs = []
+            for i, k in enumerate(keys):
+                aggs.append(F.min(k).alias(f"lo_{i}"))
+                aggs.append(F.max(k).alias(f"hi_{i}"))
+            aggs.append(
+                F.count_distinct(*[F.col(k) for k in keys]).alias("nd")
+            )
+            row = latest.agg(*aggs).first()
+            _bounds = {
+                i: (row[f"lo_{i}"], row[f"hi_{i}"]) for i in range(len(keys))
+            }
+            _nd = row["nd"]
         bands = [
-            (self._phys(manifest, k), bounds[f"lo_{i}"], bounds[f"hi_{i}"])
+            (self._phys(manifest, k), _bounds[i][0], _bounds[i][1])
             for i, k in enumerate(keys)
         ]
         candidates, _untouched = self._split_by_bands(manifest, bands)
@@ -5822,7 +6065,7 @@ class SnapshotTable:
         if not candidates:
             return None
         kt = latest.select(*keys).distinct()
-        if self._key_broadcast_ok(latest, keys, bounds["nd"]):
+        if self._key_broadcast_ok(latest, keys, _nd):
             kt = F.broadcast(kt)
         return self._to_logical(
             self._scan_live(manifest, candidates), manifest
@@ -5866,27 +6109,35 @@ class SnapshotTable:
         keys: list[str],
         broadcast_ok: bool,
         retention_sec: float,
+        _bounds: dict | None = None,
     ) -> DataFrame | None:
         """Per-key APPLIED sequence relevant to this batch: max of the
         live rows' ``__seq`` (band/bloom-pruned candidate scan
         semi-joined to the batch keys) and the tombstone state's
         ``__seq`` for deleted keys. None when the table has never been
         sequence-tracked (no ``__seq`` column, no state) — the gate is
-        then a no-op."""
+        then a no-op. ``_bounds`` ({key index: (lo, hi)}) lets a caller
+        that already aggregated the batch (the validation aggregate)
+        hand the per-key bounds over instead of paying a second job."""
         frames = []
         schema_fields = manifest.get("schema", {}).get("fields", [])
         if any(f["name"] == "__seq" for f in schema_fields) and manifest.get(
             "files"
         ):
-            aggs = []
-            for i, k in enumerate(keys):
-                aggs.append(F.min(k).alias(f"lo_{i}"))
-                aggs.append(F.max(k).alias(f"hi_{i}"))
-            bounds = latest.agg(*aggs).first()
+            if _bounds is None:
+                aggs = []
+                for i, k in enumerate(keys):
+                    aggs.append(F.min(k).alias(f"lo_{i}"))
+                    aggs.append(F.max(k).alias(f"hi_{i}"))
+                row = latest.agg(*aggs).first()
+                _bounds = {
+                    i: (row[f"lo_{i}"], row[f"hi_{i}"])
+                    for i in range(len(keys))
+                }
             # stats / blooms are keyed by PHYSICAL names; the batch
             # and the returned frame stay logical
             bands = [
-                (self._phys(manifest, k), bounds[f"lo_{i}"], bounds[f"hi_{i}"])
+                (self._phys(manifest, k), _bounds[i][0], _bounds[i][1])
                 for i, k in enumerate(keys)
             ]
             candidates, _untouched = self._split_by_bands(manifest, bands)
@@ -7573,8 +7824,16 @@ class SnapshotTable:
 
         rows_to = rows(m_to, added + dv_changed)
         rows_from = rows(m_from, removed + dv_changed)
-        inserts = rows_to.exceptAll(rows_from)
-        deletes = rows_from.exceptAll(rows_to)
+        if not (removed or dv_changed) or not (added or dv_changed):
+            # one side is provably empty (pure append / pure removal —
+            # the two commonest commit shapes): exceptAll against an
+            # empty relation is the identity, so skip it outright —
+            # each exceptAll is a full-width shuffle of both sides and
+            # the pair re-scans every changed file twice (guide §2.4)
+            inserts, deletes = rows_to, rows_from
+        else:
+            inserts = rows_to.exceptAll(rows_from)
+            deletes = rows_from.exceptAll(rows_to)
         out = inserts.withColumn(
             "_change_type", F.lit("insert")
         ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
