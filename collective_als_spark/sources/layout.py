@@ -4191,24 +4191,15 @@ class SnapshotTable:
 
         return self._commit(build)
 
-    def _plan_merge(self, source: DataFrame, key: str | list[str]):
-        """Shared head of the COW and MOR merge paths: validate the
-        source (non-null, duplicate-free key tuples — one agg job),
-        evolve the schema (additive-only, fails BEFORE staging data),
-        and plan the candidate file set (per-key-column interval
-        rectangle + bloom point-key probes). Returns the current
-        version (int) for an empty source, None for a merge into an
-        empty table (caller appends), else the plan dict."""
-        keys = [key] if isinstance(key, str) else list(key)
-        if not keys:
-            raise ValueError("merge needs at least one key column")
-        cur = self.current_version()
-        # per-key serialized width, for the BYTE-aware broadcast gate:
-        # fixed-width types priced by dtype, variable-width (string/
-        # binary) by their measured average length in the SAME
-        # validation aggregate — zero extra jobs
-        dtypes = dict(source.dtypes)
-        _FIXED = _KEY_FIXED_BYTES
+    @staticmethod
+    def _merge_bounds_aggs(keys: list[str], dtypes: dict):
+        """The merge-planning aggregate list — per-key min/max, row
+        count, distinct-key count, NULL-key count, and measured average
+        widths for variable-width key columns. Factored out so callers
+        that already run a validation aggregate over the same frame
+        (``apply_changes``) can FOLD these in and hand the combined row
+        to :meth:`_plan_merge` via ``_bounds`` — one aggregate job per
+        batch instead of two (guide §1.2)."""
         var_cols = [
             k for k in keys if dtypes.get(k) in ("string", "binary")
         ]
@@ -4224,7 +4215,33 @@ class SnapshotTable:
         aggs.append(F.sum(null_any.cast("long")).alias("n_null"))
         for j, k in enumerate(var_cols):
             aggs.append(F.avg(F.length(F.col(k))).alias(f"w_{j}"))
-        bounds = source.agg(*aggs).first()
+        return aggs, var_cols
+
+    def _plan_merge(
+        self, source: DataFrame, key: str | list[str], _bounds=None
+    ):
+        """Shared head of the COW and MOR merge paths: validate the
+        source (non-null, duplicate-free key tuples — one agg job),
+        evolve the schema (additive-only, fails BEFORE staging data),
+        and plan the candidate file set (per-key-column interval
+        rectangle + bloom point-key probes). Returns the current
+        version (int) for an empty source, None for a merge into an
+        empty table (caller appends), else the plan dict. ``_bounds``
+        hands in a precomputed :meth:`_merge_bounds_aggs` row over the
+        same key columns of the same frame (the caller's validation
+        aggregate), skipping this method's own aggregate job."""
+        keys = [key] if isinstance(key, str) else list(key)
+        if not keys:
+            raise ValueError("merge needs at least one key column")
+        cur = self.current_version()
+        # per-key serialized width, for the BYTE-aware broadcast gate:
+        # fixed-width types priced by dtype, variable-width (string/
+        # binary) by their measured average length in the SAME
+        # validation aggregate — zero extra jobs
+        dtypes = dict(source.dtypes)
+        _FIXED = _KEY_FIXED_BYTES
+        aggs, var_cols = self._merge_bounds_aggs(keys, dtypes)
+        bounds = source.agg(*aggs).first() if _bounds is None else _bounds
         if bounds["n"] == 0:
             return cur
         # estimated bytes per distinct key tuple: fixed widths by type
@@ -4380,6 +4397,7 @@ class SnapshotTable:
         _cdc_image_fn=None,
         _identity_ok: bool = False,
         _id_claims: dict | None = None,
+        _plan_bounds=None,
     ) -> int:
         """Copy-on-write MERGE (upsert) keyed on one or more columns:
         target rows whose key tuple matches a source row are replaced
@@ -4476,7 +4494,11 @@ class SnapshotTable:
             # stages a full-width frame (defaults filled per INSERT
             # part already), so this is a no-op there.
             stage = self._apply_defaults(stage, dflt0, base0)
-        plan = self._plan_merge(source, key) if _plan is None else _plan
+        plan = (
+            self._plan_merge(source, key, _bounds=_plan_bounds)
+            if _plan is None
+            else _plan
+        )
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
         if plan is None:
@@ -5367,6 +5389,7 @@ class SnapshotTable:
         _markers: dict[str, int] | None = None,
         _stage_df: DataFrame | None = None,
         _seq_state: dict | None = None,
+        _plan_bounds=None,
     ) -> int:
         """Merge-on-read MERGE (upsert): matched target rows are MASKED
         via deletion vectors and the source rows are APPENDED as new
@@ -5417,7 +5440,7 @@ class SnapshotTable:
             # to-schema below would otherwise NULL-pad omitted default
             # columns before _stage could see them as omitted
             stage = self._apply_defaults(stage, dflt0, base0)
-        plan = self._plan_merge(source, key)
+        plan = self._plan_merge(source, key, _bounds=_plan_bounds)
         if isinstance(plan, int):
             return plan  # empty source: no-op at the current version
         if plan is None:
@@ -5460,6 +5483,8 @@ class SnapshotTable:
                     )
         matched_counts: dict[str, int] = {}
         matched = None
+        idmap = None
+        ident_cols = [self._phys(base0, c) for c in sorted(idents0)]
         if candidates:
             key_tuples = source.select(*keys).distinct()
             # guarded hint (same gate as the COW path): nd bounds the
@@ -5469,16 +5494,29 @@ class SnapshotTable:
                 key_tuples = F.broadcast(key_tuples)
             # materialized once: the counts collect and the DV write
             # both consume it — without this the pruned candidate scan
-            # + semi join runs twice per (micro-batch) commit
-            matched = (
+            # + semi join runs twice per (micro-batch) commit. On
+            # IDENTITY tables the checkpoint is widened by the key +
+            # id columns so the carry map below reads the SAME scan
+            # instead of re-scanning every candidate file (the frame
+            # stays bounded by the MOR fallback budget either way).
+            carry_cols = keys + ident_cols if idents0 else []
+            matched_full = (
                 self._scan_live(plan["evolved_manifest"], candidates, keep_pos=True)
                 .join(key_tuples, keys, "left_semi")
-                .select(
-                    F.col("__dv_rel").alias("file"),
-                    F.col("__dv_pos").alias("pos"),
-                )
+                .select(*carry_cols, "__dv_rel", "__dv_pos")
                 .localCheckpoint(eager=True)
             )
+            matched = matched_full.select(
+                F.col("__dv_rel").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            if idents0:
+                # (key -> min id) over MATCHED rows only — exact for
+                # the carry (see _carry_identity_for_stage), and
+                # derived from the checkpoint: zero extra scans
+                idmap = matched_full.groupBy(*keys).agg(
+                    *[F.min(c).alias(c) for c in ident_cols]
+                )
             # manifest-sized collect: one row per file that had a match
             matched_counts = {
                 r["file"]: r["n"]
@@ -5487,10 +5525,14 @@ class SnapshotTable:
                 .collect()
             }
         if sum(matched_counts.values()) > self.mor_fallback_max_rows:
+            # hand the still-valid plan over (no commit happened since
+            # it was built) — same as the measured fallback above, so
+            # the COW path never re-runs the validation aggregate
             return self.merge(
                 source,
                 key,
                 _markers=_markers,
+                _plan=plan,
                 _stage_df=_stage_df,
                 _seq_state=_seq_state,
             )
@@ -5509,7 +5551,7 @@ class SnapshotTable:
             # in merge itself) and before conform/stage: appended rows
             # replacing masked targets CARRY the masked rows' ids
             stage, id_claims = self._carry_identity_for_stage(
-                stage, plan, idents0, base0
+                stage, plan, idents0, base0, _idmap=idmap
             )
         base_dvs = manifest.get("dvs", {})
         base_counts = manifest.get("dv_rows", {})
@@ -5686,33 +5728,34 @@ class SnapshotTable:
         # merge planning, key-tuple distinct, and the staged write all
         # consume it — without this the rank window recomputes per use
         latest = latest.localCheckpoint(eager=True)
-        null_key = F.lit(False)
-        for k in keys:
-            null_key = null_key | F.col(k).isNull()
-        validation_aggs = [
+        # the merge-planning bounds (per-key min/max, n, nd, NULL-key
+        # count, var-width averages) RIDE the validation aggregate and
+        # are handed to _plan_merge via _bounds — one aggregate job
+        # per batch instead of two (guide §1.2). They double as the
+        # tracked path's per-key batch bounds for _applied_seq's
+        # candidate pruning. Key aggregates computed over `latest`
+        # equal those over the plan frame: dropping the non-key op/seq
+        # columns cannot change a key-column aggregate.
+        plan_aggs, _var_cols = self._merge_bounds_aggs(
+            keys, dict(latest.dtypes)
+        )
+        validation_aggs = plan_aggs + [
             F.sum(F.col(op_col).isNull().cast("long")).alias("n_null_op"),
-            F.sum(null_key.cast("long")).alias("n_null_key"),
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
         ]
         if track_seq and seq_col is not None:
-            # the tracked path needs the NULL-seq census AND the
-            # per-key batch bounds (for _applied_seq's candidate
-            # pruning) — both ride the same validation aggregate
-            # instead of two more jobs (the raise-order below is
+            # the tracked path additionally needs the NULL-seq census —
+            # same aggregate, zero extra jobs (the raise-order below is
             # unchanged; only the values are shared)
             validation_aggs.append(
                 F.sum(F.col(seq_col).isNull().cast("long")).alias(
                     "n_null_seq"
                 )
             )
-            for i, k in enumerate(keys):
-                validation_aggs.append(F.min(k).alias(f"__lo_{i}"))
-                validation_aggs.append(F.max(k).alias(f"__hi_{i}"))
         checks = latest.agg(*validation_aggs).first()
-        if checks["n_null_key"]:
+        plan_bounds = checks
+        if checks["n_null"]:
             raise ValueError(
-                f"apply_changes: {checks['n_null_key']} rows have NULL "
+                f"apply_changes: {checks['n_null']} rows have NULL "
                 f"key values — NULL keys never match; filter them out "
                 f"or use a sentinel"
             )
@@ -5755,7 +5798,7 @@ class SnapshotTable:
             applied = self._applied_seq(
                 manifest, latest, keys, bcast_ok, tombstone_retention_sec,
                 _bounds={
-                    i: (checks[f"__lo_{i}"], checks[f"__hi_{i}"])
+                    i: (checks[f"lo_{i}"], checks[f"hi_{i}"])
                     for i in range(len(keys))
                 },
             )
@@ -5772,7 +5815,14 @@ class SnapshotTable:
                     .drop("__applied_seq")
                     .localCheckpoint(eager=True)
                 )
-                if latest.limit(1).count() == 0:
+                # the stale gate changed the surviving row set, so the
+                # merge-planning bounds are re-derived over the
+                # checkpointed survivors — same single aggregate that
+                # doubles as the emptiness probe (everything stale →
+                # clean no-op), and _plan_merge below still skips its
+                # own job
+                plan_bounds = latest.agg(*plan_aggs).first()
+                if plan_bounds["n"] == 0:
                     return cur  # everything stale: clean no-op
             # consolidated tombstone state for this commit: prior
             # tombstones inside retention, minus keys this batch
@@ -5824,6 +5874,7 @@ class SnapshotTable:
                 _markers=_markers,
                 _stage_df=upserts,
                 _seq_state=seq_state,
+                _plan_bounds=plan_bounds,
             )
         return self.merge(
             plan_frame,
@@ -5831,6 +5882,7 @@ class SnapshotTable:
             _markers=_markers,
             _stage_df=upserts,
             _seq_state=seq_state,
+            _plan_bounds=plan_bounds,
         )
 
     def read_current(self, version: int | None = None) -> DataFrame:
@@ -7247,7 +7299,8 @@ class SnapshotTable:
         return self._commit(build)
 
     def _assign_identity(
-        self, df: DataFrame, idents: dict, manifest: dict
+        self, df: DataFrame, idents: dict, manifest: dict,
+        _stable: bool = False,
     ) -> tuple[DataFrame, dict]:
         """Assign identity values to a PHYSICAL-name frame:
         ``(frame_with_ids, claims)`` where ``claims[col] = (base, n)``
@@ -7256,7 +7309,11 @@ class SnapshotTable:
         about to be written anyway), one tiny per-partition count agg,
         a broadcast offset join, and a PER-PARTITION row_number — no
         global window, no ``.rdd``. Explicit values are refused (the
-        GENERATED ALWAYS rule)."""
+        GENERATED ALWAYS rule). ``_stable=True`` skips the placement
+        checkpoint — the caller guarantees ``df`` is a narrow
+        transform of an already-materialized frame (e.g. a filter
+        over an eager localCheckpoint), so row placement is stable
+        without paying a second materialization job."""
         from pyspark.sql.window import Window
 
         inv = {p: l for l, p in self._col_mapping(manifest).items()}
@@ -7271,7 +7328,8 @@ class SnapshotTable:
             )
         if not todo:
             return df, {}
-        df = df.localCheckpoint(eager=True)  # stabilize row placement
+        if not _stable:
+            df = df.localCheckpoint(eager=True)  # stabilize row placement
         tagged = df.withColumn("__id_pid", F.spark_partition_id())
         counts = {
             r["__id_pid"]: r["cnt"]
@@ -7320,7 +7378,8 @@ class SnapshotTable:
         return tagged.select(*out_cols), claims
 
     def _carry_identity_for_stage(
-        self, stage: DataFrame, plan: dict, idents: dict, manifest: dict
+        self, stage: DataFrame, plan: dict, idents: dict, manifest: dict,
+        _idmap: DataFrame | None = None,
     ) -> tuple[DataFrame, dict]:
         """Target-id carry for the ROLE-SPLIT merge paths (merge_mor /
         apply_changes stage frames and the COW fallback — r14 verdict
@@ -7349,22 +7408,39 @@ class SnapshotTable:
             return self._assign_identity(stage, idents, manifest)
         pid_cols = [self._phys(manifest, c) for c in sorted(idents)]
         keys = plan["keys"]
-        idmap = (
-            self._scan_live(plan["evolved_manifest"], plan["candidates"])
-            .select(*keys, *pid_cols)
-            .groupBy(*keys)
-            .agg(*[F.min(c).alias(c) for c in pid_cols])
-        )
+        if _idmap is not None:
+            # merge_mor hands over the (key -> min id) map derived from
+            # its already-checkpointed matched scan — restricting the
+            # map to MATCHED keys is exact for the carry left-join
+            # (stage keys are source keys; unmatched stage keys get
+            # NULL either way) and saves re-scanning every candidate
+            # file just to rebuild ids the matched pass already read
+            idmap = _idmap
+        else:
+            idmap = (
+                self._scan_live(plan["evolved_manifest"], plan["candidates"])
+                .select(*keys, *pid_cols)
+                .groupBy(*keys)
+                .agg(*[F.min(c).alias(c) for c in pid_cols])
+            )
         if plan["broadcast_ok"]:
             idmap = F.broadcast(idmap)
-        with_ids = stage.join(idmap, keys, "left")
+        # materialized ONCE: the fresh-id assignment and the staged
+        # write both consume the carry join — without this the
+        # candidate-scan ⋈ stage subtree executes again per consumer
+        # (the fresh-side placement checkpoint, then the write itself)
+        with_ids = stage.join(idmap, keys, "left").localCheckpoint(
+            eager=True
+        )
         # assigned ids are never NULL, so a NULL carried id IS the
         # unmatched marker
         carried = with_ids.filter(F.col(pid_cols[0]).isNotNull())
         fresh_src = with_ids.filter(F.col(pid_cols[0]).isNull()).drop(
             *pid_cols
         )
-        fresh, claims = self._assign_identity(fresh_src, idents, manifest)
+        fresh, claims = self._assign_identity(
+            fresh_src, idents, manifest, _stable=True
+        )
         return carried.unionByName(fresh), claims
 
     def _advance_identity(self, prev: dict, claims: dict) -> dict:
