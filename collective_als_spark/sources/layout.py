@@ -6030,6 +6030,13 @@ class SnapshotTable:
             else None
         )
         if hist is not None and track_seq:
+            # the tracked path consumes the pruned history scan TWICE —
+            # the stale-gate floor here and the open-row close-join
+            # below — and without a checkpoint each consumer re-runs
+            # the candidate scan + semi-join (guide §1.2). The frame is
+            # batch-keys-history-sized, so materializing it once is
+            # cheap; the untracked path reads it once and skips this.
+            hist = hist.localCheckpoint(eager=True)
             floor = hist.groupBy(*keys).agg(
                 F.max(F.coalesce("__END_AT", "__START_AT")).alias("__flr")
             )
@@ -7900,13 +7907,35 @@ class SnapshotTable:
 
         rows_to = rows(m_to, added + dv_changed)
         rows_from = rows(m_from, removed + dv_changed)
-        if not (removed or dv_changed) or not (added or dv_changed):
+        # for a SINGLE-commit window the commit's recorded op proves
+        # sidedness the file diff alone cannot (multi-commit windows
+        # mix ops, so they keep the general netting):
+        # - "compact" rewrites files but preserves every live row —
+        #   both sides are provably empty (the streaming CDF source
+        #   already skips compact commits on the same proof), where
+        #   the general path would double-scan the whole rewritten
+        #   set through two full-width exceptAll shuffles just to
+        #   net it to zero
+        # - "delete"/"delete_mor" only remove or mask rows (survivors
+        #   are copied or DV-masked verbatim), so the insert side is
+        #   provably empty and only the delete-side netting runs
+        op_to = (
+            self._raw_manifest(v_to).get("op")
+            if v_to == from_version + 1
+            else None
+        )
+        if op_to == "compact":
+            inserts, deletes = rows(m_to, []), rows(m_from, [])
+        elif not (removed or dv_changed) or not (added or dv_changed):
             # one side is provably empty (pure append / pure removal —
             # the two commonest commit shapes): exceptAll against an
             # empty relation is the identity, so skip it outright —
             # each exceptAll is a full-width shuffle of both sides and
             # the pair re-scans every changed file twice (guide §2.4)
             inserts, deletes = rows_to, rows_from
+        elif op_to in ("delete", "delete_mor"):
+            inserts = rows(m_to, [])
+            deletes = rows_from.exceptAll(rows_to)
         else:
             inserts = rows_to.exceptAll(rows_from)
             deletes = rows_from.exceptAll(rows_to)
