@@ -84,10 +84,15 @@ def duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers, so rounding is engine-deterministic.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    # per-doc shingle arrays materialized ONCE: the document-frequency
+    # aggregate and the join side both consume the exploded frame, and
+    # without this each consumer re-ran the scan + shingle computation
+    # (guide §1.2 — same measured pattern as prefix_jaccard_pairs)
+    docarr = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(TX.shingles(F.col("text"), 3))).alias("s"),
-    )
+        F.array_distinct(TX.shingles(F.col("text"), 3)).alias("_arr"),
+    ).localCheckpoint(eager=True)
+    sh = docarr.select("doc_id", F.explode("_arr").alias("s"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfc"))
     return (
         sh.join(dfreq, "s")
@@ -148,7 +153,12 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from collective_als_spark.queries.extended5 import winnowing_fingerprints
 
-    fps = winnowing_fingerprints(spark, sf_dir)
+    # materialized ONCE: the hot-fingerprint census, the join side and
+    # the pair self-join below all consume the index — without this
+    # each reference re-ran the scan + md5 + winnowing pass
+    fps = winnowing_fingerprints(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     kept = fps.join(
         fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
             F.col("_df") <= _FP_MAX_DF
@@ -221,7 +231,13 @@ def substring_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collective_als_spark.queries.extended5 import winnowing_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(spark, sf_dir)
+    # the fingerprint index is materialized ONCE for its self-join:
+    # both aliases would otherwise re-run the full scan + md5 shingle
+    # hashing + winnowing pass (guide §1.2) — the index is ~2/(w+1) of
+    # shingle volume, far cheaper to hold than to recompute
+    fps = winnowing_fingerprints(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     a, b = fps.alias("a"), fps.alias("b")
     cand = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") != F.col("b.doc_id")))
