@@ -230,8 +230,14 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost, so its rows carry only (part_i, part_j) — degree columns
     # ride the small post-agg frame instead of every pair row (r03:
     # replaced the per-row n_i window + wide shuffle; ~25% less shuffle
-    # bytes through the quadratic stage)
-    deg = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    # bytes through the quadratic stage). Materialized once: the two
+    # broadcast joins rename the key differently, which defeats
+    # exchange reuse — without this each broadcast re-ran the
+    # ui2-scan + degree aggregate (visible as two identical
+    # HashAggregate+Exchange subtrees in the final plan)
+    deg = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i")).localCheckpoint(
+        eager=True
+    )
     a = ui2.select("u", F.col("i").alias("part_i"))
     b = ui2.select("u", F.col("i").alias("part_j"))
     pairs = (
@@ -343,7 +349,11 @@ def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count is metadata-cheap on the checkpointed frame; 5e-6 floors/
     # interaction calibrates floor=3 at the sf0.1 reference density
     support_floor = max(3, int(round(ui2.count() * 5e-6)))
-    deg = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    # materialized once — the item/neighbor broadcast joins rename the
+    # key differently, defeating exchange reuse (see item_item_cosine)
+    deg = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i")).localCheckpoint(
+        eager=True
+    )
     a = ui2.select("u", F.col("i").alias("part_i"))
     b = ui2.select("u", F.col("i").alias("part_j"))
     # materialize the pair aggregate ONCE: Spark does not CSE across
