@@ -20,7 +20,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from collective_als_spark.registry import register
+from collective_als_spark.sources.layout import _one_job
 from collective_als_spark.sources.testdata import load_table
+
+
+def _n(df: DataFrame) -> int:
+    """One-job count for a measurement read (see layout._one_job:
+    AQE turns each exchange of these small fixed-shape actions into
+    its own job launch; the session partition count is kept because
+    the read subtree can carry data-sized shuffles)."""
+    return _one_job(df, "count", parts=None)
+
+
+def _v1(df: DataFrame):
+    """One-job first() for a fused measurement aggregate."""
+    return _one_job(df, "first", parts=None)
 
 
 @register(
@@ -72,17 +86,17 @@ def lake_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             bloom_columns=["o_orderkey"],
         )
         t.append(orders.filter(F.col("o_totalprice") < 100000))
-        n1 = t.read().count()
+        n1 = _n(t.read())
         t.append(orders.filter(F.col("o_totalprice") >= 100000))
-        n2 = t.read().count()
+        n2 = _n(t.read())
         marks = orders.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
             "o_totalprice", F.lit(-1.0)
         )
         t.merge(marks, "o_orderkey")
-        n3 = t.read().count()
+        n3 = _n(t.read())
         t.delete_where("o_totalprice", -10.0, -1.0)
-        n4 = t.read().count()
-        n_tt = t.read(version=2).count()
+        n4 = _n(t.read())
+        n_tt = _n(t.read(version=2))
         rows = [
             ("v1_append_low", 1, n1),
             ("v2_append_high", 2, n2),
@@ -248,14 +262,14 @@ def lake_mor_upsert_nullstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count + cents fused into one action over the final snapshot;
         # the three where_null= reads stay separate on purpose — they
         # exercise the null-count data-skipping read path itself
-        a = t.read().agg(
+        a = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
-        ).first()
+        ))
         out = [
             ("n_total_after_upsert", a["n"]),
-            ("n_band_null", t.read(where_null=("band", True)).count()),
-            ("n_band_notnull", t.read(where_null=("band", False)).count()),
-            ("tt_v1_band_null", t.read(version=1, where_null=("band", True)).count()),
+            ("n_band_null", _n(t.read(where_null=("band", True)))),
+            ("n_band_notnull", _n(t.read(where_null=("band", False)))),
+            ("tt_v1_band_null", _n(t.read(version=1, where_null=("band", True)))),
             ("cents_total", a["cents"]),
         ]
     finally:
@@ -420,7 +434,7 @@ def lake_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), cents.alias("cents")
     )
-    mx = rows.agg(F.max("k")).first()[0]
+    mx = _v1(rows.agg(F.max("k")))[0]
     k, c = F.col("k"), F.col("cents")
 
     def ch(df, cents_val, op, seq):
@@ -462,7 +476,7 @@ def lake_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one fused aggregate over the final snapshot instead of five
         # separate actions (each re-ran the DV-masked scan); a filtered
         # count IS a conditional sum — value-identical, oracle-pinned
-        a = t.read().agg(
+        a = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(((k % 100 == 0) & (k <= mx)).cast("long")).alias("nd"),
             F.sum(
@@ -470,14 +484,14 @@ def lake_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nr"),
             F.sum((k > mx).cast("long")).alias("ni"),
             F.sum("cents").alias("cents"),
-        ).first()
+        ))
         out = [
             ("n_total_after", a["n"]),
             ("n_deleted_remaining", a["nd"]),
             ("n_revived", a["nr"]),
             ("n_inserted", a["ni"]),
             ("cents_total", a["cents"]),
-            ("tt_v1_total", t.read(version=1).count()),
+            ("tt_v1_total", _n(t.read(version=1))),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -538,7 +552,7 @@ def lake_update_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.append(rows)
         t.add_check_constraint("cents_nonneg", "cents >= 0")
-        mx = rows.agg(F.max("k")).first()[0]
+        mx = _v1(rows.agg(F.max("k")))[0]
         t.update_where("k", 0, mx, set={"cents": "CASE WHEN k % 50 = 0 THEN CAST(555 AS BIGINT) ELSE cents END"})
         rejected = 0
         try:
@@ -561,17 +575,18 @@ def lake_update_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         out = [
-            ("n_total", t.read().count()),
+            ("n_total", _n(t.read())),
             (
                 "n_updated",
-                t.read()
-                .filter((F.col("k") % 50 == 0) & (F.col("cents") == 555))
-                .count(),
+                _n(
+                    t.read()
+                    .filter((F.col("k") % 50 == 0) & (F.col("cents") == 555))
+                ),
             ),
-            ("cents_total", t.read().agg(F.sum("cents")).first()[0]),
+            ("cents_total", _v1(t.read().agg(F.sum("cents")))[0]),
             ("n_rejected_commits", rejected),
-            ("n_quarantined", bad.count()),
-            ("tt_v1_cents", t.read(version=1).agg(F.sum("cents")).first()[0]),
+            ("n_quarantined", _n(bad)),
+            ("tt_v1_cents", _v1(t.read(version=1).agg(F.sum("cents")))[0]),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -669,7 +684,7 @@ def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["o_orderkey"])
         t.append(rows)
         t.delete_where(pred)
-        n_after_delete = t.read().count()
+        n_after_delete = _n(t.read())
         t.delete_where(pred_mixed)
         t.update_where(
             "o_orderstatus = 'O' AND price > 100000",
@@ -680,13 +695,13 @@ def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same scan; a filtered count IS a conditional sum). The two
         # where= reads stay separate on purpose: they exercise the
         # data-skipping read path itself.
-        a = t.read().agg(
+        a = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 (F.col("o_orderpriority") == "FLAGGED").cast("long")
             ).alias("nf"),
             F.sum("cents").alias("cents"),
-        ).first()
+        ))
         out = [
             ("n_after_delete", n_after_delete),
             ("n_after_mixed_delete", a["n"]),
@@ -694,18 +709,18 @@ def lake_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("cents_survivors", a["cents"]),
             (
                 "n_matched_left",
-                t.read(where=pred).count() + t.read(where=pred_mixed).count(),
+                _n(t.read(where=pred)) + _n(t.read(where=pred_mixed)),
             ),
-            ("tt_v1_total", t.read(version=1).count()),
+            ("tt_v1_total", _n(t.read(version=1))),
         ]
         # r11 negation shapes under the driver hash: NOT BETWEEN +
         # an exclusion, complement-interval pruned, exact residual
         t.delete_where(
             "price NOT BETWEEN 1000 AND 400000 AND o_orderstatus <> 'P'"
         )
-        b = t.read().agg(
+        b = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
-        ).first()
+        ))
         out.append(("n_after_not_delete", b["n"]))
         out.append(("cents_final", b["cents"]))
     finally:
@@ -781,14 +796,14 @@ def lake_tracked_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one fused aggregate instead of four actions over the same
         # DV-masked snapshot; filtered counts become conditional sums —
         # value-identical, oracle-pinned
-        a = t.read().agg(
+        a = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("cents") == 999).cast("long")).alias("nw"),
             F.sum((F.col("cents") == 111).cast("long")).alias("ns"),
             F.sum(
                 ((k % 10 == 5) | (F.col("cents") == 222)).cast("long")
             ).alias("nr"),
-        ).first()
+        ))
         out = [
             ("n_after", a["n"]),
             ("n_winner_value", a["nw"]),
@@ -859,11 +874,11 @@ def lake_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         got = t.read()
         out = [
-            ("n_total", got.count() - 1),  # minus the probe row
-            ("n_band_newname", t.read(where=("k", 1, 64)).count()),
+            ("n_total", _n(got) - 1),  # minus the probe row
+            ("n_band_newname", _n(t.read(where=("k", 1, 64)))),
             (
                 "cents_after_drop_readd",
-                got.agg(F.sum("aux2")).first()[0],
+                _v1(got.agg(F.sum("aux2")))[0],
             ),
             (
                 "tt_v1_is_oldnames",
@@ -871,9 +886,10 @@ def lake_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (
                 "cents_total_newname",
-                got.filter(F.col("k") < 10_000_000)
-                .agg(F.sum("pennies"))
-                .first()[0],
+                _v1(
+                    got.filter(F.col("k") < 10_000_000)
+                    .agg(F.sum("pennies"))
+                )[0],
             ),
         ]
     finally:
@@ -1070,7 +1086,7 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one fused aggregate instead of five actions over the same
         # snapshot; filtered counts become conditional sums —
         # value-identical, oracle-pinned
-        a = t.read().agg(
+        a = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 (F.col("o_orderpriority") == "SQL-FLAG").cast("long")
@@ -1080,7 +1096,7 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("o_orderpriority") == "COND-INS").cast("long")
             ).alias("nci"),
-        ).first()
+        ))
         out = [
             ("n_final", a["n"]),
             ("n_flagged", a["nf"]),
@@ -1181,7 +1197,7 @@ def lake_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same snapshot (guide §1.2: each count re-ran the full history
         # scan; a filtered count IS a conditional sum, so the fusion is
         # value-identical and the oracle hash pins it)
-        a = got.agg(
+        a = _v1(got.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(is_open.cast("long")).alias("n_open"),
             F.sum((~is_open).cast("long")).alias("n_closed"),
@@ -1189,7 +1205,7 @@ def lake_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("cents").isin(111, 222).cast("long")
             ).alias("n_stale"),
-        ).first()
+        ))
         out = [
             ("n_history_rows", a["n"]),
             ("n_open", a["n_open"]),
@@ -1272,13 +1288,13 @@ def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dgot = d.read()
         assert dict(dgot.dtypes)["d"] == "decimal(16,4)"
-        dec_sum = dgot.agg(F.sum("d")).first()[0]
-        dec_band = d.read(where="d >= 100000").count()
+        dec_sum = _v1(dgot.agg(F.sum("d")))[0]
+        dec_band = _n(d.read(where="d >= 100000"))
         out = [
-            ("n_total", got.count()),
-            ("sum_all", got.agg(F.sum("v")).first()[0]),
-            ("n_wide_band", wide.count()),
-            ("tt_v1_rows", t.read(version=1).count()),
+            ("n_total", _n(got)),
+            ("sum_all", _v1(got.agg(F.sum("v")))[0]),
+            ("n_wide_band", _n(wide)),
+            ("tt_v1_rows", _n(t.read(version=1))),
             ("dec_cents_x100", int(dec_sum * 100)),
             ("dec_n_band", dec_band),
         ]
@@ -1350,24 +1366,24 @@ def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"GROUP BY _commit_version, _change_type",
             ).collect()
         }
-        window = snapshot_sql(
+        window = _v1(snapshot_sql(
             spark,
             f"SELECT count(*) AS n FROM table_changes('{t.root}', 2, 2)",
-        ).first()["n"]
-        ts_nonnull = snapshot_sql(
+        ))["n"]
+        ts_nonnull = _v1(snapshot_sql(
             spark,
             f"SELECT count(_commit_timestamp) AS n FROM "
             f"table_changes('{t.root}', 1)",
-        ).first()["n"]
+        ))["n"]
         # timestamp bounds (r14): a quoted literal at v2's commit
         # instant starts the feed at v2 — earliest commit at-or-after,
         # Delta's CDF start-timestamp rule
         ts2 = float(t._raw_manifest(2)["committed_at"])
-        ts_window = snapshot_sql(
+        ts_window = _v1(snapshot_sql(
             spark,
             f"SELECT count(*) AS n FROM "
             f"table_changes('{t.root}', '{ts2}')",
-        ).first()["n"]
+        ))["n"]
         out = [
             ("v1_inserts", per_commit.get((1, "insert"), 0)),
             ("v2_deletes", per_commit.get((2, "delete"), 0)),
@@ -1436,13 +1452,13 @@ def lake_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         t2.append(rows)
         t2.append(rows.filter(F.col("k") % 3 == 0))
         got = t2.read()
-        agg = got.agg(
+        agg = _v1(got.agg(
             F.count(F.lit(1)).alias("n"),
             F.min("rid").alias("mn"),
             F.max("rid").alias("mx"),
             F.sum("rid").alias("sm"),
             F.countDistinct("rid").alias("nd"),
-        ).first()
+        ))
         out = [
             ("n_total", agg["n"]),
             ("rid_min", agg["mn"]),
@@ -1508,13 +1524,13 @@ def lake_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         # separate action on purpose — it exercises the generated-
         # column implied-band pruning read path itself
         band = t2.read(where="d >= '1995-01-01' AND d < '1996-01-01'")
-        a = t2.read().agg(
+        a = _v1(t2.read().agg(
             F.count(F.lit(1)).alias("n"), F.sum("y").alias("ys")
-        ).first()
+        ))
         out = [
             ("n_total", a["n"]),
             ("y_sum", a["ys"]),
-            ("n_1995", band.count()),
+            ("n_1995", _n(band)),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1588,12 +1604,12 @@ def lake_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one fused aggregate instead of four actions over the same
         # snapshot; filtered counts become conditional sums —
         # value-identical, oracle-pinned
-        a = t.read().agg(
+        a = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("src") == "seed").cast("long")).alias("ns"),
             F.sum((F.col("src") == "web").cast("long")).alias("nw"),
             F.sum(F.col("src").isNull().cast("long")).alias("nn"),
-        ).first()
+        ))
         out = [
             ("n_total", a["n"]),
             ("n_seed", a["ns"]),
@@ -1678,7 +1694,7 @@ def lake_merge_on_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one fused aggregate instead of four actions over the same
         # snapshot; filtered counts become conditional sums —
         # value-identical, oracle-pinned
-        a = t.read().agg(
+        a = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("cents").alias("cents"),
             F.sum(
@@ -1688,7 +1704,7 @@ def lake_merge_on_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("cents") == 88888888889) & (F.col("k") > 0))
                 .cast("long")
             ).alias("nri"),
-        ).first()
+        ))
         out = [
             ("n_final", a["n"]),
             ("cents_final", a["cents"]),
@@ -1788,7 +1804,7 @@ def lake_merge_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one fused aggregate instead of five actions over the same
         # snapshot; filtered counts become conditional sums —
         # value-identical, oracle-pinned
-        a = t.read().agg(
+        a = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("cents").alias("cents"),
             F.sum(
@@ -1796,7 +1812,7 @@ def lake_merge_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nu"),
             F.sum((F.col("status") == "low").cast("long")).alias("nl"),
             F.sum(F.col("status").isNull().cast("long")).alias("ni"),
-        ).first()
+        ))
         out = [
             ("n_final", a["n"]),
             ("cents_final", a["cents"]),
@@ -1871,9 +1887,9 @@ def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         head = SnapshotTable(spark, f"{root}/head")
         out = [
-            ("clone_v1_n", SnapshotTable(spark, f"{root}/pinned")
-             .read().count()),
-            ("clone_head_n", head.read().count()),
+            ("clone_v1_n",
+             _n(SnapshotTable(spark, f"{root}/pinned").read())),
+            ("clone_head_n", _n(head.read())),
         ]
         src_head_before = src.current_version()
         snapshot_sql(spark, f"DELETE FROM '{root}/head' WHERE k % 5 = 0")
@@ -1883,12 +1899,13 @@ def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(owner = 'clone-test', tier = 'scratch')",
         )
         out += [
-            ("clone_after_delete", head.read().count()),
+            ("clone_after_delete", _n(head.read())),
             # clone independence: the source never advanced or changed
-            ("src_untouched", src.read().count()
+            ("src_untouched", _n(src.read())
              if src.current_version() == src_head_before else -1),
-            ("clone_props", head.show_tblproperties()
-             .filter(~F.col("key").startswith("engine.")).count()),
+            ("clone_props",
+             _n(head.show_tblproperties()
+                .filter(~F.col("key").startswith("engine.")))),
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1963,7 +1980,7 @@ def lake_identity_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = SnapshotTable(spark, f"{root}/tbl", stats_columns=["rid"])
         t.append(rows)                              # ids [10, 10+2(n-1)]
         t.append(rows.filter(F.col("k") % 3 == 0))  # continues the range
-        hi_row = t.read().agg(F.max("rid").alias("mx")).first()
+        hi_row = _v1(t.read().agg(F.max("rid").alias("mx")))
         hi = hi_row["mx"]  # top of the claimed range before the merge
         # MOR carry: a full-key upsert masks every row (incl. the
         # duplicate-key pairs) and appends one row per key CARRYING a
@@ -1974,11 +1991,11 @@ def lake_identity_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_claimed = (
             F.col("rid").between(10, hi) & (F.col("rid") % 2 == 0)
         )
-        agg2 = t.read().agg(
+        agg2 = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((~in_claimed).cast("long")).alias("bad"),
             F.countDistinct("rid").alias("nd"),
-        ).first()
+        ))
         out = [
             ("mor_n", agg2["n"]),
             ("mor_bad_ids", agg2["bad"]),
@@ -2006,12 +2023,12 @@ def lake_identity_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         t.apply_changes(changes, "k")
-        agg3 = t.read().agg(
+        agg3 = _v1(t.read().agg(
             F.count(F.lit(1)).alias("n"),
             F.max("rid").alias("mx"),
             F.countDistinct("rid").alias("nd"),
             F.sum((F.col("cents") == 777).cast("long")).alias("c777"),
-        ).first()
+        ))
         out += [
             ("apply_n", agg3["n"]),
             ("apply_rid_max", agg3["mx"]),

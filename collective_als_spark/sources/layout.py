@@ -328,6 +328,46 @@ def _generated_monotone_base(gexpr: str) -> str | None:
     return None
 
 
+def _one_job(df: DataFrame, how: str = "first", parts: int | None = 1):
+    """Run an internal protocol metadata action as ONE Spark job.
+
+    Under AQE every exchange of even a one-row aggregate materializes
+    as its own job (map-stage job + result job: 2-3 driver job
+    launches per action). The protocol's validation/bounds/stats
+    aggregates have a fixed two-stage shape whose exchange carries at
+    most a manifest-sized handful of rows — runtime replanning can
+    never help them — so they execute with AQE off: identical plan
+    inputs, identical results, one job launch. Their reduce side is
+    pinned to ``parts`` shuffle partitions (default 1: the exchange
+    carries aggregate rows, so the session's default partition count
+    would just be empty task launches); pass ``parts=None`` for
+    actions whose subtree can carry data-sized shuffles. User-facing
+    reads/writes are untouched (they keep AQE's coalescing and skew
+    handling).
+    """
+    def run():
+        if how == "first":
+            return df.first()
+        if how == "count":
+            return df.count()
+        return df.collect()
+
+    conf = df.sparkSession.conf
+    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    if prev == "false":
+        return run()
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    if parts is not None:
+        conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return run()
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
+        if parts is not None:
+            conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 class SnapshotTable:
     """Versioned parquet table: immutable data files + JSON manifests,
     committed by exclusive manifest creation (optimistic CAS).
@@ -1161,7 +1201,7 @@ class SnapshotTable:
                         .cast("long")
                     ).alias(f"__chk_{idx}")
                 )
-            rows = tagged.groupBy("__stg_file").agg(*aggs).collect()
+            rows = _one_job(tagged.groupBy("__stg_file").agg(*aggs), "collect")
         except Exception:
             for f in files:
                 self.log.delete(f)
@@ -1847,11 +1887,11 @@ class SnapshotTable:
             aggs.append(
                 F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
             )
-        rows = (
+        rows = _one_job(
             scan.select(F.input_file_name().alias("file"), *stats_cols)
             .groupBy("file")
-            .agg(*aggs)
-            .collect()
+            .agg(*aggs),
+            "collect",
         )
         return {
             _rel(r["file"]): {
@@ -1902,13 +1942,13 @@ class SnapshotTable:
                     for i in range(_BLOOM_K)
                 ]
             )
-            rows = (
+            rows = _one_job(
                 self.spark.read.parquet(*files)
                 .select(F.input_file_name().alias("file"), positions.alias("_pos"))
                 .select("file", F.explode("_pos").alias("pos"))
                 .groupBy("file")
-                .agg(F.collect_set("pos").alias("ps"))
-                .collect()
+                .agg(F.collect_set("pos").alias("ps")),
+                "collect",
             )
             for r in rows:
                 bits = bytearray(_BLOOM_BITS // 8)
@@ -1923,11 +1963,11 @@ class SnapshotTable:
         """Bounded (h1, h2) collection for bloom probing; None when the
         source exceeds the cap (caller falls back to interval-only)."""
         h1, h2 = _bloom_hash_cols(key)
-        rows = (
+        rows = _one_job(
             source.select(h1.alias("h1"), h2.alias("h2"))
             .distinct()
-            .limit(_BLOOM_MAX_KEYS + 1)
-            .collect()
+            .limit(_BLOOM_MAX_KEYS + 1),
+            "collect",
         )
         if len(rows) > _BLOOM_MAX_KEYS:
             return None
@@ -2219,7 +2259,10 @@ class SnapshotTable:
         # and the width guard below
         matched_counts = {
             r["file"]: r["n"]
-            for r in matched.groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+            for r in _one_job(
+                matched.groupBy("file").agg(F.count(F.lit(1)).alias("n")),
+                "collect",
+            )
         }
         if not matched_counts:
             return cur
@@ -2362,14 +2405,14 @@ class SnapshotTable:
             # one column-pruned pass over the staged files records each
             # file's bucket-id set (several buckets may co-reside in a
             # file; membership SETS keep that exact)
-            rows = (
+            rows = _one_job(
                 self.spark.read.parquet(*new_files)
                 .select(
                     F.input_file_name().alias("file"), bucket.alias("b")
                 )
                 .groupBy("file")
-                .agg(F.collect_set("b").alias("bs"))
-                .collect()
+                .agg(F.collect_set("b").alias("bs")),
+                "collect",
             )
             for r in rows:
                 entry = new_stats.setdefault(_rel(r["file"]), {})
@@ -2411,7 +2454,7 @@ class SnapshotTable:
             F.pmod(F.hash(F.col(key)), F.lit(n)).alias(f"b_{n}")
             for n in sorted(variants)
         ]
-        rows = source.select(*cols).distinct().collect()
+        rows = _one_job(source.select(*cols).distinct(), "collect")
         return {
             n: {r[f"b_{n}"] for r in rows} for n in sorted(variants)
         }
@@ -2584,7 +2627,7 @@ class SnapshotTable:
         if new_files:
             # one column-pruned pass records each staged file's
             # transform-value set (bounded: a few periods per file)
-            rows = (
+            rows = _one_job(
                 self.spark.read.parquet(*new_files)
                 .select(F.input_file_name().alias("file"), texpr.alias("t"))
                 .groupBy("file")
@@ -2593,8 +2636,8 @@ class SnapshotTable:
                     F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)).alias(
                         "n_null"
                     ),
-                )
-                .collect()
+                ),
+                "collect",
             )
             for r in rows:
                 if r["n_null"]:
@@ -2890,7 +2933,7 @@ class SnapshotTable:
             self._transform_expr(key, tname, tparam, dtype).alias(f"t_{i}")
             for i, (tname, tparam) in enumerate(ordered)
         ]
-        rows = source.select(*cols).distinct().collect()
+        rows = _one_job(source.select(*cols).distinct(), "collect")
         out = {}
         for i, v in enumerate(ordered):
             vals = {r[f"t_{i}"] for r in rows}
@@ -3673,7 +3716,9 @@ class SnapshotTable:
             # proofs cost more than the skipped file opens save
             limit = min(self.merge_broadcast_max_keys, 10_000)
             try:
-                rows = df.limit(limit + 1).collect()
+                # user subquery: its subtree may carry data-sized
+                # shuffles, so keep the session partition count
+                rows = _one_job(df.limit(limit + 1), "collect", parts=None)
             except Exception:
                 continue
             if len(rows) > limit:
@@ -3907,12 +3952,12 @@ class SnapshotTable:
             raise ValueError("replace_where requires the replacement df")
         cur = self.current_version()
         if predicate is None and lo is not None:
-            bounds = df.agg(
+            bounds = _one_job(df.agg(
                 F.min(column).alias("lo"),
                 F.max(column).alias("hi"),
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col(column).isNull().cast("long")).alias("n_null"),
-            ).first()
+            ))
             if bounds["n_null"]:
                 raise ValueError(
                     f"replace_where: {bounds['n_null']} rows have NULL "
@@ -3932,9 +3977,9 @@ class SnapshotTable:
             # the same way) — NULL predicate rows fail (they would
             # land outside the replaced region)
             _c, _m = self._normalize_dml_predicate(column, lo, hi, predicate)
-            n_bad = df.agg(
+            n_bad = _one_job(df.agg(
                 F.sum((~F.coalesce(_m, F.lit(False))).cast("long")).alias("v")
-            ).first()["v"]
+            ))["v"]
             if n_bad:
                 raise ValueError(
                     f"replace_where: {n_bad} replacement rows do NOT "
@@ -4241,7 +4286,7 @@ class SnapshotTable:
         dtypes = dict(source.dtypes)
         _FIXED = _KEY_FIXED_BYTES
         aggs, var_cols = self._merge_bounds_aggs(keys, dtypes)
-        bounds = source.agg(*aggs).first() if _bounds is None else _bounds
+        bounds = _one_job(source.agg(*aggs)) if _bounds is None else _bounds
         if bounds["n"] == 0:
             return cur
         # estimated bytes per distinct key tuple: fixed widths by type
@@ -5520,9 +5565,10 @@ class SnapshotTable:
             # manifest-sized collect: one row per file that had a match
             matched_counts = {
                 r["file"]: r["n"]
-                for r in matched.groupBy("file")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
+                for r in _one_job(
+                    matched.groupBy("file").agg(F.count(F.lit(1)).alias("n")),
+                    "collect",
+                )
             }
         if sum(matched_counts.values()) > self.mor_fallback_max_rows:
             # hand the still-valid plan over (no commit happened since
@@ -5751,7 +5797,7 @@ class SnapshotTable:
                     "n_null_seq"
                 )
             )
-        checks = latest.agg(*validation_aggs).first()
+        checks = _one_job(latest.agg(*validation_aggs))
         plan_bounds = checks
         if checks["n_null"]:
             raise ValueError(
@@ -5821,7 +5867,7 @@ class SnapshotTable:
                 # doubles as the emptiness probe (everything stale →
                 # clean no-op), and _plan_merge below still skips its
                 # own job
-                plan_bounds = latest.agg(*plan_aggs).first()
+                plan_bounds = _one_job(latest.agg(*plan_aggs))
                 if plan_bounds["n"] == 0:
                     return cur  # everything stale: clean no-op
             # consolidated tombstone state for this commit: prior
@@ -5857,7 +5903,7 @@ class SnapshotTable:
                 )
                 state = state.unionByName(old)
             state_dir = None
-            if state.limit(1).count() > 0:
+            if _one_job(state.limit(1), "count") > 0:
                 state_dir = f"{self.root}/_cdc_state/{uuid.uuid4().hex}"
                 state.write.mode("error").parquet(state_dir)
             seq_state = {"base": manifest.get("seq_state"), "new": state_dir}
@@ -5975,7 +6021,7 @@ class SnapshotTable:
         # the per-key batch bounds and distinct-key count for the
         # pruned history scan ride the SAME validation aggregate —
         # previously _scd2_key_history paid its own bounds job
-        checks = latest.agg(
+        checks = _one_job(latest.agg(
             F.sum(F.col(op_col).isNull().cast("long")).alias("n_null_op"),
             F.sum(F.col(seq_col).isNull().cast("long")).alias("n_null_seq"),
             F.sum(null_key.cast("long")).alias("n_null_key"),
@@ -5992,7 +6038,7 @@ class SnapshotTable:
                     F.max(k).alias(f"__hi_{i}"),
                 )
             ],
-        ).first()
+        ))
         if checks["n"] == 0:
             return cur
         for field, msg in (
@@ -6048,7 +6094,7 @@ class SnapshotTable:
                 .drop("__flr")
                 .localCheckpoint(eager=True)
             )
-            if latest.limit(1).count() == 0:
+            if _one_job(latest.limit(1), "count") == 0:
                 return cur  # everything stale: clean no-op
         from pyspark.sql.window import Window
 
@@ -6106,7 +6152,7 @@ class SnapshotTable:
             aggs.append(
                 F.count_distinct(*[F.col(k) for k in keys]).alias("nd")
             )
-            row = latest.agg(*aggs).first()
+            row = _one_job(latest.agg(*aggs))
             _bounds = {
                 i: (row[f"lo_{i}"], row[f"hi_{i}"]) for i in range(len(keys))
             }
@@ -6147,12 +6193,12 @@ class SnapshotTable:
         ]
         row_bytes = 32.0
         if var_cols:
-            widths = df.agg(
+            widths = _one_job(df.agg(
                 *[
                     F.avg(F.length(F.col(k))).alias(f"w_{j}")
                     for j, k in enumerate(var_cols)
                 ]
-            ).first()
+            ))
         for k in keys:
             if k in var_cols:
                 w = widths[f"w_{var_cols.index(k)}"]
@@ -6188,7 +6234,7 @@ class SnapshotTable:
                 for i, k in enumerate(keys):
                     aggs.append(F.min(k).alias(f"lo_{i}"))
                     aggs.append(F.max(k).alias(f"hi_{i}"))
-                row = latest.agg(*aggs).first()
+                row = _one_job(latest.agg(*aggs))
                 _bounds = {
                     i: (row[f"lo_{i}"], row[f"hi_{i}"])
                     for i in range(len(keys))
@@ -6302,7 +6348,7 @@ class SnapshotTable:
         cur = self._scan_live(base, base["files"]) if base["files"] else None
         if cur is None:
             return base_v
-        n = cur.count()
+        n = _one_job(cur, "count")
         n_files = max(1, math.ceil(n / target_rows_per_file))
         if zorder_by:
             from collective_als_spark.functions.vector import zorder_key
@@ -6516,7 +6562,7 @@ class SnapshotTable:
         if len(selected) < 2 and not has_dv_debt:
             return base_v  # nothing to fold; no commit, no new files
         cur = self._scan_live(base, selected)
-        n = cur.count()
+        n = _one_job(cur, "count")
         n_files = max(1, math.ceil(n / target_rows_per_file))
         if cluster_by:
             # rewrite stays physical; user keys arrive logical
@@ -6892,7 +6938,7 @@ class SnapshotTable:
         cur = self.current_version()
         if cur:
             pred = ~F.coalesce(F.expr(expr), F.lit(True))  # validates expr
-            n_bad = self.read().filter(pred).count()
+            n_bad = _one_job(self.read().filter(pred), "count")
             if n_bad:
                 raise ValueError(
                     f"cannot add constraint {name!r}: {n_bad} existing "
@@ -6995,9 +7041,9 @@ class SnapshotTable:
                         f"reference only non-generated columns — drop "
                         f"{g!r}'s definition first"
                     )
-            n_bad = self.read().filter(
+            n_bad = _one_job(self.read().filter(
                 ~F.expr(f"`{name}` <=> ({expr})")
-            ).count()
+            ), "count")
             if n_bad:
                 raise ValueError(
                     f"cannot declare generated column {name!r}: {n_bad} "
@@ -7268,10 +7314,10 @@ class SnapshotTable:
                     f"table without the column: declare it before the "
                     f"first write"
                 )
-            row = self.read().agg(
+            row = _one_job(self.read().agg(
                 (F.max(name) if step > 0 else F.min(name)).alias("m"),
                 F.sum(F.col(name).isNull().cast("long")).alias("nulls"),
-            ).first()
+            ))
             if row["nulls"]:
                 raise ValueError(
                     f"cannot declare identity column {name!r}: "
@@ -7340,9 +7386,10 @@ class SnapshotTable:
         tagged = df.withColumn("__id_pid", F.spark_partition_id())
         counts = {
             r["__id_pid"]: r["cnt"]
-            for r in tagged.groupBy("__id_pid")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
+            for r in _one_job(
+                tagged.groupBy("__id_pid").agg(F.count(F.lit(1)).alias("cnt")),
+                "collect",
+            )
         }
         total = sum(counts.values())
         offsets = []
@@ -7601,10 +7648,13 @@ class SnapshotTable:
         # audit expressions are written in LOGICAL names
         audit_rows = [
             r.asDict()
-            for r in run_checks(
-                self._to_logical(self.spark.read.parquet(*files), base0),
-                checks,
-            ).collect()
+            for r in _one_job(
+                run_checks(
+                    self._to_logical(self.spark.read.parquet(*files), base0),
+                    checks,
+                ),
+                "collect",
+            )
         ]
         failed = [r for r in audit_rows if not r["passed"]]
         if failed:
