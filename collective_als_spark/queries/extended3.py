@@ -238,8 +238,18 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i")).localCheckpoint(
         eager=True
     )
-    a = ui2.select("u", F.col("i").alias("part_i"))
-    b = ui2.select("u", F.col("i").alias("part_j"))
+    # pair-join parallelism pinned to a core-scaled count: the join was
+    # reshuffling the checkpointed frame on u anyway (checkpoint
+    # partitioning is opaque to the planner), but AQE coalesced the
+    # post-shuffle side to its 1 MB minPartitionSize — 4-5 partitions
+    # for a ~4 MB shuffle — blind to the C(n_items,2) fan-out INSIDE
+    # the join stage (13.1M generated pairs at sf0.1 chewed by 5 tasks
+    # on a 32-core host). REPARTITION_BY_NUM is the same single
+    # exchange (both branches reuse it), never AQE-coalesced, so the
+    # quadratic stage runs at full parallelism on any core count.
+    uir = ui2.repartition(spark.sparkContext.defaultParallelism * 2, "u")
+    a = uir.select("u", F.col("i").alias("part_i"))
+    b = uir.select("u", F.col("i").alias("part_j"))
     pairs = (
         a.join(b, "u")
         .filter(F.col("part_i") < F.col("part_j"))
@@ -354,8 +364,12 @@ def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i")).localCheckpoint(
         eager=True
     )
-    a = ui2.select("u", F.col("i").alias("part_i"))
-    b = ui2.select("u", F.col("i").alias("part_j"))
+    # pair-join parallelism pinned against AQE's 1 MB-minPartitionSize
+    # coalesce — same single exchange, full core count through the
+    # quadratic pair stage (see item_item_cosine)
+    uir = ui2.repartition(spark.sparkContext.defaultParallelism * 2, "u")
+    a = uir.select("u", F.col("i").alias("part_i"))
+    b = uir.select("u", F.col("i").alias("part_j"))
     # materialize the pair aggregate ONCE: Spark does not CSE across
     # union branches, so without this the symmetrize union re-executes
     # the whole SMJ + pair-aggregate subtree per branch (measured in
