@@ -1327,6 +1327,32 @@ class SnapshotTable:
             return None
         return {rel: entry for rel, entry in results if entry is not None}
 
+    def _written_rows(self, out_dir: str) -> int:
+        """Total row count of a just-written parquet directory, from
+        the file footers (driver-side metadata, zero Spark jobs); one
+        limit-probe job as the fallback when footers can't be read
+        (remote store, missing pyarrow)."""
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for name in self.log.list_dir(out_dir):
+                if not name.endswith(".parquet"):
+                    continue
+                path = f"{out_dir}/{name}"
+                local = path[7:] if path.startswith("file://") else path
+                total += pq.ParquetFile(local).metadata.num_rows
+            return total
+        except Exception:
+            try:
+                return _one_job(
+                    self.spark.read.parquet(out_dir).limit(1), "count"
+                )
+            except Exception:
+                # unreadable = no data files were written (an all-empty
+                # write emits only _SUCCESS, which can't infer a schema)
+                return 0
+
     @staticmethod
     def _wider_type(a: str, b: str) -> str | None:
         """The wider of two Spark JSON type names when one WIDENS to
@@ -5902,10 +5928,16 @@ class SnapshotTable:
                     .join(applied_keys, pkeys, "left_anti")
                 )
                 state = state.unionByName(old)
-            state_dir = None
-            if _one_job(state.limit(1), "count") > 0:
-                state_dir = f"{self.root}/_cdc_state/{uuid.uuid4().hex}"
-                state.write.mode("error").parquet(state_dir)
+            # write the consolidated state ONCE and decide emptiness
+            # from the written files' parquet footers (driver-side,
+            # zero extra jobs) — the old emptiness probe executed the
+            # union + anti-join subtree a first time just to learn
+            # whether to execute it again for the write (guide §1.2)
+            state_dir = f"{self.root}/_cdc_state/{uuid.uuid4().hex}"
+            state.write.mode("error").parquet(state_dir)
+            if self._written_rows(state_dir) == 0:
+                self.log.delete(state_dir, recursive=True)
+                state_dir = None
             seq_state = {"base": manifest.get("seq_state"), "new": state_dir}
             # live rows carry their applied sequence in the reserved
             # __seq payload column (additive schema evolution adds it
