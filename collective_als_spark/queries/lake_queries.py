@@ -1409,8 +1409,11 @@ def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'n_total' AS step, n + n2 AS value FROM c
     UNION ALL SELECT 'rid_min', CAST(10 AS BIGINT) FROM c
     UNION ALL SELECT 'rid_max', 10 + 2 * (n + n2 - 1) FROM c
-    UNION ALL SELECT 'rid_sum', (n + n2) * (10 + 10 + 2 * (n + n2 - 1)) / 2
-    FROM c
+    -- sum of 10 + 2j for j in 0..tot-1 = tot*(tot+9); kept
+    -- division-free so DuckDB's `/`->DOUBLE does not coerce the whole
+    -- UNION ALL value column to DOUBLE against Spark's BIGINT (the
+    -- r15 driver hash_match failure: 20000.0 vs 20000 on every row)
+    UNION ALL SELECT 'rid_sum', (n + n2) * (n + n2 + 9) FROM c
     UNION ALL SELECT 'rid_distinct', n + n2 FROM c
     """,
 )

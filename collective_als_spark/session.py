@@ -13,6 +13,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+_MEM_UNITS = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _mem_bytes(s: str) -> int:
+    """JVM memory string ('8g', '512m', '1024') -> bytes; 0 if unparseable."""
+    s = s.strip().lower()
+    try:
+        if s and s[-1] in _MEM_UNITS:
+            return int(float(s[:-1]) * _MEM_UNITS[s[-1]])
+        return int(s)
+    except ValueError:
+        return 0
+
 
 def get_spark(
     app_name: str = "collective_als_spark",
@@ -22,19 +35,18 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus != "*" else 32
-    # Pre-size and pre-touch the initial heap (guide §5): with the
-    # default 2 GB initial / 48 GB max, G1 grows the heap during every
-    # allocation burst (pair-join hash aggregates, checkpoint blocks)
-    # and uncommits it back after each concurrent cycle, so EVERY heavy
-    # query re-pays first-touch page faults inside its stages — on
-    # virtualized hosts with slow fault paths this measured 32 s of GC
-    # wall in ONE stage (item_item_topk 10.6-15.6 s warm vs 3.5-4.5 s
-    # with a pre-touched 8 GiB floor; fault rate ~1.1 GB/s there).
-    # Paying the touch ONCE at JVM startup is the standard long-lived-
-    # executor setup; SPARK_GRAFT_XMS sizes it (production executors
-    # would set Xms = Xmx).
-    xms = os.environ.get("SPARK_GRAFT_XMS", "8g")
-    jvm_opts = f"-Xms{xms} -XX:+AlwaysPreTouch" if xms not in ("", "0") else ""
+    # Heap pre-touch is OPT-IN (r15 verdict #3): the -Xms8g
+    # -XX:+AlwaysPreTouch default helped one stall-prone host but
+    # tilted the acceptance bench regressed and made every test JVM
+    # pre-fault 8 GiB. Hosts with slow first-touch fault paths can set
+    # SPARK_GRAFT_XMS (e.g. "8g"; production executors would set
+    # Xms = Xmx). The flag is skipped when it would exceed the
+    # configured driver memory (Xms > Xmx fails JVM startup).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    xms = os.environ.get("SPARK_GRAFT_XMS", "")
+    jvm_opts = ""
+    if xms not in ("", "0") and _mem_bytes(xms) <= _mem_bytes(driver_mem):
+        jvm_opts = f"-Xms{xms} -XX:+AlwaysPreTouch"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -44,17 +56,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS);
         # Spark has no nanos timestamp — read as long, convert in loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
-    if jvm_opts:
-        builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     for k, v in (extra_conf or {}).items():
+        if k == "spark.driver.extraJavaOptions" and jvm_opts:
+            v = f"{jvm_opts} {v}"  # merge, don't silently drop the pre-touch
         builder = builder.config(k, v)
+    if jvm_opts and "spark.driver.extraJavaOptions" not in (extra_conf or {}):
+        builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

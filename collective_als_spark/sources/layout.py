@@ -1328,30 +1328,34 @@ class SnapshotTable:
         return {rel: entry for rel, entry in results if entry is not None}
 
     def _written_rows(self, out_dir: str) -> int:
-        """Total row count of a just-written parquet directory, from
-        the file footers (driver-side metadata, zero Spark jobs); one
-        limit-probe job as the fallback when footers can't be read
-        (remote store, missing pyarrow)."""
+        """Row count of a just-written parquet directory for the
+        EMPTINESS check, from the file footers (driver-side metadata,
+        zero Spark jobs); one limit-probe job as the fallback when
+        footers can't be read (remote store, missing pyarrow) — the
+        fallback returns at most 1, which the single emptiness caller
+        is fine with. Returns 0 ONLY when the directory provably holds
+        no ``*.parquet`` data file (an all-empty write emits only
+        _SUCCESS); any other probe failure re-raises — a transient
+        error must not be mistaken for 'wrote nothing' (the caller
+        deletes the directory and drops prior CDC state on 0)."""
+        names = [
+            n for n in self.log.list_dir(out_dir) if n.endswith(".parquet")
+        ]
+        if not names:
+            return 0
         try:
             import pyarrow.parquet as pq
 
             total = 0
-            for name in self.log.list_dir(out_dir):
-                if not name.endswith(".parquet"):
-                    continue
+            for name in names:
                 path = f"{out_dir}/{name}"
                 local = path[7:] if path.startswith("file://") else path
                 total += pq.ParquetFile(local).metadata.num_rows
             return total
         except Exception:
-            try:
-                return _one_job(
-                    self.spark.read.parquet(out_dir).limit(1), "count"
-                )
-            except Exception:
-                # unreadable = no data files were written (an all-empty
-                # write emits only _SUCCESS, which can't infer a schema)
-                return 0
+            return _one_job(
+                self.spark.read.parquet(out_dir).limit(1), "count"
+            )
 
     @staticmethod
     def _wider_type(a: str, b: str) -> str | None:

@@ -529,3 +529,29 @@ def test_identity_mor_cow_fallback_carries(spark, tmp_path):
         assert after[k] == before[k], k
     assert sorted(after[k] for k in (6, 7)) == [7, 8]
     assert t._table_identity()["rid"]["next"] == 9
+
+
+def test_identity_oracle_strict_type_parity(spark, sf_small):
+    """Driver-hash replica WITHOUT the local harness's int/float
+    normalization (the r15 acceptance failure: DuckDB's `/` coerced
+    the oracle's whole UNION ALL value column to DOUBLE — 20000.0 vs
+    Spark's BIGINT 20000 on every row — which the normalized local
+    hash masked). The oracle must return plain ints AND the raw
+    stringified row sets must match exactly."""
+    import duckdb
+
+    from collective_als_spark.registry import oracle_queries, spark_queries
+    from tests.oracle_harness import TABLES
+
+    name = "lake_identity_columns"
+    sql = oracle_queries()[name]
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{tbl}.parquet')"
+        )
+    drows = con.execute(sql).fetchall()
+    assert all(isinstance(v, int) for _, v in drows), drows
+    srows = [tuple(r) for r in spark_queries()[name](spark, sf_small).collect()]
+    assert sorted(map(repr, srows)) == sorted(map(repr, drows))
