@@ -238,7 +238,7 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = ui2.groupBy("i").agg(F.count(F.lit(1)).alias("n_i")).localCheckpoint(
         eager=True
     )
-    # pair-join parallelism pinned to a core-scaled count: the join was
+    # pair-join parallelism pinned to the core count: the join was
     # reshuffling the checkpointed frame on u anyway (checkpoint
     # partitioning is opaque to the planner), but AQE coalesced the
     # post-shuffle side to its 1 MB minPartitionSize — 4-5 partitions
@@ -247,7 +247,11 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a 32-core host). REPARTITION_BY_NUM is the same single
     # exchange (both branches reuse it), never AQE-coalesced, so the
     # quadratic stage runs at full parallelism on any core count.
-    uir = ui2.repartition(spark.sparkContext.defaultParallelism * 2, "u")
+    # BOUNDED at 1x defaultParallelism (r15 verdict #2): one wave of
+    # pair-exploding partial aggregates per core — 2x measured no
+    # faster at 32 cores (3.47 vs 3.18 s) and doubles the concurrent
+    # agg-map footprint in local mode's one shared heap.
+    uir = ui2.repartition(spark.sparkContext.defaultParallelism, "u")
     a = uir.select("u", F.col("i").alias("part_i"))
     b = uir.select("u", F.col("i").alias("part_j"))
     pairs = (
@@ -367,7 +371,7 @@ def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-join parallelism pinned against AQE's 1 MB-minPartitionSize
     # coalesce — same single exchange, full core count through the
     # quadratic pair stage (see item_item_cosine)
-    uir = ui2.repartition(spark.sparkContext.defaultParallelism * 2, "u")
+    uir = ui2.repartition(spark.sparkContext.defaultParallelism, "u")
     a = uir.select("u", F.col("i").alias("part_i"))
     b = uir.select("u", F.col("i").alias("part_j"))
     # materialize the pair aggregate ONCE: Spark does not CSE across
