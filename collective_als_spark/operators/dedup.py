@@ -64,11 +64,15 @@ def minhash_signatures(
     filtered, matching the explode form's semantics (they produced no
     groupBy rows).
     """
+    from collective_als_spark.sources.testdata import spread
+
     n_salts = -(-num_hashes // 4)  # 4 x 8-hex slices per md5
     arr = shingles(F.col(text_col), shingle_n)
-    with_arr = df.select(F.col(id_col), arr.alias("_sarr")).filter(
-        F.size("_sarr") > 0
-    )
+    # the salted-md5 chain below is the dominant map cost; make sure it
+    # runs at core parallelism (no-op when the scan already splits)
+    with_arr = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), arr.alias("_sarr")
+    ).filter(F.size("_sarr") > 0)
 
     # single-argument lambdas with salt/slice captured via enclosing
     # scope — a two-arg lambda would make F.transform bind the second
@@ -142,10 +146,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     32-aggregate groupBy — the word frame never shuffles and the
     output is one row per document straight off the scan.
     """
+    from collective_als_spark.sources.testdata import spread
+
     harr = F.transform(
         F.split(F.col(text_col), " "), lambda w: word_hash(w, bits=bits)
     )
-    per_doc = df.select(
+    # per-word md5 + 32 aggregate folds dominate; run at core
+    # parallelism (no-op when the scan already splits)
+    per_doc = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), harr.alias("_harr"), F.size(harr).alias("_n")
     ).filter(F.col("_n") > 0)
 
@@ -401,8 +409,11 @@ def prefix_jaccard_pairs(
     # shingle computation (guide §1.2 — measured as two concurrent
     # ~1.2 s stage jobs at sf0.1; the checkpointed array frame is one
     # row per doc, smaller than the exploded postings it derives)
+    from collective_als_spark.sources.testdata import spread
+
     docarr = (
-        df.select(F.col(id_col).alias("id"), arr.alias("_arr"))
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", arr.alias("_arr"))
         .withColumn("n_sh", F.size("_arr"))
         .localCheckpoint(eager=True)
     )

@@ -510,7 +510,11 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_ppm_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from collective_als_spark.sources.testdata import spread
+
+    # the synth + byte-parse chain is Arrow-batched map work; run it
+    # at core parallelism (no-op when the scan already splits)
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     with_payload = synthetic_ppm_payloads(docs, "doc_id")
     media = attach_media_columns(with_payload, "doc_id", "payload", "image/x-ppm")
     return ppm_image_stats(media)

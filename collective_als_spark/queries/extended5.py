@@ -67,7 +67,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~2/(w+1) of shingle count, so the stored index is a fraction of
     MinHash's per-doc signature cost at substring granularity.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from collective_als_spark.sources.testdata import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     harr = F.transform(
         TX.shingles(F.col("text"), 3), lambda s: TX.word_hash(s)
     )

@@ -83,7 +83,9 @@ def duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed aggregate. The dup_frac division is a ratio of two small
     exact integers, so rounding is engine-deterministic.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from collective_als_spark.sources.testdata import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # per-doc shingle arrays materialized ONCE: the document-frequency
     # aggregate and the join side both consume the exploded frame, and
     # without this each consumer re-ran the scan + shingle computation
@@ -303,7 +305,9 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized and shuffles cogrouped on the word key. Output is
     |sources| rows.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from collective_als_spark.sources.testdata import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(TX.words(F.col("text"))).alias("w"))
     sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     stot = sw.groupBy("source").agg(F.sum("c").alias("n_tokens"))

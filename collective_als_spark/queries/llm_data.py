@@ -45,7 +45,9 @@ _SHINGLES = (
 def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, punctuation ratio, stopword ratio — pretraining
     quality-filter signals, all codegen'd (no UDF)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from collective_als_spark.sources.testdata import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
@@ -126,7 +128,9 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    from collective_als_spark.sources.testdata import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", TX.rolling_fingerprint("text").alias("fingerprint"))
 
 
@@ -1544,7 +1548,9 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     count). An 8-gram is the published contamination granularity
     (GPT-3 used 13-grams; smaller n = stricter), and exact string
     grams (not hashes) keep the DuckDB oracle bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    from collective_als_spark.sources.testdata import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )
     grams = docs.select(

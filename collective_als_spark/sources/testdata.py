@@ -42,6 +42,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a CPU-heavy map input up to the core
+    count when its scan under-parallelizes (guide §2.6/§6: the bench's
+    single-row-group parquet files plan as ONE scan task, so a
+    map-only hash/decode chain otherwise runs serially while every
+    other core idles). Scale-adaptive by construction: a scan that
+    already has >= defaultParallelism splits is returned unchanged, so
+    at 100 TB (thousands of file splits) this is a planner-side no-op
+    and no shuffle is added. Results are unaffected — callers compute
+    row-wise or key-aggregated values, never partition-placement-
+    dependent ones."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
