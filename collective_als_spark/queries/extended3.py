@@ -55,9 +55,7 @@ def tfidf_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast to the vocab frame (BroadcastNestedLoopJoin over one row,
     not a data cross join). df >= 10 prunes the hapax tail early.
     """
-    from collective_als_spark.sources.testdata import spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     stats = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))

@@ -92,9 +92,7 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable) → token⨝vocab join keyed on the word (broadcastable
     when the vocab is; shuffle join otherwise) → doc-keyed avg. The
     corpus total is a 1-row scalar broadcast."""
-    from collective_als_spark.sources.testdata import spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(TX.words("text")).alias("w"))
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("t"))

@@ -305,9 +305,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized and shuffles cogrouped on the word key. Output is
     |sources| rows.
     """
-    from collective_als_spark.sources.testdata import spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(TX.words(F.col("text"))).alias("w"))
     sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     stot = sw.groupBy("source").agg(F.sum("c").alias("n_tokens"))

@@ -141,7 +141,11 @@ def test_no_rdd_in_package_source():
     pickled-Python row processing — a per-row interpreter hop that
     forfeits codegen, pruning, and AQE. Nothing in the package may
     use it (the r07 item_item_dimsum collect+rdd.map path was the
-    last one). Docstrings/comments mentioning `.rdd` are fine."""
+    last one). Docstrings/comments mentioning `.rdd` are fine.
+    Exemption: `.rdd.getNumPartitions()` is a driver-side PLANNER
+    probe (partition count of the physical plan — no job, no row ever
+    crosses to Python); `testdata.spread` uses it to decide whether a
+    map-heavy input needs a parallelism floor."""
     import pathlib
     import re
 
@@ -152,6 +156,8 @@ def test_no_rdd_in_package_source():
             py.read_text().splitlines(), start=1
         ):
             code = line.split("#", 1)[0]
+            if re.search(r"\.rdd\.getNumPartitions\(\)", code):
+                continue
             if re.search(r"\.rdd\b", code) and "``" not in line:
                 offenders.append(f"{py}:{lineno}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
