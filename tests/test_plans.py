@@ -50,10 +50,13 @@ def test_prediction_join_no_cartesian(spark):
 
 def test_minhash_map_only(spark, sf_med):
     s = plan_summary(spark_queries()["minhash_signature"](spark, sf_med))
-    # r04 rewrite: per-doc array_min replaces explode + groupBy —
-    # the signature pass is map-only (zero exchanges); was <=2 when it
-    # shuffled the full shingle frame
-    assert s["n_exchanges"] == 0, s["n_exchanges"]
+    # r04 rewrite: per-doc array_min replaces explode + groupBy — the
+    # signature pass never shuffles the SHINGLE frame. r16 adds one
+    # round-robin spread of the raw doc rows ahead of the hash chain
+    # (testdata.spread, parallelism floor for single-split scans); the
+    # hash/min work itself must stay un-keyed — no hash exchange.
+    assert s["n_exchanges"] <= 1, s["n_exchanges"]
+    assert "hashpartitioning" not in s["plan"], s["plan"]
 
 
 def test_approx_split_has_no_global_window(spark, sf_med):
